@@ -1,13 +1,72 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.etl.{Summaries, StarQueries, Transactions}
+import graft.oracle.CoreSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is a named lazy DataFrame builder
+  * `(SparkSession, sfDir) => DataFrame`; [[oracleSql]] carries the
+  * equivalent DuckDB SQL over the same parquet tables. Column names and
+  * values are engineered to hash-match exactly (see Summaries scaladoc
+  * for the numeric-determinism rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * "Revenue by country" — the reference's country_summary
+    * (ref: data/etl.py:206-236). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Summaries.countrySummary(Transactions.cleaned(spark, "/root/testdata/sf0.001"))
+
+  private def cleanedQ(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Transactions.cleaned(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-parity core (SURVEY.md §2.2-2.5) ----
+    "transactions" -> cleanedQ(c => c.select(
+      col("InvoiceNo"), col("StockCode"), col("Description"), col("Quantity"),
+      col("InvoiceDate").cast(DateType).as("InvoiceDate"), col("UnitPrice"),
+      col("CustomerID"), col("Country"), col("IsCancelled"), col("TotalAmount"),
+      col("Year"), col("Month"), col("DayOfWeek"), col("Hour"), col("Date"),
+      col("LineNumber")).orderBy(col("InvoiceNo"), col("LineNumber"),
+      col("StockCode"), col("Quantity"), col("TotalAmount"), col("UnitPrice"))),
+    "customer_summary" -> cleanedQ(Summaries.customerSummary),
+    "product_summary" -> cleanedQ(Summaries.productSummary),
+    "daily_sales" -> cleanedQ(Summaries.dailySales),
+    "country_summary" -> cleanedQ(Summaries.countrySummary),
+    "top_customers" -> cleanedQ(Summaries.topCustomers(_)),
+    "top_products" -> cleanedQ(Summaries.topProducts(_)),
+    "daily_trend_recent" -> cleanedQ(Summaries.dailyTrendRecent(_)),
+    "window_running_total" -> cleanedQ(Summaries.runningTotal),
+    "window_lag_growth" -> cleanedQ(Summaries.lagGrowth),
+    "window_topn_per_country" -> cleanedQ(Summaries.topnPerCountry(_)),
+    // ---- star-schema joins (SURVEY.md §2.6 / §7.3-5) ----
+    "join_region_rollup" -> (StarQueries.regionRollup _),
+    "join_mktsegment_rollup" -> (StarQueries.mktsegmentRollup _),
+    "join_semi_cancelled_customers" -> (StarQueries.cancelledCustomers _),
+    "join_anti_unsold_parts" -> (StarQueries.unsoldParts _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "transactions" -> CoreSql.transactions,
+    "customer_summary" -> CoreSql.customerSummary,
+    "product_summary" -> CoreSql.productSummary,
+    "daily_sales" -> CoreSql.dailySales,
+    "country_summary" -> CoreSql.countrySummary,
+    "top_customers" -> CoreSql.topCustomers,
+    "top_products" -> CoreSql.topProducts,
+    "daily_trend_recent" -> CoreSql.dailyTrendRecent,
+    "window_running_total" -> CoreSql.runningTotal,
+    "window_lag_growth" -> CoreSql.lagGrowth,
+    "window_topn_per_country" -> CoreSql.topnPerCountry,
+    "join_region_rollup" -> CoreSql.regionRollup,
+    "join_mktsegment_rollup" -> CoreSql.mktsegmentRollup,
+    "join_semi_cancelled_customers" -> CoreSql.cancelledCustomers,
+    "join_anti_unsold_parts" -> CoreSql.unsoldParts,
+  )
 }

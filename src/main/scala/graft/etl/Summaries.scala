@@ -1,0 +1,231 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's four group-by/window "summaries" (SURVEY.md §2.3-2.5;
+  * ref: data/etl.py:109-236) plus the README's downstream workload
+  * queries (ref: README.md:129-154), re-expressed as lazy DataFrame
+  * plans.
+  *
+  * == Numeric determinism (oracle parity) ==
+  * Money columns in the testdata are exact at ≤4 decimal places
+  * (l_extendedprice 2dp, discounts 2dp ⇒ TotalAmount exact at 4dp), so
+  * every revenue aggregate is computed as `sum(cast(x as decimal(18,4)))`
+  * — exact, associative, and therefore independent of partition /
+  * accumulation order — then cast to double for output. A plain double
+  * sum would differ from the single-threaded DuckDB oracle in the last
+  * ulp depending on shuffle order. Averages are expressed as ratios of
+  * exact aggregates (never `avg` over inexact doubles). This is also the
+  * right call at 100 TB: decimal sums make results reproducible across
+  * cluster sizes and AQE re-plans.
+  *
+  * == Declared semantics for the reference's order-dependent ops ==
+  *  - 'first' country per customer (ref: etl.py:121, pandas source-order
+  *    `first`) → `min_by(Country, InvoiceDate)` — deterministic (⚠First).
+  *  - `pd.qcut` quartiles (ref: etl.py:139-143) → `ntile(4)` over
+  *    (TotalRevenue, CustomerID) — a total order, so ties are
+  *    deterministic (⚠Q).
+  *  - timedelta `.dt.days` (ref: etl.py:134-136) → floor((Δ epoch
+  *    seconds)/86400), truncating whole 24h periods, not `datediff`
+  *    calendar boundaries (⚠D).
+  *  - `rolling(n)` with min_periods=n (ref: etl.py:195-199) → windowed
+  *    sum guarded by `count == n`, reproducing the leading NULLs (⚠M).
+  */
+object Summaries {
+
+  private val dec = DecimalType(18, 4)
+  /** Exact, order-independent revenue sum. */
+  private def decSum(c: Column): Column = sum(c.cast(dec))
+
+  /** Rows entering every summary: the reference excludes cancelled
+    * transactions in all four (ref: etl.py:114,154,181,210). */
+  def sales(cleaned: DataFrame): DataFrame = cleaned.filter(!col("IsCancelled"))
+
+  /** customer_summary (ref: etl.py:109-148). One row per customer with
+    * order/revenue totals, lifespan, and ntile(4) Bronze..Platinum
+    * segment.
+    *
+    * Scale: groupBy CustomerID is a hash-partial → shuffle → final
+    * aggregate on a high-cardinality key — scales linearly. The ntile
+    * window is global (single partition) which is fine at 4K-4M
+    * customers; at true 100 TB cardinality the same labels come from
+    * `approx_percentile` boundaries joined back, trading exact quartile
+    * edges for a fully parallel plan. */
+  def customerSummary(cleaned: DataFrame): DataFrame = {
+    val g = sales(cleaned)
+      .groupBy(col("CustomerID"))
+      .agg(
+        countDistinct(col("InvoiceNo")).as("TotalOrders"),          // A2
+        decSum(col("TotalAmount")).as("RevDec"),                    // A1
+        sum(col("Quantity")).as("TotalItems"),
+        min(col("InvoiceDate")).as("FirstTs"),                      // A3
+        max(col("InvoiceDate")).as("LastTs"),
+        min_by(col("Country"), col("InvoiceDate")).as("Country"))   // A4 ⚠First
+      .withColumn("TotalRevenue", col("RevDec").cast(DoubleType))
+      .withColumn("AvgOrderValue", col("TotalRevenue") / col("TotalOrders")) // A6
+      .withColumn("LifespanDays",                                   // A7 ⚠D
+        floor((unix_timestamp(col("LastTs")) - unix_timestamp(col("FirstTs"))) / 86400L))
+      .withColumn("SegTile",                                        // A8 ⚠Q
+        ntile(4).over(Window.orderBy(col("RevDec"), col("CustomerID"))))
+      .withColumn("Segment",
+        when(col("SegTile") === 1, "Bronze")
+          .when(col("SegTile") === 2, "Silver")
+          .when(col("SegTile") === 3, "Gold")
+          .otherwise("Platinum"))
+    g.select(
+      col("CustomerID"), col("TotalOrders"), col("TotalRevenue"),
+      col("TotalItems"), col("FirstTs").cast(DateType).as("FirstPurchase"),
+      col("LastTs").cast(DateType).as("LastPurchase"), col("Country"),
+      col("AvgOrderValue"), col("LifespanDays"), col("Segment"))
+      .orderBy(col("CustomerID"))
+  }
+
+  /** product_summary (ref: etl.py:150-175). Composite-key groupBy.
+    * AvgPrice is declared as TotalRevenue/TotalQuantity (exact-ratio
+    * weighted mean) rather than pandas' mean-of-UnitPrice, which is not
+    * reproducible across engines from inexact per-row divisions. */
+  def productSummary(cleaned: DataFrame): DataFrame =
+    sales(cleaned)
+      .groupBy(col("StockCode"), col("Description"))                // A9
+      .agg(
+        sum(col("Quantity")).as("TotalQuantity"),
+        decSum(col("TotalAmount")).as("RevDec"),
+        countDistinct(col("InvoiceNo")).as("TotalOrders"),
+        countDistinct(col("CustomerID")).as("TotalCustomers"))
+      .withColumn("TotalRevenue", col("RevDec").cast(DoubleType))
+      .withColumn("AvgPrice",                                       // A10
+        col("TotalRevenue") / col("TotalQuantity").cast(DoubleType))
+      .select(col("StockCode"), col("Description"), col("TotalQuantity"),
+        col("TotalRevenue"), col("TotalOrders"), col("TotalCustomers"),
+        col("AvgPrice"))
+      .orderBy(desc("TotalRevenue"), col("StockCode"))              // O1
+
+  /** daily_sales (ref: etl.py:177-204) with 7- and 30-row trailing
+    * moving averages reproducing pandas `rolling(min_periods=n)` NULL
+    * lead-in (⚠M). MAs are decimal-window-sums / n — exact numerators,
+    * so identical to the oracle bit-for-bit.
+    *
+    * Scale: the global date-ordered window is single-partition; at 100 TB
+    * the daily rollup upstream has already reduced cardinality to
+    * #days (~thousands), so a single partition holds kilobytes — the
+    * shuffle-to-one is on post-aggregation data, not raw rows. */
+  def dailySales(cleaned: DataFrame): DataFrame = {
+    val daily = sales(cleaned)
+      .groupBy(col("Date"))                                         // A11
+      .agg(
+        decSum(col("TotalAmount")).as("RevDec"),
+        countDistinct(col("InvoiceNo")).as("Orders"),
+        countDistinct(col("CustomerID")).as("Customers"),
+        sum(col("Quantity")).as("Items"))
+    val w7 = Window.orderBy(col("Date")).rowsBetween(-6, 0)
+    val w30 = Window.orderBy(col("Date")).rowsBetween(-29, 0)
+    daily
+      .withColumn("Revenue", col("RevDec").cast(DoubleType))
+      .withColumn("MA7",                                            // W1
+        when(count(lit(1)).over(w7) === 7,
+          sum(col("RevDec")).over(w7).cast(DoubleType) / 7.0))
+      .withColumn("MA30",                                           // W2
+        when(count(lit(1)).over(w30) === 30,
+          sum(col("RevDec")).over(w30).cast(DoubleType) / 30.0))
+      .select(col("Date"), col("Revenue"), col("Orders"),
+        col("Customers"), col("Items"), col("MA7"), col("MA30"))
+      .orderBy(col("Date"))                                         // O2
+  }
+
+  /** country_summary (ref: etl.py:206-236) with the grand-total
+    * RevenueShare ratio (A13) via an empty-frame window over the
+    * already-aggregated rows (≤ #countries, so the single-partition
+    * window is on tiny data at any scale). */
+  def countrySummary(cleaned: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy()
+    sales(cleaned)
+      .groupBy(col("Country"))                                      // A12
+      .agg(
+        decSum(col("TotalAmount")).as("RevDec"),
+        countDistinct(col("InvoiceNo")).as("TotalOrders"),
+        countDistinct(col("CustomerID")).as("TotalCustomers"),
+        sum(col("Quantity")).as("TotalItems"))
+      .withColumn("TotalRevenue", col("RevDec").cast(DoubleType))
+      .withColumn("AvgOrderValue", col("TotalRevenue") / col("TotalOrders"))
+      .withColumn("RevenueShare",                                   // A13
+        col("TotalRevenue") * 100.0 / sum(col("RevDec")).over(wAll).cast(DoubleType))
+      .select(col("Country"), col("TotalRevenue"), col("TotalOrders"),
+        col("TotalCustomers"), col("TotalItems"), col("AvgOrderValue"),
+        col("RevenueShare"))
+      .orderBy(desc("TotalRevenue"), col("Country"))                // O3
+  }
+
+  /** Top-10 customers by revenue (ref: README.md:132-136). Spark plans
+    * orderBy+limit as TakeOrderedAndProject — top-k per partition then a
+    * single k-row merge, no global sort (O4). */
+  def topCustomers(cleaned: DataFrame, n: Int = 10): DataFrame =
+    customerSummary(cleaned)
+      .select(col("CustomerID"), col("Country"), col("TotalOrders"), col("TotalRevenue"))
+      .orderBy(desc("TotalRevenue"), col("CustomerID"))
+      .limit(n)
+
+  /** Top-10 products by revenue (ref: README.md:150-153). */
+  def topProducts(cleaned: DataFrame, n: Int = 10): DataFrame =
+    productSummary(cleaned)
+      .select(col("StockCode"), col("Description"), col("TotalQuantity"), col("TotalRevenue"))
+      .orderBy(desc("TotalRevenue"), col("StockCode"))
+      .limit(n)
+
+  /** Daily trend over the trailing 30 days of data
+    * (ref: README.md:144-147). The max date comes from a scalar
+    * aggregate broadcast via an empty-frame window over the (small)
+    * daily rollup. */
+  def dailyTrendRecent(cleaned: DataFrame, days: Int = 30): DataFrame =
+    dailySales(cleaned)
+      .withColumn("MaxDate", max(col("Date")).over(Window.partitionBy()))
+      .filter(datediff(col("MaxDate"), col("Date")) < days)
+      .select(col("Date"), col("Revenue"), col("Orders"), col("Customers"), col("Items"))
+      .orderBy(col("Date"))
+
+  /** Cumulative revenue by date — running-total window (exact decimal
+    * prefix sums). */
+  def runningTotal(cleaned: DataFrame): DataFrame = {
+    val daily = sales(cleaned).groupBy(col("Date"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+    val w = Window.orderBy(col("Date"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("Revenue", col("RevDec").cast(DoubleType))
+      .withColumn("CumRevenue", sum(col("RevDec")).over(w).cast(DoubleType))
+      .select(col("Date"), col("Revenue"), col("CumRevenue"))
+      .orderBy(col("Date"))
+  }
+
+  /** Day-over-day growth via lag(). */
+  def lagGrowth(cleaned: DataFrame): DataFrame = {
+    val daily = sales(cleaned).groupBy(col("Date"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+    val w = Window.orderBy(col("Date"))
+    daily
+      .withColumn("Revenue", col("RevDec").cast(DoubleType))
+      .withColumn("PrevRevenue", lag(col("RevDec"), 1).over(w).cast(DoubleType))
+      .withColumn("Growth", col("Revenue") - col("PrevRevenue"))
+      .select(col("Date"), col("Revenue"), col("PrevRevenue"), col("Growth"))
+      .orderBy(col("Date"))
+  }
+
+  /** Top-N products per country — partitioned ranking window (the
+    * partitioned generalization of the reference's global quartile
+    * ranking; scales because each country's rows hash to one partition). */
+  def topnPerCountry(cleaned: DataFrame, n: Int = 3): DataFrame = {
+    val byCp = sales(cleaned)
+      .groupBy(col("Country"), col("StockCode"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+    val w = Window.partitionBy(col("Country"))
+      .orderBy(desc("RevDec"), col("StockCode"))
+    byCp
+      .withColumn("Rank", row_number().over(w))
+      .filter(col("Rank") <= n)
+      .withColumn("TotalRevenue", col("RevDec").cast(DoubleType))
+      .select(col("Country"), col("StockCode"), col("TotalRevenue"), col("Rank"))
+      .orderBy(col("Country"), col("Rank"))
+  }
+}

@@ -1,0 +1,246 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for the core (reference-parity) queries.
+  *
+  * Every query here recomputes the full pipeline from the raw parquet
+  * tables so the driver's DuckDB run is independent of our engine. The
+  * SQL mirrors the Spark plans expression-for-expression, with the same
+  * determinism discipline (decimal(18,4) sums for money, total
+  * orderings, integer ratios) so results hash-match bit-for-bit.
+  *
+  * Dialect notes vs Spark:
+  *  - DuckDB has no `initcap` → manual upper(substr(..,1,1)) || rest.
+  *  - pandas/Spark `weekday` (Mon=0) → `isodow - 1`.
+  *  - DuckDB `year`/`hour`/`len`/`row_number` return BIGINT → cast to
+  *    INTEGER where Spark produces ints; `sum(BIGINT)` returns HUGEINT
+  *    → cast to BIGINT.
+  *  - All aliases are double-quoted to preserve CamelCase exactly.
+  */
+object CoreSql {
+
+  /** Reference-shaped transactions + clean filters (mirrors
+    * graft.etl.Transactions). */
+  val txnCte: String = """
+WITH txn AS (
+  SELECT
+    CASE WHEN o.o_orderstatus = 'F' THEN 'C' || CAST(o.o_orderkey AS VARCHAR)
+         ELSE CAST(o.o_orderkey AS VARCHAR) END AS "InvoiceNo",
+    CAST(l.l_partkey AS VARCHAR) AS "StockCode",
+    upper(trim(p.p_name)) AS "Description",
+    CAST(l.l_quantity AS BIGINT) AS "Quantity",
+    o.o_orderdate AS "InvoiceDate",
+    l.l_extendedprice / l.l_quantity AS "UnitPrice",
+    CAST(o.o_custkey AS INTEGER) AS "CustomerID",
+    upper(substr(lower(trim(n.n_name)),1,1)) || substr(lower(trim(n.n_name)),2) AS "Country",
+    l.l_extendedprice * (1 - l.l_discount) AS "TotalAmount",
+    (o.o_orderstatus = 'F') AS "IsCancelled",
+    CAST(year(o.o_orderdate) AS INTEGER) AS "Year",
+    CAST(month(o.o_orderdate) AS INTEGER) AS "Month",
+    CAST(isodow(o.o_orderdate) - 1 AS INTEGER) AS "DayOfWeek",
+    CAST(hour(o.o_orderdate) AS INTEGER) AS "Hour",
+    CAST(o.o_orderdate AS DATE) AS "Date",
+    l.l_linenumber AS "LineNumber"
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE o.o_custkey IS NOT NULL AND p.p_name IS NOT NULL
+    AND (o.o_orderstatus = 'F'
+         OR (l.l_quantity > 0 AND l.l_extendedprice / l.l_quantity > 0))
+),
+sales AS (SELECT * FROM txn WHERE NOT "IsCancelled")
+"""
+
+  val transactions: String = txnCte + """
+SELECT "InvoiceNo", "StockCode", "Description", "Quantity",
+       CAST("InvoiceDate" AS DATE) AS "InvoiceDate", "UnitPrice",
+       "CustomerID", "Country", "IsCancelled", "TotalAmount",
+       "Year", "Month", "DayOfWeek", "Hour", "Date", "LineNumber"
+FROM txn ORDER BY "InvoiceNo", "LineNumber", "StockCode", "Quantity",
+         "TotalAmount", "UnitPrice"
+"""
+
+  val custCte: String = txnCte + """,
+cust AS (
+  SELECT "CustomerID",
+         count(DISTINCT "InvoiceNo") AS "TotalOrders",
+         sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS "RevDec",
+         CAST(sum("Quantity") AS BIGINT) AS "TotalItems",
+         min("InvoiceDate") AS "FirstTs",
+         max("InvoiceDate") AS "LastTs",
+         min_by("Country", "InvoiceDate") AS "Country"
+  FROM sales GROUP BY "CustomerID"
+),
+cust2 AS (
+  SELECT *,
+    CAST("RevDec" AS DOUBLE) AS "TotalRevenue",
+    CAST("RevDec" AS DOUBLE) / "TotalOrders" AS "AvgOrderValue",
+    CAST(floor((epoch("LastTs") - epoch("FirstTs")) / 86400) AS BIGINT) AS "LifespanDays",
+    ntile(4) OVER (ORDER BY "RevDec", "CustomerID") AS "SegTile"
+  FROM cust
+)
+"""
+
+  val customerSummary: String = custCte + """
+SELECT "CustomerID", "TotalOrders", "TotalRevenue", "TotalItems",
+       CAST("FirstTs" AS DATE) AS "FirstPurchase",
+       CAST("LastTs" AS DATE) AS "LastPurchase",
+       "Country", "AvgOrderValue", "LifespanDays",
+       CASE "SegTile" WHEN 1 THEN 'Bronze' WHEN 2 THEN 'Silver'
+                      WHEN 3 THEN 'Gold' ELSE 'Platinum' END AS "Segment"
+FROM cust2 ORDER BY "CustomerID"
+"""
+
+  val prodCte: String = txnCte + """,
+prod AS (
+  SELECT "StockCode", "Description",
+         CAST(sum("Quantity") AS BIGINT) AS "TotalQuantity",
+         sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS "RevDec",
+         count(DISTINCT "InvoiceNo") AS "TotalOrders",
+         count(DISTINCT "CustomerID") AS "TotalCustomers"
+  FROM sales GROUP BY "StockCode", "Description"
+)
+"""
+
+  val productSummary: String = prodCte + """
+SELECT "StockCode", "Description", "TotalQuantity",
+       CAST("RevDec" AS DOUBLE) AS "TotalRevenue",
+       "TotalOrders", "TotalCustomers",
+       CAST("RevDec" AS DOUBLE) / "TotalQuantity" AS "AvgPrice"
+FROM prod ORDER BY "RevDec" DESC, "StockCode"
+"""
+
+  val dailyCte: String = txnCte + """,
+daily AS (
+  SELECT "Date",
+         sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS "RevDec",
+         count(DISTINCT "InvoiceNo") AS "Orders",
+         count(DISTINCT "CustomerID") AS "Customers",
+         CAST(sum("Quantity") AS BIGINT) AS "Items"
+  FROM sales GROUP BY "Date"
+)
+"""
+
+  val dailySales: String = dailyCte + """
+SELECT "Date", CAST("RevDec" AS DOUBLE) AS "Revenue",
+       "Orders", "Customers", "Items",
+       CASE WHEN count(*) OVER w7 = 7
+            THEN CAST(sum("RevDec") OVER w7 AS DOUBLE) / 7.0 END AS "MA7",
+       CASE WHEN count(*) OVER w30 = 30
+            THEN CAST(sum("RevDec") OVER w30 AS DOUBLE) / 30.0 END AS "MA30"
+FROM daily
+WINDOW w7 AS (ORDER BY "Date" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       w30 AS (ORDER BY "Date" ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+ORDER BY "Date"
+"""
+
+  val countrySummary: String = txnCte + """,
+ctry AS (
+  SELECT "Country",
+         sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS "RevDec",
+         count(DISTINCT "InvoiceNo") AS "TotalOrders",
+         count(DISTINCT "CustomerID") AS "TotalCustomers",
+         CAST(sum("Quantity") AS BIGINT) AS "TotalItems"
+  FROM sales GROUP BY "Country"
+)
+SELECT "Country", CAST("RevDec" AS DOUBLE) AS "TotalRevenue",
+       "TotalOrders", "TotalCustomers", "TotalItems",
+       CAST("RevDec" AS DOUBLE) / "TotalOrders" AS "AvgOrderValue",
+       CAST("RevDec" AS DOUBLE) * 100.0 / CAST(sum("RevDec") OVER () AS DOUBLE) AS "RevenueShare"
+FROM ctry ORDER BY "RevDec" DESC, "Country"
+"""
+
+  val topCustomers: String = custCte + """
+SELECT "CustomerID", "Country", "TotalOrders", "TotalRevenue"
+FROM cust2 ORDER BY "RevDec" DESC, "CustomerID" LIMIT 10
+"""
+
+  val topProducts: String = prodCte + """
+SELECT "StockCode", "Description", "TotalQuantity",
+       CAST("RevDec" AS DOUBLE) AS "TotalRevenue"
+FROM prod ORDER BY "RevDec" DESC, "StockCode" LIMIT 10
+"""
+
+  val dailyTrendRecent: String = dailyCte + """
+SELECT "Date", CAST("RevDec" AS DOUBLE) AS "Revenue",
+       "Orders", "Customers", "Items"
+FROM daily
+WHERE date_diff('day', "Date", (SELECT max("Date") FROM daily)) < 30
+ORDER BY "Date"
+"""
+
+  val runningTotal: String = dailyCte + """
+SELECT "Date", CAST("RevDec" AS DOUBLE) AS "Revenue",
+       CAST(sum("RevDec") OVER (ORDER BY "Date"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS "CumRevenue"
+FROM daily ORDER BY "Date"
+"""
+
+  val lagGrowth: String = dailyCte + """,
+lagd AS (
+  SELECT "Date", CAST("RevDec" AS DOUBLE) AS "Revenue",
+         CAST(lag("RevDec", 1) OVER (ORDER BY "Date") AS DOUBLE) AS "PrevRevenue"
+  FROM daily
+)
+SELECT "Date", "Revenue", "PrevRevenue",
+       "Revenue" - "PrevRevenue" AS "Growth"
+FROM lagd ORDER BY "Date"
+"""
+
+  val topnPerCountry: String = txnCte + """,
+cp AS (
+  SELECT "Country", "StockCode",
+         sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS "RevDec"
+  FROM sales GROUP BY "Country", "StockCode"
+),
+ranked AS (
+  SELECT "Country", "StockCode", "RevDec",
+         CAST(row_number() OVER (PARTITION BY "Country"
+              ORDER BY "RevDec" DESC, "StockCode") AS INTEGER) AS "Rank"
+  FROM cp
+)
+SELECT "Country", "StockCode", CAST("RevDec" AS DOUBLE) AS "TotalRevenue", "Rank"
+FROM ranked WHERE "Rank" <= 3 ORDER BY "Country", "Rank"
+"""
+
+  val regionRollup: String = """
+SELECT r.r_name AS "Region",
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS "TotalRevenue",
+       count(DISTINCT o.o_orderkey) AS "TotalOrders",
+       count(DISTINCT c.c_custkey) AS "TotalCustomers"
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus <> 'F'
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY "Region"
+"""
+
+  val mktsegmentRollup: String = """
+SELECT c.c_mktsegment AS "Segment",
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS "TotalRevenue",
+       count(DISTINCT o.o_orderkey) AS "TotalOrders",
+       count(DISTINCT c.c_custkey) AS "TotalCustomers",
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS "TotalItems"
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus <> 'F'
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY "Segment"
+"""
+
+  val cancelledCustomers: String = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+ORDER BY c.c_custkey
+"""
+
+  val unsoldParts: String = """
+SELECT p.p_partkey, p.p_name, p.p_brand
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey
+"""
+}
