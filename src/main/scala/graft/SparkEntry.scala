@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
 import graft.etl.{Summaries, StarQueries, Transactions}
-import graft.oracle.CoreSql
+import graft.ops.{DedupOps, EventsOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.oracle.{CoreSql, ExtSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +51,26 @@ object SparkEntry {
     "join_mktsegment_rollup" -> (StarQueries.mktsegmentRollup _),
     "join_semi_cancelled_customers" -> (StarQueries.cancelledCustomers _),
     "join_anti_unsold_parts" -> (StarQueries.unsoldParts _),
+    // ---- events: tumbling windows, JSON, dedup, sessionization ----
+    "events_hourly" -> (EventsOps.hourly _),
+    "events_json_stats" -> (EventsOps.jsonStats _),
+    "events_dedup_latest" -> (EventsOps.dedupLatest _),
+    "events_sessionize" -> (EventsOps.sessionize _),
+    // ---- text analysis ----
+    "text_tokens" -> (TextOps.tokens _),
+    "text_quality" -> (TextOps.quality _),
+    "text_langid" -> (TextOps.langid _),
+    "text_fingerprint" -> (TextOps.fingerprint _),
+    // ---- dedup ----
+    "dedup_exact" -> (DedupOps.exact _),
+    "dedup_minhash_bands" -> (DedupOps.minhashBands _),
+    "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
+    "dedup_simhash" -> (DedupOps.simhash _),
+    // ---- similarity search ----
+    "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
+    "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
+    // ---- multimodal ----
+    "multimodal_meta" -> (MultimodalOps.metaQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -68,5 +89,20 @@ object SparkEntry {
     "join_mktsegment_rollup" -> CoreSql.mktsegmentRollup,
     "join_semi_cancelled_customers" -> CoreSql.cancelledCustomers,
     "join_anti_unsold_parts" -> CoreSql.unsoldParts,
+    "events_hourly" -> ExtSql.eventsHourly,
+    "events_json_stats" -> ExtSql.eventsJsonStats,
+    "events_dedup_latest" -> ExtSql.eventsDedupLatest,
+    "events_sessionize" -> ExtSql.eventsSessionize,
+    "text_tokens" -> ExtSql.textTokens,
+    "text_quality" -> ExtSql.textQuality,
+    "text_langid" -> ExtSql.textLangid,
+    "text_fingerprint" -> ExtSql.textFingerprint,
+    "dedup_exact" -> ExtSql.dedupExact,
+    "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
+    "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
+    "dedup_simhash" -> ExtSql.dedupSimhash,
+    "similarity_topk" -> ExtSql.similarityTopk,
+    "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
+    "multimodal_meta" -> ExtSql.multimodalMeta,
   )
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.Tables
+
+/** Deduplication operators over `documents`: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * == The scalable shape ==
+  * Near-dup detection at 100 TB cannot compare all O(n²) pairs. The
+  * pipeline here is the standard scalable decomposition:
+  *   1. per-doc sketch (MinHash signature / SimHash) — one narrow map
+  *      pass, no shuffle;
+  *   2. LSH banding — explode to (band_id, band_value) and self-join on
+  *      the band value: only docs agreeing on a whole band collide, so
+  *      the join output is ~(true pairs + tunable false positives), not
+  *      n²;
+  *   3. exact verification (shingle Jaccard) only on candidates.
+  * Band values are md5s → near-uniform join keys (no skew). All hashes
+  * are md5-based so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object DedupOps {
+
+  import TextOps.{shinglesSql, toksSql}
+
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 rows per band
+
+  /** doc_id + distinct 3-gram shingle array. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("Toks", expr(toksSql))
+      .withColumn("Sh", expr(shinglesSql))
+      .select(col("doc_id"), col("Sh"))
+
+  /** doc_id, Sh, B1..B4 LSH band values. */
+  private def docBands(spark: SparkSession, dir: String): DataFrame = {
+    val withMh = (1 to NumHashes).foldLeft(docShingles(spark, dir)) { (df, j) =>
+      df.withColumn(s"Mh$j", expr(s"array_min(transform(Sh, x -> md5(concat('$j|', x))))"))
+    }
+    (1 to NumBands).foldLeft(withMh) { (df, b) =>
+      df.withColumn(s"B$b", md5(concat(col(s"Mh${2 * b - 1}"), col(s"Mh${2 * b}"))))
+    }
+  }
+
+  /** Exact dedup via order-insensitive content fingerprint: canonical
+    * id = min doc_id per fingerprint group. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .withColumn("Toks", expr(toksSql))
+      .withColumn("Fingerprint", md5(array_join(array_sort(array_distinct(col("Toks"))), " ")))
+    fp.withColumn("CanonicalId", min(col("doc_id")).over(Window.partitionBy(col("Fingerprint"))))
+      .select(col("doc_id"), col("Fingerprint"), col("CanonicalId"),
+        (col("doc_id") =!= col("CanonicalId")).as("IsDup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash signatures + LSH band values per doc (the sketch stage). */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    docBands(spark, dir)
+      .select(col("doc_id"), col("B1"), col("B2"), col("B3"), col("B4"))
+      .orderBy(col("doc_id"))
+
+  /** Near-dup pairs: LSH candidates verified with exact shingle
+    * Jaccard ≥ 0.5. */
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = docBands(spark, dir)
+    val exploded = bands.select(col("doc_id"),
+      explode(expr(
+        "array(named_struct('band_id', 1, 'band_val', B1)," +
+          " named_struct('band_id', 2, 'band_val', B2)," +
+          " named_struct('band_id', 3, 'band_val', B3)," +
+          " named_struct('band_id', 4, 'band_val', B4))")).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+
+    val a = exploded.select(col("doc_id").as("D1"), col("band_id"), col("band_val"))
+    val b = exploded.select(col("doc_id").as("D2"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
+    val cand = a.join(b,
+        col("band_id") === col("band_id2") &&
+          col("band_val") === col("band_val2") &&
+          col("D1") < col("D2"))
+      .select(col("D1"), col("D2")).distinct()
+
+    val sh = docShingles(spark, dir)
+    cand
+      .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
+      .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2")
+      .withColumn("NInter", size(array_intersect(col("Sh1"), col("Sh2"))))
+      .withColumn("NUnion", size(col("Sh1")) + size(col("Sh2")) - col("NInter"))
+      .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
+      .filter(col("Jaccard") >= 0.5)
+      .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
+      .orderBy(col("D1"), col("D2"))
+  }
+
+  /** SimHash-family sketch: 8 hex positions of per-token md5s, each
+    * position's bit = coordinate mean ≥ 7.5 (integer compare: 2·sum ≥
+    * 15·count). Docs sharing the 8-bit sketch land in one bucket. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("Toks", expr(toksSql))
+      .withColumn("DToks", array_distinct(col("Toks")))
+    val withBits = (1 to 8).foldLeft(base) { (df, p) =>
+      df.withColumn(s"bit$p",
+        when(expr(
+          s"2 * aggregate(transform(DToks, t -> instr('0123456789abcdef', substring(md5(t), $p, 1)) - 1), 0, (a, x) -> a + x)")
+          >= expr("15 * size(DToks)"), "1").otherwise("0"))
+    }
+    withBits
+      .withColumn("Simhash", concat((1 to 8).map(p => col(s"bit$p")): _*))
+      .withColumn("BucketSize", count(lit(1)).over(Window.partitionBy(col("Simhash"))).cast(IntegerType))
+      .select(col("doc_id"), col("Simhash"), col("BucketSize"))
+      .orderBy(col("doc_id"))
+  }
+}

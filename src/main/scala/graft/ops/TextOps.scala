@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.Tables
+
+/** Text-analysis operators over `documents`: tokenization stats,
+  * quality scoring, language-ID heuristic, content fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst higher-order functions
+  * (transform/filter/aggregate over the token array) — no UDFs, so the
+  * whole pipeline stays inside WholeStageCodegen and scales linearly
+  * with one narrow pass over the documents (no shuffle at all except
+  * final presentation sorts).
+  *
+  * Determinism: all scores are ratios of exact integer counts; hashes
+  * are md5 (identical in DuckDB); token order is the document's own.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the engine's declared token semantics). */
+  val toksSql = "split(trim(text), '\\\\s+')"
+
+  /** 3-gram token shingles of a `Toks` array column (distinct). */
+  val shinglesSql: String =
+    """CASE WHEN size(Toks) >= 3 THEN array_distinct(transform(sequence(1, size(Toks) - 2),
+      |  i -> concat(element_at(Toks, i), ' ', element_at(Toks, i + 1), ' ', element_at(Toks, i + 2))))
+      |ELSE cast(array() as array<string>) END""".stripMargin
+
+  /** Language marker stopword lists (shared with the oracle SQL). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def sqlList(xs: Seq[String]): String = xs.map("'" + _ + "'").mkString(", ")
+
+  private def docsWithToks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("Toks", expr(toksSql))
+
+  /** Token counting: total / distinct / cumulative length (a whitespace
+    * + regex "BPE-ish" proxy for token-budget accounting). */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    docsWithToks(spark, dir).select(
+      col("doc_id"),
+      size(col("Toks")).as("NTokens"),
+      size(array_distinct(col("Toks"))).as("NDistinct"),
+      expr("cast(aggregate(transform(Toks, t -> length(t)), 0, (a, x) -> a + x) as bigint)")
+        .as("SumTokenLen"))
+      .withColumn("AvgTokenLen",
+        col("SumTokenLen").cast(DoubleType) / col("NTokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring from length / stopword-ratio signals — every score
+    * a deterministic function of integer counts. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    docsWithToks(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("NChars"),
+      size(col("Toks")).as("NTokens"),
+      expr(s"size(filter(Toks, x -> x IN (${sqlList(stopwords)})))").as("StopCount"),
+      expr("cast(aggregate(transform(Toks, t -> length(t)), 0, (a, x) -> greatest(a, x)) as int)")
+        .as("MaxTokenLen"))
+      .withColumn("StopRatio", col("StopCount").cast(DoubleType) / col("NTokens"))
+      .withColumn("QualityScore",
+        least(lit(1.0), col("NTokens").cast(DoubleType) / 200.0) * (lit(1.0) - col("StopRatio")))
+      .orderBy(col("doc_id"))
+
+  /** N-gram-marker language-ID heuristic: count hits against per-lang
+    * marker lists, argmax with a fixed preference order for ties. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val counted = langMarkers.foldLeft(docsWithToks(spark, dir)) { case (df, (lang, ws)) =>
+      df.withColumn("C" + lang.capitalize,
+        expr(s"size(filter(Toks, x -> x IN (${sqlList(ws)})))"))
+    }
+    counted
+      .withColumn("Predicted",
+        when(col("CEn") >= greatest(col("CEs"), col("CDe"), col("CFr")), "en")
+          .when(col("CEs") >= greatest(col("CDe"), col("CFr")), "es")
+          .when(col("CDe") >= col("CFr"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("CEn"), col("CEs"), col("CDe"), col("CFr"),
+        col("Predicted"), col("lang").as("ActualLang"),
+        (col("Predicted") === col("lang")).as("IsMatch"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprints: an order-insensitive set fingerprint (md5 of
+    * the sorted distinct token set) and a min-hash (the 1-permutation
+    * MinHash primitive). Both portable to any engine with md5. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docsWithToks(spark, dir)
+      .withColumn("Sh", expr(shinglesSql))
+      .select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(col("Toks"))), " ")).as("Fingerprint"),
+        expr("array_min(transform(Toks, t -> md5(t)))").as("MinTokenHash"),
+        size(col("Sh")).as("NShingles"))
+      .orderBy(col("doc_id"))
+}

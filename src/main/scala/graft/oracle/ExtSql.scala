@@ -1,0 +1,284 @@
+package graft.oracle
+
+import graft.ops.TextOps
+
+/** DuckDB oracle SQL for the extension operators (events, text,
+  * dedup, similarity, multimodal). Mirrors the Spark plans
+  * expression-for-expression; hash/threshold constants are shared with
+  * the Scala side where practical (TextOps marker lists).
+  */
+object ExtSql {
+
+  private def sqlList(xs: Seq[String]): String = xs.map("'" + _ + "'").mkString(", ")
+
+  // ---------- events ----------
+
+  val eventsHourly: String = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS "HourTs",
+       event_type,
+       count(*) AS "NEvents",
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "TotalValue"
+FROM events GROUP BY 1, 2 ORDER BY "HourTs", event_type
+"""
+
+  val eventsJsonStats: String = """
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS "NEvents",
+       CAST(sum(k) AS BIGINT) AS "SumK", min(k) AS "MinK", max(k) AS "MaxK"
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+  val eventsDedupLatest: String = """
+WITH r AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS "LastTs", event_type, value
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+  val eventsSessionize: String = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL OR date_diff('microseconds', prev, ts) > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+)
+SELECT user_id, count(*) AS "NEvents", CAST(sum(ns) AS BIGINT) AS "NSessions"
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+  // ---------- text ----------
+
+  private val toksCte = """
+WITH toks AS (
+  SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+)"""
+
+  private val shExpr =
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])"
+
+  val textTokens: String = toksCte + """
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS "NTokens",
+       CAST(len(list_distinct(t)) AS INTEGER) AS "NDistinct",
+       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS "SumTokenLen",
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS INTEGER) AS "AvgTokenLen"
+FROM toks ORDER BY doc_id
+"""
+
+  val textQuality: String = toksCte + s"""
+, q AS (
+  SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS "NChars",
+         CAST(len(t) AS INTEGER) AS "NTokens",
+         CAST(len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)}))) AS INTEGER) AS "StopCount",
+         CAST(list_max(list_transform(t, x -> length(x))) AS INTEGER) AS "MaxTokenLen"
+  FROM toks
+)
+SELECT *, CAST("StopCount" AS DOUBLE) / "NTokens" AS "StopRatio",
+       least(CAST(1.0 AS DOUBLE), CAST("NTokens" AS DOUBLE) / 200.0)
+         * (CAST(1.0 AS DOUBLE) - CAST("StopCount" AS DOUBLE) / "NTokens") AS "QualityScore"
+FROM q ORDER BY doc_id
+"""
+
+  val textLangid: String = {
+    val counts = TextOps.langMarkers.map { case (lang, ws) =>
+      s"""CAST(len(list_filter(t, x -> x IN (${sqlList(ws)}))) AS INTEGER) AS "C${lang.capitalize}""""
+    }.mkString(",\n         ")
+    toksCte + s"""
+, c AS (
+  SELECT doc_id, lang,
+         $counts
+  FROM toks
+)
+SELECT doc_id, "CEn", "CEs", "CDe", "CFr",
+       CASE WHEN "CEn" >= greatest("CEs", "CDe", "CFr") THEN 'en'
+            WHEN "CEs" >= greatest("CDe", "CFr") THEN 'es'
+            WHEN "CDe" >= "CFr" THEN 'de'
+            ELSE 'fr' END AS "Predicted",
+       lang AS "ActualLang",
+       (CASE WHEN "CEn" >= greatest("CEs", "CDe", "CFr") THEN 'en'
+             WHEN "CEs" >= greatest("CDe", "CFr") THEN 'es'
+             WHEN "CDe" >= "CFr" THEN 'de'
+             ELSE 'fr' END) = lang AS "IsMatch"
+FROM c ORDER BY doc_id
+"""
+  }
+
+  val textFingerprint: String = toksCte + s"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS "Fingerprint",
+       list_min(list_transform(t, x -> md5(x))) AS "MinTokenHash",
+       CAST(len($shExpr) AS INTEGER) AS "NShingles"
+FROM toks ORDER BY doc_id
+"""
+
+  // ---------- dedup ----------
+
+  val dedupExact: String = toksCte + """
+, fp AS (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS "Fingerprint"
+  FROM toks
+)
+SELECT doc_id, "Fingerprint",
+       min(doc_id) OVER (PARTITION BY "Fingerprint") AS "CanonicalId",
+       doc_id <> min(doc_id) OVER (PARTITION BY "Fingerprint") AS "IsDup"
+FROM fp ORDER BY doc_id
+"""
+
+  private val mhExprs: String = (1 to 8).map { j =>
+    s"list_min(list_transform(s, x -> md5('$j|' || x))) AS mh$j"
+  }.mkString(",\n         ")
+
+  private val bandsCte: String = toksCte + s"""
+, sh AS (SELECT doc_id, $shExpr AS s FROM toks),
+mh AS (
+  SELECT doc_id, s,
+         $mhExprs
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, s,
+         md5(mh1 || mh2) AS b1, md5(mh3 || mh4) AS b2,
+         md5(mh5 || mh6) AS b3, md5(mh7 || mh8) AS b4
+  FROM mh
+)"""
+
+  val dedupMinhashBands: String = bandsCte + """
+SELECT doc_id, b1 AS "B1", b2 AS "B2", b3 AS "B3", b4 AS "B4"
+FROM bands ORDER BY doc_id
+"""
+
+  val dedupNeardupPairs: String = bandsCte + """
+, bl AS (
+  SELECT doc_id, 1 AS band_id, b1 AS band_val FROM bands
+  UNION ALL SELECT doc_id, 2, b2 FROM bands
+  UNION ALL SELECT doc_id, 3, b3 FROM bands
+  UNION ALL SELECT doc_id, 4, b4 FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.d1 AS "D1", c.d2 AS "D2",
+         CAST(len(list_intersect(sa.s, sb.s)) AS INTEGER) AS "NInter",
+         CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS INTEGER) AS "NUnion"
+  FROM cand c JOIN sh sa ON c.d1 = sa.doc_id JOIN sh sb ON c.d2 = sb.doc_id
+)
+SELECT "D1", "D2", "NInter", "NUnion",
+       CAST("NInter" AS DOUBLE) / "NUnion" AS "Jaccard"
+FROM j WHERE CAST("NInter" AS DOUBLE) / "NUnion" >= 0.5
+ORDER BY "D1", "D2"
+"""
+
+  val dedupSimhash: String = {
+    val bits = (1 to 8).map { p =>
+      s"""(CASE WHEN 2 * list_sum(list_transform(dt, x -> instr('0123456789abcdef', substr(md5(x), $p, 1)) - 1))
+         |      >= 15 * len(dt) THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" ||\n  ")
+    toksCte + s"""
+, dts AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+sim AS (
+  SELECT doc_id,
+  $bits AS "Simhash"
+  FROM dts
+)
+SELECT doc_id, "Simhash",
+       CAST(count(*) OVER (PARTITION BY "Simhash") AS INTEGER) AS "BucketSize"
+FROM sim ORDER BY doc_id
+"""
+  }
+
+  // ---------- similarity ----------
+
+  private val quantCte: String = """
+WITH q AS (
+  SELECT vec_id, label,
+         [CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) for x in embedding] AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, qv,
+         list_sum([qv[i] * qv[i] for i in range(1, len(qv)+1)]) AS nn
+  FROM q
+)"""
+
+  val similarityTopk: String = quantCte + """
+, p AS (
+  SELECT a.vec_id AS "QId", b.vec_id AS "NId",
+         list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 8
+),
+c AS (
+  SELECT "QId", "NId",
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS "Cosine"
+  FROM p
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY "QId" ORDER BY "Cosine" DESC, "NId") AS INTEGER) AS "Rank"
+  FROM c
+)
+SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
+ORDER BY "QId", "Rank"
+"""
+
+  val similarityLshNeardup: String = {
+    val bits = (1 to 8).map { p =>
+      s"""(CASE WHEN list_sum([CASE WHEN instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), $p, 1)) - 1 >= 8
+         |       THEN qv[i] ELSE -qv[i] END for i in range(1, len(qv)+1)]) >= 0 THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" ||\n  ")
+    quantCte + s"""
+, s AS (
+  SELECT vec_id, label, qv, nn,
+  $bits AS bucket
+  FROM n
+),
+p AS (
+  SELECT a.vec_id AS "V1", b.vec_id AS "V2", a.label AS l1, b.label AS l2,
+         list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+c AS (
+  SELECT "V1", "V2",
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS "Cosine",
+         (l1 = l2) AS "SameLabel"
+  FROM p
+)
+SELECT "V1", "V2", "Cosine", "SameLabel" FROM c WHERE "Cosine" >= 0.3
+ORDER BY "V1", "V2"
+"""
+  }
+
+  // ---------- multimodal ----------
+
+  val multimodalMeta: String = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS INTEGER) AS "NBytes",
+         ascii(substr(text, 1, 1)) AS "FirstByte"
+  FROM documents
+)
+SELECT doc_id, "NBytes", "FirstByte",
+       ("NBytes" % 317) + 1 AS "FakeWidth",
+       (("FirstByte" * 7) % 97) + 1 AS "FakeHeight",
+       CAST(("NBytes" % 317) + 1 AS DOUBLE) / ((("FirstByte" * 7) % 97) + 1) AS "AspectRatio"
+FROM m ORDER BY doc_id
+"""
+}

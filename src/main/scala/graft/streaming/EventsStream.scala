@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.etl.Tables
+
+/** Structured Streaming twins of the batch event operators: windowed
+  * aggregation with watermarking, and custom sessionization state via
+  * `mapGroupsWithState`.
+  *
+  * The batch queries in graft.ops.EventsOps define the semantics; these
+  * run the same logic incrementally. Local tests drive them from the
+  * events parquet with a memory sink + `processAllAvailable()`.
+  *
+  * Scale: state is partitioned by group key across executors
+  * (HDFS/RocksDB-backed state store in production); the watermark
+  * bounds state size by evicting windows older than the allowed
+  * lateness. Event-time (not arrival-time) semantics throughout.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(lastUs: Long, nEvents: Long, nSessions: Long)
+
+  case class UserSessions(user_id: Long, nEvents: Long, nSessions: Long)
+
+  /** A streaming source over the events parquet dir (one-file-per-batch
+    * in tests). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(Tables.eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a
+    * 30-minute watermark (streaming twin of EventsOps.hourly). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("NEvents"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("TotalValue"))
+      .select(col("window.start").as("WindowStart"), col("event_type"),
+        col("NEvents"), col("TotalValue"))
+
+  /** Per-user sessionization with a 30-minute inactivity gap as
+    * explicit streaming state (streaming twin of
+    * EventsOps.sessionize). */
+  def sessionCounts(events: Dataset[Event])(implicit spark: SparkSession): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val newSession = st.nEvents == 0L || us - st.lastUs > gapUs
+            st = SessionState(us, st.nEvents + 1, st.nSessions + (if (newSession) 1 else 0))
+          }
+          state.update(st)
+          UserSessions(userId, st.nEvents, st.nSessions)
+      }
+  }
+
+  /** Run the hourly aggregation over the parquet events as a stream
+    * into a memory sink; returns the completed result table. Used by
+    * tests and as a library entry point for local verification. */
+  def runHourlyOnce(spark: SparkSession, dir: String, queryName: String = "events_hourly_stream"): DataFrame = {
+    val q = hourlyCounts(readEventsStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

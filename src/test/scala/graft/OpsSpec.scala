@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, EventsOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Sanity + structural tests for the extension operators over the
+  * sf0.001 testdata (exact-value parity vs DuckDB is covered by the
+  * Verify/compare harness; these assert operator invariants). */
+class OpsSpec extends SparkSpec {
+
+  test("dedup: LSH candidates find planted near-dups with high Jaccard") {
+    val pairs = DedupOps.neardupPairs(spark, sfDir).collect()
+    assert(pairs.length >= 20, s"expected >=20 near-dup pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("Jaccard") >= 0.5 && r.getAs[Double]("Jaccard") <= 1.0)
+      assert(r.getAs[Long]("D1") < r.getAs[Long]("D2"))
+    }
+  }
+
+  test("dedup: exact fingerprint gives CanonicalId <= doc_id and IsDup consistency") {
+    val rows = DedupOps.exact(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (id, canon) = (r.getAs[Long]("doc_id"), r.getAs[Long]("CanonicalId"))
+      assert(canon <= id)
+      assert(r.getAs[Boolean]("IsDup") === (id != canon))
+    }
+  }
+
+  test("dedup: simhash is 8 bits and buckets partition the corpus") {
+    val rows = DedupOps.simhash(spark, sfDir).collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.getAs[String]("Simhash").matches("[01]{8}")))
+    rows.groupBy(_.getAs[String]("Simhash")).foreach { case (_, rs) =>
+      rs.foreach(r => assert(r.getAs[Int]("BucketSize") === rs.length))
+    }
+  }
+
+  test("similarity: topk ranks are ordered by cosine, self excluded") {
+    val rows = SimilarityOps.topk(spark, sfDir).collect()
+    assert(rows.length === 8 * 5)
+    rows.groupBy(_.getAs[Long]("QId")).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("Rank"))
+      assert(byRank.map(_.getAs[Int]("Rank")).toSeq === (1 to 5))
+      val cosines = byRank.map(_.getAs[Double]("Cosine")).toSeq
+      assert(cosines === cosines.sorted.reverse, s"cosines not descending for $qid")
+      assert(rs.forall(r => r.getAs[Long]("NId") != qid))
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("similarity: LSH candidates only pair same-bucket vectors and verify >= threshold") {
+    val rows = SimilarityOps.lshNeardup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("Cosine") >= 0.3))
+  }
+
+  test("text: token counts are positive and AvgTokenLen = Sum/N") {
+    val rows = TextOps.tokens(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (n, sum, avg) = (r.getAs[Int]("NTokens"), r.getAs[Long]("SumTokenLen"), r.getAs[Double]("AvgTokenLen"))
+      assert(n > 0 && sum > 0)
+      assert(math.abs(avg - sum.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("text: langid predicts mostly 'en' on this english-vocab corpus") {
+    val pred = TextOps.langid(spark, sfDir).groupBy("Predicted").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pred.getOrElse("en", 0L) > 400L, s"got $pred")
+  }
+
+  test("events: sessionize NSessions between 1 and NEvents") {
+    val rows = EventsOps.sessionize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ne, ns) = (r.getAs[Long]("NEvents"), r.getAs[Long]("NSessions"))
+      assert(ns >= 1L && ns <= ne)
+    }
+  }
+
+  test("events: hourly totals sum to overall event count") {
+    val total = EventsOps.hourly(spark, sfDir).agg(sum("NEvents")).head().getLong(0)
+    assert(total === 1000L)
+  }
+
+  test("multimodal: mapPartitions decode stub agrees with the expression twin") {
+    val fromDs = MultimodalOps.decodeMeta(spark, sfDir).collect()
+      .map(m => m.doc_id -> (m.n_bytes, m.width, m.height)).toMap
+    val fromSql = MultimodalOps.metaQuery(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("NBytes"), r.getAs[Int]("FakeWidth"), r.getAs[Int]("FakeHeight")))).toMap
+    assert(fromDs.size === 500)
+    assert(fromDs === fromSql)
+  }
+}

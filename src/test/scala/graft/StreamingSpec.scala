@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventsOps
+import graft.streaming.EventsStream
+
+/** Structured Streaming twins must agree with their batch siblings. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg over events parquet matches batch totals") {
+    // FileStreamSource needs a directory: stage the events file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamed = EventsStream.runHourlyOnce(spark, streamDir.toString)
+    val batch = EventsOps.hourly(spark, sfDir)
+    assert(streamed.agg(sum("NEvents")).head().getLong(0) === 1000L)
+    assert(streamed.count() === batch.count())
+    // spot-compare a few (window start, type) cells
+    val sMap = streamed.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("WindowStart").toString, r.getAs[String]("event_type")) -> r.getAs[Long]("NEvents")).toMap
+    val bMap = batch.collect()
+      .map(r => (r.getAs[String]("HourTs") + ".0", r.getAs[String]("event_type")) -> r.getAs[Long]("NEvents")).toMap
+    assert(sMap === bMap)
+  }
+
+  test("mapGroupsWithState sessionization matches batch sessionize") {
+    import spark.implicits._
+    implicit val s = spark
+    val events = graft.etl.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val stateful = EventsStream.sessionCounts(events).collect()
+      .map(u => u.user_id -> ((u.nEvents, u.nSessions))).toMap
+    val batch = EventsOps.sessionize(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("NEvents"), r.getAs[Long]("NSessions")))).toMap
+    assert(stateful === batch)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.etl.Summaries
+
+/** Summary-operator trap tests (SURVEY.md §2.3-2.4 ⚠ notes) on crafted
+  * cleaned-shaped data. */
+class SummariesSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("InvoiceNo", StringType),
+    StructField("StockCode", StringType),
+    StructField("Description", StringType),
+    StructField("Quantity", LongType),
+    StructField("InvoiceDate", TimestampType),
+    StructField("UnitPrice", DoubleType),
+    StructField("CustomerID", IntegerType),
+    StructField("Country", StringType),
+    StructField("IsCancelled", BooleanType),
+    StructField("TotalAmount", DoubleType),
+    StructField("Date", DateType)))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private def mk(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+  private def sale(inv: String, cust: Int, amount: Double, when: String,
+                   cancelled: Boolean = false) =
+    Row(inv, "S1", "D", 1L, ts(when), amount, cust, "Nowhere", cancelled,
+      amount, d(when.substring(0, 10)))
+
+  test("⚠D: LifespanDays truncates whole 24h periods, not calendar boundaries (etl.py:134-136)") {
+    // 23:00 day1 → 01:00 day2 = 2h → 0 days (datediff would say 1)
+    val df = mk(Seq(
+      sale("1", 1, 10.0, "2011-01-01 23:00:00"),
+      sale("2", 1, 10.0, "2011-01-02 01:00:00"),
+      sale("3", 2, 10.0, "2011-01-01 10:00:00"),
+      sale("4", 2, 10.0, "2011-01-03 10:00:00")))
+    val got = Summaries.customerSummary(df)
+      .select("CustomerID", "LifespanDays").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(1) === 0L)
+    assert(got(2) === 2L)
+  }
+
+  test("⚠M: MA7 is NULL until 7 rows are present (rolling min_periods, etl.py:195-198)") {
+    val days = (1 to 9).map(i => sale(s"$i", 1, 100.0, f"2011-01-$i%02d 09:00:00"))
+    val out = Summaries.dailySales(mk(days)).select("Date", "MA7").collect()
+    assert(out.length === 9)
+    out.take(6).foreach(r => assert(r.isNullAt(1), s"expected null MA7 at ${r.get(0)}"))
+    out.drop(6).foreach(r => assert(!r.isNullAt(1) && math.abs(r.getDouble(1) - 100.0) < 1e-9))
+  }
+
+  test("⚠Q: ntile(4) segments map 1..4 → Bronze..Platinum deterministically") {
+    val df = mk((1 to 8).map(i => sale(s"$i", i, i * 100.0, "2011-01-01 09:00:00")))
+    val seg = Summaries.customerSummary(df)
+      .select("CustomerID", "Segment").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(seg(1) === "Bronze" && seg(2) === "Bronze")
+    assert(seg(3) === "Silver" && seg(4) === "Silver")
+    assert(seg(5) === "Gold" && seg(6) === "Gold")
+    assert(seg(7) === "Platinum" && seg(8) === "Platinum")
+  }
+
+  test("⚠First: customer Country is min_by InvoiceDate (earliest transaction's country)") {
+    val df = mk(Seq(
+      Row("1", "S1", "D", 1L, ts("2011-01-05 09:00:00"), 1.0, 1, "France", false, 1.0, d("2011-01-05")),
+      Row("2", "S1", "D", 1L, ts("2011-01-01 09:00:00"), 1.0, 1, "Germany", false, 1.0, d("2011-01-01"))))
+    val r = Summaries.customerSummary(df).select("Country").head()
+    assert(r.getString(0) === "Germany")
+  }
+
+  test("A13: RevenueShare sums to 100") {
+    val df = mk(Seq(
+      sale("1", 1, 30.0, "2011-01-01 09:00:00"),
+      sale("2", 2, 70.0, "2011-01-01 10:00:00")))
+    val shares = Summaries.countrySummary(
+      df.withColumn("Country", org.apache.spark.sql.functions.concat_ws("", df("CustomerID").cast(StringType))))
+      .select("RevenueShare").collect().map(_.getDouble(0))
+    assert(math.abs(shares.sum - 100.0) < 1e-9)
+  }
+
+  test("cancelled rows are excluded from every summary (etl.py:114,154,181,210)") {
+    val df = mk(Seq(
+      sale("1", 1, 50.0, "2011-01-01 09:00:00"),
+      sale("C2", 1, 999.0, "2011-01-02 09:00:00", cancelled = true)))
+    val rev = Summaries.customerSummary(df).select("TotalRevenue").head().getDouble(0)
+    assert(rev === 50.0)
+    assert(Summaries.dailySales(df).count() === 1)
+  }
+
+  test("AvgOrderValue * TotalOrders == TotalRevenue (property, etl.py:131-133)") {
+    val cleaned = graft.etl.Transactions.cleaned(spark, sfDir)
+    val rows = Summaries.customerSummary(cleaned)
+      .select("TotalRevenue", "TotalOrders", "AvgOrderValue").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2) * r.getLong(1)) < 1e-6)
+    }
+  }
+}
