@@ -1,0 +1,168 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.TextOps
+
+/** Native text-analysis expressions.
+  *
+  * The HOF formulations (filter/transform/aggregate over the token
+  * array) are semantically right but evaluate an interpreted lambda per
+  * token — ~5M+ boxed calls per text query at sf0.1 (≈10 s each). Each
+  * expression here computes the SAME integers/hashes (validated against
+  * the DuckDB oracle) in one JVM pass per document.
+  *
+  * Tokenization contract (must stay identical to the declarative form
+  * `split(trim(text), '\s+')` and the oracle's
+  * `regexp_split_to_array(trim(text), '\s+')`): trim ASCII spaces, split
+  * on runs of whitespace. Corpus is ASCII, so String-based ops equal
+  * UTF8String byte-wise ops.
+  */
+object TextExpressions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("token_stats",
+      exprs => TokenStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("token_fingerprint",
+      exprs => TokenFingerprint(exprs.head), "built-in")
+  }
+
+  private[functions] def tokenize(s: String): Array[String] = {
+    val t = trimSpaces(s)
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** Spark `trim` trims 0x20 only (not all Java whitespace). */
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+
+  private[functions] def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+}
+
+/** One-pass token statistics:
+  * struct(NTokens, NDistinct, SumTokenLen, MaxTokenLen, StopCount,
+  *        CEn, CEs, CDe, CFr) — the integers behind text_tokens /
+  * text_quality / text_langid. */
+case class TokenStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  private val stopSet = TextOps.stopwords.toSet
+  private val markerSets: Array[Set[String]] =
+    TextOps.langMarkers.map(_._2.toSet).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("NTokens", IntegerType, nullable = false),
+    StructField("NDistinct", IntegerType, nullable = false),
+    StructField("SumTokenLen", LongType, nullable = false),
+    StructField("MaxTokenLen", IntegerType, nullable = false),
+    StructField("StopCount", IntegerType, nullable = false),
+    StructField("CEn", IntegerType, nullable = false),
+    StructField("CEs", IntegerType, nullable = false),
+    StructField("CDe", IntegerType, nullable = false),
+    StructField("CFr", IntegerType, nullable = false)))
+
+  override def prettyName: String = "token_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokenize(input.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var sumLen = 0L
+    var maxLen = 0
+    var stop = 0
+    val markerHits = new Array[Int](markerSets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.length
+      if (t.length > maxLen) maxLen = t.length
+      if (stopSet.contains(t)) stop += 1
+      var m = 0
+      while (m < markerSets.length) {
+        if (markerSets(m).contains(t)) markerHits(m) += 1
+        m += 1
+      }
+      seen.add(t)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      toks.length, seen.size(), sumLen, maxLen, stop,
+      markerHits(0), markerHits(1), markerHits(2), markerHits(3)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass content hashes:
+  * struct(Fingerprint, MinTokenHash, NShingles) — md5 of the sorted
+  * distinct token set, min per-token md5, distinct trigram-shingle
+  * count. Byte-identical to the declarative/oracle formulation. */
+case class TokenFingerprint(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("Fingerprint", StringType, nullable = false),
+    StructField("MinTokenHash", StringType, nullable = true),
+    StructField("NShingles", IntegerType, nullable = false)))
+
+  override def prettyName: String = "token_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokenize(input.asInstanceOf[UTF8String].toString)
+    // Fingerprint: md5 of sorted distinct tokens joined by ' '
+    // (ASCII ⇒ String ordering == UTF8 byte ordering used by array_sort)
+    val distinct = toks.distinct.sorted
+    val fp = TextExpressions.md5Hex(distinct.mkString(" "))
+    // MinTokenHash over all tokens
+    var minHash: String = null
+    var i = 0
+    while (i < toks.length) {
+      val h = TextExpressions.md5Hex(toks(i))
+      if (minHash == null || h.compareTo(minHash) < 0) minHash = h
+      i += 1
+    }
+    // distinct trigram shingles
+    val sh = new java.util.HashSet[String]()
+    i = 0
+    while (i + 2 < toks.length) {
+      sh.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fp),
+      if (minHash == null) null else UTF8String.fromString(minHash),
+      sh.size()))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

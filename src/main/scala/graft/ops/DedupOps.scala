@@ -30,21 +30,27 @@ object DedupOps {
   private val NumHashes = 8
   private val NumBands = 4 // 2 rows per band
 
-  /** doc_id + distinct 3-gram shingle array. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct 3-gram shingle array (native one-pass
+    * expression; the declarative HOF equivalent is kept in
+    * TextOps.shinglesSql and validated identical via the oracle). */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    // The raw documents arrive as one small parquet file = one input
+    // partition; repartition by doc_id first so the md5-heavy sketching
+    // parallelizes across all cores (at real scale the input is already
+    // many splits and this shuffle is a cheap narrow redistribution).
     Tables.documents(spark, dir)
-      .withColumn("Toks", expr(toksSql))
-      .withColumn("Sh", expr(shinglesSql))
-      .select(col("doc_id"), col("Sh"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr("token_shingles(text)").as("Sh"))
+  }
 
-  /** doc_id, Sh, B1..B4 LSH band values. */
+  /** doc_id, Sh, B1..B4 LSH band values (native MinHash-8 → 4 bands). */
   private def docBands(spark: SparkSession, dir: String): DataFrame = {
-    val withMh = (1 to NumHashes).foldLeft(docShingles(spark, dir)) { (df, j) =>
-      df.withColumn(s"Mh$j", expr(s"array_min(transform(Sh, x -> md5(concat('$j|', x))))"))
-    }
-    (1 to NumBands).foldLeft(withMh) { (df, b) =>
-      df.withColumn(s"B$b", md5(concat(col(s"Mh${2 * b - 1}"), col(s"Mh${2 * b}"))))
-    }
+    val withBands = docShingles(spark, dir)
+      .withColumn("Bands", expr("minhash_bands(Sh)"))
+    (1 to NumBands).foldLeft(withBands) { (df, b) =>
+      df.withColumn(s"B$b", element_at(col("Bands"), b))
+    }.drop("Bands")
   }
 
   /** Exact dedup via order-insensitive content fingerprint: canonical
@@ -68,7 +74,10 @@ object DedupOps {
   /** Near-dup pairs: LSH candidates verified with exact shingle
     * Jaccard ≥ 0.5. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = docBands(spark, dir)
+    // One sketch pass, cached: the band self-join and both shingle
+    // lookups reuse it instead of recomputing 8 MinHash functions per
+    // reference (3× the dominant cost otherwise).
+    val bands = docBands(spark, dir).cache()
     val exploded = bands.select(col("doc_id"),
       explode(expr(
         "array(named_struct('band_id', 1, 'band_val', B1)," +
@@ -85,7 +94,7 @@ object DedupOps {
           col("D1") < col("D2"))
       .select(col("D1"), col("D2")).distinct()
 
-    val sh = docShingles(spark, dir)
+    val sh = bands.select(col("doc_id"), col("Sh"))
     cand
       .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
       .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2")

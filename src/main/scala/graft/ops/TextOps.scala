@@ -41,18 +41,22 @@ object TextOps {
 
   private def sqlList(xs: Seq[String]): String = xs.map("'" + _ + "'").mkString(", ")
 
-  private def docsWithToks(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).withColumn("Toks", expr(toksSql))
+  /** All per-doc token stats via the one-pass native expression
+    * (graft.functions.TokenStats) — same integers as the declarative
+    * HOF form, ~20× less per-token interpretation overhead. */
+  private def docsWithStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    Tables.documents(spark, dir).withColumn("TS", expr("token_stats(text)"))
+  }
 
   /** Token counting: total / distinct / cumulative length (a whitespace
     * + regex "BPE-ish" proxy for token-budget accounting). */
   def tokens(spark: SparkSession, dir: String): DataFrame =
-    docsWithToks(spark, dir).select(
+    docsWithStats(spark, dir).select(
       col("doc_id"),
-      size(col("Toks")).as("NTokens"),
-      size(array_distinct(col("Toks"))).as("NDistinct"),
-      expr("cast(aggregate(transform(Toks, t -> length(t)), 0, (a, x) -> a + x) as bigint)")
-        .as("SumTokenLen"))
+      col("TS.NTokens").as("NTokens"),
+      col("TS.NDistinct").as("NDistinct"),
+      col("TS.SumTokenLen").as("SumTokenLen"))
       .withColumn("AvgTokenLen",
         col("SumTokenLen").cast(DoubleType) / col("NTokens"))
       .orderBy(col("doc_id"))
@@ -60,13 +64,12 @@ object TextOps {
   /** Quality scoring from length / stopword-ratio signals — every score
     * a deterministic function of integer counts. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    docsWithToks(spark, dir).select(
+    docsWithStats(spark, dir).select(
       col("doc_id"),
       length(col("text")).as("NChars"),
-      size(col("Toks")).as("NTokens"),
-      expr(s"size(filter(Toks, x -> x IN (${sqlList(stopwords)})))").as("StopCount"),
-      expr("cast(aggregate(transform(Toks, t -> length(t)), 0, (a, x) -> greatest(a, x)) as int)")
-        .as("MaxTokenLen"))
+      col("TS.NTokens").as("NTokens"),
+      col("TS.StopCount").as("StopCount"),
+      col("TS.MaxTokenLen").as("MaxTokenLen"))
       .withColumn("StopRatio", col("StopCount").cast(DoubleType) / col("NTokens"))
       .withColumn("QualityScore",
         least(lit(1.0), col("NTokens").cast(DoubleType) / 200.0) * (lit(1.0) - col("StopRatio")))
@@ -74,12 +77,11 @@ object TextOps {
 
   /** N-gram-marker language-ID heuristic: count hits against per-lang
     * marker lists, argmax with a fixed preference order for ties. */
-  def langid(spark: SparkSession, dir: String): DataFrame = {
-    val counted = langMarkers.foldLeft(docsWithToks(spark, dir)) { case (df, (lang, ws)) =>
-      df.withColumn("C" + lang.capitalize,
-        expr(s"size(filter(Toks, x -> x IN (${sqlList(ws)})))"))
-    }
-    counted
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    docsWithStats(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        col("TS.CEn").as("CEn"), col("TS.CEs").as("CEs"),
+        col("TS.CDe").as("CDe"), col("TS.CFr").as("CFr"))
       .withColumn("Predicted",
         when(col("CEn") >= greatest(col("CEs"), col("CDe"), col("CFr")), "en")
           .when(col("CEs") >= greatest(col("CDe"), col("CFr")), "es")
@@ -89,18 +91,19 @@ object TextOps {
         col("Predicted"), col("lang").as("ActualLang"),
         (col("Predicted") === col("lang")).as("IsMatch"))
       .orderBy(col("doc_id"))
-  }
 
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docsWithToks(spark, dir)
-      .withColumn("Sh", expr(shinglesSql))
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("TF", expr("token_fingerprint(text)"))
       .select(
         col("doc_id"),
-        md5(array_join(array_sort(array_distinct(col("Toks"))), " ")).as("Fingerprint"),
-        expr("array_min(transform(Toks, t -> md5(t)))").as("MinTokenHash"),
-        size(col("Sh")).as("NShingles"))
+        col("TF.Fingerprint").as("Fingerprint"),
+        col("TF.MinTokenHash").as("MinTokenHash"),
+        col("TF.NShingles").as("NShingles"))
       .orderBy(col("doc_id"))
+  }
 }
