@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
 import graft.etl.{Summaries, StarQueries, Transactions}
-import graft.ops.{DedupOps, EventsOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, EventsOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
 import graft.oracle.{CoreSql, ExtSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -71,6 +71,11 @@ object SparkEntry {
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
+    // ---- relational surface: rollup, set ops, as-of, regex tokens ----
+    "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
+    "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
+    "events_asof_view" -> (RelationalOps.purchaseAsofView _),
+    "text_regex_tokens" -> (RelationalOps.regexTokens _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -104,5 +109,9 @@ object SparkEntry {
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "multimodal_meta" -> ExtSql.multimodalMeta,
+    "rollup_country_year" -> ExtSql.rollupCountryYear,
+    "setop_churned_customers" -> ExtSql.churnedCustomers,
+    "events_asof_view" -> ExtSql.purchaseAsofView,
+    "text_regex_tokens" -> ExtSql.regexTokens,
   )
 }

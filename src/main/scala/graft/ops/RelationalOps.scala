@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.{Tables, Transactions}
+
+/** Relational-surface operators beyond the reference's repertoire:
+  * rollup/grouping sets, set operations, and as-of (most-recent-prior)
+  * semantics — the remaining families a user of a complete engine
+  * expects (SURVEY.md §2.6 notes the reference has none of these).
+  */
+object RelationalOps {
+
+  private val dec = DecimalType(18, 4)
+
+  /** ROLLUP (Country, Year): per-(country, year), per-country, and
+    * grand-total revenue in one pass — Spark plans this as a single
+    * Expand + hash aggregate (no N-pass union).
+    * GroupingId: 0 = leaf, 1 = per-country subtotal, 3 = grand total. */
+  def rollupCountryYear(spark: SparkSession, dir: String): DataFrame =
+    Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .rollup(col("Country"), col("Year"))
+      .agg(
+        sum(col("TotalAmount").cast(dec)).cast(DoubleType).as("TotalRevenue"),
+        countDistinct(col("InvoiceNo")).as("TotalOrders"),
+        grouping_id().cast(LongType).as("GroupingId"))
+      .orderBy(col("GroupingId"), asc_nulls_first("Country"), asc_nulls_first("Year"))
+
+  /** Set difference: customers active in 1995 but not in 1996
+    * (EXCEPT — planned as a left-anti aggregate join). */
+  def churnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val in95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+    val in96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    in95.except(in96).orderBy(col("o_custkey"))
+  }
+
+  /** As-of semantics over the event stream: for every purchase, the
+    * most recent STRICTLY PRIOR view by the same user (the classic
+    * time-series as-of join, here composed from a bounded window
+    * instead of a custom operator — preference (a) in the design
+    * order). Exact microsecond integer arithmetic throughout. */
+  def purchaseAsofView(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("LastViewUs",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("PurchaseTs"),
+        date_format(timestamp_micros(col("LastViewUs")), "yyyy-MM-dd HH:mm:ss").as("LastViewTs"),
+        (col("us") - col("LastViewUs")).as("GapMicros"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Regex tokenization counts (punctuation-robust "BPE-ish" proxy) —
+    * codegen'd regexp_extract_all, no UDF. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("NAlpha"),
+      size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("NNonSpace"))
+      .orderBy(col("doc_id"))
+}

@@ -266,6 +266,49 @@ ORDER BY "V1", "V2"
 """
   }
 
+  // ---------- relational surface (rollup / set ops / as-of / regex) ----------
+
+  val rollupCountryYear: String = CoreSql.txnCte + """
+SELECT "Country", "Year",
+       CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS DOUBLE) AS "TotalRevenue",
+       count(DISTINCT "InvoiceNo") AS "TotalOrders",
+       CAST(GROUPING("Country", "Year") AS BIGINT) AS "GroupingId"
+FROM sales
+GROUP BY ROLLUP("Country", "Year")
+ORDER BY "GroupingId", "Country" ASC NULLS FIRST, "Year" ASC NULLS FIRST
+"""
+
+  val churnedCustomers: String = """
+SELECT o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+) t ORDER BY o_custkey
+"""
+
+  val purchaseAsofView: String = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+  FROM events
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS "PurchaseTs",
+       strftime(last_view, '%Y-%m-%d %H:%M:%S') AS "LastViewTs",
+       date_diff('microseconds', last_view, ts) AS "GapMicros"
+FROM e WHERE event_type = 'purchase'
+ORDER BY user_id, event_id
+"""
+
+  val regexTokens: String = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS "NAlpha",
+       CAST(len(regexp_extract_all(text, '[^ ]+')) AS INTEGER) AS "NNonSpace"
+FROM documents ORDER BY doc_id
+"""
+
   // ---------- multimodal ----------
 
   val multimodalMeta: String = """
