@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.Summaries
+
+/** Property-based invariants (SURVEY.md §5.2 item 4) over
+  * ScalaCheck-generated cleaned-shaped data (raw Gen + fixed seeds —
+  * the scalatest-plus bridge isn't in the offline dependency set). */
+class PropertySpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("InvoiceNo", StringType),
+    StructField("StockCode", StringType),
+    StructField("Description", StringType),
+    StructField("Quantity", LongType),
+    StructField("InvoiceDate", TimestampType),
+    StructField("UnitPrice", DoubleType),
+    StructField("CustomerID", IntegerType),
+    StructField("Country", StringType),
+    StructField("IsCancelled", BooleanType),
+    StructField("TotalAmount", DoubleType),
+    StructField("Date", DateType)))
+
+  private case class Txn(inv: Int, cust: Int, cents: Int, day: Int, country: Int,
+                         cancelled: Boolean)
+
+  private val txnGen: Gen[Txn] = for {
+    inv <- Gen.choose(1, 500)
+    cust <- Gen.choose(1, 40)
+    cents <- Gen.choose(1, 100000) // exact 2dp amounts
+    day <- Gen.choose(1, 28)
+    country <- Gen.choose(0, 5)
+    cancelled <- Gen.prob(0.2)
+  } yield Txn(inv, cust, cents, day, country, cancelled)
+
+  private def toDf(txns: List[Txn]) = {
+    val rows = txns.map { t =>
+      val amount = t.cents / 100.0
+      val ts = Timestamp.valueOf(f"2011-01-${t.day}%02d 09:00:00")
+      Row((if (t.cancelled) "C" else "") + t.inv.toString, "S1", "D", 1L, ts,
+        amount, t.cust, s"Country${t.country}", t.cancelled, amount,
+        Date.valueOf(f"2011-01-${t.day}%02d"))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  private def sample(seed: Long, n: Int = 120): List[Txn] =
+    Gen.listOfN(n, txnGen)
+      .apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(Nil)
+      .filter(_ => true) match {
+        case Nil => List(Txn(1, 1, 100, 1, 0, cancelled = false))
+        case xs => xs
+      }
+
+  test("property: country RevenueShare sums to ~100 and revenue equals exact cents sum") {
+    (1L to 5L).foreach { seed =>
+      val txns = sample(seed)
+      val df = toDf(txns)
+      val rows = Summaries.countrySummary(df).collect()
+      val shareSum = rows.map(_.getAs[Double]("RevenueShare")).sum
+      assert(math.abs(shareSum - 100.0) < 1e-6, s"seed=$seed shareSum=$shareSum")
+      val expected = txns.filter(!_.cancelled).map(_.cents.toLong).sum / 100.0
+      val got = rows.map(_.getAs[Double]("TotalRevenue")).sum
+      assert(math.abs(got - expected) < 1e-9, s"seed=$seed exact decimal sum: $got vs $expected")
+    }
+  }
+
+  test("property: AvgOrderValue * TotalOrders == TotalRevenue; ntile buckets within ±1") {
+    (6L to 10L).foreach { seed =>
+      val rows = Summaries.customerSummary(toDf(sample(seed))).collect()
+      rows.foreach { r =>
+        assert(math.abs(r.getAs[Double]("TotalRevenue") -
+          r.getAs[Double]("AvgOrderValue") * r.getAs[Long]("TotalOrders")) < 1e-6)
+      }
+      val sizes = rows.groupBy(_.getAs[String]("Segment")).view.mapValues(_.length).toMap
+      if (rows.length >= 4) {
+        assert(sizes.size === 4, s"seed=$seed segments=$sizes")
+        assert(sizes.values.max - sizes.values.min <= 1, s"seed=$seed qcut/ntile buckets: $sizes")
+      }
+    }
+  }
+
+  test("property: clean filter is idempotent") {
+    (11L to 13L).foreach { seed =>
+      val once = Summaries.sales(toDf(sample(seed)))
+      assert(Summaries.sales(once).count() === once.count())
+    }
+  }
+}
