@@ -76,6 +76,9 @@ object SparkEntry {
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
     "events_asof_view" -> (RelationalOps.purchaseAsofView _),
     "text_regex_tokens" -> (RelationalOps.regexTokens _),
+    // HLL++/quantile sketches: engine-specific values → no oracle SQL
+    // (driver records a rows-only check, per the contract).
+    "sketch_approx_stats" -> (RelationalOps.approxSketchStats _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -61,6 +61,27 @@ object RelationalOps {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Approximate/sketch aggregates — the at-scale substitutes for exact
+    * distinct counts and sorts: HyperLogLog++ (`approx_count_distinct`,
+    * mergeable across partitions, O(1) memory) and quantile sketches
+    * (`percentile_approx`). At 100 TB these replace the exact
+    * countDistinct double-shuffle wherever a bounded relative error is
+    * acceptable. Values are engine-specific (sketch internals), so this
+    * query carries no DuckDB oracle — the driver records a rows-only
+    * check; the exact columns sit alongside for in-row sanity. */
+  def approxSketchStats(spark: SparkSession, dir: String): DataFrame =
+    Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .groupBy(col("Country"))
+      .agg(
+        countDistinct(col("CustomerID")).as("ExactCustomers"),
+        approx_count_distinct(col("CustomerID"), 0.02).as("ApproxCustomers"),
+        countDistinct(col("InvoiceNo")).as("ExactOrders"),
+        approx_count_distinct(col("InvoiceNo"), 0.02).as("ApproxOrders"),
+        percentile_approx(col("TotalAmount"), lit(0.5), lit(1000)).as("P50Amount"),
+        percentile_approx(col("TotalAmount"), lit(0.9), lit(1000)).as("P90Amount"))
+      .orderBy(col("Country"))
+
   /** Regex tokenization counts (punctuation-robust "BPE-ish" proxy) —
     * codegen'd regexp_extract_all, no UDF. */
   def regexTokens(spark: SparkSession, dir: String): DataFrame =
