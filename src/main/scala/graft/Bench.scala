@@ -1,9 +1,18 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * Each query is materialized with a `noop`-format write, NOT `count()`:
+  * under `count()` Catalyst legally deletes most of the work — column
+  * pruning drops unreferenced projections, `EliminateSorts` drops the
+  * presentation sort, window columns nothing filters on vanish — so a
+  * project-only query times as a scan count. The noop sink consumes
+  * every row of the final schema with zero I/O, which forces the full
+  * plan (all expressions, windows, sorts' shuffles) to execute exactly
+  * as a real sink would, minus serialization to disk.
   *
   * A full warm-up pass runs first (discarded): it absorbs JVM/JIT and
   * Janino codegen compilation and materializes the shared cleaned-table
@@ -11,8 +20,18 @@ import org.apache.spark.sql.SparkSession
   * rather than one-time process start-up — the number that actually
   * predicts cluster behavior, where code is JIT'd and hot within the
   * first seconds of a multi-hour job.
+  *
+  * A query that throws is reported as an entry in "errors" (and its
+  * timing is excluded from "total") instead of being silently recorded
+  * as a fast success.
   */
 object Bench {
+
+  /** Force full-plan execution: every column of every row reaches the
+    * sink, so Catalyst cannot prune work the way it can under count(). */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,6 +40,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // This host shows occasional multi-minute whole-VM stalls; keep a
       // transient freeze from tripping the local executor's heartbeat
@@ -31,17 +51,23 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     qs.foreach { case (_, fn) => // warm-up (JIT, codegen, caches)
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { materialize(fn(spark, sfDir)); None } catch {
+        case t: Throwable => Some(t.getClass.getSimpleName)
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.collect { case (k, v, None) => (k, v) }
+    val qjson = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => (k, e) }
+    val ejson = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"errors":$ejson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,8 +76,8 @@ object SparkEntry {
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
     "events_asof_view" -> (RelationalOps.purchaseAsofView _),
     "text_regex_tokens" -> (RelationalOps.regexTokens _),
-    // HLL++/quantile sketches: engine-specific values → no oracle SQL
-    // (driver records a rows-only check, per the contract).
+    // HLL++/quantile sketches: exact columns + error-bound booleans the
+    // oracle asserts as TRUE (see RelationalOps.approxSketchStats).
     "sketch_approx_stats" -> (RelationalOps.approxSketchStats _),
   )
 
@@ -116,5 +116,6 @@ object SparkEntry {
     "setop_churned_customers" -> ExtSql.churnedCustomers,
     "events_asof_view" -> ExtSql.purchaseAsofView,
     "text_regex_tokens" -> ExtSql.regexTokens,
+    "sketch_approx_stats" -> ExtSql.approxSketchStats,
   )
 }

@@ -107,11 +107,16 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 
   /** Events with `ts` as a proper microsecond timestamp plus the raw
-    * nanos (`ts_ns`) for exact-integer gap arithmetic (sessionization). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * nanos (`ts_ns`) for exact-integer gap arithmetic (sessionization).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
+    * SESSION BUILDER (Bench/Verify/tools/SparkSpec all set it): the
+    * events parquet carries TIMESTAMP(NANOS), which Spark only reads —
+    * as a raw long — under that flag. The conf is deliberately NOT set
+    * here: mutating session conf inside a reader is a race-shaped
+    * global side effect under Verify's concurrent query threads. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "events", eventsRawSchema)
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 }

@@ -96,7 +96,26 @@ object Transactions {
     * the reference materializes the cleaned table once and reads it from
     * all four summaries (etl.py:106/114); caching at the clean boundary
     * is the Spark-native equivalent and saves the 5-way join for every
-    * downstream query in Verify/Bench. */
-  def cleaned(spark: SparkSession, dir: String): DataFrame =
+    * downstream query in Verify/Bench.
+    *
+    * Entries for stopped sessions are evicted on every lookup, so a
+    * long-lived process that cycles SparkSessions does not retain dead
+    * plans (and their cached-block lineage) forever; [[invalidate]] is
+    * the explicit flush for live sessions. */
+  def cleaned(spark: SparkSession, dir: String): DataFrame = {
+    memo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(memo.remove)
     memo.getOrElseUpdate((spark, dir), clean(raw(spark, dir)).cache())
+  }
+
+  /** Drop and unpersist every memoized cleaned table for `spark`
+    * (all dirs). Safe to call mid-flight: downstream plans already built
+    * from the cached frame recompute from the parquet lineage. */
+  def invalidate(spark: SparkSession): Unit =
+    memo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      memo.remove(k).foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
 }

@@ -66,20 +66,41 @@ object RelationalOps {
     * mergeable across partitions, O(1) memory) and quantile sketches
     * (`percentile_approx`). At 100 TB these replace the exact
     * countDistinct double-shuffle wherever a bounded relative error is
-    * acceptable. Values are engine-specific (sketch internals), so this
-    * query carries no DuckDB oracle — the driver records a rows-only
-    * check; the exact columns sit alongside for in-row sanity. */
+    * acceptable.
+    *
+    * Correctness contract: sketch VALUES are engine-specific, so the
+    * output carries (a) the exact columns, which the DuckDB oracle
+    * recomputes, and (b) per-sketch error-bound BOOLEANS the oracle
+    * states as literal TRUE — HLL relative error ≤ 3×rsd (rsd = 0.02),
+    * approx-percentile value within the exact discrete 0.4/0.6 (resp.
+    * 0.8/1.0) quantiles, a ±0.1 rank window that dwarfs the sketch's
+    * 1/accuracy = 0.001 rank-error guarantee. A false boolean (sketch
+    * out of bound) hash-mismatches the oracle row, so the driver gate
+    * now genuinely checks the sketches instead of skipping them.
+    * SketchSpec asserts the tighter numeric bounds on the raw values. */
   def approxSketchStats(spark: SparkSession, dir: String): DataFrame =
     Transactions.cleaned(spark, dir)
       .filter(!col("IsCancelled"))
       .groupBy(col("Country"))
       .agg(
         countDistinct(col("CustomerID")).as("ExactCustomers"),
-        approx_count_distinct(col("CustomerID"), 0.02).as("ApproxCustomers"),
+        approx_count_distinct(col("CustomerID"), 0.02).as("ac"),
         countDistinct(col("InvoiceNo")).as("ExactOrders"),
-        approx_count_distinct(col("InvoiceNo"), 0.02).as("ApproxOrders"),
-        percentile_approx(col("TotalAmount"), lit(0.5), lit(1000)).as("P50Amount"),
-        percentile_approx(col("TotalAmount"), lit(0.9), lit(1000)).as("P90Amount"))
+        approx_count_distinct(col("InvoiceNo"), 0.02).as("ao"),
+        percentile_approx(col("TotalAmount"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("TotalAmount"), lit(0.9), lit(1000)).as("p90"),
+        expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY TotalAmount)").as("lo50"),
+        expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY TotalAmount)").as("hi50"),
+        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY TotalAmount)").as("lo90"),
+        max(col("TotalAmount")).as("hi90"))
+      .select(
+        col("Country"), col("ExactCustomers"), col("ExactOrders"),
+        (abs(col("ac") - col("ExactCustomers"))
+          <= col("ExactCustomers") * lit(0.06)).as("CustomersSketchOk"),
+        (abs(col("ao") - col("ExactOrders"))
+          <= col("ExactOrders") * lit(0.06)).as("OrdersSketchOk"),
+        (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("P50SketchOk"),
+        (col("p90") >= col("lo90") && col("p90") <= col("hi90")).as("P90SketchOk"))
       .orderBy(col("Country"))
 
   /** Regex tokenization counts (punctuation-robust "BPE-ish" proxy) —

@@ -9,7 +9,10 @@ package graft.oracle
   * orderings, integer ratios) so results hash-match bit-for-bit.
   *
   * Dialect notes vs Spark:
-  *  - DuckDB has no `initcap` → manual upper(substr(..,1,1)) || rest.
+  *  - DuckDB has no `initcap` → word-wise list_transform over a space
+  *    split (capitalize EVERY word, like Spark initcap / pandas
+  *    .str.title() — a first-letter-only substr would silently diverge
+  *    on multi-word names such as TPC-H 'UNITED KINGDOM').
   *  - pandas/Spark `weekday` (Mon=0) → `isodow - 1`.
   *  - DuckDB `year`/`hour`/`len`/`row_number` return BIGINT → cast to
   *    INTEGER where Spark produces ints; `sum(BIGINT)` returns HUGEINT
@@ -31,7 +34,8 @@ WITH txn AS (
     o.o_orderdate AS "InvoiceDate",
     l.l_extendedprice / l.l_quantity AS "UnitPrice",
     CAST(o.o_custkey AS INTEGER) AS "CustomerID",
-    upper(substr(lower(trim(n.n_name)),1,1)) || substr(lower(trim(n.n_name)),2) AS "Country",
+    array_to_string(list_transform(string_split(lower(trim(n.n_name)), ' '),
+                                   w -> upper(w[1]) || w[2:]), ' ') AS "Country",
     l.l_extendedprice * (1 - l.l_discount) AS "TotalAmount",
     (o.o_orderstatus = 'F') AS "IsCancelled",
     CAST(year(o.o_orderdate) AS INTEGER) AS "Year",

@@ -309,6 +309,21 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+  /** Sketch aggregates: the oracle recomputes the EXACT columns and
+    * states the sketch error-bound booleans as literal TRUE — if a
+    * Spark-side sketch drifts out of its documented bound the boolean
+    * flips and the row hash-mismatches (see RelationalOps scaladoc). */
+  val approxSketchStats: String = CoreSql.txnCte + """
+SELECT "Country",
+       count(DISTINCT "CustomerID") AS "ExactCustomers",
+       count(DISTINCT "InvoiceNo") AS "ExactOrders",
+       TRUE AS "CustomersSketchOk",
+       TRUE AS "OrdersSketchOk",
+       TRUE AS "P50SketchOk",
+       TRUE AS "P90SketchOk"
+FROM sales GROUP BY "Country" ORDER BY "Country"
+"""
+
   // ---------- multimodal ----------
 
   val multimodalMeta: String = """

@@ -15,17 +15,22 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same materialization as Bench: a noop write forces the full plan
+    // (count() lets Catalyst prune projections/windows/sorts).
+    def mat(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // warm
-    names.foreach { n => graft.SparkEntry.queries(n)(spark, sfDir).count() }
+    names.foreach { n => mat(graft.SparkEntry.queries(n)(spark, sfDir)) }
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       if (doExplain) { println(s"===== $n"); df.explain("formatted") }
-      (1 to 2).foreach { i =>
+      (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        val c = df.count()
-        println(f"[time] $n run$i: ${(System.nanoTime() - t0) / 1e9}%8.2f s (rows=$c)")
+        mat(df)
+        println(f"[time] $n run$i: ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
     spark.stop()

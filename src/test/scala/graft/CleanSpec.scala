@@ -71,6 +71,29 @@ class CleanSpec extends SparkSpec {
     assert(r.getString(1) === "United Kingdom")
   }
 
+  test("F13 oracle parity: multi-word names capitalize every word (initcap)") {
+    // The DuckDB oracle mirrors initcap with a word-wise list_transform
+    // over a space split (CoreSql.txnCte); this Scala port of that exact
+    // expression must agree with Spark initcap on multi-word / repeated-
+    // space / single-word inputs, or the oracle hash silently diverges
+    // on data like real TPC-H 'UNITED KINGDOM'.
+    def duckTitle(s: String): String =
+      s.trim.toLowerCase.split(" ", -1)
+        .map(w => if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1))
+        .mkString(" ")
+    val inputs = Seq("united kingdom", "UNITED KINGDOM", " czech republic ",
+      "uk", "united  arab  emirates", "papua new guinea")
+    val df = mk(inputs.zipWithIndex.map { case (c, i) =>
+      row(s"${i + 1}", "A", 1, 1.0, 1, country = c)
+    })
+    val got = Transactions.clean(df).select("InvoiceNo", "Country")
+      .collect().map(r => r.getString(0).toInt -> r.getString(1)).toMap
+    inputs.zipWithIndex.foreach { case (c, i) =>
+      assert(got(i + 1) === duckTitle(c), s"initcap divergence on '$c'")
+    }
+    assert(got(1) === "United Kingdom" && got(6) === "Papua New Guinea")
+  }
+
   test("F8/F10/F11: date parts extracted from InvoiceDate (etl.py:92-96)") {
     val df = mk(Seq(row("1", "A", 1, 1.0, 1, when = "2011-12-09 17:45:00")))
     val r = Transactions.clean(df)
