@@ -27,7 +27,53 @@ object ShingleExpressions {
       exprs => TokenShingles(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands",
       exprs => MinhashBands(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash_bits",
+      exprs => SimhashBits(exprs.head), "built-in")
   }
+}
+
+/** text → 8-char SimHash bit string, one md5 PER DISTINCT TOKEN with
+  * all 8 hex positions read from that single digest — replaces the 8
+  * interpreted `aggregate(transform(...))` HOF lambdas that re-hashed
+  * every token once per position (8× the md5 work, per-element
+  * interpreted dispatch). Bit p is set iff the mean of hex digit p over
+  * distinct tokens is ≥ 7.5, computed in integers as
+  * 2·sum ≥ 15·count — byte-identical to the declarative form and the
+  * DuckDB oracle (ExtSql.dedupSimhash). */
+case class SimhashBits(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokenize(input.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val sums = new Array[Long](8)
+    var n = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = TextExpressions.md5Hex(toks(i))
+        var p = 0
+        while (p < 8) { sums(p) += Character.digit(h.charAt(p), 16); p += 1 }
+        n += 1
+      }
+      i += 1
+    }
+    val bits = new Array[Char](8)
+    var p = 0
+    while (p < 8) { bits(p) = if (2L * sums(p) >= 15L * n) '1' else '0'; p += 1 }
+    UTF8String.fromString(new String(bits))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** text → distinct 3-gram token shingles (first-occurrence order,

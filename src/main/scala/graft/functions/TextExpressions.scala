@@ -37,10 +37,15 @@ object TextExpressions {
       exprs => TokenFingerprint(exprs.head), "built-in")
   }
 
-  private[functions] def tokenize(s: String): Array[String] = {
-    val t = trimSpaces(s)
-    if (t.isEmpty) Array.empty else t.split("\\s+")
-  }
+  /** Must match Spark `split(trim(text), '\s+')` exactly — Spark split
+    * has limit -1, which KEEPS a trailing empty token: an empty string
+    * yields [""] (one empty token), and text ending in non-space
+    * whitespace (tab/newline — trim strips 0x20 only) yields a trailing
+    * "". Java's default split(regex) drops those and would silently
+    * diverge from the declarative form and the DuckDB oracle's
+    * regexp_split_to_array on such inputs. */
+  private[functions] def tokenize(s: String): Array[String] =
+    trimSpaces(s).split("\\s+", -1)
 
   /** Spark `trim` trims 0x20 only (not all Java whitespace). */
   private def trimSpaces(s: String): String = {

@@ -25,7 +25,7 @@ import graft.etl.Tables
   */
 object DedupOps {
 
-  import TextOps.{shinglesSql, toksSql}
+  import TextOps.toksSql
 
   private val NumHashes = 8
   private val NumBands = 4 // 2 rows per band
@@ -108,19 +108,16 @@ object DedupOps {
 
   /** SimHash-family sketch: 8 hex positions of per-token md5s, each
     * position's bit = coordinate mean ≥ 7.5 (integer compare: 2·sum ≥
-    * 15·count). Docs sharing the 8-bit sketch land in one bucket. */
+    * 15·count). Docs sharing the 8-bit sketch land in one bucket.
+    * Sketching is the native one-pass `simhash_bits` expression — one
+    * md5 per distinct token feeding all 8 bit positions (the previous
+    * declarative form ran 8 interpreted HOF lambdas, re-hashing every
+    * token once per position). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .withColumn("Toks", expr(toksSql))
-      .withColumn("DToks", array_distinct(col("Toks")))
-    val withBits = (1 to 8).foldLeft(base) { (df, p) =>
-      df.withColumn(s"bit$p",
-        when(expr(
-          s"2 * aggregate(transform(DToks, t -> instr('0123456789abcdef', substring(md5(t), $p, 1)) - 1), 0, (a, x) -> a + x)")
-          >= expr("15 * size(DToks)"), "1").otherwise("0"))
-    }
-    withBits
-      .withColumn("Simhash", concat((1 to 8).map(p => col(s"bit$p")): _*))
+    graft.functions.ShingleExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // single-file input → spread md5 work
+      .withColumn("Simhash", expr("simhash_bits(text)"))
       .withColumn("BucketSize", count(lit(1)).over(Window.partitionBy(col("Simhash"))).cast(IntegerType))
       .select(col("doc_id"), col("Simhash"), col("BucketSize"))
       .orderBy(col("doc_id"))

@@ -33,11 +33,15 @@ import graft.functions.VectorExpressions
   *
   * == Scale ==
   * Brute force is O(probes × n) — a bounded-probe, shuffle-free map +
-  * per-probe top-k. The LSH variant sketches every vector to an 8-bit
-  * signature (narrow pass) and self-joins on it: candidate pairs
-  * ≈ n²/2⁸ with a hash-uniform join key. An IVF refinement (k-means
-  * centroid partitions) would slot into the same candidate-generation
-  * seam.
+  * per-probe top-k. The LSH variant sketches every vector into
+  * `bands` sign-bit strings of `planesPerBand` bits each (narrow
+  * pass), explodes to (band_id, value) and self-joins: a candidate
+  * must agree on ALL bits of at least one band, so expected candidate
+  * volume ≈ bands·n²/2^(planesPerBand+1) — tunable sublinear (raise
+  * planesPerBand at larger n), where a single fixed-width bucket is
+  * quadratic with an immovable constant. Join keys are hash-uniform
+  * bit strings (no skew). An IVF refinement (k-means centroid
+  * partitions) would slot into the same candidate-generation seam.
   */
 object SimilarityOps {
 
@@ -45,15 +49,33 @@ object SimilarityOps {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  /** Sign of hyperplane (p, i): +1 iff hex digit p of md5(i) ≥ 8 —
-    * byte-identical to the oracle's
-    * `instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), p, 1)) - 1 >= 8`. */
+  /** Sign of hyperplane (p, i): +1 iff the FIRST hex digit of
+    * md5("p|i") ≥ 8 — byte-identical to the oracle's
+    * `instr('0123456789abcdef', substr(md5('p|' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8`.
+    * Keyed by the (plane, dim) pair so the plane count is unbounded
+    * (the previous derivation read hex digit p of md5(i) and was
+    * structurally capped at 32 planes). */
   private[ops] def planeSign(p: Int, i: Int): Long =
-    if (Integer.parseInt(md5Hex(i.toString).charAt(p - 1).toString, 16) >= 8) 1L else -1L
+    if (Integer.parseInt(md5Hex(s"$p|$i").substring(0, 1), 16) >= 8) 1L else -1L
 
   private val Dims = 64
-  private lazy val planes: Seq[Seq[Long]] =
-    (1 to 8).map(p => (1 to Dims).map(i => planeSign(p, i)))
+
+  /** Default LSH shape: 4 bands × 8 planes. Random-vector pairs agree
+    * on a whole r-bit band with probability ~2⁻ʳ, so expected
+    * candidates ≈ bands·n²/2·2⁻ʳ — a TUNABLE-sublinear volume (the old
+    * single 8-bit bucket fixed candidates at n²/2⁹: quadratic with a
+    * constant no parameter could move). More planes per band → sharper
+    * bands → fewer candidates; more bands → higher recall. The
+    * defaults suit this corpus's low-cosine near-dups (max pair cosine
+    * < 0.5 ⇒ per-plane agreement ≈ 0.6, so recall decays ~0.6ʳ); at
+    * 100 TB with true near-identical dups (agreement ≥ 0.95) raise
+    * planesPerBand to 16-32 to crush candidate volume while keeping
+    * recall. */
+  val DefaultBands = 4
+  val DefaultPlanesPerBand = 8
+
+  private def planeRows(nPlanes: Int): Seq[Seq[Long]] =
+    (1 to nPlanes).map(p => (1 to Dims).map(i => planeSign(p, i)))
 
   /** vec_id, label, quantized int vector Q, exact squared norm NormSq. */
   private def quantized(spark: SparkSession, dir: String): DataFrame = {
@@ -63,12 +85,18 @@ object SimilarityOps {
       .withColumn("NormSq", expr("long_dot(Q, Q)"))
   }
 
-  private def withBucket(df: DataFrame): DataFrame = {
-    val bits = planes.map { w =>
+  /** Adds Band1..BandN sign-bit-string columns. The ±1 plane matrix is
+    * md5-derived on the driver and shipped as array literals; each bit
+    * is one codegen'd integer dot product. */
+  private def withBands(df: DataFrame, bands: Int, planesPerBand: Int): DataFrame = {
+    val bits = planeRows(bands * planesPerBand).map { w =>
       val arrLit = w.map(v => s"${v}L").mkString("array(", ", ", ")")
       expr(s"CASE WHEN long_dot(Q, $arrLit) >= 0 THEN '1' ELSE '0' END")
     }
-    df.withColumn("Bucket", concat(bits: _*))
+    (0 until bands).foldLeft(df) { (d, b) =>
+      d.withColumn(s"Band${b + 1}",
+        concat(bits.slice(b * planesPerBand, (b + 1) * planesPerBand): _*))
+    }
   }
 
   /** Exact brute-force top-5 cosine neighbors for probe vectors
@@ -90,15 +118,47 @@ object SimilarityOps {
       .orderBy(col("QId"), col("Rank"))
   }
 
-  /** Embedding near-dup pairs via sign-LSH candidates (8-bit bucket)
-    * verified with exact cosine ≥ 0.3. */
-  def lshNeardup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val sig = withBucket(quantized(spark, dir))
-    val a = sig.select(col("vec_id").as("V1"), col("label").as("L1"),
-      col("Q").as("Q1"), col("NormSq").as("N1"), col("Bucket"))
-    val b = sig.select(col("vec_id").as("V2"), col("label").as("L2"),
-      col("Q").as("Q2"), col("NormSq").as("N2"), col("Bucket").as("Bucket2"))
-    a.join(b, col("Bucket") === col("Bucket2") && col("V1") < col("V2"))
+  /** Distinct candidate pairs (V1 < V2) that agree on at least one
+    * whole band — the LSH candidate-generation stage, exposed
+    * separately so tests can measure candidate volume as the band
+    * shape varies. `sig` must carry vec_id + Band1..BandN. */
+  private def bandCandidates(sig: DataFrame, bands: Int): DataFrame = {
+    val exploded = sig.select(col("vec_id"),
+      explode(array((1 to bands).map(b =>
+        struct(lit(b).as("band_id"), col(s"Band$b").as("band_val"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+    val a = exploded.select(col("vec_id").as("V1"), col("band_id"), col("band_val"))
+    val b = exploded.select(col("vec_id").as("V2"),
+      col("band_id").as("band_id2"), col("band_val").as("band_val2"))
+    a.join(b,
+        col("band_id") === col("band_id2") &&
+          col("band_val") === col("band_val2") &&
+          col("V1") < col("V2"))
+      .select(col("V1"), col("V2")).distinct()
+  }
+
+  /** Candidate-pair count for a given band shape (test/diagnostic
+    * surface: candidates shrink as planesPerBand grows). */
+  def lshCandidateCount(spark: SparkSession, dir: String,
+                        bands: Int, planesPerBand: Int): Long =
+    bandCandidates(withBands(quantized(spark, dir), bands, planesPerBand), bands).count()
+
+  /** Embedding near-dup pairs via banded sign-LSH (default 4 bands ×
+    * 16 planes) verified with exact cosine ≥ 0.3. Sketch once and
+    * cache; candidates come from the band self-join; the exact cosine
+    * runs only on candidates — the same sketch → band-join → verify
+    * decomposition as the document near-dup pipeline. */
+  def lshNeardup(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                 bands: Int = DefaultBands,
+                 planesPerBand: Int = DefaultPlanesPerBand): DataFrame = {
+    val sig = withBands(quantized(spark, dir), bands, planesPerBand).cache()
+    val cand = bandCandidates(sig, bands)
+    val lookup = sig.select(col("vec_id"), col("label"), col("Q"), col("NormSq"))
+    cand
+      .join(lookup.select(col("vec_id").as("V1"), col("label").as("L1"),
+        col("Q").as("Q1"), col("NormSq").as("N1")), "V1")
+      .join(lookup.select(col("vec_id").as("V2"), col("label").as("L2"),
+        col("Q").as("Q2"), col("NormSq").as("N2")), "V2")
       .withColumn("Dot", expr("long_dot(Q1, Q2)"))
       .withColumn("Cosine",
         col("Dot").cast(DoubleType) /

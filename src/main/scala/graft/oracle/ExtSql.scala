@@ -238,30 +238,51 @@ SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
 ORDER BY "QId", "Rank"
 """
 
+  /** Banded sign-LSH mirror (SimilarityOps.lshNeardup defaults): plane
+    * (p, i) sign = first hex digit of md5('p|i') ≥ 8; band b =
+    * concatenation of its planesPerBand bits; candidates = pairs
+    * agreeing on at least one whole (band_id, value). */
   val similarityLshNeardup: String = {
-    val bits = (1 to 8).map { p =>
-      s"""(CASE WHEN list_sum([CASE WHEN instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), $p, 1)) - 1 >= 8
+    val bands = graft.ops.SimilarityOps.DefaultBands
+    val rpb = graft.ops.SimilarityOps.DefaultPlanesPerBand
+    def bit(p: Int): String =
+      s"""(CASE WHEN list_sum([CASE WHEN instr('0123456789abcdef', substr(md5('$p|' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
          |       THEN qv[i] ELSE -qv[i] END for i in range(1, len(qv)+1)]) >= 0 THEN '1' ELSE '0' END)""".stripMargin
-    }.mkString(" ||\n  ")
+    val bandCols = (1 to bands).map { b =>
+      val bits = ((b - 1) * rpb + 1 to b * rpb).map(bit).mkString(" ||\n  ")
+      s"$bits AS b$b"
+    }.mkString(",\n  ")
+    val blUnion = (1 to bands).map { b =>
+      if (b == 1) s"SELECT vec_id, 1 AS band_id, b1 AS band_val FROM s"
+      else s"UNION ALL SELECT vec_id, $b, b$b FROM s"
+    }.mkString("\n  ")
     quantCte + s"""
 , s AS (
   SELECT vec_id, label, qv, nn,
-  $bits AS bucket
+  $bandCols
   FROM n
 ),
-p AS (
-  SELECT a.vec_id AS "V1", b.vec_id AS "V2", a.label AS l1, b.label AS l2,
-         list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS dot,
-         a.nn AS na, b.nn AS nb
-  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+bl AS (
+  $blUnion
 ),
-c AS (
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                      AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.v1 AS "V1", c.v2 AS "V2", sa.label AS l1, sb.label AS l2,
+         list_sum([sa.qv[i] * sb.qv[i] for i in range(1, len(sa.qv)+1)]) AS dot,
+         sa.nn AS na, sb.nn AS nb
+  FROM cand c JOIN s sa ON c.v1 = sa.vec_id JOIN s sb ON c.v2 = sb.vec_id
+),
+c2 AS (
   SELECT "V1", "V2",
          CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS "Cosine",
          (l1 = l2) AS "SameLabel"
   FROM p
 )
-SELECT "V1", "V2", "Cosine", "SameLabel" FROM c WHERE "Cosine" >= 0.3
+SELECT "V1", "V2", "Cosine", "SameLabel" FROM c2 WHERE "Cosine" >= 0.3
 ORDER BY "V1", "V2"
 """
   }

@@ -30,15 +30,14 @@ object EventsStream {
   case class UserSessions(user_id: Long, nEvents: Long, nSessions: Long)
 
   /** A streaming source over the events parquet dir (one-file-per-batch
-    * in tests). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * in tests). Requires `spark.sql.legacy.parquet.nanosAsLong=true` in
+    * the session builder (see Tables.events scaladoc). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(Tables.eventsRawSchema)
       .parquet(dir)
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a
     * 30-minute watermark (streaming twin of EventsOps.hourly). */
@@ -57,14 +56,21 @@ object EventsStream {
   def sessionCounts(events: Dataset[Event])(implicit spark: SparkSession): Dataset[UserSessions] = {
     import spark.implicits._
     val gapUs = 1800L * 1000000L
+    // Exact microseconds from the Timestamp: getTime truncated to whole
+    // seconds plus the sub-second nanos field. `getTime * 1000` would
+    // drop the microsecond component and could classify a gap within
+    // 1 ms of the 1800 s boundary differently from the batch twin
+    // (EventsOps.sessionize uses exact `ts_ns div 1000`).
+    def micros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = micros(e.ts)
             val newSession = st.nEvents == 0L || us - st.lastUs > gapUs
             st = SessionState(us, st.nEvents + 1, st.nSessions + (if (newSession) 1 else 0))
           }

@@ -56,6 +56,13 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("Cosine") >= 0.3))
   }
 
+  test("similarity: LSH candidate volume shrinks as planes per band grow") {
+    val loose = SimilarityOps.lshCandidateCount(spark, sfDir, bands = 2, planesPerBand = 4)
+    val tight = SimilarityOps.lshCandidateCount(spark, sfDir, bands = 2, planesPerBand = 16)
+    assert(loose > 0L)
+    assert(tight < loose, s"expected fewer candidates at 16 planes/band: tight=$tight loose=$loose")
+  }
+
   test("text: token counts are positive and AvgTokenLen = Sum/N") {
     val rows = TextOps.tokens(spark, sfDir).collect()
     assert(rows.length === 500)
