@@ -47,9 +47,11 @@ object Load {
   }
 
   /** S4-S6 — JDBC warehouse write (SQLite/PostgreSQL/MySQL in the
-    * reference; ref: etl.py:292-362). Driver jars are not shipped in
-    * this offline image, so this is exercised only when a URL is
-    * supplied. */
+    * reference; ref: etl.py:292-362). Database-agnostic: Spark's JDBC
+    * dialect registry picks the DDL per URL. The sqlite/postgres/mysql
+    * driver jars are not in this offline image, so the e2e test runs
+    * the same code path against embedded Derby (PipelineSpec), which
+    * ships with Spark. */
   def writeJdbc(tables: Map[String, DataFrame], url: String,
                 props: java.util.Properties, roundDoubles: Boolean = false): Unit =
     tables.foreach { case (name, df) =>

@@ -93,6 +93,22 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** name → declared schema, for source-generic reads ([[via]]). */
+  val schemas: Map[String, StructType] = Map(
+    "region" -> regionSchema, "nation" -> nationSchema,
+    "customer" -> customerSchema, "supplier" -> supplierSchema,
+    "part" -> partSchema, "orders" -> ordersSchema,
+    "lineitem" -> lineitemSchema, "events" -> eventsRawSchema,
+    "documents" -> documentsSchema, "embeddings" -> embeddingsSchema)
+
+  /** Read a named table through any pluggable [[graft.sources.TabularSource]]
+    * (S1 seam): `path` is `dir/name.ext` with the source's own
+    * extension. The parquet readers below are `via(ParquetSource, ...)`
+    * specialized for the driver testdata layout. */
+  def via(source: graft.sources.TabularSource, spark: SparkSession,
+          dir: String, name: String): DataFrame =
+    source.read(spark, s"$dir/$name.${source.name}", schemas(name))
+
   private def read(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(s"$dir/$name.parquet")
 

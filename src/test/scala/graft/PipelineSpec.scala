@@ -36,6 +36,33 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(2) === 2.66) // 2.665 -> rounds to even .66
   }
 
+  test("JDBC warehouse sink e2e on embedded Derby (S4-S6, etl.py:292-362)") {
+    // Derby ships in /opt/spark/jars, so the writeJdbc path runs for
+    // real here: all five tables out through mode(overwrite) JDBC with
+    // the reference's SQL-sink shape, then read back and compared.
+    val dbDir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dbDir/wh;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val tables = Pipeline.transform(spark, sfDir)
+    Load.writeJdbc(tables, url, props, roundDoubles = true)
+    tables.foreach { case (name, df) =>
+      val shaped = Load.sqlSinkShape(df, roundDoubles = true)
+      val back = spark.read.jdbc(url, name, props)
+      assert(back.count() === df.count(), s"$name JDBC roundtrip count")
+      assert(back.columns.toSeq === shaped.columns.toSeq, s"$name JDBC columns")
+    }
+    // exact value roundtrip on the smallest table
+    val shaped = Load.sqlSinkShape(tables("country_summary"), roundDoubles = true)
+    val got = spark.read.jdbc(url, "country_summary", props)
+      .orderBy("country").collect().map(_.toSeq)
+    val want = shaped.orderBy("country").collect().map(_.toSeq)
+    assert(got.length === 25 && got.toSeq === want.toSeq)
+    // overwrite mode really replaces (run twice, same counts)
+    Load.writeJdbc(Map("country_summary" -> tables("country_summary")), url, props)
+    assert(spark.read.jdbc(url, "country_summary", props).count() === 25L)
+  }
+
   test("partitioned parquet write enables partition pruning layout") {
     val out = Files.createTempDirectory("graft_part").toString
     val daily = Pipeline.transform(spark, sfDir)("daily_sales")
