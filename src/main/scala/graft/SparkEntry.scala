@@ -69,11 +69,14 @@ object SparkEntry {
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
+    "similarity_ivf_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfTopk(s, d)),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
+    "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
+    "setop_returning_customers" -> (RelationalOps.returningCustomers _),
     "events_asof_view" -> (RelationalOps.purchaseAsofView _),
     "text_regex_tokens" -> (RelationalOps.regexTokens _),
     // HLL++/quantile sketches: exact columns + error-bound booleans the
@@ -111,9 +114,12 @@ object SparkEntry {
     "dedup_simhash" -> ExtSql.dedupSimhash,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
+    "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
+    "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,
+    "setop_returning_customers" -> ExtSql.returningCustomers,
     "events_asof_view" -> ExtSql.purchaseAsofView,
     "text_regex_tokens" -> ExtSql.regexTokens,
     "sketch_approx_stats" -> ExtSql.approxSketchStats,

@@ -103,6 +103,36 @@ object RelationalOps {
         (col("p90") >= col("lo90") && col("p90") <= col("hi90")).as("P90SketchOk"))
       .orderBy(col("Country"))
 
+  /** The testdata's order-date span (1995-2001); pivot columns are a
+    * DECLARED list so the plan is one pass (no extra distinct-values
+    * job, and stable schema under any data subset). */
+  private val PivotYears = 1995 to 2001
+
+  /** PIVOT: revenue by country × year, years as columns — Spark's
+    * `pivot` with explicit values plans a single hash aggregate with
+    * conditional sums (no per-year scans, no values-discovery job).
+    * Empty cells stay NULL (no coalesce), matching the SQL CASE-sum
+    * mirror. */
+  def pivotCountryYear(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .groupBy(col("Country"))
+      .pivot("Year", PivotYears.map(_.asInstanceOf[AnyRef]))
+      .agg(sum(col("TotalAmount").cast(dec)).cast(DoubleType))
+    PivotYears.foldLeft(pivoted) { (df, y) =>
+      df.withColumnRenamed(y.toString, s"Rev$y")
+    }.orderBy(col("Country"))
+  }
+
+  /** Set intersection: customers active in BOTH 1995 and 1996
+    * (INTERSECT — planned as a left-semi aggregate join). */
+  def returningCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val in95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+    val in96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+    in95.intersect(in96).orderBy(col("o_custkey"))
+  }
+
   /** Regex tokenization counts (punctuation-robust "BPE-ish" proxy) —
     * codegen'd regexp_extract_all, no UDF. */
   def regexTokens(spark: SparkSession, dir: String): DataFrame =

@@ -118,6 +118,59 @@ object SimilarityOps {
       .orderBy(col("QId"), col("Rank"))
   }
 
+  /** IVF-flat approximate top-k: the centroid-partitioned ANN scale
+    * path (the "IVF refinement" seam the LSH scaladoc names).
+    *
+    * Structure: a K-entry coarse codebook; every corpus vector is
+    * assigned to its nearest centroid (building K inverted lists); a
+    * query probes only its `nprobe` nearest centroids and scans just
+    * those lists — a probe touches ~nprobe/K of the corpus instead of
+    * all of it, and at 100 TB the lists are hash-partitioned by
+    * centroid id so the probe is partition-pruned I/O, not a full scan.
+    *
+    * Determinism: the codebook here is the K lowest-vec_id vectors — a
+    * fixed, oracle-reproducible quantizer (in production the codebook
+    * comes from offline k-means; the list/probe/prune structure — the
+    * part that matters for scale — is identical). Assignment distance
+    * is exact integer L2² on quantized vectors: ‖v‖² − 2·v·c + ‖c‖²,
+    * ties broken by centroid id; final ranking by cosine desc, NId. */
+  def ivfTopk(spark: SparkSession, dir: String, k: Int = 5,
+              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val all = quantized(spark, dir).cache()
+    val cent = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("Cid"), col("Q").as("CQ"), col("NormSq").as("CNorm"))
+    // inverted-list assignment: nearest centroid per corpus vector
+    val assign = all.crossJoin(broadcast(cent))
+      .withColumn("Dist", col("NormSq") - lit(2L) * expr("long_dot(Q, CQ)") + col("CNorm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("Dist"), col("Cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("AVid"), col("Cid"))
+    // probe routing: nprobe nearest centroids per query vector
+    val probes = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("QId"), col("Q").as("QP"), col("NormSq").as("NormP"))
+    val probeLists = probes.crossJoin(broadcast(cent))
+      .withColumn("Dist", col("NormP") - lit(2L) * expr("long_dot(QP, CQ)") + col("CNorm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("QId")).orderBy(col("Dist"), col("Cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("QId"), col("QP"), col("NormP"), col("Cid"))
+    // scan only the probed inverted lists
+    probeLists
+      .join(assign, "Cid")
+      .join(all.select(col("vec_id"), col("Q"), col("NormSq")),
+        col("AVid") === col("vec_id"))
+      .filter(col("vec_id") =!= col("QId"))
+      .withColumn("Cosine",
+        expr("long_dot(QP, Q)").cast(DoubleType) /
+          (sqrt(col("NormP").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
+      .withColumn("Rank", row_number().over(
+        Window.partitionBy(col("QId")).orderBy(col("Cosine").desc, col("vec_id"))))
+      .filter(col("Rank") <= k)
+      .select(col("QId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
+      .orderBy(col("QId"), col("Rank"))
+  }
+
   /** Distinct candidate pairs (V1 < V2) that agree on at least one
     * whole band — the LSH candidate-generation stage, exposed
     * separately so tests can measure candidate volume as the band

@@ -238,6 +238,42 @@ SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
 ORDER BY "QId", "Rank"
 """
 
+  /** IVF-flat mirror (SimilarityOps.ivfTopk defaults): codebook = the
+    * 16 lowest-vec_id vectors; exact integer L2² assignment with
+    * (dist, cid) tie-break; probes scan only their 4 nearest lists. */
+  val similarityIvfTopk: String = quantCte + """
+, cent AS (SELECT vec_id AS cid, qv AS cq, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id AS avid, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nn - 2 * list_sum([v.qv[i] * c.cq[i] for i in range(1, len(v.qv)+1)]) + c.cn), c.cid) AS rn
+    FROM n v CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+pl AS (
+  SELECT qid, qp, np, cid FROM (
+    SELECT p.vec_id AS qid, p.qv AS qp, p.nn AS np, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             (p.nn - 2 * list_sum([p.qv[i] * c.cq[i] for i in range(1, len(p.qv)+1)]) + c.cn), c.cid) AS rn
+    FROM n p CROSS JOIN cent c WHERE p.vec_id < 8
+  ) WHERE rn <= 4
+),
+sc AS (
+  SELECT pl.qid AS "QId", v.vec_id AS "NId",
+         CAST(list_sum([pl.qp[i] * v.qv[i] for i in range(1, len(pl.qp)+1)]) AS DOUBLE)
+           / (sqrt(CAST(pl.np AS DOUBLE)) * sqrt(CAST(v.nn AS DOUBLE))) AS "Cosine"
+  FROM pl JOIN assign a ON pl.cid = a.cid AND a.avid <> pl.qid
+  JOIN n v ON a.avid = v.vec_id
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY "QId" ORDER BY "Cosine" DESC, "NId") AS INTEGER) AS "Rank"
+  FROM sc
+)
+SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
+ORDER BY "QId", "Rank"
+"""
+
   /** Banded sign-LSH mirror (SimilarityOps.lshNeardup defaults): plane
     * (p, i) sign = first hex digit of md5('p|i') ≥ 8; band b =
     * concatenation of its planesPerBand bits; candidates = pairs
@@ -306,6 +342,26 @@ SELECT o_custkey FROM (
   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 ) t ORDER BY o_custkey
 """
+
+  val returningCustomers: String = """
+SELECT o_custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+) t ORDER BY o_custkey
+"""
+
+  /** Pivot mirror: conditional decimal sums per declared year. */
+  val pivotCountryYear: String = {
+    val cols = (1995 to 2001).map { y =>
+      s"""CAST(sum(CASE WHEN "Year" = $y THEN CAST("TotalAmount" AS DECIMAL(18,4)) END) AS DOUBLE) AS "Rev$y""""
+    }.mkString(",\n       ")
+    CoreSql.txnCte + s"""
+SELECT "Country",
+       $cols
+FROM sales GROUP BY "Country" ORDER BY "Country"
+"""
+  }
 
   val purchaseAsofView: String = """
 WITH e AS (
