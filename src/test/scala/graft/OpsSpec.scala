@@ -18,6 +18,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup: components cover all docs, cluster ids are min members, pairs collapse") {
+    val pairs = DedupOps.neardupPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("D1"), r.getAs[Long]("D2")))
+    val rows = DedupOps.components(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val cluster = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ClusterId")).toMap
+    // every verified near-dup pair landed in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member id; exactly that member survives
+    rows.groupBy(_.getAs[Long]("ClusterId")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("doc_id")).min === cid)
+      val survivors = members.filter(_.getAs[Boolean]("IsSurvivor"))
+      assert(survivors.map(_.getAs[Long]("doc_id")).toSeq === Seq(cid))
+    }
+    // reference closure on the driver agrees (tiny pair set): union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    cluster.foreach { case (id, cid) => assert(find(id) === cid) }
+  }
+
   test("dedup: exact fingerprint gives CanonicalId <= doc_id and IsDup consistency") {
     val rows = DedupOps.exact(spark, sfDir).collect()
     assert(rows.length === 500)
