@@ -74,16 +74,49 @@ object SimilarityOps {
   val DefaultBands = 4
   val DefaultPlanesPerBand = 8
 
+  /** IVF defaults — ALSO read by the DuckDB oracle mirror
+    * (ExtSql.similarityIvfTopk), so a default change cannot silently
+    * lose oracle parity. */
+  val DefaultNCentroids = 16
+  val DefaultNProbe = 4
+  val DefaultK = 5
+  /** Probe set for the similarity queries: vec_id < ProbeIdMax. */
+  val ProbeIdMax = 8
+  /** Fixed k-means refinement rounds for the IVF codebook. */
+  val KmeansRounds = 2
+
   private def planeRows(nPlanes: Int): Seq[Seq[Long]] =
     (1 to nPlanes).map(p => (1 to Dims).map(i => planeSign(p, i)))
 
-  /** vec_id, label, quantized int vector Q, exact squared norm NormSq. */
+  private val quantMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** vec_id, label, quantized int vector Q, exact squared norm NormSq.
+    *
+    * Memoized + `.cache()`d per (session, dir) — the quantized corpus
+    * is the shared substrate of every similarity query (topk's scan,
+    * LSH's sketch input, IVF's k-means/lists/probes), so one
+    * deliberate long-lived cache replaces the per-call orphan cache
+    * round 2 flagged (cached inside one query, never unpersisted,
+    * unreachable afterwards). [[invalidateQuantized]] releases it
+    * explicitly; entries for stopped sessions are swept on access. */
   private def quantized(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), expr("quantize_vec(embedding)").as("Q"))
-      .withColumn("NormSq", expr("long_dot(Q, Q)"))
+    quantMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(quantMemo.remove)
+    quantMemo.getOrElseUpdate((spark, dir),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), expr("quantize_vec(embedding)").as("Q"))
+        .withColumn("NormSq", expr("long_dot(Q, Q)"))
+        .cache())
   }
+
+  /** Drop and unpersist every memoized quantized corpus for `spark`. */
+  def invalidateQuantized(spark: SparkSession): Unit =
+    quantMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      quantMemo.remove(k).foreach(_.unpersist(false))
+    }
 
   /** Adds Band1..BandN sign-bit-string columns. The ±1 plane matrix is
     * md5-derived on the driver and shipped as array literals; each bit
@@ -101,9 +134,9 @@ object SimilarityOps {
 
   /** Exact brute-force top-5 cosine neighbors for probe vectors
     * (vec_id < 8). */
-  def topk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def topk(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
     val all = quantized(spark, dir)
-    val probes = all.filter(col("vec_id") < 8)
+    val probes = all.filter(col("vec_id") < ProbeIdMax)
       .select(col("vec_id").as("QId"), col("Q").as("QP"), col("NormSq").as("NormP"))
     val pairs = probes.crossJoin(all).filter(col("vec_id") =!= col("QId"))
       .withColumn("Dot", expr("long_dot(QP, Q)"))
@@ -118,42 +151,84 @@ object SimilarityOps {
       .orderBy(col("QId"), col("Rank"))
   }
 
+  /** Nearest-centroid routing: for each row of `vecs` (id, vector,
+    * norm columns per `idCol`/`vecCol`/`normCol`), keep its `take`
+    * nearest centroids by exact integer L2² = ‖v‖² − 2·v·c + ‖c‖²,
+    * ties broken by centroid id. The codebook is broadcast (≤ K
+    * rows). */
+  private def nearestCentroids(vecs: DataFrame, cent: DataFrame, take: Int,
+                               idCol: String, vecCol: String, normCol: String): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("Dist",
+        col(normCol) - lit(2L) * expr(s"long_dot($vecCol, CQ)") + col("CNorm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("Dist"), col("Cid"))))
+      .filter(col("rn") <= take)
+      .drop("Dist", "rn", "CQ", "CNorm")
+
+  /** Deterministic integer k-means codebook: seeds = the K lowest-
+    * vec_id vectors, then [[KmeansRounds]] Lloyd rounds entirely in
+    * exact integer arithmetic — assignment by integer L2² with
+    * centroid-id tie-break, centroid update = per-dimension truncating
+    * integer mean (`sum div count`, matching DuckDB's `//`), new norm
+    * via `long_dot`. Every step is order-insensitive exact math, so
+    * the DuckDB oracle reproduces the codebook bit-for-bit — which is
+    * what makes the IVF recall claim meaningful (the codebook adapts
+    * to the data instead of being 16 arbitrary corpus vectors).
+    * Clusters that lose all members in a round simply drop out (both
+    * engines agree); seeds from real data make that rare.
+    *
+    * Scale shape: per round one broadcast-join assignment (narrow) +
+    * one posexplode/groupBy((Cid, dim)) aggregate — the classic
+    * distributed Lloyd step, shuffle keyed on K·dims uniform keys. The
+    * centroid table itself stays ≤ K rows (collect_list/transform over
+    * 64 elements per centroid — driver-scale, not data-scale). */
+  private def kmeansCentroids(all: DataFrame, nCentroids: Int): DataFrame = {
+    val dims = all.select(col("vec_id"),
+      posexplode(col("Q")).as(Seq("d0", "v")))
+      .select(col("vec_id"), (col("d0") + 1).as("dim"), col("v"))
+    var cent = all.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("Cid"), col("Q").as("CQ"), col("NormSq").as("CNorm"))
+    for (_ <- 1 to KmeansRounds) {
+      val assign = nearestCentroids(all, cent, 1, "vec_id", "Q", "NormSq")
+        .select(col("vec_id").as("AVid"), col("Cid"))
+      cent = dims.join(assign, dims("vec_id") === assign("AVid"))
+        .groupBy(col("Cid"), col("dim"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("Cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("CQ"))
+        .withColumn("CNorm", expr("long_dot(CQ, CQ)"))
+    }
+    cent
+  }
+
   /** IVF-flat approximate top-k: the centroid-partitioned ANN scale
     * path (the "IVF refinement" seam the LSH scaladoc names).
     *
-    * Structure: a K-entry coarse codebook; every corpus vector is
-    * assigned to its nearest centroid (building K inverted lists); a
-    * query probes only its `nprobe` nearest centroids and scans just
-    * those lists — a probe touches ~nprobe/K of the corpus instead of
-    * all of it, and at 100 TB the lists are hash-partitioned by
-    * centroid id so the probe is partition-pruned I/O, not a full scan.
-    *
-    * Determinism: the codebook here is the K lowest-vec_id vectors — a
-    * fixed, oracle-reproducible quantizer (in production the codebook
-    * comes from offline k-means; the list/probe/prune structure — the
-    * part that matters for scale — is identical). Assignment distance
-    * is exact integer L2² on quantized vectors: ‖v‖² − 2·v·c + ‖c‖²,
-    * ties broken by centroid id; final ranking by cosine desc, NId. */
-  def ivfTopk(spark: SparkSession, dir: String, k: Int = 5,
-              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val all = quantized(spark, dir).cache()
-    val cent = all.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("Cid"), col("Q").as("CQ"), col("NormSq").as("CNorm"))
-    // inverted-list assignment: nearest centroid per corpus vector
-    val assign = all.crossJoin(broadcast(cent))
-      .withColumn("Dist", col("NormSq") - lit(2L) * expr("long_dot(Q, CQ)") + col("CNorm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("Dist"), col("Cid"))))
-      .filter(col("rn") === 1)
+    * Structure: a K-entry coarse codebook from deterministic integer
+    * k-means ([[kmeansCentroids]]); every corpus vector is assigned to
+    * its nearest centroid (building K inverted lists); a query probes
+    * only its `nprobe` nearest centroids and scans just those lists —
+    * a probe touches ~nprobe/K of the corpus instead of all of it, and
+    * at 100 TB the lists are hash-partitioned by centroid id so the
+    * probe is partition-pruned I/O, not a full scan. Assignment
+    * distance is exact integer L2² on quantized vectors with
+    * centroid-id tie-break; final ranking by cosine desc, NId. */
+  def ivfTopk(spark: SparkSession, dir: String, k: Int = DefaultK,
+              nCentroids: Int = DefaultNCentroids,
+              nprobe: Int = DefaultNProbe): DataFrame = {
+    val all = quantized(spark, dir)
+    val cent = kmeansCentroids(all, nCentroids)
+      // K rows feeding three broadcast joins: materialize once instead
+      // of re-running both Lloyd rounds per consumer.
+      .cache()
+    // inverted-list assignment: nearest FINAL centroid per corpus vector
+    val assign = nearestCentroids(all, cent, 1, "vec_id", "Q", "NormSq")
       .select(col("vec_id").as("AVid"), col("Cid"))
     // probe routing: nprobe nearest centroids per query vector
-    val probes = all.filter(col("vec_id") < 8)
+    val probes = all.filter(col("vec_id") < ProbeIdMax)
       .select(col("vec_id").as("QId"), col("Q").as("QP"), col("NormSq").as("NormP"))
-    val probeLists = probes.crossJoin(broadcast(cent))
-      .withColumn("Dist", col("NormP") - lit(2L) * expr("long_dot(QP, CQ)") + col("CNorm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("QId")).orderBy(col("Dist"), col("Cid"))))
-      .filter(col("rn") <= nprobe)
+    val probeLists = nearestCentroids(probes, cent, nprobe, "QId", "QP", "NormP")
       .select(col("QId"), col("QP"), col("NormP"), col("Cid"))
     // scan only the probed inverted lists
     probeLists
@@ -197,7 +272,7 @@ object SimilarityOps {
     bandCandidates(withBands(quantized(spark, dir), bands, planesPerBand), bands).count()
 
   /** Embedding near-dup pairs via banded sign-LSH (default 4 bands ×
-    * 16 planes) verified with exact cosine ≥ 0.3. Sketch once and
+    * 8 planes) verified with exact cosine ≥ 0.3. Sketch once and
     * cache; candidates come from the band self-join; the exact cosine
     * runs only on candidates — the same sketch → band-join → verify
     * decomposition as the document near-dup pipeline. */

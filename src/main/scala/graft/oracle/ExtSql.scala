@@ -268,41 +268,68 @@ SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
 ORDER BY "QId", "Rank"
 """
 
-  /** IVF-flat mirror (SimilarityOps.ivfTopk defaults): codebook = the
-    * 16 lowest-vec_id vectors; exact integer L2² assignment with
-    * (dist, cid) tie-break; probes scan only their 4 nearest lists. */
-  val similarityIvfTopk: String = quantCte + """
-, cent AS (SELECT vec_id AS cid, qv AS cq, nn AS cn FROM n WHERE vec_id < 16),
-assign AS (
+  /** IVF-flat mirror. Every constant (k, centroids, nprobe, probe-id
+    * cutoff, k-means rounds) is read from SimilarityOps so a default
+    * change cannot silently lose oracle parity. The codebook is the
+    * same deterministic integer k-means: seeds = K lowest vec_ids,
+    * then KmeansRounds Lloyd rounds with exact integer L2² assignment
+    * ((dist, cid) tie-break) and per-dimension truncating integer
+    * mean (`//`, matching Spark's `div`). */
+  val similarityIvfTopk: String = {
+    import graft.ops.SimilarityOps.{DefaultK, DefaultNCentroids, DefaultNProbe, KmeansRounds, ProbeIdMax}
+    def assignCte(name: String, cent: String): String = s"""
+$name AS (
   SELECT vec_id AS avid, cid FROM (
     SELECT v.vec_id, c.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
              (v.nn - 2 * list_sum([v.qv[i] * c.cq[i] for i in range(1, len(v.qv)+1)]) + c.cn), c.cid) AS rn
-    FROM n v CROSS JOIN cent c
+    FROM n v CROSS JOIN $cent c
   ) WHERE rn = 1
+)"""
+    def updateCte(name: String, assign: String): String = s"""
+${name}d AS (
+  SELECT a.cid, e.dim, CAST(sum(e.v) // count(*) AS BIGINT) AS cv
+  FROM ed e JOIN $assign a ON e.vec_id = a.avid
+  GROUP BY a.cid, e.dim
 ),
+$name AS (
+  SELECT cid, list(cv ORDER BY dim) AS cq, CAST(sum(cv * cv) AS BIGINT) AS cn
+  FROM ${name}d GROUP BY cid
+)"""
+    val rounds = (1 to KmeansRounds).map { r =>
+      assignCte(s"a$r", s"c${r - 1}") + "," + updateCte(s"c$r", s"a$r")
+    }.mkString(",")
+    val cFinal = s"c$KmeansRounds"
+    quantCte + s"""
+, ed AS (
+  SELECT vec_id, i AS dim, qv[i] AS v
+  FROM n CROSS JOIN range(1, 65) t(i)
+),
+c0 AS (SELECT vec_id AS cid, qv AS cq, nn AS cn FROM n WHERE vec_id < $DefaultNCentroids),""" +
+      rounds + "," + assignCte("af", cFinal) + s""",
 pl AS (
   SELECT qid, qp, np, cid FROM (
     SELECT p.vec_id AS qid, p.qv AS qp, p.nn AS np, c.cid,
            row_number() OVER (PARTITION BY p.vec_id ORDER BY
              (p.nn - 2 * list_sum([p.qv[i] * c.cq[i] for i in range(1, len(p.qv)+1)]) + c.cn), c.cid) AS rn
-    FROM n p CROSS JOIN cent c WHERE p.vec_id < 8
-  ) WHERE rn <= 4
+    FROM n p CROSS JOIN $cFinal c WHERE p.vec_id < $ProbeIdMax
+  ) WHERE rn <= $DefaultNProbe
 ),
 sc AS (
   SELECT pl.qid AS "QId", v.vec_id AS "NId",
          CAST(list_sum([pl.qp[i] * v.qv[i] for i in range(1, len(pl.qp)+1)]) AS DOUBLE)
            / (sqrt(CAST(pl.np AS DOUBLE)) * sqrt(CAST(v.nn AS DOUBLE))) AS "Cosine"
-  FROM pl JOIN assign a ON pl.cid = a.cid AND a.avid <> pl.qid
+  FROM pl JOIN af a ON pl.cid = a.cid AND a.avid <> pl.qid
   JOIN n v ON a.avid = v.vec_id
 ),
 r AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY "QId" ORDER BY "Cosine" DESC, "NId") AS INTEGER) AS "Rank"
   FROM sc
 )
-SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
+SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= $DefaultK
 ORDER BY "QId", "Rank"
 """
+  }
 
   /** Banded sign-LSH mirror (SimilarityOps.lshNeardup defaults): plane
     * (p, i) sign = first hex digit of md5('p|i') ≥ 8; band b =

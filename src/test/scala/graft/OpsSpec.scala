@@ -79,6 +79,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity: IVF top-k recalls >= 0.8 of brute-force neighbors") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("QId"), r.getAs[Long]("NId"))).toSet
+    val bf = pairs(SimilarityOps.topk(spark, sfDir))
+    val ivf = pairs(SimilarityOps.ivfTopk(spark, sfDir))
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall@${SimilarityOps.DefaultK} = $recall")
+  }
+
   test("similarity: LSH candidates only pair same-bucket vectors and verify >= threshold") {
     val rows = SimilarityOps.lshNeardup(spark, sfDir).collect()
     assert(rows.nonEmpty)
