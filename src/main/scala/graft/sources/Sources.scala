@@ -37,28 +37,25 @@ object CsvSource extends TabularSource {
     spark.read.schema(schema).option("header", "true").csv(path)
 }
 
-/** Excel plug point (S1). The reference reads `.xlsx` directly; Spark
-  * has no built-in Excel reader and this zero-egress image ships no
-  * connector jar, so this source FAILS LOUDLY rather than faking data.
-  *
-  * To enable on a real cluster, put an Excel DataSource V2 connector on
-  * the classpath (e.g. the publicly available `spark-excel` package)
-  * and replace the body with:
-  * {{{
-  *   spark.read.format("excel")          // connector's format name
-  *     .option("header", "true")
-  *     .schema(schema)
-  *     .load(path)
-  * }}}
+/** Excel source (S1) — the reference's ingest format (`pd.read_excel`,
+  * ref: data/etl.py:44-54), read by the from-scratch JDK-only
+  * [[Xlsx]] parser (zip + StAX; no connector jar exists in this
+  * offline image and none is needed). Row 1 is the header; the
+  * declared schema maps positionally, mirroring CsvSource's
+  * `header=true` convention. The parse streams on the driver (xlsx is
+  * a non-splittable zip with a 1,048,576-row sheet cap — see Xlsx
+  * scaladoc for why that is every engine's Excel shape) and rows are
+  * parallelized to executors; `path` must be driver-accessible.
   * Everything downstream (Transactions.rawFrom, clean, summaries,
-  * sinks) is source-agnostic and unchanged — SourcesSpec proves the
-  * pipeline is byte-identical under a source swap (parquet vs CSV).
-  */
+  * sinks) is source-agnostic — SourcesSpec proves the pipeline is
+  * row-identical under parquet/CSV/xlsx source swaps. */
 object ExcelSource extends TabularSource {
-  val name = "excel"
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    throw new UnsupportedOperationException(
-      "Excel source requires an Excel connector jar on the classpath " +
-        "(none in this offline image) — see ExcelSource scaladoc for the " +
-        "plug point; use CsvSource or ParquetSource here.")
+  val name = "xlsx"
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val rows = Xlsx.rows(path, schema)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, math.max(1,
+        math.min(spark.sparkContext.defaultParallelism, rows.size / 1000 + 1))),
+      schema)
+  }
 }

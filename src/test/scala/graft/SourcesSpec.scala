@@ -35,10 +35,57 @@ class SourcesSpec extends SparkSpec {
     assert(fromCsv === fromParquet)
   }
 
-  test("Excel source fails loudly and names the plug point") {
-    val e = intercept[UnsupportedOperationException] {
-      ExcelSource.read(spark, "/tmp/retail.xlsx", Tables.schemas("orders"))
+  test("xlsx-sourced pipeline equals parquet-sourced pipeline row-for-row") {
+    val dir = Files.createTempDirectory("graft_xlsx_src").toString
+    starTables.foreach { n =>
+      XlsxTestWriter.write(
+        Tables.via(ParquetSource, spark, sfDir, n), s"$dir/$n.xlsx")
     }
-    assert(e.getMessage.contains("connector"))
+    def collectCleaned(raw: org.apache.spark.sql.DataFrame) =
+      Transactions.clean(raw)
+        .orderBy(totalOrder.head, totalOrder.tail: _*)
+        .collect().map(_.toSeq).toSeq
+    val fromXlsx = collectCleaned(Transactions.rawFrom(
+      Tables.via(ExcelSource, spark, dir, "lineitem"),
+      Tables.via(ExcelSource, spark, dir, "orders"),
+      Tables.via(ExcelSource, spark, dir, "customer"),
+      Tables.via(ExcelSource, spark, dir, "nation"),
+      Tables.via(ExcelSource, spark, dir, "part")))
+    val fromParquet = collectCleaned(Transactions.raw(spark, sfDir))
+    assert(fromXlsx.length === 6000)
+    assert(fromXlsx === fromParquet)
+  }
+
+  test("xlsx reader handles Excel serial timestamps, booleans, and blank cells") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_xlsx_mini").toString
+    val path = s"$dir/mini.xlsx"
+    // hand-built sheet: serial-number date cell (the numeric-timestamp
+    // path XlsxTestWriter never emits), a boolean, and a missing cell
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="http://x"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>ts</t></is></c><c r="B1" t="inlineStr"><is><t>ok</t></is></c><c r="C1" t="inlineStr"><is><t>x</t></is></c></row>
+        |<row r="2"><c r="A2"><v>25569.5</v></c><c r="B2" t="b"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("ok", BooleanType),
+      StructField("x", DoubleType)))
+    val rows = graft.sources.Xlsx.rows(path, schema)
+    assert(rows.length === 1)
+    // serial 25569.5 = 1970-01-01 12:00 UTC
+    assert(rows.head.getAs[java.sql.Timestamp](0).getTime === 43200000L)
+    assert(rows.head.getAs[Boolean](1) === true)
+    assert(rows.head.isNullAt(2), "missing cell must read as null")
   }
 }
