@@ -29,6 +29,24 @@ object EventsStream {
 
   case class UserSessions(user_id: Long, nEvents: Long, nSessions: Long)
 
+  /** Per-user last-view state for the as-of twin (Long.MinValue = no
+    * view seen yet). */
+  case class AsofState(lastViewUs: Long)
+
+  /** One as-of match: a purchase and the most recent strictly-prior
+    * view by the same user (None = no prior view). Exact microsecond
+    * instants; presentation formatting stays in the batch query. */
+  case class PurchaseAsof(user_id: Long, event_id: Long,
+                          purchaseUs: Long, lastViewUs: Option[Long])
+
+  /** Exact microseconds from the Timestamp: getTime truncated to whole
+    * seconds plus the sub-second nanos field. `getTime * 1000` would
+    * drop the microsecond component and could classify an instant
+    * within 1 ms of a boundary differently from the batch twins
+    * (which use exact `ts_ns div 1000`). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** A streaming source over the events parquet dir (one-file-per-batch
     * in tests). Requires `spark.sql.legacy.parquet.nanosAsLong=true` in
     * the session builder (see Tables.events scaladoc). */
@@ -56,13 +74,6 @@ object EventsStream {
   def sessionCounts(events: Dataset[Event])(implicit spark: SparkSession): Dataset[UserSessions] = {
     import spark.implicits._
     val gapUs = 1800L * 1000000L
-    // Exact microseconds from the Timestamp: getTime truncated to whole
-    // seconds plus the sub-second nanos field. `getTime * 1000` would
-    // drop the microsecond component and could classify a gap within
-    // 1 ms of the 1800 s boundary differently from the batch twin
-    // (EventsOps.sessionize uses exact `ts_ns div 1000`).
-    def micros(ts: java.sql.Timestamp): Long =
-      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
@@ -76,6 +87,40 @@ object EventsStream {
           }
           state.update(st)
           UserSessions(userId, st.nEvents, st.nSessions)
+      }
+  }
+
+  /** Streaming twin of RelationalOps.purchaseAsofView: per-user
+    * last-view state via `flatMapGroupsWithState` — each incoming
+    * purchase emits its most recent STRICTLY PRIOR view (same
+    * (microsecond, event_id) total order as the batch window's
+    * `rowsBetween(unboundedPreceding, -1)`), each view just advances
+    * the state. Emits zero-or-one row per input event, so Append mode;
+    * state is one Long per user — watermark-free bounded state.
+    *
+    * Note on ordering: within one trigger the group iterator is sorted
+    * here exactly as the batch window sorts; across triggers event
+    * time must be non-decreasing per user (the standard as-of stream
+    * contract — late views would need a watermark + buffer to claim
+    * purchases already emitted). */
+  def purchaseAsof(events: Dataset[Event])(implicit spark: SparkSession): Dataset[PurchaseAsof] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[AsofState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var lastView = state.getOption.map(_.lastViewUs).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[PurchaseAsof]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            if (e.event_type == "purchase")
+              out += PurchaseAsof(userId, e.event_id, us,
+                if (lastView == Long.MinValue) None else Some(lastView))
+            if (e.event_type == "view") lastView = us
+          }
+          state.update(AsofState(lastView))
+          out.result().iterator
       }
   }
 

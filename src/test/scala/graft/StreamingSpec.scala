@@ -26,6 +26,32 @@ class StreamingSpec extends SparkSpec {
     assert(sMap === bMap)
   }
 
+  test("flatMapGroupsWithState as-of view matches batch events_asof_view") {
+    import spark.implicits._
+    implicit val s = spark
+    val events = graft.etl.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val streamed = EventsStream.purchaseAsof(events).collect()
+      .map(p => (p.user_id, p.event_id) -> ((p.purchaseUs, p.lastViewUs))).toMap
+    val batch = graft.ops.RelationalOps.purchaseAsofView(spark, sfDir).collect()
+      .map { r =>
+        val gap = if (r.isNullAt(r.fieldIndex("GapMicros"))) None
+                  else Some(r.getAs[Long]("GapMicros"))
+        (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+          ((r.getAs[String]("PurchaseTs"), gap))
+      }.toMap
+    assert(streamed.keySet === batch.keySet)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    streamed.foreach { case (k, (purchaseUs, lastViewUs)) =>
+      val (expTs, expGap) = batch(k)
+      assert(fmt.format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(purchaseUs, 1000000L))) === expTs, s"ts mismatch at $k")
+      assert(lastViewUs.map(purchaseUs - _) === expGap, s"gap mismatch at $k")
+    }
+  }
+
   test("mapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     implicit val s = spark
