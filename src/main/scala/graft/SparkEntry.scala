@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
 import graft.etl.{Summaries, StarQueries, Transactions}
-import graft.ops.{DedupOps, EventsOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
+import graft.ops.{CurateOps, DedupOps, EventsOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
 import graft.oracle.{CoreSql, ExtSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,9 @@ object SparkEntry {
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
     "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
     "dedup_components" -> (DedupOps.components _),
+    // ---- corpus curation (split assignment + composite filter) ----
+    "curate_split_assign" -> (CurateOps.splitAssign _),
+    "curate_corpus" -> (CurateOps.curate _),
     "dedup_simhash" -> (DedupOps.simhash _),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
@@ -113,6 +116,8 @@ object SparkEntry {
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
     "dedup_components" -> ExtSql.dedupComponents,
+    "curate_split_assign" -> ExtSql.curateSplitAssign,
+    "curate_corpus" -> ExtSql.curateCorpus,
     "dedup_simhash" -> ExtSql.dedupSimhash,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,

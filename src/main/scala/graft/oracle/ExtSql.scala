@@ -192,7 +192,10 @@ ORDER BY "D1", "D2"
     * transitive closure (recursive CTE), independent of the Spark
     * side's bounded label propagation — under-iteration there would
     * hash-mismatch here. */
-  val dedupComponents: String =
+  /** Shared prefix: verified pairs → edges → transitive closure →
+    * per-doc cluster (min reachable label). Used by the components
+    * query and the curation composite. */
+  private val componentsCore: String =
     candCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
 , pairs AS (
   SELECT c.d1, c.d2
@@ -208,11 +211,16 @@ reach(node, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
-)
-SELECT node AS doc_id,
-       min(lbl) AS "ClusterId",
-       (node = min(lbl)) AS "IsSurvivor"
-FROM reach GROUP BY node ORDER BY doc_id
+),
+comp AS (
+  SELECT node AS doc_id, min(lbl) AS cluster FROM reach GROUP BY node
+)"""
+
+  val dedupComponents: String = componentsCore + """
+SELECT doc_id,
+       cluster AS "ClusterId",
+       (doc_id = cluster) AS "IsSurvivor"
+FROM comp ORDER BY doc_id
 """
 
   val dedupSimhash: String = {
@@ -230,6 +238,67 @@ sim AS (
 SELECT doc_id, "Simhash",
        CAST(count(*) OVER (PARTITION BY "Simhash") AS INTEGER) AS "BucketSize"
 FROM sim ORDER BY doc_id
+"""
+  }
+
+  // ---------- curation ----------
+
+  /** Deterministic split mirror: bucket = first md5 byte, decoded with
+    * the same instr-per-hex-digit trick as the LSH planes (DuckDB has
+    * no base-16 string conversion). Thresholds from CurateOps. */
+  val curateSplitAssign: String = {
+    import graft.ops.CurateOps.{TrainUpper, ValUpper}
+    """
+WITH b AS (
+  SELECT doc_id,
+         CAST(16 * (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              AS INTEGER) AS "Bucket"
+  FROM documents
+)
+SELECT doc_id, "Bucket",
+       CASE WHEN "Bucket" < """ + TrainUpper + """ THEN 'train'
+            WHEN "Bucket" < """ + ValUpper + """ THEN 'val'
+            ELSE 'test' END AS "Split"
+FROM b ORDER BY doc_id
+"""
+  }
+
+  /** Curation composite mirror: dedup survivor (components core) ∧
+    * predicted-en ∧ quality ≥ threshold. Score/argmax formulas are the
+    * exact textQuality/textLangid expressions, so every IEEE
+    * comparison (threshold included) reproduces bit-for-bit. */
+  val curateCorpus: String = {
+    val en = sqlList(TextOps.langMarkers.toMap.apply("en"))
+    val es = sqlList(TextOps.langMarkers.toMap.apply("es"))
+    val de = sqlList(TextOps.langMarkers.toMap.apply("de"))
+    val fr = sqlList(TextOps.langMarkers.toMap.apply("fr"))
+    componentsCore + s"""
+, m AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS ntok,
+         CAST(len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)}))) AS INTEGER) AS stopc,
+         len(list_filter(t, x -> x IN ($en))) AS cen,
+         len(list_filter(t, x -> x IN ($es))) AS ces,
+         len(list_filter(t, x -> x IN ($de))) AS cde,
+         len(list_filter(t, x -> x IN ($fr))) AS cfr
+  FROM toks
+),
+sel AS (
+  SELECT m.doc_id,
+         ntok AS "NTokens",
+         least(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / 200.0)
+           * (CAST(1.0 AS DOUBLE) - CAST(stopc AS DOUBLE) / ntok) AS "QualityScore",
+         CASE WHEN cen >= greatest(ces, cde, cfr) THEN 'en'
+              WHEN ces >= greatest(cde, cfr) THEN 'es'
+              WHEN cde >= cfr THEN 'de'
+              ELSE 'fr' END AS pred
+  FROM m JOIN comp c ON m.doc_id = c.doc_id AND m.doc_id = c.cluster
+)
+SELECT doc_id, "NTokens", "QualityScore"
+FROM sel
+WHERE pred = 'en' AND "QualityScore" >= ${graft.ops.CurateOps.MinQuality}
+ORDER BY doc_id
 """
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, EventsOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CurateOps, DedupOps, EventsOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Sanity + structural tests for the extension operators over the
   * sf0.001 testdata (exact-value parity vs DuckDB is covered by the
@@ -99,6 +99,36 @@ class OpsSpec extends SparkSpec {
     val tight = SimilarityOps.lshCandidateCount(spark, sfDir, bands = 2, planesPerBand = 16)
     assert(loose > 0L)
     assert(tight < loose, s"expected fewer candidates at 16 planes/band: tight=$tight loose=$loose")
+  }
+
+  test("curate: split assignment is total, stable, and near the declared fractions") {
+    val rows = CurateOps.splitAssign(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val counts = rows.groupBy(_.getAs[String]("Split")).view.mapValues(_.length).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    // md5 buckets are uniform: 500 draws at ~80/10/10 ± generous slack
+    assert(counts("train") > 350 && counts("train") < 450, s"got $counts")
+    assert(counts("val") > 20 && counts("test") > 20, s"got $counts")
+    // stability: a second run assigns identically
+    val again = CurateOps.splitAssign(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("Split")).toMap
+    rows.foreach(r => assert(again(r.getAs[Long]("doc_id")) === r.getAs[String]("Split")))
+  }
+
+  test("curate: curated corpus is survivor-only, en-only, above threshold") {
+    val curated = CurateOps.curate(spark, sfDir).collect()
+    assert(curated.nonEmpty && curated.length < 500)
+    curated.foreach(r =>
+      assert(r.getAs[Double]("QualityScore") >= CurateOps.MinQuality))
+    val survivors = DedupOps.components(spark, sfDir)
+      .filter(col("IsSurvivor")).collect().map(_.getAs[Long]("doc_id")).toSet
+    val en = TextOps.langid(spark, sfDir)
+      .filter(col("Predicted") === "en").collect().map(_.getAs[Long]("doc_id")).toSet
+    curated.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(survivors.contains(id), s"$id not a dedup survivor")
+      assert(en.contains(id), s"$id not predicted en")
+    }
   }
 
   test("text: token counts are positive and AvgTokenLen = Sum/N") {
