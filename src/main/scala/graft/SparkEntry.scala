@@ -78,6 +78,8 @@ object SparkEntry {
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
+    "groupingsets_country_year" -> (RelationalOps.groupingSetsCountryYear _),
+    "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
     "setop_returning_customers" -> (RelationalOps.returningCustomers _),
@@ -124,6 +126,8 @@ object SparkEntry {
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
+    "groupingsets_country_year" -> ExtSql.groupingSetsCountryYear,
+    "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,
     "setop_returning_customers" -> ExtSql.returningCustomers,

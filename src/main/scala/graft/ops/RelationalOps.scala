@@ -30,6 +30,40 @@ object RelationalOps {
         grouping_id().cast(LongType).as("GroupingId"))
       .orderBy(col("GroupingId"), asc_nulls_first("Country"), asc_nulls_first("Year"))
 
+  /** GROUPING SETS ((Country), (Year), ()): independent subtotal
+    * shapes a ROLLUP cannot express (per-year totals without the
+    * (Country, Year) leaves) — still ONE Expand + hash-aggregate pass,
+    * no N-pass union. GroupingId: 1 = per-country, 2 = per-year,
+    * 3 = grand total. */
+  def groupingSetsCountryYear(spark: SparkSession, dir: String): DataFrame =
+    Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .groupingSets(Seq(Seq(col("Country")), Seq(col("Year")), Seq()),
+        col("Country"), col("Year"))
+      .agg(
+        sum(col("TotalAmount").cast(dec)).cast(DoubleType).as("TotalRevenue"),
+        grouping_id().cast(LongType).as("GroupingId"))
+      .orderBy(col("GroupingId"), asc_nulls_first("Country"), asc_nulls_first("Year"))
+
+  /** Relative-standing windows (percent_rank / cume_dist) over the
+    * daily revenue aggregate — the remaining ranking family beyond
+    * row_number/ntile/rank-limit already covered. Global window on
+    * POST-AGGREGATION rows only (≤ #days), the engine's documented
+    * pattern for unpartitioned windows; ranks order by the exact
+    * decimal revenue so ties (and therefore both ranks) are
+    * engine-independent. */
+  def windowDailyRanks(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .groupBy(col("Date"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("RevDec"))
+    val w = Window.orderBy(col("RevDec"))
+    daily.select(col("Date"), col("RevDec").cast(DoubleType).as("Revenue"),
+        percent_rank().over(w).as("PctRank"),
+        cume_dist().over(w).as("CumeDist"))
+      .orderBy(col("Date"))
+  }
+
   /** Set difference: customers active in 1995 but not in 1996
     * (EXCEPT — planned as a left-anti aggregate join). */
   def churnedCustomers(spark: SparkSession, dir: String): DataFrame = {

@@ -461,6 +461,26 @@ GROUP BY ROLLUP("Country", "Year")
 ORDER BY "GroupingId", "Country" ASC NULLS FIRST, "Year" ASC NULLS FIRST
 """
 
+  val groupingSetsCountryYear: String = CoreSql.txnCte + """
+SELECT "Country", "Year",
+       CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS DOUBLE) AS "TotalRevenue",
+       CAST(GROUPING("Country", "Year") AS BIGINT) AS "GroupingId"
+FROM sales
+GROUP BY GROUPING SETS (("Country"), ("Year"), ())
+ORDER BY "GroupingId", "Country" ASC NULLS FIRST, "Year" ASC NULLS FIRST
+"""
+
+  val windowDailyRanks: String = CoreSql.txnCte + """
+, daily AS (
+  SELECT "Date", sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS "RevDec"
+  FROM sales GROUP BY "Date"
+)
+SELECT "Date", CAST("RevDec" AS DOUBLE) AS "Revenue",
+       percent_rank() OVER (ORDER BY "RevDec") AS "PctRank",
+       cume_dist() OVER (ORDER BY "RevDec") AS "CumeDist"
+FROM daily ORDER BY "Date"
+"""
+
   val churnedCustomers: String = """
 SELECT o_custkey FROM (
   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -90,6 +90,31 @@ object EventsStream {
       }
   }
 
+  /** Latest event per user, as running streaming state. */
+  case class LatestEvent(user_id: Long, lastUs: Long, event_id: Long,
+                         event_type: String, value: Double)
+
+  /** Streaming twin of EventsOps.dedupLatest (latest-per-key dedup):
+    * one (timestamp, event_id)-max record per user kept in
+    * `mapGroupsWithState` — each trigger emits the current winner, so
+    * the sink's last update per key equals the batch query on the
+    * data seen so far. State is one small record per user; at scale
+    * this is the classic streaming-upsert compaction
+    * (Update mode → keyed sink). */
+  def latestPerUser(events: Dataset[Event])(implicit spark: SparkSession): Dataset[LatestEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[LatestEvent]) =>
+          val best = (state.getOption.iterator ++ evs.map(e =>
+            LatestEvent(userId, micros(e.ts), e.event_id, e.event_type, e.value)))
+            .maxBy(l => (l.lastUs, l.event_id))
+          state.update(best)
+          best
+      }
+  }
+
   /** Streaming twin of RelationalOps.purchaseAsofView: per-user
     * last-view state via `flatMapGroupsWithState` — each incoming
     * purchase emits its most recent STRICTLY PRIOR view (same

@@ -52,6 +52,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("mapGroupsWithState latest-per-user matches batch events_dedup_latest") {
+    import spark.implicits._
+    implicit val s = spark
+    val events = graft.etl.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val streamed = EventsStream.latestPerUser(events).collect()
+      .map(l => l.user_id -> ((fmt.format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l.lastUs, 1000000L))), l.event_type, l.value))).toMap
+    val batch = EventsOps.dedupLatest(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[String]("LastTs"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value")))).toMap
+    assert(streamed === batch)
+  }
+
   test("mapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     implicit val s = spark
