@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Library installer: registers every graft native function on any
+  * session via the standard extensions mechanism —
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * This is the supported way to ship custom Catalyst expressions with
+  * a library (functions become available in SQL text and `expr()` on
+  * every session of the cluster, including thrift/connect sessions,
+  * with no per-session `register` call). The per-module
+  * `register(spark)` helpers remain for ad-hoc/local use; both paths
+  * bind the same constructors, and injected functions land in the
+  * session's registry so either registration order is idempotent. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("long_dot", "exact integer dot product of two bigint arrays",
+      es => LongDotProduct(es(0), es(1))),
+    ("quantize_vec", "float array -> round(x*10^4) bigint array",
+      es => QuantizeVector(es.head)),
+    ("token_stats", "one-pass token statistics struct over text",
+      es => TokenStats(es.head)),
+    ("token_fingerprint", "md5 set-fingerprint / min-hash struct over text",
+      es => TokenFingerprint(es.head)),
+    ("token_shingles", "distinct 3-gram token shingles of text",
+      es => TokenShingles(es.head)),
+    ("minhash_bands", "MinHash-8 LSH band values of a shingle array",
+      es => MinhashBands(es.head)),
+    ("simhash_bits", "8-bit SimHash bit string of text",
+      es => SimhashBits(es.head)))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
+}
