@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.etl.{StarQueries, Summaries, Transactions}
+
+/** Executable plan-quality assertions — the PERFORMANCE.md checklist
+  * as regression tests, so an optimizer-hostile refactor (a sort that
+  * stops collapsing into top-k, a filter that stops reaching parquet,
+  * a dimension join that stops broadcasting) fails CI instead of
+  * silently costing 10× at scale. Asserted on the pre-AQE physical
+  * plan (`sparkPlan`), which is what these properties are decided on. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("orderBy+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Summaries.topProducts(Transactions.cleaned(spark, sfDir)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), s"unexpected full sort:\n$p")
+  }
+
+  test("per-group top-n plans with WindowGroupLimit rank pushdown") {
+    val p = plan(Summaries.topnPerCountry(Transactions.cleaned(spark, sfDir)))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("star join: filters reach parquet, dims broadcast, scan is pruned") {
+    val p = plan(StarQueries.regionRollup(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // lineitem scan must read only the referenced columns, never the
+    // full 11-column schema
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val lineitemScan = readSchemas.find(_.contains("l_orderkey"))
+    assert(lineitemScan.isDefined, p)
+    val nCols = lineitemScan.get.split(",").length
+    assert(nCols <= 4, s"lineitem scan reads $nCols columns: ${lineitemScan.get}")
+  }
+
+  test("summaries read the shared cleaned cache, not a join replay") {
+    Transactions.cleaned(spark, sfDir) // ensure the cache is registered
+    val p = plan(Summaries.countrySummary(Transactions.cleaned(spark, sfDir)))
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), s"summary replays the 5-way join:\n$p")
+  }
+}
