@@ -98,6 +98,11 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     Tables.documents(spark, dir)
+      // single-file input = ONE partition; the per-token md5 work is
+      // the one text pass heavy enough to merit the narrow spread
+      // (same reasoning as DedupOps.docShingles — at real scale the
+      // input is already many splits)
+      .repartition(col("doc_id"))
       .withColumn("TF", expr("token_fingerprint(text)"))
       .select(
         col("doc_id"),
