@@ -40,7 +40,7 @@ object StarQueries {
         sum(revenue).cast(DoubleType).as("TotalRevenue"),
         countDistinct(o("o_orderkey")).as("TotalOrders"),
         countDistinct(c("c_custkey")).as("TotalCustomers"))
-      .orderBy(col("Region"))
+      .transform(Summaries.smallSort(_, col("Region")))
   }
 
   /** Revenue rollup by market segment — the fact-fact join exercised
@@ -57,7 +57,7 @@ object StarQueries {
         countDistinct(o("o_orderkey")).as("TotalOrders"),
         countDistinct(c("c_custkey")).as("TotalCustomers"),
         sum(col("l_quantity").cast(LongType)).as("TotalItems"))
-      .orderBy(col("Segment"))
+      .transform(Summaries.smallSort(_, col("Segment")))
   }
 
   /** Customers having ≥1 cancelled ('F') order — left_semi (EXISTS). */
@@ -66,7 +66,7 @@ object StarQueries {
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
+      .transform(Summaries.smallSort(_, col("c_custkey")))
   }
 
   /** Parts that never shipped — left_anti (NOT EXISTS). */
@@ -75,6 +75,6 @@ object StarQueries {
     val l = Tables.lineitem(spark, dir)
     p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      .orderBy(col("p_partkey"))
+      .transform(Summaries.smallSort(_, col("p_partkey")))
   }
 }

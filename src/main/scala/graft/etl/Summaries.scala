@@ -40,6 +40,30 @@ object Summaries {
   /** Exact, order-independent revenue sum. */
   private def decSum(c: Column): Column = sum(c.cast(dec))
 
+  /** Presentation sort for SMALL post-aggregation outputs (≤ the
+    * group-key cardinality: #products, #customers, #days, #countries).
+    * `orderBy` plans a range-partitioned sort whose partitioner
+    * SAMPLES the child — i.e. the whole upstream aggregate executes
+    * TWICE (measured ~2× on every summary query). Collapsing to one
+    * partition first makes the sort a single in-partition pass over
+    * rows that already fit in kilobytes, with the heavy partial
+    * aggregation still fully parallel upstream of the final exchange.
+    * Same total order, same hashes — NOT for large outputs (the 60K-row
+    * `transactions` presentation sort keeps the range sort). */
+  private[graft] def smallSort(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** Exact distinct count per group WITHOUT the Expand plan: dedup
+    * (key, col) first (partial-aggregated shuffle), then count. One
+    * `countDistinct` plans Expand-free, but each ADDITIONAL one makes
+    * the aggregate replay the fact stream through an N+1-way Expand —
+    * measured ~1.8× on the summaries (tools/Scratch). The per-distinct
+    * chains join back on the small group key (AQE broadcasts them). */
+  private def distinctCount(src: DataFrame, keys: Seq[String], c: String,
+                            as: String): DataFrame =
+    src.select((keys :+ c).map(col): _*).distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+
   /** Rows entering every summary: the reference excludes cancelled
     * transactions in all four (ref: etl.py:114,154,181,210). */
   def sales(cleaned: DataFrame): DataFrame = cleaned.filter(!col("IsCancelled"))
@@ -75,33 +99,36 @@ object Summaries {
           .when(col("SegTile") === 2, "Silver")
           .when(col("SegTile") === 3, "Gold")
           .otherwise("Platinum"))
-    g.select(
+    smallSort(g.select(
       col("CustomerID"), col("TotalOrders"), col("TotalRevenue"),
       col("TotalItems"), col("FirstTs").cast(DateType).as("FirstPurchase"),
       col("LastTs").cast(DateType).as("LastPurchase"), col("Country"),
-      col("AvgOrderValue"), col("LifespanDays"), col("Segment"))
-      .orderBy(col("CustomerID"))
+      col("AvgOrderValue"), col("LifespanDays"), col("Segment")),
+      col("CustomerID"))
   }
 
   /** product_summary (ref: etl.py:150-175). Composite-key groupBy.
     * AvgPrice is declared as TotalRevenue/TotalQuantity (exact-ratio
     * weighted mean) rather than pandas' mean-of-UnitPrice, which is not
     * reproducible across engines from inexact per-row divisions. */
-  def productSummary(cleaned: DataFrame): DataFrame =
-    sales(cleaned)
-      .groupBy(col("StockCode"), col("Description"))                // A9
+  def productSummary(cleaned: DataFrame): DataFrame = {
+    val s = sales(cleaned)
+    // two distinct dims → two-level distinct chains, not a 3× Expand
+    val keys = Seq("StockCode", "Description")
+    s.groupBy(col("StockCode"), col("Description"))                 // A9
       .agg(
         sum(col("Quantity")).as("TotalQuantity"),
-        decSum(col("TotalAmount")).as("RevDec"),
-        countDistinct(col("InvoiceNo")).as("TotalOrders"),
-        countDistinct(col("CustomerID")).as("TotalCustomers"))
+        decSum(col("TotalAmount")).as("RevDec"))
+      .join(distinctCount(s, keys, "InvoiceNo", "TotalOrders"), keys)
+      .join(distinctCount(s, keys, "CustomerID", "TotalCustomers"), keys)
       .withColumn("TotalRevenue", col("RevDec").cast(DoubleType))
       .withColumn("AvgPrice",                                       // A10
         col("TotalRevenue") / col("TotalQuantity").cast(DoubleType))
       .select(col("StockCode"), col("Description"), col("TotalQuantity"),
         col("TotalRevenue"), col("TotalOrders"), col("TotalCustomers"),
         col("AvgPrice"))
-      .orderBy(desc("TotalRevenue"), col("StockCode"))              // O1
+      .transform(smallSort(_, desc("TotalRevenue"), col("StockCode"))) // O1
+  }
 
   /** daily_sales (ref: etl.py:177-204) with 7- and 30-row trailing
     * moving averages reproducing pandas `rolling(min_periods=n)` NULL
@@ -113,13 +140,14 @@ object Summaries {
     * #days (~thousands), so a single partition holds kilobytes — the
     * shuffle-to-one is on post-aggregation data, not raw rows. */
   def dailySales(cleaned: DataFrame): DataFrame = {
-    val daily = sales(cleaned)
+    val s = sales(cleaned)
+    val daily = s
       .groupBy(col("Date"))                                         // A11
       .agg(
         decSum(col("TotalAmount")).as("RevDec"),
-        countDistinct(col("InvoiceNo")).as("Orders"),
-        countDistinct(col("CustomerID")).as("Customers"),
         sum(col("Quantity")).as("Items"))
+      .join(distinctCount(s, Seq("Date"), "InvoiceNo", "Orders"), "Date")
+      .join(distinctCount(s, Seq("Date"), "CustomerID", "Customers"), "Date")
     val w7 = Window.orderBy(col("Date")).rowsBetween(-6, 0)
     val w30 = Window.orderBy(col("Date")).rowsBetween(-29, 0)
     daily
@@ -132,7 +160,7 @@ object Summaries {
           sum(col("RevDec")).over(w30).cast(DoubleType) / 30.0))
       .select(col("Date"), col("Revenue"), col("Orders"),
         col("Customers"), col("Items"), col("MA7"), col("MA30"))
-      .orderBy(col("Date"))                                         // O2
+      .transform(smallSort(_, col("Date")))                         // O2
   }
 
   /** country_summary (ref: etl.py:206-236) with the grand-total
@@ -141,13 +169,13 @@ object Summaries {
     * window is on tiny data at any scale). */
   def countrySummary(cleaned: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
-    sales(cleaned)
-      .groupBy(col("Country"))                                      // A12
+    val s = sales(cleaned)
+    s.groupBy(col("Country"))                                       // A12
       .agg(
         decSum(col("TotalAmount")).as("RevDec"),
-        countDistinct(col("InvoiceNo")).as("TotalOrders"),
-        countDistinct(col("CustomerID")).as("TotalCustomers"),
         sum(col("Quantity")).as("TotalItems"))
+      .join(distinctCount(s, Seq("Country"), "InvoiceNo", "TotalOrders"), "Country")
+      .join(distinctCount(s, Seq("Country"), "CustomerID", "TotalCustomers"), "Country")
       .withColumn("TotalRevenue", col("RevDec").cast(DoubleType))
       .withColumn("AvgOrderValue", col("TotalRevenue") / col("TotalOrders"))
       .withColumn("RevenueShare",                                   // A13
@@ -155,7 +183,7 @@ object Summaries {
       .select(col("Country"), col("TotalRevenue"), col("TotalOrders"),
         col("TotalCustomers"), col("TotalItems"), col("AvgOrderValue"),
         col("RevenueShare"))
-      .orderBy(desc("TotalRevenue"), col("Country"))                // O3
+      .transform(smallSort(_, desc("TotalRevenue"), col("Country"))) // O3
   }
 
   /** Top-10 customers by revenue (ref: README.md:132-136). Spark plans
@@ -183,7 +211,7 @@ object Summaries {
       .withColumn("MaxDate", max(col("Date")).over(Window.partitionBy()))
       .filter(datediff(col("MaxDate"), col("Date")) < days)
       .select(col("Date"), col("Revenue"), col("Orders"), col("Customers"), col("Items"))
-      .orderBy(col("Date"))
+      .transform(smallSort(_, col("Date")))
 
   /** Cumulative revenue by date — running-total window (exact decimal
     * prefix sums). */
@@ -196,7 +224,7 @@ object Summaries {
       .withColumn("Revenue", col("RevDec").cast(DoubleType))
       .withColumn("CumRevenue", sum(col("RevDec")).over(w).cast(DoubleType))
       .select(col("Date"), col("Revenue"), col("CumRevenue"))
-      .orderBy(col("Date"))
+      .transform(smallSort(_, col("Date")))
   }
 
   /** Day-over-day growth via lag(). */
@@ -209,7 +237,7 @@ object Summaries {
       .withColumn("PrevRevenue", lag(col("RevDec"), 1).over(w).cast(DoubleType))
       .withColumn("Growth", col("Revenue") - col("PrevRevenue"))
       .select(col("Date"), col("Revenue"), col("PrevRevenue"), col("Growth"))
-      .orderBy(col("Date"))
+      .transform(smallSort(_, col("Date")))
   }
 
   /** Top-N products per country — partitioned ranking window (the

@@ -79,6 +79,6 @@ object CurateOps {
     scored.join(survivors, "doc_id")
       .filter(col("Predicted") === "en" && col("QualityScore") >= MinQuality)
       .select(col("doc_id"), col("NTokens"), col("QualityScore"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
   }
 }

@@ -160,7 +160,7 @@ object DedupOps {
     labels
       .select(col("doc_id"), col("ClusterId"),
         (col("doc_id") === col("ClusterId")).as("IsSurvivor"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
   }
 
   /** SimHash-family sketch: 8 hex positions of per-token md5s, each
@@ -177,6 +177,6 @@ object DedupOps {
       .withColumn("Simhash", expr("simhash_bits(text)"))
       .withColumn("BucketSize", count(lit(1)).over(Window.partitionBy(col("Simhash"))).cast(IntegerType))
       .select(col("doc_id"), col("Simhash"), col("BucketSize"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.etl.{Tables, Transactions}
+import graft.etl.{Summaries, Tables, Transactions}
 
 /** Relational-surface operators beyond the reference's repertoire:
   * rollup/grouping sets, set operations, and as-of (most-recent-prior)
@@ -28,7 +28,8 @@ object RelationalOps {
         sum(col("TotalAmount").cast(dec)).cast(DoubleType).as("TotalRevenue"),
         countDistinct(col("InvoiceNo")).as("TotalOrders"),
         grouping_id().cast(LongType).as("GroupingId"))
-      .orderBy(col("GroupingId"), asc_nulls_first("Country"), asc_nulls_first("Year"))
+      .transform(Summaries.smallSort(_, col("GroupingId"),
+        asc_nulls_first("Country"), asc_nulls_first("Year")))
 
   /** GROUPING SETS ((Country), (Year), ()): independent subtotal
     * shapes a ROLLUP cannot express (per-year totals without the
@@ -43,7 +44,8 @@ object RelationalOps {
       .agg(
         sum(col("TotalAmount").cast(dec)).cast(DoubleType).as("TotalRevenue"),
         grouping_id().cast(LongType).as("GroupingId"))
-      .orderBy(col("GroupingId"), asc_nulls_first("Country"), asc_nulls_first("Year"))
+      .transform(Summaries.smallSort(_, col("GroupingId"),
+        asc_nulls_first("Country"), asc_nulls_first("Year")))
 
   /** Relative-standing windows (percent_rank / cume_dist) over the
     * daily revenue aggregate — the remaining ranking family beyond
@@ -61,7 +63,7 @@ object RelationalOps {
     daily.select(col("Date"), col("RevDec").cast(DoubleType).as("Revenue"),
         percent_rank().over(w).as("PctRank"),
         cume_dist().over(w).as("CumeDist"))
-      .orderBy(col("Date"))
+      .transform(Summaries.smallSort(_, col("Date")))
   }
 
   /** Set difference: customers active in 1995 but not in 1996
@@ -165,7 +167,7 @@ object RelationalOps {
           <= col("ExactOrders") * lit(0.06)).as("OrdersSketchOk"),
         (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("P50SketchOk"),
         (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("P90SketchOk"))
-      .orderBy(col("Country"))
+      .transform(Summaries.smallSort(_, col("Country")))
   }
 
   /** The testdata's order-date span (1995-2001); pivot columns are a
@@ -186,7 +188,7 @@ object RelationalOps {
       .agg(sum(col("TotalAmount").cast(dec)).cast(DoubleType))
     PivotYears.foldLeft(pivoted) { (df, y) =>
       df.withColumnRenamed(y.toString, s"Rev$y")
-    }.orderBy(col("Country"))
+    }.transform(Summaries.smallSort(_, col("Country")))
   }
 
   /** Set intersection: customers active in BOTH 1995 and 1996
@@ -239,5 +241,5 @@ object RelationalOps {
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("NAlpha"),
       size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("NNonSpace"))
-      .orderBy(col("doc_id"))
+      .transform(Summaries.smallSort(_, col("doc_id")))
 }

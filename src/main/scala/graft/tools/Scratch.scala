@@ -50,6 +50,23 @@ object Scratch {
       percentile(col("TotalAmount"), lit(0.6)).as("b"),
       percentile(col("TotalAmount"), lit(0.8)).as("c")))
     t("max only")(g().agg(max(col("TotalAmount")).as("a")))
+    // product_summary shapes: Expand-based double-distinct vs two-level
+    t("prod: expand 2x countDistinct")(
+      c.groupBy(col("StockCode"), col("Description"))
+        .agg(sum(col("Quantity")).as("q"),
+          sum(col("TotalAmount").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("r"),
+          countDistinct(col("InvoiceNo")).as("o"),
+          countDistinct(col("CustomerID")).as("u")))
+    t("prod: two-level + join") {
+      val base = c.groupBy(col("StockCode"), col("Description"))
+        .agg(sum(col("Quantity")).as("q"),
+          sum(col("TotalAmount").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("r"))
+      val o = c.select(col("StockCode"), col("Description"), col("InvoiceNo")).distinct()
+        .groupBy(col("StockCode"), col("Description")).agg(count(lit(1)).as("o"))
+      val u = c.select(col("StockCode"), col("Description"), col("CustomerID")).distinct()
+        .groupBy(col("StockCode"), col("Description")).agg(count(lit(1)).as("u"))
+      base.join(o, Seq("StockCode", "Description")).join(u, Seq("StockCode", "Description"))
+    }
     spark.stop()
   }
 }

@@ -43,6 +43,16 @@ class PlanSpec extends SparkSpec {
     Transactions.cleaned(spark, sfDir) // ensure the cache is registered
     val p = plan(Summaries.countrySummary(Transactions.cleaned(spark, sfDir)))
     assert(p.contains("InMemoryTableScan"), p)
-    assert(!p.contains("SortMergeJoin"), s"summary replays the 5-way join:\n$p")
+    // a replay of the 5-way cleaning join would scan raw parquet; every
+    // input must come from the cache (the small distinct-count joins on
+    // the Country key are legitimate and read the same cache). Tree
+    // traversal, not string match: InMemoryRelation's printed form
+    // embeds its own build plan's FileScans, which never execute.
+    val scans = Summaries.countrySummary(Transactions.cleaned(spark, sfDir))
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.isEmpty,
+      s"summary rescans base tables instead of the cleaned cache: $scans")
   }
 }
