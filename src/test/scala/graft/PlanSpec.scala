@@ -39,6 +39,36 @@ class PlanSpec extends SparkSpec {
     assert(nCols <= 4, s"lineitem scan reads $nCols columns: ${lineitemScan.get}")
   }
 
+  test("pivot with declared values is one aggregate pass (no discovery job)") {
+    val df = graft.ops.RelationalOps.pivotCountryYear(spark, sfDir)
+    val p = plan(df)
+    // declared pivot values → (Country, Year) sum then Country
+    // pivotfirst (2 phases each = 4 HashAggregates), ONE pass over the
+    // fact stream, no Expand, and no values-discovery scan: the fact
+    // input is read exactly once
+    assert("HashAggregate".r.findAllIn(p).length <= 4, p)
+    assert(!p.contains("Expand"), s"pivot should not Expand:\n$p")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(scans.length == 1, s"fact stream read ${scans.length} times:\n$p")
+  }
+
+  test("grouping sets is a single Expand pass, not an N-way union") {
+    val p = plan(graft.ops.RelationalOps.groupingSetsCountryYear(spark, sfDir))
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Union"), s"grouping sets planned as union:\n$p")
+  }
+
+  test("dedup clustering and curation never plan a cartesian product") {
+    Seq(graft.ops.DedupOps.components(spark, sfDir),
+      graft.ops.CurateOps.curate(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"quadratic join shape:\n$p")
+    }
+  }
+
   test("summaries read the shared cleaned cache, not a join replay") {
     Transactions.cleaned(spark, sfDir) // ensure the cache is registered
     val p = plan(Summaries.countrySummary(Transactions.cleaned(spark, sfDir)))
