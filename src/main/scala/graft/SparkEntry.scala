@@ -84,6 +84,7 @@ object SparkEntry {
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
     "setop_returning_customers" -> (RelationalOps.returningCustomers _),
     "events_asof_view" -> (RelationalOps.purchaseAsofView _),
+    "events_asof_join_hourly" -> (RelationalOps.asofJoinHourly _),
     "text_regex_tokens" -> (RelationalOps.regexTokens _),
     // HLL++/quantile sketches: exact columns + error-bound booleans the
     // oracle asserts as TRUE (see RelationalOps.approxSketchStats).
@@ -132,6 +133,7 @@ object SparkEntry {
     "setop_churned_customers" -> ExtSql.churnedCustomers,
     "setop_returning_customers" -> ExtSql.returningCustomers,
     "events_asof_view" -> ExtSql.purchaseAsofView,
+    "events_asof_join_hourly" -> ExtSql.asofJoinHourly,
     "text_regex_tokens" -> ExtSql.regexTokens,
     "sketch_approx_stats" -> ExtSql.approxSketchStats,
   )

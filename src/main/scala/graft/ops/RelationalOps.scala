@@ -97,6 +97,47 @@ object RelationalOps {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** True two-TABLE as-of JOIN (vs [[purchaseAsofView]]'s single-stream
+    * window): enrich every purchase with the most recent hourly
+    * view-traffic aggregate at-or-before it — the classic streaming
+    * enrichment join (trades vs quotes, events vs rates).
+    *
+    * Spark has no ASOF JOIN operator; the scalable composition is the
+    * union-tag trick: tag reference rows 0 and probe rows 1, sort by
+    * (time, tag) so a reference row at time T precedes probes at T
+    * (>= semantics), then `last(value, ignoreNulls)` over the running
+    * window carries each reference row forward to the probes that
+    * follow it. One sort, no join at all — O((n+m) log(n+m)) total vs
+    * the O(n·m) a naive inequality join degrades to. The oracle runs
+    * DuckDB's NATIVE `ASOF LEFT JOIN` — two independent
+    * implementations of the operator agreeing bit-for-bit. At scale
+    * the same composition runs per entity key (partitionBy the key);
+    * this global variant sorts #hours + #purchases rows. */
+  def asofJoinHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("us", expr("ts_ns div 1000"))
+    val hourly = ev.filter(col("event_type") === "view")
+      .groupBy(expr("us - us % 3600000000").as("HourUs"))
+      .agg(count(lit(1)).as("NViews"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val u = hourly.select(col("HourUs").as("TUs"), lit(0).as("Src"),
+        col("NViews"), lit(null).cast(LongType).as("event_id"),
+        lit(null).cast(LongType).as("user_id"))
+      .union(purchases.select(col("us").as("TUs"), lit(1).as("Src"),
+        lit(null).cast(LongType).as("NViews"), col("event_id"), col("user_id")))
+    val w = Window.orderBy(col("TUs"), col("Src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("AsofNViews", last(col("NViews"), ignoreNulls = true).over(w))
+      .withColumn("AsofHourUs",
+        last(when(col("Src") === 0, col("TUs")), ignoreNulls = true).over(w))
+      .filter(col("Src") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(timestamp_micros(col("TUs")), "yyyy-MM-dd HH:mm:ss").as("PurchaseTs"),
+        date_format(timestamp_micros(col("AsofHourUs")), "yyyy-MM-dd HH:mm:ss").as("AsofHour"),
+        col("AsofNViews").as("NViews"))
+      .transform(Summaries.smallSort(_, col("event_id")))
+  }
+
   /** Approximate/sketch aggregates — the at-scale substitutes for exact
     * distinct counts and sorts: HyperLogLog++ (`approx_count_distinct`,
     * mergeable across partitions, O(1) memory) and quantile sketches

@@ -525,6 +525,28 @@ FROM e WHERE event_type = 'purchase'
 ORDER BY user_id, event_id
 """
 
+  /** The as-of JOIN mirror uses DuckDB's NATIVE ASOF LEFT JOIN — an
+    * independent implementation of the operator the Spark side
+    * composes from a union-tag running window. */
+  val asofJoinHourly: String = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+h AS (
+  SELECT (us - us % 3600000000) AS hour_us, count(*) AS nv
+  FROM e WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       strftime(make_timestamp(p.us), '%Y-%m-%d %H:%M:%S') AS "PurchaseTs",
+       strftime(make_timestamp(h.hour_us), '%Y-%m-%d %H:%M:%S') AS "AsofHour",
+       h.nv AS "NViews"
+FROM p ASOF LEFT JOIN h ON p.us >= h.hour_us
+ORDER BY p.event_id
+"""
+
   val regexTokens: String = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS "NAlpha",
