@@ -76,6 +76,8 @@ object SparkEntry {
     "similarity_ivf_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfTopk(s, d)),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
+    "multimodal_framesample" -> (MultimodalOps.frameSample _),
+    "multimodal_features" -> (MultimodalOps.featuresQuery _),
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
     "groupingsets_country_year" -> (RelationalOps.groupingSetsCountryYear _),
@@ -126,6 +128,8 @@ object SparkEntry {
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,
     "multimodal_meta" -> ExtSql.multimodalMeta,
+    "multimodal_framesample" -> ExtSql.multimodalFrameSample,
+    "multimodal_features" -> ExtSql.multimodalFeatures,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
     "groupingsets_country_year" -> ExtSql.groupingSetsCountryYear,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,

@@ -53,6 +53,69 @@ object MultimodalOps {
       .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
   }
 
+  /** Frame size (bytes) and sampling stride for [[frameSample]] —
+    * shared with the DuckDB mirror. */
+  val FrameBytes = 64
+  val FrameStride = 4
+
+  /** Frame sampling over an opaque media payload: treat the binary as
+    * a sequence of fixed-size frames and keep every `FrameStride`-th
+    * one — the video-pipeline primitive (decode only sampled frames).
+    * All-native plan: `sequence` + `explode` + binary `substring` +
+    * `md5`, codegen throughout, embarrassingly parallel, and the
+    * binary column is projected only here. The sampled frame is
+    * emitted as its md5 (the downstream dedup/caching key a real
+    * pipeline stores); a real decoder would consume `Frame` bytes
+    * instead. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .withColumn("NBytes", octet_length(col("payload")))
+      .withColumn("FrameIdx",
+        explode(sequence(lit(0),
+          floor((col("NBytes") - 1) / FrameBytes).cast(IntegerType),
+          lit(FrameStride))))
+      .select(col("doc_id"), col("FrameIdx"),
+        md5(expr(s"substring(payload, FrameIdx * $FrameBytes + 1, $FrameBytes)"))
+          .as("FrameMd5"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id"), col("FrameIdx")))
+
+  /** Fixed feature vector from a media payload (byte statistics). */
+  case class ByteFeatures(doc_id: Long, n_bytes: Int, min_byte: Int,
+                          max_byte: Int, sum_bytes: Long, mean_byte: Double)
+
+  /** Feature extraction in the REAL batched shape: per-partition JVM
+    * loop over the payload bytes (`mapPartitions`, same seam as
+    * [[decodeMeta]] — a production embedding/feature model plugs in
+    * here), exact integer statistics so the DuckDB oracle reproduces
+    * them bit-for-bit. */
+  def byteFeatures(spark: SparkSession, dir: String): Dataset[ByteFeatures] = {
+    import spark.implicits._
+    payloads(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        var mn = 256; var mx = -1; var s = 0L
+        var i = 0
+        while (i < b.length) {
+          val v = b(i) & 0xff
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          s += v
+          i += 1
+        }
+        if (b.isEmpty) ByteFeatures(id, 0, 0, 0, 0L, 0.0)
+        else ByteFeatures(id, b.length, mn, mx, s, s.toDouble / b.length)
+      })
+  }
+
+  /** [[byteFeatures]] as a driver-contract query (oracle-compared). */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Summaries.smallSort(
+      byteFeatures(spark, dir).toDF()
+        .select(col("doc_id"), col("n_bytes").as("NBytes"),
+          col("min_byte").as("MinByte"), col("max_byte").as("MaxByte"),
+          col("sum_bytes").as("SumBytes"), col("mean_byte").as("MeanByte")),
+      col("doc_id"))
+
   /** Oracle-checkable twin of the metadata extraction: the same fake
     * decode expressed as pure Catalyst expressions (so DuckDB can
     * reproduce it; the mapPartitions path is covered by ScalaTest). */

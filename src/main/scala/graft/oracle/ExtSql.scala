@@ -571,6 +571,40 @@ FROM sales GROUP BY "Country" ORDER BY "Country"
 
   // ---------- multimodal ----------
 
+  /** Frame-sampling mirror (ASCII corpus ⇒ string substr == binary
+    * slice); constants shared with MultimodalOps. */
+  val multimodalFrameSample: String = {
+    import graft.ops.MultimodalOps.{FrameBytes, FrameStride}
+    s"""
+WITH fr AS (
+  SELECT doc_id, text,
+         unnest(range(0, (strlen(text) - 1) // $FrameBytes + 1, $FrameStride)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS "FrameIdx",
+       md5(substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes)) AS "FrameMd5"
+FROM fr ORDER BY doc_id, "FrameIdx"
+"""
+  }
+
+  /** Byte-feature mirror: exact integer statistics over the payload
+    * bytes (ord per char — ASCII corpus ⇒ byte == char code). */
+  val multimodalFeatures: String = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS INTEGER) AS "NBytes",
+         [ord(substr(text, i, 1)) for i in range(1, strlen(text) + 1)] AS codes
+  FROM documents
+)
+SELECT doc_id, "NBytes",
+       CAST(list_min(codes) AS INTEGER) AS "MinByte",
+       CAST(list_max(codes) AS INTEGER) AS "MaxByte",
+       CAST(list_sum(codes) AS BIGINT) AS "SumBytes",
+       CAST(list_sum(codes) AS DOUBLE) / "NBytes" AS "MeanByte"
+FROM f ORDER BY doc_id
+"""
+
   val multimodalMeta: String = """
 WITH m AS (
   SELECT doc_id,

@@ -161,6 +161,27 @@ class OpsSpec extends SparkSpec {
     assert(total === 1000L)
   }
 
+  test("multimodal: frame sampling covers every stride-th frame, features are exact") {
+    val frames = MultimodalOps.frameSample(spark, sfDir).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, fs) =>
+      val idxs = fs.map(_.getAs[Int]("FrameIdx")).sorted.toSeq
+      assert(idxs.head === 0)
+      assert(idxs === idxs.indices.map(_ * MultimodalOps.FrameStride))
+      assert(fs.forall(_.getAs[String]("FrameMd5").length === 32))
+    }
+    // features: driver recomputation over the raw text bytes agrees
+    val texts = graft.etl.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    MultimodalOps.byteFeatures(spark, sfDir).collect().foreach { f =>
+      val b = texts(f.doc_id).getBytes("UTF-8").map(_ & 0xff)
+      assert(f.n_bytes === b.length)
+      assert(f.min_byte === b.min && f.max_byte === b.max)
+      assert(f.sum_bytes === b.map(_.toLong).sum)
+    }
+  }
+
   test("multimodal: mapPartitions decode stub agrees with the expression twin") {
     val fromDs = MultimodalOps.decodeMeta(spark, sfDir).collect()
       .map(m => m.doc_id -> (m.n_bytes, m.width, m.height)).toMap
