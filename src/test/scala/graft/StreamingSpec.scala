@@ -26,6 +26,35 @@ class StreamingSpec extends SparkSpec {
     assert(sMap === bMap)
   }
 
+  test("append mode emits only watermark-finalized windows, matching batch values") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_append")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventsStream.hourlyCounts(EventsStream.readEventsStream(spark, streamDir.toString))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("events_hourly_append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("events_hourly_append").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("WindowStart").toString,
+        r.getAs[String]("event_type")) -> r.getAs[Long]("NEvents")).toMap
+    val batch = graft.ops.EventsOps.hourly(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("HourTs") + ".0", r.getAs[String]("event_type")) ->
+        r.getAs[Long]("NEvents")).toMap
+    // only FINALIZED windows (older than the 30-min watermark) may be
+    // emitted in Append mode — so a strict, value-identical subset:
+    // the tail of the stream is withheld as live state
+    assert(emitted.nonEmpty, "append emitted nothing — watermark never advanced")
+    assert(emitted.size < batch.size,
+      "append emitted every window — nothing was withheld as live state")
+    emitted.foreach { case (k, n) =>
+      assert(batch.get(k).contains(n), s"window $k: append=$n batch=${batch.get(k)}")
+    }
+  }
+
   test("flatMapGroupsWithState as-of view matches batch events_asof_view") {
     import spark.implicits._
     implicit val s = spark
