@@ -37,7 +37,7 @@ object CurateOps {
         when(col("Bucket") < TrainUpper, "train")
           .when(col("Bucket") < ValUpper, "val")
           .otherwise("test"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
 
   /** Minimum quality score for [[curate]] — ≈ the corpus median
     * (scores on the synthetic docs range 0.04–0.48; length-capped at

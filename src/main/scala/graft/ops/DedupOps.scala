@@ -62,19 +62,19 @@ object DedupOps {
     fp.withColumn("CanonicalId", min(col("doc_id")).over(Window.partitionBy(col("Fingerprint"))))
       .select(col("doc_id"), col("Fingerprint"), col("CanonicalId"),
         (col("doc_id") =!= col("CanonicalId")).as("IsDup"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
   }
 
   /** MinHash signatures + LSH band values per doc (the sketch stage). */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
     docBands(spark, dir)
       .select(col("doc_id"), col("B1"), col("B2"), col("B3"), col("B4"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
 
   /** Near-dup pairs: LSH candidates verified with exact shingle
     * Jaccard ≥ 0.5. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame =
-    verifiedPairs(spark, dir).orderBy(col("D1"), col("D2"))
+    graft.etl.Summaries.smallSort(verifiedPairs(spark, dir), col("D1"), col("D2"))
 
   /** The verified near-dup pair set (D1 < D2), unordered — shared by
     * the presentation query above and the clustering stage below. */

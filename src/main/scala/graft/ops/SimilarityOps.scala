@@ -148,7 +148,7 @@ object SimilarityOps {
         Window.partitionBy(col("QId")).orderBy(col("Cosine").desc, col("vec_id"))))
       .filter(col("Rank") <= k)
       .select(col("QId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
-      .orderBy(col("QId"), col("Rank"))
+      .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("Rank")))
   }
 
   /** Nearest-centroid routing: for each row of `vecs` (id, vector,
@@ -243,7 +243,7 @@ object SimilarityOps {
         Window.partitionBy(col("QId")).orderBy(col("Cosine").desc, col("vec_id"))))
       .filter(col("Rank") <= k)
       .select(col("QId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
-      .orderBy(col("QId"), col("Rank"))
+      .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("Rank")))
   }
 
   /** Distinct candidate pairs (V1 < V2) that agree on at least one
@@ -293,6 +293,6 @@ object SimilarityOps {
           (sqrt(col("N1").cast(DoubleType)) * sqrt(col("N2").cast(DoubleType))))
       .filter(col("Cosine") >= threshold)
       .select(col("V1"), col("V2"), col("Cosine"), (col("L1") === col("L2")).as("SameLabel"))
-      .orderBy(col("V1"), col("V2"))
+      .transform(graft.etl.Summaries.smallSort(_, col("V1"), col("V2")))
   }
 }

@@ -59,7 +59,7 @@ object TextOps {
       col("TS.SumTokenLen").as("SumTokenLen"))
       .withColumn("AvgTokenLen",
         col("SumTokenLen").cast(DoubleType) / col("NTokens"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
 
   /** Quality scoring from length / stopword-ratio signals — every score
     * a deterministic function of integer counts. */
@@ -73,7 +73,7 @@ object TextOps {
       .withColumn("StopRatio", col("StopCount").cast(DoubleType) / col("NTokens"))
       .withColumn("QualityScore",
         least(lit(1.0), col("NTokens").cast(DoubleType) / 200.0) * (lit(1.0) - col("StopRatio")))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
 
   /** N-gram-marker language-ID heuristic: count hits against per-lang
     * marker lists, argmax with a fixed preference order for ties. */
@@ -90,7 +90,7 @@ object TextOps {
       .select(col("doc_id"), col("CEn"), col("CEs"), col("CDe"), col("CFr"),
         col("Predicted"), col("lang").as("ActualLang"),
         (col("Predicted") === col("lang")).as("IsMatch"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
 
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
@@ -109,6 +109,6 @@ object TextOps {
         col("TF.Fingerprint").as("Fingerprint"),
         col("TF.MinTokenHash").as("MinTokenHash"),
         col("TF.NShingles").as("NShingles"))
-      .orderBy(col("doc_id"))
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
   }
 }
