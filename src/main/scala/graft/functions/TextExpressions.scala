@@ -65,7 +65,7 @@ object TextExpressions {
     * MinHash bands ~8×#shingles/doc): thread-local digest + manual hex
     * — `getInstance` per call plus `"%02x".format` per byte measured
     * ~10× the digest's own cost across the text/dedup suite. */
-  private[functions] def md5Hex(s: String): String = {
+  private[graft] def md5Hex(s: String): String = {
     val md = mdLocal.get()
     md.reset()
     val d = md.digest(s.getBytes("UTF-8"))

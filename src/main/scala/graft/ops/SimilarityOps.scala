@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,10 +43,6 @@ import graft.functions.VectorExpressions
   */
 object SimilarityOps {
 
-  private def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
   /** Sign of hyperplane (p, i): +1 iff the FIRST hex digit of
     * md5("p|i") ≥ 8 — byte-identical to the oracle's
     * `instr('0123456789abcdef', substr(md5('p|' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8`.
@@ -56,7 +50,7 @@ object SimilarityOps {
     * (the previous derivation read hex digit p of md5(i) and was
     * structurally capped at 32 planes). */
   private[ops] def planeSign(p: Int, i: Int): Long =
-    if (Integer.parseInt(md5Hex(s"$p|$i").substring(0, 1), 16) >= 8) 1L else -1L
+    if (Integer.parseInt(graft.functions.TextExpressions.md5Hex(s"$p|$i").substring(0, 1), 16) >= 8) 1L else -1L
 
   private val Dims = 64
 
