@@ -78,6 +78,7 @@ object SparkEntry {
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     "multimodal_framesample" -> (MultimodalOps.frameSample _),
     "multimodal_features" -> (MultimodalOps.featuresQuery _),
+    "multimodal_resize" -> (MultimodalOps.resize _),
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
     "groupingsets_country_year" -> (RelationalOps.groupingSetsCountryYear _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,
     "multimodal_features" -> ExtSql.multimodalFeatures,
+    "multimodal_resize" -> ExtSql.multimodalResize,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
     "groupingsets_country_year" -> ExtSql.groupingSetsCountryYear,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,

@@ -79,6 +79,35 @@ object MultimodalOps {
           .as("FrameMd5"))
       .transform(graft.etl.Summaries.smallSort(_, col("doc_id"), col("FrameIdx")))
 
+  /** Downsample factor for [[resize]] — shared with the mirror. */
+  val ResizeFactor = 4
+
+  /** Resize/downsample stub: keep every `ResizeFactor`-th payload byte
+    * (the plumbing twin of an image downscale — a real resampler
+    * replaces the kernel, the schema/partitioning/pruning shape is
+    * identical). Emits the resized payload's size, md5 (the cache/dedup
+    * key), and the metadata stub's dimensions scaled by the factor.
+    * Native `filter` over a positions sequence + `substring` per kept
+    * byte would be per-element interpreted; instead the kept bytes are
+    * assembled in one codegen'd pass via the same mapPartitions seam as
+    * [[byteFeatures]], with the ORACLE-facing columns pure functions of
+    * exact integers and md5. */
+  def resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val resized = payloads(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val kept = Array.range(0, b.length, ResizeFactor).map(b(_))
+        (id, kept)
+      })
+      .toDF("doc_id", "resized")
+    resized.select(col("doc_id"),
+        octet_length(col("resized")).as("NBytesResized"),
+        md5(col("resized")).as("ResizedMd5"))
+      .withColumn("FakeWidthResized", (col("NBytesResized") % 317) + 1)
+      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+  }
+
   /** Fixed feature vector from a media payload (byte statistics). */
   case class ByteFeatures(doc_id: Long, n_bytes: Int, min_byte: Int,
                           max_byte: Int, sum_bytes: Long, mean_byte: Double)

@@ -605,6 +605,24 @@ SELECT doc_id, "NBytes",
 FROM f ORDER BY doc_id
 """
 
+  /** Resize mirror: every factor-th char (ASCII corpus ⇒ byte ==
+    * char), then the stub width formula on the resized size. */
+  val multimodalResize: String = {
+    val f = graft.ops.MultimodalOps.ResizeFactor
+    s"""
+WITH r AS (
+  SELECT doc_id,
+         array_to_string([substr(text, i, 1) for i in range(1, strlen(text) + 1) if (i - 1) % $f = 0], '') AS resized
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strlen(resized) AS INTEGER) AS "NBytesResized",
+       md5(resized) AS "ResizedMd5",
+       CAST((strlen(resized) % 317) + 1 AS INTEGER) AS "FakeWidthResized"
+FROM r ORDER BY doc_id
+"""
+  }
+
   val multimodalMeta: String = """
 WITH m AS (
   SELECT doc_id,
