@@ -56,6 +56,34 @@ class SourcesSpec extends SparkSpec {
     assert(fromXlsx === fromParquet)
   }
 
+  test("xlsx reader picks the FIRST sheet in workbook order and tolerates no shared strings") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_xlsx_multi").toString
+    val path = s"$dir/multi.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    // workbook order lists "Data" (rId2 → sheet2.xml) FIRST even though
+    // sheet1.xml exists — the reader must follow workbook order via
+    // rels, not filename order. No sharedStrings part at all.
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="http://x"><sheets><sheet name="Data" sheetId="1" r:id="rId2"/><sheet name="Old" sheetId="2" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1"><v>99</v></c></row><row r="2"><c r="A2"><v>-1</v></c></row></sheetData></worksheet>""")
+    put("xl/worksheets/sheet2.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1"><v>0</v></c></row><row r="2"><c r="A2"><v>7</v></c></row><row r="3"><c r="A3"><v>8</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val rows = graft.sources.Xlsx.rows(path,
+      StructType(Seq(StructField("v", IntegerType))))
+    assert(rows.map(_.getAs[Int](0)).toSeq === Seq(7, 8),
+      "reader must take the sheet the workbook lists first (sheet2.xml)")
+  }
+
   test("xlsx reader handles Excel serial timestamps, booleans, and blank cells") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_xlsx_mini").toString
