@@ -66,7 +66,7 @@ object StarQueries {
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .transform(Summaries.smallSort(_, col("c_custkey")))
+      .orderBy(col("c_custkey"))
   }
 
   /** Parts that never shipped — left_anti (NOT EXISTS). */
@@ -75,6 +75,6 @@ object StarQueries {
     val l = Tables.lineitem(spark, dir)
     p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"), col("p_brand"))
-      .transform(Summaries.smallSort(_, col("p_partkey")))
+      .orderBy(col("p_partkey"))
   }
 }

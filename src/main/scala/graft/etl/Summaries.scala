@@ -40,16 +40,25 @@ object Summaries {
   /** Exact, order-independent revenue sum. */
   private def decSum(c: Column): Column = sum(c.cast(dec))
 
-  /** Presentation sort for SMALL post-aggregation outputs (≤ the
-    * group-key cardinality: #products, #customers, #days, #countries).
-    * `orderBy` plans a range-partitioned sort whose partitioner
-    * SAMPLES the child — i.e. the whole upstream aggregate executes
-    * TWICE (measured ~2× on every summary query). Collapsing to one
+  /** Presentation sort for SMALL post-aggregation outputs. `orderBy`
+    * plans a range-partitioned sort whose partitioner SAMPLES the
+    * child — i.e. the whole upstream aggregate executes TWICE
+    * (measured ~2× on every summary query). Collapsing to one
     * partition first makes the sort a single in-partition pass over
     * rows that already fit in kilobytes, with the heavy partial
     * aggregation still fully parallel upstream of the final exchange.
-    * Same total order, same hashes — NOT for large outputs (the 60K-row
-    * `transactions` presentation sort keeps the range sort). */
+    * Same total order, same hashes.
+    *
+    * APPLICABILITY RULE (coalesce(1) merges the whole post-shuffle
+    * stage into one task, so this is only safe where that stage is
+    * genuinely tiny): use ONLY for outputs bounded by a fixed
+    * dimension cardinality (#countries, segments, rollup cells, a
+    * declared probe set) or for queries that already funnel through a
+    * deliberate single-partition stage (the global ntile/MA windows
+    * over per-entity aggregates). Corpus-linear outputs — per-document
+    * text/dedup passes, per-user event views, the 60K-row
+    * `transactions` sort — keep the distributed range sort: at scale
+    * their final stage must stay parallel. */
   private[graft] def smallSort(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
 

@@ -37,7 +37,7 @@ object CurateOps {
         when(col("Bucket") < TrainUpper, "train")
           .when(col("Bucket") < ValUpper, "val")
           .otherwise("test"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
 
   /** Minimum quality score for [[curate]] — ≈ the corpus median
     * (scores on the synthetic docs range 0.04–0.48; length-capped at
@@ -67,18 +67,14 @@ object CurateOps {
         col("TS.CEn").as("CEn"), col("TS.CEs").as("CEs"),
         col("TS.CDe").as("CDe"), col("TS.CFr").as("CFr"))
       .withColumn("QualityScore",
-        least(lit(1.0), col("NTokens").cast(DoubleType) / 200.0)
-          * (lit(1.0) - col("StopCount").cast(DoubleType) / col("NTokens")))
+        TextOps.qualityScoreCol(col("NTokens"), col("StopCount")))
       .withColumn("Predicted",
-        when(col("CEn") >= greatest(col("CEs"), col("CDe"), col("CFr")), "en")
-          .when(col("CEs") >= greatest(col("CDe"), col("CFr")), "es")
-          .when(col("CDe") >= col("CFr"), "de")
-          .otherwise("fr"))
+        TextOps.predictedLangCol(col("CEn"), col("CEs"), col("CDe"), col("CFr")))
     val survivors = DedupOps.components(spark, dir)
       .filter(col("IsSurvivor")).select(col("doc_id"))
     scored.join(survivors, "doc_id")
       .filter(col("Predicted") === "en" && col("QualityScore") >= MinQuality)
       .select(col("doc_id"), col("NTokens"), col("QualityScore"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
   }
 }

@@ -44,14 +44,35 @@ object DedupOps {
       .select(col("doc_id"), expr("token_shingles(text)").as("Sh"))
   }
 
-  /** doc_id, Sh, B1..B4 LSH band values (native MinHash-8 → 4 bands). */
+  private val bandsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** doc_id, Sh, B1..B4 LSH band values (native MinHash-8 → 4 bands).
+    *
+    * Memoized + `.cache()`d per (session, dir) — the sketch table is
+    * the shared substrate of the whole dedup family (band listing,
+    * near-dup candidate join, shingle verify lookups, clustering
+    * edges), so one deliberate long-lived cache replaces per-call
+    * orphan caches (same pattern as SimilarityOps.quantized);
+    * [[invalidateSketches]] releases it explicitly. */
   private def docBands(spark: SparkSession, dir: String): DataFrame = {
-    val withBands = docShingles(spark, dir)
-      .withColumn("Bands", expr("minhash_bands(Sh)"))
-    (1 to NumBands).foldLeft(withBands) { (df, b) =>
-      df.withColumn(s"B$b", element_at(col("Bands"), b))
-    }.drop("Bands")
+    bandsMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(bandsMemo.remove)
+    bandsMemo.getOrElseUpdate((spark, dir), {
+      val withBands = docShingles(spark, dir)
+        .withColumn("Bands", expr("minhash_bands(Sh)"))
+      (1 to NumBands).foldLeft(withBands) { (df, b) =>
+        df.withColumn(s"B$b", element_at(col("Bands"), b))
+      }.drop("Bands").cache()
+    })
   }
+
+  /** Drop and unpersist every memoized sketch table for `spark`. */
+  def invalidateSketches(spark: SparkSession): Unit =
+    bandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      bandsMemo.remove(k).foreach(_.unpersist(false))
+    }
 
   /** Exact dedup via order-insensitive content fingerprint: canonical
     * id = min doc_id per fingerprint group. */
@@ -62,27 +83,27 @@ object DedupOps {
     fp.withColumn("CanonicalId", min(col("doc_id")).over(Window.partitionBy(col("Fingerprint"))))
       .select(col("doc_id"), col("Fingerprint"), col("CanonicalId"),
         (col("doc_id") =!= col("CanonicalId")).as("IsDup"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
   }
 
   /** MinHash signatures + LSH band values per doc (the sketch stage). */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
     docBands(spark, dir)
       .select(col("doc_id"), col("B1"), col("B2"), col("B3"), col("B4"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
 
   /** Near-dup pairs: LSH candidates verified with exact shingle
     * Jaccard ≥ 0.5. */
   def neardupPairs(spark: SparkSession, dir: String): DataFrame =
-    graft.etl.Summaries.smallSort(verifiedPairs(spark, dir), col("D1"), col("D2"))
+    verifiedPairs(spark, dir).orderBy(col("D1"), col("D2"))
 
   /** The verified near-dup pair set (D1 < D2), unordered — shared by
     * the presentation query above and the clustering stage below. */
   private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    // One sketch pass, cached: the band self-join and both shingle
-    // lookups reuse it instead of recomputing 8 MinHash functions per
-    // reference (3× the dominant cost otherwise).
-    val bands = docBands(spark, dir).cache()
+    // One sketch pass (memoized cache in docBands): the band self-join
+    // and both shingle lookups reuse it instead of recomputing 8
+    // MinHash functions per reference (3× the dominant cost otherwise).
+    val bands = docBands(spark, dir)
     val exploded = bands.select(col("doc_id"),
       explode(expr(
         "array(named_struct('band_id', 1, 'band_val', B1)," +
@@ -149,6 +170,9 @@ object DedupOps {
       .union(pairs.select(col("D2"), col("D1")))
       .union(ids.select(col("doc_id"), col("doc_id")))
       .toDF("src", "dst")
+      // per-plan cache shared by all rounds; CacheManager keys by the
+      // normalized plan, so repeated components() calls reuse ONE
+      // entry (no accumulation) and catalog.clearCache releases it
       .cache()
     var labels = ids.select(col("doc_id"), col("doc_id").as("ClusterId"))
     for (_ <- 1 to LabelRounds) {
@@ -160,7 +184,7 @@ object DedupOps {
     labels
       .select(col("doc_id"), col("ClusterId"),
         (col("doc_id") === col("ClusterId")).as("IsSurvivor"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
   }
 
   /** SimHash-family sketch: 8 hex positions of per-token md5s, each
@@ -177,6 +201,6 @@ object DedupOps {
       .withColumn("Simhash", expr("simhash_bits(text)"))
       .withColumn("BucketSize", count(lit(1)).over(Window.partitionBy(col("Simhash"))).cast(IntegerType))
       .select(col("doc_id"), col("Simhash"), col("BucketSize"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
   }
 }

@@ -35,7 +35,7 @@ object EventsOps {
       .agg(
         count(lit(1)).as("NEvents"),
         sum(col("value").cast(dec)).cast(DoubleType).as("TotalValue"))
-      .transform(graft.etl.Summaries.smallSort(_, col("HourTs"), col("event_type")))
+      .orderBy(col("HourTs"), col("event_type"))
 
   /** JSON property extraction (`props` is a JSON string). Uses
     * regexp_extract rather than from_json so the exact same expression
@@ -64,7 +64,7 @@ object EventsOps {
       .select(col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("LastTs"),
         col("event_type"), col("value"))
-      .transform(graft.etl.Summaries.smallSort(_, col("user_id")))
+      .orderBy(col("user_id"))
   }
 
   /** Sessionization with a 30-minute inactivity gap: lag + prefix-sum
@@ -79,6 +79,6 @@ object EventsOps {
           .otherwise(0))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("NEvents"), sum(col("new_sess")).as("NSessions"))
-      .transform(graft.etl.Summaries.smallSort(_, col("user_id")))
+      .orderBy(col("user_id"))
   }
 }

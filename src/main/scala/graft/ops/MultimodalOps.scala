@@ -71,13 +71,16 @@ object MultimodalOps {
     payloads(spark, dir)
       .withColumn("NBytes", octet_length(col("payload")))
       .withColumn("FrameIdx",
+        // greatest(..., 0): an empty payload still yields frame 0 (of
+        // empty bytes) — sequence(0, -1) would throw, and the oracle's
+        // truncating (0-1)//64 = 0 emits that same single frame
         explode(sequence(lit(0),
-          floor((col("NBytes") - 1) / FrameBytes).cast(IntegerType),
+          greatest(floor((col("NBytes") - 1) / FrameBytes), lit(0)).cast(IntegerType),
           lit(FrameStride))))
       .select(col("doc_id"), col("FrameIdx"),
         md5(expr(s"substring(payload, FrameIdx * $FrameBytes + 1, $FrameBytes)"))
           .as("FrameMd5"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id"), col("FrameIdx")))
+      .orderBy(col("doc_id"), col("FrameIdx"))
 
   /** Downsample factor for [[resize]] — shared with the mirror. */
   val ResizeFactor = 4
@@ -105,7 +108,7 @@ object MultimodalOps {
         octet_length(col("resized")).as("NBytesResized"),
         md5(col("resized")).as("ResizedMd5"))
       .withColumn("FakeWidthResized", (col("NBytesResized") % 317) + 1)
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
   }
 
   /** Fixed feature vector from a media payload (byte statistics). */
@@ -138,12 +141,11 @@ object MultimodalOps {
 
   /** [[byteFeatures]] as a driver-contract query (oracle-compared). */
   def featuresQuery(spark: SparkSession, dir: String): DataFrame =
-    graft.etl.Summaries.smallSort(
-      byteFeatures(spark, dir).toDF()
-        .select(col("doc_id"), col("n_bytes").as("NBytes"),
-          col("min_byte").as("MinByte"), col("max_byte").as("MaxByte"),
-          col("sum_bytes").as("SumBytes"), col("mean_byte").as("MeanByte")),
-      col("doc_id"))
+    byteFeatures(spark, dir).toDF()
+      .select(col("doc_id"), col("n_bytes").as("NBytes"),
+        col("min_byte").as("MinByte"), col("max_byte").as("MaxByte"),
+        col("sum_bytes").as("SumBytes"), col("mean_byte").as("MeanByte"))
+      .orderBy(col("doc_id"))
 
   /** Oracle-checkable twin of the metadata extraction: the same fake
     * decode expressed as pure Catalyst expressions (so DuckDB can

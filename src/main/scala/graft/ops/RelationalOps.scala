@@ -72,7 +72,7 @@ object RelationalOps {
     val o = Tables.orders(spark, dir)
     val in95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
     val in96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
-    Summaries.smallSort(in95.except(in96), col("o_custkey"))
+    in95.except(in96).orderBy(col("o_custkey"))
   }
 
   /** As-of semantics over the event stream: for every purchase, the
@@ -94,7 +94,7 @@ object RelationalOps {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("PurchaseTs"),
         date_format(timestamp_micros(col("LastViewUs")), "yyyy-MM-dd HH:mm:ss").as("LastViewTs"),
         (col("us") - col("LastViewUs")).as("GapMicros"))
-      .transform(Summaries.smallSort(_, col("user_id"), col("event_id")))
+      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** True two-TABLE as-of JOIN (vs [[purchaseAsofView]]'s single-stream
@@ -238,7 +238,7 @@ object RelationalOps {
     val o = Tables.orders(spark, dir)
     val in95 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
     val in96 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
-    Summaries.smallSort(in95.intersect(in96), col("o_custkey"))
+    in95.intersect(in96).orderBy(col("o_custkey"))
   }
 
   /** Deliberately skewed join (skew-hardening demo, not a benchmark
@@ -282,5 +282,5 @@ object RelationalOps {
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("NAlpha"),
       size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("NNonSpace"))
-      .transform(Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
 }

@@ -287,6 +287,6 @@ object SimilarityOps {
           (sqrt(col("N1").cast(DoubleType)) * sqrt(col("N2").cast(DoubleType))))
       .filter(col("Cosine") >= threshold)
       .select(col("V1"), col("V2"), col("Cosine"), (col("L1") === col("L2")).as("SameLabel"))
-      .transform(graft.etl.Summaries.smallSort(_, col("V1"), col("V2")))
+      .orderBy(col("V1"), col("V2"))
   }
 }

@@ -41,6 +41,21 @@ object TextOps {
 
   private def sqlList(xs: Seq[String]): String = xs.map("'" + _ + "'").mkString(", ")
 
+  /** THE quality-score formula (single definition — [[quality]] and
+    * CurateOps.curate must never drift apart; the DuckDB mirrors
+    * transcribe this expression). */
+  def qualityScoreCol(nTokens: Column, stopCount: Column): Column =
+    least(lit(1.0), nTokens.cast(DoubleType) / 200.0) *
+      (lit(1.0) - stopCount.cast(DoubleType) / nTokens)
+
+  /** THE marker-argmax language prediction with its fixed tie-break
+    * order (single definition, shared with CurateOps.curate). */
+  def predictedLangCol(cEn: Column, cEs: Column, cDe: Column, cFr: Column): Column =
+    when(cEn >= greatest(cEs, cDe, cFr), "en")
+      .when(cEs >= greatest(cDe, cFr), "es")
+      .when(cDe >= cFr, "de")
+      .otherwise("fr")
+
   /** All per-doc token stats via the one-pass native expression
     * (graft.functions.TokenStats) — same integers as the declarative
     * HOF form, ~20× less per-token interpretation overhead. */
@@ -59,7 +74,7 @@ object TextOps {
       col("TS.SumTokenLen").as("SumTokenLen"))
       .withColumn("AvgTokenLen",
         col("SumTokenLen").cast(DoubleType) / col("NTokens"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
 
   /** Quality scoring from length / stopword-ratio signals — every score
     * a deterministic function of integer counts. */
@@ -71,9 +86,8 @@ object TextOps {
       col("TS.StopCount").as("StopCount"),
       col("TS.MaxTokenLen").as("MaxTokenLen"))
       .withColumn("StopRatio", col("StopCount").cast(DoubleType) / col("NTokens"))
-      .withColumn("QualityScore",
-        least(lit(1.0), col("NTokens").cast(DoubleType) / 200.0) * (lit(1.0) - col("StopRatio")))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .withColumn("QualityScore", qualityScoreCol(col("NTokens"), col("StopCount")))
+      .orderBy(col("doc_id"))
 
   /** N-gram-marker language-ID heuristic: count hits against per-lang
     * marker lists, argmax with a fixed preference order for ties. */
@@ -83,14 +97,11 @@ object TextOps {
         col("TS.CEn").as("CEn"), col("TS.CEs").as("CEs"),
         col("TS.CDe").as("CDe"), col("TS.CFr").as("CFr"))
       .withColumn("Predicted",
-        when(col("CEn") >= greatest(col("CEs"), col("CDe"), col("CFr")), "en")
-          .when(col("CEs") >= greatest(col("CDe"), col("CFr")), "es")
-          .when(col("CDe") >= col("CFr"), "de")
-          .otherwise("fr"))
+        predictedLangCol(col("CEn"), col("CEs"), col("CDe"), col("CFr")))
       .select(col("doc_id"), col("CEn"), col("CEs"), col("CDe"), col("CFr"),
         col("Predicted"), col("lang").as("ActualLang"),
         (col("Predicted") === col("lang")).as("IsMatch"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
 
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
@@ -109,6 +120,6 @@ object TextOps {
         col("TF.Fingerprint").as("Fingerprint"),
         col("TF.MinTokenHash").as("MinTokenHash"),
         col("TF.NShingles").as("NShingles"))
-      .transform(graft.etl.Summaries.smallSort(_, col("doc_id")))
+      .orderBy(col("doc_id"))
   }
 }

@@ -149,8 +149,12 @@ object Xlsx {
           // header cells (row 1) are never converted — the declared
           // schema maps positionally, like CSV header=true
           if (!isHeader && colIdx < schema.length) {
+            val ref = sb.toString.trim
+            // a styled blank cell can be t="s" with an empty <v/> —
+            // that's a null, not a shared-string lookup
             val raw =
-              if (cellType == "s") sst(sb.toString.trim.toInt) else sb.toString
+              if (cellType == "s") { if (ref.isEmpty) "" else sst(ref.toInt) }
+              else sb.toString
             val v = convert(raw, cellType, schema(colIdx).dataType)
             if (v != null) cells(colIdx) = v
           }
@@ -185,8 +189,13 @@ object Xlsx {
       case TimestampType =>
         if (isNumeric(s)) new java.sql.Timestamp(serialToMillis(s.toDouble))
         else {
-          val t = s.replace('T', ' ')
-          java.sql.Timestamp.valueOf(if (t.contains(' ')) t else t + " 00:00:00")
+          // parse ISO strings AS UTC, explicitly: Timestamp.valueOf
+          // would use the JVM default zone, silently diverging from
+          // the Excel-serial branch (UTC by definition) and from the
+          // CSV source (session timeZone, UTC here) on any non-UTC JVM
+          val t = s.replace(' ', 'T')
+          val ldt = java.time.LocalDateTime.parse(if (t.contains('T')) t else t + "T00:00")
+          java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
         }
       case DateType =>
         if (isNumeric(s))
@@ -194,7 +203,9 @@ object Xlsx {
             java.time.LocalDate.ofEpochDay(s.toDouble.toLong - EpochOffsetDays))
         else java.sql.Date.valueOf(s.take(10))
       case d: DecimalType =>
-        new java.math.BigDecimal(s).setScale(d.scale)
+        // HALF_UP, matching the CSV source's tolerant parse (default
+        // ROUND_UNNECESSARY would abort the file on extra digits)
+        new java.math.BigDecimal(s).setScale(d.scale, java.math.RoundingMode.HALF_UP)
       case other =>
         sys.error(s"xlsx reader does not support declared type $other")
     }

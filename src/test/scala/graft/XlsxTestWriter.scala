@@ -53,7 +53,11 @@ object XlsxTestWriter {
           case b: Boolean =>
             sheet.append(s"""<c r="${cellRef(r, c)}" t="b"><v>${if (b) 1 else 0}</v></c>""")
           case t: java.sql.Timestamp =>
-            sheet.append(s"""<c r="${cellRef(r, c)}" t="inlineStr"><is><t xml:space="preserve">${esc(t.toString)}</t></is></c>""")
+            // UTC ISO text — the reader parses ISO strings as UTC, so
+            // roundtrip identity must not depend on the JVM zone
+            val iso = java.time.LocalDateTime
+              .ofInstant(t.toInstant, java.time.ZoneOffset.UTC).toString
+            sheet.append(s"""<c r="${cellRef(r, c)}" t="inlineStr"><is><t xml:space="preserve">${esc(iso)}</t></is></c>""")
           case d: java.sql.Date =>
             sheet.append(s"""<c r="${cellRef(r, c)}" t="inlineStr"><is><t>${esc(d.toString)}</t></is></c>""")
           case n @ (_: Int | _: Long | _: Double | _: Float | _: java.math.BigDecimal) =>
