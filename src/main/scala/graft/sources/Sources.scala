@@ -37,6 +37,27 @@ object CsvSource extends TabularSource {
     spark.read.schema(schema).option("header", "true").csv(path)
 }
 
+/** JSON-Lines with declared schema — THE interchange format of LLM
+  * training-data pipelines (one JSON document per line; splittable,
+  * appendable, streamable via `readStream.json`). Never
+  * `inferSchema`: like the other sources, a declared schema keeps the
+  * scan deterministic and single-pass (inference would read the data
+  * twice and can flip types between corpus slices). */
+object JsonlSource extends TabularSource {
+  val name = "jsonl"
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}
+
+/** ORC — the other columnar format Spark ships natively; same
+  * pushdown/pruning behavior as parquet through the same scan
+  * interface. */
+object OrcSource extends TabularSource {
+  val name = "orc"
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+}
+
 /** Excel source (S1) — the reference's ingest format (`pd.read_excel`,
   * ref: data/etl.py:44-54), read by the from-scratch JDK-only
   * [[Xlsx]] parser (zip + StAX; no connector jar exists in this

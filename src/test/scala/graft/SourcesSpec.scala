@@ -35,6 +35,29 @@ class SourcesSpec extends SparkSpec {
     assert(fromCsv === fromParquet)
   }
 
+  test("jsonl- and orc-sourced pipelines equal the parquet-sourced pipeline") {
+    import graft.sources.{JsonlSource, OrcSource}
+    val dir = Files.createTempDirectory("graft_jsonl_orc_src").toString
+    starTables.foreach { n =>
+      val df = Tables.via(ParquetSource, spark, sfDir, n)
+      df.write.mode("overwrite").json(s"$dir/$n.jsonl")
+      df.write.mode("overwrite").orc(s"$dir/$n.orc")
+    }
+    def collectCleaned(raw: org.apache.spark.sql.DataFrame) =
+      Transactions.clean(raw)
+        .orderBy(totalOrder.head, totalOrder.tail: _*)
+        .collect().map(_.toSeq).toSeq
+    def via(src: graft.sources.TabularSource) = collectCleaned(Transactions.rawFrom(
+      Tables.via(src, spark, dir, "lineitem"),
+      Tables.via(src, spark, dir, "orders"),
+      Tables.via(src, spark, dir, "customer"),
+      Tables.via(src, spark, dir, "nation"),
+      Tables.via(src, spark, dir, "part")))
+    val fromParquet = collectCleaned(Transactions.raw(spark, sfDir))
+    assert(via(JsonlSource) === fromParquet)
+    assert(via(OrcSource) === fromParquet)
+  }
+
   test("xlsx-sourced pipeline equals parquet-sourced pipeline row-for-row") {
     val dir = Files.createTempDirectory("graft_xlsx_src").toString
     starTables.foreach { n =>
