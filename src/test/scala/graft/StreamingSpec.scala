@@ -81,6 +81,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert into a JDBC warehouse via foreachBatch equals batch dedup") {
+    import org.apache.spark.sql.functions._
+    implicit val s = spark
+    import spark.implicits._
+    // stream events → running latest-per-user state → per-microbatch
+    // JDBC overwrite through the SAME writeJdbc path as the batch
+    // sinks: the standard streaming-compaction-to-warehouse topology
+    // (at scale: MERGE/upsert per batch instead of overwrite).
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_jdbc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_stream").toString
+    val url = s"jdbc:derby:$dbDir/wh;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val events = EventsStream.readEventsStream(spark, streamDir.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val q = EventsStream.latestPerUser(events)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventsStream.LatestEvent], _: Long) =>
+        graft.etl.Load.writeJdbc(
+          Map("latest_events" -> batch.toDF()), url, props)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val fromDb = spark.read.jdbc(url, "latest_events", props).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("lastus"), r.getAs[String]("event_type")))).toMap
+    val batchTwin = graft.ops.EventsOps.dedupLatest(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("event_type")).toMap
+    assert(fromDb.nonEmpty)
+    assert(fromDb.keySet === batchTwin.keySet)
+    fromDb.foreach { case (u, (_, t)) => assert(batchTwin(u) === t, s"user $u") }
+  }
+
   test("mapGroupsWithState latest-per-user matches batch events_dedup_latest") {
     import spark.implicits._
     implicit val s = spark
