@@ -39,10 +39,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * steady-state cost is 1.4 s / 0.5 s (BenchOne repetitions,
   * PERFORMANCE.md round 3) — a sustained stall window can cover both
   * back-to-back runs of one query, but not the same query in two
-  * passes separated by the whole suite. Both raw samples are reported
+  * passes separated by the whole suite. All raw samples are reported
   * in "raw" so stall frequency stays visible across rounds; a query
-  * counts as errored only if BOTH runs fail (a transient first-run
-  * failure with a clean second run yields the valid timing).
+  * counts as errored only if ALL runs fail (a transient first-run
+  * failure with a clean later run yields the valid timing).
+  *
+  * Round 4: THREE interleaved passes (min-of-3; SPARK_GRAFT_BENCH_PASSES
+  * overrides), and each raw sample is `[sec, start_epoch_ms, gc_ms]` —
+  * the wall-clock start timestamp makes a host stall directly visible
+  * as a gap between consecutive samples (rather than inferred from an
+  * outlier), and gc_ms (JVM-wide collector time attributable to the
+  * sample's interval) separates "GC pause" from "the VM froze" without
+  * re-running under a profiler.
   */
 object Bench {
 
@@ -68,30 +76,39 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     qs.foreach { case (_, fn) => // warm-up (JIT, codegen, caches)
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    def timed(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    /** One sample: (seconds, start epoch ms, GC ms during the sample, err). */
+    def timed(fn: (SparkSession, String) => DataFrame): (Double, Long, Long, Option[String]) = {
+      val startMs = System.currentTimeMillis()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val err = try { materialize(fn(spark, sfDir)); None } catch {
         case t: Throwable => Some(t.getClass.getSimpleName)
       }
-      ((System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, startMs, gcMillis() - gc0, err)
     }
-    val pass1 = qs.map { case (name, fn) => (name, timed(fn)) }
-    val pass2 = qs.map { case (name, fn) => (name, timed(fn)) }
-    val results = pass1.zip(pass2).map {
-      case ((name, (s1, e1)), (_, (s2, e2))) =>
-        val good = Seq((s1, e1), (s2, e2)).collect { case (s, None) => s }
-        val err = if (good.isEmpty) e1.orElse(e2) else None
-        (name, if (good.isEmpty) 0.0 else good.min, (s1, s2), err)
+    // interleaved: full pass 1 over all queries, then pass 2, then pass 3
+    val samples: Seq[Seq[(String, (Double, Long, Long, Option[String]))]] =
+      (1 to passes).map(_ => qs.map { case (name, fn) => (name, timed(fn)) })
+    val results = qs.map(_._1).zipWithIndex.map { case (name, i) =>
+      val runs = samples.map(_(i)._2)
+      val good = runs.collect { case (s, _, _, None) => s }
+      val err = if (good.isEmpty) runs.flatMap(_._4).headOption else None
+      (name, if (good.isEmpty) 0.0 else good.min, runs, err)
     }
     val ok = results.collect { case (k, v, _, None) => (k, v) }
     val qjson = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rjson = results.map { case (k, _, (s1, s2), _) =>
-      "\"" + k + "\":[" + s1 + "," + s2 + "]"
+    val rjson = results.map { case (k, _, runs, _) =>
+      "\"" + k + "\":" + runs.map { case (s, ms, gc, _) => s"[$s,$ms,$gc]" }
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) => (k, e) }
     val ejson = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }

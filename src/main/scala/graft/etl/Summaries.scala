@@ -87,8 +87,13 @@ object Summaries {
     * customers; at true 100 TB cardinality the same labels come from
     * `approx_percentile` boundaries joined back, trading exact quartile
     * edges for a fully parallel plan. */
-  def customerSummary(cleaned: DataFrame): DataFrame = {
-    val g = sales(cleaned)
+  /** The per-customer aggregate WITHOUT the ntile decoration — shared
+    * by [[customerSummary]] (which adds the global quartile window) and
+    * [[topCustomers]] (which needs only id/country/orders/revenue, so
+    * pulling the top-k from here lets the plan stay
+    * TakeOrderedAndProject with no Window at all). */
+  private def customerAgg(cleaned: DataFrame): DataFrame =
+    sales(cleaned)
       .groupBy(col("CustomerID"))
       .agg(
         countDistinct(col("InvoiceNo")).as("TotalOrders"),          // A2
@@ -99,6 +104,9 @@ object Summaries {
         min_by(col("Country"), col("InvoiceDate")).as("Country"))   // A4 ⚠First
       .withColumn("TotalRevenue", col("RevDec").cast(DoubleType))
       .withColumn("AvgOrderValue", col("TotalRevenue") / col("TotalOrders")) // A6
+
+  def customerSummary(cleaned: DataFrame): DataFrame = {
+    val g = customerAgg(cleaned)
       .withColumn("LifespanDays",                                   // A7 ⚠D
         floor((unix_timestamp(col("LastTs")) - unix_timestamp(col("FirstTs"))) / 86400L))
       .withColumn("SegTile",                                        // A8 ⚠Q
@@ -197,9 +205,16 @@ object Summaries {
 
   /** Top-10 customers by revenue (ref: README.md:132-136). Spark plans
     * orderBy+limit as TakeOrderedAndProject — top-k per partition then a
-    * single k-row merge, no global sort (O4). */
+    * single k-row merge, no global sort (O4). Built from [[customerAgg]]
+    * (not the full summary): the README query needs none of the
+    * segment/ntile decoration, so taking the k rows BEFORE it drops the
+    * global single-partition ntile window (and smallSort's coalesce)
+    * out of the plan entirely — the whole query is partial-agg →
+    * shuffle → final-agg → per-partition top-k → k-row merge, every
+    * stage parallel. Values and hash are unchanged (the window never
+    * fed these four columns). */
   def topCustomers(cleaned: DataFrame, n: Int = 10): DataFrame =
-    customerSummary(cleaned)
+    customerAgg(cleaned)
       .select(col("CustomerID"), col("Country"), col("TotalOrders"), col("TotalRevenue"))
       .orderBy(desc("TotalRevenue"), col("CustomerID"))
       .limit(n)

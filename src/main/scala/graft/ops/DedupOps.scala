@@ -131,57 +131,92 @@ object DedupOps {
       .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
   }
 
-  /** Bounded label-propagation rounds for [[components]]: each round
-    * moves every node's label one hop, so R rounds resolve any
-    * component of diameter ≤ R. Near-dup clusters are
-    * almost-complete subgraphs (every member pair exceeds the Jaccard
-    * threshold or misses it by one edge), so real diameters are tiny;
-    * 8 is a wide margin, and the oracle's TRUE transitive closure
-    * would flag any under-iteration as a hash mismatch. */
-  private val LabelRounds = 8
+  /** Hard upper bound on label-propagation rounds — a runaway
+    * backstop, NOT the convergence mechanism (the loop exits as soon
+    * as a round changes zero labels). Min-label propagation needs at
+    * most `diameter` rounds, and 64 covers any component a dedup
+    * pipeline could meet (a diameter-64 near-dup chain means 64
+    * successive pairwise-similar docs with no shortcut edges). */
+  private[ops] val MaxLabelRounds = 64
+
+  /** Connected components of an undirected pair list by min-label
+    * propagation, iterated UNTIL CONVERGENCE (round 3's fixed 8-round
+    * loop silently under-merges any component of diameter > 8 — a
+    * 9-hop near-dup chain would split into two clusters with no
+    * error; the planted-chain case in OpsSpec proves this loop
+    * resolves what the fixed bound could not).
+    *
+    * Shape: the bidirected edge list is AUGMENTED WITH SELF-LOOPS, so
+    * each round is exactly one join + one min-aggregate in which the
+    * previous label table appears ONCE — `labels ⋈ edges on
+    * doc_id=src, groupBy dst, min(label)`. (A naive "neighbor-min then
+    * left-join back" round references the previous labels twice,
+    * doubling the lazy lineage per round — 2^R recomputations of the
+    * sketch pipeline.) The self-loops make every node its own
+    * neighbor, so the aggregate both keeps non-improving labels and
+    * retains singleton nodes; cost per round is O(|V| + |E|) shuffled
+    * on uniform doc_id keys.
+    *
+    * Iteration mechanics (the 100 TB loop, now implemented rather
+    * than documented):
+    *  - every round `localCheckpoint`s its label table — the round's
+    *    one materializing action — truncating lineage so round R is a
+    *    join against R-1's STORED blocks, not an R-deep lazy replay;
+    *  - convergence = an `ANY(label changed)` aggregate over the
+    *    checkpointed round joined to the previous one — a cheap
+    *    action on 2·|V| STORED rows, no recompute;
+    *  - only the current and previous rounds are ever referenced, so
+    *    the live set is 2·|V| label rows regardless of round count
+    *    (older checkpoints are swept by the ContextCleaner once
+    *    unreferenced).
+    * The returned frame reads the final checkpoint: callers get a
+    * shuffle-free scan of |V| rows, not the iterative lineage.
+    *
+    * `edges` is cached by THIS method and unpersisted before it
+    * returns (the checkpointed result no longer references it) — the
+    * cache has a single owner instead of leaning on CacheManager
+    * plan-dedup across calls. */
+  def componentsOf(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    val bidir = pairs.toDF("D1", "D2")
+    val edges = bidir
+      .union(bidir.select(col("D2"), col("D1")))
+      .union(ids.toDF("doc_id").select(col("doc_id"), col("doc_id")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = ids.toDF("doc_id")
+      .select(col("doc_id"), col("doc_id").as("ClusterId"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxLabelRounds) {
+      round += 1
+      val next = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min(col("ClusterId")).as("ClusterId"))
+        .select(col("dst").as("doc_id"), col("ClusterId"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
+        .select(coalesce(max(when(col("n.ClusterId") =!= col("p.ClusterId"), 1).otherwise(0)), lit(0)).as("changed"))
+        .first().getInt(0) == 0
+      labels = next
+    }
+    edges.unpersist(false)
+    labels
+  }
 
   /** Near-dup clustering — the last stage of a real dedup pipeline:
     * turn the verified pair EDGES into connected components and pick
     * one canonical survivor per component (min doc_id). Emits every
     * document: singletons are their own survivor, members of a dup
     * cluster keep `IsSurvivor = false` unless they carry the minimum
-    * id.
-    *
-    * Shape: iterative min-label propagation over the bidirected edge
-    * list AUGMENTED WITH SELF-LOOPS, so each round is exactly one
-    * join + one min-aggregate in which the previous label table
-    * appears ONCE — `labels ⋈ edges on doc_id=src, groupBy dst,
-    * min(label)`. (A naive "neighbor-min then left-join back" round
-    * references the previous labels twice, doubling the lazy lineage
-    * per round — 2^R recomputations of the sketch pipeline.) The
-    * self-loops make every node its own neighbor, so the aggregate
-    * both keeps non-improving labels and retains singleton nodes;
-    * cost per round is O(|V| + |E|) shuffled on uniform doc_id keys.
-    * The edge list (the expensive LSH+verify output, ~|dup pairs|
-    * rows) is cached once and reused by all rounds. At 100 TB the
-    * same loop adds a convergence check (count of changed labels,
-    * one lightweight action per round) and periodic localCheckpoint
-    * to cut lineage; here the round count is a fixed bound so the
-    * query stays one lazy plan. */
+    * id. Clustering itself is [[componentsOf]] (convergence-checked
+    * min-label propagation); the oracle is DuckDB's recursive-CTE TRUE
+    * transitive closure, so any under-merge is a hash mismatch. */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = verifiedPairs(spark, dir).select(col("D1"), col("D2"))
     val ids = Tables.documents(spark, dir).select(col("doc_id"))
-    val edges = pairs
-      .union(pairs.select(col("D2"), col("D1")))
-      .union(ids.select(col("doc_id"), col("doc_id")))
-      .toDF("src", "dst")
-      // per-plan cache shared by all rounds; CacheManager keys by the
-      // normalized plan, so repeated components() calls reuse ONE
-      // entry (no accumulation) and catalog.clearCache releases it
-      .cache()
-    var labels = ids.select(col("doc_id"), col("doc_id").as("ClusterId"))
-    for (_ <- 1 to LabelRounds) {
-      labels = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst"))
-        .agg(min(col("ClusterId")).as("ClusterId"))
-        .select(col("dst").as("doc_id"), col("ClusterId"))
-    }
-    labels
+    componentsOf(pairs, ids)
       .select(col("doc_id"), col("ClusterId"),
         (col("doc_id") === col("ClusterId")).as("IsSurvivor"))
       .orderBy(col("doc_id"))

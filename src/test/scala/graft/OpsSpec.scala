@@ -47,6 +47,25 @@ class OpsSpec extends SparkSpec {
     cluster.foreach { case (id, cid) => assert(find(id) === cid) }
   }
 
+  test("dedup: componentsOf converges on a planted chain of diameter > 8 (fixed-8-round loop would under-merge)") {
+    import spark.implicits._
+    // a 16-node path 100-101-...-115 (diameter 15): min-label propagation
+    // moves label 100 ONE HOP per round, so round 3's fixed 8 rounds
+    // would leave nodes 109..115 with labels > 100 — silent under-merge.
+    // The convergence-checked loop must run until every node holds 100.
+    val chain = (100L until 115L).map(i => (i, i + 1)).toDF("D1", "D2")
+    val ids = (100L to 115L).toDF("doc_id")
+      // two singleton islands prove non-edges stay separate
+      .union(Seq(900L, 901L).toDF("doc_id"))
+    val labels = DedupOps.componentsOf(chain, ids).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 115L).foreach { i =>
+      assert(labels(i) === 100L, s"node $i not merged to 100 — loop stopped before convergence")
+    }
+    assert(labels(900L) === 900L && labels(901L) === 901L)
+    assert(labels.size === 18)
+  }
+
   test("dedup: exact fingerprint gives CanonicalId <= doc_id and IsDup consistency") {
     val rows = DedupOps.exact(spark, sfDir).collect()
     assert(rows.length === 500)

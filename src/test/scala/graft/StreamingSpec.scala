@@ -119,6 +119,82 @@ class StreamingSpec extends SparkSpec {
     fromDb.foreach { case (u, (_, t)) => assert(batchTwin(u) === t, s"user $u") }
   }
 
+  test("checkpointed file-sink query restarted mid-stream: resumed run equals uninterrupted run, no duplicate/lost windows") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.OutputMode
+    import scala.jdk.CollectionConverters._
+    val raw = spark.read.schema(graft.etl.Tables.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
+    // split arrivals at the median event time: half1 lands before the
+    // stop, half2 after the restart, so the hour containing the cut has
+    // rows on BOTH sides — its final count is only correct if the
+    // aggregation state survived the restart
+    val cutNs = raw.selectExpr("CAST(percentile_approx(ts, 0.5) AS BIGINT)").first().getLong(0)
+    def stage(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+    }
+    def runToCompletion(streamDir: String, outDir: String, ckDir: String): Unit = {
+      val q = EventsStream.hourlyCounts(EventsStream.readEventsStream(spark, streamDir))
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckDir)
+        .start(outDir) // parquet file sink (the default format)
+      q.processAllAvailable()
+      q.stop()
+    }
+    def readOut(outDir: String): Map[(String, String), (Long, Double)] =
+      (try spark.read.parquet(outDir).collect() catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] })
+        .map(r => (r.getAs[java.sql.Timestamp]("WindowStart").toString,
+          r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("NEvents"), r.getAs[Double]("TotalValue")))).toMap
+
+    // interrupted run: half1 → stop → half2 → restart from checkpoint
+    val streamDir = Files.createTempDirectory("graft_restart_in")
+    val outDir = Files.createTempDirectory("graft_restart_out").toString
+    val ckDir = Files.createTempDirectory("graft_restart_ck").toString
+    stage(raw.filter(col("ts") <= cutNs), streamDir, "half1.parquet")
+    runToCompletion(streamDir.toString, outDir, ckDir)
+    val afterPhase1 = readOut(outDir)
+    stage(raw.filter(col("ts") > cutNs), streamDir, "half2.parquet")
+    runToCompletion(streamDir.toString, outDir, ckDir)
+    val resumed = readOut(outDir)
+
+    // control: the same data, same query, never interrupted
+    val streamDir2 = Files.createTempDirectory("graft_restart_in2")
+    val outDir2 = Files.createTempDirectory("graft_restart_out2").toString
+    stage(raw, streamDir2, "all.parquet")
+    runToCompletion(streamDir2.toString, outDir2,
+      Files.createTempDirectory("graft_restart_ck2").toString)
+    val uninterrupted = readOut(outDir2)
+
+    // the restart finalized MORE windows (it did resume, not replay-nothing)
+    assert(afterPhase1.nonEmpty && resumed.size > afterPhase1.size)
+    // no duplicates: the file sink's _spark_metadata must commit each
+    // finalized window exactly once across the two process incarnations
+    val dupCheck = spark.read.parquet(outDir)
+      .groupBy(col("WindowStart"), col("event_type")).count()
+      .filter(col("count") > 1).count()
+    assert(dupCheck === 0L, "a window was emitted twice across the restart")
+    // no lost/extra: resumed == uninterrupted, keys AND values
+    assert(resumed === uninterrupted)
+    // state survival: the cut-straddling hour aggregated rows from both
+    // incarnations; its value must match the batch query over all data
+    val cutHour = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(cutNs / 1000000000L / 3600L * 3600L))
+    val batch = EventsOps.hourly(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("HourTs") + ".0", r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("NEvents"), r.getAs[Double]("TotalValue")))).toMap
+    val straddling = resumed.filter(_._1._1 == cutHour + ".0")
+    assert(straddling.nonEmpty, s"cut hour $cutHour was not finalized — split landed too late in the stream")
+    straddling.foreach { case (k, v) =>
+      assert(batch(k) === v, s"cut-straddling window $k lost pre-restart state")
+    }
+  }
+
   test("mapGroupsWithState latest-per-user matches batch events_dedup_latest") {
     import spark.implicits._
     implicit val s = spark
