@@ -107,13 +107,30 @@ object SimilarityOps {
   }
 
   /** Drop and unpersist every memoized quantized corpus (and LSH
-    * signature table) for `spark`. */
+    * signature table) for `spark`, and invalidate the session's IVF
+    * indexes — memo entries AND the persisted codebook/lists, which
+    * are derived from the quantized corpus and would otherwise be
+    * silently reused stale against freshly rebuilt probes (mixed
+    * index/query versions — the exact failure the cache-ownership
+    * contract exists to prevent). */
   def invalidateQuantized(spark: SparkSession): Unit = {
     quantMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       quantMemo.remove(k).foreach(_.unpersist(false))
     }
     sigMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       sigMemo.remove(k).foreach(_.unpersist(false))
+    }
+    ivfMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      ivfMemo.remove(k).foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
@@ -222,9 +239,30 @@ object SimilarityOps {
   private val ivfMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
 
-  /** Build-once persisted IVF index (round 3 recomputed the codebook
-    * and the full inverted-list assignment on EVERY query — the
-    * verdict's #1 missing piece). Writes, per (session, dir, K):
+  /** Root directory for persisted IVF indexes: `SPARK_GRAFT_IVF_DIR`
+    * if set, else `<spark.sql.warehouse.dir>/graft_ivf` — never a bare
+    * cwd-relative literal (a query path must not impose a hidden
+    * write-permission requirement on whatever directory the process
+    * happens to start in). */
+  private def ivfRoot(spark: SparkSession): String =
+    sys.env.getOrElse("SPARK_GRAFT_IVF_DIR",
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:") + "/graft_ivf")
+
+  /** Index location for (dir, K): a readable sanitized slug PLUS an
+    * md5 of the raw dir string — sanitization alone is lossy
+    * (`/data-sf1` and `/data_sf1` both sanitize to `_data_sf1`, so two
+    * sessions over distinct corpora would overwrite each other's index
+    * mid-query); the hash makes the mapping injective. */
+  private def ivfBase(spark: SparkSession, dir: String, nCentroids: Int): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val h = graft.functions.TextExpressions.md5Hex(dir).substring(0, 8)
+    s"${ivfRoot(spark)}/${slug}_${h}_k$nCentroids"
+  }
+
+  /** Build (or REBUILD) the persisted IVF index for (dir, K) and
+    * return its base path — the explicit build API (round 4 built the
+    * index only as a side effect of the first query). Writes:
     *   `<base>/codebook/` — the K-row k-means codebook (parquet);
     *   `<base>/lists/`    — the inverted lists `(vec_id, Q, NormSq)`
     *                        written `partitionBy("Cid")`, so each
@@ -233,30 +271,62 @@ object SimilarityOps {
     * This is the real ANN storage shape: the index is built once
     * (amortized over every query), and because the lists are
     * PARTITIONED by centroid id, a probe that joins on Cid reads only
-    * the nprobe matching partitions — dynamic partition pruning turns
-    * "scan ~nprobe/K of the corpus" from a design note into an
-    * executed, plan-assertable property (PlanSpec). At 100 TB this is
-    * exactly the BucketSpec trade: one shuffle+write at build time,
-    * partition-pruned I/O on every probe after. */
+    * the nprobe matching partitions (pruning is plan-asserted in
+    * PlanSpec). At 100 TB this is exactly the BucketSpec trade: one
+    * shuffle+write at build time, partition-pruned I/O on every probe
+    * after. */
+  def buildIvfIndex(spark: SparkSession, dir: String,
+                    nCentroids: Int = DefaultNCentroids): String = {
+    val all = quantized(spark, dir)
+    val base = ivfBase(spark, dir, nCentroids)
+    kmeansCentroids(all, nCentroids)
+      .write.mode("overwrite").parquet(s"$base/codebook")
+    // assignment against the PERSISTED codebook (read it back rather
+    // than re-running the Lloyd rounds a second time)
+    nearestCentroids(all, spark.read.parquet(s"$base/codebook"), 1,
+        "vec_id", "Q", "NormSq")
+      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
+      .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/lists")
+    ivfMemo.put((spark, dir, nCentroids), base)
+    base
+  }
+
+  /** Build-if-absent: reuse the session-memoized index, else an index
+    * already persisted on disk (cross-session reuse — the point of
+    * persistence; callers that mutate the corpus in place must
+    * [[invalidateQuantized]], which deletes it), else build. */
   def ivfIndexPath(spark: SparkSession, dir: String,
                    nCentroids: Int = DefaultNCentroids): String = {
     ivfMemo.keysIterator
       .filter { case (s, _, _) => s.sparkContext.isStopped }
       .foreach(ivfMemo.remove)
     ivfMemo.getOrElseUpdate((spark, dir, nCentroids), {
-      val all = quantized(spark, dir)
-      val base = new java.io.File("spark-warehouse/graft_ivf/" +
-        dir.replaceAll("[^A-Za-z0-9.]+", "_") + s"_k$nCentroids").getAbsolutePath
-      kmeansCentroids(all, nCentroids)
-        .write.mode("overwrite").parquet(s"$base/codebook")
-      // assignment against the PERSISTED codebook (read it back rather
-      // than re-running the Lloyd rounds a second time)
-      nearestCentroids(all, spark.read.parquet(s"$base/codebook"), 1,
-          "vec_id", "Q", "NormSq")
-        .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
-        .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/lists")
-      base
+      val base = ivfBase(spark, dir, nCentroids)
+      val complete = Seq("codebook", "lists").forall(d =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
+      if (complete) base else buildIvfIndex(spark, dir, nCentroids)
     })
+  }
+
+  /** The probe set (vec_id < [[ProbeIdMax]]) in routing shape. */
+  private def probeVectors(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir).filter(col("vec_id") < ProbeIdMax)
+      .select(col("vec_id").as("QId"), col("Q").as("QP"), col("NormSq").as("NormP"))
+
+  /** The query ROUTE: distinct ids of the inverted lists the probe set
+    * must read — ≤ |probes|·nprobe values, bounded by K. Materializing
+    * the route on the driver is the standard IVF probe structure (a
+    * query router always resolves query → list ids before fetching
+    * lists); it is driver-scale by definition, independent of corpus
+    * size. Exposed so PlanSpec can assert the scan reads EXACTLY these
+    * partitions. */
+  def probedListIds(spark: SparkSession, dir: String,
+                    nCentroids: Int = DefaultNCentroids,
+                    nprobe: Int = DefaultNProbe): Array[Long] = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val cent = spark.read.parquet(s"$base/codebook")
+    nearestCentroids(probeVectors(spark, dir), cent, nprobe, "QId", "QP", "NormP")
+      .select(col("Cid")).distinct().collect().map(_.getLong(0)).sorted
   }
 
   /** IVF-flat approximate top-k: the centroid-partitioned ANN scale
@@ -264,31 +334,46 @@ object SimilarityOps {
     *
     * Structure: a K-entry coarse codebook from deterministic integer
     * k-means ([[kmeansCentroids]]) and K inverted lists, both built
-    * ONCE and persisted by [[ivfIndexPath]]; a query probes only its
-    * `nprobe` nearest centroids and — via dynamic partition pruning on
-    * the Cid-partitioned list files — SCANS only those lists:
-    * ~nprobe/K of the corpus touched, as pruned I/O, not a full scan
-    * plus filter. Assignment distance is exact integer L2² on
-    * quantized vectors with centroid-id tie-break; final ranking by
-    * cosine desc, NId. Values are identical to the recompute-per-query
-    * form (the index is a persisted intermediate, not an
-    * approximation change), so the DuckDB oracle is unchanged. */
+    * ONCE and persisted by [[ivfIndexPath]]; a query resolves its
+    * route ([[probedListIds]] — the nprobe nearest centroids per probe
+    * vector) and SCANS only the routed list partitions via a STATIC
+    * `Cid IN (...)` partition filter: ~nprobe/K of the corpus touched,
+    * as pruned I/O at file-index time, not a full scan plus filter.
+    *
+    * Why static and not DPP: the natural `probeLists ⋈ lists on Cid`
+    * does get a dynamic-pruning subquery inserted, but the planner
+    * demotes it to `dynamicpruningexpression(true)` — a silent full
+    * scan of all K partitions — when it cannot reuse the build-side
+    * broadcast (observed empirically at sf0.01 in BOTH join
+    * orientations, including an explicit `broadcast(probeLists)` hint;
+    * the windowed/cached probe subtree defeats the reuse matcher).
+    * Routing through a collected literal list removes the heuristic
+    * from the path entirely: pruning is decided before execution and
+    * asserted on the executed scan in PlanSpec ("IVF probe reads only
+    * the routed list partitions").
+    *
+    * Assignment distance is exact integer L2² on quantized vectors
+    * with centroid-id tie-break; final ranking by cosine desc, NId.
+    * Values are identical to the recompute-per-query form (the index
+    * is a persisted intermediate, not an approximation change), so the
+    * DuckDB oracle is unchanged. */
   def ivfTopk(spark: SparkSession, dir: String, k: Int = DefaultK,
               nCentroids: Int = DefaultNCentroids,
               nprobe: Int = DefaultNProbe): DataFrame = {
-    val all = quantized(spark, dir)
     val base = ivfIndexPath(spark, dir, nCentroids)
     val cent = spark.read.parquet(s"$base/codebook")
     val lists = spark.read.parquet(s"$base/lists")
+    val route = probedListIds(spark, dir, nCentroids, nprobe)
     // probe routing: nprobe nearest centroids per query vector (a
     // K-row broadcast against the bounded probe set — driver-scale)
-    val probes = all.filter(col("vec_id") < ProbeIdMax)
-      .select(col("vec_id").as("QId"), col("Q").as("QP"), col("NormSq").as("NormP"))
-    val probeLists = nearestCentroids(probes, cent, nprobe, "QId", "QP", "NormP")
+    val probeLists = nearestCentroids(probeVectors(spark, dir), cent, nprobe,
+        "QId", "QP", "NormP")
       .select(col("QId"), col("QP"), col("NormP"), col("Cid"))
-    // scan only the probed inverted lists (DPP prunes the partitions)
-    probeLists
-      .join(lists, "Cid")
+    // the routed lists: a literal partition filter (static pruning),
+    // then the per-candidate work joins against ONLY those partitions;
+    // the probe table is broadcast by construction (≤ |probes|·nprobe)
+    broadcast(probeLists)
+      .join(lists.filter(col("Cid").isin(route: _*)), "Cid")
       .filter(col("vec_id") =!= col("QId"))
       .withColumn("Cosine",
         expr("long_dot(QP, Q)").cast(DoubleType) /
