@@ -37,6 +37,11 @@ object SparkEntry {
       col("LineNumber")).orderBy(col("InvoiceNo"), col("LineNumber"),
       col("StockCode"), col("Quantity"), col("TotalAmount"), col("UnitPrice"))),
     "customer_summary" -> cleanedQ(Summaries.customerSummary),
+    // no oracleSql entry (rows-only check): the labels depend on
+    // percentile_approx's sketch boundaries, which DuckDB's approx
+    // quantile cannot reproduce bit-for-bit; exact-path agreement is
+    // asserted in SummariesSpec (≥99% at sf0.1) instead
+    "customer_segments_approx" -> cleanedQ(Summaries.customerSegmentsApprox(_)),
     "product_summary" -> cleanedQ(Summaries.productSummary),
     "daily_sales" -> cleanedQ(Summaries.dailySales),
     "country_summary" -> cleanedQ(Summaries.countrySummary),

@@ -85,8 +85,10 @@ object Summaries {
     * aggregate on a high-cardinality key — scales linearly. The ntile
     * window is global (single partition) which is fine at 4K-4M
     * customers; at true 100 TB cardinality the same labels come from
-    * `approx_percentile` boundaries joined back, trading exact quartile
-    * edges for a fully parallel plan. */
+    * [[customerSegmentsApprox]] — `percentile_approx` quartile
+    * boundaries broadcast back, trading exact quartile edges for a
+    * fully parallel plan (SummariesSpec asserts ≥99% label agreement
+    * at sf0.1). */
   /** The per-customer aggregate WITHOUT the ntile decoration — shared
     * by [[customerSummary]] (which adds the global quartile window) and
     * [[topCustomers]] (which needs only id/country/orders/revenue, so
@@ -122,6 +124,42 @@ object Summaries {
       col("LastTs").cast(DateType).as("LastPurchase"), col("Country"),
       col("AvgOrderValue"), col("LifespanDays"), col("Segment")),
       col("CustomerID"))
+  }
+
+  /** The 100 TB segment fallback: Bronze..Platinum from APPROXIMATE
+    * quartile boundaries instead of the exact global ntile window.
+    *
+    * The exact path ([[customerSummary]]) ntiles over a single global
+    * window partition — correct and cheap up to a few million
+    * post-agg customer rows, but at true 100 TB customer cardinality
+    * that one-partition sort is the plan's only non-parallel stage.
+    * Here the boundaries come from one `percentile_approx` aggregate
+    * (a mergeable KLL-style sketch: partial per partition, merged at
+    * the driver — fully parallel, no global sort), and each row is
+    * labeled by comparing its revenue to the broadcast 3-value
+    * boundary array — a narrow map pass.
+    *
+    * Divergence from exact ntile is confined to boundary ties and
+    * sketch error: ntile splits equal-revenue runs positionally at
+    * exact quartile cut points, while value thresholds put a whole
+    * run on one side. SummariesSpec asserts ≥99% agreement with the
+    * exact path at sf0.1 (accuracy 10⁴ makes the sketch effectively
+    * exact at that scale; at 10⁹ customers the same accuracy bounds
+    * rank error to ~10⁻⁴·n — a 0.01% band around each boundary). */
+  def customerSegmentsApprox(cleaned: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val g = customerAgg(cleaned)
+    val bounds = g.agg(percentile_approx(
+      col("RevDec").cast(DoubleType),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("B"))
+    g.crossJoin(broadcast(bounds)) // 1-row boundary frame → map-side label
+      .withColumn("Rev", col("RevDec").cast(DoubleType))
+      .withColumn("Segment",
+        when(col("Rev") <= element_at(col("B"), 1), "Bronze")
+          .when(col("Rev") <= element_at(col("B"), 2), "Silver")
+          .when(col("Rev") <= element_at(col("B"), 3), "Gold")
+          .otherwise("Platinum"))
+      .select(col("CustomerID"), col("TotalRevenue"), col("Segment"))
+      .transform(smallSort(_, col("CustomerID")))
   }
 
   /** product_summary (ref: etl.py:150-175). Composite-key groupBy.

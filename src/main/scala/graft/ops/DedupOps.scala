@@ -157,25 +157,38 @@ object DedupOps {
     * retains singleton nodes; cost per round is O(|V| + |E|) shuffled
     * on uniform doc_id keys.
     *
-    * Iteration mechanics (the 100 TB loop, now implemented rather
-    * than documented):
-    *  - every round `localCheckpoint`s its label table — the round's
-    *    one materializing action — truncating lineage so round R is a
-    *    join against R-1's STORED blocks, not an R-deep lazy replay;
-    *  - convergence = an `ANY(label changed)` aggregate over the
-    *    checkpointed round joined to the previous one — a cheap
-    *    action on 2·|V| STORED rows, no recompute;
-    *  - only the current and previous rounds are ever referenced, so
-    *    the live set is 2·|V| label rows regardless of round count
-    *    (older checkpoints are swept by the ContextCleaner once
+    * Iteration mechanics (the 100 TB loop, ONE Spark job per round —
+    * round 4 spent two actions per round, a checkpoint materialization
+    * plus a convergence join):
+    *  - each node's PREVIOUS label rides the round's propagation
+    *    aggregate for free: the self-loop edge is the only input row
+    *    with `src == dst`, so `min(when(src = dst, label))` recovers
+    *    the node's own round-(R-1) label inside the same groupBy that
+    *    computes its round-R min — no second join with the previous
+    *    table;
+    *  - the round's label table is marked for LAZY `localCheckpoint`
+    *    and the convergence check (`count of Changed rows == 0`) is
+    *    the action that materializes it — the join, the aggregate, the
+    *    checkpoint write, and the changed-count all ride ONE job;
+    *  - lineage still truncates at every round (round R joins R-1's
+    *    STORED blocks, not an R-deep lazy replay), and only the
+    *    current and previous rounds are ever referenced, so the live
+    *    set is 2·|V| label rows regardless of round count (older
+    *    checkpoints are swept by the ContextCleaner once
     *    unreferenced).
     * The returned frame reads the final checkpoint: callers get a
     * shuffle-free scan of |V| rows, not the iterative lineage.
     *
-    * `edges` is cached by THIS method and unpersisted before it
-    * returns (the checkpointed result no longer references it) — the
-    * cache has a single owner instead of leaning on CacheManager
-    * plan-dedup across calls. */
+    * Hitting [[MaxLabelRounds]] while the last round still changed
+    * labels THROWS instead of returning: a truncated loop yields
+    * silently under-merged clusters — the exact defect the
+    * convergence check exists to prevent — and no caller can detect
+    * it from the output.
+    *
+    * `edges` is cached by THIS method and unpersisted in a `finally`
+    * before it returns, loop failure included (the checkpointed
+    * result no longer references it) — the cache has a single owner
+    * instead of leaning on CacheManager plan-dedup across calls. */
   def componentsOf(pairs: DataFrame, ids: DataFrame): DataFrame = {
     val bidir = pairs.toDF("D1", "D2")
     val edges = bidir
@@ -183,26 +196,33 @@ object DedupOps {
       .union(ids.toDF("doc_id").select(col("doc_id"), col("doc_id")))
       .toDF("src", "dst")
       .cache()
-    var labels = ids.toDF("doc_id")
-      .select(col("doc_id"), col("doc_id").as("ClusterId"))
-      .localCheckpoint()
-    var converged = false
-    var round = 0
-    while (!converged && round < MaxLabelRounds) {
-      round += 1
-      val next = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst"))
-        .agg(min(col("ClusterId")).as("ClusterId"))
-        .select(col("dst").as("doc_id"), col("ClusterId"))
+    try {
+      var labels = ids.toDF("doc_id")
+        .select(col("doc_id"), col("doc_id").as("ClusterId"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.doc_id") === col("p.doc_id"))
-        .select(coalesce(max(when(col("n.ClusterId") =!= col("p.ClusterId"), 1).otherwise(0)), lit(0)).as("changed"))
-        .first().getInt(0) == 0
-      labels = next
-    }
-    edges.unpersist(false)
-    labels
+      var converged = false
+      var round = 0
+      while (!converged && round < MaxLabelRounds) {
+        round += 1
+        val next = edges.join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst"))
+          .agg(min(col("ClusterId")).as("ClusterId"),
+            min(when(edges("src") === col("dst"), col("ClusterId"))).as("PrevId"))
+          .select(col("dst").as("doc_id"), col("ClusterId"),
+            (col("ClusterId") =!= col("PrevId")).as("Changed"))
+          .localCheckpoint(eager = false)
+        // the round's single action: materializes the checkpoint blocks
+        // AND decides convergence from the rows it just computed
+        converged = next.filter(col("Changed")).count() == 0L
+        labels = next.select(col("doc_id"), col("ClusterId"))
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"componentsOf: labels still changing after $MaxLabelRounds rounds " +
+            "(component diameter exceeds the backstop); refusing to return " +
+            "silently under-merged clusters")
+      labels
+    } finally edges.unpersist(false)
   }
 
   /** Near-dup clustering — the last stage of a real dedup pipeline:

@@ -115,6 +115,26 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact-dedup twin (the dedup_exact family): an
+    * at-least-once transport re-delivers events, and
+    * `dropDuplicatesWithinWatermark` keyed on `event_id` emits each id
+    * once while the watermark EVICTS a key's dedup state once event
+    * time moves `delay` past it — the property that makes streaming
+    * dedup viable at 100 TB: state is a sliding window of recent keys,
+    * not an ever-growing set of every id ever seen (plain
+    * `dropDuplicates` on an unbounded stream is a slow state leak).
+    * The contract is the standard one: a duplicate arriving within
+    * `delay` of the original is suppressed; later re-deliveries are
+    * the transport's SLA violation, not the operator's.
+    *
+    * StreamingSpec drives it with every source file staged TWICE
+    * (full duplicate delivery) and asserts the sink equals the
+    * single-copy batch table exactly. */
+  def dedupEvents(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming twin of RelationalOps.purchaseAsofView: per-user
     * last-view state via `flatMapGroupsWithState` — each incoming
     * purchase emits its most recent STRICTLY PRIOR view (same

@@ -69,6 +69,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe reads only the routed list partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // nprobe=1 gives the sharpest route (≤ |probes| of the K lists) so
+    // genuine pruning is distinguishable from a full-partition read
+    // even at sf0.001, where the default nprobe=4 route covers 15/16
+    // centroids
+    val nprobe = 1
+    val route = graft.ops.SimilarityOps.probedListIds(spark, sfDir, nprobe = nprobe)
+    val df = graft.ops.SimilarityOps.ivfTopk(spark, sfDir, nprobe = nprobe)
+    val scans = df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    val lists = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/lists")))
+    assert(lists.nonEmpty,
+      s"no FileSourceScan over the persisted lists:\n${df.queryExecution.sparkPlan}")
+    lists.foreach { f =>
+      // the static route must reach the scan as a partition filter…
+      val static = f.partitionFilters.filterNot(_.toString.contains("dynamicpruning"))
+      assert(static.exists(_.toString.contains("Cid")),
+        s"no static Cid partition filter on the lists scan: ${f.partitionFilters}")
+      // …and actually prune file-index I/O: only routed partitions listed
+      val read = f.relation.location.listFiles(static, f.dataFilters).length
+      val all = f.relation.location.listFiles(Nil, Nil).length
+      assert(read <= route.length,
+        s"scan lists $read partitions for a ${route.length}-entry route")
+      assert(read < all, s"no pruning: $read of $all list partitions read")
+    }
+  }
+
   test("summaries read the shared cleaned cache, not a join replay") {
     Transactions.cleaned(spark, sfDir) // ensure the cache is registered
     val p = plan(Summaries.countrySummary(Transactions.cleaned(spark, sfDir)))

@@ -195,6 +195,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dropDuplicatesWithinWatermark: twice-delivered stream dedups to the single-copy batch table") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // stage the SAME events file twice — a full at-least-once
+    // re-delivery of every record
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    Seq("events_a.parquet", "events_b.parquet").foreach { name =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        streamDir.resolve(name))
+    }
+    val q = EventsStream.dedupEvents(EventsStream.readEventsStream(spark, streamDir.toString))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("events_dedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("events_dedup_stream")
+    val batch = graft.etl.Tables.events(spark, sfDir)
+    assert(streamed.count() === batch.count(),
+      "duplicate deliveries leaked into (or rows vanished from) the sink")
+    // exact row-level equality with the batch table, not just counts
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSet
+    assert(rows(streamed) === rows(batch))
+  }
+
   test("mapGroupsWithState latest-per-user matches batch events_dedup_latest") {
     import spark.implicits._
     implicit val s = spark

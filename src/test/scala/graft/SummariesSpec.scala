@@ -103,4 +103,22 @@ class SummariesSpec extends SparkSpec {
       assert(math.abs(r.getDouble(0) - r.getDouble(2) * r.getLong(1)) < 1e-6)
     }
   }
+
+  test("customerSegmentsApprox agrees with exact ntile segments on ≥99% of customers (sf0.1)") {
+    import org.apache.spark.sql.functions.col
+    // the fallback trades exact quartile EDGES for a fully parallel
+    // plan; divergence must stay confined to boundary ties
+    val dir = "/root/testdata/sf0.1"
+    val cleaned = graft.etl.Transactions.cleaned(spark, dir)
+    val exact = Summaries.customerSummary(cleaned)
+      .select(col("CustomerID"), col("Segment")).collect()
+      .map(r => r.getAs[Int]("CustomerID") -> r.getAs[String]("Segment")).toMap
+    val approx = Summaries.customerSegmentsApprox(cleaned).collect()
+      .map(r => r.getAs[Int]("CustomerID") -> r.getAs[String]("Segment")).toMap
+    assert(approx.keySet === exact.keySet)
+    val agree = approx.count { case (k, v) => exact(k) == v }
+    val pct = agree.toDouble / approx.size
+    assert(pct >= 0.99,
+      f"segment agreement $pct%.4f < 0.99 (${approx.size - agree} of ${approx.size} customers differ)")
+  }
 }
