@@ -348,9 +348,10 @@ object SimilarityOps {
     * orientations, including an explicit `broadcast(probeLists)` hint;
     * the windowed/cached probe subtree defeats the reuse matcher).
     * Routing through a collected literal list removes the heuristic
-    * from the path entirely: pruning is decided before execution and
-    * asserted on the executed scan in PlanSpec ("IVF probe reads only
-    * the routed list partitions").
+    * from the path entirely: pruning is decided before execution, and
+    * PlanSpec ("IVF probe reads only the routed list partitions")
+    * asserts the physical plan's lists scan carries the static Cid
+    * partition filter and file-index-lists only the routed partitions.
     *
     * Assignment distance is exact integer L2² on quantized vectors
     * with centroid-id tie-break; final ranking by cosine desc, NId.

@@ -70,6 +70,22 @@ class PipelineSpec extends SparkSpec {
     Load.writeParquetPartitioned(daily, out, Seq("year"))
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.exists(_.startsWith("year=")))
-    assert(spark.read.parquet(out).filter(col("year") === 1995).count() > 0)
+    val filtered = spark.read.parquet(out).filter(col("year") === 1995)
+    assert(filtered.count() > 0)
+    // the filter must prune at the file index, not post-scan: the scan
+    // carries a `year` partition filter and lists exactly one of the
+    // written partitions
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("year")),
+        s"filter did not reach the partition index: ${f.partitionFilters}")
+      val read = f.relation.location.listFiles(f.partitionFilters, f.dataFilters).length
+      val all = f.relation.location.listFiles(Nil, Nil).length
+      assert(read === 1, s"scan lists $read partitions for a single-year filter")
+      assert(all === dirs.count(_.startsWith("year=")))
+    }
   }
 }
