@@ -210,4 +210,45 @@ class OpsSpec extends SparkSpec {
     assert(fromDs.size === 500)
     assert(fromDs === fromSql)
   }
+
+  test("dedup: componentsOf matches union-find on seeded random graphs") {
+    import spark.implicits._
+    // guards the one-job-per-round convergence rewrite against subtle
+    // label-propagation bugs the fixed corpus and planted chain miss
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    Seq(80, 200).foreach { nEdges =>
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = DedupOps.componentsOf(edges.toDF("D1", "D2"), (0L until n.toLong).toDF("doc_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // union by min root ⇒ every root is its component's min id
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n.toLong).foreach { i =>
+        assert(got(i) === find(i), s"node $i with $nEdges edges")
+      }
+    }
+  }
+
+  test("similarity: invalidateQuantized deletes the persisted IVF index and the next query rebuilds it") {
+    import java.nio.file.{Files, Paths}
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir)
+    assert(Files.exists(Paths.get(s"$base/lists/_SUCCESS")))
+    SimilarityOps.invalidateQuantized(spark)
+    // the on-disk index must go with the session caches — a stale
+    // persisted codebook against freshly rebuilt probes would return
+    // silently wrong mixed-version results
+    assert(!Files.exists(Paths.get(base)), "stale on-disk index survived invalidation")
+    val rows = SimilarityOps.ivfTopk(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(Files.exists(Paths.get(s"$base/lists/_SUCCESS")), "query did not rebuild the index")
+  }
 }
