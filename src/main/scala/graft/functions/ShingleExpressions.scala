@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,7 +41,7 @@ object ShingleExpressions {
   * 2·sum ≥ 15·count — byte-identical to the declarative form and the
   * DuckDB oracle (ExtSql.dedupSimhash). */
 case class SimhashBits(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -51,26 +51,12 @@ case class SimhashBits(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash_bits"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextExpressions.tokenize(input.asInstanceOf[UTF8String].toString)
-    val seen = new java.util.HashSet[String](toks.length * 2)
-    val sums = new Array[Long](8)
-    var n = 0L
-    var i = 0
-    while (i < toks.length) {
-      if (seen.add(toks(i))) {
-        val h = TextExpressions.md5Hex(toks(i))
-        var p = 0
-        while (p < 8) { sums(p) += Character.digit(h.charAt(p), 16); p += 1 }
-        n += 1
-      }
-      i += 1
-    }
-    val bits = new Array[Char](8)
-    var p = 0
-    while (p < 8) { bits(p) = if (2L * sums(p) >= 15L * n) '1' else '0'; p += 1 }
-    UTF8String.fromString(new String(bits))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.simhashBits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.simhashBits($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -80,7 +66,7 @@ case class SimhashBits(child: Expression)
   * exactly like `array_distinct(transform(...))` over
   * `split(trim(text), '\s+')`). */
 case class TokenShingles(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -90,20 +76,12 @@ case class TokenShingles(child: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "token_shingles"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextExpressions.tokenize(input.asInstanceOf[UTF8String].toString)
-    val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    while (i + 2 < toks.length) {
-      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-      i += 1
-    }
-    val out = new Array[Any](seen.size())
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenShingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.tokenShingles($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -113,9 +91,7 @@ case class TokenShingles(child: Expression)
   * where mh(j) = min over shingles of md5("j|" + shingle). Identical
   * strings to the declarative/oracle formulation. */
 case class MinhashBands(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  private val NumHashes = 8
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -125,31 +101,12 @@ case class MinhashBands(child: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_bands"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[ArrayData]
-    val n = sh.numElements()
-    val mins = new Array[String](NumHashes)
-    var i = 0
-    while (i < n) {
-      val s = sh.getUTF8String(i).toString
-      var j = 0
-      while (j < NumHashes) {
-        val h = TextExpressions.md5Hex((j + 1).toString + "|" + s)
-        if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    val bands = new Array[Any](NumHashes / 2)
-    var b = 0
-    while (b < NumHashes / 2) {
-      bands(b) =
-        if (mins(2 * b) == null) null
-        else UTF8String.fromString(TextExpressions.md5Hex(mins(2 * b) + mins(2 * b + 1)))
-      b += 1
-    }
-    new GenericArrayData(bands)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.minhashBands(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.minhashBands($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

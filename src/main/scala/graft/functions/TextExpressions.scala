@@ -3,11 +3,9 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -85,11 +83,7 @@ object TextExpressions {
   *        CEn, CEs, CDe, CFr) — the integers behind text_tokens /
   * text_quality / text_langid. */
 case class TokenStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  private val stopSet = TextOps.stopwords.toSet
-  private val markerSets: Array[Set[String]] =
-    TextOps.langMarkers.map(_._2.toSet).toArray
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -110,31 +104,12 @@ case class TokenStats(child: Expression)
 
   override def prettyName: String = "token_stats"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextExpressions.tokenize(input.asInstanceOf[UTF8String].toString)
-    val seen = new java.util.HashSet[String](toks.length * 2)
-    var sumLen = 0L
-    var maxLen = 0
-    var stop = 0
-    val markerHits = new Array[Int](markerSets.length)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      sumLen += t.length
-      if (t.length > maxLen) maxLen = t.length
-      if (stopSet.contains(t)) stop += 1
-      var m = 0
-      while (m < markerSets.length) {
-        if (markerSets(m).contains(t)) markerHits(m) += 1
-        m += 1
-      }
-      seen.add(t)
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](
-      toks.length, seen.size(), sumLen, maxLen, stop,
-      markerHits(0), markerHits(1), markerHits(2), markerHits(3)))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.tokenStats($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -145,7 +120,7 @@ case class TokenStats(child: Expression)
   * distinct token set, min per-token md5, distinct trigram-shingle
   * count. Byte-identical to the declarative/oracle formulation. */
 case class TokenFingerprint(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -160,32 +135,12 @@ case class TokenFingerprint(child: Expression)
 
   override def prettyName: String = "token_fingerprint"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextExpressions.tokenize(input.asInstanceOf[UTF8String].toString)
-    // Fingerprint: md5 of sorted distinct tokens joined by ' '
-    // (ASCII ⇒ String ordering == UTF8 byte ordering used by array_sort)
-    val distinct = toks.distinct.sorted
-    val fp = TextExpressions.md5Hex(distinct.mkString(" "))
-    // MinTokenHash over all tokens
-    var minHash: String = null
-    var i = 0
-    while (i < toks.length) {
-      val h = TextExpressions.md5Hex(toks(i))
-      if (minHash == null || h.compareTo(minHash) < 0) minHash = h
-      i += 1
-    }
-    // distinct trigram shingles
-    val sh = new java.util.HashSet[String]()
-    i = 0
-    while (i + 2 < toks.length) {
-      sh.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-      i += 1
-    }
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(fp),
-      if (minHash == null) null else UTF8String.fromString(minHash),
-      sh.size()))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.tokenFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.tokenFingerprint($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -5,8 +5,8 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expressions for the similarity operators.
@@ -85,10 +85,13 @@ case class LongDotProduct(left: Expression, right: Expression)
 }
 
 /** array<float> → array<bigint> of round(x·10⁴) — the exact
-  * quantization the oracle applies, one JVM loop per row
-  * (CodegenFallback: a single interpreted call per row, loop inside). */
+  * quantization the oracle applies, one JVM loop per row via the
+  * shared [[ExprKernels.quantize]] kernel; codegen emits a static call
+  * to the same kernel so the containing operator stays inside
+  * whole-stage codegen (a CodegenFallback here pushed the whole
+  * Project out of WholeStageCodegen). */
 case class QuantizeVector(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -98,17 +101,12 @@ case class QuantizeVector(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "quantize_vec"
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      out(i) = VectorExpressions.roundHalfUp(x.getFloat(i).toDouble * 10000.0)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(a: Any): Any =
+    ExprKernels.quantize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.quantize($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

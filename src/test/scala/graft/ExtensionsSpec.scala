@@ -46,4 +46,58 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("native expressions run inside whole-stage codegen (fallback disabled, compile errors fatal)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-codegen-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      // a Janino compile failure in the generated code must THROW, not
+      // silently degrade to interpreted execution
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // non-constant inputs so ConstantFolding cannot pre-evaluate the
+      // expressions on the interpreted path
+      val df = spark.range(64).selectExpr(
+        "token_shingles(concat('alpha beta gamma delta ', CAST(id AS STRING))) AS sh",
+        "simhash_bits(concat('w1 w2 w3 ', CAST(id AS STRING))) AS sb",
+        "token_stats(concat('the quick fox ', CAST(id AS STRING))) AS ts",
+        "token_fingerprint(concat('a b c ', CAST(id AS STRING))) AS tf",
+        "quantize_vec(array(CAST(0.25 AS FLOAT), CAST(id AS FLOAT))) AS q")
+        .selectExpr("minhash_bands(sh) AS mb", "long_dot(q, q) AS dd",
+          "sb", "ts", "tf")
+      val rows = df.collect()
+      assert(rows.length === 64)
+      assert(rows.forall(_.getAs[Seq[String]]("mb").length === 4))
+      assert(rows.forall(_.getAs[String]("sb").matches("[01]{8}")))
+      // the Project carrying the native expressions must be INSIDE a
+      // WholeStageCodegen span — CollapseCodegenStages pushes any
+      // operator holding a CodegenFallback expression out of it, which
+      // is exactly the regression this guards against
+      import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+      val wsc = df.queryExecution.executedPlan.collect { case w: WholeStageCodegenExec => w }
+      assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+      val fused = wsc.flatMap(_.collect { case p: ProjectExec => p })
+        .flatMap(_.projectList).exists(_.exists {
+          case _: graft.functions.TokenShingles => true
+          case _: graft.functions.MinhashBands => true
+          case _: graft.functions.QuantizeVector => true
+          case _: graft.functions.TokenStats => true
+          case _: graft.functions.TokenFingerprint => true
+          case _: graft.functions.SimhashBits => true
+          case _ => false
+        })
+      assert(fused,
+        s"native expressions not fused into WholeStageCodegen:\n${df.queryExecution.executedPlan}")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }
