@@ -19,33 +19,57 @@ object RelationalOps {
   /** ROLLUP (Country, Year): per-(country, year), per-country, and
     * grand-total revenue in one pass — Spark plans this as a single
     * Expand + hash aggregate (no N-pass union).
-    * GroupingId: 0 = leaf, 1 = per-country subtotal, 3 = grand total. */
-  def rollupCountryYear(spark: SparkSession, dir: String): DataFrame =
-    Transactions.cleaned(spark, dir)
+    * GroupingId: 0 = leaf, 1 = per-country subtotal, 3 = grand total.
+    *
+    * Two-level shape (round 5): the fact stream is first reduced to
+    * per-(Country, Year, InvoiceNo) partials — revenue is an exact
+    * decimal sum (re-aggregates associatively), and distinct-invoice
+    * counting over the pre-deduped rows is still `countDistinct`
+    * (fully general: an invoice spanning groups is deduped per
+    * subtotal). The rollup's 3× Expand then runs over #invoices rows
+    * instead of every line item — at 100 TB that divides the Expand
+    * shuffle volume by the lines-per-invoice factor while producing
+    * bit-identical results (same DuckDB ROLLUP oracle). */
+  def rollupCountryYear(spark: SparkSession, dir: String): DataFrame = {
+    val perInvoice = Transactions.cleaned(spark, dir)
       .filter(!col("IsCancelled"))
+      .groupBy(col("Country"), col("Year"), col("InvoiceNo"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("InvRev"))
+    perInvoice
       .rollup(col("Country"), col("Year"))
       .agg(
-        sum(col("TotalAmount").cast(dec)).cast(DoubleType).as("TotalRevenue"),
+        sum(col("InvRev")).cast(DoubleType).as("TotalRevenue"),
         countDistinct(col("InvoiceNo")).as("TotalOrders"),
         grouping_id().cast(LongType).as("GroupingId"))
       .transform(Summaries.smallSort(_, col("GroupingId"),
         asc_nulls_first("Country"), asc_nulls_first("Year")))
+  }
 
   /** GROUPING SETS ((Country), (Year), ()): independent subtotal
     * shapes a ROLLUP cannot express (per-year totals without the
     * (Country, Year) leaves) — still ONE Expand + hash-aggregate pass,
     * no N-pass union. GroupingId: 1 = per-country, 2 = per-year,
-    * 3 = grand total. */
-  def groupingSetsCountryYear(spark: SparkSession, dir: String): DataFrame =
-    Transactions.cleaned(spark, dir)
+    * 3 = grand total.
+    *
+    * Two-level shape (round 5): revenue is the only aggregate and it
+    * is an exact decimal sum, so the fact stream reduces to
+    * per-(Country, Year) partials in one uniform-key pass and the 3×
+    * Expand runs over ≤ |countries|·|years| rows — constant-size work
+    * regardless of fact volume, bit-identical results. */
+  def groupingSetsCountryYear(spark: SparkSession, dir: String): DataFrame = {
+    val perCY = Transactions.cleaned(spark, dir)
       .filter(!col("IsCancelled"))
+      .groupBy(col("Country"), col("Year"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("CYRev"))
+    perCY
       .groupingSets(Seq(Seq(col("Country")), Seq(col("Year")), Seq()),
         col("Country"), col("Year"))
       .agg(
-        sum(col("TotalAmount").cast(dec)).cast(DoubleType).as("TotalRevenue"),
+        sum(col("CYRev")).cast(DoubleType).as("TotalRevenue"),
         grouping_id().cast(LongType).as("GroupingId"))
       .transform(Summaries.smallSort(_, col("GroupingId"),
         asc_nulls_first("Country"), asc_nulls_first("Year")))
+  }
 
   /** Relative-standing windows (percent_rank / cume_dist) over the
     * daily revenue aggregate — the remaining ranking family beyond
