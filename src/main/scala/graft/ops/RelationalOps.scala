@@ -192,13 +192,20 @@ object RelationalOps {
     *      (dedup (Country, key) first — HLL is duplicate-insensitive,
     *      so the post-dedup sketch is value-identical — then count),
     *      avoiding the Expand entirely;
-    *   2. exact discrete bound percentiles from ONE
-    *      row_number/count window pass (Tungsten radix sort, codegen)
-    *      + conditional min — positions computed in exact integer
-    *      arithmetic ((q·10·n + 9) div 10 = ceil(q·n) without IEEE
-    *      round-up hazards);
+    *   2. exact discrete bound percentiles from PRE-BINNED
+    *      (Country, TotalAmount) counts (round 5): one uniform-key
+    *      hash aggregate over the facts, then the rank window runs on
+    *      distinct amounts only — the value at rank r is the minimum
+    *      amount whose running count reaches r, so the former
+    *      600K-row-per-country radix sort shrinks to |distinct
+    *      amounts| rows while computing the identical discrete
+    *      quantiles (positions still exact integer arithmetic:
+    *      (q·10·n + 9) div 10 = ceil(q·n));
     *   3. both approx percentiles from one array-fraction
-    *      `percentile_approx` (one shared sketch) + max.
+    *      `percentile_approx` (one shared mergeable sketch) in its own
+    *      SORTLESS ObjectHashAggregate chain over the raw stream (the
+    *      sketch must see per-row frequencies, so it cannot ride the
+    *      binned chain).
     * At 100 TB each chain is a single uniform-key shuffle; nothing
     * re-sorts or re-expands the fact stream. */
   def approxSketchStats(spark: SparkSession, dir: String): DataFrame = {
@@ -212,18 +219,22 @@ object RelationalOps {
     val ords = distinctCounts("InvoiceNo", "ExactOrders", "ao")
     val wOrd = Window.partitionBy(col("Country")).orderBy(col("TotalAmount"))
     val wAll = Window.partitionBy(col("Country"))
+    // rank-r value = min amount whose cumulative count reaches r
+    // (cum is monotone in TotalAmount within a country)
     def atRank(tenths: Int) = min(when(
-      col("rn") === expr(s"($tenths * cnt + 9) div 10"), col("TotalAmount")))
-    val pcts = c.select(col("Country"), col("TotalAmount"))
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("cnt", count(lit(1)).over(wAll))
+      col("cum") >= expr(s"($tenths * cnt + 9) div 10"), col("TotalAmount")))
+    val pcts = c.groupBy(col("Country"), col("TotalAmount"))
+      .agg(count(lit(1)).as("AmtCnt"))
+      .withColumn("cum", sum(col("AmtCnt")).over(wOrd))
+      .withColumn("cnt", sum(col("AmtCnt")).over(wAll))
       .groupBy(col("Country"))
       .agg(
         atRank(4).as("lo50"), atRank(6).as("hi50"), atRank(8).as("lo90"),
-        max(col("TotalAmount")).as("hi90"),
-        percentile_approx(col("TotalAmount"),
-          array(lit(0.5), lit(0.9)), lit(1000)).as("ap"))
-    custs.join(ords, "Country").join(pcts, "Country")
+        max(col("TotalAmount")).as("hi90"))
+    val sketch = c.groupBy(col("Country"))
+      .agg(percentile_approx(col("TotalAmount"),
+        array(lit(0.5), lit(0.9)), lit(1000)).as("ap"))
+    custs.join(ords, "Country").join(pcts, "Country").join(sketch, "Country")
       .select(
         col("Country"), col("ExactCustomers"), col("ExactOrders"),
         (abs(col("ac") - col("ExactCustomers"))
