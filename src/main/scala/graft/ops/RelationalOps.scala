@@ -175,7 +175,11 @@ object RelationalOps {
     * states as literal TRUE — HLL relative error ≤ 3×rsd (rsd = 0.02),
     * approx-percentile value within the exact discrete 0.4/0.6 (resp.
     * 0.8/1.0) quantiles, a ±0.1 rank window that dwarfs the sketch's
-    * 1/accuracy = 0.001 rank-error guarantee. A false boolean (sketch
+    * 1/accuracy = 0.01 rank-error guarantee (accuracy 100 — round 5:
+    * the previous 1000 bought 0.001 rank error nothing checks, and the
+    * GK compress cost that comes with it was the slowest-query line
+    * item in BENCH; 0.01 still clears the verified bound 10×). A false
+    * boolean (sketch
     * out of bound) hash-mismatches the oracle row, so the driver gate
     * genuinely checks the sketches instead of skipping them.
     * SketchSpec asserts the tighter numeric bounds on the raw values.
@@ -233,7 +237,7 @@ object RelationalOps {
         max(col("TotalAmount")).as("hi90"))
     val sketch = c.groupBy(col("Country"))
       .agg(percentile_approx(col("TotalAmount"),
-        array(lit(0.5), lit(0.9)), lit(1000)).as("ap"))
+        array(lit(0.5), lit(0.9)), lit(100)).as("ap"))
     custs.join(ords, "Country").join(pcts, "Country").join(sketch, "Country")
       .select(
         col("Country"), col("ExactCustomers"), col("ExactOrders"),
