@@ -189,7 +189,8 @@ object DedupOps {
     * before it returns, loop failure included (the checkpointed
     * result no longer references it) — the cache has a single owner
     * instead of leaning on CacheManager plan-dedup across calls. */
-  def componentsOf(pairs: DataFrame, ids: DataFrame): DataFrame = {
+  def componentsOf(pairs: DataFrame, ids: DataFrame,
+                   maxRounds: Int = MaxLabelRounds): DataFrame = {
     val bidir = pairs.toDF("D1", "D2")
     val edges = bidir
       .union(bidir.select(col("D2"), col("D1")))
@@ -202,7 +203,7 @@ object DedupOps {
         .localCheckpoint()
       var converged = false
       var round = 0
-      while (!converged && round < MaxLabelRounds) {
+      while (!converged && round < maxRounds) {
         round += 1
         val next = edges.join(labels, edges("src") === labels("doc_id"))
           .groupBy(col("dst"))
@@ -218,7 +219,7 @@ object DedupOps {
       }
       if (!converged)
         throw new IllegalStateException(
-          s"componentsOf: labels still changing after $MaxLabelRounds rounds " +
+          s"componentsOf: labels still changing after $maxRounds rounds " +
             "(component diameter exceeds the backstop); refusing to return " +
             "silently under-merged clusters")
       labels

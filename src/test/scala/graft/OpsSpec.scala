@@ -211,6 +211,18 @@ class OpsSpec extends SparkSpec {
     assert(fromDs === fromSql)
   }
 
+  test("dedup: componentsOf throws at the round cap instead of returning under-merged clusters") {
+    import spark.implicits._
+    // a diameter-10 path cannot converge in 3 rounds; the loop must
+    // refuse to return the partially propagated labels
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("D1", "D2")
+    val ids = (0L to 10L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      DedupOps.componentsOf(chain, ids, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("still changing"))
+  }
+
   test("dedup: componentsOf matches union-find on seeded random graphs") {
     import spark.implicits._
     // guards the one-job-per-round convergence rewrite against subtle
