@@ -74,7 +74,13 @@ object SparkEntry {
     // ---- corpus curation (split assignment + composite filter) ----
     "curate_split_assign" -> (CurateOps.splitAssign _),
     "curate_corpus" -> (CurateOps.curate _),
+    "curate_decontaminate" -> (CurateOps.decontaminate _),
+    "curate_sample_stratified" -> (CurateOps.sampleStratified _),
     "dedup_simhash" -> (DedupOps.simhash _),
+    // ---- text extensions: repetition filter, TF-IDF, PII redaction ----
+    "text_repetition" -> (TextOps.repetition _),
+    "text_tfidf" -> (TextOps.tfidf _),
+    "text_pii_redact" -> (TextOps.piiRedact _),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
@@ -129,7 +135,12 @@ object SparkEntry {
     "dedup_components" -> ExtSql.dedupComponents,
     "curate_split_assign" -> ExtSql.curateSplitAssign,
     "curate_corpus" -> ExtSql.curateCorpus,
+    "curate_decontaminate" -> ExtSql.curateDecontaminate,
+    "curate_sample_stratified" -> ExtSql.curateSampleStratified,
     "dedup_simhash" -> ExtSql.dedupSimhash,
+    "text_repetition" -> ExtSql.textRepetition,
+    "text_tfidf" -> ExtSql.textTfidf,
+    "text_pii_redact" -> ExtSql.textPiiRedact,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -18,6 +18,15 @@ object CurateOps {
   val TrainUpper = 204
   val ValUpper = 230
 
+  /** The md5-first-byte bucket (0..255) of a BIGINT id column — the
+    * shared deterministic-hash primitive behind split assignment and
+    * stratified sampling. `salt` decorrelates independent decisions
+    * (the sample hash must not be a function of the split hash, or
+    * sampling would bias the splits). */
+  private def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast(StringType))), 1, 2), 16, 10)
+      .cast(IntegerType)
+
   /** Deterministic train/val/test assignment: bucket = first byte of
     * md5(doc_id), split by fixed thresholds. Properties a training
     * pipeline needs, all by construction: (1) stable — a document's
@@ -30,14 +39,103 @@ object CurateOps {
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"))
-      .withColumn("Bucket",
-        conv(substring(md5(col("doc_id").cast(StringType)), 1, 2), 16, 10)
-          .cast(IntegerType))
+      .withColumn("Bucket", hashBucket(col("doc_id"), ""))
       .withColumn("Split",
         when(col("Bucket") < TrainUpper, "train")
           .when(col("Bucket") < ValUpper, "val")
           .otherwise("test"))
       .orderBy(col("doc_id"))
+
+  /** The split column alone (no presentation sort) — shared by
+    * [[splitAssign]]'s consumers below. */
+  private def docSplits(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("Bucket", hashBucket(col("doc_id"), ""))
+      .withColumn("Split",
+        when(col("Bucket") < TrainUpper, "train")
+          .when(col("Bucket") < ValUpper, "val")
+          .otherwise("test"))
+
+  /** Minimum shared distinct 3-gram shingles for a train document to
+    * count as contaminated by an eval document. 1 = any overlap (the
+    * conservative default a decontamination pass ships with). */
+  val ContaminationMinShingles = 1
+
+  /** Train/eval DECONTAMINATION — the step an LLM data pipeline runs
+    * before training: flag every train-split document that shares
+    * n-gram content with the held-out eval (test) split, so benchmark
+    * answers can't leak into the training corpus.
+    *
+    * Mechanism: explode each document's distinct 3-gram token shingles
+    * (the same native `token_shingles` primitive the near-dup family
+    * uses), split the corpus with the deterministic md5 split, and
+    * count, per train document, the distinct eval documents and
+    * distinct shingles it collides with.
+    *
+    * Scale shape (100 TB): the eval side is a FIXED-SIZE benchmark
+    * suite — thousands of documents, not a fraction of the corpus — so
+    * its shingle set is broadcast and the train side never shuffles:
+    * one narrow pass over the corpus + a broadcast-hash semi-count.
+    * (At test SF the "eval set" is the ~10% test split; the broadcast
+    * stays correct, just less lopsided.) Output is every train doc
+    * with its contamination evidence, zero-filled via left join.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // Reuse the dedup family's memoized+cached shingle table (one md5
+    // pass over the corpus, shared session-wide) instead of
+    // re-shingling here; Split recomputes from doc_id alone (cheap).
+    val sh = DedupOps.sharedShingles(spark, dir)
+      .withColumn("Bucket", hashBucket(col("doc_id"), ""))
+      .withColumn("Split",
+        when(col("Bucket") < TrainUpper, "train")
+          .when(col("Bucket") < ValUpper, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("Split"), explode(col("Sh")).as("Shingle"))
+    val evalSh = sh.filter(col("Split") === "test")
+      .select(col("Shingle"), col("doc_id").as("EvalId")).distinct()
+    val hits = sh.filter(col("Split") === "train")
+      .join(broadcast(evalSh), "Shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("EvalId")).cast(IntegerType).as("NEvalDocs"),
+        countDistinct(col("Shingle")).cast(IntegerType).as("NSharedShingles"))
+    docSplits(spark, dir).filter(col("Split") === "train").select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("NEvalDocs"), lit(0)).as("NEvalDocs"),
+        coalesce(col("NSharedShingles"), lit(0)).as("NSharedShingles"),
+        (coalesce(col("NSharedShingles"), lit(0)) >= ContaminationMinShingles)
+          .as("IsContaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language keep-thresholds over the 0..255 sample-bucket space.
+    * The synthetic corpus is ~44% English; sampling en at 84/256
+    * (~33%) rebalances it toward the other languages while keeping
+    * every minority-language document. */
+  val SampleThresholds: Seq[(String, Int)] = Seq("en" -> 84)
+  val SampleDefaultThreshold = 256 // keep everything not listed above
+
+  /** STRATIFIED deterministic sampling — corpus rebalancing by
+    * language. A document is kept iff its sample bucket (first byte of
+    * a salted md5 of the id — independent of the split hash) is below
+    * its language's threshold. Same three properties as
+    * [[splitAssign]]: stable under corpus growth, engine-portable
+    * (md5), fractions converge by uniformity. One narrow codegen pass,
+    * no shuffle, no RNG state — the property reservoir/`sample()`
+    * approaches lose at scale (they depend on partitioning and seed
+    * plumbing, and resampling a grown corpus reshuffles everything).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = SampleThresholds.foldLeft(lit(SampleDefaultThreshold)) {
+      case (acc, (lang, t)) => when(col("lang") === lang, t).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("SampleBucket", hashBucket(col("doc_id"), "sample|"))
+      .withColumn("IsSampled", col("SampleBucket") < threshold)
+      .orderBy(col("doc_id"))
+  }
 
   /** Minimum quality score for [[curate]] — ≈ the corpus median
     * (scores on the synthetic docs range 0.04–0.48; length-capped at

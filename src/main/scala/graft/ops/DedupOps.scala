@@ -68,6 +68,14 @@ object DedupOps {
     })
   }
 
+  /** The cached per-doc shingle sets, for operators OUTSIDE the dedup
+    * family that consume the same substrate (CurateOps.decontaminate):
+    * one shared long-lived cache instead of a second full md5 pass
+    * over the corpus. Carries the band columns too (they ride along in
+    * the memoized table; projecting them away is free). */
+  def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+    docBands(spark, dir).select(col("doc_id"), col("Sh"))
+
   /** Drop and unpersist every memoized sketch table for `spark`. */
   def invalidateSketches(spark: SparkSession): Unit =
     bandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>

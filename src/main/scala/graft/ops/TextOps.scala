@@ -103,6 +103,132 @@ object TextOps {
         (col("Predicted") === col("lang")).as("IsMatch"))
       .orderBy(col("doc_id"))
 
+  /** Repetition-filter thresholds (Gopher-style): a doc is flagged when
+    * more than this fraction of its bigrams are duplicates, or any
+    * single token exceeds this fraction of all tokens. */
+  val MaxDupBigramFrac = 0.2
+  val MaxTopTokenFrac = 0.2
+
+  /** Gopher-style REPETITION quality filter: the duplicate-bigram
+    * fraction and the most-frequent-token share, the two cheapest
+    * signals that catch boilerplate / keyword-stuffed / looping text
+    * that plain length+stopword scoring misses.
+    *
+    * Scale shape: the bigram stats are one narrow HOF pass; the
+    * top-token count goes through explode → two-level hash agg on
+    * (doc_id, token) → doc_id — the distributed shape — rather than a
+    * per-doc O(tokens × distinct) nested HOF scan, which would blow up
+    * quadratically on book-length documents. Both halves join back on
+    * the uniform doc_id key. All fractions are IEEE divisions of exact
+    * integer counts, so the DuckDB oracle reproduces every comparison
+    * (thresholds included) bit-for-bit. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("Toks", expr(toksSql))
+    // NON-distinct bigrams — repetition is exactly what distinct erases.
+    val bigram = docs.select(col("doc_id"), col("Toks"))
+      .withColumn("Bigrams", expr(
+        """CASE WHEN size(Toks) >= 2 THEN transform(sequence(1, size(Toks) - 1),
+          |  i -> concat(element_at(Toks, i), ' ', element_at(Toks, i + 1)))
+          |ELSE cast(array() as array<string>) END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("Toks")).as("NTokens"),
+        size(col("Bigrams")).as("NBigrams"),
+        size(array_distinct(col("Bigrams"))).as("NDistinctBigrams"))
+    val topTok = docs.select(col("doc_id"), explode(col("Toks")).as("Tok"))
+      .groupBy(col("doc_id"), col("Tok")).agg(count(lit(1)).as("C"))
+      .groupBy(col("doc_id")).agg(max(col("C")).cast(IntegerType).as("TopTokenCount"))
+    bigram.join(topTok, "doc_id")
+      .withColumn("DupBigramFrac",
+        when(col("NBigrams") === 0, lit(0.0)).otherwise(
+          (col("NBigrams") - col("NDistinctBigrams")).cast(DoubleType) / col("NBigrams")))
+      .withColumn("TopTokenFrac",
+        col("TopTokenCount").cast(DoubleType) / col("NTokens"))
+      .withColumn("IsRepetitive",
+        col("DupBigramFrac") > MaxDupBigramFrac || col("TopTokenFrac") > MaxTopTokenFrac)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Terms surfaced per document by [[tfidf]]. */
+  val TfidfTopK = 3
+
+  /** TF-IDF top terms: corpus document frequency per token, each doc's
+    * top-[[TfidfTopK]] tokens by `tf · N / df` (the log-free rational
+    * idf — monotone in 1/df, and exact: an integer product over an
+    * integer divisor reproduces bit-for-bit in any IEEE engine, where
+    * `ln` would be at the mercy of each engine's libm).
+    *
+    * Scale shape: explode → partial-agg (doc_id, token) → token-keyed
+    * df agg → join back on token (uniform key; no token is in more
+    * docs than N) → per-doc top-k window on the (doc_id)-partitioned
+    * tf rows. The corpus size N rides along as a broadcast single-row
+    * crossJoin (the A13 grand-total pattern), never a driver action. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .repartition(col("doc_id")) // single-file input: spread the explode
+      .select(col("doc_id"), explode(expr(toksSql)).as("Token"))
+      .groupBy(col("doc_id"), col("Token"))
+      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+    val dfT = tf.groupBy(col("Token"))
+      .agg(count(lit(1)).cast(IntegerType).as("Df"))
+    val n = docs.agg(count(lit(1)).cast(IntegerType).as("NDocs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("Score").desc, col("Token").asc)
+    tf.join(dfT, "Token")
+      .crossJoin(broadcast(n))
+      .withColumn("Score",
+        (col("Tf") * col("NDocs")).cast(DoubleType) / col("Df"))
+      .withColumn("Rank", row_number().over(w))
+      .filter(col("Rank") <= TfidfTopK)
+      .select(col("doc_id"), col("Token"), col("Tf"), col("Df"),
+        col("Score"), col("Rank"))
+      .orderBy(col("doc_id"), col("Rank"))
+  }
+
+  /** Shared PII regexes — one definition drives both the Spark plan and
+    * the DuckDB oracle, and both dialects (java.util.regex, RE2) parse
+    * them identically. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII REDACTION: count and mask email / phone patterns. The
+    * synthetic corpus contains no organic PII (no digits or '@' at
+    * all), so the query PLANTS a deterministic contact line per doc —
+    * an email on ids ≢ 0 (mod 3), a phone on even ids — then runs the
+    * real redaction over it; the zero/one/two-hit mix exercises every
+    * branch. The operator itself ([[redactPii]]) is corpus-agnostic.
+    *
+    * Scale shape: one narrow codegen pass (regexp_count /
+    * regexp_replace), no shuffle; the output carries md5 + length of
+    * the redacted text rather than the text itself. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .withColumn("Planted", concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"), lpad(col("doc_id") % 10000, 4, "0")))
+          .otherwise("")))
+    redactPii(planted, col("Planted"))
+      .select(col("doc_id"), col("NEmails"), col("NPhones"),
+        md5(col("Redacted")).as("RedactedHash"),
+        length(col("Redacted")).as("NRedactedChars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The reusable redaction transform: counts then masks, emails before
+    * phones (the patterns are disjoint, so order only matters for
+    * documentation). */
+  def redactPii(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("NEmails", regexp_count(text, lit(EmailRe)))
+      .withColumn("NPhones", regexp_count(text, lit(PhoneRe)))
+      .withColumn("Redacted",
+        regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

@@ -302,6 +302,150 @@ ORDER BY doc_id
 """
   }
 
+  /** Salted md5-first-byte bucket of doc_id (mirrors
+    * CurateOps.hashBucket; DuckDB lacks base-16 conversion, so decode
+    * the two hex digits with the instr trick). */
+  private def bucketSql(salt: String): String = {
+    def hex(pos: Int) =
+      s"(instr('0123456789abcdef', substr(md5('$salt' || CAST(doc_id AS VARCHAR)), $pos, 1)) - 1)"
+    s"CAST(16 * ${hex(1)} + ${hex(2)} AS INTEGER)"
+  }
+
+  /** Train/eval n-gram decontamination mirror: same shingles, same
+    * md5 split, eval = test split, any shared shingle counts. */
+  val curateDecontaminate: String = {
+    import graft.ops.CurateOps.{ContaminationMinShingles, TrainUpper, ValUpper}
+    toksCte + s"""
+, sh AS (SELECT doc_id, $shExpr AS s FROM toks),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN ${bucketSql("")} < $TrainUpper THEN 'train'
+              WHEN ${bucketSql("")} < $ValUpper THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+ex AS (
+  SELECT sh.doc_id, spl.split, unnest(sh.s) AS shingle
+  FROM sh JOIN spl ON sh.doc_id = spl.doc_id
+),
+ev AS (SELECT DISTINCT shingle, doc_id AS eval_id FROM ex WHERE split = 'test'),
+hits AS (
+  SELECT t.doc_id,
+         CAST(count(DISTINCT ev.eval_id) AS INTEGER) AS ne,
+         CAST(count(DISTINCT t.shingle) AS INTEGER) AS ns
+  FROM ex t JOIN ev ON t.shingle = ev.shingle
+  WHERE t.split = 'train'
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id,
+       coalesce(ne, 0) AS "NEvalDocs",
+       coalesce(ns, 0) AS "NSharedShingles",
+       coalesce(ns, 0) >= $ContaminationMinShingles AS "IsContaminated"
+FROM spl s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.split = 'train'
+ORDER BY s.doc_id
+"""
+  }
+
+  /** Stratified-sampling mirror: salted bucket + the per-language
+    * threshold CASE built from the same SampleThresholds constants. */
+  val curateSampleStratified: String = {
+    import graft.ops.CurateOps.{SampleDefaultThreshold, SampleThresholds}
+    val caseExpr = SampleThresholds
+      .map { case (lang, t) => s"WHEN lang = '$lang' THEN $t" }
+      .mkString("CASE ", " ", s" ELSE $SampleDefaultThreshold END")
+    s"""
+WITH b AS (
+  SELECT doc_id, lang, ${bucketSql("sample|")} AS "SampleBucket"
+  FROM documents
+)
+SELECT doc_id, lang, "SampleBucket",
+       "SampleBucket" < ($caseExpr) AS "IsSampled"
+FROM b ORDER BY doc_id
+"""
+  }
+
+  /** Repetition-filter mirror: non-distinct bigram list comprehension
+    * + unnest/group max token count; thresholds from TextOps. */
+  val textRepetition: String = toksCte + s"""
+, bs AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS "NTokens",
+         CAST(len(bgs) AS INTEGER) AS "NBigrams",
+         CAST(len(list_distinct(bgs)) AS INTEGER) AS "NDistinctBigrams"
+  FROM (SELECT doc_id, t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bgs FROM toks)
+),
+tt AS (
+  SELECT doc_id, CAST(max(c) AS INTEGER) AS "TopTokenCount"
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+f AS (
+  SELECT bs.doc_id, "NTokens", "NBigrams", "NDistinctBigrams", "TopTokenCount",
+         CASE WHEN "NBigrams" = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST("NBigrams" - "NDistinctBigrams" AS DOUBLE) / "NBigrams" END AS "DupBigramFrac",
+         CAST("TopTokenCount" AS DOUBLE) / "NTokens" AS "TopTokenFrac"
+  FROM bs JOIN tt ON bs.doc_id = tt.doc_id
+)
+SELECT *,
+       ("DupBigramFrac" > ${TextOps.MaxDupBigramFrac}
+        OR "TopTokenFrac" > ${TextOps.MaxTopTokenFrac}) AS "IsRepetitive"
+FROM f ORDER BY doc_id
+"""
+
+  /** TF-IDF mirror: tf per (doc, token), df per token, rational
+    * `tf·N/df` score (log-free — bit-exact in any IEEE engine),
+    * row_number top-k with the same (score desc, token asc) order. */
+  val textTfidf: String = toksCte + s"""
+, ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS INTEGER) AS tfc FROM ex GROUP BY doc_id, tok),
+dft AS (SELECT tok, CAST(count(*) AS INTEGER) AS dfc FROM tf GROUP BY tok),
+nd AS (SELECT CAST(count(*) AS INTEGER) AS ndocs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, tfc, dfc,
+         CAST(tfc * ndocs AS DOUBLE) / dfc AS score
+  FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN nd
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS INTEGER) AS rn
+  FROM s
+)
+SELECT doc_id, tok AS "Token", tfc AS "Tf", dfc AS "Df", score AS "Score", rn AS "Rank"
+FROM r WHERE rn <= ${TextOps.TfidfTopK}
+ORDER BY doc_id, rn
+"""
+
+  /** PII-redaction mirror: identical planted contact line, identical
+    * regexes (shared constants — both dialects parse them the same),
+    * 'g' flag to match Spark's replace-all. */
+  val textPiiRedact: String = s"""
+WITH p AS (
+  SELECT doc_id,
+         text ||
+         (CASE WHEN doc_id % 3 <> 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 2 = 0
+               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END) AS planted
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(planted, '${TextOps.EmailRe}')) AS INTEGER) AS "NEmails",
+         CAST(len(regexp_extract_all(planted, '${TextOps.PhoneRe}')) AS INTEGER) AS "NPhones",
+         regexp_replace(regexp_replace(planted, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+                        '${TextOps.PhoneRe}', '<PHONE>', 'g') AS red
+  FROM p
+)
+SELECT doc_id, "NEmails", "NPhones",
+       md5(red) AS "RedactedHash",
+       CAST(length(red) AS INTEGER) AS "NRedactedChars"
+FROM r ORDER BY doc_id
+"""
+
   // ---------- similarity ----------
 
   private val quantCte: String = """

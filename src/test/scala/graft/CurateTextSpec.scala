@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CurateOps, TextOps}
+
+/** Invariant + planted-fixture tests for the round-5 curation/text
+  * extensions: decontamination, stratified sampling, repetition
+  * filter, TF-IDF, PII redaction. (Exact-value parity vs DuckDB is
+  * covered by the Verify/compare harness.) */
+class CurateTextSpec extends SparkSpec {
+
+  /** The Scala-side twin of CurateOps.hashBucket, for picking fixture
+    * ids that land in a wanted split deterministically. */
+  private def bucket(id: Long, salt: String = ""): Int =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + id.toString).getBytes("UTF-8"))(0) & 0xff
+
+  private def split(id: Long): String = {
+    val b = bucket(id)
+    if (b < CurateOps.TrainUpper) "train"
+    else if (b < CurateOps.ValUpper) "val"
+    else "test"
+  }
+
+  /** Write a documents.parquet fixture into a temp dir Tables can read. */
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.map { case (id, text, lang) => (id, text, lang, "fix", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("decontaminate: planted eval overlap is flagged, disjoint train docs are not") {
+    val evalId = (0L to 2000L).find(split(_) == "test").get
+    val trainIds = (0L to 2000L).filter(split(_) == "train")
+    val (dirty, clean, partial) = (trainIds(0), trainIds(1), trainIds(2))
+    val dir = docsFixture(Seq(
+      (evalId, "alpha beta gamma delta", "en"),
+      // shares the full shingle set with the eval doc
+      (dirty, "alpha beta gamma delta", "en"),
+      // shares exactly ONE trigram ("alpha beta gamma")
+      (partial, "zig zag alpha beta gamma", "en"),
+      (clean, "totally different words here now", "en")))
+    val got = CurateOps.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles"),
+          r.getAs[Boolean]("IsContaminated")))).toMap
+    assert(got.keySet === Set(dirty, clean, partial), "output must be exactly the train split")
+    assert(got(dirty) === ((1, 2, true)))
+    assert(got(partial) === ((1, 1, true)))
+    assert(got(clean) === ((0, 0, false)))
+  }
+
+  test("decontaminate: covers every train doc exactly once on the real corpus") {
+    val rows = CurateOps.decontaminate(spark, sfDir).collect()
+    val trainIds = CurateOps.splitAssign(spark, sfDir)
+      .filter(col("Split") === "train").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === trainIds)
+    assert(rows.length === trainIds.size)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("IsContaminated") ===
+        (r.getAs[Int]("NSharedShingles") >= CurateOps.ContaminationMinShingles))
+      assert((r.getAs[Int]("NEvalDocs") > 0) === (r.getAs[Int]("NSharedShingles") > 0))
+    }
+  }
+
+  test("sample_stratified: minority languages all kept, en near its threshold fraction, stable") {
+    val rows = CurateOps.sampleStratified(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val thresholds = CurateOps.SampleThresholds.toMap
+    rows.foreach { r =>
+      val t = thresholds.getOrElse(r.getAs[String]("lang"), CurateOps.SampleDefaultThreshold)
+      assert(r.getAs[Boolean]("IsSampled") === (r.getAs[Int]("SampleBucket") < t))
+      assert(r.getAs[Int]("SampleBucket") === bucket(r.getAs[Long]("doc_id"), "sample|"))
+    }
+    val en = rows.filter(_.getAs[String]("lang") == "en")
+    val enKept = en.count(_.getAs[Boolean]("IsSampled")).toDouble / en.length
+    val want = thresholds("en") / 256.0
+    assert(math.abs(enKept - want) < 0.15, s"en kept $enKept, want ~$want")
+    val minority = rows.filter(r => !thresholds.contains(r.getAs[String]("lang")))
+    assert(minority.nonEmpty && minority.forall(_.getAs[Boolean]("IsSampled")))
+  }
+
+  test("repetition: hand-computed fixture values, corpus flags are consistent") {
+    val dir = docsFixture(Seq(
+      (1L, "a a a b", "en"),       // bigrams: "a a","a a","a b" -> dup 1/3; top tok 3/4
+      (2L, "w x y z", "en"),       // no dup bigrams; top 1/4
+      (3L, "solo", "en")))         // 1 token: zero bigrams -> frac 0.0
+    val got = TextOps.repetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Int]("NBigrams") === 3)
+    assert(got(1L).getAs[Int]("NDistinctBigrams") === 2)
+    assert(math.abs(got(1L).getAs[Double]("DupBigramFrac") - 1.0 / 3) < 1e-15)
+    assert(got(1L).getAs[Int]("TopTokenCount") === 3)
+    assert(got(1L).getAs[Boolean]("IsRepetitive"))
+    assert(got(2L).getAs[Double]("DupBigramFrac") === 0.0)
+    assert(got(2L).getAs[Boolean]("IsRepetitive") === (0.25 > TextOps.MaxTopTokenFrac))
+    assert(got(3L).getAs[Int]("NBigrams") === 0)
+    assert(got(3L).getAs[Double]("DupBigramFrac") === 0.0)
+    val corpus = TextOps.repetition(spark, sfDir).collect()
+    assert(corpus.length === 500)
+    corpus.foreach { r =>
+      assert(r.getAs[Boolean]("IsRepetitive") ===
+        (r.getAs[Double]("DupBigramFrac") > TextOps.MaxDupBigramFrac ||
+          r.getAs[Double]("TopTokenFrac") > TextOps.MaxTopTokenFrac))
+    }
+  }
+
+  test("tfidf: per-doc top-k, scores non-increasing, df/tf recomputable on a fixture") {
+    val dir = docsFixture(Seq(
+      (1L, "apple apple banana", "en"),
+      (2L, "banana cherry", "en"),
+      (3L, "cherry cherry cherry durian", "en")))
+    val rows = TextOps.tfidf(spark, dir).collect()
+    // df: apple 1, banana 2, cherry 2, durian 1; N = 3
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(1L).map(r => (r.getAs[String]("Token"), r.getAs[Int]("Tf"),
+      r.getAs[Int]("Df"))).toSet === Set(("apple", 2, 1), ("banana", 1, 2)))
+    // doc 1: apple 2*3/1=6 > banana 1*3/2=1.5
+    val d1 = byDoc(1L).sortBy(_.getAs[Int]("Rank"))
+    assert(d1.map(_.getAs[String]("Token")).toSeq === Seq("apple", "banana"))
+    assert(d1.map(_.getAs[Double]("Score")).toSeq === Seq(6.0, 1.5))
+    byDoc.values.foreach { rs =>
+      assert(rs.length <= TextOps.TfidfTopK)
+      val byRank = rs.sortBy(_.getAs[Int]("Rank"))
+      assert(byRank.map(_.getAs[Int]("Rank")).toSeq === (1 to rs.length))
+      val scores = byRank.map(_.getAs[Double]("Score")).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+    // corpus sanity: every doc surfaces exactly k terms (docs are >= k tokens)
+    val corpus = TextOps.tfidf(spark, sfDir)
+    assert(corpus.groupBy("doc_id").count()
+      .filter(col("count") =!= TextOps.TfidfTopK).count() === 0L)
+  }
+
+  test("pii_redact: planted emails/phones are counted and masked, clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith@corp.example.org or call +1-555-0199 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io and c.d@e-f.net plus +1-555-1234 +1-555-9876"))
+      .toDF("doc_id", "text")
+    val got = TextOps.redactPii(df, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("NEmails"), r.getAs[Int]("NPhones"), r.getAs[String]("Redacted")))).toMap
+    assert(got(1L)._1 === 1 && got(1L)._2 === 1)
+    assert(got(1L)._3 === "write to <EMAIL> or call <PHONE> today")
+    assert(got(2L) === ((0, 0, "no pii here at all")))
+    assert(got(3L)._1 === 2 && got(3L)._2 === 2)
+    assert(!got(3L)._3.contains("@") && !got(3L)._3.contains("555"))
+    // the named query plants one email on ids !% 3 and one phone on even ids
+    val q = TextOps.piiRedact(spark, sfDir).collect()
+    q.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("NEmails") === (if (id % 3 != 0) 1 else 0))
+      assert(r.getAs[Int]("NPhones") === (if (id % 2 == 0) 1 else 0))
+    }
+  }
+}
