@@ -46,6 +46,14 @@ object CurateOps {
           .otherwise("test"))
       .orderBy(col("doc_id"))
 
+  /** The split label as a pure column function of the id — the single
+    * definition behind [[splitAssign]], [[decontaminate]], and the
+    * streaming twin (graft.streaming.DocsStream). */
+  def splitOf(id: Column): Column = {
+    val b = hashBucket(id, "")
+    when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test")
+  }
+
   /** The split column alone (no presentation sort) — shared by
     * [[splitAssign]]'s consumers below. */
   private def docSplits(spark: SparkSession, dir: String): DataFrame =
@@ -80,19 +88,22 @@ object CurateOps {
     * stays correct, just less lopsided.) Output is every train doc
     * with its contamination evidence, zero-filled via left join.
     */
+  /** The held-out eval (test-split) shingle set — the static side of
+    * both the batch decontamination join and its streaming twin. */
+  def evalShingles(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.sharedShingles(spark, dir)
+      .filter(splitOf(col("doc_id")) === "test")
+      .select(explode(col("Sh")).as("Shingle"), col("doc_id").as("EvalId"))
+      .distinct()
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     // Reuse the dedup family's memoized+cached shingle table (one md5
     // pass over the corpus, shared session-wide) instead of
     // re-shingling here; Split recomputes from doc_id alone (cheap).
     val sh = DedupOps.sharedShingles(spark, dir)
-      .withColumn("Bucket", hashBucket(col("doc_id"), ""))
-      .withColumn("Split",
-        when(col("Bucket") < TrainUpper, "train")
-          .when(col("Bucket") < ValUpper, "val")
-          .otherwise("test"))
+      .withColumn("Split", splitOf(col("doc_id")))
       .select(col("doc_id"), col("Split"), explode(col("Sh")).as("Shingle"))
-    val evalSh = sh.filter(col("Split") === "test")
-      .select(col("Shingle"), col("doc_id").as("EvalId")).distinct()
+    val evalSh = evalShingles(spark, dir)
     val hits = sh.filter(col("Split") === "train")
       .join(broadcast(evalSh), "Shingle")
       .groupBy(col("doc_id"))

@@ -158,11 +158,18 @@ object TextOps {
     * integer divisor reproduces bit-for-bit in any IEEE engine, where
     * `ln` would be at the mercy of each engine's libm).
     *
-    * Scale shape: explode → partial-agg (doc_id, token) → token-keyed
-    * df agg → join back on token (uniform key; no token is in more
-    * docs than N) → per-doc top-k window on the (doc_id)-partitioned
-    * tf rows. The corpus size N rides along as a broadcast single-row
-    * crossJoin (the A13 grand-total pattern), never a driver action. */
+    * Scale shape: ONE explode → partial-agg on (doc_id, token); the
+    * per-token df then comes from a `count(*) over (partition by
+    * Token)` window on those tf rows — each row is a distinct
+    * (doc, token) pair, so the partition count IS the document
+    * frequency. A separate `tf.groupBy(Token)` df table would read
+    * cleaner but plans as a second full explode+agg of the corpus
+    * (DataFrame diamonds don't share subplans); the window keeps the
+    * heavy pass single. The per-doc top-k rank then executes as
+    * WindowGroupLimit (plan-asserted in PlanSpec), never a full sort
+    * of all token rows. The corpus size N rides along as a broadcast
+    * single-row crossJoin (the A13 grand-total pattern), never a
+    * driver action. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
@@ -171,12 +178,11 @@ object TextOps {
       .select(col("doc_id"), explode(expr(toksSql)).as("Token"))
       .groupBy(col("doc_id"), col("Token"))
       .agg(count(lit(1)).cast(IntegerType).as("Tf"))
-    val dfT = tf.groupBy(col("Token"))
-      .agg(count(lit(1)).cast(IntegerType).as("Df"))
     val n = docs.agg(count(lit(1)).cast(IntegerType).as("NDocs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("Score").desc, col("Token").asc)
-    tf.join(dfT, "Token")
+    tf.withColumn("Df",
+        count(lit(1)).over(Window.partitionBy(col("Token"))).cast(IntegerType))
       .crossJoin(broadcast(n))
       .withColumn("Score",
         (col("Tf") * col("NDocs")).cast(DoubleType) / col("Df"))

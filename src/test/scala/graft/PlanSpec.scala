@@ -97,6 +97,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tfidf explodes the corpus once and ranks via WindowGroupLimit") {
+    val df = graft.ops.TextOps.tfidf(spark, sfDir)
+    val p = plan(df)
+    // the df-per-token window (not a second groupBy branch) keeps the
+    // heavy explode pass single
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"corpus exploded more than once:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+    // the only nested-loop join is the broadcast single-row N
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("decontaminate broadcasts the eval shingle set and reuses the dedup sketch cache") {
+    graft.ops.DedupOps.sharedShingles(spark, sfDir) // ensure the cache is registered
+    val df = graft.ops.CurateOps.decontaminate(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"shingle cache not reused:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape:\n$p")
+  }
+
   test("summaries read the shared cleaned cache, not a join replay") {
     Transactions.cleaned(spark, sfDir) // ensure the cache is registered
     val p = plan(Summaries.countrySummary(Transactions.cleaned(spark, sfDir)))

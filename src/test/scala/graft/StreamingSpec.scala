@@ -224,6 +224,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
+  test("stream-static decontamination join matches batch curate_decontaminate") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.DocsStream
+    // documents arrive as a stream; the eval shingle set stays static
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val evalSh = graft.ops.CurateOps.evalShingles(spark, sfDir)
+    val q = DocsStream.decontaminateStream(
+      spark, DocsStream.readDocsStream(spark, streamDir.toString), evalSh)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("docs_decontam_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("docs_decontam_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles")))).toMap
+    val batch = graft.ops.CurateOps.decontaminate(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles"),
+          r.getAs[Boolean]("IsContaminated")))).toMap
+    // the stream emits exactly the contaminated train docs (inner join);
+    // the batch zero-fills the clean ones
+    assert(streamed.keySet === batch.collect { case (id, (_, _, true)) => id }.toSet)
+    assert(streamed.nonEmpty, "no contaminated docs — the equivalence is vacuous")
+    streamed.foreach { case (id, (ne, ns)) =>
+      assert(batch(id)._1 === ne, s"doc $id NEvalDocs: stream=$ne batch=${batch(id)._1}")
+      assert(batch(id)._2 === ns, s"doc $id NSharedShingles: stream=$ns batch=${batch(id)._2}")
+    }
+  }
+
   test("mapGroupsWithState latest-per-user matches batch events_dedup_latest") {
     import spark.implicits._
     implicit val s = spark
