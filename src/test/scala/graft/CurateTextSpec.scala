@@ -136,6 +136,15 @@ class CurateTextSpec extends SparkSpec {
       .filter(col("count") =!= TextOps.TfidfTopK).count() === 0L)
   }
 
+  test("curation/text family is total on an empty corpus (no crash, zero rows)") {
+    val dir = docsFixture(Seq.empty)
+    assert(CurateOps.decontaminate(spark, dir).count() === 0L)
+    assert(CurateOps.sampleStratified(spark, dir).count() === 0L)
+    assert(TextOps.repetition(spark, dir).count() === 0L)
+    assert(TextOps.tfidf(spark, dir).count() === 0L)
+    assert(TextOps.piiRedact(spark, dir).count() === 0L)
+  }
+
   test("pii_redact: planted emails/phones are counted and masked, clean text untouched") {
     import spark.implicits._
     val df = Seq(
