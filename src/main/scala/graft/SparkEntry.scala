@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
     "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
     "dedup_components" -> (DedupOps.components _),
+    "dedup_incremental" -> (DedupOps.incremental _),
     // ---- corpus curation (split assignment + composite filter) ----
     "curate_split_assign" -> (CurateOps.splitAssign _),
     "curate_corpus" -> (CurateOps.curate _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
     "dedup_components" -> ExtSql.dedupComponents,
+    "dedup_incremental" -> ExtSql.dedupIncremental,
     "curate_split_assign" -> ExtSql.curateSplitAssign,
     "curate_corpus" -> ExtSql.curateCorpus,
     "curate_decontaminate" -> ExtSql.curateDecontaminate,

@@ -107,18 +107,24 @@ object DedupOps {
 
   /** The verified near-dup pair set (D1 < D2), unordered — shared by
     * the presentation query above and the clustering stage below. */
-  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    // One sketch pass (memoized cache in docBands): the band self-join
-    // and both shingle lookups reuse it instead of recomputing 8
-    // MinHash functions per reference (3× the dominant cost otherwise).
-    val bands = docBands(spark, dir)
-    val exploded = bands.select(col("doc_id"),
+  /** (doc_id, band_id, band_val) rows of the cached sketch table —
+    * the LSH bucket listing both self-join dedup and incremental
+    * (new-vs-corpus) dedup join on. */
+  private def explodedBands(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id"),
       explode(expr(
         "array(named_struct('band_id', 1, 'band_val', B1)," +
           " named_struct('band_id', 2, 'band_val', B2)," +
           " named_struct('band_id', 3, 'band_val', B3)," +
           " named_struct('band_id', 4, 'band_val', B4))")).as("b"))
       .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
+
+  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    // One sketch pass (memoized cache in docBands): the band self-join
+    // and both shingle lookups reuse it instead of recomputing 8
+    // MinHash functions per reference (3× the dominant cost otherwise).
+    val bands = docBands(spark, dir)
+    val exploded = explodedBands(bands)
 
     val a = exploded.select(col("doc_id").as("D1"), col("band_id"), col("band_val"))
     val b = exploded.select(col("doc_id").as("D2"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
@@ -137,6 +143,48 @@ object DedupOps {
       .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
       .filter(col("Jaccard") >= 0.5)
       .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
+  }
+
+  /** Arrival split for [[incremental]]: ids ≡ [[NewArrivalRemainder]]
+    * (mod [[NewArrivalMod]]) play the "newly ingested batch"; the rest
+    * are the already-indexed corpus. */
+  val NewArrivalMod = 10
+  val NewArrivalRemainder = 9
+
+  /** INCREMENTAL dedup — the ingestion-time shape: a new batch of
+    * documents is checked against the EXISTING corpus without
+    * re-pairing the corpus with itself. New-side band rows join
+    * corpus-side band rows on (band_id, band_val); only those
+    * candidates get the exact shingle-Jaccard verify. Cost per batch:
+    * sketch the batch (narrow) + a band join whose corpus side is,
+    * in production, a band INDEX written once and bucketed on
+    * band_val (the BucketSpec/IVF write-once pattern — here both
+    * sides come from the session's cached sketch table, which is the
+    * same join shape minus the disk seam). Corpus-vs-corpus pairs
+    * never form, so a batch of b docs costs O(b · bucket occupancy),
+    * not O((corpus + b)²) — re-running the full self-join per batch
+    * is the thing this operator exists to avoid. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = docBands(spark, dir)
+    val isNew = col("doc_id") % NewArrivalMod === NewArrivalRemainder
+    val exploded = explodedBands(bands)
+    val newSide = exploded.filter(isNew)
+      .select(col("doc_id").as("NewId"), col("band_id"), col("band_val"))
+    val corpusSide = exploded.filter(!isNew)
+      .select(col("doc_id").as("CorpusId"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
+    val cand = newSide.join(corpusSide,
+        col("band_id") === col("band_id2") && col("band_val") === col("band_val2"))
+      .select(col("NewId"), col("CorpusId")).distinct()
+    val sh = bands.select(col("doc_id"), col("Sh"))
+    cand
+      .join(sh.select(col("doc_id").as("NewId"), col("Sh").as("ShN")), "NewId")
+      .join(sh.select(col("doc_id").as("CorpusId"), col("Sh").as("ShC")), "CorpusId")
+      .withColumn("NInter", size(array_intersect(col("ShN"), col("ShC"))))
+      .withColumn("NUnion", size(col("ShN")) + size(col("ShC")) - col("NInter"))
+      .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
+      .filter(col("Jaccard") >= 0.5)
+      .select(col("NewId"), col("CorpusId"), col("NInter"), col("NUnion"), col("Jaccard"))
+      .orderBy(col("NewId"), col("CorpusId"))
   }
 
   /** Hard upper bound on label-propagation rounds — a runaway

@@ -188,6 +188,36 @@ FROM j WHERE CAST("NInter" AS DOUBLE) / "NUnion" >= 0.5
 ORDER BY "D1", "D2"
 """
 
+  /** Incremental (new-vs-corpus) dedup mirror: same band listing, the
+    * join constrained to new × corpus instead of the self-pairing. */
+  val dedupIncremental: String = {
+    import graft.ops.DedupOps.{NewArrivalMod, NewArrivalRemainder}
+    bandsCte + s"""
+, bl AS (
+  SELECT doc_id, 1 AS band_id, b1 AS band_val FROM bands
+  UNION ALL SELECT doc_id, 2, b2 FROM bands
+  UNION ALL SELECT doc_id, 3, b3 FROM bands
+  UNION ALL SELECT doc_id, 4, b4 FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
+  FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
+  WHERE a.doc_id % $NewArrivalMod = $NewArrivalRemainder
+    AND b.doc_id % $NewArrivalMod <> $NewArrivalRemainder
+),
+j AS (
+  SELECT c.nid, c.cid,
+         CAST(len(list_intersect(sa.s, sb.s)) AS INTEGER) AS ni,
+         CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS INTEGER) AS nu
+  FROM cand c JOIN sh sa ON c.nid = sa.doc_id JOIN sh sb ON c.cid = sb.doc_id
+)
+SELECT nid AS "NewId", cid AS "CorpusId", ni AS "NInter", nu AS "NUnion",
+       CAST(ni AS DOUBLE) / nu AS "Jaccard"
+FROM j WHERE CAST(ni AS DOUBLE) / nu >= 0.5
+ORDER BY nid, cid
+"""
+  }
+
   /** Connected components over the verified near-dup pairs: a TRUE
     * transitive closure (recursive CTE), independent of the Spark
     * side's bounded label propagation — under-iteration there would

@@ -66,6 +66,26 @@ class OpsSpec extends SparkSpec {
     assert(labels.size === 18)
   }
 
+  test("dedup: incremental new-vs-corpus equals the straddling subset of the full self-join") {
+    val rows = DedupOps.incremental(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no straddling near-dups at this SF — test is vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("NewId") % DedupOps.NewArrivalMod === DedupOps.NewArrivalRemainder.toLong)
+      assert(r.getAs[Long]("CorpusId") % DedupOps.NewArrivalMod !== DedupOps.NewArrivalRemainder.toLong)
+      assert(r.getAs[Double]("Jaccard") >= 0.5)
+    }
+    // same bands + same verify ⇒ the incremental matches are EXACTLY
+    // the full self-join's pairs that straddle the arrival split
+    val got = rows.map(r => Set(r.getAs[Long]("NewId"), r.getAs[Long]("CorpusId"))).toSet
+    val want = DedupOps.neardupPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("D1"), r.getAs[Long]("D2")))
+      .filter { case (a, b) =>
+        (a % DedupOps.NewArrivalMod == DedupOps.NewArrivalRemainder) !=
+          (b % DedupOps.NewArrivalMod == DedupOps.NewArrivalRemainder) }
+      .map { case (a, b) => Set(a, b) }.toSet
+    assert(got === want)
+  }
+
   test("dedup: exact fingerprint gives CanonicalId <= doc_id and IsDup consistency") {
     val rows = DedupOps.exact(spark, sfDir).collect()
     assert(rows.length === 500)
