@@ -77,6 +77,7 @@ object SparkEntry {
     "curate_corpus" -> (CurateOps.curate _),
     "curate_decontaminate" -> (CurateOps.decontaminate _),
     "curate_sample_stratified" -> (CurateOps.sampleStratified _),
+    "curate_token_budget" -> (CurateOps.tokenBudget _),
     "dedup_simhash" -> (DedupOps.simhash _),
     // ---- text extensions: repetition filter, TF-IDF, PII redaction ----
     "text_repetition" -> (TextOps.repetition _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "curate_corpus" -> ExtSql.curateCorpus,
     "curate_decontaminate" -> ExtSql.curateDecontaminate,
     "curate_sample_stratified" -> ExtSql.curateSampleStratified,
+    "curate_token_budget" -> ExtSql.curateTokenBudget,
     "dedup_simhash" -> ExtSql.dedupSimhash,
     "text_repetition" -> ExtSql.textRepetition,
     "text_tfidf" -> ExtSql.textTfidf,

@@ -148,6 +148,43 @@ object CurateOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget for [[tokenBudget]] — roughly half the synthetic
+    * corpus, so the greedy prefix is a non-trivial subset at any SF. */
+  val TokenBudget = 12000L
+
+  /** TOKEN-BUDGET PACKING — the training-mix construction step: fill a
+    * fixed token budget with the highest-quality documents. Greedy by
+    * (QualityScore desc, doc_id) total order, keep every document
+    * whose running token total still fits.
+    *
+    * Scale shape: the window runs over (doc_id, NTokens, QualityScore)
+    * triples — post-scoring narrow rows, the same class as the
+    * customer ntile. At extreme corpus cardinality the global ordered
+    * cumsum becomes the bottleneck; the fallback is the
+    * customerSegmentsApprox pattern applied to quality: a quality
+    * histogram (binned counts + token sums, fully parallel) picks the
+    * threshold bucket whose cumulative tokens cross the budget, all
+    * docs above the threshold are taken wholesale, and only the
+    * boundary bucket needs the exact ordered scan. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExpressions.register(spark)
+    val scored = Tables.documents(spark, dir)
+      .withColumn("TS", expr("token_stats(text)"))
+      .select(col("doc_id"),
+        col("TS.NTokens").as("NTokens"),
+        col("TS.StopCount").as("StopCount"))
+      .withColumn("QualityScore",
+        TextOps.qualityScoreCol(col("NTokens"), col("StopCount")))
+    val w = Window.orderBy(col("QualityScore").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("CumTokens", sum(col("NTokens").cast(LongType)).over(w))
+      .filter(col("CumTokens") <= TokenBudget)
+      .select(col("doc_id"), col("NTokens"), col("QualityScore"), col("CumTokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum quality score for [[curate]] — ≈ the corpus median
     * (scores on the synthetic docs range 0.04–0.48; length-capped at
     * NTokens/200 with docs of 10–99 tokens). */

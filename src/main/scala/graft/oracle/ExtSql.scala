@@ -332,6 +332,32 @@ ORDER BY doc_id
 """
   }
 
+  /** Token-budget packing mirror: identical quality formula
+    * (textQuality expressions) and (score desc, doc_id) total order,
+    * running token sum capped at the shared budget. */
+  val curateTokenBudget: String = toksCte + s"""
+, q AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS ntok,
+         CAST(len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)}))) AS INTEGER) AS stopc
+  FROM toks
+),
+s AS (
+  SELECT doc_id, ntok,
+         least(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / 200.0)
+           * (CAST(1.0 AS DOUBLE) - CAST(stopc AS DOUBLE) / ntok) AS qs
+  FROM q
+),
+c AS (
+  SELECT doc_id, ntok, qs,
+         CAST(sum(ntok) OVER (ORDER BY qs DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM s
+)
+SELECT doc_id, ntok AS "NTokens", qs AS "QualityScore", cum AS "CumTokens"
+FROM c WHERE cum <= ${graft.ops.CurateOps.TokenBudget}
+ORDER BY doc_id
+"""
+
   /** Salted md5-first-byte bucket of doc_id (mirrors
     * CurateOps.hashBucket; DuckDB lacks base-16 conversion, so decode
     * the two hex digits with the instr trick). */

@@ -136,6 +136,20 @@ class CurateTextSpec extends SparkSpec {
       .filter(col("count") =!= TextOps.TfidfTopK).count() === 0L)
   }
 
+  test("token_budget: selection is exactly the greedy quality-ordered prefix under the budget") {
+    val sel = CurateOps.tokenBudget(spark, sfDir).collect()
+    assert(sel.nonEmpty && sel.length < 500, s"trivial selection: ${sel.length}")
+    sel.foreach(r => assert(r.getAs[Long]("CumTokens") <= CurateOps.TokenBudget))
+    // driver recomputation of the greedy prefix from the quality query
+    val all = TextOps.quality(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("NTokens"), r.getAs[Double]("QualityScore")))
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val want = all.takeWhile { case (_, n, _) => { cum += n; cum <= CurateOps.TokenBudget } }
+      .map(_._1).toSet
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet === want)
+  }
+
   test("curation/text family is total on an empty corpus (no crash, zero rows)") {
     val dir = docsFixture(Seq.empty)
     assert(CurateOps.decontaminate(spark, dir).count() === 0L)
