@@ -76,11 +76,21 @@ object DedupOps {
   def sharedShingles(spark: SparkSession, dir: String): DataFrame =
     docBands(spark, dir).select(col("doc_id"), col("Sh"))
 
-  /** Drop and unpersist every memoized sketch table for `spark`. */
-  def invalidateSketches(spark: SparkSession): Unit =
+  /** Drop and unpersist every memoized sketch table for `spark`, AND
+    * drop its persisted band-index tables (a stale on-disk index
+    * against a refreshed corpus would silently return mixed-version
+    * matches — the managed-table DROP removes the files too). */
+  def invalidateSketches(spark: SparkSession): Unit = {
     bandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       bandsMemo.remove(k).foreach(_.unpersist(false))
     }
+    bandIndexMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      bandIndexMemo.remove(k).foreach { name =>
+        spark.sql(s"DROP TABLE IF EXISTS $name") // managed: removes files too
+        deleteRecursively(bandIndexLocation(spark, name)) // external re-registration: files survive DROP
+      }
+    }
+  }
 
   /** Exact dedup via order-insensitive content fingerprint: canonical
     * id = min doc_id per fingerprint group. */
@@ -167,13 +177,14 @@ object DedupOps {
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val bands = docBands(spark, dir)
     val isNew = col("doc_id") % NewArrivalMod === NewArrivalRemainder
-    val exploded = explodedBands(bands)
-    val newSide = exploded.filter(isNew)
+    val newSide = explodedBands(bands.filter(isNew))
       .select(col("doc_id").as("NewId"), col("band_id"), col("band_val"))
-    val corpusSide = exploded.filter(!isNew)
-      .select(col("doc_id").as("CorpusId"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
-    val cand = newSide.join(corpusSide,
-        col("band_id") === col("band_id2") && col("band_val") === col("band_val2"))
+    // the corpus side is the PERSISTED bucketed index (build-if-absent)
+    // — joined on exactly its bucket keys, so it contributes no
+    // exchange; only the arriving batch shuffles (BandIndexSpec)
+    val corpusSide = spark.table(bandIndexTable(spark, dir))
+    val cand = newSide
+      .join(corpusSide, Seq("band_id", "band_val"))
       .select(col("NewId"), col("CorpusId")).distinct()
     val sh = bands.select(col("doc_id"), col("Sh"))
     cand
@@ -185,6 +196,99 @@ object DedupOps {
       .filter(col("Jaccard") >= 0.5)
       .select(col("NewId"), col("CorpusId"), col("NInter"), col("NUnion"), col("Jaccard"))
       .orderBy(col("NewId"), col("CorpusId"))
+  }
+
+  /** The indexed-corpus side of incremental dedup as a static
+    * relation `(CorpusId, band_id, band_val, ShC)` — the session's
+    * cached sketch table. Consumed by the streaming twin
+    * (graft.streaming.DocsStream.incrementalDedupBatch) and as the
+    * build input of the PERSISTED index below. */
+  def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docBands(spark, dir)
+      .filter(!(col("doc_id") % NewArrivalMod === NewArrivalRemainder))
+    explodedBands(corpus)
+      .join(corpus.select(col("doc_id"), col("Sh")), "doc_id")
+      .select(col("doc_id").as("CorpusId"),
+        col("band_id"), col("band_val"), col("Sh").as("ShC"))
+  }
+
+  private val bandIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Buckets for the persisted band index. */
+  val BandIndexBuckets = 16
+
+  /** Catalog table name for (session, dir): readable slug + md5 of the
+    * raw dir (sanitization alone is lossy — same injectivity argument
+    * as the IVF index path). */
+  private def bandIndexName(dir: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val h = graft.functions.TextExpressions.md5Hex(dir).substring(0, 8)
+    s"graft_bands_${slug}_$h"
+  }
+
+  /** Where the warehouse puts (or put) the index table's files. */
+  private def bandIndexLocation(spark: SparkSession, name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  /** Build (or REBUILD) the persisted corpus band index: the
+    * `(CorpusId, band_id, band_val, ShC)` rows written ONCE as a
+    * catalog table `bucketBy(16, band_id, band_val)` + sorted within
+    * buckets. This is the write-once/probe-many half of ingestion-time
+    * dedup: every subsequent batch joins the index on exactly the
+    * bucket keys, so the CORPUS side is never re-shuffled — only the
+    * (small) arriving batch moves (plan-asserted in BandIndexSpec).
+    * Returns the table name. Pre-drops table AND location: the
+    * default in-memory catalog forgets tables across sessions while
+    * the warehouse directory persists, and `saveAsTable` refuses a
+    * dangling location. */
+  def buildBandIndex(spark: SparkSession, dir: String): String = {
+    val name = bandIndexName(dir)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    deleteRecursively(bandIndexLocation(spark, name))
+    corpusBandIndex(spark, dir)
+      .write.mode("overwrite")
+      .bucketBy(BandIndexBuckets, "band_id", "band_val")
+      .sortBy("band_id", "band_val")
+      .saveAsTable(name)
+    bandIndexMemo.put((spark, dir), name)
+    name
+  }
+
+  /** Build-if-absent: session memo → catalog table → files already on
+    * disk from a PREVIOUS session (re-registered as an external
+    * bucketed table — the in-memory catalog can't remember it, but the
+    * bucketed layout is still there and still valid) → build. Callers
+    * that mutate the corpus in place must [[invalidateSketches]],
+    * which drops table + files — a stale persisted index against a
+    * fresh corpus would return silently wrong matches (the same
+    * cache-ownership contract as the IVF index). */
+  def bandIndexTable(spark: SparkSession, dir: String): String = {
+    bandIndexMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(bandIndexMemo.remove)
+    bandIndexMemo.getOrElseUpdate((spark, dir), {
+      val name = bandIndexName(dir)
+      val loc = bandIndexLocation(spark, name)
+      if (spark.catalog.tableExists(name)) name
+      else if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+        spark.sql(
+          s"""CREATE TABLE $name (CorpusId BIGINT, band_id INT, band_val STRING, ShC ARRAY<STRING>)
+             |USING PARQUET
+             |CLUSTERED BY (band_id, band_val) SORTED BY (band_id, band_val)
+             |INTO $BandIndexBuckets BUCKETS
+             |LOCATION '${loc.toUri}'""".stripMargin)
+        name
+      } else buildBandIndex(spark, dir)
+    })
   }
 
   /** Hard upper bound on label-propagation rounds — a runaway

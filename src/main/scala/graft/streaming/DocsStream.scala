@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.etl.Tables
 import graft.ops.CurateOps
@@ -44,5 +44,52 @@ object DocsStream {
       .agg(
         size(collect_set(col("EvalId"))).cast(IntegerType).as("NEvalDocs"),
         size(collect_set(col("Shingle"))).cast(IntegerType).as("NSharedShingles"))
+  }
+
+  /** The per-batch kernel of streaming incremental dedup: sketch the
+    * arriving documents (same native MinHash-band expressions as
+    * batch), join their band rows against the indexed corpus's band
+    * listing, exact-Jaccard-verify the collisions. A pure batch
+    * function — [[runIncrementalDedup]] applies it per microbatch via
+    * `foreachBatch`, the standard pattern when an operator needs full
+    * batch semantics (here: candidate de-duplication when a pair
+    * collides on several bands) inside each trigger WITHOUT a state
+    * store. Nothing grows with stream history: every match depends
+    * only on the arriving doc and the static index.
+    *
+    * `corpusBands` is the static `(CorpusId, band_id, band_val, ShC)`
+    * relation — the session's cached sketch table here, the persisted
+    * band index at production scale. */
+  def incrementalDedupBatch(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val newSide = newDocs
+      .select(col("doc_id").as("NewId"), expr("token_shingles(text)").as("ShN"))
+      .withColumn("Bands", expr("minhash_bands(ShN)"))
+      .select(col("NewId"), col("ShN"),
+        posexplode(col("Bands")).as(Seq("BandIdx", "band_val")))
+      .select(col("NewId"), col("ShN"),
+        (col("BandIdx") + 1).as("band_id"), col("band_val"))
+    newSide
+      .join(corpusBands, Seq("band_id", "band_val"))
+      .select(col("NewId"), col("CorpusId"), col("ShN"), col("ShC"))
+      .dropDuplicates("NewId", "CorpusId") // batch semantics: intra-batch only
+      .withColumn("NInter", size(array_intersect(col("ShN"), col("ShC"))))
+      .withColumn("NUnion", size(col("ShN")) + size(col("ShC")) - col("NInter"))
+      .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
+      .filter(col("Jaccard") >= 0.5)
+      .select(col("NewId"), col("CorpusId"), col("NInter"), col("NUnion"), col("Jaccard"))
+  }
+
+  /** Drive [[incrementalDedupBatch]] over a document stream, invoking
+    * `sink` with each microbatch's verified matches (e.g. an upsert
+    * into the dup registry). Returns the started query. */
+  def runIncrementalDedup(spark: SparkSession, docs: DataFrame,
+                          corpusBands: DataFrame)
+                         (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.functions.ShingleExpressions.register(spark)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(incrementalDedupBatch(batch, corpusBands))
+      }
+      .start()
   }
 }

@@ -257,6 +257,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch incremental dedup over a two-file doc stream equals batch dedup_incremental") {
+    import graft.ops.DedupOps
+    import graft.streaming.DocsStream
+    // the new-arrival docs land as TWO files = two microbatches; the
+    // corpus band index stays static across both
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_incdedup")
+    graft.etl.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DedupOps.NewArrivalMod === DedupOps.NewArrivalRemainder)
+      .repartition(2).write.mode("overwrite").parquet(s"$streamDir/docs")
+    val corpus = DedupOps.corpusBandIndex(spark, sfDir)
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(graft.etl.Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/docs")
+    val q = DocsStream.runIncrementalDedup(spark, stream, corpus) { out =>
+      val rows = out.collect().map(r => (r.getAs[Long]("NewId"),
+        r.getAs[Long]("CorpusId"), r.getAs[Double]("Jaccard")))
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty microbatches")
+    val batch = DedupOps.incremental(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("NewId"), r.getAs[Long]("CorpusId"),
+        r.getAs[Double]("Jaccard"))).toSet
+    assert(buf.nonEmpty && buf.size === buf.toSet.size, "duplicate emissions across batches")
+    assert(buf.toSet === batch)
+  }
+
   test("mapGroupsWithState latest-per-user matches batch events_dedup_latest") {
     import spark.implicits._
     implicit val s = spark
