@@ -83,6 +83,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "text_tfidf" -> (TextOps.tfidf _),
     "text_pii_redact" -> (TextOps.piiRedact _),
+    "text_corpus_stats" -> (TextOps.corpusStats _),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "text_repetition" -> ExtSql.textRepetition,
     "text_tfidf" -> ExtSql.textTfidf,
     "text_pii_redact" -> ExtSql.textPiiRedact,
+    "text_corpus_stats" -> ExtSql.textCorpusStats,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,

@@ -235,6 +235,45 @@ object TextOps {
       .withColumn("Redacted",
         regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
 
+  /** CORPUS PROFILING — the dataset-card numbers: per-language doc
+    * counts, token totals, exact median doc length, mean quality, and
+    * corpus share. The numbers a data engineer checks before and after
+    * every curation change.
+    *
+    * Determinism rules (the Summaries playbook): the quality mean sums
+    * `floor(Q·1e9)` LONGS — exact and order-independent under any
+    * partitioning/AQE re-plan, where a raw double sum would drift with
+    * shuffle order and a double→decimal cast would hang on each
+    * engine's tie-rounding; `floor` of the identical IEEE double is
+    * unambiguous everywhere (quantization error ≤ 1e-9, documented).
+    * The median is Spark's exact `percentile` (the (n-1)·p + 1
+    * interpolation rule, identical to DuckDB's `quantile_cont`);
+    * shares are ratios of exact counts via the empty-frame window on
+    * the 5 POST-AGGREGATION rows (A13 grand-total pattern — never a
+    * second scan). One narrow token_stats pass + one hash agg on the
+    * low-cardinality lang key. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExpressions.register(spark)
+    val scored = Tables.documents(spark, dir)
+      .withColumn("TS", expr("token_stats(text)"))
+      .select(col("lang"),
+        col("TS.NTokens").as("NTokens"),
+        col("TS.StopCount").as("StopCount"))
+      .withColumn("Q", qualityScoreCol(col("NTokens"), col("StopCount")))
+    scored.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("NDocs"),
+        sum(col("NTokens").cast(LongType)).as("SumTokens"),
+        expr("percentile(NTokens, 0.5)").as("MedianTokens"),
+        (sum(floor(col("Q") * 1e9).cast(LongType)).cast(DoubleType)
+          / count(lit(1)) / 1e9).as("AvgQuality"))
+      .withColumn("ShareOfDocs",
+        col("NDocs").cast(DoubleType) /
+          sum(col("NDocs")).over(Window.partitionBy()))
+      .orderBy(col("lang"))
+  }
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

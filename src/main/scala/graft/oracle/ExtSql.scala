@@ -332,6 +332,36 @@ ORDER BY doc_id
 """
   }
 
+  /** Corpus-profiling mirror: floor-quantized quality sum (the
+    * engine-unambiguous exact mean), quantile_cont median (same
+    * interpolation rule as Spark's exact percentile), share via the
+    * grand total over the post-agg rows. */
+  val textCorpusStats: String = toksCte + s"""
+, sc AS (
+  SELECT lang,
+         CAST(len(t) AS INTEGER) AS ntok,
+         CAST(len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)}))) AS INTEGER) AS stopc
+  FROM toks
+),
+q AS (
+  SELECT lang, ntok,
+         least(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / 200.0)
+           * (CAST(1.0 AS DOUBLE) - CAST(stopc AS DOUBLE) / ntok) AS qs
+  FROM sc
+),
+g AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS "NDocs",
+         CAST(sum(ntok) AS BIGINT) AS "SumTokens",
+         CAST(quantile_cont(ntok, 0.5) AS DOUBLE) AS "MedianTokens",
+         CAST(sum(CAST(floor(qs * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS "AvgQuality"
+  FROM q GROUP BY lang
+)
+SELECT lang, "NDocs", "SumTokens", "MedianTokens", "AvgQuality",
+       CAST("NDocs" AS DOUBLE) / sum("NDocs") OVER () AS "ShareOfDocs"
+FROM g ORDER BY lang
+"""
+
   /** Token-budget packing mirror: identical quality formula
     * (textQuality expressions) and (score desc, doc_id) total order,
     * running token sum capped at the shared budget. */

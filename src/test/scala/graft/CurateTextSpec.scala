@@ -150,6 +150,30 @@ class CurateTextSpec extends SparkSpec {
     assert(sel.map(_.getAs[Long]("doc_id")).toSet === want)
   }
 
+  test("corpus_stats: totals cover the corpus, shares sum to 1, means recomputable") {
+    val rows = TextOps.corpusStats(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("NDocs")).sum === 500L)
+    val shareSum = rows.map(_.getAs[Double]("ShareOfDocs")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-12, s"shares sum to $shareSum")
+    // driver recomputation from the quality query + raw langs
+    val docs = graft.etl.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val quality = TextOps.quality(spark, sfDir).collect()
+      .map(r => (docs(r.getAs[Long]("doc_id")), r.getAs[Int]("NTokens"), r.getAs[Double]("QualityScore")))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val mine = quality.filter(_._1 == lang)
+      assert(r.getAs[Long]("NDocs") === mine.length.toLong)
+      assert(r.getAs[Long]("SumTokens") === mine.map(_._2.toLong).sum)
+      val want = mine.map(q => math.floor(q._3 * 1e9).toLong).sum.toDouble / mine.length / 1e9
+      assert(math.abs(r.getAs[Double]("AvgQuality") - want) < 1e-15)
+      val sorted = mine.map(_._2).sorted
+      assert(r.getAs[Double]("MedianTokens") >= sorted.head &&
+        r.getAs[Double]("MedianTokens") <= sorted.last)
+    }
+  }
+
   test("curation/text family is total on an empty corpus (no crash, zero rows)") {
     val dir = docsFixture(Seq.empty)
     assert(CurateOps.decontaminate(spark, dir).count() === 0L)
