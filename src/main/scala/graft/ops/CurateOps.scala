@@ -190,6 +190,66 @@ object CurateOps {
     * NTokens/200 with docs of 10–99 tokens). */
   val MinQuality = 0.25
 
+  /** THE END-TO-END CURATION PIPELINE — one call from raw documents to
+    * a training-ready corpus on disk, composing the individually
+    * oracle-verified stages (the LLM-data counterpart of the
+    * reference's `Pipeline.run`, ref: data/etl.py:380-413):
+    *
+    *   train split → decontaminate (drop eval-contaminated) →
+    *   stratified sample (language rebalance) → quality + repetition
+    *   filter → near-dup survivor → token-budget pack → parquet.
+    *
+    * Returns the per-stage funnel counts (row-count side stats, F14's
+    * shape) — the observability a production curation run ships with.
+    * Every predicate joins on the uniform doc_id key against the
+    * already-shaped stage outputs, so the composed plan stays a chain
+    * of narrow passes + keyed joins; the budget pack (a global window
+    * on post-filter narrow rows) runs LAST, on the smallest set.
+    *
+    * Thresholds are parameters — a production curation run is tuned to
+    * its corpus (the synthetic corpus's tiny vocabulary makes trigram
+    * eval overlap near-universal, so "any shared shingle" would gut
+    * it; a web corpus tolerates the strict default). */
+  def runCurationPipeline(spark: SparkSession, dir: String, outDir: String,
+                          minSharedShingles: Int = ContaminationMinShingles,
+                          minQuality: Double = MinQuality,
+                          budget: Long = TokenBudget): Seq[(String, Long)] = {
+    val train = splitAssign(spark, dir).filter(col("Split") === "train").select("doc_id")
+    val clean = train.join(
+      decontaminate(spark, dir)
+        .filter(col("NSharedShingles") < minSharedShingles).select("doc_id"), "doc_id")
+    val sampled = clean.join(
+      sampleStratified(spark, dir).filter(col("IsSampled")).select("doc_id"), "doc_id")
+    val quality = sampled
+      .join(TextOps.quality(spark, dir)
+        .filter(col("QualityScore") >= minQuality)
+        .select(col("doc_id"), col("NTokens"), col("QualityScore")), "doc_id")
+      .join(TextOps.repetition(spark, dir)
+        .filter(!col("IsRepetitive")).select("doc_id"), "doc_id")
+    val survivors = quality.join(
+      DedupOps.components(spark, dir).filter(col("IsSurvivor")).select("doc_id"), "doc_id")
+    // budget pack over the funnel output (not the raw corpus)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("QualityScore").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = survivors
+      .withColumn("CumTokens", sum(col("NTokens").cast(LongType)).over(w))
+      .filter(col("CumTokens") <= budget)
+    val out = packed
+      .join(Tables.documents(spark, dir).select("doc_id", "text", "lang"), "doc_id")
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("NTokens"), col("QualityScore"), col("CumTokens"))
+    out.write.mode("overwrite").parquet(s"$outDir/curated_corpus")
+    Seq(
+      "train" -> train.count(),
+      "decontaminated" -> clean.count(),
+      "sampled" -> sampled.count(),
+      "quality_filtered" -> quality.count(),
+      "dedup_survivors" -> survivors.count(),
+      "budget_packed" -> packed.count())
+  }
+
   /** End-to-end corpus curation — the composite an LLM data pipeline
     * actually ships: keep a document iff it (a) survives near-dup
     * clustering (DedupOps.components canonical survivor), (b) is

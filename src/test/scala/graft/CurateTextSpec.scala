@@ -174,6 +174,48 @@ class CurateTextSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: funnel monotone, output on disk passes every stage predicate") {
+    import org.apache.spark.sql.functions.col
+    val outDir = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    // corpus-tuned threshold: the synthetic vocab is tiny, so trigram
+    // eval overlap is near-universal (median 5 shared shingles/doc) —
+    // drop only the worst leakers
+    val minShared = 10
+    val funnel = CurateOps.runCurationPipeline(spark, sfDir, outDir,
+      minSharedShingles = minShared)
+    val counts = funnel.map(_._2)
+    assert(funnel.map(_._1) === Seq("train", "decontaminated", "sampled",
+      "quality_filtered", "dedup_survivors", "budget_packed"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: $funnel")
+    assert(counts.last > 0, s"pipeline produced an empty corpus: $funnel")
+    val out = spark.read.parquet(s"$outDir/curated_corpus")
+    assert(out.count() === counts.last)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // recheck every stage predicate against the independent queries
+    val train = CurateOps.splitAssign(spark, sfDir)
+      .filter(col("Split") === "train").collect().map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = CurateOps.decontaminate(spark, sfDir)
+      .filter(col("NSharedShingles") >= minShared).collect().map(_.getAs[Long]("doc_id")).toSet
+    val sampledOut = CurateOps.sampleStratified(spark, sfDir)
+      .filter(!col("IsSampled")).collect().map(_.getAs[Long]("doc_id")).toSet
+    val lowQ = TextOps.quality(spark, sfDir)
+      .filter(col("QualityScore") < CurateOps.MinQuality).collect().map(_.getAs[Long]("doc_id")).toSet
+    val repetitive = TextOps.repetition(spark, sfDir)
+      .filter(col("IsRepetitive")).collect().map(_.getAs[Long]("doc_id")).toSet
+    val dupes = graft.ops.DedupOps.components(spark, sfDir)
+      .filter(!col("IsSurvivor")).collect().map(_.getAs[Long]("doc_id")).toSet
+    ids.foreach { id =>
+      assert(train.contains(id), s"$id not train")
+      assert(!contaminated.contains(id), s"$id contaminated")
+      assert(!sampledOut.contains(id), s"$id sampled out")
+      assert(!lowQ.contains(id) && !repetitive.contains(id), s"$id fails quality")
+      assert(!dupes.contains(id), s"$id is a near-dup loser")
+    }
+    out.collect().foreach(r =>
+      assert(r.getAs[Long]("CumTokens") <= CurateOps.TokenBudget))
+  }
+
   test("curation/text family is total on an empty corpus (no crash, zero rows)") {
     val dir = docsFixture(Seq.empty)
     assert(CurateOps.decontaminate(spark, dir).count() === 0L)

@@ -93,4 +93,54 @@ class PropertySpec extends SparkSpec {
       assert(Summaries.sales(once).count() === once.count())
     }
   }
+
+  /** Random text fragments, some containing planted PII shapes. */
+  private val fragGen: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerStr.map(_.take(8)),
+    Gen.const("bob.smith+x@mail.example.com"),
+    Gen.const("+1-555-0142"),
+    Gen.const("a@b.io"),
+    Gen.const("plain words only"),
+    Gen.const("half@way")) // local-part@host with no dot-TLD: must NOT match
+
+  private def textSample(seed: Long): List[String] =
+    Gen.listOfN(60, Gen.listOfN(6, fragGen).map(_.mkString(" ")))
+      .apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: PII redaction is idempotent and leaves no matchable pattern behind") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.TextOps
+    (21L to 23L).foreach { seed =>
+      import spark.implicits._
+      val df = textSample(seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = TextOps.redactPii(df, col("text"))
+        .select(col("doc_id"), col("Redacted").as("text"))
+      val twice = TextOps.redactPii(once, col("text"))
+      twice.collect().foreach { r =>
+        // a second pass finds nothing: counts zero, text unchanged
+        assert(r.getAs[Int]("NEmails") === 0, s"seed=$seed: ${r.getAs[String]("text")}")
+        assert(r.getAs[Int]("NPhones") === 0)
+        assert(r.getAs[String]("Redacted") === r.getAs[String]("text"))
+      }
+    }
+  }
+
+  test("property: repetition fractions stay in [0,1] and flags follow the thresholds") {
+    import graft.ops.TextOps
+    (31L to 32L).foreach { seed =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-docs").toString
+      textSample(seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "gen", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      TextOps.repetition(spark, dir).collect().foreach { r =>
+        val (d, t) = (r.getAs[Double]("DupBigramFrac"), r.getAs[Double]("TopTokenFrac"))
+        assert(d >= 0.0 && d <= 1.0 && t > 0.0 && t <= 1.0, s"seed=$seed d=$d t=$t")
+        assert(r.getAs[Boolean]("IsRepetitive") ===
+          (d > TextOps.MaxDupBigramFrac || t > TextOps.MaxTopTokenFrac))
+      }
+    }
+  }
 }
