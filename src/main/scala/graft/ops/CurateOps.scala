@@ -40,29 +40,25 @@ object CurateOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"))
       .withColumn("Bucket", hashBucket(col("doc_id"), ""))
-      .withColumn("Split",
-        when(col("Bucket") < TrainUpper, "train")
-          .when(col("Bucket") < ValUpper, "val")
-          .otherwise("test"))
+      .withColumn("Split", splitFromBucket(col("Bucket")))
       .orderBy(col("doc_id"))
 
-  /** The split label as a pure column function of the id — the single
-    * definition behind [[splitAssign]], [[decontaminate]], and the
-    * streaming twin (graft.streaming.DocsStream). */
-  def splitOf(id: Column): Column = {
-    val b = hashBucket(id, "")
+  /** Bucket → split label: THE single threshold definition (every
+    * other form below derives from it — a threshold edit cannot
+    * desynchronize the stages). */
+  private def splitFromBucket(b: Column): Column =
     when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test")
-  }
+
+  /** The split label as a pure column function of the id — used by
+    * [[decontaminate]] and the streaming twin
+    * (graft.streaming.DocsStream). */
+  def splitOf(id: Column): Column = splitFromBucket(hashBucket(id, ""))
 
   /** The split column alone (no presentation sort) — shared by
     * [[splitAssign]]'s consumers below. */
   private def docSplits(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("Bucket", hashBucket(col("doc_id"), ""))
-      .withColumn("Split",
-        when(col("Bucket") < TrainUpper, "train")
-          .when(col("Bucket") < ValUpper, "val")
-          .otherwise("test"))
+      .withColumn("Split", splitOf(col("doc_id")))
 
   /** Minimum shared distinct 3-gram shingles for a train document to
     * count as contaminated by an eval document. 1 = any overlap (the
@@ -214,40 +210,57 @@ object CurateOps {
                           minSharedShingles: Int = ContaminationMinShingles,
                           minQuality: Double = MinQuality,
                           budget: Long = TokenBudget): Seq[(String, Long)] = {
-    val train = splitAssign(spark, dir).filter(col("Split") === "train").select("doc_id")
-    val clean = train.join(
-      decontaminate(spark, dir)
-        .filter(col("NSharedShingles") < minSharedShingles).select("doc_id"), "doc_id")
-    val sampled = clean.join(
-      sampleStratified(spark, dir).filter(col("IsSampled")).select("doc_id"), "doc_id")
-    val quality = sampled
+    // ONE flags table carries every stage predicate per train doc —
+    // each upstream query executes exactly once into the deliberate
+    // short-lived cache; six naive stage `.count()`s would re-run the
+    // shingle explodes and aggregations per count (and once more for
+    // the write).
+    val flags = splitAssign(spark, dir).filter(col("Split") === "train")
+      .select(col("doc_id"))
+      .join(decontaminate(spark, dir)
+        .select(col("doc_id"),
+          (col("NSharedShingles") < minSharedShingles).as("KeepClean")), "doc_id")
+      .join(sampleStratified(spark, dir).select(col("doc_id"), col("IsSampled")), "doc_id")
       .join(TextOps.quality(spark, dir)
-        .filter(col("QualityScore") >= minQuality)
         .select(col("doc_id"), col("NTokens"), col("QualityScore")), "doc_id")
       .join(TextOps.repetition(spark, dir)
-        .filter(!col("IsRepetitive")).select("doc_id"), "doc_id")
-    val survivors = quality.join(
-      DedupOps.components(spark, dir).filter(col("IsSurvivor")).select("doc_id"), "doc_id")
-    // budget pack over the funnel output (not the raw corpus)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("QualityScore").desc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val packed = survivors
-      .withColumn("CumTokens", sum(col("NTokens").cast(LongType)).over(w))
-      .filter(col("CumTokens") <= budget)
-    val out = packed
-      .join(Tables.documents(spark, dir).select("doc_id", "text", "lang"), "doc_id")
-      .select(col("doc_id"), col("text"), col("lang"),
-        col("NTokens"), col("QualityScore"), col("CumTokens"))
-    out.write.mode("overwrite").parquet(s"$outDir/curated_corpus")
-    Seq(
-      "train" -> train.count(),
-      "decontaminated" -> clean.count(),
-      "sampled" -> sampled.count(),
-      "quality_filtered" -> quality.count(),
-      "dedup_survivors" -> survivors.count(),
-      "budget_packed" -> packed.count())
+        .select(col("doc_id"), col("IsRepetitive")), "doc_id")
+      .join(DedupOps.components(spark, dir).select(col("doc_id"), col("IsSurvivor")), "doc_id")
+      .withColumn("KeepQuality",
+        col("QualityScore") >= minQuality && !col("IsRepetitive"))
+      .cache()
+    try {
+      // cumulative funnel counts in ONE aggregate pass over the cache
+      val f = flags.agg(
+        count(lit(1)).as("train"),
+        count(when(col("KeepClean"), 1)).as("clean"),
+        count(when(col("KeepClean") && col("IsSampled"), 1)).as("sampled"),
+        count(when(col("KeepClean") && col("IsSampled") && col("KeepQuality"), 1)).as("quality"),
+        count(when(col("KeepClean") && col("IsSampled") && col("KeepQuality")
+          && col("IsSurvivor"), 1)).as("survivors")).head()
+      // budget pack over the funnel output (not the raw corpus)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("QualityScore").desc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val packed = flags
+        .filter(col("KeepClean") && col("IsSampled") && col("KeepQuality") && col("IsSurvivor"))
+        .withColumn("CumTokens", sum(col("NTokens").cast(LongType)).over(w))
+        .filter(col("CumTokens") <= budget)
+      val out = packed
+        .join(Tables.documents(spark, dir).select("doc_id", "text", "lang"), "doc_id")
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("NTokens"), col("QualityScore"), col("CumTokens"))
+      out.write.mode("overwrite").parquet(s"$outDir/curated_corpus")
+      val packedCount = spark.read.parquet(s"$outDir/curated_corpus").count()
+      Seq(
+        "train" -> f.getAs[Long]("train"),
+        "decontaminated" -> f.getAs[Long]("clean"),
+        "sampled" -> f.getAs[Long]("sampled"),
+        "quality_filtered" -> f.getAs[Long]("quality"),
+        "dedup_survivors" -> f.getAs[Long]("survivors"),
+        "budget_packed" -> packedCount)
+    } finally flags.unpersist()
   }
 
   /** End-to-end corpus curation — the composite an LLM data pipeline

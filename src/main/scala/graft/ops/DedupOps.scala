@@ -145,15 +145,28 @@ object DedupOps {
       .select(col("D1"), col("D2")).distinct()
 
     val sh = bands.select(col("doc_id"), col("Sh"))
-    cand
-      .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
-      .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2")
-      .withColumn("NInter", size(array_intersect(col("Sh1"), col("Sh2"))))
-      .withColumn("NUnion", size(col("Sh1")) + size(col("Sh2")) - col("NInter"))
-      .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
-      .filter(col("Jaccard") >= 0.5)
+    jaccardVerified(
+      cand
+        .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
+        .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2"),
+      "Sh1", "Sh2")
       .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
   }
+
+  /** Jaccard threshold for a verified near-dup pair. */
+  val JaccardThreshold = 0.5
+
+  /** Exact shingle-Jaccard verify over candidate rows carrying both
+    * shingle arrays — ONE definition for the self-join, the
+    * incremental query, and the streaming kernel (they must never
+    * drift; the DuckDB mirrors transcribe this expression). */
+  private[graft] def jaccardVerified(cand: DataFrame,
+                                     left: String, right: String): DataFrame =
+    cand
+      .withColumn("NInter", size(array_intersect(col(left), col(right))))
+      .withColumn("NUnion", size(col(left)) + size(col(right)) - col("NInter"))
+      .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
+      .filter(col("Jaccard") >= JaccardThreshold)
 
   /** Arrival split for [[incremental]]: ids ≡ [[NewArrivalRemainder]]
     * (mod [[NewArrivalMod]]) play the "newly ingested batch"; the rest
@@ -174,34 +187,45 @@ object DedupOps {
     * never form, so a batch of b docs costs O(b · bucket occupancy),
     * not O((corpus + b)²) — re-running the full self-join per batch
     * is the thing this operator exists to avoid. */
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val bands = docBands(spark, dir)
-    val isNew = col("doc_id") % NewArrivalMod === NewArrivalRemainder
-    val newSide = explodedBands(bands.filter(isNew))
-      .select(col("doc_id").as("NewId"), col("band_id"), col("band_val"))
-    // the corpus side is the PERSISTED bucketed index (build-if-absent)
-    // — joined on exactly its bucket keys, so it contributes no
-    // exchange; only the arriving batch shuffles (BandIndexSpec)
-    val corpusSide = spark.table(bandIndexTable(spark, dir))
-    val cand = newSide
-      .join(corpusSide, Seq("band_id", "band_val"))
-      .select(col("NewId"), col("CorpusId")).distinct()
-    val sh = bands.select(col("doc_id"), col("Sh"))
-    cand
-      .join(sh.select(col("doc_id").as("NewId"), col("Sh").as("ShN")), "NewId")
-      .join(sh.select(col("doc_id").as("CorpusId"), col("Sh").as("ShC")), "CorpusId")
-      .withColumn("NInter", size(array_intersect(col("ShN"), col("ShC"))))
-      .withColumn("NUnion", size(col("ShN")) + size(col("ShC")) - col("NInter"))
-      .withColumn("Jaccard", col("NInter").cast(DoubleType) / col("NUnion"))
-      .filter(col("Jaccard") >= 0.5)
-      .select(col("NewId"), col("CorpusId"), col("NInter"), col("NUnion"), col("Jaccard"))
+  def incremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalAgainst(spark,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % NewArrivalMod === NewArrivalRemainder),
+      // the corpus side is the PERSISTED bucketed index (build-if-absent)
+      // — joined on exactly its bucket keys, so it contributes no
+      // exchange; only the arriving batch shuffles (BandIndexSpec)
+      spark.table(bandIndexTable(spark, dir)))
       .orderBy(col("NewId"), col("CorpusId"))
+
+  /** The incremental-dedup KERNEL: sketch `newDocs` (documents-shaped
+    * rows), join their band rows against the static corpus band index
+    * `(CorpusId, band_id, band_val, ShC)`, exact-Jaccard-verify the
+    * collisions. The index's ShC rides the band join (no second
+    * corpus-wide shingle join — only the batch's own ShN travels).
+    * Shared verbatim by the batch query above and the streaming
+    * foreachBatch twin (graft.streaming.DocsStream). */
+  def incrementalAgainst(spark: SparkSession, newDocs: DataFrame,
+                         corpusBands: DataFrame): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    val newSide = newDocs
+      .select(col("doc_id").as("NewId"), expr("token_shingles(text)").as("ShN"))
+      .withColumn("Bands", expr("minhash_bands(ShN)"))
+      .select(col("NewId"), col("ShN"),
+        posexplode(col("Bands")).as(Seq("BandIdx", "band_val")))
+      .select(col("NewId"), col("ShN"),
+        (col("BandIdx") + 1).as("band_id"), col("band_val"))
+    jaccardVerified(
+      newSide.join(corpusBands, Seq("band_id", "band_val"))
+        .select(col("NewId"), col("CorpusId"), col("ShN"), col("ShC"))
+        .dropDuplicates("NewId", "CorpusId"),
+      "ShN", "ShC")
+      .select(col("NewId"), col("CorpusId"), col("NInter"), col("NUnion"), col("Jaccard"))
   }
 
   /** The indexed-corpus side of incremental dedup as a static
     * relation `(CorpusId, band_id, band_val, ShC)` — the session's
     * cached sketch table. Consumed by the streaming twin
-    * (graft.streaming.DocsStream.incrementalDedupBatch) and as the
+    * (graft.streaming.DocsStream.runIncrementalDedup) and as the
     * build input of the PERSISTED index below. */
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {
     val corpus = docBands(spark, dir)
@@ -232,6 +256,26 @@ object DedupOps {
     java.nio.file.Paths.get(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
 
+  /** Fingerprint of the corpus an index was built from (md5 over the
+    * documents parquet's file names, sizes, and mtimes). Written next
+    * to the index as `_corpus_fingerprint` (underscore-prefixed —
+    * parquet readers skip it) and compared before any cross-session
+    * re-registration: a refreshed corpus must REBUILD, not silently
+    * adopt the stale index. */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "documents.parquet")
+    def one(f: java.nio.file.Path) =
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    val s =
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala.toSeq.sortBy(_.toString).map(one).mkString("|")
+        finally listing.close()
+      } else one(p)
+    graft.functions.TextExpressions.md5Hex(s)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -259,6 +303,9 @@ object DedupOps {
       .bucketBy(BandIndexBuckets, "band_id", "band_val")
       .sortBy("band_id", "band_val")
       .saveAsTable(name)
+    java.nio.file.Files.writeString(
+      bandIndexLocation(spark, name).resolve("_corpus_fingerprint"),
+      corpusFingerprint(dir))
     bandIndexMemo.put((spark, dir), name)
     name
   }
@@ -266,11 +313,13 @@ object DedupOps {
   /** Build-if-absent: session memo → catalog table → files already on
     * disk from a PREVIOUS session (re-registered as an external
     * bucketed table — the in-memory catalog can't remember it, but the
-    * bucketed layout is still there and still valid) → build. Callers
-    * that mutate the corpus in place must [[invalidateSketches]],
-    * which drops table + files — a stale persisted index against a
-    * fresh corpus would return silently wrong matches (the same
-    * cache-ownership contract as the IVF index). */
+    * bucketed layout is still there) → build. Cross-session
+    * re-registration is GUARDED by the `_corpus_fingerprint` check:
+    * if the corpus parquet changed since the index was written, the
+    * stale index is rebuilt, not adopted — invalidation in a new
+    * session cannot rely on [[invalidateSketches]] (its memo is
+    * per-session). Same-session corpus mutation still requires
+    * [[invalidateSketches]], which drops table + files. */
   def bandIndexTable(spark: SparkSession, dir: String): String = {
     bandIndexMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
@@ -278,8 +327,13 @@ object DedupOps {
     bandIndexMemo.getOrElseUpdate((spark, dir), {
       val name = bandIndexName(dir)
       val loc = bandIndexLocation(spark, name)
+      def fresh: Boolean = {
+        val f = loc.resolve("_corpus_fingerprint")
+        java.nio.file.Files.exists(f) &&
+          java.nio.file.Files.readString(f) == corpusFingerprint(dir)
+      }
       if (spark.catalog.tableExists(name)) name
-      else if (java.nio.file.Files.exists(loc.resolve("_SUCCESS"))) {
+      else if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && fresh) {
         spark.sql(
           s"""CREATE TABLE $name (CorpusId BIGINT, band_id INT, band_val STRING, ShC ARRAY<STRING>)
              |USING PARQUET

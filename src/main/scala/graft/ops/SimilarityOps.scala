@@ -287,8 +287,30 @@ object SimilarityOps {
         "vec_id", "Q", "NormSq")
       .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
       .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/lists")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "_corpus_fingerprint"),
+      corpusFingerprint(dir))
     ivfMemo.put((spark, dir, nCentroids), base)
     base
+  }
+
+  /** Fingerprint of the embeddings parquet an index was built from
+    * (names+sizes+mtimes) — checked before cross-session reuse of an
+    * on-disk index, so a refreshed corpus REBUILDS instead of silently
+    * probing stale lists (invalidateQuantized can only cover indexes
+    * built in ITS session; its memo is per-session). */
+  private def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    def one(f: java.nio.file.Path) =
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    val s =
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala.toSeq.sortBy(_.toString).map(one).mkString("|")
+        finally listing.close()
+      } else one(p)
+    graft.functions.TextExpressions.md5Hex(s)
   }
 
   /** Build-if-absent: reuse the session-memoized index, else an index
@@ -304,7 +326,10 @@ object SimilarityOps {
       val base = ivfBase(spark, dir, nCentroids)
       val complete = Seq("codebook", "lists").forall(d =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
-      if (complete) base else buildIvfIndex(spark, dir, nCentroids)
+      val fp = java.nio.file.Paths.get(base, "_corpus_fingerprint")
+      val fresh = java.nio.file.Files.exists(fp) &&
+        java.nio.file.Files.readString(fp) == corpusFingerprint(dir)
+      if (complete && fresh) base else buildIvfIndex(spark, dir, nCentroids)
     })
   }
 

@@ -161,15 +161,19 @@ SELECT doc_id, b1 AS "B1", b2 AS "B2", b3 AS "B3", b4 AS "B4"
 FROM bands ORDER BY doc_id
 """
 
-  /** bandsCte + the LSH candidate pairs (band agreement, d1 < d2). */
-  private val candCte: String = bandsCte + """
+  /** The (doc_id, band_id, band_val) listing — ONE definition for the
+    * self-join candidates and the incremental mirror. */
+  private val blCte: String = bandsCte + """
 , bl AS (
   SELECT doc_id, 1 AS band_id, b1 AS band_val FROM bands
   UNION ALL SELECT doc_id, 2, b2 FROM bands
   UNION ALL SELECT doc_id, 3, b3 FROM bands
   UNION ALL SELECT doc_id, 4, b4 FROM bands
-),
-cand AS (
+)"""
+
+  /** blCte + the LSH candidate pairs (band agreement, d1 < d2). */
+  private val candCte: String = blCte + """
+, cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
                       AND a.doc_id < b.doc_id
@@ -192,14 +196,8 @@ ORDER BY "D1", "D2"
     * join constrained to new × corpus instead of the self-pairing. */
   val dedupIncremental: String = {
     import graft.ops.DedupOps.{NewArrivalMod, NewArrivalRemainder}
-    bandsCte + s"""
-, bl AS (
-  SELECT doc_id, 1 AS band_id, b1 AS band_val FROM bands
-  UNION ALL SELECT doc_id, 2, b2 FROM bands
-  UNION ALL SELECT doc_id, 3, b3 FROM bands
-  UNION ALL SELECT doc_id, 4, b4 FROM bands
-),
-cand AS (
+    blCte + s"""
+, cand AS (
   SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
   FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
   WHERE a.doc_id % $NewArrivalMod = $NewArrivalRemainder

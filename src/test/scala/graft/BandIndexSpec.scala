@@ -12,16 +12,6 @@ import graft.ops.DedupOps
   * re-shuffle per batch, only the (small) arriving batch moves. */
 class BandIndexSpec extends SparkSpec {
 
-  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("incremental dedup probes the bucketed index with NO exchange on the corpus side") {
     DedupOps.bandIndexTable(spark, sfDir) // build-if-absent
     // AQE off: exchanges are inserted by EnsureRequirements, which only
@@ -48,6 +38,51 @@ class BandIndexSpec extends SparkSpec {
       assert(shuffles(batchSide).nonEmpty,
         s"expected the arriving batch to shuffle into the bucket layout:\n$batchSide")
     }
+  }
+
+  test("a stale on-disk index from a previous session is rebuilt, a fresh one re-registered") {
+    import java.nio.file.{Files, Path}
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    def writeDocs(dir: String, texts: Seq[(Long, String)]): Unit =
+      texts.map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def copyTree(from: Path, to: Path): Unit =
+      Files.walk(from).iterator().asScala.toSeq.sorted.foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t) else Files.copy(p, t)
+      }
+    def tableType(name: String) =
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(name)).tableType.name
+    val dir = Files.createTempDirectory("graft-bandidx").toString
+    // corpus id 9 is the "new arrival"; 1 and 2 are corpus
+    writeDocs(dir, Seq((1L, "alpha beta gamma delta"), (2L, "unrelated words here now"),
+      (9L, "alpha beta gamma delta")))
+    val name = DedupOps.bandIndexTable(spark, dir)
+    assert(tableType(name) === "MANAGED")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    // simulate a NEW session that inherits only the files: stash them,
+    // invalidate (drops table + files + memo), restore the stash
+    val stash = Files.createTempDirectory("graft-bandidx-stash")
+    copyTree(loc, stash)
+    DedupOps.invalidateSketches(spark)
+    copyTree(stash, Files.createDirectories(loc))
+    // fresh corpus fingerprint matches → re-registered as EXTERNAL, no rebuild
+    assert(DedupOps.bandIndexTable(spark, dir) === name)
+    assert(tableType(name) === "EXTERNAL")
+    // corpus changes on disk → fingerprint mismatch → REBUILT (managed),
+    // and the matches reflect the NEW corpus, not the stale index
+    DedupOps.invalidateSketches(spark) // simulate session end: table+files+memos gone
+    copyTree(stash, Files.createDirectories(loc)) // ...but the old session's files remain
+    writeDocs(dir, Seq((1L, "totally different content words"), (2L, "unrelated words here now"),
+      (9L, "alpha beta gamma delta")))
+    assert(DedupOps.bandIndexTable(spark, dir) === name)
+    assert(tableType(name) === "MANAGED", "stale index was adopted instead of rebuilt")
+    val matches = DedupOps.incremental(spark, dir).collect()
+    assert(matches.isEmpty, s"stale-index matches leaked: ${matches.mkString(",")}")
   }
 
   test("invalidateSketches drops the persisted index; the next query rebuilds it") {

@@ -14,16 +14,6 @@ import org.apache.spark.sql.functions._
   * thresholds on production data (same rationale as SkewSpec). */
 class RuntimeFilterSpec extends SparkSpec {
 
-  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   private val dir = "/root/testdata/sf0.01"
 
   private def urgentJoin() = {

@@ -10,16 +10,6 @@ import graft.ops.RelationalOps
   * thresholds on production data. */
 class SkewSpec extends SparkSpec {
 
-  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   // sf0.01: at sf0.001 the hot partition compresses under any sane
   // skew threshold; 60K rows make the skew physically visible.
   private val skewDir = "/root/testdata/sf0.01"

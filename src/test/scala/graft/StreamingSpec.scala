@@ -224,25 +224,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed) === rows(batch))
   }
 
-  test("stream-static decontamination join matches batch curate_decontaminate") {
-    import org.apache.spark.sql.streaming.OutputMode
+  test("foreachBatch decontamination over a two-file doc stream matches batch curate_decontaminate") {
     import graft.streaming.DocsStream
-    // documents arrive as a stream; the eval shingle set stays static
+    // documents arrive as a two-microbatch stream; the eval shingle
+    // set stays static across both (foreachBatch kernel — a plain
+    // streaming groupBy would pin one state row per doc forever)
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
-      streamDir.resolve("documents.parquet"))
+    graft.etl.Tables.documents(spark, sfDir)
+      .repartition(2).write.mode("overwrite").parquet(s"$streamDir/docs")
     val evalSh = graft.ops.CurateOps.evalShingles(spark, sfDir)
-    val q = DocsStream.decontaminateStream(
-      spark, DocsStream.readDocsStream(spark, streamDir.toString), evalSh)
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName("docs_decontam_stream")
-      .start()
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val stream = spark.readStream.schema(graft.etl.Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/docs")
+    val q = DocsStream.runDecontaminate(spark, stream, evalSh) { out =>
+      val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles")))
+      buf.synchronized { buf ++= rows }
+    }
     q.processAllAvailable()
     q.stop()
-    val streamed = spark.table("docs_decontam_stream").collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles")))).toMap
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty microbatches")
+    assert(buf.size === buf.map(_._1).toSet.size, "a doc was emitted twice")
+    val streamed = buf.map { case (id, ne, ns) => id -> ((ne, ns)) }.toMap
     val batch = graft.ops.CurateOps.decontaminate(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles"),
