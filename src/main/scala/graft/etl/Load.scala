@@ -35,6 +35,27 @@ object Load {
                               partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
 
+  /** COMPACTED parquet write — the small-files antidote. A 100 TB
+    * pipeline stage that inherits its parent's partitioning can emit
+    * thousands of KB-sized files (one per task); downstream jobs then
+    * pay a task per file and the namenode pays per object. This sizes
+    * the output from the optimizer's own size estimate instead:
+    * `ceil(stats.sizeInBytes / target)` partitions via round-robin
+    * repartition (even sizes, no key skew). For plain scans the
+    * estimate is the on-disk input size (× `fileCompressionFactor`),
+    * which matches a rewrite's output closely; for derived plans it
+    * is the optimizer's in-memory upper bound, so files land at or
+    * under `targetMB`. Callers needing exact file sizes do a second
+    * metadata-only pass. Returns the partition count it chose. */
+  def writeCompacted(df: DataFrame, outDir: String, targetMB: Int = 128): Int = {
+    require(targetMB >= 1, s"targetMB must be >= 1, got $targetMB")
+    val target = BigInt(targetMB.toLong << 20)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (((bytes + target - 1) / target) max BigInt(1) min BigInt(1 << 20)).toInt
+    df.repartition(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** SQL-sink column conventions from the reference: lowercase names
     * (PostgreSQL, ref: etl.py:328) and HALF_EVEN 2dp rounding of
     * doubles (MySQL, ref: etl.py:356-357 — pandas `round` is

@@ -88,4 +88,29 @@ class PipelineSpec extends SparkSpec {
       assert(all === dirs.count(_.startsWith("year=")))
     }
   }
+
+  test("compacted parquet write sizes file count from the plan estimate") {
+    def dataFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val df = graft.etl.Tables.lineitem(spark, sfDir)
+      .repartition(16) // a fragmented parent: 16 tasks = 16 tiny files
+    // big target → everything compacts into ONE file
+    val out1 = Files.createTempDirectory("graft_compact1").toString
+    assert(Load.writeCompacted(df, out1, targetMB = 1024) === 1)
+    assert(dataFiles(out1).length === 1)
+    // tiny target → more, evenly-sized files (round-robin, no skew);
+    // sf0.1: a ~10 MB input, so a 1 MB target must split ~10 ways
+    val big = graft.etl.Tables.lineitem(spark, "/root/testdata/sf0.1").repartition(16)
+    val out2 = Files.createTempDirectory("graft_compact2").toString
+    val n = Load.writeCompacted(big, out2, targetMB = 1)
+    assert(n > 1, s"1MB target should split this table, chose $n")
+    val files = dataFiles(out2)
+    assert(files.length === n)
+    val sizes = files.map(_.length())
+    assert(sizes.max <= sizes.min * 3,
+      s"round-robin output should be even: ${sizes.mkString(",")}")
+    // values survive the rewrite
+    assert(spark.read.parquet(out2).count() ===
+      graft.etl.Tables.lineitem(spark, "/root/testdata/sf0.1").count())
+  }
 }
