@@ -88,6 +88,8 @@ object SparkEntry {
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
     "similarity_ivf_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfTopk(s, d)),
+    "similarity_kmeans_profile" -> ((s: SparkSession, d: String) => SimilarityOps.kmeansProfile(s, d)),
+    "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     "multimodal_framesample" -> (MultimodalOps.frameSample _),
@@ -150,6 +152,8 @@ object SparkEntry {
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,
+    "similarity_kmeans_profile" -> ExtSql.similarityKmeansProfile,
+    "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,
     "multimodal_features" -> ExtSql.multimodalFeatures,

@@ -78,6 +78,12 @@ object SimilarityOps {
   val ProbeIdMax = 8
   /** Fixed k-means refinement rounds for the IVF codebook. */
   val KmeansRounds = 2
+  /** Cosine threshold for [[semanticDedup]] — ALSO read by the DuckDB
+    * mirror (ExtSql.similaritySemanticDedup). This corpus's near-dups
+    * top out below 0.5 cosine (see the band-shape scaladoc), so 0.3
+    * marks real duplicate mass; true near-identical corpora would run
+    * at 0.9+. */
+  val DefaultSemDedupThreshold = 0.3
 
   private def planeRows(nPlanes: Int): Seq[Seq[Long]] =
     (1 to nPlanes).map(p => (1 to Dims).map(i => planeSign(p, i)))
@@ -313,23 +319,34 @@ object SimilarityOps {
     graft.functions.TextExpressions.md5Hex(s)
   }
 
+  /** Serializes first-build of an index: since round 5 THREE queries
+    * (ivfTopk, kmeansProfile, semanticDedup) share one index, and the
+    * Verify harness runs them concurrently — TrieMap.getOrElseUpdate
+    * computes its value outside any lock, so two racing callers would
+    * both run buildIvfIndex into the SAME directory mid-overwrite. */
+  private val ivfBuildLock = new Object
+
   /** Build-if-absent: reuse the session-memoized index, else an index
     * already persisted on disk (cross-session reuse — the point of
     * persistence; callers that mutate the corpus in place must
-    * [[invalidateQuantized]], which deletes it), else build. */
+    * [[invalidateQuantized]], which deletes it), else build. The
+    * memo-hit fast path takes no lock; a miss builds under
+    * [[ivfBuildLock]] (double-checked against the memo inside). */
   def ivfIndexPath(spark: SparkSession, dir: String,
                    nCentroids: Int = DefaultNCentroids): String = {
     ivfMemo.keysIterator
       .filter { case (s, _, _) => s.sparkContext.isStopped }
       .foreach(ivfMemo.remove)
-    ivfMemo.getOrElseUpdate((spark, dir, nCentroids), {
-      val base = ivfBase(spark, dir, nCentroids)
-      val complete = Seq("codebook", "lists").forall(d =>
-        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
-      val fp = java.nio.file.Paths.get(base, "_corpus_fingerprint")
-      val fresh = java.nio.file.Files.exists(fp) &&
-        java.nio.file.Files.readString(fp) == corpusFingerprint(dir)
-      if (complete && fresh) base else buildIvfIndex(spark, dir, nCentroids)
+    ivfMemo.getOrElse((spark, dir, nCentroids), ivfBuildLock.synchronized {
+      ivfMemo.getOrElseUpdate((spark, dir, nCentroids), {
+        val base = ivfBase(spark, dir, nCentroids)
+        val complete = Seq("codebook", "lists").forall(d =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
+        val fp = java.nio.file.Paths.get(base, "_corpus_fingerprint")
+        val fresh = java.nio.file.Files.exists(fp) &&
+          java.nio.file.Files.readString(fp) == corpusFingerprint(dir)
+        if (complete && fresh) base else buildIvfIndex(spark, dir, nCentroids)
+      })
     })
   }
 
@@ -409,6 +426,104 @@ object SimilarityOps {
       .filter(col("Rank") <= k)
       .select(col("QId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
       .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("Rank")))
+  }
+
+  /** Per-cluster corpus cards over the persisted IVF index — the
+    * "what is in each semantic bucket" profile a data-mixing pipeline
+    * reads before weighting clusters (size, dominant label, purity,
+    * dispersion). Rides the SAME write-once index as [[ivfTopk]]
+    * (build-if-absent via [[ivfIndexPath]]): members and their
+    * centroid assignment come straight from the persisted lists, so
+    * profiling costs one scan of the lists + a two-level hash
+    * aggregate — no k-means re-run, no window over the corpus.
+    *
+    * Determinism: per-member distance is exact integer
+    * L2² = ‖v‖² − 2·v·c + ‖c‖² (the assignment metric itself), so
+    * SumDist is an order-insensitive LONG sum; Purity/MeanDist are
+    * single IEEE divisions of exact integers. Majority label is
+    * argmax by (count DESC, label ASC) — resolved inside the
+    * aggregate via `max(struct(count, -label))`, one shuffle on the
+    * ≤ K·|labels| (Cid, label) keys instead of a count + window pass.
+    *
+    * Scale: the (Cid, label) pre-aggregate is the map-side-combine
+    * shape — input rows collapse to at most K·|labels| partials per
+    * partition before the exchange; the final K-row profile is
+    * driver-scale. */
+  def kmeansProfile(spark: SparkSession, dir: String,
+                    nCentroids: Int = DefaultNCentroids): DataFrame = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val lists = spark.read.parquet(s"$base/lists")
+    val labels = quantized(spark, dir).select(col("vec_id"), col("label"))
+    val members = lists.join(broadcast(cent), "Cid")
+      .withColumn("Dist",
+        col("NormSq") - lit(2L) * expr("long_dot(Q, CQ)") + col("CNorm"))
+      .join(labels, "vec_id")
+    val byLabel = members.groupBy(col("Cid"), col("label"))
+      .agg(count(lit(1)).as("LabelCnt"), sum(col("Dist")).as("LabelDist"))
+    byLabel.groupBy(col("Cid").cast(LongType).as("Cid"))
+      .agg(
+        sum(col("LabelCnt")).as("NMembers"),
+        sum(col("LabelDist")).as("SumDist"),
+        // argmax (LabelCnt DESC, label ASC): struct max compares
+        // LabelCnt first, then -label — ties go to the SMALLEST label
+        max(struct(col("LabelCnt"), (-col("label")).as("NegLabel"))).as("Mj"))
+      .select(
+        col("Cid"), col("NMembers"),
+        (-col("Mj.NegLabel")).as("MajorityLabel"),
+        col("Mj.LabelCnt").as("MajorityCount"),
+        (col("Mj.LabelCnt").cast(DoubleType) / col("NMembers").cast(DoubleType)).as("Purity"),
+        col("SumDist"),
+        (col("SumDist").cast(DoubleType) / col("NMembers").cast(DoubleType)).as("MeanDist"))
+      .transform(graft.etl.Summaries.smallSort(_, col("Cid")))
+  }
+
+  /** SemDeDup-style semantic dedup: near-duplicate detection scoped
+    * to k-means clusters. A vector is a duplicate iff some LOWER-id
+    * vector in the SAME cluster reaches cosine ≥ `threshold`;
+    * survivors (`IsDup = false`) are the kept corpus.
+    *
+    * Why cluster-scoped: the exact all-pairs check is O(n²); banded
+    * LSH ([[lshNeardup]]) makes candidates tunable-sublinear but keys
+    * on exact bit agreement. The SemDeDup decomposition (Abbas et al.
+    * 2023, arXiv:2303.09540) instead reuses the IVF coarse quantizer:
+    * duplicates land in the same centroid cell, so candidates are
+    * Σ n_c² over cluster sizes — n²/K for balanced clusters, with K
+    * grown as O(√n) at scale so the per-cluster quadratic stays flat.
+    * Both candidate generators feed the same exact-cosine verify; a
+    * production pipeline composes them (LSH for textual shingles,
+    * cluster-scoped for embedding space).
+    *
+    * Plan shape: the persisted lists self-join ON Cid (the partition
+    * key of the index — both sides arrive pre-partitioned by the join
+    * column), verified pairs collapse to per-victim counts, then one
+    * broadcast-shape left join zero-fills the corpus. Nothing here is
+    * all-pairs and nothing re-runs k-means. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = DefaultSemDedupThreshold,
+                    nCentroids: Int = DefaultNCentroids): DataFrame = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val lists = spark.read.parquet(s"$base/lists")
+    val labels = quantized(spark, dir).select(col("vec_id"), col("label"))
+    val a = lists.select(col("Cid"), col("vec_id").as("V1"),
+      col("Q").as("Q1"), col("NormSq").as("N1"))
+    val b = lists.select(col("Cid").as("Cid2"), col("vec_id").as("V2"),
+      col("Q").as("Q2"), col("NormSq").as("N2"))
+    val dupEarlier = a.join(b, col("Cid") === col("Cid2") && col("V1") < col("V2"))
+      .withColumn("Cosine",
+        expr("long_dot(Q1, Q2)").cast(DoubleType) /
+          (sqrt(col("N1").cast(DoubleType)) * sqrt(col("N2").cast(DoubleType))))
+      .filter(col("Cosine") >= threshold)
+      .groupBy(col("V2").as("vec_id"))
+      .agg(count(lit(1)).as("NDupEarlier"))
+    lists.select(col("vec_id"), col("Cid").cast(LongType).as("Cid"))
+      .join(labels, "vec_id")
+      .join(dupEarlier, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("Cid"), col("label"),
+        coalesce(col("NDupEarlier"), lit(0L)).as("NDupEarlier"),
+        (coalesce(col("NDupEarlier"), lit(0L)) > 0).as("IsDup"))
+      .transform(graft.etl.Summaries.smallSort(_, col("vec_id")))
   }
 
   /** Distinct candidate pairs (V1 < V2) that agree on at least one

@@ -565,16 +565,15 @@ SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
 ORDER BY "QId", "Rank"
 """
 
-  /** IVF-flat mirror. Every constant (k, centroids, nprobe, probe-id
-    * cutoff, k-means rounds) is read from SimilarityOps so a default
-    * change cannot silently lose oracle parity. The codebook is the
-    * same deterministic integer k-means: seeds = K lowest vec_ids,
-    * then KmeansRounds Lloyd rounds with exact integer L2² assignment
+  /** k-means codebook CTEs shared by every IVF-family oracle
+    * ([[similarityIvfTopk]], [[similarityKmeansProfile]],
+    * [[similaritySemanticDedup]]): seeds = K lowest vec_ids, then
+    * KmeansRounds Lloyd rounds with exact integer L2² assignment
     * ((dist, cid) tie-break) and per-dimension truncating integer
-    * mean (`//`, matching Spark's `div`). */
-  val similarityIvfTopk: String = {
-    import graft.ops.SimilarityOps.{DefaultK, DefaultNCentroids, DefaultNProbe, KmeansRounds, ProbeIdMax}
-    def assignCte(name: String, cent: String): String = s"""
+    * mean (`//`, matching Spark's `div`). Appends to [[quantCte]];
+    * ends with `af` = the final (vec_id → cid) assignment and
+    * [[kmeansCFinal]] = the final codebook CTE name. */
+  private def assignCte(name: String, cent: String): String = s"""
 $name AS (
   SELECT vec_id AS avid, cid FROM (
     SELECT v.vec_id, c.cid,
@@ -583,7 +582,8 @@ $name AS (
     FROM n v CROSS JOIN $cent c
   ) WHERE rn = 1
 )"""
-    def updateCte(name: String, assign: String): String = s"""
+
+  private def updateCte(name: String, assign: String): String = s"""
 ${name}d AS (
   SELECT a.cid, e.dim, CAST(sum(e.v) // count(*) AS BIGINT) AS cv
   FROM ed e JOIN $assign a ON e.vec_id = a.avid
@@ -593,17 +593,31 @@ $name AS (
   SELECT cid, list(cv ORDER BY dim) AS cq, CAST(sum(cv * cv) AS BIGINT) AS cn
   FROM ${name}d GROUP BY cid
 )"""
+
+  private val kmeansCFinal: String =
+    s"c${graft.ops.SimilarityOps.KmeansRounds}"
+
+  private val codebookCtes: String = {
+    import graft.ops.SimilarityOps.{DefaultNCentroids, KmeansRounds}
     val rounds = (1 to KmeansRounds).map { r =>
       assignCte(s"a$r", s"c${r - 1}") + "," + updateCte(s"c$r", s"a$r")
     }.mkString(",")
-    val cFinal = s"c$KmeansRounds"
-    quantCte + s"""
+    s"""
 , ed AS (
   SELECT vec_id, i AS dim, qv[i] AS v
   FROM n CROSS JOIN range(1, 65) t(i)
 ),
 c0 AS (SELECT vec_id AS cid, qv AS cq, nn AS cn FROM n WHERE vec_id < $DefaultNCentroids),""" +
-      rounds + "," + assignCte("af", cFinal) + s""",
+      rounds + "," + assignCte("af", kmeansCFinal)
+  }
+
+  /** IVF-flat mirror. Every constant (k, centroids, nprobe, probe-id
+    * cutoff, k-means rounds) is read from SimilarityOps so a default
+    * change cannot silently lose oracle parity. */
+  val similarityIvfTopk: String = {
+    import graft.ops.SimilarityOps.{DefaultK, DefaultNProbe, ProbeIdMax}
+    val cFinal = kmeansCFinal
+    quantCte + codebookCtes + s""",
 pl AS (
   SELECT qid, qp, np, cid FROM (
     SELECT p.vec_id AS qid, p.qv AS qp, p.nn AS np, c.cid,
@@ -625,6 +639,70 @@ r AS (
 )
 SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= $DefaultK
 ORDER BY "QId", "Rank"
+"""
+  }
+
+  /** Cluster-profile mirror: members = the final k-means assignment,
+    * per-member distance recomputed as exact integer L2² against the
+    * ASSIGNED centroid; majority label via (count DESC, label) window;
+    * sums cast back to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT;
+    * Spark keeps LongType). */
+  val similarityKmeansProfile: String = {
+    val cFinal = kmeansCFinal
+    quantCte + codebookCtes + s""",
+m AS (
+  SELECT a.avid AS vec_id, a.cid, v.label,
+         (v.nn - 2 * list_sum([v.qv[i] * c.cq[i] for i in range(1, len(v.qv)+1)]) + c.cn) AS dist
+  FROM af a JOIN n v ON a.avid = v.vec_id JOIN $cFinal c ON a.cid = c.cid
+),
+lb AS (
+  SELECT cid, label, count(*) AS lc, CAST(sum(dist) AS BIGINT) AS ld
+  FROM m GROUP BY cid, label
+),
+pr AS (
+  SELECT cid, CAST(sum(lc) AS BIGINT) AS nm, CAST(sum(ld) AS BIGINT) AS sd
+  FROM lb GROUP BY cid
+),
+mj AS (
+  SELECT cid, label AS ml, lc AS mc FROM (
+    SELECT cid, label, lc,
+           row_number() OVER (PARTITION BY cid ORDER BY lc DESC, label) AS rn
+    FROM lb
+  ) WHERE rn = 1
+)
+SELECT pr.cid AS "Cid", nm AS "NMembers", mj.ml AS "MajorityLabel", mj.mc AS "MajorityCount",
+       CAST(mj.mc AS DOUBLE) / CAST(nm AS DOUBLE) AS "Purity",
+       sd AS "SumDist",
+       CAST(sd AS DOUBLE) / CAST(nm AS DOUBLE) AS "MeanDist"
+FROM pr JOIN mj ON pr.cid = mj.cid ORDER BY "Cid"
+"""
+  }
+
+  /** SemDeDup-style semantic-dedup mirror: candidates are pairs WITHIN
+    * a final k-means cluster only (never all-pairs); a vector is a
+    * duplicate iff some LOWER-id same-cluster vector reaches the
+    * shared cosine threshold. Cosine is the same
+    * exact-integer-dot / sqrt·sqrt expression as every other
+    * similarity oracle. */
+  val similaritySemanticDedup: String = {
+    val thr = graft.ops.SimilarityOps.DefaultSemDedupThreshold
+    quantCte + codebookCtes + s""",
+mem AS (
+  SELECT a.avid AS vec_id, a.cid, v.label, v.qv, v.nn
+  FROM af a JOIN n v ON a.avid = v.vec_id
+),
+pr AS (
+  SELECT b.vec_id AS v2, count(*) AS nd
+  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS DOUBLE)
+        / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) >= $thr
+  GROUP BY b.vec_id
+)
+SELECT m.vec_id, m.cid AS "Cid", m.label,
+       CAST(COALESCE(pr.nd, 0) AS BIGINT) AS "NDupEarlier",
+       (COALESCE(pr.nd, 0) > 0) AS "IsDup"
+FROM mem m LEFT JOIN pr ON m.vec_id = pr.v2
+ORDER BY m.vec_id
 """
   }
 

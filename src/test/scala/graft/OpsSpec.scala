@@ -270,6 +270,66 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity: kmeans profile cards cover the corpus and agree with a driver recomputation") {
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir)
+    val assigned = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Cid").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = graft.etl.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SimilarityOps.kmeansProfile(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("NMembers")).sum === labels.size.toLong)
+    assert(rows.map(_.getAs[Long]("Cid")).toSet === assigned.values.toSet)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("Cid")
+      val members = assigned.collect { case (v, c) if c == cid => v }.toSeq
+      assert(r.getAs[Long]("NMembers") === members.size.toLong)
+      // majority label: count DESC, label ASC tie-break
+      val byLabel = members.groupBy(labels).view.mapValues(_.size).toSeq
+      val (ml, mc) = byLabel.minBy { case (l, c) => (-c, l) }
+      assert(r.getAs[Int]("MajorityLabel") === ml)
+      assert(r.getAs[Long]("MajorityCount") === mc.toLong)
+      assert(math.abs(r.getAs[Double]("Purity") - mc.toDouble / members.size) < 1e-12)
+      assert(r.getAs[Long]("SumDist") >= 0L)
+      assert(math.abs(r.getAs[Double]("MeanDist") -
+        r.getAs[Long]("SumDist").toDouble / members.size) < 1e-9)
+    }
+  }
+
+  test("similarity: semantic dedup flags exactly the vectors with an earlier same-cluster near-dup") {
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir)
+    val lists = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid").cast("long").as("Cid"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Long]]("Q"),
+        r.getAs[Long]("NormSq"), r.getAs[Long]("Cid")))
+    def cosine(a: (Long, Seq[Long], Long, Long), b: (Long, Seq[Long], Long, Long)): Double = {
+      val dot = a._2.lazyZip(b._2).map(_ * _).sum
+      dot.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    val byCluster = lists.groupBy(_._4)
+    val expected = lists.map { v =>
+      val earlier = byCluster(v._4).filter(u => u._1 < v._1 &&
+        cosine(u, v) >= SimilarityOps.DefaultSemDedupThreshold)
+      v._1 -> earlier.length.toLong
+    }.toMap
+    val rows = SimilarityOps.semanticDedup(spark, sfDir).collect()
+    assert(rows.length === lists.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("NDupEarlier") === expected(id), s"vec $id")
+      assert(r.getAs[Boolean]("IsDup") === (expected(id) > 0L), s"vec $id")
+    }
+    // non-vacuity: the corpus has duplicate mass and survivors remain
+    assert(rows.exists(_.getAs[Boolean]("IsDup")), "no duplicates flagged — test is vacuous")
+    assert(rows.exists(!_.getAs[Boolean]("IsDup")))
+    // the dedup respects clusters: a flagged vec's witnesses are same-cluster by construction;
+    // spot-check that survivors-per-cluster >= 1 (the lowest id in each cluster can never be flagged)
+    val flagged = rows.filter(_.getAs[Boolean]("IsDup")).map(_.getAs[Long]("vec_id")).toSet
+    byCluster.values.foreach(ms => assert(!flagged.contains(ms.map(_._1).min)))
+  }
+
   test("similarity: invalidateQuantized deletes the persisted IVF index and the next query rebuilds it") {
     import java.nio.file.{Files, Paths}
     val base = SimilarityOps.ivfIndexPath(spark, sfDir)
