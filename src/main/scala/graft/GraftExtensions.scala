@@ -41,7 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("minhash_bands", "MinHash-8 LSH band values of a shingle array",
       es => MinhashBands(es.head)),
     ("simhash_bits", "8-bit SimHash bit string of text",
-      es => SimhashBits(es.head)))
+      es => SimhashBits(es.head)),
+    ("zorder_long", "Morton (Z-order) interleave of normalized bigint dims",
+      es => ZOrderLong(es.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

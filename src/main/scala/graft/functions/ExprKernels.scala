@@ -138,6 +138,30 @@ object ExprKernels {
       markerHits(0), markerHits(1), markerHits(2), markerHits(3)))
   }
 
+  /** array<bigint> of normalized per-dimension values → Morton
+    * (Z-order) code ([[ZOrderLong]]): bit b of dimension j lands at
+    * result bit `b·n + j`, so the low bits of every dimension
+    * interleave — points close in ALL dimensions get close codes.
+    * Each dimension contributes `63 / n` bits (31 for 2 dims, 21 for
+    * 3, 15 for 4); callers normalize values into that range. Null
+    * elements count as 0 (they sort to the curve's origin). */
+  def zorder(x: ArrayData): Long = {
+    val n = x.numElements()
+    val bits = 63 / n
+    var z = 0L
+    var j = 0
+    while (j < n) {
+      val v = if (x.isNullAt(j)) 0L else x.getLong(j)
+      var b = 0
+      while (b < bits) {
+        z |= ((v >> b) & 1L) << (b * n + j)
+        b += 1
+      }
+      j += 1
+    }
+    z
+  }
+
   /** text → one-pass content-hash row ([[TokenFingerprint]]). */
   def tokenFingerprint(input: UTF8String): InternalRow = {
     val toks = TextExpressions.tokenize(input.toString)

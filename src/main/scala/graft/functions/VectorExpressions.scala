@@ -30,6 +30,8 @@ object VectorExpressions {
       exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("quantize_vec",
       exprs => QuantizeVector(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("zorder_long",
+      exprs => ZOrderLong(exprs.head), "built-in")
   }
 
   /** Exactly Spark's `round(x)`-then-`cast(bigint)` semantics
@@ -107,6 +109,32 @@ case class QuantizeVector(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.ExprKernels.quantize($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<bigint> of normalized dimension values → interleaved Morton
+  * (Z-order) code; the clustering key behind `Load.writeZOrdered`.
+  * One static-kernel call per row ([[ExprKernels.zorder]]), real
+  * codegen so the carrying Project stays in WholeStageCodegen. */
+case class ZOrderLong(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_long"
+
+  override protected def nullSafeEval(a: Any): Any =
+    ExprKernels.zorder(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.zorder($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -32,7 +32,8 @@ class ExtensionsSpec extends AnyFunSuite {
           |  token_stats('the cat sat') AS ts,
           |  token_fingerprint('a b a') AS tf,
           |  token_shingles('a b c d') AS sh,
-          |  simhash_bits('a b c') AS sb
+          |  simhash_bits('a b c') AS sb,
+          |  zorder_long(array(3L, 3L)) AS z
           |""".stripMargin).head()
       assert(r.getAs[Long]("d") === 32L)
       assert(r.getAs[Seq[Long]]("q") === Seq(5000L))
@@ -41,6 +42,7 @@ class ExtensionsSpec extends AnyFunSuite {
         .getAs[String]("Fingerprint").length === 32)
       assert(r.getAs[Seq[String]]("sh") === Seq("a b c", "b c d"))
       assert(r.getAs[String]("sb").matches("[01]{8}"))
+      assert(r.getAs[Long]("z") === 15L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -69,9 +71,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "simhash_bits(concat('w1 w2 w3 ', CAST(id AS STRING))) AS sb",
         "token_stats(concat('the quick fox ', CAST(id AS STRING))) AS ts",
         "token_fingerprint(concat('a b c ', CAST(id AS STRING))) AS tf",
-        "quantize_vec(array(CAST(0.25 AS FLOAT), CAST(id AS FLOAT))) AS q")
+        "quantize_vec(array(CAST(0.25 AS FLOAT), CAST(id AS FLOAT))) AS q",
+        "zorder_long(array(id, id + 1L)) AS z")
         .selectExpr("minhash_bands(sh) AS mb", "long_dot(q, q) AS dd",
-          "sb", "ts", "tf")
+          "sb", "ts", "tf", "z")
       val rows = df.collect()
       assert(rows.length === 64)
       assert(rows.forall(_.getAs[Seq[String]]("mb").length === 4))
@@ -91,6 +94,7 @@ class ExtensionsSpec extends AnyFunSuite {
           case _: graft.functions.TokenStats => true
           case _: graft.functions.TokenFingerprint => true
           case _: graft.functions.SimhashBits => true
+          case _: graft.functions.ZOrderLong => true
           case _ => false
         })
       assert(fused,
