@@ -90,6 +90,7 @@ object SparkEntry {
     "similarity_ivf_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfTopk(s, d)),
     "similarity_kmeans_profile" -> ((s: SparkSession, d: String) => SimilarityOps.kmeansProfile(s, d)),
     "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
+    "similarity_incremental_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.incrementalDedup(s, d)),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     "multimodal_framesample" -> (MultimodalOps.frameSample _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,
     "similarity_kmeans_profile" -> ExtSql.similarityKmeansProfile,
     "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
+    "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,
     "multimodal_features" -> ExtSql.multimodalFeatures,

@@ -84,6 +84,12 @@ object SimilarityOps {
     * marks real duplicate mass; true near-identical corpora would run
     * at 0.9+. */
   val DefaultSemDedupThreshold = 0.3
+  /** Arrival split for [[incrementalDedup]] (same convention as
+    * DedupOps.incremental): vec_ids ≡ [[NewVecRemainder]] (mod
+    * [[NewVecMod]]) play the "newly ingested batch"; the rest are the
+    * standing corpus. Shared with the DuckDB mirror. */
+  val NewVecMod = 10
+  val NewVecRemainder = 9
 
   private def planeRows(nPlanes: Int): Seq[Seq[Long]] =
     (1 to nPlanes).map(p => (1 to Dims).map(i => planeSign(p, i)))
@@ -524,6 +530,44 @@ object SimilarityOps {
         coalesce(col("NDupEarlier"), lit(0L)).as("NDupEarlier"),
         (coalesce(col("NDupEarlier"), lit(0L)) > 0).as("IsDup"))
       .transform(graft.etl.Summaries.smallSort(_, col("vec_id")))
+  }
+
+  /** Incremental embedding dedup — the ingestion-time shape: a batch
+    * of NEW vectors (vec_id ≡ [[NewVecRemainder]] mod [[NewVecMod]])
+    * is checked against the standing corpus through the PERSISTED IVF
+    * index, never corpus-vs-corpus. Each arrival routes to its
+    * `nprobe` nearest centroids (K-row broadcast — the batch never
+    * shuffles for routing) and exact-cosine-verifies against only
+    * those clusters' inverted lists: candidates ≈ |batch|·nprobe·n/K
+    * per batch, vs the |batch|·n of brute force and the n² of a
+    * recheck-everything rerun. The embedding-space twin of
+    * DedupOps.incremental (which does the same against the persisted
+    * band index for text shingles).
+    *
+    * A corpus vector lives in exactly one inverted list, so a (new,
+    * corpus) pair can match at most once — no distinct needed. The
+    * join key is the cluster id (K uniform-by-construction k-means
+    * cells; K grows O(√n) at scale, and the routed batch side is
+    * orders smaller than the lists side, so AQE broadcasts it). */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       threshold: Double = DefaultSemDedupThreshold,
+                       nCentroids: Int = DefaultNCentroids,
+                       nprobe: Int = DefaultNProbe): DataFrame = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val lists = spark.read.parquet(s"$base/lists")
+    val isNew = col("vec_id") % NewVecMod === NewVecRemainder
+    val batch = quantized(spark, dir).filter(isNew)
+      .select(col("vec_id").as("QId"), col("Q").as("QP"), col("NormSq").as("NormP"))
+    val routed = nearestCentroids(batch, cent, nprobe, "QId", "QP", "NormP")
+    val corpus = lists.filter(!isNew)
+    routed.join(corpus, "Cid")
+      .withColumn("Cosine",
+        expr("long_dot(QP, Q)").cast(DoubleType) /
+          (sqrt(col("NormP").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
+      .filter(col("Cosine") >= threshold)
+      .select(col("QId").as("NewId"), col("vec_id").as("CorpusId"), col("Cosine"))
+      .transform(graft.etl.Summaries.smallSort(_, col("NewId"), col("CorpusId")))
   }
 
   /** Distinct candidate pairs (V1 < V2) that agree on at least one

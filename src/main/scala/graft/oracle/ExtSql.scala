@@ -706,6 +706,39 @@ ORDER BY m.vec_id
 """
   }
 
+  /** Incremental embedding-dedup mirror: new arrivals (vec_id ≡ 9
+    * mod 10) route to their nprobe nearest FINAL centroids, then
+    * exact-cosine-verify against only the standing corpus members
+    * assigned to those clusters. */
+  val similarityIncrementalDedup: String = {
+    import graft.ops.SimilarityOps.{DefaultNProbe, DefaultSemDedupThreshold, NewVecMod, NewVecRemainder}
+    val cFinal = kmeansCFinal
+    quantCte + codebookCtes + s""",
+rt AS (
+  SELECT qid, qp, np, cid FROM (
+    SELECT p.vec_id AS qid, p.qv AS qp, p.nn AS np, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             (p.nn - 2 * list_sum([p.qv[i] * c.cq[i] for i in range(1, len(p.qv)+1)]) + c.cn), c.cid) AS rn
+    FROM n p CROSS JOIN $cFinal c WHERE p.vec_id % $NewVecMod = $NewVecRemainder
+  ) WHERE rn <= $DefaultNProbe
+),
+corp AS (
+  SELECT a.avid AS vec_id, a.cid, v.qv, v.nn
+  FROM af a JOIN n v ON a.avid = v.vec_id
+  WHERE v.vec_id % $NewVecMod <> $NewVecRemainder
+),
+pr AS (
+  SELECT rt.qid AS "NewId", corp.vec_id AS "CorpusId",
+         CAST(list_sum([rt.qp[i] * corp.qv[i] for i in range(1, len(rt.qp)+1)]) AS DOUBLE)
+           / (sqrt(CAST(rt.np AS DOUBLE)) * sqrt(CAST(corp.nn AS DOUBLE))) AS "Cosine"
+  FROM rt JOIN corp ON rt.cid = corp.cid
+)
+SELECT "NewId", "CorpusId", "Cosine" FROM pr
+WHERE "Cosine" >= $DefaultSemDedupThreshold
+ORDER BY "NewId", "CorpusId"
+"""
+  }
+
   /** Banded sign-LSH mirror (SimilarityOps.lshNeardup defaults): plane
     * (p, i) sign = first hex digit of md5('p|i') ≥ 8; band b =
     * concatenation of its planesPerBand bits; candidates = pairs

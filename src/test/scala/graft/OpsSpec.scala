@@ -330,6 +330,45 @@ class OpsSpec extends SparkSpec {
     byCluster.values.foreach(ms => assert(!flagged.contains(ms.map(_._1).min)))
   }
 
+  test("similarity: incremental dedup equals a driver recomputation of route-then-verify") {
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir)
+    val cent = spark.read.parquet(s"$base/codebook").collect()
+      .map(r => (r.getAs[Long]("Cid"),
+        r.getAs[scala.collection.Seq[Long]]("CQ").toVector, r.getAs[Long]("CNorm")))
+    val lists = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid").cast("long").as("Cid"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Long]]("Q").toVector,
+        r.getAs[Long]("NormSq"), r.getAs[Long]("Cid")))
+    def isNew(id: Long) = id % SimilarityOps.NewVecMod == SimilarityOps.NewVecRemainder
+    // route each new vector to its nprobe nearest centroids (exact
+    // integer L2², Cid tie-break), then verify against standing-corpus
+    // members of those clusters only
+    val corpusByCluster = lists.filterNot(v => isNew(v._1)).groupBy(_._4)
+    val expected = lists.filter(v => isNew(v._1)).flatMap { v =>
+      val route = cent.map { case (cid, cq, cn) =>
+        val dot = v._2.lazyZip(cq).map(_ * _).sum
+        (v._3 - 2 * dot + cn, cid)
+      }.sorted.take(SimilarityOps.DefaultNProbe).map(_._2).toSet
+      route.toSeq.flatMap(cid =>
+        corpusByCluster.getOrElse(cid, Array.empty[(Long, Vector[Long], Long, Long)]))
+        .flatMap { u =>
+          val cos = v._2.lazyZip(u._2).map(_ * _).sum.toDouble /
+            (math.sqrt(v._3.toDouble) * math.sqrt(u._3.toDouble))
+          if (cos >= SimilarityOps.DefaultSemDedupThreshold) Some((v._1, u._1)) else None
+        }
+    }.toSet
+    val rows = SimilarityOps.incrementalDedup(spark, sfDir).collect()
+    val got = rows.map(r => (r.getAs[Long]("NewId"), r.getAs[Long]("CorpusId"))).toSet
+    assert(got === expected)
+    assert(rows.nonEmpty, "no straddling embedding near-dups at this SF — test is vacuous")
+    rows.foreach { r =>
+      assert(isNew(r.getAs[Long]("NewId")))
+      assert(!isNew(r.getAs[Long]("CorpusId")))
+      assert(r.getAs[Double]("Cosine") >= SimilarityOps.DefaultSemDedupThreshold)
+    }
+  }
+
   test("similarity: invalidateQuantized deletes the persisted IVF index and the next query rebuilds it") {
     import java.nio.file.{Files, Paths}
     val base = SimilarityOps.ivfIndexPath(spark, sfDir)
