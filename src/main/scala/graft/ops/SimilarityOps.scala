@@ -559,16 +559,39 @@ object SimilarityOps {
     val isNew = col("vec_id") % NewVecMod === NewVecRemainder
     val batch = quantized(spark, dir).filter(isNew)
       .select(col("vec_id").as("QId"), col("Q").as("QP"), col("NormSq").as("NormP"))
-    val routed = nearestCentroids(batch, cent, nprobe, "QId", "QP", "NormP")
-    val corpus = lists.filter(!isNew)
-    routed.join(corpus, "Cid")
+    incrementalDedupAgainst(batch, cent, lists.filter(!isNew), threshold, nprobe)
+      .transform(graft.etl.Summaries.smallSort(_, col("NewId"), col("CorpusId")))
+  }
+
+  /** Quantize a raw (vec_id, embedding, …) arrival batch into the
+    * (QId, QP, NormP) probe shape [[incrementalDedupAgainst]] takes —
+    * the adapter the streaming twin applies per microbatch. Registers
+    * the native functions on the BATCH's own session: a foreachBatch
+    * DataFrame resolves against the stream's isolated session clone,
+    * whose registry was snapshotted at stream start — registering on
+    * the outer session would be invisible to it. */
+  def quantizeArrivals(arrivals: DataFrame): DataFrame = {
+    VectorExpressions.register(arrivals.sparkSession)
+    arrivals
+      .select(col("vec_id").as("QId"), expr("quantize_vec(embedding)").as("QP"))
+      .withColumn("NormP", expr("long_dot(QP, QP)"))
+  }
+
+  /** The route-then-verify kernel shared by the batch query and the
+    * streaming twin (VecsStream.runIncrementalDedup): ONE definition,
+    * so the per-microbatch semantics are the batch semantics by
+    * construction. `arrivalsQ` is (QId, QP, NormP); `corpusLists` is
+    * the standing index's (vec_id, Q, NormSq, Cid) relation. */
+  def incrementalDedupAgainst(arrivalsQ: DataFrame, cent: DataFrame,
+                              corpusLists: DataFrame, threshold: Double = DefaultSemDedupThreshold,
+                              nprobe: Int = DefaultNProbe): DataFrame =
+    nearestCentroids(arrivalsQ, cent, nprobe, "QId", "QP", "NormP")
+      .join(corpusLists, "Cid")
       .withColumn("Cosine",
         expr("long_dot(QP, Q)").cast(DoubleType) /
           (sqrt(col("NormP").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
       .filter(col("Cosine") >= threshold)
       .select(col("QId").as("NewId"), col("vec_id").as("CorpusId"), col("Cosine"))
-      .transform(graft.etl.Summaries.smallSort(_, col("NewId"), col("CorpusId")))
-  }
 
   /** Distinct candidate pairs (V1 < V2) that agree on at least one
     * whole band — the LSH candidate-generation stage, exposed

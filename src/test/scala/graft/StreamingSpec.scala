@@ -290,6 +290,38 @@ class StreamingSpec extends SparkSpec {
     assert(buf.toSet === batch)
   }
 
+  test("foreachBatch incremental vec dedup over a two-file stream equals batch similarity_incremental_dedup") {
+    import graft.ops.SimilarityOps
+    import graft.streaming.VecsStream
+    // the new-arrival vectors land as TWO files = two microbatches; the
+    // persisted IVF index (codebook + corpus lists) stays static
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_vecdedup")
+    val isNew = col("vec_id") % SimilarityOps.NewVecMod === SimilarityOps.NewVecRemainder
+    graft.etl.Tables.embeddings(spark, sfDir)
+      .filter(isNew)
+      .repartition(2).write.mode("overwrite").parquet(s"$streamDir/vecs")
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val corpusLists = spark.read.parquet(s"$base/lists").filter(!isNew)
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val stream = spark.readStream.schema(graft.etl.Tables.embeddingsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamDir/vecs")
+    val q = VecsStream.runIncrementalDedup(stream, cent, corpusLists) { out =>
+      val rows = out.collect().map(r => (r.getAs[Long]("NewId"),
+        r.getAs[Long]("CorpusId"), r.getAs[Double]("Cosine")))
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty microbatches")
+    val batch = SimilarityOps.incrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("NewId"), r.getAs[Long]("CorpusId"),
+        r.getAs[Double]("Cosine"))).toSet
+    assert(buf.nonEmpty && buf.size === buf.toSet.size, "duplicate emissions across batches")
+    assert(buf.toSet === batch)
+  }
+
   test("mapGroupsWithState latest-per-user matches batch events_dedup_latest") {
     import spark.implicits._
     implicit val s = spark
