@@ -126,6 +126,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: z-codes share a 2k-bit prefix iff points share a depth-k dyadic box (both dims)") {
+    // The locality guarantee the z-ordered layout rests on: agreeing on
+    // the top k bits of EVERY dimension (same dyadic box at depth k)
+    // is exactly agreeing on the top n·k bits of the Morton code — so
+    // contiguous curve ranges are unions of aligned boxes and each
+    // output file's footer stats stay tight in all dimensions.
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExpressions.register(spark)
+    val n = 2
+    val bits = 63 / n // 31 bits per dim
+    val pairGen = for {
+      a1 <- Gen.choose(0L, (1L << bits) - 1)
+      a2 <- Gen.choose(0L, (1L << bits) - 1)
+      b1 <- Gen.choose(0L, (1L << bits) - 1)
+      b2 <- Gen.choose(0L, (1L << bits) - 1)
+    } yield (a1, a2, b1, b2)
+    val pairs = Gen.listOfN(300, pairGen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    import spark.implicits._
+    val z = pairs.toDF("a1", "a2", "b1", "b2")
+      .selectExpr("a1", "a2", "b1", "b2",
+        "zorder_long(array(a1, a2)) AS za", "zorder_long(array(b1, b2)) AS zb")
+      .collect()
+    z.foreach { r =>
+      val (a1, a2, b1, b2) = (r.getAs[Long]("a1"), r.getAs[Long]("a2"),
+        r.getAs[Long]("b1"), r.getAs[Long]("b2"))
+      val (za, zb) = (r.getAs[Long]("za"), r.getAs[Long]("zb"))
+      (1 to bits).foreach { k =>
+        val sameBox = (a1 >> (bits - k)) == (b1 >> (bits - k)) &&
+          (a2 >> (bits - k)) == (b2 >> (bits - k))
+        val samePrefix = (za >> (n * (bits - k))) == (zb >> (n * (bits - k)))
+        assert(sameBox === samePrefix,
+          s"k=$k a=($a1,$a2) b=($b1,$b2) za=$za zb=$zb")
+      }
+    }
+  }
+
   test("property: repetition fractions stay in [0,1] and flags follow the thresholds") {
     import graft.ops.TextOps
     (31L to 32L).foreach { seed =>
