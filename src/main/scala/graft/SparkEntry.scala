@@ -104,6 +104,7 @@ object SparkEntry {
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
     "setop_returning_customers" -> (RelationalOps.returningCustomers _),
     "events_asof_view" -> (RelationalOps.purchaseAsofView _),
+    "join_range_value_bands" -> (RelationalOps.rangeJoinValueBands _),
     "events_asof_join_hourly" -> (RelationalOps.asofJoinHourly _),
     "text_regex_tokens" -> (RelationalOps.regexTokens _),
     // HLL++/quantile sketches: exact columns + error-bound booleans the
@@ -167,6 +168,7 @@ object SparkEntry {
     "setop_churned_customers" -> ExtSql.churnedCustomers,
     "setop_returning_customers" -> ExtSql.returningCustomers,
     "events_asof_view" -> ExtSql.purchaseAsofView,
+    "join_range_value_bands" -> ExtSql.rangeJoinValueBands,
     "events_asof_join_hourly" -> ExtSql.asofJoinHourly,
     "text_regex_tokens" -> ExtSql.regexTokens,
     "sketch_approx_stats" -> ExtSql.approxSketchStats,

@@ -314,6 +314,61 @@ object RelationalOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Value bands for [[rangeJoinValueBands]]: (name, lo inclusive,
+    * hi exclusive). Non-uniform widths on purpose — the binning math
+    * must handle bands narrower and wider than a bin. ALSO read by the
+    * DuckDB mirror (ExtSql.rangeJoinValueBands). */
+  val ValueBands: Seq[(String, Double, Double)] = Seq(
+    ("micro", 0.0, 1.0),
+    ("small", 1.0, 10.0),
+    ("medium", 10.0, 50.0),
+    ("large", 50.0, 150.0),
+    ("xlarge", 150.0, 400.0),
+    ("jumbo", 400.0, 1000.0))
+
+  /** Bin width for the band replication: bands span ceil(width/25)
+    * bins each (44 replicated rows for [[ValueBands]]). */
+  val BandBinWidth = 25.0
+
+  /** INTERVAL (range-containment) JOIN, the scale-correct way: events
+    * classified into value bands `[lo, hi)`.
+    *
+    * The naive formulation — `events JOIN bands ON value >= lo AND
+    * value < hi` — has no equi-key, so Spark plans a
+    * BroadcastNestedLoopJoin: every row compared against every band,
+    * O(n·|bands|) compares with no hash locality, and with a
+    * larger-than-broadcast interval table it degrades to a cartesian
+    * product. The standard fix (genomics/IP-range joins) is
+    * bin-and-replicate: carve the value domain into fixed-width bins,
+    * replicate each interval to every bin it overlaps (driver-side
+    * here — the band table is literal; a DataFrame `sequence`+
+    * `explode` does the same for interval TABLES), compute each probe
+    * row's bin with one `floor(value / w)`, equi-join on the bin, and
+    * re-check the exact containment as a residual predicate. The join
+    * becomes a hash join on a dense integer key — broadcastable here,
+    * shuffle-on-bin for interval tables of any size — and PlanSpec
+    * asserts the nested-loop shape is gone.
+    *
+    * Aggregation follows the eventsHourly numeric rules: counts plus
+    * an exact decimal sum surfaced as double. */
+  def rangeJoinValueBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = BandBinWidth
+    val bandBins = ValueBands.flatMap { case (name, lo, hi) =>
+      (math.floor(lo / w).toLong until math.ceil(hi / w).toLong)
+        .map(bin => (name, lo, hi, bin))
+    }.toDF("Band", "Lo", "Hi", "Bin")
+    Tables.events(spark, dir)
+      .withColumn("EBin", floor(col("value") / w).cast(LongType))
+      .join(broadcast(bandBins),
+        col("EBin") === col("Bin") &&
+          col("value") >= col("Lo") && col("value") < col("Hi"))
+      .groupBy(col("Band"), col("Lo"), col("Hi"))
+      .agg(count(lit(1)).as("NEvents"),
+        sum(col("value").cast(dec)).cast(DoubleType).as("TotalValue"))
+      .orderBy(col("Lo"))
+  }
+
   /** Regex tokenization counts (punctuation-robust "BPE-ish" proxy) —
     * codegen'd regexp_extract_all, no UDF. */
   def regexTokens(spark: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,25 @@ SELECT user_id, count(*) AS "NEvents", CAST(sum(ns) AS BIGINT) AS "NSessions"
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
+  /** Interval-join mirror: DuckDB gets the declarative BETWEEN form
+    * (its optimizer handles small interval joins fine); Spark runs the
+    * bin-and-replicate plan — identical values, different physical
+    * strategy, which is the point. Bands come from RelationalOps so
+    * the two sides cannot drift. */
+  val rangeJoinValueBands: String = {
+    val vals = graft.ops.RelationalOps.ValueBands
+      .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    s"""
+WITH bands(band, lo, hi) AS (VALUES $vals)
+SELECT band AS "Band", lo AS "Lo", hi AS "Hi",
+       count(*) AS "NEvents",
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "TotalValue"
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY band, lo, hi
+ORDER BY lo
+"""
+  }
+
   // ---------- text ----------
 
   private val toksCte = """

@@ -69,6 +69,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join plans as a hash join on the bin key, not a nested loop") {
+    val df = graft.ops.RelationalOps.rangeJoinValueBands(spark, sfDir)
+    val p = plan(df)
+    // the naive interval join has no equi-key and planning it would
+    // produce BroadcastNestedLoopJoin (or worse, CartesianProduct);
+    // bin-and-replicate must restore a hash-joinable key
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join planned as nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // and the values equal the naive theta-join, bin math exact
+    val got = df.collect().map(r => (r.getAs[String]("Band"),
+      r.getAs[Long]("NEvents"), r.getAs[Double]("TotalValue"))).toSeq
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bands = graft.ops.RelationalOps.ValueBands.toDF("Band", "Lo", "Hi")
+    val naive = graft.etl.Tables.events(spark, sfDir)
+      .join(bands, col("value") >= col("Lo") && col("value") < col("Hi"))
+      .groupBy(col("Band"), col("Lo"))
+      .agg(count(lit(1)).as("NEvents"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("TotalValue"))
+      .orderBy(col("Lo"))
+      .collect().map(r => (r.getAs[String]("Band"),
+        r.getAs[Long]("NEvents"), r.getAs[Double]("TotalValue"))).toSeq
+    assert(got === naive)
+    assert(got.map(_._2).sum > 0L)
+  }
+
   test("IVF probe reads only the routed list partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // nprobe=1 gives the sharpest route (≤ |probes| of the K lists) so
