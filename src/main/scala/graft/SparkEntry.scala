@@ -84,6 +84,7 @@ object SparkEntry {
     "text_tfidf" -> (TextOps.tfidf _),
     "text_pii_redact" -> (TextOps.piiRedact _),
     "text_corpus_stats" -> (TextOps.corpusStats _),
+    "text_source_similarity" -> (TextOps.sourceSimilarity _),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "text_tfidf" -> ExtSql.textTfidf,
     "text_pii_redact" -> ExtSql.textPiiRedact,
     "text_corpus_stats" -> ExtSql.textCorpusStats,
+    "text_source_similarity" -> ExtSql.textSourceSimilarity,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,

@@ -274,6 +274,66 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Hash functions per corpus-level MinHash signature
+    * ([[sourceSimilarity]]) — ALSO read by the DuckDB mirror. */
+  val SourceSimHashes = 16
+
+  /** Corpus-level source-vs-source vocabulary similarity: estimated
+    * shingle-set Jaccard between every source pair from
+    * [[SourceSimHashes]]-function MinHash signatures, alongside the
+    * exact Jaccard for calibration.
+    *
+    * The signature is the mergeable one-pass shape that matters at
+    * 100 TB: per source, H independent `min(md5(h|shingle))` aggregates
+    * over its distinct shingles — H·|sources| strings of state, built
+    * in the same partial-aggregated pass as the set sizes, mergeable
+    * across any partitioning (min is associative-commutative). The
+    * EXACT pairwise Jaccard needs the shingle-keyed self-join
+    * (`Σ df²` candidate rows) — the expensive side the sketch
+    * replaces; it is computed here too because at test scale it is
+    * cheap and it turns the estimate into an oracle-checkable,
+    * calibratable number rather than a trust-me. At production scale
+    * you keep the signatures and drop the exact columns.
+    *
+    * The pairwise frame is |sources|² — aggregate-scale, not
+    * data-scale; its crossJoin is the same bounded
+    * BroadcastNestedLoopJoin as the IVF codebook. Estimates are exact
+    * fractions of integer agreement counts; both engines compute
+    * identical md5 strings, so the whole row hash-matches. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val sh = DedupOps.sharedShingles(spark, dir)
+      .join(docs, "doc_id")
+      .select(col("source"), explode(col("Sh")).as("Shingle"))
+      .distinct()
+    val aggCols = (count(lit(1)).as("NSh") +:
+      (1 to SourceSimHashes).map(h =>
+        min(md5(concat_ws("|", lit(h.toString), col("Shingle")))).as(s"H$h"))).toSeq
+    val sig = sh.groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
+    val left = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"A_$c"))
+    val right = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"B_$c"))
+    val inter = sh.select(col("source").as("IA"), col("Shingle"))
+      .join(sh.select(col("source").as("IB"), col("Shingle")), "Shingle")
+      .filter(col("IA") < col("IB"))
+      .groupBy(col("IA"), col("IB"))
+      .agg(count(lit(1)).as("NShared"))
+    val agree = (1 to SourceSimHashes)
+      .map(h => when(col(s"A_H$h") === col(s"B_H$h"), 1).otherwise(0))
+      .reduce(_ + _)
+    left.crossJoin(right).filter(col("A_source") < col("B_source"))
+      .join(inter,
+        col("A_source") === col("IA") && col("B_source") === col("IB"), "left")
+      .select(
+        col("A_source").as("SA"), col("B_source").as("SB"),
+        col("A_NSh").as("NShA"), col("B_NSh").as("NShB"),
+        coalesce(col("NShared"), lit(0L)).as("NShared"),
+        (coalesce(col("NShared"), lit(0L)).cast(DoubleType) /
+          (col("A_NSh") + col("B_NSh") - coalesce(col("NShared"), lit(0L)))
+            .cast(DoubleType)).as("ExactJaccard"),
+        (agree.cast(DoubleType) / lit(SourceSimHashes.toDouble)).as("EstJaccard"))
+      .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
+  }
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

@@ -549,6 +549,47 @@ SELECT doc_id, "NEmails", "NPhones",
 FROM r ORDER BY doc_id
 """
 
+  /** Source-vs-source vocabulary similarity mirror: distinct (source,
+    * shingle) pairs, H min(md5(h|shingle)) signature aggregates, exact
+    * pairwise intersection via the shingle self-join, estimate =
+    * fraction of agreeing signature components. */
+  val textSourceSimilarity: String = {
+    val h = graft.ops.TextOps.SourceSimHashes
+    val sigCols = (1 to h)
+      .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(",\n         ")
+    val agree = (1 to h)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT source, unnest($shExpr) AS shingle FROM toks
+),
+sig AS (
+  SELECT source, count(*) AS nsh,
+         $sigCols
+  FROM e GROUP BY source
+),
+inter AS (
+  SELECT x.source AS ia, y.source AS ib, count(*) AS ns
+  FROM e x JOIN e y ON x.shingle = y.shingle AND x.source < y.source
+  GROUP BY x.source, y.source
+)
+SELECT a.source AS "SA", b.source AS "SB",
+       CAST(a.nsh AS BIGINT) AS "NShA", CAST(b.nsh AS BIGINT) AS "NShB",
+       CAST(COALESCE(i.ns, 0) AS BIGINT) AS "NShared",
+       CAST(COALESCE(i.ns, 0) AS DOUBLE)
+         / CAST(a.nsh + b.nsh - COALESCE(i.ns, 0) AS DOUBLE) AS "ExactJaccard",
+       CAST($agree AS DOUBLE) / $h.0 AS "EstJaccard"
+FROM sig a JOIN sig b ON a.source < b.source
+LEFT JOIN inter i ON a.source = i.ia AND b.source = i.ib
+ORDER BY "SA", "SB"
+"""
+  }
+
   // ---------- similarity ----------
 
   private val quantCte: String = """

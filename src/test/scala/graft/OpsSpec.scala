@@ -186,6 +186,33 @@ class OpsSpec extends SparkSpec {
     assert(pred.getOrElse("en", 0L) > 400L, s"got $pred")
   }
 
+  test("text: source similarity covers all pairs; jaccards bounded; estimate calibrated on identity") {
+    val rows = TextOps.sourceSimilarity(spark, sfDir).collect()
+    val nSources = graft.etl.Tables.documents(spark, sfDir)
+      .select("source").distinct().count().toInt
+    assert(rows.length === nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (ej, est) = (r.getAs[Double]("ExactJaccard"), r.getAs[Double]("EstJaccard"))
+      assert(ej >= 0.0 && ej <= 1.0)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Long]("NShared") <=
+        math.min(r.getAs[Long]("NShA"), r.getAs[Long]("NShB")))
+    }
+    // a MinHash signature agrees with itself on every component: the
+    // estimator is exactly 1 for identical sets (sanity of the wiring —
+    // cross-pair accuracy at H=16 is probabilistic and not asserted)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, expr, md5, min, concat_ws, lit}
+    graft.functions.ShingleExpressions.register(spark)
+    val sh = Seq((1L, "a b c d e"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(expr("token_shingles(text)")).as("Shingle"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(min(md5(concat_ws("|", lit("1"), col("Shingle")))).as("H1"))
+      .collect().map(_.getAs[String]("H1")).distinct
+    assert(sigs.length === 1, "identical shingle sets must produce identical signatures")
+  }
+
   test("events: sessionize NSessions between 1 and NEvents") {
     val rows = EventsOps.sessionize(spark, sfDir).collect()
     assert(rows.nonEmpty)
