@@ -43,7 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("simhash_bits", "8-bit SimHash bit string of text",
       es => SimhashBits(es.head)),
     ("zorder_long", "Morton (Z-order) interleave of normalized bigint dims",
-      es => ZOrderLong(es.head)))
+      es => ZOrderLong(es.head)),
+    ("rolling_chunks", "md5s of content-defined (rolling-hash) chunks of text",
+      es => RollingChunks(es.head)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

@@ -85,6 +85,8 @@ object SparkEntry {
     "text_pii_redact" -> (TextOps.piiRedact _),
     "text_corpus_stats" -> (TextOps.corpusStats _),
     "text_source_similarity" -> (TextOps.sourceSimilarity _),
+    "text_chunks" -> (TextOps.chunks _),
+    "dedup_chunk_overlap" -> (DedupOps.chunkOverlap _),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
@@ -153,6 +155,8 @@ object SparkEntry {
     "text_pii_redact" -> ExtSql.textPiiRedact,
     "text_corpus_stats" -> ExtSql.textCorpusStats,
     "text_source_similarity" -> ExtSql.textSourceSimilarity,
+    "text_chunks" -> ExtSql.textChunks,
+    "dedup_chunk_overlap" -> ExtSql.dedupChunkOverlap,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,

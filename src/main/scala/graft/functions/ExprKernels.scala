@@ -162,6 +162,43 @@ object ExprKernels {
     z
   }
 
+  private val chunkPows: Array[Long] = TextOps.ChunkPows.toArray
+
+  /** text → md5 of each content-defined chunk, in order, duplicates
+    * kept ([[RollingChunks]]). Operates on CODEPOINTS — DuckDB's
+    * `substr`/`length`/`unicode` are codepoint-based, and the mirror
+    * must cut at identical offsets for astral-plane text too. One
+    * bounded inner loop per position (W=8); the windowed hash is
+    * recomputed rather than rolled — branch-free and already
+    * memory-bound at this W. */
+  def rollingChunks(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val W = TextOps.ChunkWindow
+    val M = TextOps.ChunkMod
+    val D = TextOps.ChunkDivisor
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i <= n - W) {
+      var h = 0L
+      var j = 0
+      while (j < W) { h = (h + cps(i + j).toLong * chunkPows(j)) % M; j += 1 }
+      if (h % D == 0) cuts += (i + W)
+      i += 1
+    }
+    if (cuts.last != n) cuts += n
+    val out = new Array[Any](cuts.length - 1)
+    var k = 0
+    while (k < out.length) {
+      val (a, b) = (cuts(k), cuts(k + 1))
+      out(k) = UTF8String.fromString(
+        TextExpressions.md5Hex(new String(cps, a, b - a)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** text → one-pass content-hash row ([[TokenFingerprint]]). */
   def tokenFingerprint(input: UTF8String): InternalRow = {
     val toks = TextExpressions.tokenize(input.toString)

@@ -33,6 +33,8 @@ object TextExpressions {
       exprs => TokenStats(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("token_fingerprint",
       exprs => TokenFingerprint(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_chunks",
+      exprs => RollingChunks(exprs.head), "built-in")
   }
 
   /** Must match Spark `split(trim(text), '\s+')` exactly — Spark split
@@ -141,6 +143,33 @@ case class TokenFingerprint(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.ExprKernels.tokenFingerprint($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → array of per-chunk md5s from content-defined chunking
+  * (stateless Rabin-window boundaries; parameters in
+  * graft.ops.TextOps.Chunk*). Duplicates kept, document order. */
+case class RollingChunks(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "rolling_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.rollingChunks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprKernels.rollingChunks($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -76,6 +76,31 @@ object DedupOps {
   def sharedShingles(spark: SparkSession, dir: String): DataFrame =
     docBands(spark, dir).select(col("doc_id"), col("Sh"))
 
+  private val chunksMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** doc_id + DISTINCT content-defined chunk md5s + total/distinct
+    * counts (native one-pass `rolling_chunks`; parameters + the SQL
+    * mirror contract in TextOps.Chunk*). Memoized + `.cache()`d like
+    * [[docBands]] — the chunk substrate feeds both the per-doc
+    * fingerprint query and the containment self-join, and the rolling
+    * hash is the most codepoint-heavy sketch pass in the engine. */
+  private[ops] def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    chunksMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(chunksMemo.remove)
+    chunksMemo.getOrElseUpdate((spark, dir),
+      Tables.documents(spark, dir)
+        .repartition(col("doc_id"))
+        .withColumn("Ch", expr("rolling_chunks(text)"))
+        .select(col("doc_id"),
+          size(col("Ch")).as("NChunks"),
+          array_distinct(col("Ch")).as("Chs"))
+        .withColumn("NDistinctChunks", size(col("Chs")))
+        .cache())
+  }
+
   /** Drop and unpersist every memoized sketch table for `spark`, AND
     * drop its persisted band-index tables (a stale on-disk index
     * against a refreshed corpus would silently return mixed-version
@@ -83,6 +108,9 @@ object DedupOps {
   def invalidateSketches(spark: SparkSession): Unit = {
     bandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       bandsMemo.remove(k).foreach(_.unpersist(false))
+    }
+    chunksMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      chunksMemo.remove(k).foreach(_.unpersist(false))
     }
     bandIndexMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       bandIndexMemo.remove(k).foreach { name =>
@@ -102,6 +130,32 @@ object DedupOps {
       .select(col("doc_id"), col("Fingerprint"), col("CanonicalId"),
         (col("doc_id") =!= col("CanonicalId")).as("IsDup"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Substring-level containment pairs via content-defined chunks:
+    * docs sharing ≥ [[graft.ops.TextOps.MinChunkOverlap]] of the
+    * smaller side's distinct chunks. Catches partial containment
+    * (doc A pasted inside doc B) that token-shingle Jaccard dilutes —
+    * the shared region's chunks survive verbatim because boundaries
+    * are content-defined, while |A ∪ B| grows with the host document.
+    * Candidates come from the chunk-keyed equi-join (uniform md5
+    * keys, same shape as the shingle verify join — never all-pairs);
+    * sizes ride the exploded rows so the overlap fraction needs no
+    * extra join back. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ch = docChunks(spark, dir)
+      .select(col("doc_id"), col("NDistinctChunks").as("ND"),
+        explode(col("Chs")).as("H"))
+    ch.select(col("doc_id").as("D1"), col("ND").as("ND1"), col("H"))
+      .join(ch.select(col("doc_id").as("D2"), col("ND").as("ND2"), col("H")), "H")
+      .filter(col("D1") < col("D2"))
+      .groupBy(col("D1"), col("D2"), col("ND1"), col("ND2"))
+      .agg(count(lit(1)).as("NShared"))
+      .withColumn("OverlapFrac",
+        col("NShared").cast(DoubleType) / least(col("ND1"), col("ND2")).cast(DoubleType))
+      .filter(col("OverlapFrac") >= graft.ops.TextOps.MinChunkOverlap)
+      .select(col("D1"), col("D2"), col("NShared"), col("OverlapFrac"))
+      .transform(graft.etl.Summaries.smallSort(_, col("D1"), col("D2")))
   }
 
   /** MinHash signatures + LSH band values per doc (the sketch stage). */

@@ -278,6 +278,26 @@ object TextOps {
     * ([[sourceSimilarity]]) — ALSO read by the DuckDB mirror. */
   val SourceSimHashes = 16
 
+  /** Content-defined chunking (CDC) parameters — ALSO read by the
+    * DuckDB mirror (ExtSql.chunkCte). A cut is declared after any
+    * [[ChunkWindow]]-codepoint window whose Rabin-style hash
+    * (Σ cp·Bᵂ⁻¹⁻ʲ mod [[ChunkMod]]) is ≡ 0 mod [[ChunkDivisor]] —
+    * boundaries depend on CONTENT, not position, so an insertion
+    * re-chunks only its neighborhood (expected chunk ≈ Divisor + W/2
+    * chars). Stateless on purpose: production CDC adds min/max chunk
+    * bounds, but those make each boundary depend on the previous one
+    * and the declarative SQL mirror with them is a recursive query —
+    * the stateless rule keeps Spark and DuckDB bit-identical. */
+  val ChunkWindow = 8
+  val ChunkBase = 257L
+  val ChunkMod = 1000000007L
+  val ChunkDivisor = 64L
+  /** B^(W-1-j) mod M for j = 0..W-1 (shared with the oracle). */
+  val ChunkPows: Seq[Long] = (0 until ChunkWindow).map(j =>
+    BigInt(ChunkBase).modPow(BigInt(ChunkWindow - 1 - j), BigInt(ChunkMod)).toLong)
+  /** Minimum shared-chunk fraction for [[DedupOps.chunkOverlap]]. */
+  val MinChunkOverlap = 0.5
+
   /** Corpus-level source-vs-source vocabulary similarity: estimated
     * shingle-set Jaccard between every source pair from
     * [[SourceSimHashes]]-function MinHash signatures, alongside the
@@ -333,6 +353,22 @@ object TextOps {
         (agree.cast(DoubleType) / lit(SourceSimHashes.toDouble)).as("EstJaccard"))
       .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
   }
+
+  /** Content-defined chunk fingerprints — the rolling-hash
+    * counterpart of [[fingerprint]]: per doc, the chunk count, the
+    * distinct-chunk count, and a stable set digest (md5 of the sorted
+    * distinct chunk hashes). Because boundaries are content-defined
+    * (TextOps.Chunk* scaladoc), an edit perturbs only the chunks
+    * around it — the digest of a lightly edited document shares most
+    * chunk hashes with the original, which is what makes
+    * [[DedupOps.chunkOverlap]]'s substring-level containment
+    * detection work where token-shingle Jaccard dilutes. Rides the
+    * memoized chunk substrate (DedupOps.docChunks). */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.docChunks(spark, dir)
+      .select(col("doc_id"), col("NChunks"), col("NDistinctChunks"),
+        md5(concat_ws(" ", array_sort(col("Chs")))).as("ChunksetMd5"))
+      .orderBy(col("doc_id"))
 
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation

@@ -549,6 +549,61 @@ SELECT doc_id, "NEmails", "NPhones",
 FROM r ORDER BY doc_id
 """
 
+  /** Content-defined chunking CTE shared by [[textChunks]] and
+    * [[dedupChunkOverlap]]: mirrors ExprKernels.rollingChunks exactly —
+    * a cut after every ChunkWindow-codepoint window whose
+    * Σ cp·pow hash is ≡ 0 mod ChunkDivisor (DuckDB substr/length/
+    * unicode are codepoint-based, as is the kernel). Ends with
+    * `ch(doc_id, chs)` = per-doc chunk-md5 list, duplicates kept.
+    * All parameters read from TextOps so the two sides cannot
+    * drift. */
+  private val chunkCte: String = {
+    import graft.ops.TextOps.{ChunkDivisor, ChunkMod, ChunkPows, ChunkWindow}
+    val w = ChunkWindow
+    val plist = ChunkPows.map(p => s"CAST($p AS BIGINT)").mkString("[", ",", "]")
+    s"""
+WITH c AS (
+  SELECT doc_id, text, length(text) AS n,
+         [i + $w for i in range(1, greatest(length(text) - $w + 2, 1))
+          if list_sum([CAST(unicode(substr(text, i + j - 1, 1)) AS BIGINT) * $plist[j] for j in range(1, ${w + 1})]) % $ChunkMod % $ChunkDivisor = 0] AS mids
+  FROM documents
+),
+cu AS (
+  SELECT doc_id, text,
+         list_sort(list_distinct(list_append(list_prepend(1, [m for m in mids if m <= n]), n + 1))) AS cuts
+  FROM c
+),
+ch AS (
+  SELECT doc_id,
+         [md5(substr(text, cuts[k], cuts[k+1] - cuts[k])) for k in range(1, len(cuts)) if cuts[k+1] > cuts[k]] AS chs
+  FROM cu
+)"""
+  }
+
+  val textChunks: String = chunkCte + """
+SELECT doc_id,
+       CAST(len(chs) AS INTEGER) AS "NChunks",
+       CAST(len(list_distinct(chs)) AS INTEGER) AS "NDistinctChunks",
+       md5(array_to_string(list_sort(list_distinct(chs)), ' ')) AS "ChunksetMd5"
+FROM ch ORDER BY doc_id
+"""
+
+  val dedupChunkOverlap: String = chunkCte + s""",
+e AS (
+  SELECT doc_id, len(list_distinct(chs)) AS nd, unnest(list_distinct(chs)) AS h
+  FROM ch
+),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.nd AS nd1, b.nd AS nd2, count(*) AS ns
+  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT d1 AS "D1", d2 AS "D2", CAST(ns AS BIGINT) AS "NShared",
+       CAST(ns AS DOUBLE) / least(nd1, nd2) AS "OverlapFrac"
+FROM p WHERE CAST(ns AS DOUBLE) / least(nd1, nd2) >= ${graft.ops.TextOps.MinChunkOverlap}
+ORDER BY "D1", "D2"
+"""
+
   /** Source-vs-source vocabulary similarity mirror: distinct (source,
     * shingle) pairs, H min(md5(h|shingle)) signature aggregates, exact
     * pairwise intersection via the shingle self-join, estimate =

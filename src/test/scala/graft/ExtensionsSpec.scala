@@ -33,7 +33,8 @@ class ExtensionsSpec extends AnyFunSuite {
           |  token_fingerprint('a b a') AS tf,
           |  token_shingles('a b c d') AS sh,
           |  simhash_bits('a b c') AS sb,
-          |  zorder_long(array(3L, 3L)) AS z
+          |  zorder_long(array(3L, 3L)) AS z,
+          |  rolling_chunks('short') AS rc
           |""".stripMargin).head()
       assert(r.getAs[Long]("d") === 32L)
       assert(r.getAs[Seq[Long]]("q") === Seq(5000L))
@@ -43,6 +44,8 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Seq[String]]("sh") === Seq("a b c", "b c d"))
       assert(r.getAs[String]("sb").matches("[01]{8}"))
       assert(r.getAs[Long]("z") === 15L)
+      // sub-window text = one whole-text chunk
+      assert(r.getAs[Seq[String]]("rc").length === 1)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -72,9 +75,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "token_stats(concat('the quick fox ', CAST(id AS STRING))) AS ts",
         "token_fingerprint(concat('a b c ', CAST(id AS STRING))) AS tf",
         "quantize_vec(array(CAST(0.25 AS FLOAT), CAST(id AS FLOAT))) AS q",
-        "zorder_long(array(id, id + 1L)) AS z")
+        "zorder_long(array(id, id + 1L)) AS z",
+        "rolling_chunks(concat('some chunkable text body ', CAST(id AS STRING))) AS rc")
         .selectExpr("minhash_bands(sh) AS mb", "long_dot(q, q) AS dd",
-          "sb", "ts", "tf", "z")
+          "sb", "ts", "tf", "z", "rc")
       val rows = df.collect()
       assert(rows.length === 64)
       assert(rows.forall(_.getAs[Seq[String]]("mb").length === 4))
@@ -95,6 +99,7 @@ class ExtensionsSpec extends AnyFunSuite {
           case _: graft.functions.TokenFingerprint => true
           case _: graft.functions.SimhashBits => true
           case _: graft.functions.ZOrderLong => true
+          case _: graft.functions.RollingChunks => true
           case _ => false
         })
       assert(fused,

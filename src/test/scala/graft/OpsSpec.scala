@@ -186,6 +186,62 @@ class OpsSpec extends SparkSpec {
     assert(pred.getOrElse("en", 0L) > 400L, s"got $pred")
   }
 
+  test("text: rolling chunks equal a driver reference implementation on every doc") {
+    graft.functions.TextExpressions.register(spark)
+    import graft.ops.{TextOps => T}
+    def refChunks(text: String): Seq[String] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      val w = T.ChunkWindow
+      val cuts = scala.collection.mutable.ArrayBuffer(0)
+      for (i <- 0 to n - w) {
+        var h = 0L
+        for (j <- 0 until w) h = (h + cps(i + j).toLong * T.ChunkPows(j)) % T.ChunkMod
+        if (h % T.ChunkDivisor == 0) cuts += (i + w)
+      }
+      if (cuts.last != n) cuts += n
+      cuts.toSeq.zip(cuts.toSeq.tail).collect { case (a, b) if b > a =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(new String(cps, a, b - a).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+    }
+    val rows = graft.etl.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text", "rolling_chunks(text) AS ch").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val got = r.getAs[scala.collection.Seq[String]]("ch").toSeq
+      assert(got === refChunks(r.getAs[String]("text")), s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("dedup: content-defined chunks survive a prepended edit (the property position-based chunking lacks)") {
+    graft.functions.TextExpressions.register(spark)
+    import spark.implicits._
+    // pick a corpus doc with enough chunks that the claim has teeth
+    val t = graft.etl.Tables.documents(spark, sfDir)
+      .selectExpr("text", "size(rolling_chunks(text)) AS nc")
+      .filter(col("nc") >= 5).select("text").head().getString(0)
+    val ch = Seq(("orig", t), ("edited", "an inserted preamble sentence. " + t))
+      .toDF("k", "text")
+      .selectExpr("k", "rolling_chunks(text) AS ch").collect()
+      .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("ch").toSet)
+      .toMap
+    // every position shifted by the insertion, yet the boundaries
+    // re-synchronize: most original chunks survive verbatim. A
+    // fixed-width (position-based) chunking would share ~none.
+    val survived = (ch("orig") & ch("edited")).size.toDouble / ch("orig").size
+    assert(survived >= 0.6, s"only ${ch("orig") & ch("edited")} of ${ch("orig").size} survived")
+    // and chunkOverlap's output respects its own contract on the corpus
+    val pairs = DedupOps.chunkOverlap(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "no chunk-overlap pairs at this SF — test is vacuous")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("D1") < r.getAs[Long]("D2"))
+      val f = r.getAs[Double]("OverlapFrac")
+      assert(f >= graft.ops.TextOps.MinChunkOverlap && f <= 1.0)
+    }
+  }
+
   test("text: source similarity covers all pairs; jaccards bounded; estimate calibrated on identity") {
     val rows = TextOps.sourceSimilarity(spark, sfDir).collect()
     val nSources = graft.etl.Tables.documents(spark, sfDir)
