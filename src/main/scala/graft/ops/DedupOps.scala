@@ -76,6 +76,27 @@ object DedupOps {
   def sharedShingles(spark: SparkSession, dir: String): DataFrame =
     docBands(spark, dir).select(col("doc_id"), col("Sh"))
 
+  private val sourceShinglesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** DISTINCT (source, Shingle) pairs — the substrate of the
+    * corpus-vs-corpus cards (TextOps.sourceSimilarity), which consumes
+    * it THREE times per invocation (signature aggregate + both sides
+    * of the exact-intersection self-join). Same owner/invalidate
+    * pattern as [[docBands]]; derives from the shared shingle cache,
+    * so the md5 sketch pass itself is never repeated. */
+  private[ops] def sourceShingles(spark: SparkSession, dir: String): DataFrame = {
+    sourceShinglesMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(sourceShinglesMemo.remove)
+    sourceShinglesMemo.getOrElseUpdate((spark, dir),
+      sharedShingles(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), explode(col("Sh")).as("Shingle"))
+        .distinct()
+        .cache())
+  }
+
   private val chunksMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -111,6 +132,9 @@ object DedupOps {
     }
     chunksMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       chunksMemo.remove(k).foreach(_.unpersist(false))
+    }
+    sourceShinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      sourceShinglesMemo.remove(k).foreach(_.unpersist(false))
     }
     bandIndexMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       bandIndexMemo.remove(k).foreach { name =>

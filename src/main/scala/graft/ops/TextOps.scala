@@ -321,11 +321,7 @@ object TextOps {
     * fractions of integer agreement counts; both engines compute
     * identical md5 strings, so the whole row hash-matches. */
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val sh = DedupOps.sharedShingles(spark, dir)
-      .join(docs, "doc_id")
-      .select(col("source"), explode(col("Sh")).as("Shingle"))
-      .distinct()
+    val sh = DedupOps.sourceShingles(spark, dir)
     val aggCols = (count(lit(1)).as("NSh") +:
       (1 to SourceSimHashes).map(h =>
         min(md5(concat_ws("|", lit(h.toString), col("Shingle")))).as(s"H$h"))).toSeq
