@@ -99,7 +99,20 @@ object Load {
           min(col(d).cast(DoubleType)).as(s"mn_$d"),
           max(col(d).cast(DoubleType)).as(s"mx_$d")))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
-        dims.map(d => d -> ((r.getAs[Double](s"mn_$d"), r.getAs[Double](s"mx_$d")))).toMap
+        dims.map { d =>
+          // fail loudly rather than silently collapsing the dimension:
+          // an all-null column gives null bounds (getAs would unbox to
+          // 0.0) and a single NaN row poisons max() (NaN orders
+          // greatest) — either way the dim would scale to constant 0
+          // and the multi-dim skipping property would quietly not hold
+          val (iMn, iMx) = (r.fieldIndex(s"mn_$d"), r.fieldIndex(s"mx_$d"))
+          require(!r.isNullAt(iMn) && !r.isNullAt(iMx),
+            s"z-order dim '$d' has no non-null values")
+          val (mn, mx) = (r.getDouble(iMn), r.getDouble(iMx))
+          require(!mn.isNaN && !mx.isNaN && !mn.isInfinite && !mx.isInfinite,
+            s"z-order dim '$d' has non-finite bounds ($mn, $mx)")
+          d -> ((mn, mx))
+        }.toMap
       }
     val scaled = dims.map { d =>
       val (mn, mx) = st(d)

@@ -147,6 +147,13 @@ object ExprKernels {
     * elements count as 0 (they sort to the curve's origin). */
   def zorder(x: ArrayData): Long = {
     val n = x.numElements()
+    // SQL-reachable (zorder_long is a registered function), so the
+    // arity is a runtime property: an empty array would divide by
+    // zero below, and 64+ dims would yield bits = 0 — every row
+    // mapping to z = 0, a silently degenerate clustering key
+    if (n == 0) return 0L
+    if (n > 63) throw new IllegalArgumentException(
+      s"zorder_long supports 1..63 dimensions, got $n")
     val bits = 63 / n
     var z = 0L
     var j = 0

@@ -327,7 +327,7 @@ object RelationalOps {
     ("jumbo", 400.0, 1000.0))
 
   /** Bin width for the band replication: bands span ceil(width/25)
-    * bins each (44 replicated rows for [[ValueBands]]). */
+    * bins each (42 replicated rows for [[ValueBands]]). */
   val BandBinWidth = 25.0
 
   /** INTERVAL (range-containment) JOIN, the scale-correct way: events

@@ -132,8 +132,13 @@ object SimilarityOps {
     sigMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       sigMemo.remove(k).foreach(_.unpersist(false))
     }
-    ivfMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      ivfMemo.remove(k).foreach(deleteRecursively)
+    // deletion under the same lock that guards builds, so an invalidate
+    // racing a concurrent build-if-absent cannot delete a half-written
+    // index out from under it
+    ivfBuildLock.synchronized {
+      ivfMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        ivfMemo.remove(k).foreach(deleteRecursively)
+      }
     }
   }
 
@@ -255,7 +260,11 @@ object SimilarityOps {
     * if set, else `<spark.sql.warehouse.dir>/graft_ivf` — never a bare
     * cwd-relative literal (a query path must not impose a hidden
     * write-permission requirement on whatever directory the process
-    * happens to start in). */
+    * happens to start in). Build/delete mutations are serialized
+    * per-JVM ([[ivfBuildLock]]); pointing SPARK_GRAFT_IVF_DIR from
+    * SEVERAL concurrent drivers at one root additionally needs
+    * external coordination (build from one writer, or front the root
+    * with a catalog) — same contract as any shared table location. */
   private def ivfRoot(spark: SparkSession): String =
     sys.env.getOrElse("SPARK_GRAFT_IVF_DIR",
       spark.conf.get("spark.sql.warehouse.dir")
@@ -288,7 +297,7 @@ object SimilarityOps {
     * shuffle+write at build time, partition-pruned I/O on every probe
     * after. */
   def buildIvfIndex(spark: SparkSession, dir: String,
-                    nCentroids: Int = DefaultNCentroids): String = {
+                    nCentroids: Int = DefaultNCentroids): String = ivfBuildLock.synchronized {
     val all = quantized(spark, dir)
     val base = ivfBase(spark, dir, nCentroids)
     kmeansCentroids(all, nCentroids)
@@ -325,11 +334,17 @@ object SimilarityOps {
     graft.functions.TextExpressions.md5Hex(s)
   }
 
-  /** Serializes first-build of an index: since round 5 THREE queries
-    * (ivfTopk, kmeansProfile, semanticDedup) share one index, and the
+  /** Serializes every index-directory mutation ([[buildIvfIndex]],
+    * [[ivfIndexPath]]'s build-if-absent, [[invalidateQuantized]]'s
+    * delete): since round 5 FOUR queries share one index and the
     * Verify harness runs them concurrently — TrieMap.getOrElseUpdate
     * computes its value outside any lock, so two racing callers would
-    * both run buildIvfIndex into the SAME directory mid-overwrite. */
+    * both run buildIvfIndex into the SAME directory mid-overwrite.
+    * JVM-local by design: the index dir is per-driver state (keyed
+    * under this session's warehouse dir unless SPARK_GRAFT_IVF_DIR
+    * points several drivers at one root — coordinating THAT is an
+    * external-catalog job, out of scope here and called out in the
+    * env var's docs). */
   private val ivfBuildLock = new Object
 
   /** Build-if-absent: reuse the session-memoized index, else an index

@@ -102,6 +102,28 @@ class LayoutSpec extends SparkSpec {
     assert(boxRows(zDir) === boxRows(linDir))
   }
 
+  test("zorder_long and writeZOrdered fail loudly on degenerate inputs") {
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    // empty array: defined as the curve origin, not a crash
+    assert(Seq(1).toDF("x")
+      .selectExpr("zorder_long(cast(array() as array<bigint>))")
+      .head().getLong(0) === 0L)
+    // 64+ dims would silently yield bits = 0 → every row z = 0
+    val tooMany = (1 to 64).map(_ => "x").mkString("zorder_long(array(", ", ", "))")
+    val e = intercept[Exception] {
+      Seq(1L).toDF("x").selectExpr(tooMany).collect()
+    }
+    assert(e.getMessage != null)
+    // an all-NaN dim must not silently collapse to a constant
+    val nan = Seq((1L, Double.NaN), (2L, Double.NaN)).toDF("a", "b")
+    val dir = Files.createTempDirectory("graft_zorder_nan").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Load.writeZOrdered(nan, Seq("a", "b"), dir, 2)
+    }
+    assert(e2.getMessage.contains("non-finite"), e2.getMessage)
+  }
+
   test("writeZOrdered with caller-supplied bounds skips the stats pass and still clusters") {
     val src = Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey"))
