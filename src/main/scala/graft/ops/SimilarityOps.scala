@@ -515,11 +515,14 @@ object SimilarityOps {
     * production pipeline composes them (LSH for textual shingles,
     * cluster-scoped for embedding space).
     *
-    * Plan shape: the persisted lists self-join ON Cid (the partition
-    * key of the index — both sides arrive pre-partitioned by the join
-    * column), verified pairs collapse to per-victim counts, then one
-    * broadcast-shape left join zero-fills the corpus. Nothing here is
-    * all-pairs and nothing re-runs k-means. */
+    * Plan shape: the persisted lists self-join ON Cid — a K-key
+    * equi-join (hash-joined at test scale; a shuffle on uniform
+    * cluster ids past the broadcast threshold — hive-style partition
+    * DIRS give pruned I/O and per-list file locality, not exchange
+    * elimination; exchange-free would need bucketBy like the band
+    * index). Verified pairs collapse to per-victim counts, then one
+    * left join zero-fills the corpus. Nothing here is all-pairs and
+    * nothing re-runs k-means. */
   def semanticDedup(spark: SparkSession, dir: String,
                     threshold: Double = DefaultSemDedupThreshold,
                     nCentroids: Int = DefaultNCentroids): DataFrame = {
