@@ -69,6 +69,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("kmeans profile joins broadcast-shape and aggregates two-level (no window over members)") {
+    val df = graft.ops.SimilarityOps.kmeansProfile(spark, sfDir)
+    val p = plan(df)
+    // the codebook and label joins must broadcast (≤K rows / narrow
+    // dim) — a shuffled join here would re-shuffle the member stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // majority label resolves INSIDE the aggregate: no Window operator
+    // may appear over the member stream (the count-then-rank shape
+    // would sort every member row)
+    assert(!p.contains("Window"), s"profile planned a window pass:\n$p")
+  }
+
   test("range join plans as a hash join on the bin key, not a nested loop") {
     val df = graft.ops.RelationalOps.rangeJoinValueBands(spark, sfDir)
     val p = plan(df)
