@@ -139,6 +139,12 @@ object SimilarityOps {
       ivfMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         ivfMemo.remove(k).foreach(deleteRecursively)
       }
+      listsTableMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        listsTableMemo.remove(k).foreach { name =>
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          deleteRecursively(listsTableLocation(spark, name).toString)
+        }
+      }
     }
   }
 
@@ -499,6 +505,81 @@ object SimilarityOps {
       .transform(graft.etl.Summaries.smallSort(_, col("Cid")))
   }
 
+  private val listsTableMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
+
+  /** Buckets for [[bucketedListsTable]] — matches the default cluster
+    * count so each bucket holds ~one inverted list. */
+  val ListsTableBuckets = 16
+
+  private def listsTableName(dir: String, nCentroids: Int): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+    val h = graft.functions.TextExpressions.md5Hex(dir).substring(0, 8)
+    s"graft_ivf_lists_${slug}_${h}_k$nCentroids"
+  }
+
+  private def listsTableLocation(spark: SparkSession, name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+
+  /** Build (or REBUILD) the BUCKETED twin of the inverted lists: the
+    * same (vec_id, Q, NormSq, Cid) rows as `<index>/lists`, written
+    * once as a catalog table `bucketBy(Cid) sortBy(Cid)`. The
+    * partitioned layout serves ROUTED probes (partition-pruned I/O for
+    * `Cid IN (route)`); this layout serves CLUSTER-SCOPED self-joins
+    * (the corpus never re-shuffles — SemanticDedupBucketedSpec proves
+    * the join plans with zero exchanges on both sides). Two layouts of
+    * one relation for two access paths is the standard warehouse
+    * trade; both are write-once, fingerprint-guarded, and dropped by
+    * [[invalidateQuantized]]. */
+  def buildBucketedLists(spark: SparkSession, dir: String,
+                         nCentroids: Int = DefaultNCentroids): String = ivfBuildLock.synchronized {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val name = listsTableName(dir, nCentroids)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    deleteRecursively(listsTableLocation(spark, name).toString)
+    spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Q"), col("NormSq"),
+        col("Cid").cast(LongType).as("Cid"))
+      .write.mode("overwrite")
+      .bucketBy(ListsTableBuckets, "Cid").sortBy("Cid")
+      .saveAsTable(name)
+    java.nio.file.Files.writeString(
+      listsTableLocation(spark, name).resolve("_corpus_fingerprint"),
+      corpusFingerprint(dir))
+    listsTableMemo.put((spark, dir, nCentroids), name)
+    name
+  }
+
+  /** Build-if-absent for the bucketed lists (same session-memo →
+    * catalog → fingerprint-guarded cross-session re-registration →
+    * build ladder as DedupOps.bandIndexTable). */
+  def bucketedListsTable(spark: SparkSession, dir: String,
+                         nCentroids: Int = DefaultNCentroids): String = {
+    listsTableMemo.keysIterator
+      .filter { case (s, _, _) => s.sparkContext.isStopped }
+      .foreach(listsTableMemo.remove)
+    listsTableMemo.getOrElseUpdate((spark, dir, nCentroids), {
+      val name = listsTableName(dir, nCentroids)
+      val loc = listsTableLocation(spark, name)
+      def fresh: Boolean = {
+        val f = loc.resolve("_corpus_fingerprint")
+        java.nio.file.Files.exists(f) &&
+          java.nio.file.Files.readString(f) == corpusFingerprint(dir)
+      }
+      if (spark.catalog.tableExists(name)) name
+      else if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && fresh) {
+        spark.sql(
+          s"""CREATE TABLE $name (vec_id BIGINT, Q ARRAY<BIGINT>, NormSq BIGINT, Cid BIGINT)
+             |USING PARQUET
+             |CLUSTERED BY (Cid) SORTED BY (Cid)
+             |INTO $ListsTableBuckets BUCKETS
+             |LOCATION '${loc.toUri}'""".stripMargin)
+        name
+      } else buildBucketedLists(spark, dir, nCentroids)
+    })
+  }
+
   /** SemDeDup-style semantic dedup: near-duplicate detection scoped
     * to k-means clusters. A vector is a duplicate iff some LOWER-id
     * vector in the SAME cluster reaches cosine ≥ `threshold`;
@@ -527,7 +608,23 @@ object SimilarityOps {
                     threshold: Double = DefaultSemDedupThreshold,
                     nCentroids: Int = DefaultNCentroids): DataFrame = {
     val base = ivfIndexPath(spark, dir, nCentroids)
-    val lists = spark.read.parquet(s"$base/lists")
+    semanticDedupFrom(spark, dir, spark.read.parquet(s"$base/lists"), threshold)
+  }
+
+  /** [[semanticDedup]] over the BUCKETED lists twin: identical values,
+    * but the intra-cluster self-join reads both sides pre-bucketed +
+    * pre-sorted on Cid — ZERO exchanges on either join input
+    * (plan-asserted in OpsSpec with broadcast off), where the
+    * partitioned-parquet path must shuffle the whole corpus past the
+    * broadcast threshold. The 100 TB execution of the same query. */
+  def semanticDedupBucketed(spark: SparkSession, dir: String,
+                            threshold: Double = DefaultSemDedupThreshold,
+                            nCentroids: Int = DefaultNCentroids): DataFrame =
+    semanticDedupFrom(spark, dir,
+      spark.table(bucketedListsTable(spark, dir, nCentroids)), threshold)
+
+  private def semanticDedupFrom(spark: SparkSession, dir: String,
+                                lists: DataFrame, threshold: Double): DataFrame = {
     val labels = quantized(spark, dir).select(col("vec_id"), col("label"))
     val a = lists.select(col("Cid"), col("vec_id").as("V1"),
       col("Q").as("Q1"), col("NormSq").as("N1"))

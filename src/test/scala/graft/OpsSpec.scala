@@ -413,6 +413,36 @@ class OpsSpec extends SparkSpec {
     byCluster.values.foreach(ms => assert(!flagged.contains(ms.map(_._1).min)))
   }
 
+  test("similarity: bucketed lists make the semantic-dedup self-join exchange-free, values identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("Cid"), r.getAs[Int]("label"),
+        r.getAs[Long]("NDupEarlier"), r.getAs[Boolean]("IsDup"))).toSeq
+    assert(rows(SimilarityOps.semanticDedupBucketed(spark, sfDir)) ===
+      rows(SimilarityOps.semanticDedup(spark, sfDir)))
+    // broadcast off: the partitioned-parquet path would shuffle BOTH
+    // sides of the Cid self-join; the bucketed table must shuffle
+    // NEITHER (pre-bucketed + pre-sorted on the join key)
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = SimilarityOps.semanticDedupBucketed(spark, sfDir)
+        .queryExecution.executedPlan
+      val selfJoin = plan.collectFirst {
+        case j: SortMergeJoinExec if j.leftKeys.exists(_.toString.contains("Cid")) => j
+      }
+      assert(selfJoin.isDefined, s"no sort-merge Cid self-join found:\n$plan")
+      Seq(selfJoin.get.left, selfJoin.get.right).foreach { side =>
+        assert(side.collect { case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f }.nonEmpty,
+          s"join side does not read the bucketed table:\n$side")
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"join side re-shuffles despite the bucketed layout:\n$side")
+      }
+    }
+  }
+
   test("similarity: incremental dedup equals a driver recomputation of route-then-verify") {
     val base = SimilarityOps.ivfIndexPath(spark, sfDir)
     val cent = spark.read.parquet(s"$base/codebook").collect()
