@@ -136,10 +136,13 @@ object DedupOps {
     sourceShinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       sourceShinglesMemo.remove(k).foreach(_.unpersist(false))
     }
-    bandIndexMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      bandIndexMemo.remove(k).foreach { name =>
-        spark.sql(s"DROP TABLE IF EXISTS $name") // managed: removes files too
-        deleteRecursively(bandIndexLocation(spark, name)) // external re-registration: files survive DROP
+    // drop under the build lock: an invalidate racing a concurrent
+    // build-if-absent must not delete a half-written index
+    bandBuildLock.synchronized {
+      bandIndexMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        // managed tables drop files with the table; EXTERNAL
+        // re-registrations do not — dropWithFiles removes both
+        bandIndexMemo.remove(k).foreach(BucketedTables.dropWithFiles(spark, _))
       }
     }
   }
@@ -317,22 +320,22 @@ object DedupOps {
   private val bandIndexMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Serializes band-index build/register/drop — same reasoning as
+    * SimilarityOps.ivfBuildLock: the batch query, the streaming twin,
+    * and the concurrent Verify harness can all first-touch the index,
+    * and TrieMap.getOrElseUpdate computes outside any lock. */
+  private val bandBuildLock = new Object
+
   /** Buckets for the persisted band index. */
   val BandIndexBuckets = 16
 
   /** Catalog table name for (session, dir): readable slug + md5 of the
     * raw dir (sanitization alone is lossy — same injectivity argument
-    * as the IVF index path). */
-  private def bandIndexName(dir: String): String = {
-    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val h = graft.functions.TextExpressions.md5Hex(dir).substring(0, 8)
-    s"graft_bands_${slug}_$h"
-  }
-
-  /** Where the warehouse puts (or put) the index table's files. */
-  private def bandIndexLocation(spark: SparkSession, name: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    * as the IVF index path). Lowercased by [[BucketedTables.tableName]]
+    * so the name always matches the warehouse directory Spark's
+    * case-insensitive catalog actually writes. */
+  private def bandIndexName(dir: String): String =
+    BucketedTables.tableName("graft_bands", dir)
 
   /** Fingerprint of the corpus an index was built from (md5 over the
     * documents parquet's file names, sizes, and mtimes). Written next
@@ -354,13 +357,6 @@ object DedupOps {
     graft.functions.TextExpressions.md5Hex(s)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-
   /** Build (or REBUILD) the persisted corpus band index: the
     * `(CorpusId, band_id, band_val, ShC)` rows written ONCE as a
     * catalog table `bucketBy(16, band_id, band_val)` + sorted within
@@ -372,18 +368,15 @@ object DedupOps {
     * default in-memory catalog forgets tables across sessions while
     * the warehouse directory persists, and `saveAsTable` refuses a
     * dangling location. */
-  def buildBandIndex(spark: SparkSession, dir: String): String = {
+  def buildBandIndex(spark: SparkSession, dir: String): String = bandBuildLock.synchronized {
     val name = bandIndexName(dir)
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    deleteRecursively(bandIndexLocation(spark, name))
+    BucketedTables.dropWithFiles(spark, name)
     corpusBandIndex(spark, dir)
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "band_id", "band_val")
       .sortBy("band_id", "band_val")
       .saveAsTable(name)
-    java.nio.file.Files.writeString(
-      bandIndexLocation(spark, name).resolve("_corpus_fingerprint"),
-      corpusFingerprint(dir))
+    BucketedTables.writeFingerprint(spark, name, corpusFingerprint(dir))
     bandIndexMemo.put((spark, dir), name)
     name
   }
@@ -391,35 +384,32 @@ object DedupOps {
   /** Build-if-absent: session memo → catalog table → files already on
     * disk from a PREVIOUS session (re-registered as an external
     * bucketed table — the in-memory catalog can't remember it, but the
-    * bucketed layout is still there) → build. Cross-session
-    * re-registration is GUARDED by the `_corpus_fingerprint` check:
-    * if the corpus parquet changed since the index was written, the
-    * stale index is rebuilt, not adopted — invalidation in a new
-    * session cannot rely on [[invalidateSketches]] (its memo is
-    * per-session). Same-session corpus mutation still requires
-    * [[invalidateSketches]], which drops table + files. */
+    * bucketed layout is still there) → build, via the shared
+    * [[BucketedTables.resolve]] ladder. EVERY branch is guarded by the
+    * `_corpus_fingerprint` check — catalog hit included, since a
+    * sibling session sharing the catalog could otherwise adopt a table
+    * built from a corpus refreshed since; a stale index is rebuilt,
+    * never adopted. The ladder runs under [[bandBuildLock]],
+    * double-checked against the memo. Same-session corpus mutation
+    * still requires [[invalidateSketches]]. */
   def bandIndexTable(spark: SparkSession, dir: String): String = {
     bandIndexMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(bandIndexMemo.remove)
-    bandIndexMemo.getOrElseUpdate((spark, dir), {
-      val name = bandIndexName(dir)
-      val loc = bandIndexLocation(spark, name)
-      def fresh: Boolean = {
-        val f = loc.resolve("_corpus_fingerprint")
-        java.nio.file.Files.exists(f) &&
-          java.nio.file.Files.readString(f) == corpusFingerprint(dir)
-      }
-      if (spark.catalog.tableExists(name)) name
-      else if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && fresh) {
-        spark.sql(
-          s"""CREATE TABLE $name (CorpusId BIGINT, band_id INT, band_val STRING, ShC ARRAY<STRING>)
-             |USING PARQUET
-             |CLUSTERED BY (band_id, band_val) SORTED BY (band_id, band_val)
-             |INTO $BandIndexBuckets BUCKETS
-             |LOCATION '${loc.toUri}'""".stripMargin)
-        name
-      } else buildBandIndex(spark, dir)
+    bandIndexMemo.getOrElse((spark, dir), bandBuildLock.synchronized {
+      bandIndexMemo.getOrElseUpdate((spark, dir), {
+        val name = bandIndexName(dir)
+        val loc = BucketedTables.location(spark, name)
+        BucketedTables.resolve(spark, name,
+          registerDdl =
+            s"""CREATE TABLE $name (CorpusId BIGINT, band_id INT, band_val STRING, ShC ARRAY<STRING>)
+               |USING PARQUET
+               |CLUSTERED BY (band_id, band_val) SORTED BY (band_id, band_val)
+               |INTO $BandIndexBuckets BUCKETS
+               |LOCATION '${loc.toUri}'""".stripMargin,
+          fingerprint = corpusFingerprint(dir),
+          build = () => buildBandIndex(spark, dir))
+      })
     })
   }
 

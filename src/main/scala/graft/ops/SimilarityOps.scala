@@ -140,10 +140,7 @@ object SimilarityOps {
         ivfMemo.remove(k).foreach(deleteRecursively)
       }
       listsTableMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-        listsTableMemo.remove(k).foreach { name =>
-          spark.sql(s"DROP TABLE IF EXISTS $name")
-          deleteRecursively(listsTableLocation(spark, name).toString)
-        }
+        listsTableMemo.remove(k).foreach(BucketedTables.dropWithFiles(spark, _))
       }
     }
   }
@@ -512,71 +509,61 @@ object SimilarityOps {
     * count so each bucket holds ~one inverted list. */
   val ListsTableBuckets = 16
 
-  private def listsTableName(dir: String, nCentroids: Int): String = {
-    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-    val h = graft.functions.TextExpressions.md5Hex(dir).substring(0, 8)
-    s"graft_ivf_lists_${slug}_${h}_k$nCentroids"
-  }
-
-  private def listsTableLocation(spark: SparkSession, name: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+  private def listsTableName(dir: String, nCentroids: Int): String =
+    BucketedTables.tableName("graft_ivf_lists", dir, s"_k$nCentroids")
 
   /** Build (or REBUILD) the BUCKETED twin of the inverted lists: the
     * same (vec_id, Q, NormSq, Cid) rows as `<index>/lists`, written
     * once as a catalog table `bucketBy(Cid) sortBy(Cid)`. The
     * partitioned layout serves ROUTED probes (partition-pruned I/O for
     * `Cid IN (route)`); this layout serves CLUSTER-SCOPED self-joins
-    * (the corpus never re-shuffles — SemanticDedupBucketedSpec proves
-    * the join plans with zero exchanges on both sides). Two layouts of
-    * one relation for two access paths is the standard warehouse
-    * trade; both are write-once, fingerprint-guarded, and dropped by
+    * (the corpus never re-shuffles — OpsSpec asserts the join plans
+    * with zero exchanges on both sides). Two layouts of one relation
+    * for two access paths is the standard warehouse trade; both are
+    * write-once, fingerprint-guarded, and dropped by
     * [[invalidateQuantized]]. */
   def buildBucketedLists(spark: SparkSession, dir: String,
                          nCentroids: Int = DefaultNCentroids): String = ivfBuildLock.synchronized {
     val base = ivfIndexPath(spark, dir, nCentroids)
     val name = listsTableName(dir, nCentroids)
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    deleteRecursively(listsTableLocation(spark, name).toString)
+    BucketedTables.dropWithFiles(spark, name)
     spark.read.parquet(s"$base/lists")
       .select(col("vec_id"), col("Q"), col("NormSq"),
         col("Cid").cast(LongType).as("Cid"))
       .write.mode("overwrite")
       .bucketBy(ListsTableBuckets, "Cid").sortBy("Cid")
       .saveAsTable(name)
-    java.nio.file.Files.writeString(
-      listsTableLocation(spark, name).resolve("_corpus_fingerprint"),
-      corpusFingerprint(dir))
+    BucketedTables.writeFingerprint(spark, name, corpusFingerprint(dir))
     listsTableMemo.put((spark, dir, nCentroids), name)
     name
   }
 
-  /** Build-if-absent for the bucketed lists (same session-memo →
-    * catalog → fingerprint-guarded cross-session re-registration →
-    * build ladder as DedupOps.bandIndexTable). */
+  /** Build-if-absent for the bucketed lists: session memo →
+    * [[BucketedTables.resolve]] ladder (freshness-guarded on every
+    * branch), with the ladder run under [[ivfBuildLock]] and
+    * double-checked against the memo — TrieMap.getOrElseUpdate alone
+    * computes outside any lock, and two racing first-callers would
+    * both run the DROP+rebuild against the directory the other is
+    * reading. */
   def bucketedListsTable(spark: SparkSession, dir: String,
                          nCentroids: Int = DefaultNCentroids): String = {
     listsTableMemo.keysIterator
       .filter { case (s, _, _) => s.sparkContext.isStopped }
       .foreach(listsTableMemo.remove)
-    listsTableMemo.getOrElseUpdate((spark, dir, nCentroids), {
-      val name = listsTableName(dir, nCentroids)
-      val loc = listsTableLocation(spark, name)
-      def fresh: Boolean = {
-        val f = loc.resolve("_corpus_fingerprint")
-        java.nio.file.Files.exists(f) &&
-          java.nio.file.Files.readString(f) == corpusFingerprint(dir)
-      }
-      if (spark.catalog.tableExists(name)) name
-      else if (java.nio.file.Files.exists(loc.resolve("_SUCCESS")) && fresh) {
-        spark.sql(
-          s"""CREATE TABLE $name (vec_id BIGINT, Q ARRAY<BIGINT>, NormSq BIGINT, Cid BIGINT)
-             |USING PARQUET
-             |CLUSTERED BY (Cid) SORTED BY (Cid)
-             |INTO $ListsTableBuckets BUCKETS
-             |LOCATION '${loc.toUri}'""".stripMargin)
-        name
-      } else buildBucketedLists(spark, dir, nCentroids)
+    listsTableMemo.getOrElse((spark, dir, nCentroids), ivfBuildLock.synchronized {
+      listsTableMemo.getOrElseUpdate((spark, dir, nCentroids), {
+        val name = listsTableName(dir, nCentroids)
+        val loc = BucketedTables.location(spark, name)
+        BucketedTables.resolve(spark, name,
+          registerDdl =
+            s"""CREATE TABLE $name (vec_id BIGINT, Q ARRAY<BIGINT>, NormSq BIGINT, Cid BIGINT)
+               |USING PARQUET
+               |CLUSTERED BY (Cid) SORTED BY (Cid)
+               |INTO $ListsTableBuckets BUCKETS
+               |LOCATION '${loc.toUri}'""".stripMargin,
+          fingerprint = corpusFingerprint(dir),
+          build = () => buildBucketedLists(spark, dir, nCentroids))
+      })
     })
   }
 
