@@ -85,6 +85,35 @@ class BandIndexSpec extends SparkSpec {
     assert(matches.isEmpty, s"stale-index matches leaked: ${matches.mkString(",")}")
   }
 
+  test("a sibling session sharing the catalog rebuilds a stale index instead of adopting it") {
+    import java.nio.file.Files
+    import spark.implicits._
+    def writeDocs(dir: String, texts: Seq[(Long, String)]): Unit =
+      texts.map { case (id, t) => (id, t, "en", "fix", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dir = Files.createTempDirectory("graft-bandidx-sib").toString
+    // doc 9 (arrival) duplicates doc 1 (corpus) → one match
+    writeDocs(dir, Seq((1L, "alpha beta gamma delta"), (2L, "unrelated words here now"),
+      (9L, "alpha beta gamma delta")))
+    val name = DedupOps.bandIndexTable(spark, dir)
+    assert(DedupOps.incremental(spark, dir).collect().nonEmpty)
+    // corpus refreshed on disk, NO invalidation: the catalog still
+    // holds the old table. A sibling session (shared catalog, its own
+    // memo — exactly what two concurrent jobs on one metastore look
+    // like) must hit the catalog, see the stale fingerprint, and
+    // rebuild; adopting the hit would resurrect doc 1's old shingles.
+    writeDocs(dir, Seq((1L, "totally different content words"), (2L, "unrelated words here now"),
+      (9L, "alpha beta gamma delta")))
+    val sibling = spark.newSession()
+    assert(sibling.catalog.tableExists(name), "sibling does not share the catalog")
+    assert(DedupOps.bandIndexTable(sibling, dir) === name)
+    val matches = DedupOps.incremental(sibling, dir).collect()
+    assert(matches.isEmpty, s"stale catalog hit was adopted: ${matches.mkString(",")}")
+    DedupOps.invalidateSketches(sibling)
+    DedupOps.invalidateSketches(spark)
+  }
+
   test("invalidateSketches drops the persisted index; the next query rebuilds it") {
     val name = DedupOps.bandIndexTable(spark, sfDir)
     assert(spark.catalog.tableExists(name))
