@@ -61,6 +61,7 @@ object SparkEntry {
     "events_json_stats" -> (EventsOps.jsonStats _),
     "events_dedup_latest" -> (EventsOps.dedupLatest _),
     "events_sessionize" -> (EventsOps.sessionize _),
+    "events_funnel" -> (EventsOps.funnel _),
     // ---- text analysis ----
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
     "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
+    "dedup_editdistance" -> (DedupOps.editDistancePairs _),
     "dedup_components" -> (DedupOps.components _),
     "dedup_incremental" -> (DedupOps.incremental _),
     // ---- corpus curation (split assignment + composite filter) ----
@@ -135,6 +137,7 @@ object SparkEntry {
     "events_json_stats" -> ExtSql.eventsJsonStats,
     "events_dedup_latest" -> ExtSql.eventsDedupLatest,
     "events_sessionize" -> ExtSql.eventsSessionize,
+    "events_funnel" -> ExtSql.eventsFunnel,
     "text_tokens" -> ExtSql.textTokens,
     "text_quality" -> ExtSql.textQuality,
     "text_langid" -> ExtSql.textLangid,
@@ -142,6 +145,7 @@ object SparkEntry {
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
+    "dedup_editdistance" -> ExtSql.dedupEditDistance,
     "dedup_components" -> ExtSql.dedupComponents,
     "dedup_incremental" -> ExtSql.dedupIncremental,
     "curate_split_assign" -> ExtSql.curateSplitAssign,

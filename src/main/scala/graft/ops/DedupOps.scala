@@ -210,29 +210,73 @@ object DedupOps {
           " named_struct('band_id', 4, 'band_val', B4))")).as("b"))
       .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
 
-  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    // One sketch pass (memoized cache in docBands): the band self-join
-    // and both shingle lookups reuse it instead of recomputing 8
-    // MinHash functions per reference (3× the dominant cost otherwise).
-    val bands = docBands(spark, dir)
-    val exploded = explodedBands(bands)
-
+  /** LSH candidate pairs (band agreement, D1 < D2) — the blocking
+    * stage shared by the Jaccard verify and the edit-distance verify.
+    * One distinct (D1, D2) row per colliding pair; never all-pairs. */
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = explodedBands(docBands(spark, dir))
     val a = exploded.select(col("doc_id").as("D1"), col("band_id"), col("band_val"))
     val b = exploded.select(col("doc_id").as("D2"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
-    val cand = a.join(b,
+    a.join(b,
         col("band_id") === col("band_id2") &&
           col("band_val") === col("band_val2") &&
           col("D1") < col("D2"))
       .select(col("D1"), col("D2")).distinct()
+  }
 
-    val sh = bands.select(col("doc_id"), col("Sh"))
+  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    // One sketch pass (memoized cache in docBands): the band self-join
+    // and both shingle lookups reuse it instead of recomputing 8
+    // MinHash functions per reference (3× the dominant cost otherwise).
+    val sh = docBands(spark, dir).select(col("doc_id"), col("Sh"))
     jaccardVerified(
-      cand
+      candidatePairs(spark, dir)
         .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
         .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2"),
       "Sh1", "Sh2")
       .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
   }
+
+  /** Minimum normalized edit similarity (1 − dist/maxlen) for a
+    * verified pair: the test corpus is bimodal (true near-dups ≥ 0.97,
+    * band false-positives ≤ 0.33), so 0.8 sits in the gap. */
+  val EditSimThreshold = 0.8
+
+  /** Edit-distance verified near-dup pairs — the character-level
+    * verification flavor: same LSH blocking as [[neardupPairs]], but
+    * candidates are confirmed with exact Levenshtein distance instead
+    * of shingle Jaccard. Catches small in-place edits (typo-level
+    * rewrites) that token-shingle Jaccard scores the same as larger
+    * ones, and is the standard verify for short strings (titles, URLs,
+    * names).
+    *
+    * Scale: Levenshtein is O(len²) per pair, so it NEVER runs
+    * all-pairs — only the LSH-blocked candidate set pays it, and the
+    * candidate count is tuned by the band shape. The distance is
+    * Spark's native codegen'd `levenshtein`; the oracle uses DuckDB's
+    * independent implementation (classic DP — identical integers on
+    * ASCII text). */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    editDistanceVerified(
+      candidatePairs(spark, dir)
+        .join(docs.select(col("doc_id").as("D1"), col("text").as("T1")), "D1")
+        .join(docs.select(col("doc_id").as("D2"), col("text").as("T2")), "D2"),
+      "T1", "T2")
+      .select(col("D1"), col("D2"), col("EditDist"), col("EditSim"))
+      .orderBy(col("D1"), col("D2"))
+  }
+
+  /** Exact Levenshtein verify over candidate rows carrying both texts
+    * — one definition, transcribed by the DuckDB mirror. */
+  private[graft] def editDistanceVerified(cand: DataFrame,
+                                          left: String, right: String): DataFrame =
+    cand
+      .withColumn("EditDist", levenshtein(col(left), col(right)))
+      .withColumn("EditSim",
+        lit(1.0) - col("EditDist").cast(DoubleType) /
+          greatest(length(col(left)), length(col(right))))
+      .filter(col("EditSim") >= EditSimThreshold)
 
   /** Jaccard threshold for a verified near-dup pair. */
   val JaccardThreshold = 0.5

@@ -67,6 +67,56 @@ object EventsOps {
       .orderBy(col("user_id"))
   }
 
+  /** Funnel step window: each next step must land within this many
+    * hours of the previous step's instant. 24 h discriminates at the
+    * test data's per-user event density (~7 h median gap). */
+  val FunnelWindowHours = 24L
+
+  /** Time-bounded conversion funnel view → click → purchase: the
+    * earliest view per user, the earliest click within
+    * [[FunnelWindowHours]] AFTER that view, the earliest purchase
+    * within the window after THAT click — then one row per step with
+    * user counts, conversion vs step 1 (CumRate) and vs the previous
+    * step (StepRate).
+    *
+    * All instants are exact microsecond integers (ts_ns div 1000 ==
+    * DuckDB epoch_us), so the window comparisons are integer
+    * arithmetic, bit-identical to the oracle.
+    *
+    * Scale: three filter→groupBy(user_id)→join(user_id) stages — every
+    * shuffle keyed on high-cardinality user_id; each stage's right
+    * side shrinks (users who reached the previous step), so later
+    * joins move less data. The final window runs on THREE post-agg
+    * rows (the [[graft.etl.Summaries]] post-agg-window pattern). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = FunnelWindowHours * 3600L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + winUs)
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + winUs)
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    def step(df: DataFrame, n: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("Users"))
+        .select(lit(n).as("Step"), lit(name).as("StepName"), col("Users"))
+    val steps = step(v, 1, "view")
+      .union(step(c, 2, "view>click"))
+      .union(step(p, 3, "view>click>purchase"))
+    val w = Window.orderBy(col("Step"))
+    steps
+      .withColumn("CumRate",
+        col("Users").cast(DoubleType) / first(col("Users")).over(w))
+      .withColumn("StepRate",
+        col("Users").cast(DoubleType) / lag(col("Users"), 1).over(w))
+      .orderBy(col("Step"))
+  }
+
   /** Sessionization with a 30-minute inactivity gap: lag + prefix-sum
     * of session-start flags, all in exact microsecond integers. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {

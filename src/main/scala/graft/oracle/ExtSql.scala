@@ -58,6 +58,31 @@ SELECT user_id, count(*) AS "NEvents", CAST(sum(ns) AS BIGINT) AS "NSessions"
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
+  /** Funnel mirror: the window bound is interpolated from
+    * [[graft.ops.EventsOps.FunnelWindowHours]] so the two sides cannot
+    * drift; instants are epoch_us == the Spark side's ts_ns div 1000. */
+  val eventsFunnel: String = {
+    val winUs = graft.ops.EventsOps.FunnelWindowHours * 3600L * 1000000L
+    s"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.us > v.t1 AND e.us <= v.t1 + $winUs
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.t2 AND e.us <= c.t2 + $winUs
+      GROUP BY e.user_id),
+steps AS (
+  SELECT 1 AS s, 'view' AS sn, count(*) AS u FROM v
+  UNION ALL SELECT 2, 'view>click', count(*) FROM c
+  UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM p)
+SELECT s AS "Step", sn AS "StepName", u AS "Users",
+       CAST(u AS DOUBLE) / first_value(u) OVER (ORDER BY s) AS "CumRate",
+       CAST(u AS DOUBLE) / lag(u) OVER (ORDER BY s) AS "StepRate"
+FROM steps ORDER BY s
+"""
+  }
+
   /** Interval-join mirror: DuckDB gets the declarative BETWEEN form
     * (its optimizer handles small interval joins fine); Spark runs the
     * bin-and-replicate plan — identical values, different physical
@@ -208,6 +233,25 @@ FROM bands ORDER BY doc_id
 SELECT "D1", "D2", "NInter", "NUnion",
        CAST("NInter" AS DOUBLE) / "NUnion" AS "Jaccard"
 FROM j WHERE CAST("NInter" AS DOUBLE) / "NUnion" >= 0.5
+ORDER BY "D1", "D2"
+"""
+
+  /** Edit-distance verify mirror: same candidate CTE, DuckDB's own
+    * `levenshtein` (an independent DP implementation) instead of the
+    * Spark expression; threshold interpolated from the shared
+    * constant. */
+  val dedupEditDistance: String = candCte + s"""
+, t AS (SELECT doc_id, text FROM documents),
+jd AS (
+  SELECT c.d1 AS "D1", c.d2 AS "D2",
+         CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS "EditDist",
+         greatest(length(ta.text), length(tb.text)) AS ml
+  FROM cand c JOIN t ta ON c.d1 = ta.doc_id JOIN t tb ON c.d2 = tb.doc_id
+)
+SELECT "D1", "D2", "EditDist",
+       1.0 - CAST("EditDist" AS DOUBLE) / ml AS "EditSim"
+FROM jd
+WHERE 1.0 - CAST("EditDist" AS DOUBLE) / ml >= ${graft.ops.DedupOps.EditSimThreshold}
 ORDER BY "D1", "D2"
 """
 
