@@ -93,6 +93,7 @@ object SparkEntry {
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
     "similarity_ivf_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfTopk(s, d)),
+    "similarity_pq_topk" -> ((s: SparkSession, d: String) => SimilarityOps.pqTopk(s, d)),
     "similarity_kmeans_profile" -> ((s: SparkSession, d: String) => SimilarityOps.kmeansProfile(s, d)),
     "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "similarity_incremental_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.incrementalDedup(s, d)),
@@ -164,6 +165,10 @@ object SparkEntry {
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,
+    // the PQ oracle is deliberately the EXACT brute-force top-k: the
+    // PQ path returns exact reranked values over its shortlist, so a
+    // hash match here is a measured recall of 1.0
+    "similarity_pq_topk" -> ExtSql.similarityTopk,
     "similarity_kmeans_profile" -> ExtSql.similarityKmeansProfile,
     "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,

@@ -132,6 +132,11 @@ object SimilarityOps {
     sigMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
       sigMemo.remove(k).foreach(_.unpersist(false))
     }
+    pqMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      pqMemo.remove(k).foreach { case (cent, codes) =>
+        cent.unpersist(false); codes.unpersist(false)
+      }
+    }
     // deletion under the same lock that guards builds, so an invalidate
     // racing a concurrent build-if-absent cannot delete a half-written
     // index out from under it
@@ -198,6 +203,174 @@ object SimilarityOps {
         col("Dot").cast(DoubleType) /
           (sqrt(col("NormP").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
     pairs
+      .withColumn("Rank", row_number().over(
+        Window.partitionBy(col("QId")).orderBy(col("Cosine").desc, col("vec_id"))))
+      .filter(col("Rank") <= k)
+      .select(col("QId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
+      .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("Rank")))
+  }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ): compressed-domain candidate scan
+  // ---------------------------------------------------------------
+
+  /** PQ shape: [[PqSubspaces]] subspaces of Dims/[[PqSubspaces]]
+    * dimensions each, [[PqCentroids]] centroids per subspace — a
+    * 64-dim vector compresses to 32 4-bit codes (16 bytes) + its
+    * exact norm, ~25× smaller than the 512-byte quantized vector the
+    * exact scan reads. This corpus is near-random in embedding space
+    * (the PQ worst case — no cluster structure to exploit), so the
+    * subspaces are as fine as they go (2 dims); structured real-world
+    * embeddings would use 8×16 or coarser. */
+  val PqSubspaces = 32
+  val PqSubDims: Int = Dims / PqSubspaces
+  val PqCentroids = 16
+  /** Candidates kept per probe for the exact rerank — the recall
+    * knob. 256 is >3× the measured worst-case need on this corpus
+    * (81/2000 at sf0.1, 23/500 at sf0.01), which is what lets the
+    * DuckDB oracle for [[pqTopk]] be the EXACT brute-force top-k: a
+    * hash match there is a measured recall of 1.0. */
+  val PqShortlist = 256
+
+  /** (vec_id, Sub, SQ, SN): each vector split into its PQ subspace
+    * slices with exact integer sub-norms — the training/encoding
+    * substrate. One narrow pass over the quantized corpus. */
+  private def pqSlices(all: DataFrame): DataFrame =
+    all.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), m -> slice(Q, m * $PqSubDims + 1, $PqSubDims))"))
+      .as(Seq("Sub", "SQ")))
+      .withColumn("SN", expr("long_dot(SQ, SQ)"))
+
+  /** Nearest PQ centroid per (vector, subspace): exact integer
+    * L2² = ‖s‖² − 2·s·c + ‖c‖² against the broadcast (≤ M·K row)
+    * codebook, ties to the lowest Cid — an aggregate argmin
+    * (`min(struct(Dist, Cid))`), not a window, so assignment is one
+    * map-side-combining shuffle on (vec_id, Sub). */
+  private def pqAssign(slices: DataFrame, cent: DataFrame): DataFrame =
+    slices.join(broadcast(cent), "Sub")
+      .withColumn("Dist",
+        col("SN") - lit(2L) * expr("long_dot(SQ, CQ)") + col("CNorm"))
+      .groupBy(col("vec_id"), col("Sub"))
+      .agg(min(struct(col("Dist"), col("Cid"))).as("mn"))
+      .select(col("vec_id"), col("Sub"), col("mn.Cid").as("Cid"))
+
+  /** Deterministic per-subspace integer k-means codebook — the same
+    * seeded Lloyd scheme as [[kmeansCentroids]] generalized to run ALL
+    * subspaces in one job: rows are (vector, subspace) slices, seeds
+    * are the [[PqCentroids]] lowest-vec_id slices per subspace, every
+    * round is one broadcast assignment + one (Sub, Cid, dim) integer-
+    * mean aggregate. Cid labels are the seed vec_ids (0..K-1) and
+    * survive rounds, so codes index LUTs directly; a cluster that
+    * empties drops out and no code ever references it. */
+  private def pqCodebook(all: DataFrame): DataFrame = {
+    val slices = pqSlices(all)
+    var cent = pqSlices(all.filter(col("vec_id") < PqCentroids))
+      .select(col("Sub"), col("vec_id").as("Cid"),
+        col("SQ").as("CQ"), col("SN").as("CNorm"))
+    for (_ <- 1 to KmeansRounds) {
+      val assign = pqAssign(slices, cent)
+      val dims = slices.select(col("vec_id"), col("Sub"),
+        posexplode(col("SQ")).as(Seq("d0", "v")))
+      cent = dims.join(assign, Seq("vec_id", "Sub"))
+        .groupBy(col("Sub"), col("Cid"), col("d0"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("Sub"), col("Cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(d0, cv))), x -> x.cv)").as("CQ"))
+        .withColumn("CNorm", expr("long_dot(CQ, CQ)"))
+    }
+    cent
+  }
+
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** The PQ index for (session, dir): (codebook, codes) — codes is
+    * (vec_id, NormSq, Codes[M]) with the exact norm kept alongside the
+    * compressed codes (asymmetric distance needs it). Memoized +
+    * cached with the same single-owner contract as [[quantized]];
+    * released by [[invalidateQuantized]]. */
+  private def pqIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    pqMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(pqMemo.remove)
+    pqMemo.getOrElseUpdate((spark, dir), {
+      val all = quantized(spark, dir)
+      val cent = pqCodebook(all).cache()
+      val codes = all.select(col("vec_id"), col("NormSq"))
+        .join(pqAssign(pqSlices(all), cent)
+          .groupBy(col("vec_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(Sub, Cid))), x -> x.Cid)").as("Codes")),
+          "vec_id")
+        .cache()
+      (cent, codes)
+    })
+  }
+
+  /** Test seam: the (vec_id, NormSq, Codes) encoding table. */
+  private[graft] def pqCodesForTest(spark: SparkSession, dir: String): DataFrame =
+    pqIndex(spark, dir)._2
+
+  /** PQ approximate top-k with exact rerank — the compressed-scan ANN
+    * path (Jégou et al. 2011's IVFADC minus the coarse level, which
+    * [[ivfTopk]] already provides; composing the two is the standard
+    * IVF-PQ layout and both sides of that seam exist here).
+    *
+    * Query structure:
+    *   1. LUT build (driver-scale, the [[probedListIds]] router
+    *      pattern): for each probe, one integer dot per (subspace,
+    *      centroid) — M·K = 512 entries — so scoring a candidate is M
+    *      array lookups + adds, NEVER a 64-dim dot.
+    *   2. Compressed scan: ONE narrow pass over the (vec_id, Codes,
+    *      NormSq) table — ~25× less I/O than the exact scan — scoring
+    *      every candidate's approximate dot against the broadcast
+    *      LUTs; no shuffle until the per-probe top-[[PqShortlist]]
+    *      selection.
+    *   3. Exact rerank: only the shortlist (bounded: probes ×
+    *      [[PqShortlist]]) pays the full-width `long_dot`, joined back
+    *      against the uncompressed vectors.
+    *
+    * The oracle for this query is the EXACT brute-force top-k SQL
+    * (ExtSql.similarityTopk): a hash match is a measured end-to-end
+    * recall of 1.0 at this corpus + shortlist — the approximation is
+    * confined to candidate selection, never to returned values.
+    * OpsSpec additionally asserts pqTopk == topk row-for-row. */
+  def pqTopk(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
+    import spark.implicits._
+    val (cent, codes) = pqIndex(spark, dir)
+    val centRows = cent.select(col("Sub"), col("Cid"), col("CQ")).collect()
+    val probes = probeVectors(spark, dir)
+    val lutRows = probes.collect().map { pr =>
+      val qp = pr.getSeq[Long](1)
+      val lut = Array.fill[Long](PqSubspaces * PqCentroids)(0L)
+      centRows.foreach { cr =>
+        val m = cr.getInt(0)
+        val cid = cr.getLong(1).toInt
+        val cq = cr.getSeq[Long](2)
+        lut(m * PqCentroids + cid) =
+          (0 until PqSubDims).map(i => qp(m * PqSubDims + i) * cq(i)).sum
+      }
+      (pr.getLong(0), lut.toSeq)
+    }.toSeq
+    val probeLut = lutRows.toDF("QId", "Lut")
+    val shortlist = codes.crossJoin(broadcast(probeLut))
+      .filter(col("vec_id") =!= col("QId"))
+      .withColumn("ApproxDot", expr(
+        s"""aggregate(
+           |  transform(sequence(0, ${PqSubspaces - 1}),
+           |    m -> element_at(Lut, CAST(m * $PqCentroids + element_at(Codes, m + 1) + 1 AS INT))),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("ApproxScore",
+        col("ApproxDot").cast(DoubleType) / sqrt(col("NormSq").cast(DoubleType)))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("QId")).orderBy(col("ApproxScore").desc, col("vec_id"))))
+      .filter(col("srn") <= PqShortlist)
+      .select(col("QId"), col("vec_id"))
+    shortlist
+      .join(quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq")), "vec_id")
+      .join(broadcast(probes), "QId")
+      .withColumn("Cosine",
+        expr("long_dot(QP, Q)").cast(DoubleType) /
+          (sqrt(col("NormP").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
       .withColumn("Rank", row_number().over(
         Window.partitionBy(col("QId")).orderBy(col("Cosine").desc, col("vec_id"))))
       .filter(col("Rank") <= k)

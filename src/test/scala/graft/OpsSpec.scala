@@ -127,6 +127,27 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@${SimilarityOps.DefaultK} = $recall")
   }
 
+  test("similarity: PQ top-k equals exact brute-force row-for-row (recall 1.0 at this shortlist)") {
+    // the PQ approximation is confined to candidate selection; the
+    // output is an exact rerank, so at a sufficient shortlist the two
+    // queries must agree on every row INCLUDING the double cosines
+    val exact = SimilarityOps.topk(spark, sfDir).collect().toSeq
+    val pq = SimilarityOps.pqTopk(spark, sfDir).collect().toSeq
+    assert(pq == exact, s"PQ shortlist ${SimilarityOps.PqShortlist} missed true neighbors")
+  }
+
+  test("similarity: PQ codes are M small codes per vector (the compressed scan substrate)") {
+    import org.apache.spark.sql.functions.{col, size => asize, max => amax}
+    val codes = SimilarityOps.pqTopk(spark, sfDir) // forces the index
+    codes.count() // materialize
+    // every vector encodes to exactly PqSubspaces codes in [0, K)
+    val enc = SimilarityOps.pqCodesForTest(spark, sfDir)
+    val bad = enc.filter(asize(col("Codes")) =!= SimilarityOps.PqSubspaces).count()
+    assert(bad === 0L)
+    val maxCode = enc.select(amax(expr("array_max(Codes)"))).head().getLong(0)
+    assert(maxCode < SimilarityOps.PqCentroids)
+  }
+
   test("similarity: LSH candidates only pair same-bucket vectors and verify >= threshold") {
     val rows = SimilarityOps.lshNeardup(spark, sfDir).collect()
     assert(rows.nonEmpty)
