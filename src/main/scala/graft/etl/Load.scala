@@ -93,8 +93,20 @@ object Load {
     val maxV = (1L << bits) - 1
     val known = dims.forall(bounds.contains)
     val st: Map[String, (Double, Double)] =
-      if (known) bounds
-      else {
+      if (known) {
+        // caller-supplied bounds get the same loud validation as the
+        // computed path: a NaN/infinite or inverted (mn >= mx) bound
+        // would otherwise silently scale the dimension to constant 0
+        // and the multi-dim skipping property would quietly not hold
+        dims.foreach { d =>
+          val (mn, mx) = bounds(d)
+          require(!mn.isNaN && !mx.isNaN && !mn.isInfinite && !mx.isInfinite,
+            s"z-order dim '$d' has non-finite supplied bounds ($mn, $mx)")
+          require(mx > mn,
+            s"z-order dim '$d' has degenerate supplied bounds ($mn, $mx): need mn < mx")
+        }
+        bounds
+      } else {
         val aggs = dims.flatMap(d => Seq(
           min(col(d).cast(DoubleType)).as(s"mn_$d"),
           max(col(d).cast(DoubleType)).as(s"mx_$d")))

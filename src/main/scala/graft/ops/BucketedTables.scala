@@ -37,6 +37,17 @@ import org.apache.spark.sql.SparkSession
   */
 private[ops] object BucketedTables {
 
+  /** Double-checked memo access for cached-DataFrame memos.
+    * `TrieMap.getOrElseUpdate` computes its value OUTSIDE any lock, so
+    * two concurrent first-touch callers would both build and
+    * `.cache()` a plan — and the losing plan's cache entry would never
+    * be unpersisted. Hits stay lock-free; first touch serializes on
+    * the caller's `lock` (the same lock its invalidate path takes, so
+    * a build can't interleave with a teardown). */
+  def memoized[K, V](memo: scala.collection.concurrent.TrieMap[K, V],
+                     key: K, lock: AnyRef)(build: => V): V =
+    memo.get(key).getOrElse(lock.synchronized(memo.getOrElseUpdate(key, build)))
+
   /** Lowercased slug + md5-of-raw-dir table name (sanitization alone
     * is lossy; the hash makes dir → name injective). */
   def tableName(prefix: String, dir: String, suffix: String = ""): String = {

@@ -47,6 +47,11 @@ object DedupOps {
   private val bandsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Guards first-touch builds of the cached-DataFrame memos
+    * ([[bandsMemo]]/[[sourceShinglesMemo]]/[[chunksMemo]]) and their
+    * invalidation — see BucketedTables.memoized for the race. */
+  private val cacheMemoLock = new Object
+
   /** doc_id, Sh, B1..B4 LSH band values (native MinHash-8 → 4 bands).
     *
     * Memoized + `.cache()`d per (session, dir) — the sketch table is
@@ -59,13 +64,13 @@ object DedupOps {
     bandsMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(bandsMemo.remove)
-    bandsMemo.getOrElseUpdate((spark, dir), {
+    BucketedTables.memoized(bandsMemo, (spark, dir), cacheMemoLock) {
       val withBands = docShingles(spark, dir)
         .withColumn("Bands", expr("minhash_bands(Sh)"))
       (1 to NumBands).foldLeft(withBands) { (df, b) =>
         df.withColumn(s"B$b", element_at(col("Bands"), b))
       }.drop("Bands").cache()
-    })
+    }
   }
 
   /** The cached per-doc shingle sets, for operators OUTSIDE the dedup
@@ -89,7 +94,7 @@ object DedupOps {
     sourceShinglesMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(sourceShinglesMemo.remove)
-    sourceShinglesMemo.getOrElseUpdate((spark, dir),
+    BucketedTables.memoized(sourceShinglesMemo, (spark, dir), cacheMemoLock)(
       sharedShingles(spark, dir)
         .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"), explode(col("Sh")).as("Shingle"))
@@ -111,7 +116,7 @@ object DedupOps {
     chunksMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(chunksMemo.remove)
-    chunksMemo.getOrElseUpdate((spark, dir),
+    BucketedTables.memoized(chunksMemo, (spark, dir), cacheMemoLock)(
       Tables.documents(spark, dir)
         .repartition(col("doc_id"))
         .withColumn("Ch", expr("rolling_chunks(text)"))
@@ -127,14 +132,18 @@ object DedupOps {
     * against a refreshed corpus would silently return mixed-version
     * matches — the managed-table DROP removes the files too). */
   def invalidateSketches(spark: SparkSession): Unit = {
-    bandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      bandsMemo.remove(k).foreach(_.unpersist(false))
-    }
-    chunksMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      chunksMemo.remove(k).foreach(_.unpersist(false))
-    }
-    sourceShinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      sourceShinglesMemo.remove(k).foreach(_.unpersist(false))
+    // same lock as the memo first-touch builds, so a teardown cannot
+    // interleave with a concurrent build-if-absent of the same entry
+    cacheMemoLock.synchronized {
+      bandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        bandsMemo.remove(k).foreach(_.unpersist(false))
+      }
+      chunksMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        chunksMemo.remove(k).foreach(_.unpersist(false))
+      }
+      sourceShinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        sourceShinglesMemo.remove(k).foreach(_.unpersist(false))
+      }
     }
     // drop under the build lock: an invalidate racing a concurrent
     // build-if-absent must not delete a half-written index

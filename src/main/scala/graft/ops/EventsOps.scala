@@ -109,11 +109,15 @@ object EventsOps {
       .union(step(c, 2, "view>click"))
       .union(step(p, 3, "view>click>purchase"))
     val w = Window.orderBy(col("Step"))
+    // nullif on the denominators: an empty step-1 corpus (zero 'view'
+    // events) would otherwise divide by 0, where Spark double division
+    // yields NULL but DuckDB (ieee_floating_point_ops) yields NaN/Inf —
+    // NULL-on-zero on BOTH sides keeps oracle parity on any corpus
     steps
       .withColumn("CumRate",
-        col("Users").cast(DoubleType) / first(col("Users")).over(w))
+        col("Users").cast(DoubleType) / nullif(first(col("Users")).over(w), lit(0L)))
       .withColumn("StepRate",
-        col("Users").cast(DoubleType) / lag(col("Users"), 1).over(w))
+        col("Users").cast(DoubleType) / nullif(lag(col("Users"), 1).over(w), lit(0L)))
       .orderBy(col("Step"))
   }
 

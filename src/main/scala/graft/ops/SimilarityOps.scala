@@ -97,6 +97,11 @@ object SimilarityOps {
   private val quantMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Guards first-touch builds of the cached-DataFrame memos
+    * ([[quantMemo]]/[[sigMemo]]/[[pqMemo]]) and their invalidation —
+    * see BucketedTables.memoized for why bare getOrElseUpdate races. */
+  private val cacheMemoLock = new Object
+
   /** vec_id, label, quantized int vector Q, exact squared norm NormSq.
     *
     * Memoized + `.cache()`d per (session, dir) — the quantized corpus
@@ -111,7 +116,7 @@ object SimilarityOps {
     quantMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(quantMemo.remove)
-    quantMemo.getOrElseUpdate((spark, dir),
+    BucketedTables.memoized(quantMemo, (spark, dir), cacheMemoLock)(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"), expr("quantize_vec(embedding)").as("Q"))
         .withColumn("NormSq", expr("long_dot(Q, Q)"))
@@ -126,15 +131,19 @@ object SimilarityOps {
     * index/query versions — the exact failure the cache-ownership
     * contract exists to prevent). */
   def invalidateQuantized(spark: SparkSession): Unit = {
-    quantMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      quantMemo.remove(k).foreach(_.unpersist(false))
-    }
-    sigMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      sigMemo.remove(k).foreach(_.unpersist(false))
-    }
-    pqMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
-      pqMemo.remove(k).foreach { case (cent, codes) =>
-        cent.unpersist(false); codes.unpersist(false)
+    // same lock as the memo first-touch builds, so a teardown cannot
+    // interleave with a concurrent build-if-absent of the same entry
+    cacheMemoLock.synchronized {
+      quantMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        quantMemo.remove(k).foreach(_.unpersist(false))
+      }
+      sigMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        sigMemo.remove(k).foreach(_.unpersist(false))
+      }
+      pqMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        pqMemo.remove(k).foreach { case (cent, codes) =>
+          cent.unpersist(false); codes.unpersist(false)
+        }
       }
     }
     // deletion under the same lock that guards builds, so an invalidate
@@ -173,7 +182,7 @@ object SimilarityOps {
     sigMemo.keysIterator
       .filter { case (s, _, _, _) => s.sparkContext.isStopped }
       .foreach(sigMemo.remove)
-    sigMemo.getOrElseUpdate((spark, dir, bands, planesPerBand),
+    BucketedTables.memoized(sigMemo, (spark, dir, bands, planesPerBand), cacheMemoLock)(
       withBands(quantized(spark, dir), bands, planesPerBand).cache())
   }
 
@@ -293,7 +302,7 @@ object SimilarityOps {
     pqMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(pqMemo.remove)
-    pqMemo.getOrElseUpdate((spark, dir), {
+    BucketedTables.memoized(pqMemo, (spark, dir), cacheMemoLock) {
       val all = quantized(spark, dir)
       val cent = pqCodebook(all).cache()
       val codes = all.select(col("vec_id"), col("NormSq"))
@@ -303,7 +312,7 @@ object SimilarityOps {
           "vec_id")
         .cache()
       (cent, codes)
-    })
+    }
   }
 
   /** Test seam: the (vec_id, NormSq, Codes) encoding table. */

@@ -77,8 +77,8 @@ steps AS (
   UNION ALL SELECT 2, 'view>click', count(*) FROM c
   UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM p)
 SELECT s AS "Step", sn AS "StepName", u AS "Users",
-       CAST(u AS DOUBLE) / first_value(u) OVER (ORDER BY s) AS "CumRate",
-       CAST(u AS DOUBLE) / lag(u) OVER (ORDER BY s) AS "StepRate"
+       CAST(u AS DOUBLE) / nullif(first_value(u) OVER (ORDER BY s), 0) AS "CumRate",
+       CAST(u AS DOUBLE) / nullif(lag(u) OVER (ORDER BY s), 0) AS "StepRate"
 FROM steps ORDER BY s
 """
   }
@@ -239,7 +239,9 @@ ORDER BY "D1", "D2"
   /** Edit-distance verify mirror: same candidate CTE, DuckDB's own
     * `levenshtein` (an independent DP implementation) instead of the
     * Spark expression; threshold interpolated from the shared
-    * constant. */
+    * constant. Parity scope: ASCII text (the testdata corpus) —
+    * DuckDB's `levenshtein` is not codepoint-identical to Spark's on
+    * multi-byte/astral input; see COVERAGE.md's edit-distance row. */
   val dedupEditDistance: String = candCte + s"""
 , t AS (SELECT doc_id, text FROM documents),
 jd AS (
