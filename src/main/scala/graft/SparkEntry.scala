@@ -94,6 +94,7 @@ object SparkEntry {
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
     "similarity_ivf_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfTopk(s, d)),
     "similarity_pq_topk" -> ((s: SparkSession, d: String) => SimilarityOps.pqTopk(s, d)),
+    "similarity_ivfpq_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfpqTopk(s, d)),
     "similarity_kmeans_profile" -> ((s: SparkSession, d: String) => SimilarityOps.kmeansProfile(s, d)),
     "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "similarity_incremental_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.incrementalDedup(s, d)),
@@ -169,6 +170,11 @@ object SparkEntry {
     // PQ path returns exact reranked values over its shortlist, so a
     // hash match here is a measured recall of 1.0
     "similarity_pq_topk" -> ExtSql.similarityTopk,
+    // the IVF-PQ oracle is the IVF-FLAT mirror: coarse routing is the
+    // lossy stage (measured recall < 1 vs exact at nprobe=4, in both
+    // engines identically), while the PQ stage reranks exactly — so a
+    // hash match here is a measured recall of 1.0 for the PQ stage
+    "similarity_ivfpq_topk" -> ExtSql.similarityIvfTopk,
     "similarity_kmeans_profile" -> ExtSql.similarityKmeansProfile,
     "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,

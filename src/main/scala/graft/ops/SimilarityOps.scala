@@ -346,9 +346,20 @@ object SimilarityOps {
   def pqTopk(spark: SparkSession, dir: String, k: Int = DefaultK): DataFrame = {
     import spark.implicits._
     val (cent, codes) = pqIndex(spark, dir)
-    val centRows = cent.select(col("Sub"), col("Cid"), col("CQ")).collect()
-    val probes = probeVectors(spark, dir)
-    val lutRows = probes.collect().map { pr =>
+    val probeLut = pqLutRows(probeVectors(spark, dir).collect(),
+      cent.select(col("Sub"), col("Cid"), col("CQ")).collect()).toDF("QId", "Lut")
+    val shortlist = pqShortlist(codes.crossJoin(broadcast(probeLut)))
+    exactRerank(spark, dir, shortlist, k)
+  }
+
+  /** Driver-built asymmetric-distance LUTs: one row (QId, Lut[M·K])
+    * per probe — for each (subspace m, centroid c), the integer dot of
+    * the probe's m-th slice with c. Scoring a candidate is then M
+    * array lookups + adds, never a full-width dot. Driver-scale by the
+    * [[probedListIds]] router argument: |probes| · M·K longs. */
+  private def pqLutRows(probeRows: Array[org.apache.spark.sql.Row],
+                        centRows: Array[org.apache.spark.sql.Row]): Seq[(Long, Seq[Long])] =
+    probeRows.toSeq.map { pr =>
       val qp = pr.getSeq[Long](1)
       val lut = Array.fill[Long](PqSubspaces * PqCentroids)(0L)
       centRows.foreach { cr =>
@@ -359,9 +370,14 @@ object SimilarityOps {
           (0 until PqSubDims).map(i => qp(m * PqSubDims + i) * cq(i)).sum
       }
       (pr.getLong(0), lut.toSeq)
-    }.toSeq
-    val probeLut = lutRows.toDF("QId", "Lut")
-    val shortlist = codes.crossJoin(broadcast(probeLut))
+    }
+
+  /** Top-[[PqShortlist]] candidates per probe by LUT-scored
+    * approximate dot, over any (QId, Lut, vec_id, Codes, NormSq)
+    * candidate frame — the compressed scan shared by [[pqTopk]]
+    * (all candidates) and [[ivfpqTopk]] (routed lists only). */
+  private def pqShortlist(cand: DataFrame): DataFrame =
+    cand
       .filter(col("vec_id") =!= col("QId"))
       .withColumn("ApproxDot", expr(
         s"""aggregate(
@@ -374,9 +390,15 @@ object SimilarityOps {
         Window.partitionBy(col("QId")).orderBy(col("ApproxScore").desc, col("vec_id"))))
       .filter(col("srn") <= PqShortlist)
       .select(col("QId"), col("vec_id"))
+
+  /** Exact cosine rerank of a (QId, vec_id) shortlist against the
+    * uncompressed vectors — only the shortlist (bounded: probes ×
+    * [[PqShortlist]]) pays the full-width `long_dot`. */
+  private def exactRerank(spark: SparkSession, dir: String,
+                          shortlist: DataFrame, k: Int): DataFrame =
     shortlist
       .join(quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq")), "vec_id")
-      .join(broadcast(probes), "QId")
+      .join(broadcast(probeVectors(spark, dir)), "QId")
       .withColumn("Cosine",
         expr("long_dot(QP, Q)").cast(DoubleType) /
           (sqrt(col("NormP").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
@@ -385,7 +407,6 @@ object SimilarityOps {
       .filter(col("Rank") <= k)
       .select(col("QId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
       .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("Rank")))
-  }
 
   /** Nearest-centroid routing: for each row of `vecs` (id, vector,
     * norm columns per `idCol`/`vecCol`/`normCol`), keep its `take`
@@ -485,6 +506,11 @@ object SimilarityOps {
                     nCentroids: Int = DefaultNCentroids): String = ivfBuildLock.synchronized {
     val all = quantized(spark, dir)
     val base = ivfBase(spark, dir, nCentroids)
+    // wipe the whole base first: per-subdir overwrite alone would let
+    // OPTIONAL layers built lazily on top of the index (the PQ codes
+    // of [[ivfPqIndexPath]]) survive a corpus-change rebuild and be
+    // silently probed stale against the new codebook/lists
+    deleteRecursively(base)
     kmeansCentroids(all, nCentroids)
       .write.mode("overwrite").parquet(s"$base/codebook")
     // assignment against the PERSISTED codebook (read it back rather
@@ -632,6 +658,89 @@ object SimilarityOps {
       .filter(col("Rank") <= k)
       .select(col("QId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
       .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("Rank")))
+  }
+
+  /** Build-if-absent for the PQ layer of the persisted IVF index —
+    * the compressed-codes half of the canonical IVF-PQ (IVFADC,
+    * Jégou et al. 2011) layout. On top of `<base>/codebook` +
+    * `<base>/lists` this adds:
+    *   `<base>/pqcodebook/` — the M×K per-subspace PQ codebook;
+    *   `<base>/pqcodes/`    — `(vec_id, NormSq, Codes[M])` written
+    *                          `partitionBy("Cid")`, so a routed probe
+    *                          reads ONLY its lists' codes — the same
+    *                          partition-pruned I/O as the flat lists,
+    *                          at ~25× less bytes per routed row.
+    * Lazy by design: IVF-flat queries ([[ivfTopk]], [[kmeansProfile]],
+    * the semantic-dedup family) never pay the PQ encode. Freshness
+    * rides the base index's fingerprint: [[buildIvfIndex]] wipes the
+    * whole base before a rebuild, so stale codes cannot outlive a
+    * corpus change; [[invalidateQuantized]] deletes the base
+    * recursively, codes included. */
+  def ivfPqIndexPath(spark: SparkSession, dir: String,
+                     nCentroids: Int = DefaultNCentroids): String = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    def built = Seq("pqcodebook", "pqcodes").forall(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
+    if (!built) ivfBuildLock.synchronized {
+      if (!built) {
+        val (pqCent, pqCodes) = pqIndex(spark, dir)
+        pqCent.write.mode("overwrite").parquet(s"$base/pqcodebook")
+        pqCodes
+          .join(spark.read.parquet(s"$base/lists").select(col("vec_id"), col("Cid")), "vec_id")
+          .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/pqcodes")
+      }
+    }
+    base
+  }
+
+  /** IVF-PQ approximate top-k — the composed ANN architecture both
+    * halves of which exist above: [[ivfTopk]]'s coarse router prunes
+    * WHICH rows are read (static `Cid IN route` partition filter on
+    * the codes scan, plan-asserted like the lists scan), [[pqTopk]]'s
+    * LUT scoring shrinks WHAT is read per row (M byte-codes + a norm
+    * instead of the 64-dim vector), and the exact rerank confines the
+    * PQ approximation to candidate selection.
+    *
+    * Query structure:
+    *   1. Route (driver-scale): [[probedListIds]] resolves the nprobe
+    *      nearest coarse centroids per probe; LUTs built per probe
+    *      against the persisted PQ codebook ([[pqLutRows]]).
+    *   2. Compressed routed scan: the `pqcodes` partitions of ONLY the
+    *      routed lists, joined to the broadcast (QId, Cid, Lut) route
+    *      — each probe scores each candidate in ITS routed lists via M
+    *      LUT lookups; top-[[PqShortlist]] per probe survive.
+    *   3. Exact rerank of the shortlist ([[exactRerank]]).
+    *
+    * Oracle: the IVF-flat DuckDB mirror (ExtSql.similarityIvfTopk) —
+    * at verification scale the shortlist covers every routed
+    * candidate, so a hash match is a measured recall of 1.0 FOR THE
+    * PQ STAGE relative to IVF-flat (the [[pqTopk]] trick applied to
+    * the stage PQ actually approximates). The exact brute-force
+    * oracle is NOT usable here: the coarse route itself has measured
+    * recall < 1 on this corpus at nprobe=4 (verified empirically in
+    * DuckDB — routing, not PQ, is the lossy stage), identically in
+    * both engines. OpsSpec asserts ivfpq == ivf-flat row-for-row at
+    * nprobe < K, and the recall-vs-exact floor. */
+  def ivfpqTopk(spark: SparkSession, dir: String, k: Int = DefaultK,
+                nCentroids: Int = DefaultNCentroids,
+                nprobe: Int = DefaultNProbe): DataFrame = {
+    import spark.implicits._
+    val base = ivfPqIndexPath(spark, dir, nCentroids)
+    val coarse = spark.read.parquet(s"$base/codebook")
+    val codes = spark.read.parquet(s"$base/pqcodes")
+    val probes = probeVectors(spark, dir)
+    val probeLut = pqLutRows(probes.collect(),
+      spark.read.parquet(s"$base/pqcodebook")
+        .select(col("Sub"), col("Cid"), col("CQ")).collect()).toDF("QId", "Lut")
+    val route = probedListIds(spark, dir, nCentroids, nprobe)
+    // per-probe routing pairs carrying that probe's LUT — ≤
+    // |probes|·nprobe rows of M·K longs each, broadcast by construction
+    val probeRoutes = nearestCentroids(probes, coarse, nprobe, "QId", "QP", "NormP")
+      .select(col("QId"), col("Cid"))
+      .join(probeLut, "QId")
+    val shortlist = pqShortlist(
+      broadcast(probeRoutes).join(codes.filter(col("Cid").isin(route.toSeq: _*)), "Cid"))
+    exactRerank(spark, dir, shortlist, k)
   }
 
   /** Per-cluster corpus cards over the persisted IVF index — the

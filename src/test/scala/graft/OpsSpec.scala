@@ -136,6 +136,30 @@ class OpsSpec extends SparkSpec {
     assert(pq == exact, s"PQ shortlist ${SimilarityOps.PqShortlist} missed true neighbors")
   }
 
+  test("similarity: IVF-PQ equals IVF-flat row-for-row at nprobe < K (PQ-stage recall 1.0)") {
+    // the composed query may only lose neighbors to the COARSE route;
+    // the PQ shortlist + exact rerank must recover exactly what the
+    // flat scan of the same routed lists returns — doubles included
+    for (nprobe <- Seq(2, SimilarityOps.DefaultNProbe)) {
+      assert(nprobe < SimilarityOps.DefaultNCentroids)
+      val flat = SimilarityOps.ivfTopk(spark, sfDir, nprobe = nprobe).collect().toSeq
+      val ivfpq = SimilarityOps.ivfpqTopk(spark, sfDir, nprobe = nprobe).collect().toSeq
+      assert(ivfpq == flat,
+        s"PQ stage lost routed candidates at nprobe=$nprobe " +
+          s"(shortlist ${SimilarityOps.PqShortlist})")
+    }
+  }
+
+  test("similarity: IVF-PQ recall vs exact brute-force stays above the IVF floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("QId"), r.getAs[Long]("NId"))).toSet
+    val bf = pairs(SimilarityOps.topk(spark, sfDir))
+    val ivfpq = pairs(SimilarityOps.ivfpqTopk(spark, sfDir))
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    // identical floor to the IVF-flat recall test: PQ adds no loss here
+    assert(recall >= 0.8, s"IVF-PQ recall@${SimilarityOps.DefaultK} = $recall")
+  }
+
   test("similarity: PQ codes are M small codes per vector (the compressed scan substrate)") {
     import org.apache.spark.sql.functions.{col, size => asize, max => amax}
     val codes = SimilarityOps.pqTopk(spark, sfDir) // forces the index

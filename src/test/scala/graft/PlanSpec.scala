@@ -136,6 +136,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ probe reads only the routed partitions of the codes table") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // same sharpest-route argument as the lists-scan test above
+    val nprobe = 1
+    val route = graft.ops.SimilarityOps.probedListIds(spark, sfDir, nprobe = nprobe)
+    val df = graft.ops.SimilarityOps.ivfpqTopk(spark, sfDir, nprobe = nprobe)
+    val scans = df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    val codes = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/pqcodes")))
+    assert(codes.nonEmpty,
+      s"no FileSourceScan over the persisted PQ codes:\n${df.queryExecution.sparkPlan}")
+    codes.foreach { f =>
+      val static = f.partitionFilters.filterNot(_.toString.contains("dynamicpruning"))
+      assert(static.exists(_.toString.contains("Cid")),
+        s"no static Cid partition filter on the codes scan: ${f.partitionFilters}")
+      val read = f.relation.location.listFiles(static, f.dataFilters).length
+      val all = f.relation.location.listFiles(Nil, Nil).length
+      assert(read <= route.length,
+        s"codes scan lists $read partitions for a ${route.length}-entry route")
+      assert(read < all, s"no pruning: $read of $all code partitions read")
+    }
+  }
+
   test("tfidf explodes the corpus once and ranks via WindowGroupLimit") {
     val df = graft.ops.TextOps.tfidf(spark, sfDir)
     val p = plan(df)
