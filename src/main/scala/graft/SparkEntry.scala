@@ -42,6 +42,7 @@ object SparkEntry {
     // quantile cannot reproduce bit-for-bit; exact-path agreement is
     // asserted in SummariesSpec (≥99% at sf0.1) instead
     "customer_segments_approx" -> cleanedQ(Summaries.customerSegmentsApprox(_)),
+    "customer_segments_bounds" -> cleanedQ(Summaries.customerSegmentsBounds),
     "product_summary" -> cleanedQ(Summaries.productSummary),
     "daily_sales" -> cleanedQ(Summaries.dailySales),
     "country_summary" -> cleanedQ(Summaries.countrySummary),
@@ -122,6 +123,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "transactions" -> CoreSql.transactions,
     "customer_summary" -> CoreSql.customerSummary,
+    "customer_segments_bounds" -> CoreSql.customerSegmentsBounds,
     "product_summary" -> CoreSql.productSummary,
     "daily_sales" -> CoreSql.dailySales,
     "country_summary" -> CoreSql.countrySummary,

@@ -162,6 +162,41 @@ object Summaries {
       .transform(smallSort(_, col("CustomerID")))
   }
 
+  /** Driver-green exact-boundary segmentation: Bronze..Platinum from
+    * the DISCRETE quartile boundaries (the revenue value at rank
+    * ⌈q·n⌉ — ANSI `percentile_disc`), labeling each customer by value
+    * threshold. Unlike [[customerSegmentsApprox]]'s sketch boundaries
+    * (not bit-reproducible outside Spark), discrete quantiles pick
+    * actual data values positionally on the sorted multiset — no
+    * interpolation arithmetic, no sketch — so DuckDB's `quantile_disc`
+    * reproduces them exactly (verified: both are value-at-⌈q·n⌉,
+    * ties included) and the driver hash-checks this variant.
+    *
+    * Divergence from exact ntile ([[customerSummary]]) is confined to
+    * boundary TIES: ntile splits an equal-revenue run positionally
+    * where a value threshold keeps the run together (SummariesSpec
+    * asserts ≥99% agreement). Plan shape: percentile_disc is a
+    * mergeable counts-map aggregate (partials per partition — no
+    * global sort), boundaries broadcast as a 1-row frame, labeling is
+    * a narrow map pass; the approx variant remains the preferred
+    * 100 TB path when boundary memory at extreme cardinality
+    * matters. */
+  def customerSegmentsBounds(cleaned: DataFrame): DataFrame = {
+    val g = customerAgg(cleaned).withColumn("Rev", col("RevDec").cast(DoubleType))
+    val bounds = g.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY Rev)").as("B1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY Rev)").as("B2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY Rev)").as("B3"))
+    g.crossJoin(broadcast(bounds)) // 1-row boundary frame → map-side label
+      .withColumn("Segment",
+        when(col("Rev") <= col("B1"), "Bronze")
+          .when(col("Rev") <= col("B2"), "Silver")
+          .when(col("Rev") <= col("B3"), "Gold")
+          .otherwise("Platinum"))
+      .select(col("CustomerID"), col("TotalRevenue"), col("Segment"))
+      .transform(smallSort(_, col("CustomerID")))
+  }
+
   /** product_summary (ref: etl.py:150-175). Composite-key groupBy.
     * AvgPrice is declared as TotalRevenue/TotalQuantity (exact-ratio
     * weighted mean) rather than pandas' mean-of-UnitPrice, which is not

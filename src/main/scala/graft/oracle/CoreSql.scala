@@ -96,6 +96,22 @@ SELECT "CustomerID", "TotalOrders", "TotalRevenue", "TotalItems",
 FROM cust2 ORDER BY "CustomerID"
 """
 
+  /** Exact-boundary segmentation mirror: DuckDB `quantile_disc` ≡
+    * ANSI `percentile_disc` (both the value at rank ⌈q·n⌉ on the
+    * sorted multiset — verified positionally identical, ties
+    * included); the CASE chain transcribes the Spark labeling. */
+  val customerSegmentsBounds: String = custCte + """,
+b AS (
+  SELECT quantile_disc(CAST("RevDec" AS DOUBLE), [0.25, 0.5, 0.75]) AS bs FROM cust
+)
+SELECT "CustomerID", CAST("RevDec" AS DOUBLE) AS "TotalRevenue",
+       CASE WHEN CAST("RevDec" AS DOUBLE) <= bs[1] THEN 'Bronze'
+            WHEN CAST("RevDec" AS DOUBLE) <= bs[2] THEN 'Silver'
+            WHEN CAST("RevDec" AS DOUBLE) <= bs[3] THEN 'Gold'
+            ELSE 'Platinum' END AS "Segment"
+FROM cust, b ORDER BY "CustomerID"
+"""
+
   val prodCte: String = txnCte + """,
 prod AS (
   SELECT "StockCode", "Description",

@@ -121,4 +121,23 @@ class SummariesSpec extends SparkSpec {
     assert(pct >= 0.99,
       f"segment agreement $pct%.4f < 0.99 (${approx.size - agree} of ${approx.size} customers differ)")
   }
+
+  test("customerSegmentsBounds agrees with exact ntile segments on ≥99% of customers (sf0.1)") {
+    import org.apache.spark.sql.functions.col
+    // the driver-hash-checked exact-boundary variant: divergence from
+    // positional ntile must stay confined to equal-revenue runs
+    // straddling a quartile cut (value thresholds keep a run together)
+    val dir = "/root/testdata/sf0.1"
+    val cleaned = graft.etl.Transactions.cleaned(spark, dir)
+    val exact = Summaries.customerSummary(cleaned)
+      .select(col("CustomerID"), col("Segment")).collect()
+      .map(r => r.getAs[Int]("CustomerID") -> r.getAs[String]("Segment")).toMap
+    val bounds = Summaries.customerSegmentsBounds(cleaned).collect()
+      .map(r => r.getAs[Int]("CustomerID") -> r.getAs[String]("Segment")).toMap
+    assert(bounds.keySet === exact.keySet)
+    val agree = bounds.count { case (k, v) => exact(k) == v }
+    val pct = agree.toDouble / bounds.size
+    assert(pct >= 0.99,
+      f"segment agreement $pct%.4f < 0.99 (${bounds.size - agree} of ${bounds.size} customers differ)")
+  }
 }
