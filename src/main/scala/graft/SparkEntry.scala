@@ -88,6 +88,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextOps.piiRedact _),
     "text_corpus_stats" -> (TextOps.corpusStats _),
     "text_source_similarity" -> (TextOps.sourceSimilarity _),
+    "text_source_similarity_calibrate" -> (TextOps.sourceSimilarityCalibrate _),
     "text_chunks" -> (TextOps.chunks _),
     "dedup_chunk_overlap" -> (DedupOps.chunkOverlap _),
     // ---- similarity search ----
@@ -163,6 +164,7 @@ object SparkEntry {
     "text_pii_redact" -> ExtSql.textPiiRedact,
     "text_corpus_stats" -> ExtSql.textCorpusStats,
     "text_source_similarity" -> ExtSql.textSourceSimilarity,
+    "text_source_similarity_calibrate" -> ExtSql.textSourceSimilarityCalibrate,
     "text_chunks" -> ExtSql.textChunks,
     "dedup_chunk_overlap" -> ExtSql.dedupChunkOverlap,
     "similarity_topk" -> ExtSql.similarityTopk,

@@ -298,22 +298,20 @@ object TextOps {
   /** Minimum shared-chunk fraction for [[DedupOps.chunkOverlap]]. */
   val MinChunkOverlap = 0.5
 
-  /** Corpus-level source-vs-source vocabulary similarity: estimated
-    * shingle-set Jaccard between every source pair from
-    * [[SourceSimHashes]]-function MinHash signatures, alongside the
-    * exact Jaccard for calibration.
+  /** Corpus-level source-vs-source vocabulary similarity — the
+    * DECLARED 100 TB path: estimated shingle-set Jaccard between every
+    * source pair from [[SourceSimHashes]]-function MinHash signatures,
+    * and nothing else. The plan touches the corpus exactly once.
     *
     * The signature is the mergeable one-pass shape that matters at
     * 100 TB: per source, H independent `min(md5(h|shingle))` aggregates
     * over its distinct shingles — H·|sources| strings of state, built
     * in the same partial-aggregated pass as the set sizes, mergeable
-    * across any partitioning (min is associative-commutative). The
-    * EXACT pairwise Jaccard needs the shingle-keyed self-join
-    * (`Σ df²` candidate rows) — the expensive side the sketch
-    * replaces; it is computed here too because at test scale it is
-    * cheap and it turns the estimate into an oracle-checkable,
-    * calibratable number rather than a trust-me. At production scale
-    * you keep the signatures and drop the exact columns.
+    * across any partitioning (min is associative-commutative). There
+    * is NO shingle-keyed self-join anywhere in this query (PlanSpec
+    * asserts it): the `Σ df²` exact-intersection side lives in
+    * [[sourceSimilarityCalibrate]], so the production query is
+    * runnable AS DECLARED, not derived by editing a select list.
     *
     * The pairwise frame is |sources|² — aggregate-scale, not
     * data-scale; its crossJoin is the same bounded
@@ -321,21 +319,31 @@ object TextOps {
     * fractions of integer agreement counts; both engines compute
     * identical md5 strings, so the whole row hash-matches. */
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val (left, right) = sourceSignaturePair(spark, dir)
+    left.crossJoin(right).filter(col("A_source") < col("B_source"))
+      .select(
+        col("A_source").as("SA"), col("B_source").as("SB"),
+        col("A_NSh").as("NShA"), col("B_NSh").as("NShB"),
+        (sigAgreement.cast(DoubleType) / lit(SourceSimHashes.toDouble)).as("EstJaccard"))
+      .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
+  }
+
+  /** Calibration twin of [[sourceSimilarity]]: the same signature
+    * estimate ALONGSIDE the exact pairwise Jaccard, whose
+    * shingle-keyed self-join (`Σ df²` candidate rows over per-source
+    * distinct shingles) is the expensive side the sketch replaces.
+    * Run this one at sample scale to measure the estimate's error on
+    * YOUR corpus before trusting the declared query's numbers — the
+    * standard sketch-calibration workflow, expressed as its own query
+    * instead of a select-list edit of the production one. */
+  def sourceSimilarityCalibrate(spark: SparkSession, dir: String): DataFrame = {
     val sh = DedupOps.sourceShingles(spark, dir)
-    val aggCols = (count(lit(1)).as("NSh") +:
-      (1 to SourceSimHashes).map(h =>
-        min(md5(concat_ws("|", lit(h.toString), col("Shingle")))).as(s"H$h"))).toSeq
-    val sig = sh.groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
-    val left = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"A_$c"))
-    val right = sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"B_$c"))
+    val (left, right) = sourceSignaturePair(spark, dir)
     val inter = sh.select(col("source").as("IA"), col("Shingle"))
       .join(sh.select(col("source").as("IB"), col("Shingle")), "Shingle")
       .filter(col("IA") < col("IB"))
       .groupBy(col("IA"), col("IB"))
       .agg(count(lit(1)).as("NShared"))
-    val agree = (1 to SourceSimHashes)
-      .map(h => when(col(s"A_H$h") === col(s"B_H$h"), 1).otherwise(0))
-      .reduce(_ + _)
     left.crossJoin(right).filter(col("A_source") < col("B_source"))
       .join(inter,
         col("A_source") === col("IA") && col("B_source") === col("IB"), "left")
@@ -346,9 +354,28 @@ object TextOps {
         (coalesce(col("NShared"), lit(0L)).cast(DoubleType) /
           (col("A_NSh") + col("B_NSh") - coalesce(col("NShared"), lit(0L)))
             .cast(DoubleType)).as("ExactJaccard"),
-        (agree.cast(DoubleType) / lit(SourceSimHashes.toDouble)).as("EstJaccard"))
+        (sigAgreement.cast(DoubleType) / lit(SourceSimHashes.toDouble)).as("EstJaccard"))
       .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
   }
+
+  /** The A_/B_-prefixed copies of the per-source signature table
+    * (source, NSh, H1..HH) for the pairwise frame. */
+  private def sourceSignaturePair(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = DedupOps.sourceShingles(spark, dir)
+    val aggCols = (count(lit(1)).as("NSh") +:
+      (1 to SourceSimHashes).map(h =>
+        min(md5(concat_ws("|", lit(h.toString), col("Shingle")))).as(s"H$h"))).toSeq
+    val sig = sh.groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
+    (sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"A_$c")),
+      sig.columns.foldLeft(sig)((d, c) => d.withColumnRenamed(c, s"B_$c")))
+  }
+
+  /** Count of agreeing signature components between the A_ and B_
+    * sides — the MinHash Jaccard estimator's numerator. */
+  private def sigAgreement: Column =
+    (1 to SourceSimHashes)
+      .map(h => when(col(s"A_H$h") === col(s"B_H$h"), 1).otherwise(0))
+      .reduce(_ + _)
 
   /** Content-defined chunk fingerprints — the rolling-hash
     * counterpart of [[fingerprint]]: per doc, the chunk count, the

@@ -654,13 +654,10 @@ ORDER BY "D1", "D2"
     * shingle) pairs, H min(md5(h|shingle)) signature aggregates, exact
     * pairwise intersection via the shingle self-join, estimate =
     * fraction of agreeing signature components. */
-  val textSourceSimilarity: String = {
+  private def sourceSigCtes: String = {
     val h = graft.ops.TextOps.SourceSimHashes
     val sigCols = (1 to h)
       .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(",\n         ")
-    val agree = (1 to h)
-      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
     s"""
 WITH toks AS (
   SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -673,7 +670,32 @@ sig AS (
   SELECT source, count(*) AS nsh,
          $sigCols
   FROM e GROUP BY source
-),
+)"""
+  }
+
+  private def sourceSigAgree: String = {
+    val h = graft.ops.TextOps.SourceSimHashes
+    (1 to h).map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+  }
+
+  /** Estimate-only mirror (the declared 100 TB query): signatures and
+    * sizes, no shingle-keyed self-join. */
+  val textSourceSimilarity: String = {
+    val h = graft.ops.TextOps.SourceSimHashes
+    sourceSigCtes + s"""
+SELECT a.source AS "SA", b.source AS "SB",
+       CAST(a.nsh AS BIGINT) AS "NShA", CAST(b.nsh AS BIGINT) AS "NShB",
+       CAST($sourceSigAgree AS DOUBLE) / $h.0 AS "EstJaccard"
+FROM sig a JOIN sig b ON a.source < b.source
+ORDER BY "SA", "SB"
+"""
+  }
+
+  /** Calibration mirror: the estimate alongside the exact pairwise
+    * intersection via the shingle self-join. */
+  val textSourceSimilarityCalibrate: String = {
+    val h = graft.ops.TextOps.SourceSimHashes
+    sourceSigCtes + s""",
 inter AS (
   SELECT x.source AS ia, y.source AS ib, count(*) AS ns
   FROM e x JOIN e y ON x.shingle = y.shingle AND x.source < y.source
@@ -684,7 +706,7 @@ SELECT a.source AS "SA", b.source AS "SB",
        CAST(COALESCE(i.ns, 0) AS BIGINT) AS "NShared",
        CAST(COALESCE(i.ns, 0) AS DOUBLE)
          / CAST(a.nsh + b.nsh - COALESCE(i.ns, 0) AS DOUBLE) AS "ExactJaccard",
-       CAST($agree AS DOUBLE) / $h.0 AS "EstJaccard"
+       CAST($sourceSigAgree AS DOUBLE) / $h.0 AS "EstJaccard"
 FROM sig a JOIN sig b ON a.source < b.source
 LEFT JOIN inter i ON a.source = i.ia AND b.source = i.ib
 ORDER BY "SA", "SB"

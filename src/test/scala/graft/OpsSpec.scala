@@ -288,17 +288,28 @@ class OpsSpec extends SparkSpec {
   }
 
   test("text: source similarity covers all pairs; jaccards bounded; estimate calibrated on identity") {
-    val rows = TextOps.sourceSimilarity(spark, sfDir).collect()
     val nSources = graft.etl.Tables.documents(spark, sfDir)
       .select("source").distinct().count().toInt
-    assert(rows.length === nSources * (nSources - 1) / 2)
+    val est = TextOps.sourceSimilarity(spark, sfDir).collect()
+    assert(est.length === nSources * (nSources - 1) / 2)
+    est.foreach(r => assert(r.getAs[Double]("EstJaccard") >= 0.0 &&
+      r.getAs[Double]("EstJaccard") <= 1.0))
+    val rows = TextOps.sourceSimilarityCalibrate(spark, sfDir).collect()
+    assert(rows.length === est.length)
     rows.foreach { r =>
-      val (ej, est) = (r.getAs[Double]("ExactJaccard"), r.getAs[Double]("EstJaccard"))
+      val (ej, es) = (r.getAs[Double]("ExactJaccard"), r.getAs[Double]("EstJaccard"))
       assert(ej >= 0.0 && ej <= 1.0)
-      assert(est >= 0.0 && est <= 1.0)
+      assert(es >= 0.0 && es <= 1.0)
       assert(r.getAs[Long]("NShared") <=
         math.min(r.getAs[Long]("NShA"), r.getAs[Long]("NShB")))
     }
+    // the calibration twin's estimate columns are the SAME values as
+    // the declared estimate-only query (one definition, two queries)
+    val byPair = rows.map(r => (r.getAs[String]("SA"), r.getAs[String]("SB")) ->
+      r.getAs[Double]("EstJaccard")).toMap
+    est.foreach(r => assert(
+      byPair((r.getAs[String]("SA"), r.getAs[String]("SB"))) ===
+        r.getAs[Double]("EstJaccard")))
     // a MinHash signature agrees with itself on every component: the
     // estimator is exactly 1 for identical sets (sanity of the wiring —
     // cross-pair accuracy at H=16 is probabilistic and not asserted)

@@ -159,6 +159,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("source-similarity estimate query has no shingle-keyed self-join") {
+    // the declared 100 TB query must be runnable AS DECLARED: its only
+    // joins are the |sources|²-scale pairwise frame — the Σ df²
+    // shingle-keyed intersection join exists only in the calibration
+    // twin
+    def shingleJoin(p: String): Boolean =
+      p.linesIterator.exists(l => l.contains("Join") && l.contains("Shingle"))
+    val p = plan(graft.ops.TextOps.sourceSimilarity(spark, sfDir))
+    assert(!shingleJoin(p), s"shingle-keyed join in the estimate plan:\n$p")
+    val cal = plan(graft.ops.TextOps.sourceSimilarityCalibrate(spark, sfDir))
+    assert(shingleJoin(cal), s"calibration twin lost its exact-intersection join:\n$cal")
+  }
+
   test("tfidf explodes the corpus once and ranks via WindowGroupLimit") {
     val df = graft.ops.TextOps.tfidf(spark, sfDir)
     val p = plan(df)
