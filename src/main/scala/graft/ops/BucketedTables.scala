@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * not thread-safe, by design: the lock also covers the caller's other
   * index mutations.
   */
-private[ops] object BucketedTables {
+private[graft] object BucketedTables {
 
   /** Double-checked memo access for cached-DataFrame memos.
     * `TrieMap.getOrElseUpdate` computes its value OUTSIDE any lock, so
@@ -80,9 +80,32 @@ private[ops] object BucketedTables {
   def writeFingerprint(spark: SparkSession, name: String, fp: String): Unit =
     Files.writeString(location(spark, name).resolve("_corpus_fingerprint"), fp)
 
+  /** Fingerprint FORMAT (shared with the IVF index's sibling file):
+    * line 1 = the md5 of the corpus the index derives from; an
+    * optional line 2 `batches:<N>` counts incrementally APPENDED
+    * batches. Freshness compares line 1 only — an appended index is
+    * still an index OF its corpus (plus extras the appender chose to
+    * add); a REPLACED corpus invalidates regardless of appends. */
+  def corpusLine(raw: String): String = raw.linesIterator.next()
+
+  /** Read the appended-batch count (0 for a never-appended index). */
+  def appendedBatches(fpFile: Path): Int =
+    if (!Files.exists(fpFile)) 0
+    else Files.readString(fpFile).linesIterator.toSeq.drop(1).headOption
+      .flatMap(_.stripPrefix("batches:").toIntOption).getOrElse(0)
+
+  /** Bump the appended-batch count in a fingerprint file, preserving
+    * its corpus line. Caller holds the index's build lock. */
+  def bumpAppendedBatches(fpFile: Path): Int = {
+    val n = appendedBatches(fpFile) + 1
+    Files.writeString(fpFile,
+      s"${corpusLine(Files.readString(fpFile))}\nbatches:$n")
+    n
+  }
+
   private def fresh(spark: SparkSession, name: String, fingerprint: => String): Boolean = {
     val f = location(spark, name).resolve("_corpus_fingerprint")
-    Files.exists(f) && Files.readString(f) == fingerprint
+    Files.exists(f) && corpusLine(Files.readString(f)) == fingerprint
   }
 
   /** The ladder below the session memo: a FRESH catalog table wins; a

@@ -466,6 +466,83 @@ object DedupOps {
     })
   }
 
+  /** Compact the band index after every this-many appended batches
+    * (each append adds a file generation per occupied bucket; the
+    * build's own file count is task-count-dependent, so batch count —
+    * already tracked in the fingerprint — is the stable trigger). */
+  val BandCompactEveryBatches = 8
+
+  /** Append new corpus documents (documents-shaped rows) to the
+    * persisted band index WITHOUT a rebuild — the text mirror of
+    * SimilarityOps.ivfAppend. The batch is sketched with the same
+    * native expressions as the build, exploded to
+    * `(CorpusId, band_id, band_val, ShC)`, and appended THROUGH the
+    * table's bucket spec (`bucketBy(band_id, band_val)`), so the new
+    * rows land hash-co-located with the existing ones and every
+    * subsequent incremental probe keeps its zero-corpus-side-exchange
+    * join — the batch is the only thing that shuffles, at append time,
+    * once. The fingerprint keeps its corpus line and bumps the
+    * `batches:<N>` count ([[BucketedTables]] format).
+    *
+    * Appends never unbalance the BUCKETING (hash on band keys), but
+    * each batch adds a file generation per bucket; every
+    * [[BandCompactEveryBatches]] batches, [[compactBandIndex]]
+    * rewrites the table in place — the small-files half of the
+    * maintenance loop (the IVF side's skew recluster analogue; there
+    * is no codebook to re-learn here).
+    *
+    * Callers own the arrival/corpus split contract: a doc appended
+    * here is CORPUS from then on — later batches probing the index
+    * will see it (exactly the semantics an ingestion pipeline wants:
+    * admit a batch, then dedup the next batch against it). */
+  def bandAppend(spark: SparkSession, dir: String, newDocs: DataFrame): String = {
+    val name = bandIndexTable(spark, dir)
+    graft.functions.ShingleExpressions.register(spark)
+    val batches = bandBuildLock.synchronized {
+      newDocs
+        .select(col("doc_id"), expr("token_shingles(text)").as("Sh"))
+        .withColumn("Bands", expr("minhash_bands(Sh)"))
+        .select(col("doc_id"), col("Sh"),
+          posexplode(col("Bands")).as(Seq("BandIdx", "band_val")))
+        .select(col("doc_id").as("CorpusId"),
+          (col("BandIdx") + 1).as("band_id"), col("band_val"),
+          col("Sh").as("ShC"))
+        .write.mode("append")
+        .bucketBy(BandIndexBuckets, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(name)
+      BucketedTables.bumpAppendedBatches(
+        BucketedTables.location(spark, name).resolve("_corpus_fingerprint"))
+    }
+    if (batches % BandCompactEveryBatches == 0) compactBandIndex(spark, dir)
+    name
+  }
+
+  /** Rewrite the band index from its own content — one file
+    * generation per bucket again — preserving the appended-batch
+    * count. Content is staged to a sibling directory first (never
+    * read-and-overwrite the same files in one job), then the table is
+    * rebuilt under the lock. */
+  def compactBandIndex(spark: SparkSession, dir: String): String = bandBuildLock.synchronized {
+    val name = bandIndexName(dir)
+    val loc = BucketedTables.location(spark, name)
+    val batches = BucketedTables.appendedBatches(loc.resolve("_corpus_fingerprint"))
+    val stage = loc.resolveSibling(s"${name}_stage")
+    BucketedTables.deleteRecursively(stage)
+    spark.table(name).write.mode("overwrite").parquet(stage.toString)
+    BucketedTables.dropWithFiles(spark, name)
+    spark.read.parquet(stage.toString)
+      .write.mode("overwrite")
+      .bucketBy(BandIndexBuckets, "band_id", "band_val")
+      .sortBy("band_id", "band_val")
+      .saveAsTable(name)
+    BucketedTables.writeFingerprint(spark, name, corpusFingerprint(dir) +
+      (if (batches > 0) s"\nbatches:$batches" else ""))
+    BucketedTables.deleteRecursively(stage)
+    bandIndexMemo.put((spark, dir), name)
+    name
+  }
+
   /** Hard upper bound on label-propagation rounds — a runaway
     * backstop, NOT the convergence mechanism (the loop exits as soon
     * as a round changes zero labels). Min-label propagation needs at

@@ -349,7 +349,7 @@ object SimilarityOps {
     val probeLut = pqLutRows(probeVectors(spark, dir).collect(),
       cent.select(col("Sub"), col("Cid"), col("CQ")).collect()).toDF("QId", "Lut")
     val shortlist = pqShortlist(codes.crossJoin(broadcast(probeLut)))
-    exactRerank(spark, dir, shortlist, k)
+    exactRerank(spark, dir, shortlist, k, quantized(spark, dir))
   }
 
   /** Driver-built asymmetric-distance LUTs: one row (QId, Lut[M·K])
@@ -391,13 +391,19 @@ object SimilarityOps {
       .filter(col("srn") <= PqShortlist)
       .select(col("QId"), col("vec_id"))
 
-  /** Exact cosine rerank of a (QId, vec_id) shortlist against the
-    * uncompressed vectors — only the shortlist (bounded: probes ×
-    * [[PqShortlist]]) pays the full-width `long_dot`. */
+  /** Exact cosine rerank of a (QId, vec_id) shortlist against
+    * `vectors` — the full-width (vec_id, Q, NormSq) store the
+    * shortlisted ids live in. [[pqTopk]] passes the quantized corpus;
+    * [[ivfpqTopk]] passes the index's own lists, which ALSO hold
+    * vectors appended after the corpus snapshot ([[ivfAppend]]) — a
+    * corpus-table join would silently drop those. Only the shortlist
+    * (bounded: probes × [[PqShortlist]]) pays the full-width
+    * `long_dot`. */
   private def exactRerank(spark: SparkSession, dir: String,
-                          shortlist: DataFrame, k: Int): DataFrame =
+                          shortlist: DataFrame, k: Int,
+                          vectors: DataFrame): DataFrame =
     shortlist
-      .join(quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq")), "vec_id")
+      .join(vectors.select(col("vec_id"), col("Q"), col("NormSq")), "vec_id")
       .join(broadcast(probeVectors(spark, dir)), "QId")
       .withColumn("Cosine",
         expr("long_dot(QP, Q)").cast(DoubleType) /
@@ -575,11 +581,142 @@ object SimilarityOps {
         val complete = Seq("codebook", "lists").forall(d =>
           java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
         val fp = java.nio.file.Paths.get(base, "_corpus_fingerprint")
+        // line-1 compare (BucketedTables.corpusLine): an APPENDED index
+        // is still fresh for its corpus; a replaced corpus is not
         val fresh = java.nio.file.Files.exists(fp) &&
-          java.nio.file.Files.readString(fp) == corpusFingerprint(dir)
+          BucketedTables.corpusLine(java.nio.file.Files.readString(fp)) ==
+            corpusFingerprint(dir)
         if (complete && fresh) base else buildIvfIndex(spark, dir, nCentroids)
       })
     })
+  }
+
+  /** Recluster when the largest inverted list exceeds this multiple
+    * of the mean list size after an append. */
+  val IvfSkewFactor = 4.0
+
+  /** Append a batch of arrivals (vec_id, embedding) to the persisted
+    * IVF index WITHOUT a rebuild — the maintenance path an
+    * append-heavy corpus needs at 100 TB, where "refresh = full
+    * rebuild" would re-shuffle the whole corpus per batch.
+    *
+    * Mechanics: the batch is quantized, routed against the PERSISTED
+    * codebook (broadcast, take=1 — the batch never shuffles for
+    * routing), and written `mode("append")` under `partitionBy(Cid)` —
+    * parquet appends are partition-local, so ONLY the routed lists'
+    * directories gain files (OpsSpec asserts non-routed dirs are
+    * untouched, file-for-file). If the lazy PQ layer exists, the batch
+    * is PQ-encoded against the persisted `pqcodebook` and appended to
+    * the routed `pqcodes` partitions the same way, so [[ivfpqTopk]]
+    * sees arrivals immediately. The fingerprint keeps its corpus line
+    * and bumps a `batches:<N>` line ([[BucketedTables]] format): the
+    * index stays "fresh" for its corpus across sessions, while the
+    * count records that it holds more than the corpus. The bucketed
+    * lists twin (a THIRD layout of this relation) is dropped — it
+    * rebuilds from the appended lists on next use.
+    *
+    * Appends do not move the codebook, so list sizes drift as the
+    * data distribution does; when the largest list exceeds
+    * [[IvfSkewFactor]]× the mean, [[reclusterIvfIndex]] runs —
+    * re-learning the codebook from the CURRENT lists content (corpus
+    * + every appended batch), the classic append-then-periodically-
+    * recluster ANN maintenance loop.
+    *
+    * Returns the routed list ids (driver-scale, ≤ |batch| values).
+    * Labels: appended rows carry no label column; [[kmeansProfile]]
+    * deliberately profiles corpus rows only (inner label join). */
+  def ivfAppend(spark: SparkSession, dir: String, arrivals: DataFrame,
+                nCentroids: Int = DefaultNCentroids,
+                skewFactor: Double = IvfSkewFactor): Array[Long] = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    VectorExpressions.register(spark)
+    val routed = ivfBuildLock.synchronized {
+      val cent = spark.read.parquet(s"$base/codebook")
+      val q = arrivals
+        .select(col("vec_id"), expr("quantize_vec(embedding)").as("Q"))
+        .withColumn("NormSq", expr("long_dot(Q, Q)"))
+      val assigned = nearestCentroids(q, cent, 1, "vec_id", "Q", "NormSq")
+        .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
+        .cache()
+      assigned.write.mode("append").partitionBy("Cid").parquet(s"$base/lists")
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$base/pqcodes/_SUCCESS"))) {
+        val pqCent = spark.read.parquet(s"$base/pqcodebook")
+        q.select(col("vec_id"), col("NormSq"))
+          .join(pqAssign(pqSlices(q), pqCent)
+            .groupBy(col("vec_id"))
+            .agg(expr("transform(array_sort(collect_list(struct(Sub, Cid))), x -> x.Cid)").as("Codes")),
+            "vec_id")
+          .join(assigned.select(col("vec_id"), col("Cid")), "vec_id")
+          .write.mode("append").partitionBy("Cid").parquet(s"$base/pqcodes")
+      }
+      dropListsTwin(spark, dir, nCentroids)
+      BucketedTables.bumpAppendedBatches(
+        java.nio.file.Paths.get(base, "_corpus_fingerprint"))
+      val r = assigned.select(col("Cid")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      assigned.unpersist(false)
+      r
+    }
+    val sizes = spark.read.parquet(s"$base/lists")
+      .groupBy(col("Cid")).count().collect().map(_.getLong(1))
+    if (sizes.max > skewFactor * (sizes.sum.toDouble / sizes.length))
+      reclusterIvfIndex(spark, dir, nCentroids)
+    routed
+  }
+
+  /** Re-learn the coarse codebook from the CURRENT lists content
+    * (corpus + appended batches) and re-route every row — the
+    * "periodic recluster" half of the append maintenance loop.
+    * Deterministic ([[kmeansCentroids]] on the union), so an
+    * appended-then-reclustered index is bit-identical to one built
+    * directly over a corpus containing the same rows (OpsSpec).
+    * Writes land in `codebook_next`/`lists_next`, then swap in under
+    * the build lock — a reader mid-plan sees the old layout or the
+    * new, never a half-written one. The PQ layer and the bucketed
+    * twin are derived from assignments, so both are dropped (they
+    * lazily rebuild). */
+  def reclusterIvfIndex(spark: SparkSession, dir: String,
+                        nCentroids: Int = DefaultNCentroids): Unit = ivfBuildLock.synchronized {
+    val base = ivfBase(spark, dir, nCentroids)
+    val rows = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Q"), col("NormSq"))
+    kmeansCentroids(rows, nCentroids)
+      .write.mode("overwrite").parquet(s"$base/codebook_next")
+    nearestCentroids(rows, spark.read.parquet(s"$base/codebook_next"), 1,
+        "vec_id", "Q", "NormSq")
+      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
+      .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/lists_next")
+    Seq("codebook", "lists").foreach { d =>
+      deleteRecursively(s"$base/$d")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$base/${d}_next"),
+        java.nio.file.Paths.get(s"$base/$d"))
+    }
+    Seq("pqcodebook", "pqcodes").foreach(d => deleteRecursively(s"$base/$d"))
+    dropListsTwin(spark, dir, nCentroids)
+  }
+
+  /** Drop the bucketed lists twin for (dir, K) — its content derives
+    * from the lists, so any lists mutation invalidates it. Dropped by
+    * NAME, not just via the memo: a twin left on disk by a sibling
+    * session must not survive an append either. Caller holds
+    * [[ivfBuildLock]]. */
+  private def dropListsTwin(spark: SparkSession, dir: String, nCentroids: Int): Unit = {
+    listsTableMemo.remove((spark, dir, nCentroids))
+    BucketedTables.dropWithFiles(spark, listsTableName(dir, nCentroids))
+  }
+
+  /** Fingerprint of the lists CONTENT for (dir, K): the corpus line
+    * plus the appended-batch count. Layouts derived from the lists
+    * (the bucketed twin) carry this, so a twin built before an append
+    * reads as stale even though the corpus itself never changed. */
+  private def listsContentFingerprint(spark: SparkSession, dir: String,
+                                      nCentroids: Int): String = {
+    val fp = java.nio.file.Paths.get(
+      ivfBase(spark, dir, nCentroids), "_corpus_fingerprint")
+    val n = BucketedTables.appendedBatches(fp)
+    corpusFingerprint(dir) + (if (n > 0) s"+batches:$n" else "")
   }
 
   /** The probe set (vec_id < [[ProbeIdMax]]) in routing shape. */
@@ -740,7 +877,7 @@ object SimilarityOps {
       .join(probeLut, "QId")
     val shortlist = pqShortlist(
       broadcast(probeRoutes).join(codes.filter(col("Cid").isin(route.toSeq: _*)), "Cid"))
-    exactRerank(spark, dir, shortlist, k)
+    exactRerank(spark, dir, shortlist, k, spark.read.parquet(s"$base/lists"))
   }
 
   /** Per-cluster corpus cards over the persisted IVF index — the
@@ -824,7 +961,8 @@ object SimilarityOps {
       .write.mode("overwrite")
       .bucketBy(ListsTableBuckets, "Cid").sortBy("Cid")
       .saveAsTable(name)
-    BucketedTables.writeFingerprint(spark, name, corpusFingerprint(dir))
+    BucketedTables.writeFingerprint(spark, name,
+      listsContentFingerprint(spark, dir, nCentroids))
     listsTableMemo.put((spark, dir, nCentroids), name)
     name
   }
@@ -852,7 +990,7 @@ object SimilarityOps {
                |CLUSTERED BY (Cid) SORTED BY (Cid)
                |INTO $ListsTableBuckets BUCKETS
                |LOCATION '${loc.toUri}'""".stripMargin,
-          fingerprint = corpusFingerprint(dir),
+          fingerprint = listsContentFingerprint(spark, dir, nCentroids),
           build = () => buildBucketedLists(spark, dir, nCentroids))
       })
     })
