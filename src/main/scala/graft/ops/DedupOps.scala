@@ -219,13 +219,51 @@ object DedupOps {
           " named_struct('band_id', 4, 'band_val', B4))")).as("b"))
       .select(col("doc_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
 
+  /** Band-bucket occupancy above which a bucket is treated as
+    * boilerplate and EXCLUDED from LSH blocking — the one real 100 TB
+    * skew risk in the dedup stack: a bucket of k docs contributes
+    * k(k−1)/2 candidate pairs, so one boilerplate band value shared by
+    * 10⁶ near-empty documents would emit 5·10¹¹ candidates from a
+    * single bucket. Capping occupancy bounds any bucket's contribution
+    * at ~32K pairs and the verify volume at Σ min(occ,T)² — linear in
+    * buckets again.
+    *
+    * The trade is explicit and deliberate: a NEAR-DUP CLUSTER larger
+    * than T that collides on no other band loses pairs. T sits well
+    * above real near-dup cluster sizes (pairs/triples; exact-dup
+    * floods are [[exact]]'s job and detected there at any size) and
+    * well below boilerplate scale. The oracle mirrors the same
+    * threshold from this constant, so the cap is part of the QUERY
+    * DEFINITION, not a silent engine divergence; on the test corpus
+    * the max occupancy is far below T (asserted in SkewSpec), so
+    * every verified pair is unchanged. */
+  val HotBandMaxOccupancy = 256
+
+  /** Band rows minus the hot buckets: occupancy is a map-side-combined
+    * count on the join's own keys (the aggregate's output partitioning
+    * matches the blocking join's, so the planner reuses the exchange
+    * rather than adding one). */
+  private[graft] def coolBands(exploded: DataFrame): DataFrame =
+    exploded.join(
+      exploded.groupBy(col("band_id"), col("band_val"))
+        .agg(count(lit(1)).as("BandOcc"))
+        .filter(col("BandOcc") <= HotBandMaxOccupancy)
+        .select(col("band_id"), col("band_val")),
+      Seq("band_id", "band_val"))
+
   /** LSH candidate pairs (band agreement, D1 < D2) — the blocking
     * stage shared by the Jaccard verify and the edit-distance verify.
-    * One distinct (D1, D2) row per colliding pair; never all-pairs. */
-  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = explodedBands(docBands(spark, dir))
-    val a = exploded.select(col("doc_id").as("D1"), col("band_id"), col("band_val"))
-    val b = exploded.select(col("doc_id").as("D2"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
+    * One distinct (D1, D2) row per colliding pair; never all-pairs,
+    * and never a hot-bucket blowup ([[coolBands]]). */
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    candidatePairsFrom(explodedBands(docBands(spark, dir)))
+
+  /** The blocking self-join over any (doc_id, band_id, band_val)
+    * frame — seam for the planted-hot-band test. */
+  private[graft] def candidatePairsFrom(exploded: DataFrame): DataFrame = {
+    val cool = coolBands(exploded)
+    val a = cool.select(col("doc_id").as("D1"), col("band_id"), col("band_val"))
+    val b = cool.select(col("doc_id").as("D2"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
     a.join(b,
         col("band_id") === col("band_id2") &&
           col("band_val") === col("band_val2") &&
@@ -364,7 +402,11 @@ object DedupOps {
   def corpusBandIndex(spark: SparkSession, dir: String): DataFrame = {
     val corpus = docBands(spark, dir)
       .filter(!(col("doc_id") % NewArrivalMod === NewArrivalRemainder))
-    explodedBands(corpus)
+    // hot buckets are excluded AT INDEX TIME ([[coolBands]]): an
+    // arriving batch joining a boilerplate bucket of occupancy k would
+    // otherwise fan out |batch|·k rows per band — with the cap, probe
+    // volume is bounded by |batch|·bands·T regardless of corpus shape
+    coolBands(explodedBands(corpus))
       .join(corpus.select(col("doc_id"), col("Sh")), "doc_id")
       .select(col("doc_id").as("CorpusId"),
         col("band_id"), col("band_val"), col("Sh").as("ShC"))

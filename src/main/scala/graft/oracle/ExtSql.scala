@@ -215,12 +215,24 @@ FROM bands ORDER BY doc_id
   UNION ALL SELECT doc_id, 4, b4 FROM bands
 )"""
 
-  /** blCte + the LSH candidate pairs (band agreement, d1 < d2). */
-  private val candCte: String = blCte + """
-, cand AS (
+  /** blCte + the LSH candidate pairs (band agreement, d1 < d2), with
+    * the hot-bucket cap mirrored from DedupOps.HotBandMaxOccupancy —
+    * the cap is part of the query definition, shared constant and
+    * all. */
+  private val candCte: String = blCte + s"""
+, occ AS (
+  SELECT band_id, band_val FROM bl
+  GROUP BY band_id, band_val
+  HAVING count(*) <= ${graft.ops.DedupOps.HotBandMaxOccupancy}
+),
+cool AS (
+  SELECT bl.doc_id, bl.band_id, bl.band_val
+  FROM bl JOIN occ USING (band_id, band_val)
+),
+cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
-                      AND a.doc_id < b.doc_id
+  FROM cool a JOIN cool b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                          AND a.doc_id < b.doc_id
 )"""
 
   val dedupNeardupPairs: String = candCte + """
@@ -262,11 +274,22 @@ ORDER BY "D1", "D2"
   val dedupIncremental: String = {
     import graft.ops.DedupOps.{NewArrivalMod, NewArrivalRemainder}
     blCte + s"""
-, cand AS (
+, corp AS (
+  SELECT * FROM bl WHERE doc_id % $NewArrivalMod <> $NewArrivalRemainder
+),
+corpocc AS (
+  SELECT band_id, band_val FROM corp
+  GROUP BY band_id, band_val
+  HAVING count(*) <= ${graft.ops.DedupOps.HotBandMaxOccupancy}
+),
+corpcool AS (
+  SELECT corp.doc_id, corp.band_id, corp.band_val
+  FROM corp JOIN corpocc USING (band_id, band_val)
+),
+cand AS (
   SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
-  FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
+  FROM bl a JOIN corpcool b ON a.band_id = b.band_id AND a.band_val = b.band_val
   WHERE a.doc_id % $NewArrivalMod = $NewArrivalRemainder
-    AND b.doc_id % $NewArrivalMod <> $NewArrivalRemainder
 ),
 j AS (
   SELECT c.nid, c.cid,
