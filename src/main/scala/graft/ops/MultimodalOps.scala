@@ -7,16 +7,16 @@ import org.apache.spark.sql.types._
 import graft.etl.Tables
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
-  * metadata, with decode / feature-extraction staged behind a
-  * per-partition batch boundary.
+  * metadata, with REAL image decode / feature-extraction staged behind
+  * a per-partition batch boundary.
   *
-  * The container has no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked deterministic fake — but the Spark-side shape is the
-  * real one a production decode would use: a typed Dataset, batch
-  * iteration per partition (`mapPartitions`, the JVM analog of
-  * arrow-batched decode UDFs), fixed output schema, no driver
-  * round-trips. Swapping the fake for a real codec touches only the
-  * body of one function.
+  * Decode is JDK `javax.imageio` (PNG/JPEG/GIF/BMP — no external
+  * codecs needed), run inside `mapPartitions` — the JVM analog of
+  * arrow-batched decode UDFs: a typed Dataset, batch iteration per
+  * partition, fixed output schema, no driver round-trips. Payloads
+  * that are not images (or are corrupt) come back as explicit
+  * `"undecodable"` rows rather than errors — a production media scan
+  * filters on that column instead of dying mid-corpus.
   *
   * Scale: decode is embarrassingly parallel, one pass, no shuffle; the
   * expensive byte payloads are projected only where needed (binary
@@ -29,14 +29,36 @@ object MultimodalOps {
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        channels: Int, format: String)
 
-  /** STUB — stands in for a real image decode (e.g. libjpeg via JNI or
-    * an arrow-batched codec). Deterministic fake derived from payload
-    * bytes so tests are stable. A real implementation replaces only
-    * this body. */
-  private def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+  /** `format` value for payloads no installed reader accepts. */
+  val Undecodable = "undecodable"
+
+  /** Real image decode: sniff the payload with the registered
+    * `javax.imageio` readers, read frame 0, report true dimensions,
+    * raster band count, and `image/<format>`. Non-image or corrupt
+    * payloads → an [[Undecodable]] row with width/height/channels 0. */
+  private def decodeImage(id: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
-    val first = if (n > 0) payload(0) & 0xff else 0
-    MediaMeta(id, n, (n % 317) + 1, (first * 7 % 97) + 1, 3, "fake/rgb8")
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) MediaMeta(id, n, 0, 0, 0, Undecodable)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val img = r.read(0)
+            MediaMeta(id, n, img.getWidth, img.getHeight,
+              img.getRaster.getNumBands,
+              "image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch {
+      case _: java.io.IOException | _: RuntimeException =>
+        MediaMeta(id, n, 0, 0, 0, Undecodable)
+    }
   }
 
   /** Documents' text bytes treated as opaque binary payloads. */
@@ -44,13 +66,60 @@ object MultimodalOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
 
-  /** Per-partition batched decode: binary column → typed metadata.
-    * This is the operator a real pipeline points at image/audio bytes. */
+  /** Per-partition batched decode over any (id, payload) frame — the
+    * operator a pipeline points at an image column. */
+  def decodeMetaOf(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
+  }
+
+  /** [[decodeMetaOf]] over the documents table's bytes — which are
+    * text, so every row honestly reports [[Undecodable]] (asserted in
+    * MultimodalSpec; real image fixtures decode there too). */
   def decodeMeta(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._
-    payloads(spark, dir)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+    decodeMetaOf(payloads(spark, dir).as[(Long, Array[Byte])])
+  }
+
+  /** Per-channel pixel statistics from a REAL decode: mean sample
+    * value per raster band — the downstream shape of any
+    * normalize-then-embed image pipeline (channel means/stds are the
+    * canonical preprocessing statistics). Same mapPartitions seam;
+    * undecodable payloads carry an empty means array. */
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+                        channels: Int, format: String,
+                        channel_means: Seq[Double])
+
+  def imageStatsOf(payloads: Dataset[(Long, Array[Byte])]): Dataset[ImageStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map { case (id, bytes) =>
+      val meta = decodeImage(id, bytes)
+      if (meta.format == Undecodable)
+        ImageStats(id, 0, 0, 0, Undecodable, Seq.empty)
+      else {
+        // re-read for the raster walk (decodeImage reports meta only);
+        // one decode per payload per operator, batched per partition
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val sums = new Array[Double](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              sums(b) += raster.getSample(x, y, b)
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImageStats(id, w, h, bands, meta.format,
+          sums.toSeq.map(_ / (w.toLong * h)))
+      }
+    })
   }
 
   /** Frame size (bytes) and sampling stride for [[frameSample]] —
@@ -89,7 +158,7 @@ object MultimodalOps {
     * (the plumbing twin of an image downscale — a real resampler
     * replaces the kernel, the schema/partitioning/pruning shape is
     * identical). Emits the resized payload's size, md5 (the cache/dedup
-    * key), and the metadata stub's dimensions scaled by the factor.
+    * key), and the byte-fingerprint pseudo-width scaled by the factor.
     * Native `filter` over a positions sequence + `substring` per kept
     * byte would be per-element interpreted; instead the kept bytes are
     * assembled in one codegen'd pass via the same mapPartitions seam as
@@ -147,9 +216,15 @@ object MultimodalOps {
         col("sum_bytes").as("SumBytes"), col("mean_byte").as("MeanByte"))
       .orderBy(col("doc_id"))
 
-  /** Oracle-checkable twin of the metadata extraction: the same fake
-    * decode expressed as pure Catalyst expressions (so DuckDB can
-    * reproduce it; the mapPartitions path is covered by ScalaTest). */
+  /** Oracle-checkable BYTE-level metadata twin: deterministic
+    * fingerprint columns (size, first byte, modular pseudo-dimensions)
+    * expressed as pure Catalyst expressions so DuckDB reproduces them
+    * bit-for-bit. This is deliberately NOT the image decode —
+    * `javax.imageio` output is not expressible in an independent SQL
+    * engine, so the REAL decode ([[decodeMetaOf]]/[[imageStatsOf]]) is
+    * verified in MultimodalSpec against generated PNG/JPEG fixtures
+    * with known dimensions and channel statistics, while this twin
+    * keeps the driver's hash gate on the byte plumbing. */
   def metaQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
