@@ -50,12 +50,14 @@ object EventsStream {
   /** A streaming source over the events parquet dir (one-file-per-batch
     * in tests). Requires `spark.sql.legacy.parquet.nanosAsLong=true` in
     * the session builder (see Tables.events scaladoc). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.eventsRawSchema)
-      .parquet(dir)
+  def readEventsStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(Tables.eventsRawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(dir)
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a
     * 30-minute watermark (streaming twin of EventsOps.hourly). */
@@ -87,6 +89,68 @@ object EventsStream {
           }
           state.update(st)
           UserSessions(userId, st.nEvents, st.nSessions)
+      }
+  }
+
+  /** Per-user funnel state: the running min view instant plus the
+    * PRUNED candidate click/purchase instants that could still matter.
+    * `minView` is a commutative min, final under any arrival order.
+    * Candidate lists are bounded by the funnel window itself: a click
+    * can only ever qualify if ≤ t1_final + W, and t1 only decreases,
+    * so `minView + W` is a safe monotone prune bound (likewise
+    * purchases at `minView + 2W`, since t2 ≤ t1 + W) — state is the
+    * window's own event capacity per user, not stream history. */
+  case class FunnelState(minView: Long, clicks: List[Long], purchases: List[Long])
+
+  /** Current funnel progress for one user (t's in exact microseconds,
+    * None = step not reached yet given events seen so far). */
+  case class UserFunnel(user_id: Long, t1: Option[Long], t2: Option[Long],
+                        t3: Option[Long])
+
+  /** Streaming twin of EventsOps.funnel, per-user half: incremental
+    * view→click→purchase progress via `mapGroupsWithState`, emitting
+    * each user's current (t1, t2, t3) per trigger (Update mode — the
+    * sink's last row per user is the user's final funnel state). The
+    * batch query's three-row step/rate presentation is a driver-scale
+    * fold over these per-user rows; StreamingSpec performs it and
+    * asserts equality with the batch funnel.
+    *
+    * Semantics transcribe the batch definition exactly: t1 = min view
+    * instant; t2 = min click in (t1, t1+W]; t3 = min purchase in
+    * (t2, t2+W] — recomputed from the pruned candidates each trigger,
+    * so late/out-of-order arrivals (an EARLIER view shifting the
+    * window) still converge to the batch answer. */
+  def funnelProgress(events: Dataset[Event])(implicit spark: SparkSession): Dataset[UserFunnel] = {
+    import spark.implicits._
+    val winUs = graft.ops.EventsOps.FunnelWindowHours * 3600L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil, Nil))
+          evs.foreach { e =>
+            val us = micros(e.ts)
+            e.event_type match {
+              case "view" => if (us < st.minView) st = st.copy(minView = us)
+              case "click" => st = st.copy(clicks = us :: st.clicks)
+              case "purchase" => st = st.copy(purchases = us :: st.purchases)
+              case _ => ()
+            }
+          }
+          val clickHi =
+            if (st.minView == Long.MaxValue) Long.MaxValue
+            else st.minView + winUs
+          val purchaseHi =
+            if (st.minView == Long.MaxValue) Long.MaxValue
+            else st.minView + 2 * winUs
+          st = FunnelState(st.minView,
+            st.clicks.filter(_ <= clickHi).distinct.sorted,
+            st.purchases.filter(_ <= purchaseHi).distinct.sorted)
+          state.update(st)
+          val t1 = if (st.minView == Long.MaxValue) None else Some(st.minView)
+          val t2 = t1.flatMap(t => st.clicks.find(c => c > t && c <= t + winUs))
+          val t3 = t2.flatMap(t => st.purchases.find(p => p > t && p <= t + winUs))
+          UserFunnel(userId, t1, t2, t3)
       }
   }
 

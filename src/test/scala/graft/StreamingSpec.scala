@@ -339,6 +339,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("mapGroupsWithState funnel over a two-file event stream matches batch events_funnel") {
+    import spark.implicits._
+    implicit val s = spark
+    // events land as two microbatches; the per-user funnel state must
+    // carry step progress across the file boundary
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
+    spark.read.schema(graft.etl.Tables.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .repartition(2).write.mode("overwrite").parquet(s"$streamDir/events")
+    val events = EventsStream.readEventsStream(spark, s"$streamDir/events",
+        maxFilesPerTrigger = Some(1))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val last = collection.mutable.Map.empty[Long, EventsStream.UserFunnel]
+    val q = EventsStream.funnelProgress(events)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventsStream.UserFunnel], _: Long) =>
+        val rows = batch.collect()
+        last.synchronized { rows.foreach(u => last(u.user_id) = u) }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty microbatches")
+
+    // fold the per-user end states into the batch query's step rows
+    val users1 = last.values.count(_.t1.isDefined).toLong
+    val users2 = last.values.count(_.t2.isDefined).toLong
+    val users3 = last.values.count(_.t3.isDefined).toLong
+    val batchRows = EventsOps.funnel(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("Step") ->
+        ((r.getAs[Long]("Users"), r.getAs[Double]("CumRate"), r.getAs[Double]("StepRate")))).toMap
+    assert(users1 > 0 && users2 > 0 && users3 > 0, "vacuous funnel")
+    assert(batchRows(1)._1 === users1)
+    assert(batchRows(2)._1 === users2)
+    assert(batchRows(3)._1 === users3)
+    // the rates are pure functions of the counts — recompute and match
+    assert(batchRows(2)._2 === users2.toDouble / users1)
+    assert(batchRows(3)._2 === users3.toDouble / users1)
+    assert(batchRows(3)._3 === users3.toDouble / users2)
+  }
+
   test("mapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     implicit val s = spark
