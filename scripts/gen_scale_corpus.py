@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Deterministic synthetic documents/embeddings corpus generator for
+scale rehearsals (TESTDATA caps at sf0.1; this produces structurally
+similar corpora at arbitrary multiples of it).
+
+Usage: python3 scripts/gen_scale_corpus.py <outDir> <nDocs> <nVecs> [seed]
+
+Mirrors the testdata tables' shape and the statistical properties the
+operators exercise:
+  documents(doc_id, text, lang, source, n_chars)
+    - word-salad text from a small vocabulary (~50 words/doc)
+    - ~8%% of docs are MUTATED COPIES of an earlier doc (a few words
+      changed) -> near-dup work for the LSH/edit-distance/chunk
+      families, in small groups (2-3) so no band bucket approaches the
+      hot-band cap
+    - en-dominant lang mix, 20 sources, doc_id%%10==9 rows double as
+      the incremental-dedup arrivals by the engine's convention
+  embeddings(vec_id, embedding FLOAT[64], label)
+    - 10 gaussian label clusters + ~5%% near-dup vectors (noisy copies)
+      so IVF/kmeans/semantic-dedup see real cluster structure
+
+Everything derives from one numpy RandomState(seed): same args -> same
+bytes, no wall-clock anywhere.
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COMMON = ("batch part spark line column order small sort fast value scan hash "
+          "slow group agg filter query big key window row join scale shard "
+          "merge read write plan code node task stage block page cache disk "
+          "net core heap time date user event click view buy item cart list "
+          "rank score text token char word").split()
+# Zipf-ish tail: real corpora have thousands of distinct tokens, and the
+# 3-gram shingle space must be large enough that unrelated docs do NOT
+# genuinely share most shingles (a 50-word vocabulary makes every doc
+# pair similar, which inflates LSH candidates quadratically — a corpus
+# property, not an engine one; measured in the round-6 rehearsal)
+SYLL = ["ka", "ro", "mi", "tu", "ve", "so", "pla", "den", "gor", "lix",
+        "ban", "cre", "dul", "fen", "hap", "jor", "kel", "lom", "nur", "pex"]
+TAIL = [a + b + c for a in SYLL for b in SYLL for c in SYLL[:5]]  # 2000 words
+VOCAB = COMMON + TAIL
+LANGS = ["en"] * 8 + ["de", "fr", "es", "pt"]
+SOURCES = [f"src{i}" for i in range(20)]
+
+
+def gen_documents(rng: np.random.RandomState, n: int) -> pa.Table:
+    texts: list[str] = []
+    langs: list[str] = []
+    sources: list[str] = []
+    for i in range(n):
+        if i > 10 and rng.rand() < 0.08:
+            # near-dup: copy a recent doc, mutate a few words
+            j = i - 1 - int(rng.randint(0, 10))
+            words = texts[j].split()
+            for _ in range(int(rng.randint(1, 4))):
+                words[int(rng.randint(0, len(words)))] = VOCAB[int(rng.randint(0, len(VOCAB)))]
+            texts.append(" ".join(words))
+            langs.append(langs[j])
+            sources.append(sources[j])
+        else:
+            k = int(rng.randint(40, 60))
+            # ~60% common-word mass, ~40% tail mass per token draw
+            words = [COMMON[int(rng.randint(0, len(COMMON)))]
+                     if rng.rand() < 0.6
+                     else TAIL[int(rng.randint(0, len(TAIL)))]
+                     for _ in range(k)]
+            texts.append(" ".join(words))
+            langs.append(LANGS[int(rng.randint(0, len(LANGS)))])
+            sources.append(SOURCES[int(rng.randint(0, len(SOURCES)))])
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def gen_embeddings(rng: np.random.RandomState, n: int) -> pa.Table:
+    centroids = rng.randn(10, 64).astype(np.float32) * 2.0
+    labels = rng.randint(0, 10, n)
+    vecs = centroids[labels] + rng.randn(n, 64).astype(np.float32) * 0.7
+    # ~5% near-dup vectors: noisy copy of an earlier vector (same label)
+    for i in range(20, n):
+        if rng.rand() < 0.05:
+            j = i - 1 - int(rng.randint(0, 15))
+            vecs[i] = vecs[j] + rng.randn(64).astype(np.float32) * 0.01
+            labels[i] = labels[j]
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v for v in vecs.tolist()], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+
+
+def main() -> int:
+    out, n_docs, n_vecs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+    rng = np.random.RandomState(seed)
+    import os
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(gen_documents(rng, n_docs), f"{out}/documents.parquet")
+    pq.write_table(gen_embeddings(rng, n_vecs), f"{out}/embeddings.parquet")
+    print(f"wrote {out}: {n_docs} docs, {n_vecs} vecs (seed={seed})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

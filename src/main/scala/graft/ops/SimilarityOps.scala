@@ -1124,17 +1124,40 @@ object SimilarityOps {
       .filter(col("Cosine") >= threshold)
       .select(col("QId").as("NewId"), col("vec_id").as("CorpusId"), col("Cosine"))
 
+  /** Sign-LSH bucket occupancy above which a bucket is excluded from
+    * candidate blocking — the embedding mirror of
+    * DedupOps.HotBandMaxOccupancy, found EMPIRICALLY by the 10×
+    * scale rehearsal (PERFORMANCE.md round 6): clustered embeddings
+    * concentrate in sign-buckets, and at 10× the densest bucket held
+    * 2,027 vectors → 28.7M candidate pairs from a handful of buckets
+    * (α ≈ 1.85 runtime scaling). A bucket that dense is a SEMANTIC
+    * REGION, not a near-dup group — dense-region dedup is
+    * [[semanticDedup]]'s job (cluster-scoped, K grown with n); the
+    * near-identical pairs LSH blocking exists for still collide in
+    * cooler buckets of the other bands. The oracle interpolates the
+    * same constant, so the cap is part of the query definition. */
+  val HotBucketMaxOccupancy = 256
+
   /** Distinct candidate pairs (V1 < V2) that agree on at least one
     * whole band — the LSH candidate-generation stage, exposed
     * separately so tests can measure candidate volume as the band
-    * shape varies. `sig` must carry vec_id + Band1..BandN. */
+    * shape varies. `sig` must carry vec_id + Band1..BandN. Buckets
+    * past [[HotBucketMaxOccupancy]] are excluded (occupancy is a
+    * map-side-combined count on the join's own keys — the planner
+    * reuses the exchange). */
   private def bandCandidates(sig: DataFrame, bands: Int): DataFrame = {
     val exploded = sig.select(col("vec_id"),
       explode(array((1 to bands).map(b =>
         struct(lit(b).as("band_id"), col(s"Band$b").as("band_val"))): _*)).as("b"))
       .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
-    val a = exploded.select(col("vec_id").as("V1"), col("band_id"), col("band_val"))
-    val b = exploded.select(col("vec_id").as("V2"),
+    val cool = exploded.join(
+      exploded.groupBy(col("band_id"), col("band_val"))
+        .agg(count(lit(1)).as("BucketOcc"))
+        .filter(col("BucketOcc") <= HotBucketMaxOccupancy)
+        .select(col("band_id"), col("band_val")),
+      Seq("band_id", "band_val"))
+    val a = cool.select(col("vec_id").as("V1"), col("band_id"), col("band_val"))
+    val b = cool.select(col("vec_id").as("V2"),
       col("band_id").as("band_id2"), col("band_val").as("band_val2"))
     a.join(b,
         col("band_id") === col("band_id2") &&

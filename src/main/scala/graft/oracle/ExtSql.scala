@@ -972,10 +972,19 @@ ORDER BY "NewId", "CorpusId"
 bl AS (
   $blUnion
 ),
+occ AS (
+  SELECT band_id, band_val FROM bl
+  GROUP BY band_id, band_val
+  HAVING count(*) <= ${graft.ops.SimilarityOps.HotBucketMaxOccupancy}
+),
+cool AS (
+  SELECT bl.vec_id, bl.band_id, bl.band_val
+  FROM bl JOIN occ USING (band_id, band_val)
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-  FROM bl a JOIN bl b ON a.band_id = b.band_id AND a.band_val = b.band_val
-                      AND a.vec_id < b.vec_id
+  FROM cool a JOIN cool b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                          AND a.vec_id < b.vec_id
 ),
 p AS (
   SELECT c.v1 AS "V1", c.v2 AS "V2", sa.label AS l1, sb.label AS l2,

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-rehearsal bench: run a comma-separated list of SparkEntry
+  * queries against one corpus dir, print one JSON line of per-query
+  * steady-state seconds (min of `passes` noop writes after a warmup
+  * pass that also absorbs index build-if-absent and codegen).
+  *
+  * usage: runMain graft.tools.ScaleBench <dir> <q1,q2,...> [passes]
+  *
+  * Unlike graft.Bench (the driver's full-suite artifact), this runs on
+  * corpora that carry ONLY the documents/embeddings tables — the
+  * scripts/gen_scale_corpus.py outputs — so a 10x rehearsal doesn't
+  * need the whole TPC-H star generated at 10x.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
+    val passes = if (args.length > 2) args(2).toInt else 2
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def once(name: String): Double = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      once(name) // warmup: codegen + build-if-absent indexes + caches
+      name -> (1 to passes).map(_ => once(name)).min
+    }
+    val qjson = results
+      .map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
+    println(s"""{"dir":"$dir","queries":$qjson}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe for the semantic-dedup cluster-count policy: time
+  * `semanticDedup` at several K on one corpus. The intra-cluster
+  * self-join costs Σ n_c² ≈ n²/K, so FIXED K is quadratic in corpus
+  * size while K grown O(n) holds per-cluster size — and this prints
+  * the measured curve that backs the scaladoc's "K grows with n"
+  * policy (PERFORMANCE.md round-6 rehearsal).
+  *
+  * usage: runMain graft.tools.SemDedupK <dir> [k1,k2,...]
+  */
+object SemDedupK {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val ks = (if (args.length > 1) args(1) else "16,64,128")
+      .split(',').map(_.trim.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = ks.map { k =>
+      def once(): Double = {
+        val df = graft.ops.SimilarityOps.semanticDedup(spark, dir, nCentroids = k)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup + index build-if-absent at this K
+      k -> Seq(once(), once()).min
+    }
+    val qjson = results.map { case (k, s) => s""""k$k":${f"$s%.3f"}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"dir":"$dir","semantic_dedup":$qjson}""")
+    spark.stop()
+  }
+}

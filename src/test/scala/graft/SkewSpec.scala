@@ -50,6 +50,34 @@ class SkewSpec extends SparkSpec {
   // skew threshold; 60K rows make the skew physically visible.
   private val skewDir = "/root/testdata/sf0.01"
 
+  test("hot sign-LSH buckets are excluded from embedding near-dup blocking") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimilarityOps
+    // planted corpus: a flood of identical vectors (every bucket they
+    // occupy blows past the cap) + one near-dup pair in its own region
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_hot").toAbsolutePath
+    val hotK = SimilarityOps.HotBucketMaxOccupancy + 44
+    val base = Array.tabulate(64)(i => 0.5f + 0.001f * i)
+    val other = Array.tabulate(64)(i => if (i % 2 == 0) -0.9f else 0.8f)
+    val nearDup = other.clone(); nearDup(0) = other(0) + 0.001f
+    val rows =
+      (0 until hotK).map(i => (i.toLong, base.toSeq, 1)) ++
+        Seq((9000L, other.toSeq, 2), (9001L, nearDup.toSeq, 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // bounded candidate volume: the flood contributes nothing (it
+    // would be hotK*(hotK-1)/2 ≈ 45k pairs); only the cool pair blocks
+    val nCand = SimilarityOps.lshCandidateCount(spark, tmp.toString,
+      SimilarityOps.DefaultBands, SimilarityOps.DefaultPlanesPerBand)
+    assert(nCand < 10L, s"hot bucket not excluded: $nCand candidates")
+    val pairs = SimilarityOps.lshNeardup(spark, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((9000L, 9001L)), "cool-bucket near-dup pair lost")
+    assert(pairs.forall { case (a, b) => a >= 9000L && b >= 9000L },
+      "flood pairs leaked through the cap")
+  }
+
   test("AQE splits the skewed partition and preserves results") {
     var skewRows: Array[org.apache.spark.sql.Row] = null
     var plan: String = null
