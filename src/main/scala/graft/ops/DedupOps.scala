@@ -144,6 +144,9 @@ object DedupOps {
       sourceShinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         sourceShinglesMemo.remove(k).foreach(_.unpersist(false))
       }
+      cooledBandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        cooledBandsMemo.remove(k).foreach(_.unpersist(false))
+      }
     }
     // drop under the build lock: an invalidate racing a concurrent
     // build-if-absent must not delete a half-written index
@@ -239,10 +242,16 @@ object DedupOps {
     * every verified pair is unchanged. */
   val HotBandMaxOccupancy = 256
 
-  /** Band rows minus the hot buckets: occupancy is a map-side-combined
-    * count on the join's own keys (the aggregate's output partitioning
-    * matches the blocking join's, so the planner reuses the exchange
-    * rather than adding one). */
+  /** Band rows minus the hot buckets: an occupancy aggregate joined
+    * back on the band keys. NOT free — measured ~0.65 s per execution
+    * at sf0.1 (two extra exchanges; the aggregate does not get its
+    * exchange reused into the blocking join) — which is why the
+    * production query path rides the MEMOIZED [[cooledBands]] cache
+    * below instead of recomputing this per call: the components loop
+    * in particular re-evaluates its edges plan per propagation round
+    * whenever its per-call cache is under storage pressure, and an
+    * uncached cap would multiply across rounds (caught as a 4.5×
+    * bench regression in round 6). */
   private[graft] def coolBands(exploded: DataFrame): DataFrame =
     exploded.join(
       exploded.groupBy(col("band_id"), col("band_val"))
@@ -251,17 +260,37 @@ object DedupOps {
         .select(col("band_id"), col("band_val")),
       Seq("band_id", "band_val"))
 
+  private val cooledBandsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The hot-capped (doc_id, band_id, band_val) listing, memoized +
+    * `.cache()`d per (session, dir) — the shared blocking substrate of
+    * the self-join dedup family (Jaccard, edit-distance, components
+    * edges). Tiny (≤ 4 rows per doc) and consumed repeatedly, so the
+    * cap's occupancy join runs once per corpus, not once per query
+    * execution. Released by [[invalidateSketches]]. */
+  private def cooledBands(spark: SparkSession, dir: String): DataFrame = {
+    cooledBandsMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(cooledBandsMemo.remove)
+    BucketedTables.memoized(cooledBandsMemo, (spark, dir), cacheMemoLock)(
+      coolBands(explodedBands(docBands(spark, dir))).cache())
+  }
+
   /** LSH candidate pairs (band agreement, D1 < D2) — the blocking
     * stage shared by the Jaccard verify and the edit-distance verify.
     * One distinct (D1, D2) row per colliding pair; never all-pairs,
-    * and never a hot-bucket blowup ([[coolBands]]). */
+    * and never a hot-bucket blowup ([[cooledBands]]). */
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    candidatePairsFrom(explodedBands(docBands(spark, dir)))
+    selfJoinPairs(cooledBands(spark, dir))
 
   /** The blocking self-join over any (doc_id, band_id, band_val)
     * frame — seam for the planted-hot-band test. */
-  private[graft] def candidatePairsFrom(exploded: DataFrame): DataFrame = {
-    val cool = coolBands(exploded)
+  private[graft] def candidatePairsFrom(exploded: DataFrame): DataFrame =
+    selfJoinPairs(coolBands(exploded))
+
+  /** The blocking self-join over an (already cooled) band listing. */
+  private def selfJoinPairs(cool: DataFrame): DataFrame = {
     val a = cool.select(col("doc_id").as("D1"), col("band_id"), col("band_val"))
     val b = cool.select(col("doc_id").as("D2"), col("band_id").as("band_id2"), col("band_val").as("band_val2"))
     a.join(b,

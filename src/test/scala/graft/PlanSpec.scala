@@ -20,6 +20,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort ["), s"unexpected full sort:\n$p")
   }
 
+  test("exact-boundary segments plan windowless with a broadcast boundary frame") {
+    // the point of customer_segments_bounds vs the ntile path: the
+    // three percentile_disc boundaries are a mergeable aggregate and
+    // labeling is a broadcast-join map pass — no single-partition
+    // global window anywhere
+    val p = plan(Summaries.customerSegmentsBounds(Transactions.cleaned(spark, sfDir)))
+    assert(!p.contains("Window ["), s"unexpected window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"boundary frame not broadcast:\n$p")
+  }
+
   test("per-group top-n plans with WindowGroupLimit rank pushdown") {
     val p = plan(Summaries.topnPerCountry(Transactions.cleaned(spark, sfDir)))
     assert(p.contains("WindowGroupLimit"), p)
