@@ -46,4 +46,29 @@ object VecsStream {
           threshold, nprobe))
       }
       .start()
+
+  /** Streaming INDEX MAINTENANCE: each vector microbatch is appended
+    * to the persisted IVF index via `SimilarityOps.ivfAppend` —
+    * quantize, route against the persisted codebook, partition-local
+    * write into only the routed lists (+ the PQ codes if that layer
+    * exists), bump the fingerprint's batch count, recluster on skew.
+    * This closes the ingestion loop the two kernels above leave open:
+    * admit-time dedup probes the index; THIS keeps the index covering
+    * what was admitted, one microbatch at a time, without a rebuild.
+    *
+    * The kernel runs on the BATCH's session (the stream's isolated
+    * clone — registrations and memo entries must land there, the
+    * standard foreachBatch seam in this repo); all index mutations
+    * serialize on ivfBuildLock, and microbatches arrive sequentially,
+    * so a stream of appends composes into exactly the same index as
+    * one batch append of the union (StreamingSpec). */
+  def runIndexAppend(dir: String, vecs: DataFrame,
+                     nCentroids: Int = SimilarityOps.DefaultNCentroids)
+                    (afterBatch: Array[Long] => Unit = _ => ()): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        afterBatch(SimilarityOps.ivfAppend(batch.sparkSession, dir,
+          batch.select("vec_id", "embedding"), nCentroids))
+      }
+      .start()
 }

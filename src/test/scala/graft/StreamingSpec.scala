@@ -339,6 +339,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming ivfAppend over a two-file vector stream equals one batch append") {
+    import graft.ops.SimilarityOps
+    import java.nio.file.Files
+    // two corpora with the same 400-vector base; A is maintained by the
+    // STREAM (arrivals as two microbatches), B by one batch ivfAppend
+    val all = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def mkCorpus(): String = {
+      val d = Files.createTempDirectory("graft_stream_ivfapp").toAbsolutePath
+      all.filter(col("vec_id") < 400).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      SimilarityOps.buildIvfIndex(spark, d.toString)
+      d.toString
+    }
+    val (dirA, dirB) = (mkCorpus(), mkCorpus())
+    val arrivals = all.filter(col("vec_id") >= 400).select(col("vec_id"), col("embedding"))
+
+    val streamSrc = Files.createTempDirectory("graft_stream_ivfsrc")
+    arrivals.repartition(2).write.mode("overwrite").parquet(s"$streamSrc/vecs")
+    val routedBatches = collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val q = graft.streaming.VecsStream.runIndexAppend(dirA,
+        spark.readStream.schema(graft.etl.Tables.embeddingsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamSrc/vecs")) { r =>
+      routedBatches.synchronized { routedBatches += r }
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(routedBatches.size >= 2, "expected at least two appended microbatches")
+
+    SimilarityOps.ivfAppend(spark, dirB, arrivals)
+
+    // both indexes hold the identical 500 rows and answer probes the same
+    val baseA = SimilarityOps.ivfIndexPath(spark, dirA)
+    val baseB = SimilarityOps.ivfIndexPath(spark, dirB)
+    assert(spark.read.parquet(s"$baseA/lists").count() === 500L)
+    def rows(b: String) = spark.read.parquet(s"$b/lists")
+      .select("vec_id", "Cid").collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    assert(rows(baseA) === rows(baseB))
+    val a = SimilarityOps.ivfTopk(spark, dirA).collect().toSeq
+    val b = SimilarityOps.ivfTopk(spark, dirB).collect().toSeq
+    assert(a == b, "stream-maintained index answers differently from batch-maintained")
+  }
+
   test("mapGroupsWithState funnel over a two-file event stream matches batch events_funnel") {
     import spark.implicits._
     implicit val s = spark
