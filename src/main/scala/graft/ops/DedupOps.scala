@@ -593,7 +593,15 @@ object DedupOps {
     * generation per bucket again — preserving the appended-batch
     * count. Content is staged to a sibling directory first (never
     * read-and-overwrite the same files in one job), then the table is
-    * rebuilt under the lock. */
+    * rebuilt under the lock.
+    *
+    * Crash window (documented, not hidden): a failure between the
+    * table drop and the rebuilt `saveAsTable` leaves only the staged
+    * copy on disk — the next [[bandIndexTable]] would rebuild from the
+    * CORPUS, losing appended batches (the stage dir survives for
+    * manual recovery). Same non-transactional-rewrite caveat as any
+    * plain-parquet table maintenance; a production deployment runs
+    * compaction through a transactional table format. */
   def compactBandIndex(spark: SparkSession, dir: String): String = bandBuildLock.synchronized {
     val name = bandIndexName(dir)
     val loc = BucketedTables.location(spark, name)

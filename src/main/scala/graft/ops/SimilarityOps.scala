@@ -638,25 +638,25 @@ object SimilarityOps {
       val assigned = nearestCentroids(q, cent, 1, "vec_id", "Q", "NormSq")
         .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
         .cache()
-      assigned.write.mode("append").partitionBy("Cid").parquet(s"$base/lists")
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$base/pqcodes/_SUCCESS"))) {
-        val pqCent = spark.read.parquet(s"$base/pqcodebook")
-        q.select(col("vec_id"), col("NormSq"))
-          .join(pqAssign(pqSlices(q), pqCent)
-            .groupBy(col("vec_id"))
-            .agg(expr("transform(array_sort(collect_list(struct(Sub, Cid))), x -> x.Cid)").as("Codes")),
-            "vec_id")
-          .join(assigned.select(col("vec_id"), col("Cid")), "vec_id")
-          .write.mode("append").partitionBy("Cid").parquet(s"$base/pqcodes")
-      }
-      dropListsTwin(spark, dir, nCentroids)
-      BucketedTables.bumpAppendedBatches(
-        java.nio.file.Paths.get(base, "_corpus_fingerprint"))
-      val r = assigned.select(col("Cid")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      assigned.unpersist(false)
-      r
+      try {
+        assigned.write.mode("append").partitionBy("Cid").parquet(s"$base/lists")
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$base/pqcodes/_SUCCESS"))) {
+          val pqCent = spark.read.parquet(s"$base/pqcodebook")
+          q.select(col("vec_id"), col("NormSq"))
+            .join(pqAssign(pqSlices(q), pqCent)
+              .groupBy(col("vec_id"))
+              .agg(expr("transform(array_sort(collect_list(struct(Sub, Cid))), x -> x.Cid)").as("Codes")),
+              "vec_id")
+            .join(assigned.select(col("vec_id"), col("Cid")), "vec_id")
+            .write.mode("append").partitionBy("Cid").parquet(s"$base/pqcodes")
+        }
+        dropListsTwin(spark, dir, nCentroids)
+        BucketedTables.bumpAppendedBatches(
+          java.nio.file.Paths.get(base, "_corpus_fingerprint"))
+        assigned.select(col("Cid")).distinct()
+          .collect().map(_.getLong(0)).sorted
+      } finally assigned.unpersist(false)
     }
     val sizes = spark.read.parquet(s"$base/lists")
       .groupBy(col("Cid")).count().collect().map(_.getLong(1))

@@ -74,4 +74,21 @@ object DocsStream {
         sink(DedupOps.incrementalAgainst(spark, batch, corpusBands))
       }
       .start()
+
+  /** Streaming INDEX MAINTENANCE, text side — the mirror of
+    * VecsStream.runIndexAppend: each admitted document microbatch is
+    * appended to the persisted band index via `DedupOps.bandAppend`
+    * (sketch, explode, append THROUGH the bucket spec, batch-count
+    * bump, periodic compaction). Together with [[runIncrementalDedup]]
+    * this closes the text ingestion loop: probe the index for dups,
+    * admit the survivors, append them so the NEXT batch probes against
+    * them too. Kernel runs on the batch's session (the foreachBatch
+    * seam); mutations serialize on the band build lock. */
+  def runIndexAppend(dir: String, docs: DataFrame)
+                    (afterBatch: String => Unit = _ => ()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        afterBatch(DedupOps.bandAppend(batch.sparkSession, dir, batch))
+      }
+      .start()
 }

@@ -381,6 +381,45 @@ class StreamingSpec extends SparkSpec {
     assert(a == b, "stream-maintained index answers differently from batch-maintained")
   }
 
+  test("streaming bandAppend over a two-file doc stream equals one batch append") {
+    import graft.ops.{BucketedTables, DedupOps}
+    import java.nio.file.Files
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    def mkCorpus(): String = {
+      val d = Files.createTempDirectory("graft_stream_bandapp").toAbsolutePath
+      all.filter(col("doc_id") < 400).coalesce(1)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      DedupOps.bandIndexTable(spark, d.toString)
+      d.toString
+    }
+    val (dirA, dirB) = (mkCorpus(), mkCorpus())
+    val newDocs = all.filter(col("doc_id") >= 400 &&
+      !(col("doc_id") % DedupOps.NewArrivalMod === DedupOps.NewArrivalRemainder))
+
+    val streamSrc = Files.createTempDirectory("graft_stream_bandsrc")
+    newDocs.repartition(2).write.mode("overwrite").parquet(s"$streamSrc/docs")
+    var batches = 0
+    val q = graft.streaming.DocsStream.runIndexAppend(dirA,
+        spark.readStream.schema(graft.etl.Tables.documentsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$streamSrc/docs")) { _ =>
+      synchronized { batches += 1 }
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 2, "expected at least two appended microbatches")
+
+    DedupOps.bandAppend(spark, dirB, newDocs)
+
+    def rows(dir: String) = spark.table(DedupOps.bandIndexTable(spark, dir))
+      .select(col("CorpusId"), col("band_id"), col("band_val"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows(dirA) === rows(dirB))
+    assert(rows(dirA).nonEmpty)
+    // the stream bumped the batch count once per microbatch
+    val locA = BucketedTables.location(spark, DedupOps.bandIndexTable(spark, dirA))
+    assert(BucketedTables.appendedBatches(locA.resolve("_corpus_fingerprint")) === batches)
+  }
+
   test("mapGroupsWithState funnel over a two-file event stream matches batch events_funnel") {
     import spark.implicits._
     implicit val s = spark
