@@ -86,7 +86,12 @@ private[graft] object BucketedTables {
     * batches. Freshness compares line 1 only — an appended index is
     * still an index OF its corpus (plus extras the appender chose to
     * add); a REPLACED corpus invalidates regardless of appends. */
-  def corpusLine(raw: String): String = raw.linesIterator.next()
+  def corpusLine(raw: String): String =
+    // total on empty/truncated files (writeString is not atomic — a
+    // crash can leave a 0-byte fingerprint): "" never equals a real
+    // md5, so the caller's freshness check reads stale-and-rebuild
+    // instead of throwing forever
+    raw.linesIterator.nextOption().getOrElse("")
 
   /** Read the appended-batch count (0 for a never-appended index). */
   def appendedBatches(fpFile: Path): Int =

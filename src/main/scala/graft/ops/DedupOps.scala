@@ -252,11 +252,12 @@ object DedupOps {
     * whenever its per-call cache is under storage pressure, and an
     * uncached cap would multiply across rounds (caught as a 4.5×
     * bench regression in round 6). */
-  private[graft] def coolBands(exploded: DataFrame): DataFrame =
+  private[graft] def coolBands(exploded: DataFrame,
+                               cap: Int = HotBandMaxOccupancy): DataFrame =
     exploded.join(
       exploded.groupBy(col("band_id"), col("band_val"))
         .agg(count(lit(1)).as("BandOcc"))
-        .filter(col("BandOcc") <= HotBandMaxOccupancy)
+        .filter(col("BandOcc") <= cap)
         .select(col("band_id"), col("band_val")),
       Seq("band_id", "band_val"))
 
@@ -434,7 +435,11 @@ object DedupOps {
     // hot buckets are excluded AT INDEX TIME ([[coolBands]]): an
     // arriving batch joining a boilerplate bucket of occupancy k would
     // otherwise fan out |batch|·k rows per band — with the cap, probe
-    // volume is bounded by |batch|·bands·T regardless of corpus shape
+    // volume is bounded by |batch|·bands·T for a freshly built (or
+    // freshly compacted) index; between [[bandAppend]] compactions,
+    // cross-batch accumulation can exceed T by at most the appended
+    // deltas (append-time cooling is batch-local; [[compactBandIndex]]
+    // restores the corpus-wide invariant)
     coolBands(explodedBands(corpus))
       .join(corpus.select(col("doc_id"), col("Sh")), "doc_id")
       .select(col("doc_id").as("CorpusId"),
@@ -570,14 +575,20 @@ object DedupOps {
     val name = bandIndexTable(spark, dir)
     graft.functions.ShingleExpressions.register(spark)
     val batches = bandBuildLock.synchronized {
-      newDocs
+      // BATCH-LOCAL hot-bucket cooling at append time (a flood batch
+      // sharing one band value must not insert a hot bucket), plus a
+      // full corpus-wide re-cool at every compaction below — between
+      // compactions, cross-batch accumulation can exceed the cap by at
+      // most the appended deltas, the documented maintenance window
+      coolBands(newDocs
         .select(col("doc_id"), expr("token_shingles(text)").as("Sh"))
         .withColumn("Bands", expr("minhash_bands(Sh)"))
         .select(col("doc_id"), col("Sh"),
           posexplode(col("Bands")).as(Seq("BandIdx", "band_val")))
         .select(col("doc_id").as("CorpusId"),
           (col("BandIdx") + 1).as("band_id"), col("band_val"),
-          col("Sh").as("ShC"))
+          col("Sh").as("ShC")))
+        .select(col("CorpusId"), col("band_id"), col("band_val"), col("ShC"))
         .write.mode("append")
         .bucketBy(BandIndexBuckets, "band_id", "band_val")
         .sortBy("band_id", "band_val")
@@ -610,7 +621,12 @@ object DedupOps {
     BucketedTables.deleteRecursively(stage)
     spark.table(name).write.mode("overwrite").parquet(stage.toString)
     BucketedTables.dropWithFiles(spark, name)
-    spark.read.parquet(stage.toString)
+    // corpus-wide re-cool: buckets that crossed the occupancy cap via
+    // cross-batch accumulation (append-time cooling is batch-local)
+    // are evicted here, restoring the exact cap invariant a
+    // from-scratch build over the same documents would have
+    coolBands(spark.read.parquet(stage.toString))
+      .select(col("CorpusId"), col("band_id"), col("band_val"), col("ShC"))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "band_id", "band_val")
       .sortBy("band_id", "band_val")

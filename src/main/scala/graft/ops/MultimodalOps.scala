@@ -33,33 +33,41 @@ object MultimodalOps {
   val Undecodable = "undecodable"
 
   /** Real image decode: sniff the payload with the registered
-    * `javax.imageio` readers, read frame 0, report true dimensions,
-    * raster band count, and `image/<format>`. Non-image or corrupt
-    * payloads → an [[Undecodable]] row with width/height/channels 0. */
-  private def decodeImage(id: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length
+    * `javax.imageio` readers, read frame 0, return the decoded image +
+    * `image/<format>`. None for non-image or corrupt payloads — the
+    * ONE guarded decode both operators share, so no consumer ever
+    * re-reads the bytes through an unguarded path (a second
+    * `ImageIO.read` can dispatch to a different plugin or return
+    * null and would crash the task mid-corpus). */
+  private def readImage(payload: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] =
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) MediaMeta(id, n, 0, 0, 0, Undecodable)
+        if (!readers.hasNext) None
         else {
           val r = readers.next()
           try {
             r.setInput(iis)
-            val img = r.read(0)
-            MediaMeta(id, n, img.getWidth, img.getHeight,
-              img.getRaster.getNumBands,
-              "image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+            Some((r.read(0),
+              "image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
           } finally r.dispose()
         }
       } finally if (iis != null) iis.close()
     } catch {
-      case _: java.io.IOException | _: RuntimeException =>
-        MediaMeta(id, n, 0, 0, 0, Undecodable)
+      case _: java.io.IOException | _: RuntimeException => None
     }
-  }
+
+  /** Payload → typed metadata row ([[Undecodable]] with zeroed
+    * dimensions when no reader accepts the bytes). */
+  private def decodeImage(id: Long, payload: Array[Byte]): MediaMeta =
+    readImage(payload) match {
+      case Some((img, fmt)) =>
+        MediaMeta(id, payload.length, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands, fmt)
+      case None => MediaMeta(id, payload.length, 0, 0, 0, Undecodable)
+    }
 
   /** Documents' text bytes treated as opaque binary payloads. */
   def payloads(spark: SparkSession, dir: String): DataFrame =
@@ -93,31 +101,26 @@ object MultimodalOps {
   def imageStatsOf(payloads: Dataset[(Long, Array[Byte])]): Dataset[ImageStats] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions(_.map { case (id, bytes) =>
-      val meta = decodeImage(id, bytes)
-      if (meta.format == Undecodable)
-        ImageStats(id, 0, 0, 0, Undecodable, Seq.empty)
-      else {
-        // re-read for the raster walk (decodeImage reports meta only);
-        // one decode per payload per operator, batched per partition
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        val raster = img.getRaster
-        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
-        val sums = new Array[Double](bands)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < bands) {
-              sums(b) += raster.getSample(x, y, b)
-              b += 1
+      readImage(bytes) match {
+        case None => ImageStats(id, 0, 0, 0, Undecodable, Seq.empty)
+        case Some((img, fmt)) =>
+          val raster = img.getRaster
+          val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val sums = new Array[Double](bands)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) {
+                sums(b) += raster.getSample(x, y, b)
+                b += 1
+              }
+              x += 1
             }
-            x += 1
+            y += 1
           }
-          y += 1
-        }
-        ImageStats(id, w, h, bands, meta.format,
-          sums.toSeq.map(_ / (w.toLong * h)))
+          ImageStats(id, w, h, bands, fmt, sums.toSeq.map(_ / (w.toLong * h)))
       }
     })
   }

@@ -595,6 +595,14 @@ object SimilarityOps {
     * of the mean list size after an append. */
   val IvfSkewFactor = 4.0
 
+  /** Run the (index-wide) skew measurement every this-many appended
+    * batches — the per-Cid count scans the whole lists tree, and
+    * paying that per MICROBATCH would make per-batch append cost
+    * scale with total index size, the exact regression the append
+    * path exists to avoid. Skew drifts over many appends, not one;
+    * a periodic check matches the band index's compaction cadence. */
+  val IvfSkewCheckEveryBatches = 8
+
   /** Append a batch of arrivals (vec_id, embedding) to the persisted
     * IVF index WITHOUT a rebuild — the maintenance path an
     * append-heavy corpus needs at 100 TB, where "refresh = full
@@ -627,7 +635,8 @@ object SimilarityOps {
     * deliberately profiles corpus rows only (inner label join). */
   def ivfAppend(spark: SparkSession, dir: String, arrivals: DataFrame,
                 nCentroids: Int = DefaultNCentroids,
-                skewFactor: Double = IvfSkewFactor): Array[Long] = {
+                skewFactor: Double = IvfSkewFactor,
+                skewCheckEvery: Int = IvfSkewCheckEveryBatches): Array[Long] = {
     val base = ivfIndexPath(spark, dir, nCentroids)
     VectorExpressions.register(spark)
     val routed = ivfBuildLock.synchronized {
@@ -652,17 +661,21 @@ object SimilarityOps {
             .write.mode("append").partitionBy("Cid").parquet(s"$base/pqcodes")
         }
         dropListsTwin(spark, dir, nCentroids)
-        BucketedTables.bumpAppendedBatches(
+        val n = BucketedTables.bumpAppendedBatches(
           java.nio.file.Paths.get(base, "_corpus_fingerprint"))
-        assigned.select(col("Cid")).distinct()
-          .collect().map(_.getLong(0)).sorted
+        (n, assigned.select(col("Cid")).distinct()
+          .collect().map(_.getLong(0)).sorted)
       } finally assigned.unpersist(false)
     }
-    val sizes = spark.read.parquet(s"$base/lists")
-      .groupBy(col("Cid")).count().collect().map(_.getLong(1))
-    if (sizes.max > skewFactor * (sizes.sum.toDouble / sizes.length))
-      reclusterIvfIndex(spark, dir, nCentroids)
-    routed
+    val (batches, routedIds) = routed
+    // skew check is PERIODIC: the per-Cid count scans the whole index
+    if (batches % skewCheckEvery == 0) {
+      val sizes = spark.read.parquet(s"$base/lists")
+        .groupBy(col("Cid")).count().collect().map(_.getLong(1))
+      if (sizes.max > skewFactor * (sizes.sum.toDouble / sizes.length))
+        reclusterIvfIndex(spark, dir, nCentroids)
+    }
+    routedIds
   }
 
   /** Re-learn the coarse codebook from the CURRENT lists content
@@ -816,13 +829,28 @@ object SimilarityOps {
   def ivfPqIndexPath(spark: SparkSession, dir: String,
                      nCentroids: Int = DefaultNCentroids): String = {
     val base = ivfIndexPath(spark, dir, nCentroids)
+    VectorExpressions.register(spark)
     def built = Seq("pqcodebook", "pqcodes").forall(d =>
       java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
     if (!built) ivfBuildLock.synchronized {
       if (!built) {
-        val (pqCent, pqCodes) = pqIndex(spark, dir)
+        // build from the LISTS, not the corpus table: the lists are the
+        // index's ground truth and also hold vectors appended after the
+        // corpus snapshot (ivfAppend) — a corpus-derived encode would
+        // inner-join them away and ivfpqTopk would silently miss them
+        // (the same class of bug as the rerank's old corpus join).
+        // With no appends the lists equal the quantized corpus row-for-
+        // row, so the codebook/codes are bit-identical to the corpus-
+        // derived ones (deterministic Lloyd) and oracle parity holds.
+        val all = spark.read.parquet(s"$base/lists")
+          .select(col("vec_id"), col("Q"), col("NormSq"))
+        val pqCent = pqCodebook(all)
         pqCent.write.mode("overwrite").parquet(s"$base/pqcodebook")
-        pqCodes
+        all.select(col("vec_id"), col("NormSq"))
+          .join(pqAssign(pqSlices(all), spark.read.parquet(s"$base/pqcodebook"))
+            .groupBy(col("vec_id"))
+            .agg(expr("transform(array_sort(collect_list(struct(Sub, Cid))), x -> x.Cid)").as("Codes")),
+            "vec_id")
           .join(spark.read.parquet(s"$base/lists").select(col("vec_id"), col("Cid")), "vec_id")
           .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/pqcodes")
       }
@@ -1142,20 +1170,16 @@ object SimilarityOps {
     * whole band — the LSH candidate-generation stage, exposed
     * separately so tests can measure candidate volume as the band
     * shape varies. `sig` must carry vec_id + Band1..BandN. Buckets
-    * past [[HotBucketMaxOccupancy]] are excluded (occupancy is a
-    * map-side-combined count on the join's own keys — the planner
-    * reuses the exchange). */
+    * past [[HotBucketMaxOccupancy]] are excluded via the ONE shared
+    * occupancy-cap join (DedupOps.coolBands — two constants for two
+    * domains, one implementation, so a fix to the cap join cannot
+    * silently miss one side). */
   private def bandCandidates(sig: DataFrame, bands: Int): DataFrame = {
     val exploded = sig.select(col("vec_id"),
       explode(array((1 to bands).map(b =>
         struct(lit(b).as("band_id"), col(s"Band$b").as("band_val"))): _*)).as("b"))
       .select(col("vec_id"), col("b.band_id").as("band_id"), col("b.band_val").as("band_val"))
-    val cool = exploded.join(
-      exploded.groupBy(col("band_id"), col("band_val"))
-        .agg(count(lit(1)).as("BucketOcc"))
-        .filter(col("BucketOcc") <= HotBucketMaxOccupancy)
-        .select(col("band_id"), col("band_val")),
-      Seq("band_id", "band_val"))
+    val cool = DedupOps.coolBands(exploded, HotBucketMaxOccupancy)
     val a = cool.select(col("vec_id").as("V1"), col("band_id"), col("band_val"))
     val b = cool.select(col("vec_id").as("V2"),
       col("band_id").as("band_id2"), col("band_val").as("band_val2"))

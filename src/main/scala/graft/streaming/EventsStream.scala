@@ -95,11 +95,18 @@ object EventsStream {
   /** Per-user funnel state: the running min view instant plus the
     * PRUNED candidate click/purchase instants that could still matter.
     * `minView` is a commutative min, final under any arrival order.
-    * Candidate lists are bounded by the funnel window itself: a click
-    * can only ever qualify if ≤ t1_final + W, and t1 only decreases,
-    * so `minView + W` is a safe monotone prune bound (likewise
-    * purchases at `minView + 2W`, since t2 ≤ t1 + W) — state is the
-    * window's own event capacity per user, not stream history. */
+    * Candidate lists are bounded by the funnel window itself once a
+    * view exists: a click can only ever qualify if ≤ t1_final + W, and
+    * t1 only decreases, so `minView + W` is a safe monotone prune
+    * bound (likewise purchases at `minView + 2W`, since t2 ≤ t1 + W).
+    * For users with NO view yet, candidates are held until either a
+    * view arrives or the WATERMARK passes them (a late view older than
+    * the watermark is dropped by the framework, so the final t1 is
+    * ≥ min(minView, watermark) — candidates at or below that floor can
+    * never qualify and are evicted). Run the stream with
+    * `withWatermark` to get bounded state for view-less users;
+    * without one, their candidate lists grow with their own
+    * click/purchase history. */
   case class FunnelState(minView: Long, clicks: List[Long], purchases: List[Long])
 
   /** Current funnel progress for one user (t's in exact microseconds,
@@ -143,9 +150,17 @@ object EventsStream {
           val purchaseHi =
             if (st.minView == Long.MaxValue) Long.MaxValue
             else st.minView + 2 * winUs
+          // watermark floor: the framework drops views older than the
+          // watermark, so final t1 ≥ min(minView, wm) — a candidate at
+          // or below that floor needs us > t1_final and can never
+          // qualify; evicting it bounds state for view-less users
+          val wmUs =
+            (try state.getCurrentWatermarkMs()
+             catch { case _: UnsupportedOperationException => 0L }) * 1000L
+          val t1Floor = if (wmUs > 0L) math.min(st.minView, wmUs) else Long.MinValue
           st = FunnelState(st.minView,
-            st.clicks.filter(_ <= clickHi).distinct.sorted,
-            st.purchases.filter(_ <= purchaseHi).distinct.sorted)
+            st.clicks.filter(c => c <= clickHi && c > t1Floor).distinct.sorted,
+            st.purchases.filter(p => p <= purchaseHi && p > t1Floor).distinct.sorted)
           state.update(st)
           val t1 = if (st.minView == Long.MaxValue) None else Some(st.minView)
           val t2 = t1.flatMap(t => st.clicks.find(c => c > t && c <= t + winUs))

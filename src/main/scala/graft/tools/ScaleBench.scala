@@ -43,7 +43,9 @@ object ScaleBench {
       name -> (1 to passes).map(_ => once(name)).min
     }
     val qjson = results
-      .map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString("{", ",", "}")
+      .map { case (n, s) =>
+        s""""$n":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}""" }
+      .mkString("{", ",", "}")
     println(s"""{"dir":"$dir","queries":$qjson}""")
     spark.stop()
   }

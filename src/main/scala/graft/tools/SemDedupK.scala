@@ -34,7 +34,9 @@ object SemDedupK {
       once() // warmup + index build-if-absent at this K
       k -> Seq(once(), once()).min
     }
-    val qjson = results.map { case (k, s) => s""""k$k":${f"$s%.3f"}""" }
+    val qjson = results
+      .map { case (k, s) =>
+        s""""k$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}""" }
       .mkString("{", ",", "}")
     println(s"""{"dir":"$dir","semantic_dedup":$qjson}""")
     spark.stop()

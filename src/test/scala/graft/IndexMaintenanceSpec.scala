@@ -107,7 +107,7 @@ class IndexMaintenanceSpec extends SparkSpec {
       .filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
     import spark.implicits._
     val skewed = (10000L until 10300L).map(i => (i, one)).toDF("vec_id", "embedding")
-    SimilarityOps.ivfAppend(spark, tmp.toString, skewed)
+    SimilarityOps.ivfAppend(spark, tmp.toString, skewed, skewCheckEvery = 1)
 
     // a recluster rewrites every list file: no pre-append file survives
     val after = partitionFiles(s"$base/lists")
