@@ -95,6 +95,25 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(a == b, "probe after append+recluster differs from a from-scratch build")
   }
 
+  test("PQ layer built lazily AFTER appends covers the appended vectors") {
+    // the ordering the first implementation got wrong: append while no
+    // PQ layer exists, then let ivfpqTopk build it lazily — the codes
+    // must come from the LISTS (corpus + appends), not the corpus table
+    val tmp = Files.createTempDirectory("graft_ivfpq_late").toAbsolutePath
+    copyCorpus(sfDir, "embeddings", tmp, col("vec_id") < 400)
+    SimilarityOps.buildIvfIndex(spark, tmp.toString)
+    val arrivals = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") >= 400).select(col("vec_id"), col("embedding"))
+    SimilarityOps.ivfAppend(spark, tmp.toString, arrivals,
+      skewFactor = Double.MaxValue)
+    val base = SimilarityOps.ivfPqIndexPath(spark, tmp.toString)
+    assert(spark.read.parquet(s"$base/pqcodes").count() === 500L,
+      "lazily built PQ codes dropped appended vectors")
+    val ivfpq = SimilarityOps.ivfpqTopk(spark, tmp.toString).collect().toSeq
+    val flat = SimilarityOps.ivfTopk(spark, tmp.toString).collect().toSeq
+    assert(ivfpq == flat, "post-append lazy PQ build misses appended neighbors")
+  }
+
   test("ivfAppend triggers a recluster when a list blows past the skew threshold") {
     val tmp = Files.createTempDirectory("graft_ivf_skew").toAbsolutePath
     copyCorpus(sfDir, "embeddings", tmp, col("vec_id") < 400)
