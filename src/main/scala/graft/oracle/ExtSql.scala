@@ -215,20 +215,28 @@ FROM bands ORDER BY doc_id
   UNION ALL SELECT doc_id, 4, b4 FROM bands
 )"""
 
+  /** ONE builder for the occupancy-cap CTE pair (mirrors the single
+    * Scala implementation DedupOps.coolBands serves both domains
+    * with): `<out>occ` keeps band keys at-or-below `cap`, `<out>` is
+    * `src` restricted to them. A tuning change to either cap constant
+    * flows through every mirror from here. */
+  private def coolCtes(src: String, out: String, idCol: String, cap: Int): String = s"""
+${out}occ AS (
+  SELECT band_id, band_val FROM $src
+  GROUP BY band_id, band_val
+  HAVING count(*) <= $cap
+),
+$out AS (
+  SELECT $src.$idCol, $src.band_id, $src.band_val
+  FROM $src JOIN ${out}occ USING (band_id, band_val)
+)"""
+
   /** blCte + the LSH candidate pairs (band agreement, d1 < d2), with
     * the hot-bucket cap mirrored from DedupOps.HotBandMaxOccupancy —
     * the cap is part of the query definition, shared constant and
     * all. */
-  private val candCte: String = blCte + s"""
-, occ AS (
-  SELECT band_id, band_val FROM bl
-  GROUP BY band_id, band_val
-  HAVING count(*) <= ${graft.ops.DedupOps.HotBandMaxOccupancy}
-),
-cool AS (
-  SELECT bl.doc_id, bl.band_id, bl.band_val
-  FROM bl JOIN occ USING (band_id, band_val)
-),
+  private val candCte: String = blCte + "," +
+    coolCtes("bl", "cool", "doc_id", graft.ops.DedupOps.HotBandMaxOccupancy) + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM cool a JOIN cool b ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -276,16 +284,8 @@ ORDER BY "D1", "D2"
     blCte + s"""
 , corp AS (
   SELECT * FROM bl WHERE doc_id % $NewArrivalMod <> $NewArrivalRemainder
-),
-corpocc AS (
-  SELECT band_id, band_val FROM corp
-  GROUP BY band_id, band_val
-  HAVING count(*) <= ${graft.ops.DedupOps.HotBandMaxOccupancy}
-),
-corpcool AS (
-  SELECT corp.doc_id, corp.band_id, corp.band_val
-  FROM corp JOIN corpocc USING (band_id, band_val)
-),
+),""" +
+      coolCtes("corp", "corpcool", "doc_id", graft.ops.DedupOps.HotBandMaxOccupancy) + s""",
 cand AS (
   SELECT DISTINCT a.doc_id AS nid, b.doc_id AS cid
   FROM bl a JOIN corpcool b ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -972,15 +972,7 @@ ORDER BY "NewId", "CorpusId"
 bl AS (
   $blUnion
 ),
-occ AS (
-  SELECT band_id, band_val FROM bl
-  GROUP BY band_id, band_val
-  HAVING count(*) <= ${graft.ops.SimilarityOps.HotBucketMaxOccupancy}
-),
-cool AS (
-  SELECT bl.vec_id, bl.band_id, bl.band_val
-  FROM bl JOIN occ USING (band_id, band_val)
-),
+${coolCtes("bl", "cool", "vec_id", graft.ops.SimilarityOps.HotBucketMaxOccupancy)},
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM cool a JOIN cool b ON a.band_id = b.band_id AND a.band_val = b.band_val
