@@ -811,8 +811,17 @@ object SimilarityOps {
   }
 
   /** Build-if-absent for the PQ layer of the persisted IVF index —
-    * the compressed-codes half of the canonical IVF-PQ (IVFADC,
-    * Jégou et al. 2011) layout. On top of `<base>/codebook` +
+    * the compressed-codes half of the IVF-PQ layout (Jégou et al.
+    * 2011). Precision on the claim: codes encode the RAW vectors with
+    * one global PQ codebook, not the per-list RESIDUALS (v − coarse
+    * centroid) of full IVFADC — residual encoding is the refinement
+    * that buys finer quantization per list, and its seam is already
+    * here (the probe route carries (QId, Cid); a residual layout adds
+    * a driver-side dot(q, c) offset per routed pair and trains the
+    * codebook on list-relative residuals). Since the exact rerank
+    * confines PQ error to candidate SELECTION, both layouts satisfy
+    * the same recall contract at verify scale; raw-vector codes keep
+    * the encode one global pass. On top of `<base>/codebook` +
     * `<base>/lists` this adds:
     *   `<base>/pqcodebook/` — the M×K per-subspace PQ codebook;
     *   `<base>/pqcodes/`    — `(vec_id, NormSq, Codes[M])` written
