@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -376,10 +376,11 @@ object SimilarityOps {
     * approximate dot, over any (QId, Lut, vec_id, Codes, NormSq)
     * candidate frame — the compressed scan shared by [[pqTopk]]
     * (all candidates) and [[ivfpqTopk]] (routed lists only). */
-  private def pqShortlist(cand: DataFrame): DataFrame =
+  private def pqShortlist(cand: DataFrame,
+                          approxOffset: Column = lit(0L)): DataFrame =
     cand
       .filter(col("vec_id") =!= col("QId"))
-      .withColumn("ApproxDot", expr(
+      .withColumn("ApproxDot", approxOffset + expr(
         s"""aggregate(
            |  transform(sequence(0, ${PqSubspaces - 1}),
            |    m -> element_at(Lut, CAST(m * $PqCentroids + element_at(Codes, m + 1) + 1 AS INT))),
@@ -651,13 +652,16 @@ object SimilarityOps {
         assigned.write.mode("append").partitionBy("Cid").parquet(s"$base/lists")
         if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$base/pqcodes/_SUCCESS"))) {
+          // encode the batch's RESIDUALS against its assigned coarse
+          // centroids with the persisted residual codebook — the same
+          // layout the lazy build writes (versioned by _pq_layout)
           val pqCent = spark.read.parquet(s"$base/pqcodebook")
-          q.select(col("vec_id"), col("NormSq"))
-            .join(pqAssign(pqSlices(q), pqCent)
+          val resid = listResidualsAsQ(assigned, cent)
+          assigned.select(col("vec_id"), col("NormSq"), col("Cid"))
+            .join(pqAssign(pqSlices(resid), pqCent)
               .groupBy(col("vec_id"))
               .agg(expr("transform(array_sort(collect_list(struct(Sub, Cid))), x -> x.Cid)").as("Codes")),
               "vec_id")
-            .join(assigned.select(col("vec_id"), col("Cid")), "vec_id")
             .write.mode("append").partitionBy("Cid").parquet(s"$base/pqcodes")
         }
         dropListsTwin(spark, dir, nCentroids)
@@ -811,17 +815,21 @@ object SimilarityOps {
   }
 
   /** Build-if-absent for the PQ layer of the persisted IVF index —
-    * the compressed-codes half of the IVF-PQ layout (Jégou et al.
-    * 2011). Precision on the claim: codes encode the RAW vectors with
-    * one global PQ codebook, not the per-list RESIDUALS (v − coarse
-    * centroid) of full IVFADC — residual encoding is the refinement
-    * that buys finer quantization per list, and its seam is already
-    * here (the probe route carries (QId, Cid); a residual layout adds
-    * a driver-side dot(q, c) offset per routed pair and trains the
-    * codebook on list-relative residuals). Since the exact rerank
-    * confines PQ error to candidate SELECTION, both layouts satisfy
-    * the same recall contract at verify scale; raw-vector codes keep
-    * the encode one global pass. On top of `<base>/codebook` +
+    * the compressed-codes half of FULL IVFADC (Jégou et al. 2011):
+    * codes encode the per-list RESIDUALS (v − assigned coarse
+    * centroid), not the raw vectors. Residuals concentrate around the
+    * origin once the coarse term is removed, so the same 32×16
+    * codebook spends its centroids on a much smaller cell — OpsSpec
+    * measures the claim directly: mean ‖v − (c + decode(codes))‖²
+    * must beat the coarse-only ‖v − c‖² by a wide margin. Scoring
+    * adds the exact integer dot(q, c) per ROUTED pair (driver-scale,
+    * rides the route) to the LUT sum over the residual codebook.
+    * Since the exact rerank confines PQ error to candidate SELECTION,
+    * the recall contract (ivfpq == ivf-flat at verify scale) is
+    * layout-independent. A `_pq_layout` marker versions the encoding:
+    * on-disk codes from an older layout rebuild instead of being
+    * silently scored with the wrong decoder. On top of
+    * `<base>/codebook` +
     * `<base>/lists` this adds:
     *   `<base>/pqcodebook/` — the M×K per-subspace PQ codebook;
     *   `<base>/pqcodes/`    — `(vec_id, NormSq, Codes[M])` written
@@ -835,12 +843,26 @@ object SimilarityOps {
     * whole base before a rebuild, so stale codes cannot outlive a
     * corpus change; [[invalidateQuantized]] deletes the base
     * recursively, codes included. */
+  /** Versions the on-disk PQ encoding; bump on any layout change. */
+  private val PqLayoutVersion = "residual-v1"
+
+  /** Lists rows with their residual against the assigned coarse
+    * centroid, shaped for the PQ machinery (residual as `Q`). */
+  private def listResidualsAsQ(lists: DataFrame, coarse: DataFrame): DataFrame =
+    lists.join(broadcast(coarse.select(col("Cid").as("CCid"), col("CQ"))),
+        lists("Cid") === col("CCid"))
+      .withColumn("R", expr("zip_with(Q, CQ, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("R").as("Q"))
+
   def ivfPqIndexPath(spark: SparkSession, dir: String,
                      nCentroids: Int = DefaultNCentroids): String = {
     val base = ivfIndexPath(spark, dir, nCentroids)
     VectorExpressions.register(spark)
+    val layoutFile = java.nio.file.Paths.get(base, "_pq_layout")
     def built = Seq("pqcodebook", "pqcodes").forall(d =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS")))
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$d/_SUCCESS"))) &&
+      java.nio.file.Files.exists(layoutFile) &&
+      java.nio.file.Files.readString(layoutFile) == PqLayoutVersion
     if (!built) ivfBuildLock.synchronized {
       if (!built) {
         // build from the LISTS, not the corpus table: the lists are the
@@ -848,20 +870,19 @@ object SimilarityOps {
         // corpus snapshot (ivfAppend) — a corpus-derived encode would
         // inner-join them away and ivfpqTopk would silently miss them
         // (the same class of bug as the rerank's old corpus join).
-        // With no appends the lists equal the quantized corpus row-for-
-        // row, so the codebook/codes are bit-identical to the corpus-
-        // derived ones (deterministic Lloyd) and oracle parity holds.
-        val all = spark.read.parquet(s"$base/lists")
-          .select(col("vec_id"), col("Q"), col("NormSq"))
-        val pqCent = pqCodebook(all)
-        pqCent.write.mode("overwrite").parquet(s"$base/pqcodebook")
-        all.select(col("vec_id"), col("NormSq"))
-          .join(pqAssign(pqSlices(all), spark.read.parquet(s"$base/pqcodebook"))
+        // The codebook trains on the lists' RESIDUALS (deterministic
+        // Lloyd, so rebuilds over the same lists are bit-identical).
+        val lists = spark.read.parquet(s"$base/lists")
+        val coarse = spark.read.parquet(s"$base/codebook")
+        val resid = listResidualsAsQ(lists, coarse)
+        pqCodebook(resid).write.mode("overwrite").parquet(s"$base/pqcodebook")
+        lists.select(col("vec_id"), col("NormSq"), col("Cid"))
+          .join(pqAssign(pqSlices(resid), spark.read.parquet(s"$base/pqcodebook"))
             .groupBy(col("vec_id"))
             .agg(expr("transform(array_sort(collect_list(struct(Sub, Cid))), x -> x.Cid)").as("Codes")),
             "vec_id")
-          .join(spark.read.parquet(s"$base/lists").select(col("vec_id"), col("Cid")), "vec_id")
           .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/pqcodes")
+        java.nio.file.Files.writeString(layoutFile, PqLayoutVersion)
       }
     }
     base
@@ -903,17 +924,30 @@ object SimilarityOps {
     val coarse = spark.read.parquet(s"$base/codebook")
     val codes = spark.read.parquet(s"$base/pqcodes")
     val probes = probeVectors(spark, dir)
-    val probeLut = pqLutRows(probes.collect(),
+    val probeRows = probes.collect()
+    val lutByQid = pqLutRows(probeRows,
       spark.read.parquet(s"$base/pqcodebook")
-        .select(col("Sub"), col("Cid"), col("CQ")).collect()).toDF("QId", "Lut")
+        .select(col("Sub"), col("Cid"), col("CQ")).collect()).toMap
     val route = probedListIds(spark, dir, nCentroids, nprobe)
-    // per-probe routing pairs carrying that probe's LUT — ≤
-    // |probes|·nprobe rows of M·K longs each, broadcast by construction
+    // per-probe routing pairs carrying that probe's residual-space LUT
+    // AND its exact coarse term dot(q, c) — IVFADC's approx dot is
+    // dot(q, c_list) + Σ_m LUT[code_m]; all driver-scale (≤
+    // |probes|·nprobe rows of M·K longs each), broadcast by construction
+    val qpByQid = probeRows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val coarseCq = coarse.select(col("Cid"), col("CQ")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val probeRoutes = nearestCentroids(probes, coarse, nprobe, "QId", "QP", "NormP")
-      .select(col("QId"), col("Cid"))
-      .join(probeLut, "QId")
+      .select(col("QId"), col("Cid")).collect()
+      .map { r =>
+        val (qid, cid) = (r.getLong(0), r.getLong(1))
+        val qp = qpByQid(qid)
+        val cq = coarseCq(cid)
+        val qDotC = (0 until Dims).map(i => qp(i) * cq(i)).sum
+        (qid, cid, qDotC, lutByQid(qid))
+      }.toSeq.toDF("QId", "Cid", "QdotC", "Lut")
     val shortlist = pqShortlist(
-      broadcast(probeRoutes).join(codes.filter(col("Cid").isin(route.toSeq: _*)), "Cid"))
+      broadcast(probeRoutes).join(codes.filter(col("Cid").isin(route.toSeq: _*)), "Cid"),
+      approxOffset = col("QdotC"))
     exactRerank(spark, dir, shortlist, k, spark.read.parquet(s"$base/lists"))
   }
 

@@ -160,6 +160,44 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF-PQ recall@${SimilarityOps.DefaultK} = $recall")
   }
 
+  test("similarity: residual PQ reconstruction beats coarse-only quantization by a wide margin") {
+    // the point of encoding residuals (full IVFADC) instead of raw
+    // vectors: decode(codes) should recover most of what the coarse
+    // centroid misses. Decoded driver-side from the persisted tables:
+    // v̂ = c_assigned + concat_m pqCQ(m, code_m)
+    val base = SimilarityOps.ivfPqIndexPath(spark, sfDir)
+    val coarse = spark.read.parquet(s"$base/codebook").collect()
+      .map(r => r.getAs[Long]("Cid") -> r.getAs[scala.collection.Seq[Long]]("CQ").toVector).toMap
+    val pqCent = spark.read.parquet(s"$base/pqcodebook").collect()
+      .map(r => (r.getAs[Int]("Sub"), r.getAs[Long]("Cid")) ->
+        r.getAs[scala.collection.Seq[Long]]("CQ").toVector).toMap
+    val codes = spark.read.parquet(s"$base/pqcodes").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("Codes").toVector).toMap
+    val lists = spark.read.parquet(s"$base/lists").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Long]]("Q").toVector,
+        r.getAs[Number]("Cid").longValue))
+    assert(lists.nonEmpty)
+    var coarseErr = 0.0
+    var pqErr = 0.0
+    val subDims = SimilarityOps.PqSubDims
+    lists.foreach { case (vid, qv, cid) =>
+      val c = coarse(cid)
+      val code = codes(vid)
+      qv.indices.foreach { i =>
+        val dc = (qv(i) - c(i)).toDouble
+        coarseErr += dc * dc
+        val rhat = pqCent((i / subDims, code(i / subDims)))(i % subDims)
+        val dp = dc - rhat.toDouble
+        pqErr += dp * dp
+      }
+    }
+    val ratio = pqErr / coarseErr
+    assert(ratio < 0.5,
+      f"residual PQ reconstruction error is $ratio%.3f of coarse-only — codes add little")
+  }
+
   test("similarity: PQ codes are M small codes per vector (the compressed scan substrate)") {
     import org.apache.spark.sql.functions.{col, size => asize, max => amax}
     val codes = SimilarityOps.pqTopk(spark, sfDir) // forces the index
