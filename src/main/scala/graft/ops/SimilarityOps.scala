@@ -928,15 +928,16 @@ object SimilarityOps {
     val lutByQid = pqLutRows(probeRows,
       spark.read.parquet(s"$base/pqcodebook")
         .select(col("Sub"), col("Cid"), col("CQ")).collect()).toMap
-    val route = probedListIds(spark, dir, nCentroids, nprobe)
     // per-probe routing pairs carrying that probe's residual-space LUT
     // AND its exact coarse term dot(q, c) — IVFADC's approx dot is
     // dot(q, c_list) + Σ_m LUT[code_m]; all driver-scale (≤
-    // |probes|·nprobe rows of M·K longs each), broadcast by construction
+    // |probes|·nprobe rows of M·K longs each), broadcast by
+    // construction. The static route derives from the SAME collected
+    // pairs — one routing job, not a second probedListIds pass.
     val qpByQid = probeRows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val coarseCq = coarse.select(col("Cid"), col("CQ")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val probeRoutes = nearestCentroids(probes, coarse, nprobe, "QId", "QP", "NormP")
+    val routePairs = nearestCentroids(probes, coarse, nprobe, "QId", "QP", "NormP")
       .select(col("QId"), col("Cid")).collect()
       .map { r =>
         val (qid, cid) = (r.getLong(0), r.getLong(1))
@@ -944,9 +945,11 @@ object SimilarityOps {
         val cq = coarseCq(cid)
         val qDotC = (0 until Dims).map(i => qp(i) * cq(i)).sum
         (qid, cid, qDotC, lutByQid(qid))
-      }.toSeq.toDF("QId", "Cid", "QdotC", "Lut")
+      }.toSeq
+    val route = routePairs.map(_._2).distinct.sorted
     val shortlist = pqShortlist(
-      broadcast(probeRoutes).join(codes.filter(col("Cid").isin(route.toSeq: _*)), "Cid"),
+      broadcast(routePairs.toDF("QId", "Cid", "QdotC", "Lut"))
+        .join(codes.filter(col("Cid").isin(route: _*)), "Cid"),
       approxOffset = col("QdotC"))
     exactRerank(spark, dir, shortlist, k, spark.read.parquet(s"$base/lists"))
   }
