@@ -108,6 +108,9 @@ object SparkEntry {
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
     "groupingsets_country_year" -> (RelationalOps.groupingSetsCountryYear _),
+    "cube_country_year" -> (RelationalOps.cubeCountryYear _),
+    "profile_table" -> (RelationalOps.profileTable _),
+    "join_skew_salted" -> (RelationalOps.skewSaltedJoin _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
@@ -188,6 +191,9 @@ object SparkEntry {
     "multimodal_resize" -> ExtSql.multimodalResize,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
     "groupingsets_country_year" -> ExtSql.groupingSetsCountryYear,
+    "cube_country_year" -> ExtSql.cubeCountryYear,
+    "profile_table" -> ExtSql.profileTable,
+    "join_skew_salted" -> ExtSql.skewSaltedJoin,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,

@@ -71,6 +71,122 @@ object RelationalOps {
         asc_nulls_first("Country"), asc_nulls_first("Year")))
   }
 
+  /** CUBE (Country, Year): every subtotal combination — leaves,
+    * per-country, per-year, and grand total — in ONE Expand +
+    * hash-aggregate pass (4 grouping sets, no N-pass union).
+    * GroupingId: 0 = leaf, 1 = per-country, 2 = per-year, 3 = grand
+    * total. Completes the multidimensional family next to ROLLUP /
+    * GROUPING SETS / PIVOT.
+    *
+    * Two-level shape (same as rollupCountryYear): distinct-invoice
+    * counting forces per-invoice partials — revenue reduces to an
+    * exact decimal partial per invoice, and the 4× Expand runs over
+    * #invoices rows instead of every line item, dividing the Expand
+    * shuffle volume by the lines-per-invoice factor at any scale. */
+  def cubeCountryYear(spark: SparkSession, dir: String): DataFrame = {
+    val perInvoice = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .groupBy(col("Country"), col("Year"), col("InvoiceNo"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("InvRev"))
+    perInvoice
+      .cube(col("Country"), col("Year"))
+      .agg(
+        sum(col("InvRev")).cast(DoubleType).as("TotalRevenue"),
+        countDistinct(col("InvoiceNo")).as("TotalOrders"),
+        grouping_id().cast(LongType).as("GroupingId"))
+      .transform(Summaries.smallSort(_, col("GroupingId"),
+        asc_nulls_first("Country"), asc_nulls_first("Year")))
+  }
+
+  /** Salt factor for [[skewSaltedJoin]] — 8 sub-keys per country turns
+    * the 25-key Country join into 200 uniform shuffle keys. */
+  private[graft] val SaltBuckets = 8
+
+  /** Skew-salted fact-to-dim join: per-customer revenue share of the
+    * customer's country. The join key (Country) is LOW-CARDINALITY
+    * (≈25 values) — fewer keys than shuffle partitions, so a plain
+    * shuffle join serializes each country into one task and the
+    * hottest country becomes the stage's straggler. The standard cure
+    * when the dim side is too large to broadcast (here the per-country
+    * dim is computed and tiny, but stands in for the fat million-row
+    * dim of the 100 TB shape — a `shuffle_hash` hint models that):
+    * SALT — the fact side appends `salt = pmod(hash(CustomerID), S)`,
+    * the dim side replicates each row S ways, and the join runs on
+    * (Country, salt), splitting every hot key across S tasks. The
+    * post-join per-customer aggregate restores exact semantics: the
+    * oracle is the PLAIN unsalted join, so a hash match proves salting
+    * is invisible to results. SkewSpec asserts the plan shape (no
+    * broadcast, salt in the join keys) and the sub-key split bound. */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sales = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .select(col("Country"), col("CustomerID"), col("TotalAmount"))
+    val dim = sales.groupBy(col("Country"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("CountryRevDec"))
+    val saltedDim = dim.withColumn("salt",
+      explode(lit((0 until SaltBuckets).toArray)))
+    val saltedFact = sales.withColumn("salt",
+      pmod(hash(col("CustomerID")), lit(SaltBuckets)))
+    saltedFact
+      .join(saltedDim.hint("shuffle_hash"), Seq("Country", "salt"))
+      .groupBy(col("Country"), col("CustomerID"))
+      .agg(
+        sum(col("TotalAmount").cast(dec)).as("CustRevDec"),
+        max(col("CountryRevDec")).as("CRev"))
+      .select(col("Country"), col("CustomerID"),
+        col("CustRevDec").cast(DoubleType).as("CustRevenue"),
+        (col("CustRevDec").cast(DoubleType) / col("CRev").cast(DoubleType))
+          .as("CountryShare"))
+      .orderBy(col("Country"), col("CustomerID"))
+  }
+
+  /** Single-relation data profiling — the ingest-time "describe" a
+    * pipeline runs before trusting a new data drop: per profiled
+    * column, the row count, null count, exact distinct cardinality,
+    * and typed min/max (numeric columns in MinNum/MaxNum, string and
+    * date columns as ISO strings in MinStr/MaxStr).
+    *
+    * Shape: one branch per profiled column, each a partial-aggregated
+    * scan of ONLY that column — parquet column pruning keeps each
+    * branch's I/O to a single column chunk, so the union's total scan
+    * volume ≈ one full-width pass — with a SINGLE countDistinct per
+    * branch (two-level hash aggregate, NO Expand). The tempting
+    * alternative, one agg with six countDistincts, Expands the fact
+    * stream 6× before the first shuffle; per-column branches keep
+    * every pass narrow and independently schedulable at 100 TB. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def branch(name: String, kind: String): DataFrame = {
+      val c = col(name)
+      val base = li.select(c).agg(
+        count(lit(1)).as("RowCnt"),
+        (count(lit(1)) - count(c)).as("NullCnt"),
+        countDistinct(c).as("DistinctCnt"),
+        min(c).as("mn"), max(c).as("mx"))
+      val (minNum, maxNum, minStr, maxStr) = kind match {
+        case "num" => (col("mn").cast(DoubleType), col("mx").cast(DoubleType),
+          lit(null).cast(StringType), lit(null).cast(StringType))
+        case "str" => (lit(null).cast(DoubleType), lit(null).cast(DoubleType),
+          col("mn").cast(StringType), col("mx").cast(StringType))
+        case "date" => (lit(null).cast(DoubleType), lit(null).cast(DoubleType),
+          col("mn").cast(DateType).cast(StringType),
+          col("mx").cast(DateType).cast(StringType))
+      }
+      base.select(lit(name).as("ColName"), col("RowCnt"), col("NullCnt"),
+        col("DistinctCnt"), minNum.as("MinNum"), maxNum.as("MaxNum"),
+        minStr.as("MinStr"), maxStr.as("MaxStr"))
+    }
+    Seq(
+      branch("l_orderkey", "num"),
+      branch("l_quantity", "num"),
+      branch("l_extendedprice", "num"),
+      branch("l_discount", "num"),
+      branch("l_returnflag", "str"),
+      branch("l_shipdate", "date"))
+      .reduce(_.union(_))
+      .transform(Summaries.smallSort(_, col("ColName")))
+  }
+
   /** Relative-standing windows (percent_rank / cume_dist) over the
     * daily revenue aggregate — the remaining ranking family beyond
     * row_number/ntile/rank-limit already covered. Global window on

@@ -1007,6 +1007,53 @@ GROUP BY ROLLUP("Country", "Year")
 ORDER BY "GroupingId", "Country" ASC NULLS FIRST, "Year" ASC NULLS FIRST
 """
 
+  /** Oracle for the skew-salted join is the PLAIN unsalted join — a
+    * hash match proves the salting rewrite is invisible to results. */
+  val skewSaltedJoin: String = CoreSql.txnCte + """
+, dim AS (
+  SELECT "Country", sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS crev
+  FROM sales GROUP BY "Country"
+), cust AS (
+  SELECT s."Country", s."CustomerID",
+         sum(CAST(s."TotalAmount" AS DECIMAL(18,4))) AS custrev,
+         max(d.crev) AS crev
+  FROM sales s JOIN dim d ON s."Country" = d."Country"
+  GROUP BY s."Country", s."CustomerID"
+)
+SELECT "Country", "CustomerID", CAST(custrev AS DOUBLE) AS "CustRevenue",
+       CAST(custrev AS DOUBLE) / CAST(crev AS DOUBLE) AS "CountryShare"
+FROM cust ORDER BY "Country", "CustomerID"
+"""
+
+  /** One UNION ALL branch of the [[profileTable]] oracle. */
+  private def profCol(name: String, kind: String): String = {
+    val mnmx = kind match {
+      case "num" =>
+        s"""CAST(min($name) AS DOUBLE) AS "MinNum", CAST(max($name) AS DOUBLE) AS "MaxNum", CAST(NULL AS VARCHAR) AS "MinStr", CAST(NULL AS VARCHAR) AS "MaxStr""""
+      case "str" =>
+        s"""CAST(NULL AS DOUBLE) AS "MinNum", CAST(NULL AS DOUBLE) AS "MaxNum", min($name) AS "MinStr", max($name) AS "MaxStr""""
+      case "date" =>
+        s"""CAST(NULL AS DOUBLE) AS "MinNum", CAST(NULL AS DOUBLE) AS "MaxNum", CAST(CAST(min($name) AS DATE) AS VARCHAR) AS "MinStr", CAST(CAST(max($name) AS DATE) AS VARCHAR) AS "MaxStr""""
+    }
+    s"""  SELECT '$name' AS "ColName", count(*) AS "RowCnt", count(*) - count($name) AS "NullCnt", count(DISTINCT $name) AS "DistinctCnt", $mnmx FROM lineitem"""
+  }
+
+  val profileTable: String = Seq(
+    profCol("l_orderkey", "num"), profCol("l_quantity", "num"),
+    profCol("l_extendedprice", "num"), profCol("l_discount", "num"),
+    profCol("l_returnflag", "str"), profCol("l_shipdate", "date"))
+    .mkString("WITH p AS (\n", "\n  UNION ALL\n", "\n)\nSELECT * FROM p ORDER BY \"ColName\"")
+
+  val cubeCountryYear: String = CoreSql.txnCte + """
+SELECT "Country", "Year",
+       CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS DOUBLE) AS "TotalRevenue",
+       count(DISTINCT "InvoiceNo") AS "TotalOrders",
+       CAST(GROUPING("Country", "Year") AS BIGINT) AS "GroupingId"
+FROM sales
+GROUP BY CUBE("Country", "Year")
+ORDER BY "GroupingId", "Country" ASC NULLS FIRST, "Year" ASC NULLS FIRST
+"""
+
   val groupingSetsCountryYear: String = CoreSql.txnCte + """
 SELECT "Country", "Year",
        CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS DOUBLE) AS "TotalRevenue",

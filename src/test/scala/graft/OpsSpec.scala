@@ -579,6 +579,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cube: leaves reconcile with subtotals and the grand total") {
+    val rows = graft.ops.RelationalOps.cubeCountryYear(spark, sfDir).collect()
+    def revOf(gid: Long) = rows.filter(_.getAs[Long]("GroupingId") == gid)
+      .map(_.getAs[Double]("TotalRevenue")).sum
+    val grand = rows.filter(_.getAs[Long]("GroupingId") == 3L)
+    assert(grand.length === 1)
+    // each subtotal shape sums to the grand total (doubles cast from
+    // the same exact decimals → equality within fp-sum tolerance)
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(math.abs(revOf(gid) - grand.head.getAs[Double]("TotalRevenue"))
+        < 1e-6 * revOf(gid), s"grouping set $gid does not reconcile")
+    }
+    val countries = rows.filter(_.getAs[Long]("GroupingId") == 1L).length
+    val years = rows.filter(_.getAs[Long]("GroupingId") == 2L).length
+    val leaves = rows.filter(_.getAs[Long]("GroupingId") == 0L).length
+    assert(rows.length === leaves + countries + years + 1)
+  }
+
+  test("profile: per-column stats agree with direct queries") {
+    val li = graft.etl.Tables.lineitem(spark, sfDir)
+    val n = li.count()
+    val rows = graft.ops.RelationalOps.profileTable(spark, sfDir).collect()
+      .map(r => r.getAs[String]("ColName") -> r).toMap
+    assert(rows.size === 6)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("RowCnt") === n)
+      assert(r.getAs[Long]("NullCnt") === 0L)
+    }
+    val rf = rows("l_returnflag")
+    assert(rf.getAs[Long]("DistinctCnt") ===
+      li.select(col("l_returnflag")).distinct().count())
+    assert(rf.getAs[String]("MinStr") === "A" && rf.getAs[String]("MaxStr") === "R")
+    val qty = rows("l_quantity")
+    assert(qty.getAs[Double]("MinNum") === 1.0 && qty.getAs[Double]("MaxNum") === 50.0)
+    assert(rows("l_shipdate").getAs[String]("MinStr").matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
+
   test("similarity: invalidateQuantized deletes the persisted IVF index and the next query rebuilds it") {
     import java.nio.file.{Files, Paths}
     val base = SimilarityOps.ivfIndexPath(spark, sfDir)

@@ -78,6 +78,61 @@ class SkewSpec extends SparkSpec {
       "flood pairs leaked through the cap")
   }
 
+  test("salted join: identical to the plain join, no broadcast, salt in the keys") {
+    import org.apache.spark.sql.functions._
+    val salted = RelationalOps.skewSaltedJoin(spark, skewDir)
+    val rows = salted.collect()
+    val plan = salted.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    // assert on the query's own operators only: the cleaned-corpus
+    // cache (InMemoryRelation) embeds its OWN build plan — including
+    // the star join's legitimate broadcasts — in the plan string
+    val own = plan.split("InMemoryRelation").head
+    assert(!own.contains("BroadcastHashJoin"),
+      s"dim side was broadcast — the salted path must model the fat-dim shape:\n$own")
+    val shjLine = own.linesIterator.find(_.contains("ShuffledHashJoin"))
+    assert(shjLine.nonEmpty, s"expected a shuffled hash join:\n$own")
+    assert(shjLine.get.contains("salt"), s"join keys carry no salt: ${shjLine.get}")
+
+    // plain unsalted mirror built inline — values must be identical
+    val sales = graft.etl.Transactions.cleaned(spark, skewDir)
+      .filter(!col("IsCancelled"))
+      .select(col("Country"), col("CustomerID"), col("TotalAmount"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    val dim = sales.groupBy(col("Country"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("CountryRevDec"))
+    val plain = sales.join(dim, Seq("Country"))
+      .groupBy(col("Country"), col("CustomerID"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("CustRevDec"),
+        max(col("CountryRevDec")).as("CRev"))
+      .select(col("Country"), col("CustomerID"),
+        col("CustRevDec").cast("double").as("CustRevenue"),
+        (col("CustRevDec").cast("double") / col("CRev").cast("double")).as("CountryShare"))
+      .orderBy(col("Country"), col("CustomerID"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq,
+      "salted join changed results vs the plain join")
+
+    // the split bound salting exists for: every hot key fans out into
+    // sub-keys strictly smaller than the unsalted hot key
+    val perKey = sales.groupBy(col("Country")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hottest = perKey.maxBy(_._2)
+    val perSub = sales
+      .withColumn("salt", pmod(hash(col("CustomerID")), lit(RelationalOps.SaltBuckets)))
+      .groupBy(col("Country"), col("salt")).count()
+      .filter(col("Country") === hottest._1)
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perSub < hottest._2,
+      s"salting did not split the hottest key: $perSub vs ${hottest._2}")
+    assert(perSub <= hottest._2 / (RelationalOps.SaltBuckets / 4),
+      s"salt distribution badly unbalanced: max sub-key $perSub of ${hottest._2} total")
+  }
+
   test("AQE splits the skewed partition and preserves results") {
     var skewRows: Array[org.apache.spark.sql.Row] = null
     var plan: String = null
