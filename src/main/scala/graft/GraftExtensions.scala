@@ -45,7 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("zorder_long", "Morton (Z-order) interleave of normalized bigint dims",
       es => ZOrderLong(es.head)),
     ("rolling_chunks", "md5s of content-defined (rolling-hash) chunks of text",
-      es => RollingChunks(es.head)))
+      es => RollingChunks(es.head)),
+    ("misra_gries", "mergeable Misra-Gries frequent-items summary (col, k)",
+      es => MisraGriesTopK(es(0), SketchAggregates.intLit(es(1), "misra_gries(col, k)"))),
+    ("bloom_build", "Bloom-filter bitset over bigint keys (col, log2Bits)",
+      es => BloomBuildAgg(es(0), SketchAggregates.intLit(es(1), "bloom_build(col, log2Bits)"))),
+    ("bloom_contains", "membership probe against a bloom_build bitset",
+      es => BloomMightContain(es(0), es(1))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

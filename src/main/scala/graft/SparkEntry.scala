@@ -111,6 +111,9 @@ object SparkEntry {
     "cube_country_year" -> (RelationalOps.cubeCountryYear _),
     "profile_table" -> (RelationalOps.profileTable _),
     "join_skew_salted" -> (RelationalOps.skewSaltedJoin _),
+    "sketch_heavy_hitters" -> (RelationalOps.heavyHitters _),
+    "join_bloom_pruned" -> (RelationalOps.bloomPrunedJoin _),
+    "timeseries_gapfill" -> (RelationalOps.gapfillDaily _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
@@ -194,6 +197,9 @@ object SparkEntry {
     "cube_country_year" -> ExtSql.cubeCountryYear,
     "profile_table" -> ExtSql.profileTable,
     "join_skew_salted" -> ExtSql.skewSaltedJoin,
+    "sketch_heavy_hitters" -> ExtSql.heavyHitters,
+    "join_bloom_pruned" -> ExtSql.bloomPrunedJoin,
+    "timeseries_gapfill" -> ExtSql.gapfillDaily,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,

@@ -231,4 +231,34 @@ object ExprKernels {
       if (minHash == null) null else UTF8String.fromString(minHash),
       sh.size()))
   }
+
+  /** Set the 4 double-hashed Bloom bits for `key` in a long-packed
+    * bitset whose length is a power of two ([[SketchAggregates]]). */
+  def bloomSet(bits: Array[Long], key: Long): Unit = {
+    val mask = (bits.length.toLong << 6) - 1
+    val h1 = SketchAggregates.mix64(key)
+    val h2 = SketchAggregates.mix64(key ^ 0x9E3779B97F4A7C15L) | 1L
+    var i = 0
+    while (i < SketchAggregates.NumHashes) {
+      val bit = (h1 + i.toLong * h2) & mask
+      bits((bit >>> 6).toInt) |= 1L << (bit & 63)
+      i += 1
+    }
+  }
+
+  /** Probe the same 4 bits against a LITTLE_ENDIAN byte image of the
+    * bitset (the BINARY produced by `bloom_build`) — byte-addressed so
+    * the codegen path probes the broadcast bytes with no copy. */
+  def bloomContains(bytes: Array[Byte], key: Long): Boolean = {
+    val mask = (bytes.length.toLong << 3) - 1
+    val h1 = SketchAggregates.mix64(key)
+    val h2 = SketchAggregates.mix64(key ^ 0x9E3779B97F4A7C15L) | 1L
+    var i = 0
+    while (i < SketchAggregates.NumHashes) {
+      val bit = (h1 + i.toLong * h2) & mask
+      if ((bytes((bit >>> 3).toInt) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 }

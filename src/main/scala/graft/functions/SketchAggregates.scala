@@ -1,0 +1,284 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable one-pass sketch AGGREGATES — the third extension tier
+  * after scalar expressions (ExprKernels) and window/plan rules:
+  * `TypedImperativeAggregate`s with an arbitrary Java object as the
+  * aggregation buffer, executed by `ObjectHashAggregateExec` with
+  * partial aggregation per input partition and a binary-serialized
+  * buffer across the exchange. The driver never sees raw rows — only
+  * O(k) summaries — which is what makes these the 100 TB shape for
+  * frequency and membership questions over arbitrary key domains.
+  *
+  * [[MisraGriesTopK]]: the Misra-Gries frequent-items summary
+  * (public algorithm; mergeable form per Agarwal et al., "Mergeable
+  * Summaries", PODS'12). Capacity k; on overflow the (k+1)-th
+  * largest count is subtracted from every counter and non-positive
+  * entries drop. Total decrement across any update/merge order is
+  * ≤ N/(k+1), giving the two guarantees the heavy-hitters operator
+  * builds on: `true - N/(k+1) ≤ est ≤ true`, and every item with
+  * true count > N/(k+1) is present in the summary — regardless of
+  * partitioning or merge order.
+  *
+  * [[BloomBuildAgg]] / [[BloomMightContain]]: a from-scratch Bloom
+  * filter over BIGINT keys (splitmix64 double hashing, power-of-two
+  * bit count, OR-merge). Build is an aggregate over the small/dim
+  * side; membership is a scalar codegen'd expression applied to the
+  * fact side BEFORE its shuffle — the classic semi-join pruning
+  * pattern where only ~selectivity·N rows ever reach the exchange,
+  * and the exact join afterwards removes the false positives.
+  */
+object SketchAggregates {
+
+  /** Register SQL-callable names on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("misra_gries",
+      es => MisraGriesTopK(es(0), intLit(es(1), "misra_gries(col, k)")), "built-in")
+    reg.createOrReplaceTempFunction("bloom_build",
+      es => BloomBuildAgg(es(0), intLit(es(1), "bloom_build(col, log2Bits)")), "built-in")
+    reg.createOrReplaceTempFunction("bloom_contains",
+      es => BloomMightContain(es(0), es(1)), "built-in")
+  }
+
+  private[graft] def intLit(e: Expression, usage: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$usage requires a literal int parameter, got $other")
+  }
+
+  /** splitmix64 finalizer — a public-domain 64-bit mixer; two
+    * independent streams via distinct pre-xor constants give the
+    * (h1 + i·h2) double-hashing family. */
+  private[functions] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[functions] val NumHashes = 4
+}
+
+/** Misra-Gries top-k frequent-items summary over a string column.
+  * Returns `array<struct<item:string, est:bigint>>` sorted by
+  * estimate descending then item — estimates depend on merge order
+  * (like any MG summary) but the membership guarantee above does
+  * not, which is what [[graft.ops.RelationalOps.heavyHitters]]'s
+  * exact-confirm second pass relies on for oracle-identical output. */
+case class MisraGriesTopK(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k >= 1, s"misra_gries capacity must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires a string column, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // UTF8String buffers are reused by the scan — materialize a key
+      val s = v.asInstanceOf[UTF8String].toString
+      buf.get(s) match {
+        case Some(c) => buf.update(s, c + 1L)
+        case None =>
+          buf.update(s, 1L)
+          if (buf.size > k) compact(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (s, c) =>
+      buf.update(s, buf.getOrElse(s, 0L) + c)
+    }
+    if (buf.size > k) compact(buf)
+    buf
+  }
+
+  /** Subtract the (k+1)-th largest count from every entry and drop
+    * non-positives — the mergeable-summaries compaction. Leaves at
+    * most k entries (everything at or below the pivot drops). */
+  private def compact(buf: mutable.HashMap[String, Long]): Unit = {
+    val counts = buf.values.toArray
+    java.util.Arrays.sort(counts)
+    val q = counts(counts.length - k - 1) // (k+1)-th largest
+    buf.filterInPlace((_, c) => c > q)
+    buf.mapValuesInPlace((_, c) => c - q)
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toArray.sortBy { case (s, c) => (-c, s) }
+    new GenericArrayData(sorted.map { case (s, c) =>
+      InternalRow(UTF8String.fromString(s), c)
+    })
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.update(new String(b, StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesTopK =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesTopK =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "misra_gries"
+}
+
+/** Bloom-filter BUILD aggregate over a BIGINT key column: a 2^log2Bits
+  * bitset as packed longs, 4 double-hashed probes per key, OR-merge
+  * across partials. Returns the bitset as BINARY (8·2^(log2Bits-6)
+  * bytes) — small enough to ride a 1-row broadcast to every fact
+  * task. */
+case class BloomBuildAgg(
+    child: Expression,
+    log2Bits: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(log2Bits >= 6 && log2Bits <= 30,
+    s"bloom_build log2Bits must be in [6,30], got $log2Bits")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_build requires a bigint column, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](1 << (log2Bits - 6))
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) ExprKernels.bloomSet(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bytes = new Array[Byte](buf.length * 8)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().put(buf)
+    bytes
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "bloom_build"
+}
+
+/** Scalar membership probe against a `bloom_build` bitset: false
+  * means DEFINITELY absent (safe to drop before the shuffle), true
+  * means possibly present (the exact join downstream resolves it).
+  * Real `doGenCode` via the shared [[ExprKernels.bloomContains]]
+  * static kernel, so the fact-side Filter stays inside whole-stage
+  * codegen — this expression sits on the 100 TB hot path. */
+case class BloomMightContain(bloom: Expression, key: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = bloom
+  override def right: Expression = key
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bloom.dataType == BinaryType && key.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains requires (binary, bigint), got " +
+        s"(${bloom.dataType.simpleString}, ${key.dataType.simpleString})")
+
+  override protected def nullSafeEval(b: Any, k: Any): Any =
+    ExprKernels.bloomContains(b.asInstanceOf[Array[Byte]], k.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, k) =>
+      s"${ev.value} = graft.functions.ExprKernels.bloomContains($b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(bloom = newLeft, key = newRight)
+}

@@ -187,6 +187,101 @@ object RelationalOps {
       .transform(Summaries.smallSort(_, col("ColName")))
   }
 
+  /** Heavy-hitter threshold: report countries carrying ≥ 3% of all
+    * sale lines. The Misra-Gries capacity (64 > 1/0.03) guarantees
+    * every qualifying key survives the sketch. */
+  private[graft] val HhK = 64
+  private[graft] val HhPhiPct = 3
+
+  /** Heavy hitters (frequent items) — the two-pass sketch-then-confirm
+    * architecture: pass 1 is ONE mergeable aggregate computing the
+    * [[graft.functions.MisraGriesTopK]] summary and the exact row
+    * count together (O(k) state per partition, O(k) bytes over the
+    * exchange — the driver never sees per-key counts); pass 2 counts
+    * ONLY rows whose key is in the ≤ k-item candidate list (broadcast
+    * inner join), so its hash state is O(k) no matter how many
+    * distinct keys the corpus has — the reason to sketch at all: an
+    * exact groupBy at 100 TB carries every distinct key through the
+    * shuffle, this carries ≤ k + the candidate rows.
+    *
+    * The MG guarantee (any item with true count > N/(k+1) is in the
+    * summary, for ANY partitioning/merge order) means candidates ⊇
+    * all keys ≥ φN, and the exact confirm filter removes the sketch's
+    * false positives — so the output is bit-identical to the exact
+    * heavy-hitters oracle even though the sketch itself is
+    * approximate and merge-order-dependent. Integer threshold
+    * arithmetic (Cnt·100 ≥ φpct·N) keeps the filter fp-free. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchAggregates.register(spark)
+    val sales = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .select(col("Country"))
+    val sketch = sales.agg(
+      expr(s"misra_gries(Country, $HhK)").as("Sk"),
+      count(lit(1)).as("N"))
+    val candidates = sketch
+      .select(col("N"), explode(col("Sk")).as("hh"))
+      .select(col("hh.item").as("Country"), col("N"))
+    sales
+      .join(broadcast(candidates), Seq("Country"))
+      .groupBy(col("Country"))
+      .agg(count(lit(1)).as("Cnt"), max(col("N")).as("NTot"))
+      .filter(col("Cnt") * 100 >= lit(HhPhiPct) * col("NTot"))
+      .select(col("Country"), col("Cnt"),
+        (col("Cnt").cast(DoubleType) / col("NTot").cast(DoubleType)).as("Share"))
+      .orderBy(col("Cnt").desc, col("Country"))
+  }
+
+  /** Bloom-pruned semi join: revenue of line items belonging to
+    * URGENT orders. The dim side (filtered orders keys) builds a
+    * [[graft.functions.BloomBuildAgg]] bitset in one aggregate — 64 KB
+    * at 2^19 bits — which ships to every fact task as a plan literal;
+    * `bloom_contains` drops ~(1 - selectivity) of fact rows BEFORE
+    * the shuffle, inside the scan's WholeStageCodegen filter. The
+    * exact left-semi join downstream (shuffle_hash-hinted to model
+    * the fat-dim shape where broadcast is impossible) removes the
+    * bloom's false positives, so results are bit-identical to the
+    * plain semi-join oracle — same rewrite-invisible-to-results
+    * contract as [[skewSaltedJoin]]. At 100 TB this is the pattern
+    * for every selective fact⋈dim: shuffle 20% of the fact table
+    * instead of 100% for the cost of one broadcast bitset. Spark's
+    * own runtime bloom (`runtime.bloomFilter.enabled`) does this
+    * opportunistically; the explicit form is deterministic, sized by
+    * the caller, and survives plans AQE won't rewrite.
+    *
+    * The bitset is built by a DISTRIBUTED aggregate (partials per
+    * dim partition, OR-merge); only the final 64 KB passes through
+    * the driver into a literal on the fact filter — the same route
+    * Spark's own dynamic-pruning/runtime filters take when they
+    * collect the build side's summary. Attaching it as a literal
+    * rather than a 1-row cross join is what pins the filter BELOW
+    * the semi join: a join-backed bloom column is join-reordering
+    * bait (the optimizer rewrote it into a BroadcastNestedLoopJoin
+    * ABOVE the semi join — pruning after the shuffle it exists to
+    * shrink), while a literal filter sits in the scan's own
+    * WholeStageCodegen stage. SketchSpec asserts the below-the-join
+    * plan shape. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchAggregates.register(spark)
+    val dimKeys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloomBytes = dimKeys
+      .agg(expr("bloom_build(o_orderkey, 19)").as("BF"))
+      .head().getAs[Array[Byte]](0)
+    val l = Tables.lineitem(spark, dir)
+    val revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec)
+    l.filter(call_function("bloom_contains", lit(bloomBytes), col("l_orderkey")))
+      .join(dimKeys.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag").as("ReturnFlag"))
+      .agg(
+        sum(revenue).cast(DoubleType).as("Revenue"),
+        count(lit(1)).as("Lines"),
+        sum(col("l_quantity").cast(LongType)).as("Qty"))
+      .transform(Summaries.smallSort(_, col("ReturnFlag")))
+  }
+
   /** Relative-standing windows (percent_rank / cume_dist) over the
     * daily revenue aggregate — the remaining ranking family beyond
     * row_number/ntile/rank-limit already covered. Global window on
@@ -203,6 +298,54 @@ object RelationalOps {
     daily.select(col("Date"), col("RevDec").cast(DoubleType).as("Revenue"),
         percent_rank().over(w).as("PctRank"),
         cume_dist().over(w).as("CumeDist"))
+      .transform(Summaries.smallSort(_, col("Date")))
+  }
+
+  /** Time-series densify + forward fill (gap fill): the daily sales
+    * of the single top-revenue product over the FULL corpus calendar —
+    * every date between the corpus' first and last sale day gets a
+    * row, gap days carry NULL revenue, and `FilledRevenue` repeats
+    * the last observed value (`last(_, ignoreNulls)` over the running
+    * frame — pandas `ffill` / ANSI `LAST_VALUE IGNORE NULLS`).
+    * `DaysSinceSale` is the staleness of the fill (0 on observed
+    * days); leading calendar days before the product's first sale
+    * stay NULL end-to-end — the fill never invents data.
+    *
+    * Scale shape: the fact scan + per-day aggregate are the only
+    * passes over raw data; densify/fill run on the POST-AGGREGATION
+    * frame (≤ #days rows — kilobytes at any corpus size), where the
+    * calendar `sequence`+`explode` and the unpartitioned running
+    * window are free. For per-key gap fill at scale the same plan
+    * partitions the calendar cross join by key and the window by
+    * `partitionBy(key)` — nothing in the shape is tied to one
+    * series. */
+  def gapfillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val sales = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+    val top = sales.groupBy(col("StockCode"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("R"))
+      .orderBy(col("R").desc, col("StockCode"))
+      .limit(1).select(col("StockCode"))
+    val perDay = sales.join(broadcast(top), "StockCode")
+      .groupBy(col("Date"))
+      .agg(sum(col("TotalAmount").cast(dec)).as("RevDec"),
+        lit(true).as("Obs"))
+    val cal = sales.agg(min(col("Date")).as("mn"), max(col("Date")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 day"))).as("Date"))
+    val w = Window.orderBy(col("Date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(perDay, Seq("Date"), "left")
+      .withColumn("Observed", coalesce(col("Obs"), lit(false)))
+      .withColumn("Revenue", col("RevDec").cast(DoubleType))
+      .withColumn("FilledRevenue",
+        last(col("RevDec"), ignoreNulls = true).over(w).cast(DoubleType))
+      .withColumn("CumRevenue",
+        sum(coalesce(col("RevDec"), lit(0).cast(dec))).over(w).cast(DoubleType))
+      .withColumn("DaysSinceSale", datediff(col("Date"),
+        last(when(col("Observed"), col("Date")), ignoreNulls = true).over(w)))
+      .select(col("Date"), col("Observed"), col("Revenue"),
+        col("FilledRevenue"), col("CumRevenue"), col("DaysSinceSale"))
       .transform(Summaries.smallSort(_, col("Date")))
   }
 

@@ -1025,6 +1025,66 @@ SELECT "Country", "CustomerID", CAST(custrev AS DOUBLE) AS "CustRevenue",
 FROM cust ORDER BY "Country", "CustomerID"
 """
 
+  /** Oracle for the sketch-then-confirm heavy hitters is the EXACT
+    * heavy-hitter set — the Misra-Gries guarantee (candidates ⊇ all
+    * keys ≥ φN) plus the exact confirm pass makes the sketch path
+    * bit-identical to it. Integer threshold arithmetic on both sides. */
+  val heavyHitters: String = CoreSql.txnCte + s"""
+, tot AS (SELECT count(*) AS n FROM sales)
+, cnt AS (SELECT "Country", count(*) AS c FROM sales GROUP BY "Country")
+SELECT "Country", c AS "Cnt", CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS "Share"
+FROM cnt, tot
+WHERE c * 100 >= ${graft.ops.RelationalOps.HhPhiPct} * n
+ORDER BY "Cnt" DESC, "Country"
+"""
+
+  /** Oracle for the bloom-pruned join is the PLAIN semi join — the
+    * exact join after the bloom pre-filter removes every false
+    * positive, so the pruning rewrite is invisible to results. */
+  val bloomPrunedJoin: String = """
+SELECT l_returnflag AS "ReturnFlag",
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS "Revenue",
+       count(*) AS "Lines",
+       sum(CAST(l_quantity AS BIGINT)) AS "Qty"
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY "ReturnFlag"
+"""
+
+  /** Gap-fill mirror: DuckDB `generate_series` densifies the corpus
+    * calendar and `LAST_VALUE ... IGNORE NULLS` is the ANSI spelling
+    * of the running forward fill; revenue stays an exact decimal sum
+    * until the final DOUBLE cast on both sides. */
+  val gapfillDaily: String = CoreSql.txnCte + """,
+top1 AS (
+  SELECT "StockCode" FROM sales GROUP BY "StockCode"
+  ORDER BY sum(CAST("TotalAmount" AS DECIMAL(18,4))) DESC, "StockCode" LIMIT 1
+),
+pd AS (
+  SELECT "Date", sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS rev
+  FROM sales JOIN top1 USING ("StockCode") GROUP BY "Date"
+),
+ext AS (SELECT min("Date") AS mn, max("Date") AS mx FROM sales),
+cal AS (
+  SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                     CAST(mx AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+  FROM ext
+)
+SELECT d AS "Date",
+       (pd."Date" IS NOT NULL) AS "Observed",
+       CAST(rev AS DOUBLE) AS "Revenue",
+       CAST(last_value(rev IGNORE NULLS) OVER w AS DOUBLE) AS "FilledRevenue",
+       CAST(sum(coalesce(rev, 0)) OVER w AS DOUBLE) AS "CumRevenue",
+       CAST(datediff('day',
+              last_value(CASE WHEN pd."Date" IS NOT NULL THEN d END IGNORE NULLS) OVER w,
+              d) AS INTEGER) AS "DaysSinceSale"
+FROM cal LEFT JOIN pd ON pd."Date" = cal.d
+WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY "Date"
+"""
+
   /** One UNION ALL branch of the [[profileTable]] oracle. */
   private def profCol(name: String, kind: String): String = {
     val mnmx = kind match {

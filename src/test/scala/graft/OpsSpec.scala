@@ -616,6 +616,45 @@ class OpsSpec extends SparkSpec {
     assert(rows("l_shipdate").getAs[String]("MinStr").matches("\\d{4}-\\d{2}-\\d{2}"))
   }
 
+  test("timeseries: gapfill densifies the calendar and forward-fills exactly the observed values") {
+    import graft.ops.RelationalOps
+    val rows = RelationalOps.gapfillDaily(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // dense calendar: consecutive dates, no holes, no duplicates
+    val dates = rows.map(_.getDate(0).toLocalDate)
+    dates.sliding(2).foreach { case Array(a, b) =>
+      assert(b === a.plusDays(1), s"calendar hole between $a and $b")
+    }
+    // a single product over the full corpus calendar must have gaps —
+    // otherwise this query isn't exercising the fill at all
+    val observed = rows.filter(_.getBoolean(1))
+    assert(observed.length < rows.length, "no gap days: fill untested")
+    assert(observed.nonEmpty)
+    // forward fill: FilledRevenue carries the last observed Revenue;
+    // NULL before the first observation, never after
+    var lastRev: Option[Double] = None
+    var lastDate: Option[java.time.LocalDate] = None
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      if (r.getBoolean(1)) {
+        assert(!r.isNullAt(2))
+        lastRev = Some(r.getDouble(2)); lastDate = Some(d)
+      } else assert(r.isNullAt(2), s"unobserved day $d has non-null Revenue")
+      (lastRev, lastDate) match {
+        case (Some(rev), Some(ld)) =>
+          assert(r.getDouble(3) === rev, s"fill mismatch at $d")
+          assert(r.getInt(5) === java.time.temporal.ChronoUnit.DAYS.between(ld, d).toInt)
+        case _ =>
+          assert(r.isNullAt(3), s"fill invented data before first sale at $d")
+          assert(r.isNullAt(5))
+      }
+    }
+    // cumulative revenue is monotone and ends at the total of observed
+    val cums = rows.map(_.getDouble(4))
+    cums.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    assert(math.abs(cums.last - observed.map(_.getDouble(2)).sum) < 1e-6)
+  }
+
   test("similarity: invalidateQuantized deletes the persisted IVF index and the next query rebuilds it") {
     import java.nio.file.{Files, Paths}
     val base = SimilarityOps.ivfIndexPath(spark, sfDir)

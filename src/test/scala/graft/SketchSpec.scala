@@ -63,4 +63,107 @@ class SketchSpec extends SparkSpec {
       rankOk(r.getAs[Double]("p90"), 0.9, "p90")
     }
   }
+
+  test("misra_gries: MG guarantees hold under compaction and arbitrary merge order") {
+    graft.functions.SketchAggregates.register(spark)
+    val sales = Transactions.cleaned(spark, sfDir)
+      .filter(!col("IsCancelled"))
+      .select(col("Country"))
+    val exact = sales.groupBy(col("Country")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 4 // far below the ~25 distinct countries: forces compaction
+    // two different partitionings must both satisfy the bounds
+    Seq(sales.repartition(13), sales.repartition(3)).foreach { src =>
+      val sk = src.agg(expr(s"misra_gries(Country, $k)").as("Sk"))
+        .select(explode(col("Sk")).as("e"))
+        .select(col("e.item"), col("e.est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= k, s"summary exceeded capacity: ${sk.size} > $k")
+      val err = n / (k + 1)
+      sk.foreach { case (item, est) =>
+        val t = exact(item)
+        assert(est <= t, s"$item overestimated: $est > $t")
+        assert(est >= t - err, s"$item undershot the MG bound: $est < $t - $err")
+      }
+      exact.filter(_._2 > err).keys.foreach { hot =>
+        assert(sk.contains(hot), s"guaranteed heavy item $hot missing from summary")
+      }
+    }
+  }
+
+  test("sketch_heavy_hitters: identical to the exact heavy-hitter set, sketch-candidate confirm plan") {
+    val got = RelationalOps.heavyHitters(spark, sfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty, "no heavy hitters at the 3% threshold — threshold miscalibrated")
+    val sales = Transactions.cleaned(spark, sfDir)
+      .filter(!col("IsCancelled")).select(col("Country"))
+    val n = sales.count()
+    val expect = sales.groupBy(col("Country")).count()
+      .filter(col("count") * 100 >= lit(RelationalOps.HhPhiPct) * n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("Cnt")).toMap === expect)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("Share") -
+        r.getAs[Long]("Cnt").toDouble / n) < 1e-12)
+    }
+    // descending-count order with the Country tiebreak
+    val cnts = rows.map(_.getAs[Long]("Cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse, "not ordered by count desc")
+    // the confirm pass aggregates candidates only: broadcast join present
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "MG summary should run in ObjectHashAggregateExec")
+  }
+
+  test("bloom kernel: zero false negatives, bounded false positives") {
+    val bits = new Array[Long](1 << (19 - 6))
+    val keys = (0L until 20000L).map(i => i * 2654435761L + 17)
+    keys.foreach(graft.functions.ExprKernels.bloomSet(bits, _))
+    val bytes = new Array[Byte](bits.length * 8)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().put(bits)
+    keys.foreach { k =>
+      assert(graft.functions.ExprKernels.bloomContains(bytes, k),
+        s"false negative for inserted key $k")
+    }
+    val probes = (1L to 20000L).map(i => -i * 40503L - 7)
+    val fp = probes.count(graft.functions.ExprKernels.bloomContains(bytes, _))
+    assert(fp < probes.size * 0.02,
+      s"false-positive rate too high: $fp / ${probes.size}")
+  }
+
+  test("join_bloom_pruned: identical to the plain semi join, filter below the shuffle") {
+    val got = RelationalOps.bloomPrunedJoin(spark, sfDir)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    val plain = {
+      val dimKeys = graft.etl.Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      graft.etl.Tables.lineitem(spark, sfDir)
+        .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag").as("ReturnFlag"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+            .cast("double").as("Revenue"),
+          count(lit(1)).as("Lines"),
+          sum(col("l_quantity").cast("long")).as("Qty"))
+        .orderBy(col("ReturnFlag")).collect()
+    }
+    assert(rows.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq,
+      "bloom pruning changed results vs the plain semi join")
+    // plan shape: the bloom_contains filter must sit BELOW the semi
+    // join (fact side pre-filtered before its exchange)
+    val plan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    val joinAt = plan.indexOf("LeftSemi")
+    val filterAt = plan.indexOf("bloom_contains")
+    assert(joinAt >= 0, s"expected a left-semi join:\n$plan")
+    assert(filterAt > joinAt,
+      s"bloom_contains filter not below the semi join in the plan tree:\n$plan")
+  }
 }
