@@ -51,7 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("bloom_build", "Bloom-filter bitset over bigint keys (col, log2Bits)",
       es => BloomBuildAgg(es(0), SketchAggregates.intLit(es(1), "bloom_build(col, log2Bits)"))),
     ("bloom_contains", "membership probe against a bloom_build bitset",
-      es => BloomMightContain(es(0), es(1))))
+      es => BloomMightContain(es(0), es(1))),
+    ("kmv_kmin", "k smallest distinct bigints — KMV bottom-k sketch (col, k)",
+      es => KMinValues(es(0), SketchAggregates.intLit(es(1), "kmv_kmin(col, k)"))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>

@@ -114,6 +114,8 @@ object SparkEntry {
     "sketch_heavy_hitters" -> (RelationalOps.heavyHitters _),
     "join_bloom_pruned" -> (RelationalOps.bloomPrunedJoin _),
     "timeseries_gapfill" -> (RelationalOps.gapfillDaily _),
+    "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
+    "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
@@ -200,6 +202,8 @@ object SparkEntry {
     "sketch_heavy_hitters" -> ExtSql.heavyHitters,
     "join_bloom_pruned" -> ExtSql.bloomPrunedJoin,
     "timeseries_gapfill" -> ExtSql.gapfillDaily,
+    "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
+    "sample_bottomk" -> ExtSql.sampleBottomK,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,

@@ -52,6 +52,8 @@ object SketchAggregates {
       es => BloomBuildAgg(es(0), intLit(es(1), "bloom_build(col, log2Bits)")), "built-in")
     reg.createOrReplaceTempFunction("bloom_contains",
       es => BloomMightContain(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("kmv_kmin",
+      es => KMinValues(es(0), intLit(es(1), "kmv_kmin(col, k)")), "built-in")
   }
 
   private[graft] def intLit(e: Expression, usage: String): Int = e match {
@@ -180,6 +182,95 @@ case class MisraGriesTopK(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
   override def prettyName: String = "misra_gries"
+}
+
+/** KMV (k-minimum-values) bottom-k sketch: keeps the k SMALLEST
+  * DISTINCT values of a BIGINT column in O(k) state per partition —
+  * the mergeable core of both deterministic uniform sampling (hash a
+  * key, keep the bottom k — every executor proposes its local bottom
+  * k, merges are set-union-then-trim, any merge order yields the
+  * same set) and the classic KMV distinct-count estimator
+  * (Bar-Yossef et al. 2002: with U_k = kth smallest hash mapped to
+  * (0,1), E[distinct] ≈ (k−1)/U_k, σ ≈ 1/√(k−2)). Returns the kept
+  * values ascending — element k (if present) IS the kth order
+  * statistic. Unlike `orderBy(h).limit(k)` on DISTINCT keys (whose
+  * distinct pass shuffles every distinct key), the whole sketch
+  * crosses the exchange as ≤ k longs per partial. */
+case class KMinValues(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 1, s"kmv_kmin capacity must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_kmin requires a bigint column, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) { if (buf.add(v)) { buf.pollLast(); () } }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KMinValues =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KMinValues =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_kmin"
 }
 
 /** Bloom-filter BUILD aggregate over a BIGINT key column: a 2^log2Bits

@@ -282,6 +282,68 @@ object RelationalOps {
       .transform(Summaries.smallSort(_, col("ReturnFlag")))
   }
 
+  private[graft] val KmvK = 256
+  private[graft] val SampleK = 200
+
+  /** KMV distinct-count sketch vs the exact count, in one result row.
+    * The key's 48-bit md5 prefix (codegen'd `md5`/`conv` on the scan,
+    * exact in a double) feeds the [[graft.functions.KMinValues]]
+    * bottom-k aggregate: O(k) state per partition, ≤ k longs per
+    * partial over the exchange — at 100 TB the exact `countDistinct`
+    * column is the one that stops scaling (every distinct key crosses
+    * the shuffle); the sketch column is its replacement, and this
+    * query measures the trade on the same corpus. Estimate =
+    * (k−1)·2^48 / kth-smallest — integer inputs, one IEEE division,
+    * so DuckDB reproduces it bit-for-bit; when the corpus has fewer
+    * than k distinct keys the kept-set size IS the exact count.
+    * `ErrOk` gates the hash on |est − exact| ≤ 25% ≈ 4σ at k=256 —
+    * deterministic on a fixed corpus (same hashes every run), the
+    * same documented probabilistic-bound caveat as
+    * `sketch_approx_stats`. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchAggregates.register(spark)
+    val pow48 = 281474976710656.0 // 2^48: hash prefix → (0,1) scale
+    val hashes = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .select(col("InvoiceNo"),
+        conv(substring(md5(col("InvoiceNo")), 1, 12), 16, 10)
+          .cast(LongType).as("H"))
+    val sk = hashes.agg(expr(s"kmv_kmin(H, $KmvK)").as("Ks"))
+    val ex = hashes.agg(countDistinct(col("InvoiceNo")).as("ExactDistinct"))
+    sk.crossJoin(ex)
+      .select(
+        col("ExactDistinct"),
+        when(size(col("Ks")) >= KmvK, element_at(col("Ks"), KmvK)).as("KthHash"),
+        when(size(col("Ks")) >= KmvK,
+          lit((KmvK - 1).toDouble * pow48) /
+            element_at(col("Ks"), KmvK).cast(DoubleType))
+          .otherwise(size(col("Ks")).cast(DoubleType)).as("KmvEstimate"))
+      .withColumn("ErrOk",
+        abs(col("KmvEstimate") - col("ExactDistinct").cast(DoubleType)) <=
+          lit(0.25) * col("ExactDistinct").cast(DoubleType))
+  }
+
+  /** Deterministic uniform sample: the bottom-[[SampleK]] documents by
+    * md5(doc_id) — a sample that is (1) uniform (md5 bytes are
+    * uniform), (2) REPRODUCIBLE across engines and runs (no RNG
+    * state, no partitioning dependence — `TABLESAMPLE`/`df.sample`
+    * give neither), and (3) CONSISTENT under corpus growth: a doc
+    * leaves the sample only when a new doc hashes below it, so
+    * overlapping corpora give overlapping samples (the property that
+    * makes hash-sampling composable with incremental ingestion —
+    * yesterday's sampled doc stays sampled today unless genuinely
+    * displaced). Plans as TakeOrderedAndProject: O(k) per partition,
+    * k rows per partial to the driver, no global sort — the same
+    * bottom-k-by-hash the [[graft.functions.KMinValues]] aggregate
+    * keeps, here as whole rows. */
+  def sampleBottomK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast(StringType)).as("Hash"),
+        col("source"), col("n_chars"))
+      .orderBy(col("Hash"))
+      .limit(SampleK)
+
   /** Relative-standing windows (percent_rank / cume_dist) over the
     * daily revenue aggregate — the remaining ranking family beyond
     * row_number/ntile/rank-limit already covered. Global window on

@@ -1052,6 +1052,52 @@ GROUP BY l_returnflag
 ORDER BY "ReturnFlag"
 """
 
+  /** 48-bit big-endian integer from the first 12 hex chars of `e` —
+    * DuckDB lacks base-16 string conversion, so decode per char via
+    * instr (the [[graft.ops.CurateOps.hashBucket]] mirror pattern),
+    * matching Spark's `conv(substring(md5, 1, 12), 16, 10)`. */
+  private def hex48(e: String): String =
+    (1 to 12).map { p =>
+      val pow = 1L << (4 * (12 - p))
+      s"(instr('0123456789abcdef', substr($e, $p, 1)) - 1) * ${pow}"
+    }.mkString("(", " + ", ")")
+
+  /** KMV mirror: the k smallest distinct 48-bit hash prefixes via
+    * DISTINCT + ORDER BY + LIMIT (the oracle may shuffle every key;
+    * the engine's sketch may not), then the identical one-division
+    * estimate. Constants interpolated from RelationalOps so both
+    * sides move together. */
+  val kmvDistinct: String = {
+    val k = graft.ops.RelationalOps.KmvK
+    CoreSql.txnCte + s""",
+keys AS (SELECT DISTINCT "InvoiceNo" AS ky FROM sales),
+hs AS (SELECT ${hex48("md5(ky)")} AS v FROM keys),
+bot AS (SELECT v FROM hs ORDER BY v LIMIT $k),
+st AS (SELECT count(*) AS sz, max(v) AS kth FROM bot),
+ex AS (SELECT count(*) AS exact FROM keys),
+fin AS (
+  SELECT exact AS "ExactDistinct",
+         CASE WHEN sz >= $k THEN kth END AS "KthHash",
+         CASE WHEN sz >= $k
+              THEN CAST(${(k - 1).toDouble * 281474976710656.0} AS DOUBLE) / CAST(kth AS DOUBLE)
+              ELSE CAST(sz AS DOUBLE) END AS "KmvEstimate"
+  FROM st, ex
+)
+SELECT "ExactDistinct", "KthHash", "KmvEstimate",
+       (abs("KmvEstimate" - CAST("ExactDistinct" AS DOUBLE))
+          <= 0.25 * CAST("ExactDistinct" AS DOUBLE)) AS "ErrOk"
+FROM fin
+"""
+  }
+
+  /** Bottom-k-by-md5 sample mirror — same hash, same k, so the exact
+    * same rows in the exact same order. */
+  val sampleBottomK: String = s"""
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS "Hash", source, n_chars
+FROM documents
+ORDER BY "Hash" LIMIT ${graft.ops.RelationalOps.SampleK}
+"""
+
   /** Gap-fill mirror: DuckDB `generate_series` densifies the corpus
     * calendar and `LAST_VALUE ... IGNORE NULLS` is the ANSI spelling
     * of the running forward fill; revenue stays an exact decimal sum

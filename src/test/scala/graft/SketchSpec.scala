@@ -116,6 +116,61 @@ class SketchSpec extends SparkSpec {
       "MG summary should run in ObjectHashAggregateExec")
   }
 
+  test("kmv_kmin: keeps exactly the k smallest distinct values under any partitioning") {
+    graft.functions.SketchAggregates.register(spark)
+    import spark.implicits._
+    // values with planted duplicates — the sketch must dedup
+    val vals = (1L to 5000L).map(i => (i * 2654435761L) % 100000L)
+    val expect = vals.distinct.sorted.take(64)
+    Seq(1, 7, 32).foreach { parts =>
+      val got = vals.toDF("V").repartition(parts)
+        .agg(expr("kmv_kmin(V, 64)").as("Ks"))
+        .head().getAs[scala.collection.Seq[Long]](0)
+      assert(got.toSeq === expect, s"bottom-64 mismatch at $parts partitions")
+    }
+  }
+
+  test("sketch_kmv_distinct: estimate within the declared bound, small-corpus branch exact") {
+    val r = RelationalOps.kmvDistinct(spark, sfDir).head()
+    val exact = r.getAs[Long]("ExactDistinct")
+    val est = r.getAs[Double]("KmvEstimate")
+    assert(r.getAs[Boolean]("ErrOk"))
+    if (exact < RelationalOps.KmvK) {
+      // fewer distinct keys than capacity: the sketch IS exact
+      assert(r.isNullAt(r.fieldIndex("KthHash")))
+      assert(est === exact.toDouble)
+    } else {
+      assert(math.abs(est - exact) <= 0.25 * exact)
+      assert(!r.isNullAt(r.fieldIndex("KthHash")))
+    }
+  }
+
+  test("sample_bottomk: deterministic, hash-ordered, consistent under corpus growth") {
+    val rows = RelationalOps.sampleBottomK(spark, sfDir).collect()
+    assert(rows.length === RelationalOps.SampleK)
+    val hashes = rows.map(_.getAs[String]("Hash"))
+    assert(hashes.toSeq === hashes.sorted.toSeq)
+    assert(hashes.distinct.length === hashes.length)
+    // reproducible: second run returns the identical sample
+    val again = RelationalOps.sampleBottomK(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // growth consistency: the bottom-k of a SUBSET of the corpus is a
+    // superset-compatible prefix — every doc sampled from the full
+    // corpus that survives in the subset's hash range stays sampled
+    val subset = graft.etl.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("Hash"))
+      .orderBy(col("Hash")).limit(RelationalOps.SampleK).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val fullEven = rows.map(_.getAs[Long]("doc_id")).filter(_ % 2 == 0).toSet
+    assert(fullEven.subsetOf(subset),
+      "a doc sampled from the full corpus vanished from the subset sample")
+    // plan shape: bottom-k must be TakeOrderedAndProject, not a global sort
+    val plan = RelationalOps.sampleBottomK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("bloom kernel: zero false negatives, bounded false positives") {
     val bits = new Array[Long](1 << (19 - 6))
     val keys = (0L until 20000L).map(i => i * 2654435761L + 17)
