@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
 import graft.etl.{Summaries, StarQueries, Transactions}
-import graft.ops.{CurateOps, DedupOps, EventsOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
+import graft.ops.{AggMaintenance, CurateOps, DedupOps, EventsOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
 import graft.oracle.{CoreSql, ExtSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -116,6 +116,7 @@ object SparkEntry {
     "timeseries_gapfill" -> (RelationalOps.gapfillDaily _),
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
+    "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "timeseries_gapfill" -> ExtSql.gapfillDaily,
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
     "sample_bottomk" -> ExtSql.sampleBottomK,
+    "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,

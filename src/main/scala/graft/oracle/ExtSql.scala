@@ -1098,6 +1098,18 @@ FROM documents
 ORDER BY "Hash" LIMIT ${graft.ops.RelationalOps.SampleK}
 """
 
+  /** Oracle for the incrementally-maintained daily aggregate is the
+    * FROM-SCRATCH aggregate over all facts: build(history) +
+    * merge(batch) must be indistinguishable from never having split
+    * the corpus (exact decimal sums re-aggregate associatively). */
+  val aggIncrementalDaily: String = CoreSql.txnCte + """
+SELECT "Date",
+       CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS DOUBLE) AS "Revenue",
+       CAST(sum("Quantity") AS BIGINT) AS "Items",
+       count(*) AS "Lines"
+FROM sales GROUP BY "Date" ORDER BY "Date"
+"""
+
   /** Gap-fill mirror: DuckDB `generate_series` densifies the corpus
     * calendar and `LAST_VALUE ... IGNORE NULLS` is the ANSI spelling
     * of the running forward fill; revenue stays an exact decimal sum
