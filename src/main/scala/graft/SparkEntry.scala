@@ -117,6 +117,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
+    "events_click_attribution" -> (EventsOps.clickAttribution _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
+    "events_click_attribution" -> ExtSql.clickAttribution,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,

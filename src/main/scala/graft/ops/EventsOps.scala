@@ -121,6 +121,39 @@ object EventsOps {
       .orderBy(col("Step"))
   }
 
+  /** Click attribution — every (view, click) pair by the same user
+    * with the click inside ([[FunnelWindowHours]]] after the view,
+    * aggregated per user: pair count and exact min/max/total lag in
+    * integer microseconds (bit-identical to the oracle — no rate
+    * doubles to drift). Unlike [[funnel]] (earliest instants only),
+    * this is the full INTERVAL JOIN: an equi-join on user_id whose
+    * range predicate rides along as a join residual — a hash join
+    * keyed on high-cardinality user_id, NOT a theta-only
+    * nested-loop. Per-user pair volume is bounded by the window, and
+    * a user hot enough to matter would take the [[RelationalOps
+    * .skewSaltedJoin]] treatment. The streaming twin
+    * ([[graft.streaming.EventsStream.clickAttribution]]) runs the
+    * same join as a watermarked stream-stream join whose range
+    * condition is what lets Spark EVICT join state. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = FunnelWindowHours * 3600L * 1000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("vus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cuid"), col("us").as("cus"))
+    v.join(c, col("user_id") === col("cuid") &&
+        col("cus") > col("vus") && col("cus") <= col("vus") + winUs)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("Pairs"),
+        min(col("cus") - col("vus")).as("MinLagUs"),
+        max(col("cus") - col("vus")).as("MaxLagUs"),
+        sum(col("cus") - col("vus")).as("SumLagUs"))
+      .transform(graft.etl.Summaries.smallSort(_, col("user_id")))
+  }
+
   /** Sessionization with a 30-minute inactivity gap: lag + prefix-sum
     * of session-start flags, all in exact microsecond integers. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {

@@ -1098,6 +1098,26 @@ FROM documents
 ORDER BY "Hash" LIMIT ${graft.ops.RelationalOps.SampleK}
 """
 
+  /** Interval-join mirror: the same window constant as the Spark side
+    * ([[graft.ops.EventsOps.FunnelWindowHours]]), instants as
+    * epoch_us integers — every lag statistic is exact integer math. */
+  val clickAttribution: String = {
+    val winUs = graft.ops.EventsOps.FunnelWindowHours * 3600L * 1000000L
+    s"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, us AS vus FROM e WHERE event_type = 'view'),
+c AS (SELECT user_id, us AS cus FROM e WHERE event_type = 'click')
+SELECT v.user_id,
+       count(*) AS "Pairs",
+       min(cus - vus) AS "MinLagUs",
+       max(cus - vus) AS "MaxLagUs",
+       sum(cus - vus) AS "SumLagUs"
+FROM v JOIN c ON v.user_id = c.user_id
+              AND cus > vus AND cus <= vus + $winUs
+GROUP BY v.user_id ORDER BY v.user_id
+"""
+  }
+
   /** Oracle for the incrementally-maintained daily aggregate is the
     * FROM-SCRATCH aggregate over all facts: build(history) +
     * merge(batch) must be indistinguishable from never having split

@@ -248,6 +248,45 @@ object EventsStream {
       }
   }
 
+  /** TRUE stream-stream interval join — the streaming twin of
+    * [[graft.ops.EventsOps.clickAttribution]]: the view and click
+    * streams (two event-time-watermarked filters over the source)
+    * inner-join on user_id with the click constrained to the
+    * attribution window after the view. The event-time RANGE
+    * condition plus the two watermarks is what lets Spark compute a
+    * state-eviction bound for BOTH sides (a view older than
+    * watermark − window can never match a future click and is
+    * dropped from the join state) — without them inner-join state
+    * grows with stream history. Append mode: each pair is emitted
+    * exactly once, when its second side arrives.
+    *
+    * `delay` is the lateness tolerance: rows arriving more than
+    * `delay` behind the stream's max event time MAY be dropped
+    * (standard watermark semantics), so a replay that shuffles event
+    * order needs `delay` ≥ the reordering span for exact batch
+    * parity — the spec replays with a corpus-spanning delay; a
+    * production deployment picks the real lateness bound. Emits
+    * pair-level (user_id, VUs, CUs, LagUs) in exact microseconds;
+    * aggregation to per-user stats stays in the consumer (the batch
+    * twin's groupBy re-aggregates pairs associatively). */
+  def clickAttribution(events: DataFrame, delay: String): DataFrame = {
+    val winH = graft.ops.EventsOps.FunnelWindowHours
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", delay)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cuid"), col("ts").as("cts"))
+      .withWatermark("cts", delay)
+    v.join(c,
+        col("user_id") === col("cuid") &&
+          col("cts") > col("vts") &&
+          col("cts") <= col("vts") + expr(s"interval $winH hours"))
+      .select(col("user_id"),
+        unix_micros(col("vts")).as("VUs"),
+        unix_micros(col("cts")).as("CUs"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("LagUs"))
+  }
+
   /** Run the hourly aggregation over the parquet events as a stream
     * into a memory sink; returns the completed result table. Used by
     * tests and as a library entry point for local verification. */

@@ -463,6 +463,39 @@ class StreamingSpec extends SparkSpec {
     assert(batchRows(3)._3 === users3.toDouble / users2)
   }
 
+  test("stream-stream interval join over a two-file event stream matches batch click attribution") {
+    // a true stream-stream join: both sides are streaming, pairs are
+    // emitted as their second half arrives across microbatch
+    // boundaries. Delay spans the corpus so the hash-split replay
+    // (arbitrary event order) drops nothing — per-user aggregates of
+    // the emitted pairs must equal the batch interval join exactly.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_attr")
+    spark.read.schema(graft.etl.Tables.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .repartition(2).write.mode("overwrite").parquet(s"$streamDir/events")
+    val events = EventsStream.readEventsStream(spark, s"$streamDir/events",
+      maxFilesPerTrigger = Some(1))
+    val q = EventsStream.clickAttribution(events, delay = "3650 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_pairs").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty microbatches")
+    val got = spark.table("attr_pairs")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("Pairs"),
+        min(col("LagUs")).as("MinLagUs"),
+        max(col("LagUs")).as("MaxLagUs"),
+        sum(col("LagUs")).as("SumLagUs"))
+      .orderBy(col("user_id")).collect()
+    assert(got.nonEmpty)
+    // no pair emitted twice: total pair count equals the batch join's
+    val batch = EventsOps.clickAttribution(spark, sfDir).collect()
+    assert(got.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "stream-stream join diverged from the batch interval join")
+  }
+
   test("mapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     implicit val s = spark
