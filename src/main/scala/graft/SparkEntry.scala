@@ -118,6 +118,7 @@ object SparkEntry {
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
     "events_click_attribution" -> (EventsOps.clickAttribution _),
+    "events_session_windows" -> (EventsOps.sessionWindows _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
     "events_click_attribution" -> ExtSql.clickAttribution,
+    "events_session_windows" -> ExtSql.sessionWindows,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "setop_churned_customers" -> ExtSql.churnedCustomers,

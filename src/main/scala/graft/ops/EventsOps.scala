@@ -154,6 +154,34 @@ object EventsOps {
       .transform(graft.etl.Summaries.smallSort(_, col("user_id")))
   }
 
+  /** Per-session ROWS via Spark's native `session_window` — the
+    * declarative sibling of [[sessionize]] (which emits per-user
+    * session COUNTS from a lag/prefix-sum window): one hash aggregate
+    * whose grouping key is the merging session window, no
+    * user-partitioned sort window at all, and the exact same operator
+    * works under Structured Streaming with a watermark (where the
+    * lag-window formulation cannot run at all). Session end follows
+    * Spark's definition: last event instant + gap. Oracle = the
+    * gaps-and-islands decomposition (lag → new-session flag → prefix
+    * sum → per-island aggregate) over exact microsecond integers, so
+    * the two INDEPENDENT formulations must agree row-for-row.
+    *
+    * Scale: one shuffle keyed on user_id (high-cardinality, uniform);
+    * within-partition session merging is Spark's own
+    * UpdatingSessionsIterator — no second sort pass, state bounded by
+    * one user's in-flight session. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("NEvents"),
+        sum(col("value").cast(dec)).cast(DoubleType).as("ValueSum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("StartUs"),
+        unix_micros(col("session_window.end")).as("EndUs"),
+        col("NEvents"), col("ValueSum"))
+      .transform(graft.etl.Summaries.smallSort(_, col("user_id"), col("StartUs")))
+
   /** Sessionization with a 30-minute inactivity gap: lag + prefix-sum
     * of session-start flags, all in exact microsecond integers. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {

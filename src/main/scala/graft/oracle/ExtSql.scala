@@ -1098,6 +1098,36 @@ FROM documents
 ORDER BY "Hash" LIMIT ${graft.ops.RelationalOps.SampleK}
 """
 
+  /** Session-window mirror: the gaps-and-islands decomposition (lag →
+    * new-session flag → prefix-sum island id → per-island aggregate).
+    * Boundary semantics follow Spark's half-open [start, last+gap)
+    * session: a gap of EXACTLY the threshold starts a new session
+    * (`>=`, not `>`), because the next event's window start equals
+    * the previous session's end and half-open intervals at equal
+    * endpoints do not overlap. */
+  val sessionWindows: String = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+l AS (
+  SELECT user_id, us, value,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM e
+),
+s AS (
+  SELECT user_id, us, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+)
+SELECT user_id,
+       min(us) AS "StartUs",
+       max(us) + 1800000000 AS "EndUs",
+       count(*) AS "NEvents",
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS "ValueSum"
+FROM s GROUP BY user_id, sid ORDER BY user_id, "StartUs"
+"""
+
   /** Interval-join mirror: the same window constant as the Spark side
     * ([[graft.ops.EventsOps.FunnelWindowHours]]), instants as
     * epoch_us integers — every lag statistic is exact integer math. */

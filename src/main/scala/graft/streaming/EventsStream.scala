@@ -248,6 +248,25 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of [[graft.ops.EventsOps.sessionWindows]] via the
+    * SAME native `session_window` grouping — the declarative
+    * sessionization that the lag-window batch formulation cannot
+    * express as a stream. Append mode emits each session once its
+    * window end drops below the watermark; sessions merge across
+    * microbatches until then (state = in-flight sessions only, the
+    * watermark evicts finalized ones). A session is only ever emitted
+    * FINAL — no partial rows to reconcile downstream. */
+  def sessionValueCounts(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("NEvents"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("ValueSum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("StartUs"),
+        unix_micros(col("session_window.end")).as("EndUs"),
+        col("NEvents"), col("ValueSum"))
+
   /** TRUE stream-stream interval join — the streaming twin of
     * [[graft.ops.EventsOps.clickAttribution]]: the view and click
     * streams (two event-time-watermarked filters over the source)

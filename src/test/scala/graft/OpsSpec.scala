@@ -616,6 +616,35 @@ class OpsSpec extends SparkSpec {
     assert(rows("l_shipdate").getAs[String]("MinStr").matches("\\d{4}-\\d{2}-\\d{2}"))
   }
 
+  test("events: session_window rows reconcile with the lag-based sessionize formulation") {
+    val sw = graft.ops.EventsOps.sessionWindows(spark, sfDir).collect()
+    assert(sw.nonEmpty)
+    val gapUs = 1800L * 1000000L
+    // well-formed sessions: start <= last event, end = last + gap
+    sw.foreach { r =>
+      assert(r.getAs[Long]("EndUs") - r.getAs[Long]("StartUs") >= gapUs)
+      assert(r.getAs[Long]("NEvents") >= 1L)
+    }
+    // per user: sessions are disjoint and separated by >= gap
+    sw.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      rs.sortBy(_.getAs[Long]("StartUs")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("StartUs") >= a.getAs[Long]("EndUs"),
+            "overlapping sessions from session_window")
+        case _ =>
+      }
+    }
+    // the two independent formulations must agree on counts per user
+    val bySessionize = EventsOps.sessionize(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("NEvents"), r.getAs[Long]("NSessions")))).toMap
+    val byWindow = sw.groupBy(_.getAs[Long]("user_id")).map { case (u, rs) =>
+      u -> ((rs.map(_.getAs[Long]("NEvents")).sum, rs.length.toLong))
+    }
+    assert(byWindow === bySessionize,
+      "session_window and lag/prefix-sum sessionization disagree")
+  }
+
   test("timeseries: gapfill densifies the calendar and forward-fills exactly the observed values") {
     import graft.ops.RelationalOps
     val rows = RelationalOps.gapfillDaily(spark, sfDir).collect()

@@ -496,6 +496,59 @@ class StreamingSpec extends SparkSpec {
       "stream-stream join diverged from the batch interval join")
   }
 
+  test("native session_window streaming agg finalizes every batch session exactly") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val raw = spark.read.schema(graft.etl.Tables.eventsRawSchema)
+      .parquet(s"$sfDir/events.parquet")
+    val cutNs = raw.selectExpr("CAST(percentile_approx(ts, 0.5) AS BIGINT)").first().getLong(0)
+    val maxNs = raw.selectExpr("CAST(max(ts) AS BIGINT)").first().getLong(0)
+    // time-ordered staging (no late data), plus a far-future sentinel
+    // event for a dummy user: its arrival pushes the watermark past
+    // every real session's end, so append mode finalizes ALL of them —
+    // the sentinel's own session stays in-flight and is never emitted
+    val streamDir = Files.createTempDirectory("graft_stream_sess")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = streamDir.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage(raw.filter(col("ts") <= cutNs), "a_half1.parquet", t0)
+    stage(raw.filter(col("ts") > cutNs), "b_half2.parquet", t0 + 10000)
+    stage(raw.limit(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxNs + 30L * 86400L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("view").as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props")), "c_flush.parquet", t0 + 20000)
+    val q = EventsStream.sessionValueCounts(
+        EventsStream.readEventsStream(spark, streamDir.toString,
+          maxFilesPerTrigger = Some(1)),
+        delay = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_windows").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    val got = spark.table("sess_windows")
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("StartUs")).collect()
+    val batch = EventsOps.sessionWindows(spark, sfDir).collect()
+    assert(got.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq,
+      "streaming session_window diverged from the batch twin")
+    // a session straddling the file cut proves cross-batch merging
+    val straddle = batch.exists { r =>
+      r.getAs[Long]("StartUs") <= cutNs / 1000 && r.getAs[Long]("EndUs") > cutNs / 1000
+    }
+    assert(straddle, "no session straddles the staged cut — merge untested")
+  }
+
   test("mapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     implicit val s = spark
