@@ -121,6 +121,7 @@ object SparkEntry {
     "events_session_windows" -> (EventsOps.sessionWindows _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
+    "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
     "setop_churned_customers" -> (RelationalOps.churnedCustomers _),
     "setop_returning_customers" -> (RelationalOps.returningCustomers _),
     "events_asof_view" -> (RelationalOps.purchaseAsofView _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "events_session_windows" -> ExtSql.sessionWindows,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
+    "unpivot_country_metrics" -> ExtSql.unpivotCountryMetrics,
     "setop_churned_customers" -> ExtSql.churnedCustomers,
     "setop_returning_customers" -> ExtSql.returningCustomers,
     "events_asof_view" -> ExtSql.purchaseAsofView,

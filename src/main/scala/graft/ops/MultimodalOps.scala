@@ -125,6 +125,85 @@ object MultimodalOps {
     })
   }
 
+  /** Typed metadata + per-channel statistics for a decoded AUDIO
+    * payload. `format` is `audio/<type>` on success, [[Undecodable]]
+    * otherwise; stats arrays are empty unless the payload is 16-bit
+    * signed PCM (the one encoding the stats kernel interprets —
+    * anything else still reports honest metadata). */
+  case class AudioStats(doc_id: Long, n_bytes: Int, sample_rate: Int,
+                        channels: Int, bits: Int, n_frames: Long,
+                        format: String,
+                        channel_means: Seq[Double], channel_peaks: Seq[Int])
+
+  /** Real audio decode via JDK `javax.sound.sampled` (WAV/AIFF/AU —
+    * no external codecs), same guarded-single-decode discipline as
+    * [[readImage]]: None for payloads no installed provider accepts. */
+  private def readAudio(payload: Array[Byte])
+    : Option[(javax.sound.sampled.AudioInputStream, String)] =
+    try {
+      // getAudioInputStream requires mark/reset for format sniffing
+      val in = new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fileFormat = javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      Some((ais,
+        "audio/" + fileFormat.getType.getExtension.toLowerCase(java.util.Locale.ROOT)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Per-partition batched audio decode + per-channel sample
+    * statistics (mean and absolute peak per channel — the
+    * normalization statistics of any audio-embedding front end), the
+    * audio sibling of [[imageStatsOf]] on the same `mapPartitions`
+    * seam. Sample extraction handles 16-bit signed PCM in either
+    * endianness; other encodings report metadata with empty stats. */
+  def audioStatsOf(payloads: Dataset[(Long, Array[Byte])]): Dataset[AudioStats] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map { case (id, bytes) =>
+      readAudio(bytes) match {
+        case None =>
+          AudioStats(id, bytes.length, 0, 0, 0, 0L, Undecodable,
+            Seq.empty, Seq.empty)
+        case Some((ais, fmt)) =>
+          try {
+            val f = ais.getFormat
+            val ch = f.getChannels
+            val pcm16 =
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16
+            val data = if (pcm16) ais.readAllBytes() else Array.emptyByteArray
+            val nFrames =
+              if (pcm16) data.length.toLong / (2L * ch) else ais.getFrameLength
+            val (means, peaks) =
+              if (!pcm16 || nFrames == 0L) (Seq.empty[Double], Seq.empty[Int])
+              else {
+                val sums = new Array[Long](ch)
+                val pk = new Array[Int](ch)
+                var i = 0
+                while (i + 2 * ch <= data.length) {
+                  var c = 0
+                  while (c < ch) {
+                    val o = i + 2 * c
+                    val s =
+                      if (f.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toShort
+                      else ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+                    sums(c) += s
+                    if (math.abs(s.toInt) > pk(c)) pk(c) = math.abs(s.toInt)
+                    c += 1
+                  }
+                  i += 2 * ch
+                }
+                (sums.toSeq.map(_.toDouble / nFrames), pk.toSeq)
+              }
+            AudioStats(id, bytes.length, f.getSampleRate.toInt, ch,
+              f.getSampleSizeInBits, nFrames, fmt, means, peaks)
+          } finally ais.close()
+      }
+    })
+  }
+
   /** Frame size (bytes) and sampling stride for [[frameSample]] —
     * shared with the DuckDB mirror. */
   val FrameBytes = 64

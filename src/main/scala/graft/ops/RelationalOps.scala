@@ -592,6 +592,29 @@ object RelationalOps {
     }.transform(Summaries.smallSort(_, col("Country")))
   }
 
+  /** UNPIVOT (melt) — the inverse reshape of [[pivotCountryYear]]:
+    * the wide per-country aggregate (one column per metric) becomes
+    * long (Country, Metric, Value) rows via `Dataset.unpivot`, which
+    * Spark plans as ONE Expand over the already-aggregated frame —
+    * |countries| × |metrics| rows, no join, no shuffle beyond the
+    * upstream aggregate. Metrics are pre-cast to one common DOUBLE
+    * type (unpivot requires it, and it keeps the value column's
+    * engine semantics unambiguous). */
+  def unpivotCountryMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Transactions.cleaned(spark, dir)
+      .filter(!col("IsCancelled"))
+      .groupBy(col("Country"))
+      .agg(
+        sum(col("TotalAmount").cast(dec)).cast(DoubleType).as("Revenue"),
+        countDistinct(col("InvoiceNo")).cast(DoubleType).as("Orders"),
+        sum(col("Quantity")).cast(DoubleType).as("Items"))
+    wide.unpivot(
+        Array(col("Country")),
+        Array(col("Revenue"), col("Orders"), col("Items")),
+        "Metric", "Value")
+      .transform(Summaries.smallSort(_, col("Country"), col("Metric")))
+  }
+
   /** Set intersection: customers active in BOTH 1995 and 1996
     * (INTERSECT — planned as a left-semi aggregate join). */
   def returningCustomers(spark: SparkSession, dir: String): DataFrame = {

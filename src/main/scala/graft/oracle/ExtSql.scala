@@ -1098,6 +1098,23 @@ FROM documents
 ORDER BY "Hash" LIMIT ${graft.ops.RelationalOps.SampleK}
 """
 
+  /** Unpivot mirror: explicit UNION ALL branches (the portable
+    * spelling of UNPIVOT — metric names must equal the Spark side's
+    * source column names). */
+  val unpivotCountryMetrics: String = CoreSql.txnCte + """,
+c AS (
+  SELECT "Country",
+         CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS DOUBLE) AS rev,
+         CAST(count(DISTINCT "InvoiceNo") AS DOUBLE) AS ord,
+         CAST(sum("Quantity") AS DOUBLE) AS itm
+  FROM sales GROUP BY "Country"
+)
+SELECT "Country", 'Revenue' AS "Metric", rev AS "Value" FROM c
+UNION ALL SELECT "Country", 'Orders', ord FROM c
+UNION ALL SELECT "Country", 'Items', itm FROM c
+ORDER BY "Country", "Metric"
+"""
+
   /** Session-window mirror: the gaps-and-islands decomposition (lag →
     * new-session flag → prefix-sum island id → per-island aggregate).
     * Boundary semantics follow Spark's half-open [start, last+gap)

@@ -61,4 +61,47 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(got - want) <= 4.0, s"jpeg mean $got vs $want drifted past quantization")
     }
   }
+
+  /** Stereo 16-bit little-endian PCM WAV with ch0 = a 0..frames-1 ramp
+    * and ch1 = a constant — every expected statistic is exact. */
+  private def wavBytes(frames: Int, rateHz: Int, ch1Value: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rateHz.toFloat, 16, 2, true, false)
+    val pcm = new Array[Byte](frames * 4)
+    for (i <- 0 until frames) {
+      val s0 = i.toShort
+      pcm(i * 4) = (s0 & 0xff).toByte
+      pcm(i * 4 + 1) = ((s0 >> 8) & 0xff).toByte
+      pcm(i * 4 + 2) = (ch1Value & 0xff).toByte
+      pcm(i * 4 + 3) = ((ch1Value >> 8) & 0xff).toByte
+    }
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioStats decodes real WAV PCM: exact frame count, rate, per-channel mean and peak") {
+    import spark.implicits._
+    val wav = wavBytes(frames = 800, rateHz = 8000, ch1Value = -2000)
+    val rows = MultimodalOps.audioStatsOf(
+        Seq((1L, wav),
+          (2L, "definitely not audio".getBytes("UTF-8")),
+          (3L, imageBytes("png", 4, 4)((_, _) => 0))).toDS())
+      .collect().map(s => s.doc_id -> s).toMap
+    val a = rows(1L)
+    assert(a.format === "audio/wav")
+    assert(a.sample_rate === 8000 && a.channels === 2 && a.bits === 16)
+    assert(a.n_frames === 800L)
+    // ch0 ramp 0..799 -> exact mean 399.5, peak 799; ch1 constant -2000
+    assert(a.channel_means === Seq(399.5, -2000.0))
+    assert(a.channel_peaks === Seq(799, 2000))
+    assert(a.n_bytes === wav.length)
+    // non-audio payloads (text, an image) are honestly undecodable
+    Seq(2L, 3L).foreach { id =>
+      assert(rows(id).format === MultimodalOps.Undecodable, s"doc $id")
+      assert(rows(id).channel_means.isEmpty)
+    }
+  }
 }
