@@ -86,6 +86,9 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // hoist extension-function registration out of the timed loop (and
+    // out of any concurrent analysis) — same seam as Verify.registerAll
+    Verify.registerAll(spark)
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -119,6 +119,10 @@ object SparkEntry {
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
     "events_click_attribution" -> (EventsOps.clickAttribution _),
     "events_session_windows" -> (EventsOps.sessionWindows _),
+    // ---- streaming twins in the gate: real Structured Streaming runs
+    // (file source → watermark → memory sink), oracle = the batch SQL
+    "events_hourly_stream" -> (graft.streaming.EventsStream.hourlyStreamQuery _),
+    "events_session_windows_stream" -> (graft.streaming.EventsStream.sessionWindowsStreamQuery _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
@@ -211,6 +215,10 @@ object SparkEntry {
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
     "events_click_attribution" -> ExtSql.clickAttribution,
     "events_session_windows" -> ExtSql.sessionWindows,
+    // streaming twins hash against the SAME batch oracle SQL: a green
+    // row is batch/stream equivalence checked by the driver itself
+    "events_hourly_stream" -> ExtSql.eventsHourly,
+    "events_session_windows_stream" -> ExtSql.sessionWindows,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "unpivot_country_metrics" -> ExtSql.unpivotCountryMetrics,

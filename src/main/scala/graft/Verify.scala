@@ -18,6 +18,16 @@ import org.apache.spark.sql.SparkSession
   * query writes its own directory; failures stay isolated per query).
   */
 object Verify {
+
+  /** One-shot registration of every extension-function family on the
+    * shared session — call before launching concurrent query threads. */
+  def registerAll(spark: SparkSession): Unit = {
+    graft.functions.TextExpressions.register(spark)
+    graft.functions.ShingleExpressions.register(spark)
+    graft.functions.VectorExpressions.register(spark)
+    graft.functions.SketchAggregates.register(spark)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,6 +41,11 @@ object Verify {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Register ALL extension functions BEFORE the concurrent pool
+    // starts: the per-op register calls are replace-idempotent, but a
+    // partially-populated registry observed by another thread's plan
+    // analysis is a latent race (the seam Tables' scaladoc flags).
+    registerAll(spark)
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

@@ -142,11 +142,14 @@ object Load {
   }
 
   /** SQL-sink column conventions from the reference: lowercase names
-    * (PostgreSQL, ref: etl.py:328) and HALF_EVEN 2dp rounding of
-    * doubles (MySQL, ref: etl.py:356-357 — pandas `round` is
-    * half-even, so `bround`, not `round`). */
-  def sqlSinkShape(df: DataFrame, roundDoubles: Boolean): DataFrame = {
-    val lowered = df.toDF(df.columns.map(_.toLowerCase): _*)
+    * (PostgreSQL/MySQL, ref: etl.py:328,352 — SQLite keeps original
+    * case, etl.py:292-303) and HALF_EVEN 2dp rounding of doubles
+    * (MySQL, ref: etl.py:356-357 — pandas `round` is half-even, so
+    * `bround`, not `round`). */
+  def sqlSinkShape(df: DataFrame, roundDoubles: Boolean,
+                   lowercaseCols: Boolean = true): DataFrame = {
+    val lowered =
+      if (lowercaseCols) df.toDF(df.columns.map(_.toLowerCase): _*) else df
     if (!roundDoubles) lowered
     else lowered.schema.fields.filter(_.dataType == DoubleType)
       .foldLeft(lowered)((d, f) => d.withColumn(f.name, bround(col(f.name), 2)))
@@ -159,18 +162,49 @@ object Load {
     * the same code path against embedded Derby (PipelineSpec), which
     * ships with Spark. */
   def writeJdbc(tables: Map[String, DataFrame], url: String,
-                props: java.util.Properties, roundDoubles: Boolean = false): Unit =
+                props: java.util.Properties, roundDoubles: Boolean = false,
+                lowercaseCols: Boolean = true): Unit =
     tables.foreach { case (name, df) =>
-      sqlSinkShape(df, roundDoubles).write.mode("overwrite").jdbc(url, name, props)
+      sqlSinkShape(df, roundDoubles, lowercaseCols)
+        .write.mode("overwrite").jdbc(url, name, props)
     }
 
-  /** S7 — format dispatcher (ref: etl.py:364-386). */
+  /** A JDBC endpoint for the string-format dispatch: connection URL
+    * plus driver properties (Spark's dialect registry shapes DDL per
+    * URL, so the same endpoint type serves every SQL sink). */
+  final case class JdbcSink(url: String, props: java.util.Properties)
+
+  /** S7 — format dispatcher (ref: etl.py:364-386): accepts the
+    * reference's full format-string list. SQL formats route through
+    * [[writeJdbc]] with the reference's per-sink shaping — `sqlite`
+    * keeps column case (etl.py:292-303), `postgres` lowercases
+    * (etl.py:328), `mysql` lowercases + HALF_EVEN-rounds doubles
+    * (etl.py:352-357) — against the endpoint supplied for that format
+    * (Derby-backed in tests; a format named without its endpoint is a
+    * loud error, mirroring the reference requiring pg/mysql configs). */
   def load(tables: Map[String, DataFrame], outDir: String,
-           formats: Seq[String] = Seq("csv", "parquet")): Unit =
+           formats: Seq[String] = Seq("csv", "parquet"),
+           sqlite: Option[JdbcSink] = None,
+           postgres: Option[JdbcSink] = None,
+           mysql: Option[JdbcSink] = None): Unit = {
+    def endpoint(fmt: String, s: Option[JdbcSink]): JdbcSink =
+      s.getOrElse(throw new IllegalArgumentException(
+        s"format '$fmt' requested but no $fmt JdbcSink endpoint supplied"))
     formats.foreach {
       case "csv" => writeCsv(tables, outDir)
       case "parquet" => writeParquet(tables, outDir)
+      case "sqlite" =>
+        val e = endpoint("sqlite", sqlite)
+        writeJdbc(tables, e.url, e.props, roundDoubles = false, lowercaseCols = false)
+      case "postgres" =>
+        val e = endpoint("postgres", postgres)
+        writeJdbc(tables, e.url, e.props, roundDoubles = false)
+      case "mysql" =>
+        val e = endpoint("mysql", mysql)
+        writeJdbc(tables, e.url, e.props, roundDoubles = true)
       case other => throw new IllegalArgumentException(
-        s"unknown sink format '$other' (jdbc sinks go through writeJdbc)")
+        s"unknown sink format '$other' " +
+          "(expected csv | parquet | sqlite | postgres | mysql)")
     }
+  }
 }

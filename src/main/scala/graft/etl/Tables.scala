@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,17 +69,74 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read as a
-    * timestamp; with `nanosAsLong` it reads as raw nanos. We truncate to
-    * microseconds (`div 1000`) — exactly what DuckDB's reader does — so
-    * engine and oracle see identical instants. */
+  /** The events fixture has shipped with TWO physical encodings of `ts`
+    * across driver testdata regenerations: parquet TIMESTAMP(NANOS)
+    * (reads as a raw nanos long under `nanosAsLong`) and plain
+    * `timestamp[us]` (reads natively as TimestampType). Declaring one
+    * schema blindly silently misreads the other — a MICROS column
+    * declared LongType yields raw MICROseconds, which a ns→µs `div
+    * 1000` then collapses to 1970 — so every events read goes through
+    * [[eventsTsIsMicros]] (a cached parquet-footer sniff) and
+    * normalizes to ONE canonical raw shape: `ts` as a nanosecond long
+    * ([[eventsRawSchema]]). */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos
+    StructField("ts", LongType), // canonical raw nanos
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** [[eventsRawSchema]] with `ts` declared as the given physical type
+    * (LongType for NANOS-as-long; Timestamp[NTZ]Type for native µs). */
+  def eventsSchemaWith(tsType: DataType): StructType = StructType(
+    eventsRawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+
+  private val tsEncodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** The physical type Spark surfaces for `ts` in the parquet at `path`
+    * (file or directory of staged files): LongType for the
+    * TIMESTAMP(NANOS)-as-long encoding, TimestampType / TimestampNTZType
+    * for native µs (the current fixture ships timestamp[us] NTZ). One
+    * footer-schema probe per distinct path, cached — Verify's
+    * concurrent query threads all hit the same entry. */
+  def eventsTsType(spark: SparkSession, path: String): DataType =
+    tsEncodingCache.computeIfAbsent(path, { p =>
+      val t = spark.read.parquet(p).schema
+        .find(_.name == "ts")
+        .getOrElse(throw new IllegalStateException(
+          s"events parquet at $p has no `ts` column"))
+        .dataType
+      t match {
+        case LongType | TimestampType | TimestampNTZType => t
+        case other => throw new IllegalStateException(
+          s"events.ts at $p has unsupported physical type $other " +
+            "(expected timestamp[us] or TIMESTAMP(NANOS) under nanosAsLong)")
+      }
+    })
+
+  /** Whole-ns long from a native-timestamp `ts` column. NTZ columns
+    * cast through TimestampType first; all session builders pin
+    * `spark.sql.session.timeZone=UTC`, so the cast is the identity on
+    * the stored local instant — exactly how DuckDB's `epoch_us` reads
+    * the same naive column. */
+  private[graft] def tsToNanos(ts: Column): Column =
+    unix_micros(ts.cast(TimestampType)) * lit(1000L)
+
+  /** Events in the canonical RAW shape ([[eventsRawSchema]]: `ts` =
+    * nanosecond long) regardless of which physical encoding the fixture
+    * currently ships. Whole-number-ns in both paths, so downstream
+    * exact-integer gap arithmetic is encoding-independent. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    eventsTsType(spark, path) match {
+      case LongType => spark.read.schema(eventsRawSchema).parquet(path)
+      case t => spark.read.schema(eventsSchemaWith(t)).parquet(path)
+        .withColumn("ts", tsToNanos(col("ts")))
+    }
+  }
 
   val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -124,15 +181,17 @@ object Tables {
 
   /** Events with `ts` as a proper microsecond timestamp plus the raw
     * nanos (`ts_ns`) for exact-integer gap arithmetic (sessionization).
+    * Unit-aware via [[eventsRaw]] — handles both physical encodings the
+    * fixture has shipped (timestamp[us] and TIMESTAMP(NANOS)).
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` in the
-    * SESSION BUILDER (Bench/Verify/tools/SparkSpec all set it): the
-    * events parquet carries TIMESTAMP(NANOS), which Spark only reads —
-    * as a raw long — under that flag. The conf is deliberately NOT set
-    * here: mutating session conf inside a reader is a race-shaped
-    * global side effect under Verify's concurrent query threads. */
+    * `spark.sql.legacy.parquet.nanosAsLong=true` must still be set in
+    * the SESSION BUILDER (Bench/Verify/tools/SparkSpec all set it) so
+    * the NANOS encoding is readable at all; it is a no-op for the µs
+    * encoding. The conf is deliberately NOT set here: mutating session
+    * conf inside a reader is a race-shaped global side effect under
+    * Verify's concurrent query threads. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "events", eventsRawSchema)
+    eventsRaw(spark, dir)
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

@@ -683,8 +683,19 @@ object DedupOps {
     *    set is 2·|V| label rows regardless of round count (older
     *    checkpoints are swept by the ContextCleaner once
     *    unreferenced).
-    * The returned frame reads the final checkpoint: callers get a
-    * shuffle-free scan of |V| rows, not the iterative lineage.
+    * SUBGRAPH RESTRICTION (round 7): the loop runs over the
+    * EDGE-TOUCHED vertices only. A vertex with no edges can never
+    * change its label, so propagating |V| identity rows through every
+    * round was pure overhead — in a real dedup corpus the touched set
+    * is a small fraction of the corpus (duplicates are the exception,
+    * not the rule), which shrinks each round's shuffle from O(|V|+|E|)
+    * to O(|E|) and lets AQE collapse the tiny rounds to broadcast
+    * joins. Untouched ids rejoin ONCE at the end as identity labels
+    * (one left join + coalesce) — R rounds × |V| rows traded for
+    * 1 × |V|.
+    *
+    * The returned frame is the final checkpoint left-joined to `ids`:
+    * one broadcast-sized join over |V| rows, not the iterative lineage.
     *
     * Hitting [[MaxLabelRounds]] while the last round still changed
     * labels THROWS instead of returning: a truncated loop yields
@@ -699,13 +710,18 @@ object DedupOps {
   def componentsOf(pairs: DataFrame, ids: DataFrame,
                    maxRounds: Int = MaxLabelRounds): DataFrame = {
     val bidir = pairs.toDF("D1", "D2")
+    // only vertices with at least one edge can ever change label:
+    // restrict the loop to them, rejoin the rest at the end
+    val touched = bidir.select(col("D1").as("doc_id"))
+      .union(bidir.select(col("D2").as("doc_id")))
+      .distinct()
     val edges = bidir
       .union(bidir.select(col("D2"), col("D1")))
-      .union(ids.toDF("doc_id").select(col("doc_id"), col("doc_id")))
+      .union(touched.select(col("doc_id"), col("doc_id")))
       .toDF("src", "dst")
       .cache()
     try {
-      var labels = ids.toDF("doc_id")
+      var labels = touched
         .select(col("doc_id"), col("doc_id").as("ClusterId"))
         .localCheckpoint()
       var converged = false
@@ -729,7 +745,13 @@ object DedupOps {
           s"componentsOf: labels still changing after $maxRounds rounds " +
             "(component diameter exceeds the backstop); refusing to return " +
             "silently under-merged clusters")
-      labels
+      // untouched vertices are their own cluster: identity labels via
+      // one left join against the (small, checkpointed) loop output
+      ids.toDF("doc_id")
+        .join(labels.withColumnRenamed("ClusterId", "PropagatedId"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("PropagatedId"), col("doc_id")).as("ClusterId"))
     } finally edges.unpersist(false)
   }
 

@@ -6,6 +6,15 @@ import graft.ops.TextOps
   * dedup, similarity, multimodal). Mirrors the Spark plans
   * expression-for-expression; hash/threshold constants are shared with
   * the Scala side where practical (TextOps marker lists).
+  *
+  * HOUSE RULE — integer aggregates: DuckDB widens `sum(INTEGER/BIGINT)`
+  * (and integer-expression sums like `sum(a - b)`) to HUGEINT (int128),
+  * while the Spark twin emits int64; the driver's hash compare is
+  * type-sensitive, so identical VALUES still hash-mismatch. EVERY
+  * integer `sum(...)` that reaches an OUTPUT column must be wrapped
+  * `CAST(sum(...) AS BIGINT)` (or `AS DOUBLE` for ratio outputs).
+  * `count(*)`/`min`/`max` stay BIGINT and need no wrap; intermediate
+  * sums consumed only by comparisons or divisions are exempt.
   */
 object ExtSql {
 
@@ -1045,7 +1054,7 @@ ORDER BY "Cnt" DESC, "Country"
 SELECT l_returnflag AS "ReturnFlag",
        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS "Revenue",
        count(*) AS "Lines",
-       sum(CAST(l_quantity AS BIGINT)) AS "Qty"
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS "Qty"
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_returnflag
@@ -1158,7 +1167,7 @@ SELECT v.user_id,
        count(*) AS "Pairs",
        min(cus - vus) AS "MinLagUs",
        max(cus - vus) AS "MaxLagUs",
-       sum(cus - vus) AS "SumLagUs"
+       CAST(sum(cus - vus) AS BIGINT) AS "SumLagUs"
 FROM v JOIN c ON v.user_id = c.user_id
               AND cus > vus AND cus <= vus + $winUs
 GROUP BY v.user_id ORDER BY v.user_id

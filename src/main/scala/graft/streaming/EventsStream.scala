@@ -48,15 +48,27 @@ object EventsStream {
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** A streaming source over the events parquet dir (one-file-per-batch
-    * in tests). Requires `spark.sql.legacy.parquet.nanosAsLong=true` in
-    * the session builder (see Tables.events scaladoc). */
+    * in tests). Unit-aware like `Tables.events`: a FileStreamSource
+    * needs a DECLARED schema, so the `ts` encoding (timestamp[us] vs
+    * TIMESTAMP(NANOS)-as-long — see Tables.eventsTsIsMicros) is sniffed
+    * from the files already staged in `dir` at stream-definition time;
+    * later-arriving files must use the same encoding. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` in the session builder
+    * for the NANOS encoding (see Tables.events scaladoc). */
   def readEventsStream(spark: SparkSession, dir: String,
                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(Tables.eventsRawSchema)
+    val tsType = Tables.eventsTsType(spark, dir)
+    val reader = spark.readStream.schema(Tables.eventsSchemaWith(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(dir)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = reader.parquet(dir)
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // native µs (possibly NTZ): keep the instant, derive ns
+        raw.withColumn("ts_ns", Tables.tsToNanos(col("ts")))
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a
@@ -317,5 +329,85 @@ object EventsStream {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  // ---- driver-gate one-shot twins ------------------------------------
+  // These two run the REAL streaming operators (file source → watermark
+  // → memory sink) over the same parquet the batch queries read, shaped
+  // to hash-match the BATCH oracle SQL — so the driver's correctness
+  // gate now exercises the streaming engine, not just the specs.
+
+  /** Unique sink names: Verify runs queries concurrently and Bench
+    * re-runs each one — a shared memory-sink name would collide. */
+  private val onceCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Write `df` as ONE parquet file at `dst` with an explicit mtime —
+    * the FileStreamSource orders batches by modification time, which
+    * is what sequences the data-then-sentinel staging below. */
+  private def stageOneFile(df: DataFrame, dst: java.nio.file.Path, mtimeMs: Long): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  /** Streaming twin of `EventsOps.hourly` for the driver gate: stages
+    * the events parquet as a one-batch file stream, runs the
+    * watermarked windowed aggregation, and presents the sink exactly
+    * like the batch query (HourTs string, same column names + order).
+    * One data batch ⇒ Update mode emits each window exactly once. */
+  def hourlyStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft_hourly_once")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val name = s"events_hourly_stream_${onceCounter.incrementAndGet()}"
+    runHourlyOnce(spark, streamDir.toString, name)
+      .select(
+        date_format(col("WindowStart"), "yyyy-MM-dd HH:mm:ss").as("HourTs"),
+        col("event_type"), col("NEvents"), col("TotalValue"))
+      .orderBy(col("HourTs"), col("event_type"))
+  }
+
+  /** Streaming twin of `EventsOps.sessionWindows` for the driver gate:
+    * the native `session_window` aggregation in APPEND mode, so every
+    * emitted session is watermark-FINAL. Staging order makes that
+    * exact: the real events land first (earlier mtime), then a single
+    * far-future sentinel event for a dummy user pushes the watermark
+    * past every real session's end — the no-data microbatch after it
+    * flushes ALL real sessions; the sentinel's own in-flight session
+    * is filtered out. Same construction StreamingSpec proves equal to
+    * the batch twin. */
+  def sessionWindowsStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val raw = Tables.eventsRaw(spark, dir)
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val streamDir = Files.createTempDirectory("graft_sess_once")
+    val t0 = System.currentTimeMillis() - 60000
+    stageOneFile(raw, streamDir.resolve("a_data.parquet"), t0)
+    stageOneFile(raw.limit(1).select(
+      lit(-1L).as("event_id"),
+      lit(maxNs + 30L * 86400L * 1000000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("view").as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props")), streamDir.resolve("b_flush.parquet"), t0 + 10000)
+    val name = s"events_session_windows_stream_${onceCounter.incrementAndGet()}"
+    val q = sessionValueCounts(
+        readEventsStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)),
+        delay = "1 second")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("StartUs"))
   }
 }

@@ -697,4 +697,33 @@ class OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(Files.exists(Paths.get(s"$base/lists/_SUCCESS")), "query did not rebuild the index")
   }
+
+  test("events reader tripwire: decoded years in fixture range, ts_ns consistent, both physical encodings decode identically") {
+    // the fixture has shipped ts as BOTH timestamp[us] and
+    // TIMESTAMP(NANOS); a unit misread collapses every instant to 1970
+    // (r6 regression) — fail loudly if the decoded timeline is absurd
+    val ev = graft.etl.Tables.events(spark, sfDir)
+    val yr = ev.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+    val (lo, hi) = (yr.getInt(0), yr.getInt(1))
+    assert(lo >= 2020 && hi <= 2030,
+      s"decoded event years [$lo, $hi] outside fixture range — ts unit misread (1970 = ns/µs collapse)")
+    // ts and ts_ns must denote the same instant (µs truncation of ns)
+    assert(ev.filter(unix_micros(col("ts")) =!= expr("ts_ns div 1000")).count() === 0L)
+
+    // encoding independence: round-trip the SAME rows through a µs
+    // parquet and a nanos-long parquet; both reads must be identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ts_enc")
+    graft.etl.Tables.eventsRaw(spark, sfDir) // canonical nanos long
+      .write.mode("overwrite").parquet(s"$tmp/nanos/events.parquet")
+    ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")) // native µs timestamp
+      .write.mode("overwrite").parquet(s"$tmp/micros/events.parquet")
+    // ts_ns compared at µs resolution: the µs-encoded copy cannot carry
+    // sub-µs nanos a future NANOS fixture might have
+    def rows(dir: String) = graft.etl.Tables.events(spark, dir)
+      .withColumn("ts_ns", expr("ts_ns div 1000"))
+      .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+    assert(rows(s"$tmp/nanos") === rows(s"$tmp/micros"),
+      "µs-encoded and ns-encoded events decode differently")
+  }
 }

@@ -63,6 +63,44 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "country_summary", props).count() === 25L)
   }
 
+  test("load() dispatches the reference's full format-string list incl. SQL sinks (S7, etl.py:364-386)") {
+    // the reference's default list is ['csv','parquet','sqlite']
+    // (etl.py:368); each SQL format maps to writeJdbc with its own
+    // shaping — sqlite keeps column case, mysql rounds doubles
+    val out = Files.createTempDirectory("graft_dispatch").toString
+    val dbDir = Files.createTempDirectory("graft_derby_dispatch").toString
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    def sink(db: String) =
+      Load.JdbcSink(s"jdbc:derby:$dbDir/$db;create=true", props)
+    val tables = Map("country_summary" ->
+      Pipeline.transform(spark, sfDir)("country_summary"))
+    Load.load(tables, out,
+      formats = Seq("csv", "parquet", "sqlite", "postgres", "mysql"),
+      sqlite = Some(sink("sq")), postgres = Some(sink("pg")),
+      mysql = Some(sink("my")))
+    assert(spark.read.parquet(s"$out/parquet/country_summary").count() === 25L)
+    assert(spark.read.option("header", "true").csv(s"$out/csv/country_summary").count() === 25L)
+    // sqlite shape: ORIGINAL column case (etl.py:292-303 does not lowercase)
+    val sq = spark.read.jdbc(sink("sq").url, "country_summary", props)
+    assert(sq.columns.contains("TotalRevenue"), s"sqlite shape lost case: ${sq.columns.toSeq}")
+    // postgres shape: lowercased, values unrounded
+    val pg = spark.read.jdbc(sink("pg").url, "country_summary", props)
+    assert(pg.columns.contains("totalrevenue"))
+    // mysql shape: lowercased AND doubles bround(2)
+    val my = spark.read.jdbc(sink("my").url, "country_summary", props)
+    val wantMy = Load.sqlSinkShape(tables("country_summary"), roundDoubles = true)
+    assert(my.orderBy("country").collect().map(_.toSeq).toSeq ===
+      wantMy.orderBy("country").collect().map(_.toSeq).toSeq)
+    assert(pg.count() === 25L && sq.count() === 25L)
+    // a SQL format named without its endpoint fails loudly, like the
+    // reference requiring pg_config for postgres
+    val e = intercept[IllegalArgumentException] {
+      Load.load(tables, out, formats = Seq("sqlite"))
+    }
+    assert(e.getMessage.contains("sqlite"))
+  }
+
   test("partitioned parquet write enables partition pruning layout") {
     val out = Files.createTempDirectory("graft_part").toString
     val daily = Pipeline.transform(spark, sfDir)("daily_sales")

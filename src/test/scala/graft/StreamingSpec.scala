@@ -123,8 +123,7 @@ class StreamingSpec extends SparkSpec {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.OutputMode
     import scala.jdk.CollectionConverters._
-    val raw = spark.read.schema(graft.etl.Tables.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val raw = graft.etl.Tables.eventsRaw(spark, sfDir)
     // split arrivals at the median event time: half1 lands before the
     // stop, half2 after the restart, so the hour containing the cut has
     // rows on BOTH sides — its final count is only correct if the
@@ -426,8 +425,7 @@ class StreamingSpec extends SparkSpec {
     // events land as two microbatches; the per-user funnel state must
     // carry step progress across the file boundary
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_funnel")
-    spark.read.schema(graft.etl.Tables.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    graft.etl.Tables.eventsRaw(spark, sfDir)
       .repartition(2).write.mode("overwrite").parquet(s"$streamDir/events")
     val events = EventsStream.readEventsStream(spark, s"$streamDir/events",
         maxFilesPerTrigger = Some(1))
@@ -470,8 +468,7 @@ class StreamingSpec extends SparkSpec {
     // (arbitrary event order) drops nothing — per-user aggregates of
     // the emitted pairs must equal the batch interval join exactly.
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_attr")
-    spark.read.schema(graft.etl.Tables.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    graft.etl.Tables.eventsRaw(spark, sfDir)
       .repartition(2).write.mode("overwrite").parquet(s"$streamDir/events")
     val events = EventsStream.readEventsStream(spark, s"$streamDir/events",
       maxFilesPerTrigger = Some(1))
@@ -499,8 +496,7 @@ class StreamingSpec extends SparkSpec {
   test("native session_window streaming agg finalizes every batch session exactly") {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    val raw = spark.read.schema(graft.etl.Tables.eventsRawSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val raw = graft.etl.Tables.eventsRaw(spark, sfDir)
     val cutNs = raw.selectExpr("CAST(percentile_approx(ts, 0.5) AS BIGINT)").first().getLong(0)
     val maxNs = raw.selectExpr("CAST(max(ts) AS BIGINT)").first().getLong(0)
     // time-ordered staging (no late data), plus a far-future sentinel
