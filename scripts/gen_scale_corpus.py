@@ -3,7 +3,7 @@
 scale rehearsals (TESTDATA caps at sf0.1; this produces structurally
 similar corpora at arbitrary multiples of it).
 
-Usage: python3 scripts/gen_scale_corpus.py <outDir> <nDocs> <nVecs> [seed]
+Usage: python3 scripts/gen_scale_corpus.py <outDir> <nDocs> <nVecs> [seed] [nEvents] [nUsers]
 
 Mirrors the testdata tables' shape and the statistical properties the
 operators exercise:
@@ -18,6 +18,16 @@ operators exercise:
   embeddings(vec_id, embedding FLOAT[64], label)
     - 10 gaussian label clusters + ~5%% near-dup vectors (noisy copies)
       so IVF/kmeans/semantic-dedup see real cluster structure
+  events(event_id, ts timestamp[us], user_id, event_type, value, props)
+    - written ONLY when nEvents > 0; mirrors the driver fixture: 30-day
+      Jan-2024 window, uniform instants, 5 uniform event types, JSON
+      props, value ~ Exp(60) rounded to cents. ts uses the SAME
+      timestamp[us] (naive) physical encoding as the current fixture.
+      nUsers is a SEPARATE axis: scale it with nEvents for a
+      user-scaled corpus (per-user density fixed, the production
+      shape), hold it fixed for a DENSITY-scaled corpus (per-user
+      event count x N -- the interval join's per-user pair-volume
+      stress, its one quadratic risk)
 
 Everything derives from one numpy RandomState(seed): same args -> same
 bytes, no wall-clock anywhere.
@@ -96,15 +106,38 @@ def gen_embeddings(rng: np.random.RandomState, n: int) -> pa.Table:
     })
 
 
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+T0_US = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+SPAN_US = 30 * 86400 * 1_000_000  # 30-day window, like the fixture
+
+
+def gen_events(rng: np.random.RandomState, n: int, n_users: int) -> pa.Table:
+    ts_us = T0_US + rng.randint(0, SPAN_US, n, dtype=np.int64)
+    ks = rng.randint(0, 100, n)
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array(rng.randint(0, n_users, n, dtype=np.int64), pa.int64()),
+        "event_type": pa.array([EVENT_TYPES[i] for i in rng.randint(0, 5, n)], pa.string()),
+        "value": pa.array(np.round(rng.exponential(60.0, n), 2), pa.float64()),
+        "props": pa.array([f'{{"k": {k}}}' for k in ks], pa.string()),
+    })
+
+
 def main() -> int:
     out, n_docs, n_vecs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+    n_events = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    n_users = int(sys.argv[6]) if len(sys.argv) > 6 else max(1, n_events // 66)
     rng = np.random.RandomState(seed)
     import os
     os.makedirs(out, exist_ok=True)
     pq.write_table(gen_documents(rng, n_docs), f"{out}/documents.parquet")
     pq.write_table(gen_embeddings(rng, n_vecs), f"{out}/embeddings.parquet")
-    print(f"wrote {out}: {n_docs} docs, {n_vecs} vecs (seed={seed})")
+    if n_events > 0:
+        pq.write_table(gen_events(rng, n_events, n_users), f"{out}/events.parquet")
+    print(f"wrote {out}: {n_docs} docs, {n_vecs} vecs, {n_events} events/"
+          f"{n_users if n_events else 0} users (seed={seed})")
     return 0
 
 

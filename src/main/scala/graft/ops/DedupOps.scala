@@ -147,6 +147,9 @@ object DedupOps {
       cooledBandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         cooledBandsMemo.remove(k).foreach(_.unpersist(false))
       }
+      verifiedPairsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        verifiedPairsMemo.remove(k).foreach(_.unpersist(false))
+      }
     }
     // drop under the build lock: an invalidate racing a concurrent
     // build-if-absent must not delete a half-written index
@@ -301,17 +304,33 @@ object DedupOps {
       .select(col("D1"), col("D2")).distinct()
   }
 
+  private val verifiedPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized + `.cache()`d like [[cooledBands]]: the verified pair
+    * set is a corpus-level artifact consumed by three queries
+    * (near-dup presentation, edit-distance blocking comparison,
+    * components edges) and re-running the candidate join + Jaccard
+    * verify per execution repriced every one of them. Row volume is
+    * the near-dup pair count — orders of magnitude below the corpus.
+    * Released by [[invalidateSketches]]. */
   private def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    // One sketch pass (memoized cache in docBands): the band self-join
-    // and both shingle lookups reuse it instead of recomputing 8
-    // MinHash functions per reference (3× the dominant cost otherwise).
-    val sh = docBands(spark, dir).select(col("doc_id"), col("Sh"))
-    jaccardVerified(
-      candidatePairs(spark, dir)
-        .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
-        .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2"),
-      "Sh1", "Sh2")
-      .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
+    verifiedPairsMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(verifiedPairsMemo.remove)
+    BucketedTables.memoized(verifiedPairsMemo, (spark, dir), cacheMemoLock) {
+      // One sketch pass (memoized cache in docBands): the band self-join
+      // and both shingle lookups reuse it instead of recomputing 8
+      // MinHash functions per reference (3× the dominant cost otherwise).
+      val sh = docBands(spark, dir).select(col("doc_id"), col("Sh"))
+      jaccardVerified(
+        candidatePairs(spark, dir)
+          .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
+          .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2"),
+        "Sh1", "Sh2")
+        .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
+        .cache()
+    }
   }
 
   /** Minimum normalized edit similarity (1 − dist/maxlen) for a
@@ -664,25 +683,38 @@ object DedupOps {
     * retains singleton nodes; cost per round is O(|V| + |E|) shuffled
     * on uniform doc_id keys.
     *
-    * Iteration mechanics (the 100 TB loop, ONE Spark job per round —
-    * round 4 spent two actions per round, a checkpoint materialization
-    * plus a convergence join):
+    * Iteration mechanics (the 100 TB loop, ONE Spark job per TWO
+    * rounds — round 4 spent two actions per round, a checkpoint
+    * materialization plus a convergence join; round 7 halved the
+    * action count again by chaining two lazy rounds per convergence
+    * check — a zero-changes round is still detected, at most one
+    * (cheap, same-job) extra round after true convergence):
     *  - each node's PREVIOUS label rides the round's propagation
     *    aggregate for free: the self-loop edge is the only input row
     *    with `src == dst`, so `min(when(src = dst, label))` recovers
     *    the node's own round-(R-1) label inside the same groupBy that
     *    computes its round-R min — no second join with the previous
     *    table;
-    *  - the round's label table is marked for LAZY `localCheckpoint`
-    *    and the convergence check (`count of Changed rows == 0`) is
-    *    the action that materializes it — the join, the aggregate, the
-    *    checkpoint write, and the changed-count all ride ONE job;
-    *  - lineage still truncates at every round (round R joins R-1's
-    *    STORED blocks, not an R-deep lazy replay), and only the
-    *    current and previous rounds are ever referenced, so the live
-    *    set is 2·|V| label rows regardless of round count (older
-    *    checkpoints are swept by the ContextCleaner once
-    *    unreferenced).
+    *  - the iteration's label table is marked for LAZY
+    *    `localCheckpoint` and the convergence check (`count of Changed
+    *    rows == 0`) is the action that materializes it — both rounds'
+    *    joins/aggregates, the checkpoint write, and the changed-count
+    *    all ride ONE job;
+    *  - lineage still truncates at every iteration (it joins the
+    *    previous iteration's STORED blocks, not a deep lazy replay),
+    *    and only the current and previous iterations are ever
+    *    referenced, so the live set is 2·|touched| label rows
+    *    regardless of round count (older checkpoints are swept by the
+    *    ContextCleaner once unreferenced);
+    *  - loop parallelism follows the DATA, not the session: the pair
+    *    list is cached and counted once (the caller's pair plan
+    *    executes exactly once) and the edge list is hash-partitioned
+    *    on `src` into ⌈3·|pairs|/100k⌉ partitions BEFORE caching — a
+    *    few hundred edges in 32 partitions would otherwise pay 32
+    *    task launches per stage per round, and the cached hash
+    *    partitioning means each round reshuffles only the label side,
+    *    never the edges. At scale the clamp leaves session
+    *    parallelism untouched.
     * SUBGRAPH RESTRICTION (round 7): the loop runs over the
     * EDGE-TOUCHED vertices only. A vertex with no edges can never
     * change its label, so propagating |V| identity rows through every
@@ -709,34 +741,58 @@ object DedupOps {
     * instead of leaning on CacheManager plan-dedup across calls. */
   def componentsOf(pairs: DataFrame, ids: DataFrame,
                    maxRounds: Int = MaxLabelRounds): DataFrame = {
-    val bidir = pairs.toDF("D1", "D2")
+    val spark = pairs.sparkSession
+    // cache the pair list itself: the caller's pair plan (typically the
+    // LSH-verify pipeline) executes ONCE — the sizing count below rides
+    // it, and the edge build reads the cache
+    val bidir = pairs.toDF("D1", "D2").cache()
+    val nPairs = bidir.count()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    // |edges| ≤ 3·|pairs| (bidirected + self-loops); size the loop to
+    // the data — at scale the clamp keeps session parallelism
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      (3L * nPairs) / 100000L + 1L)).toInt
     // only vertices with at least one edge can ever change label:
     // restrict the loop to them, rejoin the rest at the end
     val touched = bidir.select(col("D1").as("doc_id"))
       .union(bidir.select(col("D2").as("doc_id")))
       .distinct()
+    // hash-partitioned on src BEFORE caching: the cached partitioning
+    // is visible to the planner, so every round's join reshuffles only
+    // the (smaller) label side, never the edge list
     val edges = bidir
       .union(bidir.select(col("D2"), col("D1")))
       .union(touched.select(col("doc_id"), col("doc_id")))
       .toDF("src", "dst")
+      .repartition(loopParts, col("src"))
       .cache()
+    // one propagation round as a lazy transformation over the cached
+    // edges (using-column join: safe when chained twice in one plan)
+    def step(labels: DataFrame): DataFrame =
+      edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst"))
+        .agg(min(col("ClusterId")).as("ClusterId"),
+          min(when(col("src") === col("dst"), col("ClusterId"))).as("PrevId"))
+        .select(col("dst").as("doc_id"), col("ClusterId"),
+          (col("ClusterId") =!= col("PrevId")).as("Changed"))
     try {
-      var labels = touched
+      // materializes the edge cache as a side effect (eager checkpoint)
+      var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("ClusterId"))
         .localCheckpoint()
       var converged = false
       var round = 0
       while (!converged && round < maxRounds) {
-        round += 1
-        val next = edges.join(labels, edges("src") === labels("doc_id"))
-          .groupBy(col("dst"))
-          .agg(min(col("ClusterId")).as("ClusterId"),
-            min(when(edges("src") === col("dst"), col("ClusterId"))).as("PrevId"))
-          .select(col("dst").as("doc_id"), col("ClusterId"),
-            (col("ClusterId") =!= col("PrevId")).as("Changed"))
-          .localCheckpoint(eager = false)
-        // the round's single action: materializes the checkpoint blocks
-        // AND decides convergence from the rows it just computed
+        // two lazy rounds per action (never past the cap): the
+        // convergence count on the SECOND still detects a zero-change
+        // first round, at the cost of one cheap same-job extra round
+        val steps = math.min(2, maxRounds - round)
+        var adv = step(labels)
+        if (steps == 2) adv = step(adv.select(col("doc_id"), col("ClusterId")))
+        round += steps
+        val next = adv.localCheckpoint(eager = false)
+        // the iteration's single action: materializes the checkpoint
+        // blocks AND decides convergence from the rows it just computed
         converged = next.filter(col("Changed")).count() == 0L
         labels = next.select(col("doc_id"), col("ClusterId"))
       }
@@ -752,7 +808,10 @@ object DedupOps {
           Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("PropagatedId"), col("doc_id")).as("ClusterId"))
-    } finally edges.unpersist(false)
+    } finally {
+      edges.unpersist(false)
+      bidir.unpersist(false)
+    }
   }
 
   /** Near-dup clustering — the last stage of a real dedup pipeline:
