@@ -123,6 +123,7 @@ object SparkEntry {
     // (file source → watermark → memory sink), oracle = the batch SQL
     "events_hourly_stream" -> (graft.streaming.EventsStream.hourlyStreamQuery _),
     "events_session_windows_stream" -> (graft.streaming.EventsStream.sessionWindowsStreamQuery _),
+    "events_click_attribution_stream" -> (graft.streaming.EventsStream.clickAttributionStreamQuery _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
@@ -219,6 +220,7 @@ object SparkEntry {
     // row is batch/stream equivalence checked by the driver itself
     "events_hourly_stream" -> ExtSql.eventsHourly,
     "events_session_windows_stream" -> ExtSql.sessionWindows,
+    "events_click_attribution_stream" -> ExtSql.clickAttribution,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "unpivot_country_metrics" -> ExtSql.unpivotCountryMetrics,

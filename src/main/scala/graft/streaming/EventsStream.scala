@@ -410,4 +410,37 @@ object EventsStream {
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("StartUs"))
   }
+
+  /** Streaming twin of `EventsOps.clickAttribution` for the driver
+    * gate: the TRUE stream-stream interval join (both sides streaming,
+    * pairs emitted as their second half arrives across microbatch
+    * boundaries — the events are staged as two files = two batches),
+    * then the same per-user pair aggregation as the batch query. The
+    * corpus-spanning `delay` makes the two-file replay lossless (the
+    * split is arbitrary event order, so the reorder span is the whole
+    * corpus); a production deployment sets the real lateness bound and
+    * gets bounded join state from the range condition + watermarks. */
+  def clickAttributionStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val streamDir = Files.createTempDirectory("graft_attr_once")
+    Tables.eventsRaw(spark, dir)
+      .repartition(2).write.mode("overwrite").parquet(s"$streamDir/events")
+    val name = s"events_click_attribution_stream_${onceCounter.incrementAndGet()}"
+    val q = clickAttribution(
+        readEventsStream(spark, s"$streamDir/events", maxFilesPerTrigger = Some(1)),
+        delay = "3650 days")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("Pairs"),
+        min(col("LagUs")).as("MinLagUs"),
+        max(col("LagUs")).as("MaxLagUs"),
+        sum(col("LagUs")).as("SumLagUs"))
+      .orderBy(col("user_id"))
+  }
 }
