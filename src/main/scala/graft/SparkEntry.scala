@@ -81,6 +81,8 @@ object SparkEntry {
     "curate_decontaminate" -> (CurateOps.decontaminate _),
     "curate_sample_stratified" -> (CurateOps.sampleStratified _),
     "curate_token_budget" -> (CurateOps.tokenBudget _),
+    "curate_pack_sequences" -> (CurateOps.packSequences _),
+    "curate_sample_weighted" -> (CurateOps.sampleWeighted _),
     "dedup_simhash" -> (DedupOps.simhash _),
     // ---- text extensions: repetition filter, TF-IDF, PII redaction ----
     "text_repetition" -> (TextOps.repetition _),
@@ -175,6 +177,8 @@ object SparkEntry {
     "curate_decontaminate" -> ExtSql.curateDecontaminate,
     "curate_sample_stratified" -> ExtSql.curateSampleStratified,
     "curate_token_budget" -> ExtSql.curateTokenBudget,
+    "curate_pack_sequences" -> ExtSql.curatePackSequences,
+    "curate_sample_weighted" -> ExtSql.curateSampleWeighted,
     "dedup_simhash" -> ExtSql.dedupSimhash,
     "text_repetition" -> ExtSql.textRepetition,
     "text_tfidf" -> ExtSql.textTfidf,

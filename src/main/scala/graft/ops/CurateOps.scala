@@ -181,6 +181,84 @@ object CurateOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-sequence length for [[packSequences]] — the classic
+    * pre-training context chop (shared with the oracle SQL so the
+    * packing layout is part of the query definition). */
+  val PackSeqLen = 512
+
+  /** SEQUENCE PACKING — the last physical step of a pre-training data
+    * pipeline: concatenate documents and chop the token stream into
+    * fixed-[[PackSeqLen]] training sequences. Emits the pack LAYOUT
+    * per document (all exact integers): its token offset inside the
+    * shard's stream and the first/last sequence ids it lands in
+    * (`NSeqSpan` = how many sequences the doc straddles).
+    *
+    * Packing is SHARDED BY SOURCE: concat-and-chop has an inherently
+    * sequential prefix-sum dependency, and sharding is how production
+    * packers parallelize it — each shard's stream is independent, so
+    * the window partitions by `source` (never a global order), shuffle
+    * keyed on the shard id, one pass. At 100 TB the shard key would be
+    * (source, file-group) at whatever granularity keeps a shard inside
+    * one task; the operator's shape is unchanged. Zero-token documents
+    * are excluded (they contribute nothing to the stream and would
+    * otherwise make `LastSeq` ill-defined). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExpressions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        expr("token_stats(text).NTokens").as("NTokens"))
+      .filter(col("NTokens") > 0)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("StartTok",
+        coalesce(sum(col("NTokens").cast(LongType)).over(w), lit(0L)))
+      .withColumn("FirstSeq", expr(s"StartTok div $PackSeqLen"))
+      .withColumn("LastSeq", expr(s"(StartTok + NTokens - 1) div $PackSeqLen"))
+      .select(col("source"), col("doc_id"), col("NTokens"), col("StartTok"),
+        col("FirstSeq"), col("LastSeq"),
+        (col("LastSeq") - col("FirstSeq") + lit(1L)).cast(IntegerType).as("NSeqSpan"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Inclusion-probability denominator for [[sampleWeighted]]:
+    * p(doc) = NTokens / [[WeightSampleDenom]] (corpus NTokens ≤ ~100,
+    * so p < 1 and no clamp branch exists to diverge on). Shared with
+    * the oracle SQL. */
+  val WeightSampleDenom = 250L
+
+  /** WEIGHT-PROPORTIONAL SAMPLING — probability-proportional-to-size
+    * Bernoulli: keep a document with p = NTokens/[[WeightSampleDenom]]
+    * (longer docs proportionally likelier — the standard
+    * token-weighted corpus subsample, vs [[sampleStratified]]'s
+    * per-language quotas and the uniform bottom-k). The coin is the
+    * doc's 48-bit md5 prefix against an INTEGER threshold
+    * `NTokens · 2⁴⁸ / denom`, so the decision is exact in any engine
+    * that computes the same hash — deterministic, reproducible,
+    * composable with incremental ingestion (a doc's coin never
+    * changes; its threshold moves only if its own weight does).
+    * Emits the inclusion probability per kept row — the
+    * Horvitz-Thompson weight downstream estimators divide by.
+    * Scale: one narrow filter pass, no shuffle before the
+    * presentation sort. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val pow48 = 281474976710656.0 // 2^48
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        expr("token_stats(text).NTokens").as("NTokens"),
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+          .cast(LongType).as("Hash48"))
+      .filter(col("Hash48") * lit(WeightSampleDenom) <
+        col("NTokens").cast(LongType) * lit(pow48.toLong))
+      .withColumn("InclusionP",
+        col("NTokens").cast(DoubleType) / lit(WeightSampleDenom.toDouble))
+      .select(col("doc_id"), col("source"), col("NTokens"),
+        col("Hash48"), col("InclusionP"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum quality score for [[curate]] — ≈ the corpus median
     * (scores on the synthetic docs range 0.04–0.48; length-capped at
     * NTokens/200 with docs of 10–99 tokens). */

@@ -483,6 +483,48 @@ FROM c WHERE cum <= ${graft.ops.CurateOps.TokenBudget}
 ORDER BY doc_id
 """
 
+  /** Sequence-packing mirror: identical whitespace token count, the
+    * same per-source (doc_id-ordered) exclusive prefix sum, and the
+    * shared [[graft.ops.CurateOps.PackSeqLen]] chop — all exact
+    * integer division, so any layout divergence is a hash miss. */
+  val curatePackSequences: String = s"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS nt
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE nt > 0),
+p AS (
+  SELECT source, doc_id, nt,
+         CAST(coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM nz
+)
+SELECT source, doc_id, nt AS "NTokens", st AS "StartTok",
+       st // ${graft.ops.CurateOps.PackSeqLen} AS "FirstSeq",
+       (st + nt - 1) // ${graft.ops.CurateOps.PackSeqLen} AS "LastSeq",
+       CAST((st + nt - 1) // ${graft.ops.CurateOps.PackSeqLen}
+            - st // ${graft.ops.CurateOps.PackSeqLen} + 1 AS INTEGER) AS "NSeqSpan"
+FROM p ORDER BY source, doc_id
+"""
+
+  /** Weight-proportional sampling mirror: identical 48-bit md5-prefix
+    * coin and the INTEGER threshold compare (no float in the decision),
+    * so the kept set is bit-identical by construction. */
+  lazy val curateSampleWeighted: String = s"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS nt,
+         CAST(${hex48("md5(CAST(doc_id AS VARCHAR))")} AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, source, nt AS "NTokens", h AS "Hash48",
+       CAST(nt AS DOUBLE) / ${graft.ops.CurateOps.WeightSampleDenom}.0 AS "InclusionP"
+FROM t
+WHERE h * ${graft.ops.CurateOps.WeightSampleDenom} < CAST(nt AS BIGINT) * 281474976710656
+ORDER BY doc_id
+"""
+
   /** Salted md5-first-byte bucket of doc_id (mirrors
     * CurateOps.hashBucket; DuckDB lacks base-16 conversion, so decode
     * the two hex digits with the instr trick). */

@@ -248,4 +248,64 @@ class CurateTextSpec extends SparkSpec {
       assert(r.getAs[Int]("NPhones") === (if (id % 2 == 0) 1 else 0))
     }
   }
+
+  test("pack_sequences: per-shard layout is a gapless chop of the concatenated token stream") {
+    val L = CurateOps.PackSeqLen
+    val rows = CurateOps.packSequences(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, shard) =>
+      val byId = shard.sortBy(_.getAs[Long]("doc_id"))
+      // exclusive prefix sum: first doc at offset 0, each next doc
+      // starts exactly where the previous ended — no gaps, no overlap
+      var expectStart = 0L
+      byId.foreach { r =>
+        assert(r.getAs[Long]("StartTok") === expectStart,
+          s"$src doc ${r.getAs[Long]("doc_id")} misplaced")
+        expectStart += r.getAs[Int]("NTokens")
+        val first = r.getAs[Long]("FirstSeq")
+        val last = r.getAs[Long]("LastSeq")
+        assert(first === r.getAs[Long]("StartTok") / L)
+        assert(last >= first)
+        assert(r.getAs[Int]("NSeqSpan") === (last - first + 1).toInt)
+      }
+      // the shard's sequence count is exactly ceil(totalTokens / L)
+      val total = byId.map(_.getAs[Int]("NTokens").toLong).sum
+      assert(byId.map(_.getAs[Long]("LastSeq")).max === (total - 1) / L,
+        s"$src sequence count is not ceil(total/L)")
+    }
+    // boundary-straddling docs exist, else the chop is untested
+    assert(rows.count(_.getAs[Int]("NSeqSpan") >= 2) > 0,
+      "no document straddles a sequence boundary — vacuous layout")
+  }
+
+  test("sample_weighted: exact integer coin, weight-proportional rate, deterministic") {
+    val denom = CurateOps.WeightSampleDenom
+    val kept = CurateOps.sampleWeighted(spark, sfDir).collect()
+    assert(kept.nonEmpty)
+    // every kept row passes its own integer threshold
+    kept.foreach { r =>
+      assert(r.getAs[Long]("Hash48") * denom <
+        r.getAs[Int]("NTokens").toLong * (1L << 48))
+      assert(r.getAs[Double]("InclusionP") ===
+        r.getAs[Int]("NTokens").toDouble / denom)
+    }
+    // rate sanity: corpus docs are 10-99 tokens → keep rate must sit
+    // inside the implied [10/denom, 99/denom] band (weighted mean)
+    val total = graft.etl.Tables.documents(spark, sfDir).count()
+    val rate = kept.length.toDouble / total
+    assert(rate > 10.0 / denom && rate < 99.0 / denom, s"rate $rate outside band")
+    // longer docs are kept proportionally more often: compare observed
+    // keep rates of the shortest vs longest token-count terciles
+    val toks = graft.ops.TextOps.tokens(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("NTokens")).toMap
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val sorted = toks.toSeq.sortBy(_._2)
+    val (short, long) = (sorted.take(total.toInt / 3), sorted.takeRight(total.toInt / 3))
+    def rateOf(xs: Seq[(Long, Int)]) = xs.count(x => keptIds(x._1)).toDouble / xs.size
+    assert(rateOf(long) > rateOf(short),
+      "keep rate not increasing with weight — sampler is not proportional")
+    // determinism: a second run returns the identical set
+    assert(CurateOps.sampleWeighted(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet === keptIds)
+  }
 }
