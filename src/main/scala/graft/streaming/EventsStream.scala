@@ -384,15 +384,27 @@ object EventsStream {
     * is filtered out. Same construction StreamingSpec proves equal to
     * the batch twin. */
   def sessionWindowsStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, Paths}
     val raw = Tables.eventsRaw(spark, dir)
     val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
     val streamDir = Files.createTempDirectory("graft_sess_once")
     val t0 = System.currentTimeMillis() - 60000
-    stageOneFile(raw, streamDir.resolve("a_data.parquet"), t0)
+    // stage the corpus by FILE COPY (no Spark rewrite — the encoding
+    // sniff makes the original physical encoding readable as-is); only
+    // the 1-row sentinel is written, in the SAME encoding so the
+    // stream's declared schema fits both files
+    val dst = streamDir.resolve("a_data.parquet")
+    Files.copy(Paths.get(s"$dir/events.parquet"), dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+    val flushNs = maxNs + 30L * 86400L * 1000000000L
+    val sentinelTs = Tables.eventsTsType(spark, s"$dir/events.parquet") match {
+      case org.apache.spark.sql.types.LongType => lit(flushNs)
+      case t => timestamp_micros(lit(flushNs / 1000L)).cast(t)
+    }
     stageOneFile(raw.limit(1).select(
       lit(-1L).as("event_id"),
-      lit(maxNs + 30L * 86400L * 1000000000L).as("ts"),
+      sentinelTs.as("ts"),
       lit(-1L).as("user_id"),
       lit("view").as("event_type"),
       lit(0.0).as("value"),
@@ -412,22 +424,25 @@ object EventsStream {
   }
 
   /** Streaming twin of `EventsOps.clickAttribution` for the driver
-    * gate: the TRUE stream-stream interval join (both sides streaming,
-    * pairs emitted as their second half arrives across microbatch
-    * boundaries — the events are staged as two files = two batches),
-    * then the same per-user pair aggregation as the batch query. The
-    * corpus-spanning `delay` makes the two-file replay lossless (the
-    * split is arbitrary event order, so the reorder span is the whole
-    * corpus); a production deployment sets the real lateness bound and
-    * gets bounded join state from the range condition + watermarks. */
+    * gate: the TRUE stream-stream interval join (both sides streaming
+    * through the symmetric-hash join with watermarked state), then the
+    * same per-user pair aggregation as the batch query. Staged as ONE
+    * file-copied batch — each additional microbatch is a full
+    * state-store round-trip over both sides, and the cross-batch
+    * emission property is separately proven by StreamingSpec's
+    * two-file replay; the gate query's job is batch/stream value
+    * equivalence. The corpus-spanning `delay` makes the replay
+    * lossless; a production deployment sets the real lateness bound
+    * and gets bounded join state from the range condition +
+    * watermarks. */
   def clickAttributionStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, Paths}
     val streamDir = Files.createTempDirectory("graft_attr_once")
-    Tables.eventsRaw(spark, dir)
-      .repartition(2).write.mode("overwrite").parquet(s"$streamDir/events")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
     val name = s"events_click_attribution_stream_${onceCounter.incrementAndGet()}"
     val q = clickAttribution(
-        readEventsStream(spark, s"$streamDir/events", maxFilesPerTrigger = Some(1)),
+        readEventsStream(spark, streamDir.toString),
         delay = "3650 days")
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name)

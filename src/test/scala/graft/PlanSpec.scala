@@ -221,4 +221,25 @@ class PlanSpec extends SparkSpec {
     assert(scans.isEmpty,
       s"summary rescans base tables instead of the cleaned cache: $scans")
   }
+
+  test("sequence packing windows per-source (sharded), never a global sort-window") {
+    val df = graft.ops.CurateOps.packSequences(spark, sfDir)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a window for the prefix sum")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"packing window is GLOBAL (single-partition bottleneck): $w")
+      assert(w.partitionSpec.map(_.toString).exists(_.contains("source")),
+        s"packing window not sharded on source: ${w.partitionSpec}")
+    }
+  }
+
+  test("weighted sampling is one narrow scan pass: no joins, no aggregates, no window") {
+    val p = plan(graft.ops.CurateOps.sampleWeighted(spark, sfDir))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    assert(!p.contains("Window ["), s"unexpected window:\n$p")
+  }
 }
