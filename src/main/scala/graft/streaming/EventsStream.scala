@@ -341,6 +341,24 @@ object EventsStream {
     * re-runs each one — a shared memory-sink name would collide. */
   private val onceCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Session CLONE with state-sized shuffle parallelism for the
+    * one-shot runs. Stateful streaming allocates one state store per
+    * shuffle partition per stateful operator; these gate queries carry
+    * ~10⁴-row state, so the session's scan parallelism (32) buys
+    * nothing and pays 32 store snapshots/commits per microbatch. A
+    * clone owns its SQLConf — the shared session's conf is never
+    * mutated (Verify runs queries concurrently), and the SparkContext
+    * (and so the executors and the memory-sink registry the clone's
+    * catalog sees) is shared. Production tuning note: state-store
+    * partition count is fixed at first checkpoint, so a real
+    * deployment sizes it to projected STATE, not scan width — this is
+    * that decision in miniature. */
+  private def stateSizedSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
+
   /** Write `df` as ONE parquet file at `dst` with an explicit mtime —
     * the FileStreamSource orders batches by modification time, which
     * is what sequences the data-then-sentinel staging below. */
@@ -363,11 +381,12 @@ object EventsStream {
     * One data batch ⇒ Update mode emits each window exactly once. */
   def hourlyStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    val s = stateSizedSession(spark)
     val streamDir = Files.createTempDirectory("graft_hourly_once")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val name = s"events_hourly_stream_${onceCounter.incrementAndGet()}"
-    runHourlyOnce(spark, streamDir.toString, name)
+    runHourlyOnce(s, streamDir.toString, name)
       .select(
         date_format(col("WindowStart"), "yyyy-MM-dd HH:mm:ss").as("HourTs"),
         col("event_type"), col("NEvents"), col("TotalValue"))
@@ -383,8 +402,9 @@ object EventsStream {
     * flushes ALL real sessions; the sentinel's own in-flight session
     * is filtered out. Same construction StreamingSpec proves equal to
     * the batch twin. */
-  def sessionWindowsStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+  def sessionWindowsStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    val spark = stateSizedSession(spark0)
     val raw = Tables.eventsRaw(spark, dir)
     val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
     val streamDir = Files.createTempDirectory("graft_sess_once")
@@ -435,8 +455,9 @@ object EventsStream {
     * lossless; a production deployment sets the real lateness bound
     * and gets bounded join state from the range condition +
     * watermarks. */
-  def clickAttributionStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+  def clickAttributionStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    val spark = stateSizedSession(spark0)
     val streamDir = Files.createTempDirectory("graft_attr_once")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
