@@ -55,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("kmv_kmin", "k smallest distinct bigints — KMV bottom-k sketch (col, k)",
       es => KMinValues(es(0), SketchAggregates.intLit(es(1), "kmv_kmin(col, k)"))))
 
+  /** Every function name this installer injects — the parity contract
+    * the per-module register() path (Verify.registerAll) is tested
+    * against, so a function added to one path can't silently go
+    * missing from the other. */
+  private[graft] def functionNames: Seq[String] = functions.map(_._1)
+
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))

@@ -109,4 +109,29 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("Verify.registerAll covers every GraftExtensions function (registration-path parity)") {
+    // Verify/Bench hoist registration before their concurrent pools;
+    // a function injected by the extensions installer but missing from
+    // registerAll would re-introduce the mid-analysis registration
+    // race this parity check exists to prevent.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-registerall-parity")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      Verify.registerAll(spark)
+      val missing = (new GraftExtensions).functionNames
+        .filterNot(spark.catalog.functionExists)
+      assert(missing.isEmpty,
+        s"registerAll does not register: ${missing.mkString(", ")}")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }
