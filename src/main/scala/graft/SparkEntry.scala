@@ -126,6 +126,7 @@ object SparkEntry {
     "events_hourly_stream" -> (graft.streaming.EventsStream.hourlyStreamQuery _),
     "events_session_windows_stream" -> (graft.streaming.EventsStream.sessionWindowsStreamQuery _),
     "events_click_attribution_stream" -> (graft.streaming.EventsStream.clickAttributionStreamQuery _),
+    "events_funnel_stream" -> (graft.streaming.EventsStream.funnelStreamQuery _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
@@ -225,6 +226,7 @@ object SparkEntry {
     "events_hourly_stream" -> ExtSql.eventsHourly,
     "events_session_windows_stream" -> ExtSql.sessionWindows,
     "events_click_attribution_stream" -> ExtSql.clickAttribution,
+    "events_funnel_stream" -> ExtSql.eventsFunnel,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "unpivot_country_metrics" -> ExtSql.unpivotCountryMetrics,

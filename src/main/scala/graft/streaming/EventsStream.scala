@@ -479,4 +479,48 @@ object EventsStream {
         sum(col("LagUs")).as("SumLagUs"))
       .orderBy(col("user_id"))
   }
+
+  /** Streaming twin of `EventsOps.funnel` for the driver gate: the
+    * per-user view→click→purchase progress runs as REAL
+    * `mapGroupsWithState` (each user's final (t1, t2, t3) lands in the
+    * Update-mode sink), then the same three step rows + rates as the
+    * batch query are folded from the emitted states — `Users` per step
+    * is the non-null count of that step's instant, the rate window the
+    * identical nullif-guarded formula. One staged batch ⇒ exactly one
+    * emission per user; cross-batch state carry is StreamingSpec's
+    * two-file funnel test. */
+  def funnelStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    implicit val spark: SparkSession = stateSizedSession(spark0)
+    import spark.implicits._
+    val streamDir = Files.createTempDirectory("graft_funnel_once")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val events = readEventsStream(spark, streamDir.toString)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val name = s"events_funnel_stream_${onceCounter.incrementAndGet()}"
+    val q = funnelProgress(events)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val st = spark.table(name)
+    def step(n: Int, nm: String, instant: org.apache.spark.sql.Column): DataFrame =
+      st.agg(count(instant).as("Users"))
+        .select(lit(n).as("Step"), lit(nm).as("StepName"), col("Users"))
+    val steps = step(1, "view", col("t1"))
+      .union(step(2, "view>click", col("t2")))
+      .union(step(3, "view>click>purchase", col("t3")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("Step"))
+    steps
+      .withColumn("CumRate",
+        col("Users").cast(org.apache.spark.sql.types.DoubleType) /
+          nullif(first(col("Users")).over(w), lit(0L)))
+      .withColumn("StepRate",
+        col("Users").cast(org.apache.spark.sql.types.DoubleType) /
+          nullif(lag(col("Users"), 1).over(w), lit(0L)))
+      .orderBy(col("Step"))
+  }
 }
