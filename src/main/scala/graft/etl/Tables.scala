@@ -76,7 +76,7 @@ object Tables {
     * schema blindly silently misreads the other — a MICROS column
     * declared LongType yields raw MICROseconds, which a ns→µs `div
     * 1000` then collapses to 1970 — so every events read goes through
-    * [[eventsTsIsMicros]] (a cached parquet-footer sniff) and
+    * [[eventsTsType]] (a cached parquet-footer sniff) and
     * normalizes to ONE canonical raw shape: `ts` as a nanosecond long
     * ([[eventsRawSchema]]). */
   val eventsRawSchema = StructType(Seq(
@@ -95,6 +95,12 @@ object Tables {
 
   private val tsEncodingCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** Drop a sniff-cache entry — for ONE-SHOT staging dirs (the
+    * streaming gate queries), whose entries would otherwise accumulate
+    * for the life of the JVM. Fixture paths stay cached. */
+  private[graft] def forgetTsEncoding(path: String): Unit =
+    tsEncodingCache.remove(path)
 
   /** The physical type Spark surfaces for `ts` in the parquet at `path`
     * (file or directory of staged files): LongType for the
@@ -161,10 +167,25 @@ object Tables {
   /** Read a named table through any pluggable [[graft.sources.TabularSource]]
     * (S1 seam): `path` is `dir/name.ext` with the source's own
     * extension. The parquet readers below are `via(ParquetSource, ...)`
-    * specialized for the driver testdata layout. */
+    * specialized for the driver testdata layout.
+    *
+    * Events via parquet take the SAME encoding sniff as [[eventsRaw]]
+    * and come back in the canonical raw shape (`ts` = nanos long) —
+    * the schemas-map LongType declaration alone would silently misread
+    * a timestamp[us] fixture (the round-6 1970-collapse, at this seam).
+    * Non-parquet sources keep the declared contract: their files store
+    * the raw long. */
   def via(source: graft.sources.TabularSource, spark: SparkSession,
-          dir: String, name: String): DataFrame =
-    source.read(spark, s"$dir/$name.${source.name}", schemas(name))
+          dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.${source.name}"
+    if (name == "events" && source.name == "parquet")
+      eventsTsType(spark, path) match {
+        case LongType => source.read(spark, path, eventsRawSchema)
+        case t => source.read(spark, path, eventsSchemaWith(t))
+          .withColumn("ts", tsToNanos(col("ts")))
+      }
+    else source.read(spark, path, schemas(name))
+  }
 
   private def read(spark: SparkSession, dir: String, name: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(s"$dir/$name.parquet")

@@ -50,7 +50,7 @@ object EventsStream {
   /** A streaming source over the events parquet dir (one-file-per-batch
     * in tests). Unit-aware like `Tables.events`: a FileStreamSource
     * needs a DECLARED schema, so the `ts` encoding (timestamp[us] vs
-    * TIMESTAMP(NANOS)-as-long — see Tables.eventsTsIsMicros) is sniffed
+    * TIMESTAMP(NANOS)-as-long — see Tables.eventsTsType) is sniffed
     * from the files already staged in `dir` at stream-definition time;
     * later-arriving files must use the same encoding. Requires
     * `spark.sql.legacy.parquet.nanosAsLong=true` in the session builder
@@ -332,8 +332,8 @@ object EventsStream {
   }
 
   // ---- driver-gate one-shot twins ------------------------------------
-  // These two run the REAL streaming operators (file source → watermark
-  // → memory sink) over the same parquet the batch queries read, shaped
+  // These run the REAL streaming operators (file source → watermark →
+  // memory sink) over the same parquet the batch queries read, shaped
   // to hash-match the BATCH oracle SQL — so the driver's correctness
   // gate now exercises the streaming engine, not just the specs.
 
@@ -361,17 +361,37 @@ object EventsStream {
 
   /** Write `df` as ONE parquet file at `dst` with an explicit mtime —
     * the FileStreamSource orders batches by modification time, which
-    * is what sequences the data-then-sentinel staging below. */
+    * is what sequences the data-then-sentinel staging below. The
+    * intermediate write dir is deleted before returning. */
   private def stageOneFile(df: DataFrame, dst: java.nio.file.Path, mtimeMs: Long): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     val tmp = Files.createTempDirectory("graft_stage")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.copy(part, dst)
-    Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally listing.close()
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Best-effort recursive delete for one-shot staging dirs — the gate
+    * queries otherwise leave a full corpus copy in /tmp per invocation
+    * (12+ per bench run). Safe after `q.stop()`: the memory sink holds
+    * COLLECTED rows, so the returned frame never re-reads the files. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    } catch { case _: java.io.IOException => () } // cleanup is advisory
   }
 
   /** Streaming twin of `EventsOps.hourly` for the driver gate: stages
@@ -386,11 +406,14 @@ object EventsStream {
     Files.copy(Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val name = s"events_hourly_stream_${onceCounter.incrementAndGet()}"
-    runHourlyOnce(s, streamDir.toString, name)
+    val out = runHourlyOnce(s, streamDir.toString, name)
       .select(
         date_format(col("WindowStart"), "yyyy-MM-dd HH:mm:ss").as("HourTs"),
         col("event_type"), col("NEvents"), col("TotalValue"))
       .orderBy(col("HourTs"), col("event_type"))
+    deleteRecursively(streamDir)
+    Tables.forgetTsEncoding(streamDir.toString)
+    out
   }
 
   /** Streaming twin of `EventsOps.sessionWindows` for the driver gate:
@@ -406,7 +429,10 @@ object EventsStream {
     import java.nio.file.{Files, Paths}
     val spark = stateSizedSession(spark0)
     val raw = Tables.eventsRaw(spark, dir)
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val maxRow = raw.agg(max(col("ts"))).head()
+    require(!maxRow.isNullAt(0),
+      s"events fixture at $dir is empty — cannot stage the session-window flush sentinel")
+    val maxNs = maxRow.getLong(0)
     val streamDir = Files.createTempDirectory("graft_sess_once")
     val t0 = System.currentTimeMillis() - 60000
     // stage the corpus by FILE COPY (no Spark rewrite — the encoding
@@ -438,9 +464,12 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    val out = spark.table(name)
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("StartUs"))
+    deleteRecursively(streamDir)
+    Tables.forgetTsEncoding(streamDir.toString)
+    out
   }
 
   /** Streaming twin of `EventsOps.clickAttribution` for the driver
@@ -470,7 +499,7 @@ object EventsStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(name)
+    val out = spark.table(name)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("Pairs"),
@@ -478,6 +507,9 @@ object EventsStream {
         max(col("LagUs")).as("MaxLagUs"),
         sum(col("LagUs")).as("SumLagUs"))
       .orderBy(col("user_id"))
+    deleteRecursively(streamDir)
+    Tables.forgetTsEncoding(streamDir.toString)
+    out
   }
 
   /** Streaming twin of `EventsOps.funnel` for the driver gate: the
@@ -514,7 +546,7 @@ object EventsStream {
       .union(step(2, "view>click", col("t2")))
       .union(step(3, "view>click>purchase", col("t3")))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("Step"))
-    steps
+    val out = steps
       .withColumn("CumRate",
         col("Users").cast(org.apache.spark.sql.types.DoubleType) /
           nullif(first(col("Users")).over(w), lit(0L)))
@@ -522,5 +554,8 @@ object EventsStream {
         col("Users").cast(org.apache.spark.sql.types.DoubleType) /
           nullif(lag(col("Users"), 1).over(w), lit(0L)))
       .orderBy(col("Step"))
+    deleteRecursively(streamDir)
+    Tables.forgetTsEncoding(streamDir.toString)
+    out
   }
 }

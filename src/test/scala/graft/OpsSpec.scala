@@ -725,5 +725,15 @@ class OpsSpec extends SparkSpec {
       .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
     assert(rows(s"$tmp/nanos") === rows(s"$tmp/micros"),
       "µs-encoded and ns-encoded events decode differently")
+
+    // the generic-source seam must take the same sniff: via(Parquet)
+    // with the schemas-map LongType declaration alone would misread a
+    // µs fixture at exactly this altitude
+    val viaRows = graft.etl.Tables
+      .via(graft.sources.ParquetSource, spark, sfDir, "events")
+      .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+    val rawRows = graft.etl.Tables.eventsRaw(spark, sfDir)
+      .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
+    assert(viaRows === rawRows, "via(ParquetSource, events) diverges from eventsRaw")
   }
 }
