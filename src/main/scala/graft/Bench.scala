@@ -125,7 +125,16 @@ object Bench {
     val ejson = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"raw":$rjson,"errors":$ejson,"sf":"$sfDir"}"""
+    // end-of-run cached-substrate audit (round 8): every long-lived
+    // memo is Dataset.cache() = MEMORY_AND_DISK, so eviction spills to
+    // local disk instead of forcing recompute — this line makes the
+    // session-wide footprint (and any spill) visible per round instead
+    // of inferred from per-query regressions. disk_bytes > 0 means the
+    // session ran past its storage memory and degraded as designed.
+    val rddInfo = spark.sparkContext.getRDDStorageInfo
+    val maxHeap = Runtime.getRuntime.maxMemory()
+    val sjson = s"""{"cached_rdds":${rddInfo.length},"mem_bytes":${rddInfo.map(_.memSize).sum},"disk_bytes":${rddInfo.map(_.diskSize).sum},"max_heap_bytes":$maxHeap}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"raw":$rjson,"errors":$ejson,"storage":$sjson,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

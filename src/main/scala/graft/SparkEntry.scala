@@ -37,11 +37,13 @@ object SparkEntry {
       col("LineNumber")).orderBy(col("InvoiceNo"), col("LineNumber"),
       col("StockCode"), col("Quantity"), col("TotalAmount"), col("UnitPrice"))),
     "customer_summary" -> cleanedQ(Summaries.customerSummary),
-    // no oracleSql entry (rows-only check): the labels depend on
-    // percentile_approx's sketch boundaries, which DuckDB's approx
-    // quantile cannot reproduce bit-for-bit; exact-path agreement is
-    // asserted in SummariesSpec (≥99% at sf0.1) instead
-    "customer_segments_approx" -> cleanedQ(Summaries.customerSegmentsApprox(_)),
+    // gate shape (round 8): per-segment rows with exact columns +
+    // sketch error-bound booleans the oracle asserts TRUE — the
+    // per-customer labeling itself stays user-facing as
+    // Summaries.customerSegmentsApprox (boundaries are sketch-derived,
+    // not reproducible bit-for-bit outside Spark; exact-path agreement
+    // is asserted in SummariesSpec, ≥99% at sf0.1)
+    "customer_segments_approx" -> cleanedQ(Summaries.customerSegmentsApproxGate(_)),
     "customer_segments_bounds" -> cleanedQ(Summaries.customerSegmentsBounds),
     "product_summary" -> cleanedQ(Summaries.productSummary),
     "daily_sales" -> cleanedQ(Summaries.dailySales),
@@ -78,9 +80,12 @@ object SparkEntry {
     // ---- corpus curation (split assignment + composite filter) ----
     "curate_split_assign" -> (CurateOps.splitAssign _),
     "curate_corpus" -> (CurateOps.curate _),
-    "curate_decontaminate" -> (CurateOps.decontaminate _),
+    "curate_decontaminate" -> ((s: SparkSession, d: String) => CurateOps.decontaminate(s, d)),
     "curate_sample_stratified" -> (CurateOps.sampleStratified _),
     "curate_token_budget" -> (CurateOps.tokenBudget _),
+    // the composed pipeline's per-stage funnel counts (round 8): the
+    // oracle recomposes every stage mirror and must match each count
+    "curate_pipeline_funnel" -> (CurateOps.curationFunnel _),
     "curate_pack_sequences" -> (CurateOps.packSequences _),
     "curate_sample_weighted" -> (CurateOps.sampleWeighted _),
     "dedup_simhash" -> (DedupOps.simhash _),
@@ -144,6 +149,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "transactions" -> CoreSql.transactions,
     "customer_summary" -> CoreSql.customerSummary,
+    "customer_segments_approx" -> CoreSql.customerSegmentsApprox,
     "customer_segments_bounds" -> CoreSql.customerSegmentsBounds,
     "product_summary" -> CoreSql.productSummary,
     "daily_sales" -> CoreSql.dailySales,
@@ -178,6 +184,7 @@ object SparkEntry {
     "curate_decontaminate" -> ExtSql.curateDecontaminate,
     "curate_sample_stratified" -> ExtSql.curateSampleStratified,
     "curate_token_budget" -> ExtSql.curateTokenBudget,
+    "curate_pipeline_funnel" -> ExtSql.curatePipelineFunnel,
     "curate_pack_sequences" -> ExtSql.curatePackSequences,
     "curate_sample_weighted" -> ExtSql.curateSampleWeighted,
     "dedup_simhash" -> ExtSql.dedupSimhash,

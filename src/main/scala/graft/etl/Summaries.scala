@@ -162,6 +162,77 @@ object Summaries {
       .transform(smallSort(_, col("CustomerID")))
   }
 
+  /** Driver-gate shape for the approx segmentation (round 8): instead
+    * of per-customer rows labeled by sketch boundaries (which DuckDB
+    * cannot reproduce bit-for-bit, so the query sat outside the oracle
+    * gate as a rows-only check), emit one row per segment whose EXACT
+    * columns the oracle recomputes and whose booleans assert the
+    * sketch's documented contracts against exact counts — the
+    * `RelationalOps.approxSketchStats` gate pattern. A sketch drifting
+    * out of bound flips a boolean and the row hash-mismatches.
+    *
+    * Assertions (ε = 1/accuracy, n = |customers|, B_q the sketch
+    * boundary at quantile q, counts exact over the same frame):
+    *  - BoundaryRankOk: B_q's value covers some INTEGER rank within
+    *    εn + 1 of q·n (the +1 is target-rank discreteness: the sketch
+    *    aims at an integer rank near q·n, which itself sits up to 1
+    *    away from the real product) — |{Rev < B_q}| < (q+ε)n + 1 AND
+    *    |{Rev ≤ B_q}| ≥ (q−ε)n − 1 (Platinum has no upper boundary:
+    *    trivially TRUE).
+    *  - SegCountOk: the segment's customer count is within
+    *    2(εn + 1) + maxTie − 1 of n/4 (two boundaries bound a middle
+    *    segment), where maxTie is the largest equal-revenue run at any
+    *    boundary (a value threshold keeps a tie run together where
+    *    exact ntile splits it positionally — the documented
+    *    divergence, now bounded by measured tie size).
+    *  - BoundariesMonotone: B₁ ≤ B₂ ≤ B₃.
+    *
+    * Plan shape: one mergeable sketch aggregate, one conditional-sum
+    * aggregate over the per-customer frame against the broadcast 1-row
+    * boundary frame, then a 4-row explode — no global sort anywhere,
+    * so the gate itself keeps the approx path's 100 TB plan. */
+  def customerSegmentsApproxGate(cleaned: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val g = customerAgg(cleaned).withColumn("Rev", col("RevDec").cast(DoubleType))
+    val bounds = g.agg(percentile_approx(
+      col("Rev"), array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("B"))
+    def b(i: Int) = element_at(col("B"), i)
+    val stats = g.crossJoin(broadcast(bounds)).agg(
+      count(lit(1)).as("N"),
+      sum(when(col("Rev") < b(1), 1L).otherwise(0L)).as("LT1"),
+      sum(when(col("Rev") <= b(1), 1L).otherwise(0L)).as("LE1"),
+      sum(when(col("Rev") < b(2), 1L).otherwise(0L)).as("LT2"),
+      sum(when(col("Rev") <= b(2), 1L).otherwise(0L)).as("LE2"),
+      sum(when(col("Rev") < b(3), 1L).otherwise(0L)).as("LT3"),
+      sum(when(col("Rev") <= b(3), 1L).otherwise(0L)).as("LE3"),
+      min(b(1)).as("B1"), min(b(2)).as("B2"), min(b(3)).as("B3"))
+    // the thresholds' segment counts ARE the cumulative diffs (Bronze =
+    // |{Rev ≤ B1}| by the labeling definition), so no second pass
+    def seg(name: String, c: Column, q: Double, lt: Column, le: Column, hasB: Boolean) =
+      struct(lit(name).as("Seg"), c.as("C"), lit(q).as("Q"),
+        lt.as("LT"), le.as("LE"), lit(hasB).as("HasB"))
+    val maxTie = greatest(
+      col("LE1") - col("LT1"), col("LE2") - col("LT2"), col("LE3") - col("LT3"))
+    stats
+      .withColumn("MaxTie", maxTie)
+      .select(explode(array(
+        seg("Bronze", col("LE1"), 0.25, col("LT1"), col("LE1"), hasB = true),
+        seg("Silver", col("LE2") - col("LE1"), 0.5, col("LT2"), col("LE2"), hasB = true),
+        seg("Gold", col("LE3") - col("LE2"), 0.75, col("LT3"), col("LE3"), hasB = true),
+        seg("Platinum", col("N") - col("LE3"), 1.0, lit(0L), lit(0L), hasB = false)
+      )).as("s"), col("N"), col("MaxTie"), col("B1"), col("B2"), col("B3"))
+      .select(
+        col("s.Seg").as("Segment"),
+        col("N").as("TotalCustomers"),
+        (abs(col("s.C").cast(DoubleType) - col("N") / lit(4.0))
+          <= lit(2 * eps) * col("N") + lit(2) + col("MaxTie") - lit(1)).as("SegCountOk"),
+        (!col("s.HasB") ||
+          (col("s.LT") < (lit(eps) + col("s.Q")) * col("N") + lit(1) &&
+           col("s.LE") >= (col("s.Q") - lit(eps)) * col("N") - lit(1))).as("BoundaryRankOk"),
+        (col("B1") <= col("B2") && col("B2") <= col("B3")).as("BoundariesMonotone"))
+      .transform(smallSort(_, col("Segment")))
+  }
+
   /** Driver-green exact-boundary segmentation: Bronze..Platinum from
     * the DISCRETE quartile boundaries (the revenue value at rank
     * ⌈q·n⌉ — ANSI `percentile_disc`), labeling each customer by value

@@ -64,12 +64,22 @@ object ExprKernels {
 
   /** text → distinct 3-gram token shingles, first-occurrence order
     * ([[TokenShingles]]). */
-  def tokenShingles(input: UTF8String): ArrayData = {
+  def tokenShingles(input: UTF8String): ArrayData = tokenShingles(input, 3)
+
+  /** Generalized n-token window (round 8): decontamination runs at
+    * wider windows (published practice is 8-13 grams; trigrams
+    * over-flag — common phrases collide across unrelated documents)
+    * while the dedup family stays at 3. n=3 output is byte-identical
+    * to the original fixed-width loop. */
+  def tokenShingles(input: UTF8String, n: Int): ArrayData = {
     val toks = TextExpressions.tokenize(input.toString)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
-    while (i + 2 < toks.length) {
-      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    while (i + n - 1 < toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
       i += 1
     }
     val out = new Array[Any](seen.size())

@@ -24,7 +24,11 @@ object ShingleExpressions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("token_shingles",
-      exprs => TokenShingles(exprs.head), "built-in")
+      exprs => TokenShingles(exprs.head, exprs.lift(1).map {
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case other => throw new IllegalArgumentException(
+          s"token_shingles window must be a literal, got $other")
+      }.getOrElse(3)), "built-in")
     reg.createOrReplaceTempFunction("minhash_bands",
       exprs => MinhashBands(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("simhash_bits",
@@ -62,14 +66,19 @@ case class SimhashBits(child: Expression)
     copy(child = newChild)
 }
 
-/** text → distinct 3-gram token shingles (first-occurrence order,
+/** text → distinct n-gram token shingles (first-occurrence order,
   * exactly like `array_distinct(transform(...))` over
-  * `split(trim(text), '\s+')`). */
-case class TokenShingles(child: Expression)
+  * `split(trim(text), '\s+')`). The window width is a PLAN constant
+  * (SQL: `token_shingles(text)` = 3, `token_shingles(text, n)`), baked
+  * into the generated code — dedup stays at 3, decontamination runs
+  * wider (CurateOps.DecontaminationShingleN). */
+case class TokenShingles(child: Expression, n: Int = 3)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName window must be >= 1, got $n")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires string, got ${other.simpleString}")
   }
@@ -77,11 +86,11 @@ case class TokenShingles(child: Expression)
   override def prettyName: String = "token_shingles"
 
   override protected def nullSafeEval(input: Any): Any =
-    ExprKernels.tokenShingles(input.asInstanceOf[UTF8String])
+    ExprKernels.tokenShingles(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.ExprKernels.tokenShingles($a);")
+      s"${ev.value} = graft.functions.ExprKernels.tokenShingles($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

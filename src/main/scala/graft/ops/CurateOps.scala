@@ -60,19 +60,29 @@ object CurateOps {
     Tables.documents(spark, dir)
       .withColumn("Split", splitOf(col("doc_id")))
 
-  /** Minimum shared distinct 3-gram shingles for a train document to
-    * count as contaminated by an eval document. 1 = any overlap (the
+  /** Minimum shared distinct shingles for a train document to count
+    * as contaminated by an eval document. 1 = any overlap (the
     * conservative default a decontamination pass ships with). */
   val ContaminationMinShingles = 1
+
+  /** Decontamination shingle window (tokens). Published practice uses
+    * 8-13-token windows (GPT-3's 13-gram, PaLM/Llama-style 8+-gram
+    * overlap checks): at 3 tokens common phrases collide across
+    * unrelated documents and a real corpus over-flags. Parameterized
+    * through [[decontaminate]] (the DuckDB mirror interpolates the
+    * same constant) so a pipeline can tighten or loosen; the dedup
+    * family's shingles deliberately stay at 3. */
+  val DecontaminationShingleN = 8
 
   /** Train/eval DECONTAMINATION — the step an LLM data pipeline runs
     * before training: flag every train-split document that shares
     * n-gram content with the held-out eval (test) split, so benchmark
     * answers can't leak into the training corpus.
     *
-    * Mechanism: explode each document's distinct 3-gram token shingles
-    * (the same native `token_shingles` primitive the near-dup family
-    * uses), split the corpus with the deterministic md5 split, and
+    * Mechanism: explode each document's distinct n-token shingles
+    * (the near-dup family's native `token_shingles` primitive at
+    * [[DecontaminationShingleN]] — wider than dedup's 3-gram, see the
+    * constant's scaladoc), split with the deterministic md5 split, and
     * count, per train document, the distinct eval documents and
     * distinct shingles it collides with.
     *
@@ -84,22 +94,34 @@ object CurateOps {
     * stays correct, just less lopsided.) Output is every train doc
     * with its contamination evidence, zero-filled via left join.
     */
+  /** The corpus shingle table at window `n`: the dedup family's
+    * memoized+cached 3-gram table when n == 3 (one md5 pass, shared
+    * session-wide), else a direct `token_shingles(text, n)` pass —
+    * wider windows are decontamination-only, so they don't earn a
+    * standing cache. */
+  private def shinglesAt(spark: SparkSession, dir: String, n: Int): DataFrame =
+    if (n == 3) DedupOps.sharedShingles(spark, dir)
+    else {
+      graft.functions.ShingleExpressions.register(spark)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), expr(s"token_shingles(text, $n)").as("Sh"))
+    }
+
   /** The held-out eval (test-split) shingle set — the static side of
     * both the batch decontamination join and its streaming twin. */
-  def evalShingles(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.sharedShingles(spark, dir)
+  def evalShingles(spark: SparkSession, dir: String,
+                   n: Int = DecontaminationShingleN): DataFrame =
+    shinglesAt(spark, dir, n)
       .filter(splitOf(col("doc_id")) === "test")
       .select(explode(col("Sh")).as("Shingle"), col("doc_id").as("EvalId"))
       .distinct()
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // Reuse the dedup family's memoized+cached shingle table (one md5
-    // pass over the corpus, shared session-wide) instead of
-    // re-shingling here; Split recomputes from doc_id alone (cheap).
-    val sh = DedupOps.sharedShingles(spark, dir)
+  def decontaminate(spark: SparkSession, dir: String,
+                    n: Int = DecontaminationShingleN): DataFrame = {
+    val sh = shinglesAt(spark, dir, n)
       .withColumn("Split", splitOf(col("doc_id")))
       .select(col("doc_id"), col("Split"), explode(col("Sh")).as("Shingle"))
-    val evalSh = evalShingles(spark, dir)
+    val evalSh = evalShingles(spark, dir, n)
     val hits = sh.filter(col("Split") === "train")
       .join(broadcast(evalSh), "Shingle")
       .groupBy(col("doc_id"))
@@ -284,16 +306,15 @@ object CurateOps {
     * its corpus (the synthetic corpus's tiny vocabulary makes trigram
     * eval overlap near-universal, so "any shared shingle" would gut
     * it; a web corpus tolerates the strict default). */
-  def runCurationPipeline(spark: SparkSession, dir: String, outDir: String,
-                          minSharedShingles: Int = ContaminationMinShingles,
-                          minQuality: Double = MinQuality,
-                          budget: Long = TokenBudget): Seq[(String, Long)] = {
-    // ONE flags table carries every stage predicate per train doc —
-    // each upstream query executes exactly once into the deliberate
-    // short-lived cache; six naive stage `.count()`s would re-run the
-    // shingle explodes and aggregations per count (and once more for
-    // the write).
-    val flags = splitAssign(spark, dir).filter(col("Split") === "train")
+  /** ONE flags table carrying every stage predicate per train doc —
+    * each upstream query executes exactly once into the caller's
+    * deliberate short-lived cache; naive per-stage `.count()`s would
+    * re-run the shingle explodes and aggregations per count. Shared by
+    * [[runCurationPipeline]] and [[curationFunnel]] so the gate query
+    * counts EXACTLY what the pipeline executes. */
+  private def curationFlags(spark: SparkSession, dir: String,
+                            minSharedShingles: Int, minQuality: Double): DataFrame =
+    splitAssign(spark, dir).filter(col("Split") === "train")
       .select(col("doc_id"))
       .join(decontaminate(spark, dir)
         .select(col("doc_id"),
@@ -306,7 +327,26 @@ object CurateOps {
       .join(DedupOps.components(spark, dir).select(col("doc_id"), col("IsSurvivor")), "doc_id")
       .withColumn("KeepQuality",
         col("QualityScore") >= minQuality && !col("IsRepetitive"))
-      .cache()
+
+  /** The budget-pack stage over the funnel output: global
+    * (quality desc, doc_id) order, running token sum capped at
+    * `budget`. */
+  private def packedDocs(flags: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("QualityScore").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    flags
+      .filter(col("KeepClean") && col("IsSampled") && col("KeepQuality") && col("IsSurvivor"))
+      .withColumn("CumTokens", sum(col("NTokens").cast(LongType)).over(w))
+      .filter(col("CumTokens") <= budget)
+  }
+
+  def runCurationPipeline(spark: SparkSession, dir: String, outDir: String,
+                          minSharedShingles: Int = ContaminationMinShingles,
+                          minQuality: Double = MinQuality,
+                          budget: Long = TokenBudget): Seq[(String, Long)] = {
+    val flags = curationFlags(spark, dir, minSharedShingles, minQuality).cache()
     try {
       // cumulative funnel counts in ONE aggregate pass over the cache
       val f = flags.agg(
@@ -317,14 +357,7 @@ object CurateOps {
         count(when(col("KeepClean") && col("IsSampled") && col("KeepQuality")
           && col("IsSurvivor"), 1)).as("survivors")).head()
       // budget pack over the funnel output (not the raw corpus)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("QualityScore").desc, col("doc_id").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val packed = flags
-        .filter(col("KeepClean") && col("IsSampled") && col("KeepQuality") && col("IsSurvivor"))
-        .withColumn("CumTokens", sum(col("NTokens").cast(LongType)).over(w))
-        .filter(col("CumTokens") <= budget)
+      val packed = packedDocs(flags, budget)
       val out = packed
         .join(Tables.documents(spark, dir).select("doc_id", "text", "lang"), "doc_id")
         .select(col("doc_id"), col("text"), col("lang"),
@@ -338,6 +371,43 @@ object CurateOps {
         "quality_filtered" -> f.getAs[Long]("quality"),
         "dedup_survivors" -> f.getAs[Long]("survivors"),
         "budget_packed" -> packedCount)
+    } finally flags.unpersist()
+  }
+
+  /** The pipeline's per-stage funnel as a GATE QUERY (round 8): one
+    * row per stage with (StageNo, Stage, DocsIn, DocsOut), computed
+    * from the SAME [[curationFlags]]/[[packedDocs]] definitions
+    * [[runCurationPipeline]] executes — the DuckDB oracle recomposes
+    * every stage mirror and must reproduce each count exactly, so the
+    * composed pipeline (not just its stages in isolation) sits inside
+    * the driver's correctness gate. The result is a 6-row driver-side
+    * frame; all the work happens in the one cached flags pass + the
+    * budget-pack window, exactly the pipeline's own cost. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flags = curationFlags(spark, dir, ContaminationMinShingles, MinQuality).cache()
+    try {
+      val total = Tables.documents(spark, dir).count()
+      val f = flags.agg(
+        count(lit(1)).as("train"),
+        count(when(col("KeepClean"), 1)).as("clean"),
+        count(when(col("KeepClean") && col("IsSampled"), 1)).as("sampled"),
+        count(when(col("KeepClean") && col("IsSampled") && col("KeepQuality"), 1)).as("quality"),
+        count(when(col("KeepClean") && col("IsSampled") && col("KeepQuality")
+          && col("IsSurvivor"), 1)).as("survivors")).head()
+      val packed = packedDocs(flags, TokenBudget).count()
+      val (train, clean, sampled, quality, survivors) = (
+        f.getAs[Long]("train"), f.getAs[Long]("clean"), f.getAs[Long]("sampled"),
+        f.getAs[Long]("quality"), f.getAs[Long]("survivors"))
+      Seq(
+        (1, "train_split", total, train),
+        (2, "decontaminate", train, clean),
+        (3, "stratified_sample", clean, sampled),
+        (4, "quality_filter", sampled, quality),
+        (5, "dedup_survivors", quality, survivors),
+        (6, "budget_pack", survivors, packed))
+        .toDF("StageNo", "Stage", "DocsIn", "DocsOut")
+        .orderBy(col("StageNo"))
     } finally flags.unpersist()
   }
 

@@ -96,6 +96,22 @@ SELECT "CustomerID", "TotalOrders", "TotalRevenue", "TotalItems",
 FROM cust2 ORDER BY "CustomerID"
 """
 
+  /** Approx-segmentation gate mirror: the oracle recomputes the EXACT
+    * columns (segment names, customer count) and states the sketch
+    * error-bound booleans as literal TRUE — if the Spark-side
+    * percentile_approx boundaries drift out of their rank-error bound
+    * (or a segment count leaves its ±(2εn + maxTie) band) the boolean
+    * flips and the row hash-mismatches (see
+    * Summaries.customerSegmentsApproxGate). */
+  val customerSegmentsApprox: String = custCte + """,
+n AS (SELECT count(*) AS nc FROM cust),
+segs AS (SELECT unnest(['Bronze', 'Gold', 'Platinum', 'Silver']) AS "Segment")
+SELECT "Segment", CAST(nc AS BIGINT) AS "TotalCustomers",
+       TRUE AS "SegCountOk", TRUE AS "BoundaryRankOk",
+       TRUE AS "BoundariesMonotone"
+FROM segs, n ORDER BY "Segment"
+"""
+
   /** Exact-boundary segmentation mirror: DuckDB `quantile_disc` ≡
     * ANSI `percentile_disc` (both the value at rank ⌈q·n⌉ on the
     * sorted multiset — verified positionally identical, ties

@@ -119,8 +119,15 @@ WITH toks AS (
   FROM documents
 )"""
 
-  private val shExpr =
-    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])"
+  /** Distinct n-token shingles over the token array `t` — the DuckDB
+    * transcription of `token_shingles(text, n)`. */
+  private def shExprN(n: Int): String = {
+    val window = (0 until n)
+      .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct([$window for i in range(1, len(t)-${n - 2})])"
+  }
+
+  private val shExpr = shExprN(3)
 
   val textTokens: String = toksCte + """
 SELECT doc_id,
@@ -534,12 +541,14 @@ ORDER BY doc_id
     s"CAST(16 * ${hex(1)} + ${hex(2)} AS INTEGER)"
   }
 
-  /** Train/eval n-gram decontamination mirror: same shingles, same
-    * md5 split, eval = test split, any shared shingle counts. */
+  /** Train/eval n-gram decontamination mirror: same shingles (window
+    * = CurateOps.DecontaminationShingleN, the SAME constant the Spark
+    * side bakes into its plan), same md5 split, eval = test split,
+    * any shared shingle counts. */
   val curateDecontaminate: String = {
-    import graft.ops.CurateOps.{ContaminationMinShingles, TrainUpper, ValUpper}
+    import graft.ops.CurateOps.{ContaminationMinShingles, DecontaminationShingleN, TrainUpper, ValUpper}
     toksCte + s"""
-, sh AS (SELECT doc_id, $shExpr AS s FROM toks),
+, sh AS (SELECT doc_id, ${shExprN(DecontaminationShingleN)} AS s FROM toks),
 spl AS (
   SELECT doc_id,
          CASE WHEN ${bucketSql("")} < $TrainUpper THEN 'train'
@@ -567,6 +576,115 @@ SELECT s.doc_id,
 FROM spl s LEFT JOIN hits h ON s.doc_id = h.doc_id
 WHERE s.split = 'train'
 ORDER BY s.doc_id
+"""
+  }
+
+  /** End-to-end curation-pipeline funnel mirror: recomposes EVERY
+    * stage mirror (md5 split, wide-window decontamination, salted
+    * stratified sample, quality+repetition filter, the recursive
+    * components survivor, budget pack) into one counts frame — the
+    * oracle must reproduce the composed pipeline's per-stage doc
+    * counts exactly, not just each stage in isolation. Constants all
+    * interpolate from CurateOps/TextOps, so a threshold change flows
+    * through both engines from one definition. */
+  val curatePipelineFunnel: String = {
+    import graft.ops.CurateOps.{ContaminationMinShingles, DecontaminationShingleN,
+      MinQuality, SampleDefaultThreshold, SampleThresholds, TokenBudget, TrainUpper, ValUpper}
+    val sampCase = SampleThresholds
+      .map { case (lang, t) => s"WHEN lang = '$lang' THEN $t" }
+      .mkString("CASE ", " ", s" ELSE $SampleDefaultThreshold END")
+    componentsCore + s""",
+spl AS (
+  SELECT doc_id,
+         CASE WHEN ${bucketSql("")} < $TrainUpper THEN 'train'
+              WHEN ${bucketSql("")} < $ValUpper THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+dsh AS (SELECT doc_id, ${shExprN(DecontaminationShingleN)} AS s FROM toks),
+dex AS (
+  SELECT d.doc_id, s.split, unnest(d.s) AS shingle
+  FROM dsh d JOIN spl s ON d.doc_id = s.doc_id
+),
+dev AS (SELECT DISTINCT shingle FROM dex WHERE split = 'test'),
+dhits AS (
+  SELECT doc_id, CAST(count(DISTINCT shingle) AS INTEGER) AS ns
+  FROM dex WHERE split = 'train' AND shingle IN (SELECT shingle FROM dev)
+  GROUP BY doc_id
+),
+samp AS (
+  SELECT doc_id, ${bucketSql("sample|")} < ($sampCase) AS is_sampled
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS ntok,
+         least(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / 200.0)
+           * (CAST(1.0 AS DOUBLE)
+              - CAST(len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE) / len(t)) AS qs
+  FROM toks
+),
+rbs AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS ntok,
+         CAST(len(bgs) AS INTEGER) AS nbg,
+         CAST(len(list_distinct(bgs)) AS INTEGER) AS ndbg
+  FROM (SELECT doc_id, t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bgs FROM toks)
+),
+rep AS (
+  SELECT rbs.doc_id,
+         ((CASE WHEN nbg = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(nbg - ndbg AS DOUBLE) / nbg END) > ${TextOps.MaxDupBigramFrac}
+          OR CAST(tt.topc AS DOUBLE) / rbs.ntok > ${TextOps.MaxTopTokenFrac}) AS isrep
+  FROM rbs JOIN (
+    SELECT doc_id, CAST(max(c) AS INTEGER) AS topc
+    FROM (SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+          GROUP BY doc_id, tok)
+    GROUP BY doc_id
+  ) tt ON rbs.doc_id = tt.doc_id
+),
+flags AS (
+  SELECT s.doc_id,
+         coalesce(h.ns, 0) < $ContaminationMinShingles AS keep_clean,
+         b.is_sampled,
+         (q.qs >= $MinQuality AND NOT r.isrep) AS keep_quality,
+         (c.doc_id = c.cluster) AS is_survivor,
+         q.ntok, q.qs
+  FROM spl s
+  LEFT JOIN dhits h ON s.doc_id = h.doc_id
+  JOIN samp b ON s.doc_id = b.doc_id
+  JOIN qual q ON s.doc_id = q.doc_id
+  JOIN rep r ON s.doc_id = r.doc_id
+  JOIN comp c ON s.doc_id = c.doc_id
+  WHERE s.split = 'train'
+),
+pk AS (
+  SELECT count(*) AS packed FROM (
+    SELECT sum(ntok) OVER (ORDER BY qs DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM flags WHERE keep_clean AND is_sampled AND keep_quality AND is_survivor
+  ) WHERE cum <= $TokenBudget
+),
+cnt AS (
+  SELECT (SELECT count(*) FROM documents) AS total,
+         count(*) AS train,
+         count(*) FILTER (WHERE keep_clean) AS clean,
+         count(*) FILTER (WHERE keep_clean AND is_sampled) AS sampled,
+         count(*) FILTER (WHERE keep_clean AND is_sampled AND keep_quality) AS qualn,
+         count(*) FILTER (WHERE keep_clean AND is_sampled AND keep_quality AND is_survivor) AS surv,
+         (SELECT packed FROM pk) AS packed
+  FROM flags
+)
+SELECT CAST(sn AS INTEGER) AS "StageNo", st AS "Stage",
+       CAST(di AS BIGINT) AS "DocsIn", CAST(dout AS BIGINT) AS "DocsOut"
+FROM (
+  SELECT 1 AS sn, 'train_split' AS st, total AS di, train AS dout FROM cnt
+  UNION ALL SELECT 2, 'decontaminate', train, clean FROM cnt
+  UNION ALL SELECT 3, 'stratified_sample', clean, sampled FROM cnt
+  UNION ALL SELECT 4, 'quality_filter', sampled, qualn FROM cnt
+  UNION ALL SELECT 5, 'dedup_survivors', qualn, surv FROM cnt
+  UNION ALL SELECT 6, 'budget_pack', surv, packed FROM cnt
+) ORDER BY "StageNo"
 """
   }
 

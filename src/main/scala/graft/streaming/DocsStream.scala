@@ -33,15 +33,20 @@ object DocsStream {
   /** The per-batch decontamination kernel: per-train-doc distinct
     * eval-doc/shingle collision counts against the static `(Shingle,
     * EvalId)` relation (CurateOps.evalShingles or any curated
-    * benchmark shingle set). Batch semantics — countDistinct is legal
-    * and exact. Emits only docs with ≥1 collision (inner join); the
-    * batch query zero-fills the clean ones. */
+    * benchmark shingle set). The shingle window MUST match the one the
+    * eval set was built with — both default to
+    * CurateOps.DecontaminationShingleN, so the twin tracks the batch
+    * query's widened round-8 default by construction. Batch semantics
+    * — countDistinct is legal and exact. Emits only docs with ≥1
+    * collision (inner join); the batch query zero-fills the clean
+    * ones. */
   def decontaminateBatch(spark: SparkSession, docs: DataFrame,
-                         evalSh: DataFrame): DataFrame = {
+                         evalSh: DataFrame,
+                         n: Int = CurateOps.DecontaminationShingleN): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
     docs
       .filter(CurateOps.splitOf(col("doc_id")) === "train")
-      .select(col("doc_id"), explode(expr("token_shingles(text)")).as("Shingle"))
+      .select(col("doc_id"), explode(expr(s"token_shingles(text, $n)")).as("Shingle"))
       .join(evalSh, "Shingle")
       .groupBy(col("doc_id"))
       .agg(

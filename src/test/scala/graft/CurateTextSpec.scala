@@ -44,7 +44,7 @@ class CurateTextSpec extends SparkSpec {
       // shares exactly ONE trigram ("alpha beta gamma")
       (partial, "zig zag alpha beta gamma", "en"),
       (clean, "totally different words here now", "en")))
-    val got = CurateOps.decontaminate(spark, dir).collect()
+    val got = CurateOps.decontaminate(spark, dir, n = 3).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles"),
           r.getAs[Boolean]("IsContaminated")))).toMap
@@ -52,6 +52,31 @@ class CurateTextSpec extends SparkSpec {
     assert(got(dirty) === ((1, 2, true)))
     assert(got(partial) === ((1, 1, true)))
     assert(got(clean) === ((0, 0, false)))
+  }
+
+  test("decontaminate: 8-gram default only flags 8-token runs (3-gram collisions pass)") {
+    val evalId = (0L to 2000L).find(split(_) == "test").get
+    val trainIds = (0L to 2000L).filter(split(_) == "train")
+    val (dirty, collides3) = (trainIds(0), trainIds(1))
+    val run = "one two three four five six seven eight nine"
+    val dir = docsFixture(Seq(
+      (evalId, run, "en"),
+      // shares the full 9-token run → two 8-gram shingles
+      (dirty, s"prefix words $run", "en"),
+      // shares a trigram ("one two three") but no 8-token window —
+      // exactly the common-phrase collision the wider default ignores
+      (collides3, "one two three unrelated tail of words entirely", "en")))
+    assert(CurateOps.DecontaminationShingleN === 8)
+    val got = CurateOps.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("NSharedShingles"), r.getAs[Boolean]("IsContaminated")))).toMap
+    assert(got(dirty) === ((2, true)))
+    assert(got(collides3) === ((0, false)))
+    // the same fixture at n=3 flags BOTH — the over-flagging the
+    // wider default exists to avoid
+    val at3 = CurateOps.decontaminate(spark, dir, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("IsContaminated")).toMap
+    assert(at3(dirty) && at3(collides3))
   }
 
   test("decontaminate: covers every train doc exactly once on the real corpus") {

@@ -122,6 +122,21 @@ class SummariesSpec extends SparkSpec {
       f"segment agreement $pct%.4f < 0.99 (${approx.size - agree} of ${approx.size} customers differ)")
   }
 
+  test("customerSegmentsApproxGate: 4 segment rows, every sketch-bound boolean TRUE (sf0.1)") {
+    import org.apache.spark.sql.functions.col
+    val cleaned = graft.etl.Transactions.cleaned(spark, "/root/testdata/sf0.1")
+    val rows = Summaries.customerSegmentsApproxGate(cleaned).collect()
+    assert(rows.map(_.getAs[String]("Segment")).toSeq ==
+      Seq("Bronze", "Gold", "Platinum", "Silver"))
+    val n = Summaries.customerSegmentsApprox(cleaned).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("TotalCustomers") == n)
+      assert(r.getAs[Boolean]("SegCountOk"), s"SegCountOk false for $r")
+      assert(r.getAs[Boolean]("BoundaryRankOk"), s"BoundaryRankOk false for $r")
+      assert(r.getAs[Boolean]("BoundariesMonotone"), s"monotone false for $r")
+    }
+  }
+
   test("customerSegmentsBounds agrees with exact ntile segments on ≥99% of customers (sf0.1)") {
     import org.apache.spark.sql.functions.col
     // the driver-hash-checked exact-boundary variant: divergence from
