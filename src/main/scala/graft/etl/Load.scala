@@ -174,16 +174,32 @@ object Load {
     * URL, so the same endpoint type serves every SQL sink). */
   final case class JdbcSink(url: String, props: java.util.Properties)
 
+  /** The zero-config embedded warehouse under `outDir` — the sqlite
+    * role of the reference's default format list (etl.py:366-367,
+    * 292-303: `load_to_sqlite` needs no config and writes
+    * `output_dir/sales_data.db`). The sqlite driver jar is not in this
+    * offline image; embedded Derby is the in-image analog (file-backed,
+    * zero-server, ships with Spark), landing at `outDir/sales_data.db/`
+    * so the default `load(tables, outDir)` call matches the
+    * reference's shape end-to-end. */
+  def embeddedSink(outDir: String): JdbcSink = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    JdbcSink(s"jdbc:derby:$outDir/sales_data.db;create=true", props)
+  }
+
   /** S7 — format dispatcher (ref: etl.py:364-386): accepts the
-    * reference's full format-string list. SQL formats route through
+    * reference's full format-string list AND its default
+    * `csv/parquet/sqlite` (etl.py:367). SQL formats route through
     * [[writeJdbc]] with the reference's per-sink shaping — `sqlite`
     * keeps column case (etl.py:292-303), `postgres` lowercases
     * (etl.py:328), `mysql` lowercases + HALF_EVEN-rounds doubles
-    * (etl.py:352-357) — against the endpoint supplied for that format
-    * (Derby-backed in tests; a format named without its endpoint is a
-    * loud error, mirroring the reference requiring pg/mysql configs). */
+    * (etl.py:352-357). `sqlite` defaults to the zero-config
+    * [[embeddedSink]] derived from `outDir`, mirroring the reference's
+    * config-free `load_to_sqlite`; postgres/mysql require their
+    * endpoint (the reference requires pg/mysql configs the same way). */
   def load(tables: Map[String, DataFrame], outDir: String,
-           formats: Seq[String] = Seq("csv", "parquet"),
+           formats: Seq[String] = Seq("csv", "parquet", "sqlite"),
            sqlite: Option[JdbcSink] = None,
            postgres: Option[JdbcSink] = None,
            mysql: Option[JdbcSink] = None): Unit = {
@@ -194,7 +210,7 @@ object Load {
       case "csv" => writeCsv(tables, outDir)
       case "parquet" => writeParquet(tables, outDir)
       case "sqlite" =>
-        val e = endpoint("sqlite", sqlite)
+        val e = sqlite.getOrElse(embeddedSink(outDir))
         writeJdbc(tables, e.url, e.props, roundDoubles = false, lowercaseCols = false)
       case "postgres" =>
         val e = endpoint("postgres", postgres)

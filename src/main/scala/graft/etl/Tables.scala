@@ -94,7 +94,7 @@ object Tables {
       if (f.name == "ts") f.copy(dataType = tsType) else f))
 
   private val tsEncodingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataType)]()
 
   /** Drop a sniff-cache entry — for ONE-SHOT staging dirs (the
     * streaming gate queries), whose entries would otherwise accumulate
@@ -102,26 +102,53 @@ object Tables {
   private[graft] def forgetTsEncoding(path: String): Unit =
     tsEncodingCache.remove(path)
 
+  /** Filesystem fingerprint (names+sizes+mtimes) of a local events
+    * path, so the sniff cache self-invalidates when a path's parquet
+    * is REWRITTEN with the other ts encoding (previously path-only
+    * keying misread it for the JVM lifetime unless the writer knew to
+    * call [[forgetTsEncoding]]). Non-local paths (no java.nio view)
+    * fall back to "" = path-only keying, the old behavior. */
+  private def tsPathFingerprint(path: String): String =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      def one(f: java.nio.file.Path) =
+        s"${f.getFileName}:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala.toSeq.sortBy(_.toString).map(one).mkString("|")
+        finally listing.close()
+      } else if (java.nio.file.Files.exists(p)) one(p)
+      else ""
+    } catch { case _: Exception => "" }
+
   /** The physical type Spark surfaces for `ts` in the parquet at `path`
     * (file or directory of staged files): LongType for the
     * TIMESTAMP(NANOS)-as-long encoding, TimestampType / TimestampNTZType
     * for native µs (the current fixture ships timestamp[us] NTZ). One
-    * footer-schema probe per distinct path, cached — Verify's
-    * concurrent query threads all hit the same entry. */
-  def eventsTsType(spark: SparkSession, path: String): DataType =
-    tsEncodingCache.computeIfAbsent(path, { p =>
-      val t = spark.read.parquet(p).schema
+    * footer-schema probe per distinct (path, content fingerprint) —
+    * Verify's concurrent query threads all hit the same entry; a
+    * rewritten path re-sniffs (a benign race can sniff twice —
+    * idempotent). */
+  def eventsTsType(spark: SparkSession, path: String): DataType = {
+    val fp = tsPathFingerprint(path)
+    val cached = tsEncodingCache.get(path)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      val t = spark.read.parquet(path).schema
         .find(_.name == "ts")
         .getOrElse(throw new IllegalStateException(
-          s"events parquet at $p has no `ts` column"))
+          s"events parquet at $path has no `ts` column"))
         .dataType
       t match {
-        case LongType | TimestampType | TimestampNTZType => t
+        case LongType | TimestampType | TimestampNTZType =>
+          tsEncodingCache.put(path, (fp, t)); t
         case other => throw new IllegalStateException(
-          s"events.ts at $p has unsupported physical type $other " +
+          s"events.ts at $path has unsupported physical type $other " +
             "(expected timestamp[us] or TIMESTAMP(NANOS) under nanosAsLong)")
       }
-    })
+    }
+  }
 
   /** Whole-ns long from a native-timestamp `ts` column. NTZ columns
     * cast through TimestampType first; all session builders pin

@@ -738,10 +738,28 @@ object DedupOps {
     * `edges` is cached by THIS method and unpersisted in a `finally`
     * before it returns, loop failure included (the checkpointed
     * result no longer references it) — the cache has a single owner
-    * instead of leaning on CacheManager plan-dedup across calls. */
+    * instead of leaning on CacheManager plan-dedup across calls.
+    *
+    * PRECONDITION: every vertex in `pairs` must appear in `ids` — the
+    * output is exactly one label row per id (pair vertices absent from
+    * `ids` are dropped by the final left join; before round 7's
+    * edge-touched-only loop they appeared in the output via the
+    * identity edges, so callers relying on that would silently lose
+    * rows). Every current caller passes the full corpus id set. Run
+    * with `-Dgraft.debug.checks=true` to verify the containment per
+    * call (one anti-join count — too expensive to leave on). */
   def componentsOf(pairs: DataFrame, ids: DataFrame,
                    maxRounds: Int = MaxLabelRounds): DataFrame = {
     val spark = pairs.sparkSession
+    if (sys.props.get("graft.debug.checks").contains("true")) {
+      val orphans = pairs.toDF("D1", "D2")
+        .select(col("D1").as("v")).union(pairs.toDF("D1", "D2").select(col("D2").as("v")))
+        .distinct()
+        .join(ids.toDF("v"), Seq("v"), "left_anti").count()
+      require(orphans == 0L,
+        s"componentsOf precondition violated: $orphans pair vertices absent from ids " +
+          "(their labels would be silently dropped by the ids join)")
+    }
     // cache the pair list itself: the caller's pair plan (typically the
     // LSH-verify pipeline) executes ONCE — the sizing count below rides
     // it, and the edge build reads the cache

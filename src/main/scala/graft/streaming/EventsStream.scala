@@ -403,17 +403,22 @@ object EventsStream {
     import java.nio.file.{Files, Paths}
     val s = stateSizedSession(spark)
     val streamDir = Files.createTempDirectory("graft_hourly_once")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val name = s"events_hourly_stream_${onceCounter.incrementAndGet()}"
-    val out = runHourlyOnce(s, streamDir.toString, name)
-      .select(
-        date_format(col("WindowStart"), "yyyy-MM-dd HH:mm:ss").as("HourTs"),
-        col("event_type"), col("NEvents"), col("TotalValue"))
-      .orderBy(col("HourTs"), col("event_type"))
-    deleteRecursively(streamDir)
-    Tables.forgetTsEncoding(streamDir.toString)
-    out
+    // try/finally: a failure mid-stream must not leak a full
+    // events-corpus copy in /tmp (or a stale tsEncodingCache entry) —
+    // the memory-sink result survives the staging dir's deletion
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val name = s"events_hourly_stream_${onceCounter.incrementAndGet()}"
+      runHourlyOnce(s, streamDir.toString, name)
+        .select(
+          date_format(col("WindowStart"), "yyyy-MM-dd HH:mm:ss").as("HourTs"),
+          col("event_type"), col("NEvents"), col("TotalValue"))
+        .orderBy(col("HourTs"), col("event_type"))
+    } finally {
+      deleteRecursively(streamDir)
+      Tables.forgetTsEncoding(streamDir.toString)
+    }
   }
 
   /** Streaming twin of `EventsOps.sessionWindows` for the driver gate:
@@ -434,42 +439,44 @@ object EventsStream {
       s"events fixture at $dir is empty — cannot stage the session-window flush sentinel")
     val maxNs = maxRow.getLong(0)
     val streamDir = Files.createTempDirectory("graft_sess_once")
-    val t0 = System.currentTimeMillis() - 60000
-    // stage the corpus by FILE COPY (no Spark rewrite — the encoding
-    // sniff makes the original physical encoding readable as-is); only
-    // the 1-row sentinel is written, in the SAME encoding so the
-    // stream's declared schema fits both files
-    val dst = streamDir.resolve("a_data.parquet")
-    Files.copy(Paths.get(s"$dir/events.parquet"), dst)
-    Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(t0))
-    val flushNs = maxNs + 30L * 86400L * 1000000000L
-    val sentinelTs = Tables.eventsTsType(spark, s"$dir/events.parquet") match {
-      case org.apache.spark.sql.types.LongType => lit(flushNs)
-      case t => timestamp_micros(lit(flushNs / 1000L)).cast(t)
+    try {
+      val t0 = System.currentTimeMillis() - 60000
+      // stage the corpus by FILE COPY (no Spark rewrite — the encoding
+      // sniff makes the original physical encoding readable as-is); only
+      // the 1-row sentinel is written, in the SAME encoding so the
+      // stream's declared schema fits both files
+      val dst = streamDir.resolve("a_data.parquet")
+      Files.copy(Paths.get(s"$dir/events.parquet"), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0))
+      val flushNs = maxNs + 30L * 86400L * 1000000000L
+      val sentinelTs = Tables.eventsTsType(spark, s"$dir/events.parquet") match {
+        case org.apache.spark.sql.types.LongType => lit(flushNs)
+        case t => timestamp_micros(lit(flushNs / 1000L)).cast(t)
+      }
+      stageOneFile(raw.limit(1).select(
+        lit(-1L).as("event_id"),
+        sentinelTs.as("ts"),
+        lit(-1L).as("user_id"),
+        lit("view").as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props")), streamDir.resolve("b_flush.parquet"), t0 + 10000)
+      val name = s"events_session_windows_stream_${onceCounter.incrementAndGet()}"
+      val q = sessionValueCounts(
+          readEventsStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)),
+          delay = "1 second")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("StartUs"))
+    } finally {
+      deleteRecursively(streamDir)
+      Tables.forgetTsEncoding(streamDir.toString)
     }
-    stageOneFile(raw.limit(1).select(
-      lit(-1L).as("event_id"),
-      sentinelTs.as("ts"),
-      lit(-1L).as("user_id"),
-      lit("view").as("event_type"),
-      lit(0.0).as("value"),
-      lit("{}").as("props")), streamDir.resolve("b_flush.parquet"), t0 + 10000)
-    val name = s"events_session_windows_stream_${onceCounter.incrementAndGet()}"
-    val q = sessionValueCounts(
-        readEventsStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)),
-        delay = "1 second")
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = spark.table(name)
-      .filter(col("user_id") >= 0)
-      .orderBy(col("user_id"), col("StartUs"))
-    deleteRecursively(streamDir)
-    Tables.forgetTsEncoding(streamDir.toString)
-    out
   }
 
   /** Streaming twin of `EventsOps.clickAttribution` for the driver
@@ -488,28 +495,30 @@ object EventsStream {
     import java.nio.file.{Files, Paths}
     val spark = stateSizedSession(spark0)
     val streamDir = Files.createTempDirectory("graft_attr_once")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val name = s"events_click_attribution_stream_${onceCounter.incrementAndGet()}"
-    val q = clickAttribution(
-        readEventsStream(spark, streamDir.toString),
-        delay = "3650 days")
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val out = spark.table(name)
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("Pairs"),
-        min(col("LagUs")).as("MinLagUs"),
-        max(col("LagUs")).as("MaxLagUs"),
-        sum(col("LagUs")).as("SumLagUs"))
-      .orderBy(col("user_id"))
-    deleteRecursively(streamDir)
-    Tables.forgetTsEncoding(streamDir.toString)
-    out
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val name = s"events_click_attribution_stream_${onceCounter.incrementAndGet()}"
+      val q = clickAttribution(
+          readEventsStream(spark, streamDir.toString),
+          delay = "3650 days")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("Pairs"),
+          min(col("LagUs")).as("MinLagUs"),
+          max(col("LagUs")).as("MaxLagUs"),
+          sum(col("LagUs")).as("SumLagUs"))
+        .orderBy(col("user_id"))
+    } finally {
+      deleteRecursively(streamDir)
+      Tables.forgetTsEncoding(streamDir.toString)
+    }
   }
 
   /** Streaming twin of `EventsOps.funnel` for the driver gate: the
@@ -526,36 +535,38 @@ object EventsStream {
     implicit val spark: SparkSession = stateSizedSession(spark0)
     import spark.implicits._
     val streamDir = Files.createTempDirectory("graft_funnel_once")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val events = readEventsStream(spark, streamDir.toString)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      .as[Event]
-    val name = s"events_funnel_stream_${onceCounter.incrementAndGet()}"
-    val q = funnelProgress(events)
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val st = spark.table(name)
-    def step(n: Int, nm: String, instant: org.apache.spark.sql.Column): DataFrame =
-      st.agg(count(instant).as("Users"))
-        .select(lit(n).as("Step"), lit(nm).as("StepName"), col("Users"))
-    val steps = step(1, "view", col("t1"))
-      .union(step(2, "view>click", col("t2")))
-      .union(step(3, "view>click>purchase", col("t3")))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("Step"))
-    val out = steps
-      .withColumn("CumRate",
-        col("Users").cast(org.apache.spark.sql.types.DoubleType) /
-          nullif(first(col("Users")).over(w), lit(0L)))
-      .withColumn("StepRate",
-        col("Users").cast(org.apache.spark.sql.types.DoubleType) /
-          nullif(lag(col("Users"), 1).over(w), lit(0L)))
-      .orderBy(col("Step"))
-    deleteRecursively(streamDir)
-    Tables.forgetTsEncoding(streamDir.toString)
-    out
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val events = readEventsStream(spark, streamDir.toString)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val name = s"events_funnel_stream_${onceCounter.incrementAndGet()}"
+      val q = funnelProgress(events)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val st = spark.table(name)
+      def step(n: Int, nm: String, instant: org.apache.spark.sql.Column): DataFrame =
+        st.agg(count(instant).as("Users"))
+          .select(lit(n).as("Step"), lit(nm).as("StepName"), col("Users"))
+      val steps = step(1, "view", col("t1"))
+        .union(step(2, "view>click", col("t2")))
+        .union(step(3, "view>click>purchase", col("t3")))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("Step"))
+      steps
+        .withColumn("CumRate",
+          col("Users").cast(org.apache.spark.sql.types.DoubleType) /
+            nullif(first(col("Users")).over(w), lit(0L)))
+        .withColumn("StepRate",
+          col("Users").cast(org.apache.spark.sql.types.DoubleType) /
+            nullif(lag(col("Users"), 1).over(w), lit(0L)))
+        .orderBy(col("Step"))
+    } finally {
+      deleteRecursively(streamDir)
+      Tables.forgetTsEncoding(streamDir.toString)
+    }
   }
 }

@@ -93,12 +93,22 @@ class PipelineSpec extends SparkSpec {
     assert(my.orderBy("country").collect().map(_.toSeq).toSeq ===
       wantMy.orderBy("country").collect().map(_.toSeq).toSeq)
     assert(pg.count() === 25L && sq.count() === 25L)
-    // a SQL format named without its endpoint fails loudly, like the
-    // reference requiring pg_config for postgres
+    // the reference's DEFAULT call shape is zero-config (etl.py:367:
+    // formats = ['csv','parquet','sqlite'], load_to_sqlite derives its
+    // db from output_dir) — load(tables, outDir) mirrors it, landing
+    // the embedded warehouse at outDir/sales_data.db
+    val out2 = Files.createTempDirectory("graft_dispatch_default").toString
+    Load.load(tables, out2)
+    assert(spark.read.parquet(s"$out2/parquet/country_summary").count() === 25L)
+    val defSink = Load.embeddedSink(out2)
+    val sq2 = spark.read.jdbc(defSink.url, "country_summary", defSink.props)
+    assert(sq2.count() === 25L && sq2.columns.contains("TotalRevenue"))
+    // postgres/mysql without their endpoint still fail loudly, like
+    // the reference requiring pg_config for postgres
     val e = intercept[IllegalArgumentException] {
-      Load.load(tables, out, formats = Seq("sqlite"))
+      Load.load(tables, out, formats = Seq("postgres"))
     }
-    assert(e.getMessage.contains("sqlite"))
+    assert(e.getMessage.contains("postgres"))
   }
 
   test("partitioned parquet write enables partition pruning layout") {

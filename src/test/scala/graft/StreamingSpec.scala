@@ -552,30 +552,44 @@ class StreamingSpec extends SparkSpec {
     // the FileStreamSource the other tests use. Update-mode sink rows
     // are per-trigger snapshots, so per-key NEvents is monotone and
     // the LAST snapshot per key must conserve the exact input total.
-    val ev = spark.readStream.format("rate")
-      .option("rowsPerSecond", "500").option("numPartitions", "2").load()
-      .select(col("timestamp").as("ts"),
-        element_at(lit(Array("view", "click", "purchase", "signup", "error")),
-          (col("value") % 5).cast("int") + 1).as("event_type"),
-        (col("value") % 100).cast("double").as("value"))
-    val q = EventsStream.hourlyCounts(ev)
-      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .format("memory").queryName("rate_hourly").start()
-    val deadline = System.currentTimeMillis() + 60000
-    def nonEmpty = q.recentProgress.count(_.numInputRows > 0)
-    while (nonEmpty < 2 && System.currentTimeMillis() < deadline)
-      Thread.sleep(200)
-    q.processAllAvailable() // drain what the last trigger admitted
-    q.stop()
-    assert(nonEmpty >= 2, "rate source never produced two non-empty batches")
-    val input = q.recentProgress.map(_.numInputRows).sum
-    val counted = spark.table("rate_hourly")
-      .groupBy(col("WindowStart"), col("event_type"))
-      .agg(max(col("NEvents")).as("N")) // last (= max) snapshot per key
-      .agg(sum(col("N"))).head().getLong(0)
-    assert(input > 0L)
-    assert(counted === input,
-      s"windowed counts ($counted) do not conserve the unbounded input ($input)")
+    // recentProgress retains only numRecentProgressUpdates entries
+    // (default 100) — a slow run producing more microbatches would
+    // silently undercount `input` and fail the exact-equality check
+    // spuriously; raise the retention far past any plausible batch
+    // count for this ≤60 s stream (restored in the finally)
+    val prevRetention = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    try {
+      val ev = spark.readStream.format("rate")
+        .option("rowsPerSecond", "500").option("numPartitions", "2").load()
+        .select(col("timestamp").as("ts"),
+          element_at(lit(Array("view", "click", "purchase", "signup", "error")),
+            (col("value") % 5).cast("int") + 1).as("event_type"),
+          (col("value") % 100).cast("double").as("value"))
+      val q = EventsStream.hourlyCounts(ev)
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .format("memory").queryName("rate_hourly").start()
+      val deadline = System.currentTimeMillis() + 60000
+      def nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      while (nonEmpty < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      q.processAllAvailable() // drain what the last trigger admitted
+      q.stop()
+      assert(nonEmpty >= 2, "rate source never produced two non-empty batches")
+      assert(q.recentProgress.length < 10000,
+        "progress retention saturated — raise it further or shorten the stream")
+      val input = q.recentProgress.map(_.numInputRows).sum
+      val counted = spark.table("rate_hourly")
+        .groupBy(col("WindowStart"), col("event_type"))
+        .agg(max(col("NEvents")).as("N")) // last (= max) snapshot per key
+        .agg(sum(col("N"))).head().getLong(0)
+      assert(input > 0L)
+      assert(counted === input,
+        s"windowed counts ($counted) do not conserve the unbounded input ($input)")
+    } finally prevRetention match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+      case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+    }
   }
 
   test("mapGroupsWithState sessionization matches batch sessionize") {
