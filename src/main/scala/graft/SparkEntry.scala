@@ -97,7 +97,7 @@ object SparkEntry {
     "text_source_similarity" -> (TextOps.sourceSimilarity _),
     "text_source_similarity_calibrate" -> (TextOps.sourceSimilarityCalibrate _),
     "text_chunks" -> (TextOps.chunks _),
-    "dedup_chunk_overlap" -> (DedupOps.chunkOverlap _),
+    "dedup_chunk_overlap" -> ((s: SparkSession, d: String) => DedupOps.chunkOverlap(s, d)),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),

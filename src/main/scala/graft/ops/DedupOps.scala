@@ -111,7 +111,7 @@ object DedupOps {
     * [[docBands]] — the chunk substrate feeds both the per-doc
     * fingerprint query and the containment self-join, and the rolling
     * hash is the most codepoint-heavy sketch pass in the engine. */
-  private[ops] def docChunks(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docChunks(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     chunksMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
@@ -184,10 +184,19 @@ object DedupOps {
     * keys, same shape as the shingle verify join — never all-pairs);
     * sizes ride the exploded rows so the overlap fraction needs no
     * extra join back. */
-  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val ch = docChunks(spark, dir)
+  def chunkOverlap(spark: SparkSession, dir: String,
+                   cap: Int = graft.ops.TextOps.HotChunkMaxOccupancy): DataFrame = {
+    val exploded = docChunks(spark, dir)
       .select(col("doc_id"), col("NDistinctChunks").as("ND"),
         explode(col("Chs")).as("H"))
+    // boilerplate cap (the coolBands pattern in the chunk domain): a
+    // chunk hash shared by more than `cap` docs is template content —
+    // k docs on one hash is k(k-1)/2 pairs, the join's only
+    // super-linear term (measured α 1.92 uncapped at 100×)
+    val ch = exploded.join(
+      exploded.groupBy(col("H")).agg(count(lit(1)).as("ChOcc"))
+        .filter(col("ChOcc") <= cap).select(col("H")),
+      "H")
     ch.select(col("doc_id").as("D1"), col("ND").as("ND1"), col("H"))
       .join(ch.select(col("doc_id").as("D2"), col("ND").as("ND2"), col("H")), "H")
       .filter(col("D1") < col("D2"))

@@ -298,6 +298,19 @@ object TextOps {
   /** Minimum shared-chunk fraction for [[DedupOps.chunkOverlap]]. */
   val MinChunkOverlap = 0.5
 
+  /** Chunk-hash occupancy above which a chunk is treated as
+    * BOILERPLATE and excluded from the containment self-join — the
+    * chunk-domain mirror of DedupOps.HotBandMaxOccupancy, added after
+    * the round-8 100× rehearsal measured the uncapped join at α 1.92
+    * (a chunk shared by k docs contributes k(k−1)/2 pairs; at 500k
+    * docs common boilerplate chunks made the pair volume quadratic).
+    * A chunk that recurs across hundreds of documents is shared
+    * template/boilerplate content, not copy evidence — near-dup pairs
+    * still collide on their other (rarer) chunks, exactly the hot-band
+    * argument. Shared with the DuckDB mirror, so the cap is part of
+    * the query definition. */
+  val HotChunkMaxOccupancy = 256
+
   /** Corpus-level source-vs-source vocabulary similarity — the
     * DECLARED 100 TB path: estimated shingle-set Jaccard between every
     * source pair from [[SourceSimHashes]]-function MinHash signatures,

@@ -831,9 +831,15 @@ e AS (
   SELECT doc_id, len(list_distinct(chs)) AS nd, unnest(list_distinct(chs)) AS h
   FROM ch
 ),
+ecool AS (
+  SELECT e.* FROM e
+  JOIN (SELECT h FROM e GROUP BY h
+        HAVING count(*) <= ${graft.ops.TextOps.HotChunkMaxOccupancy}) k
+  ON e.h = k.h
+),
 p AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, a.nd AS nd1, b.nd AS nd2, count(*) AS ns
-  FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM ecool a JOIN ecool b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT d1 AS "D1", d2 AS "D2", CAST(ns AS BIGINT) AS "NShared",

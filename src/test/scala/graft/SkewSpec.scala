@@ -46,6 +46,38 @@ class SkewSpec extends SparkSpec {
       s"corpus max band occupancy $maxOcc is within 4x of the cap — re-tune HotBandMaxOccupancy")
   }
 
+  test("boilerplate chunk hashes are excluded from the containment join; real corpus stays under the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted corpus: a 10-doc flood of IDENTICAL text (every chunk
+    // hash occupancy 10) + one near-dup pair in its own content region
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk_hot")
+    val boiler = (0 until 6).map(i => s"template header $i block " * 4).mkString(" ")
+    val pairTxt = ("unique copied paragraph alpha beta gamma " * 12)
+    val rows =
+      (100L to 109L).map(i => (i, boiler, "en", "t", boiler.length.toLong)) ++
+        Seq((1L, pairTxt, "en", "p", pairTxt.length.toLong),
+          (2L, pairTxt, "en", "p", pairTxt.length.toLong))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // capped: the flood contributes NOTHING (45 pairs uncapped), the
+    // below-cap pair survives with full containment
+    val capped = graft.ops.DedupOps.chunkOverlap(spark, tmp.toString, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((1L, 2L)), s"got ${capped.toSeq}")
+    // at the default cap the same fixture pairs the flood too — the
+    // cap, not content, is what bounded the volume above
+    val uncapped = graft.ops.DedupOps.chunkOverlap(spark, tmp.toString).count()
+    assert(uncapped === 45L + 1L, s"got $uncapped")
+    // premise that keeps the production corpus' pairs unchanged: its
+    // max chunk occupancy sits far below the cap
+    val maxOcc = graft.ops.DedupOps.docChunks(spark, sfDir)
+      .select(explode(col("Chs")).as("H"))
+      .groupBy(col("H")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxOcc <= graft.ops.TextOps.HotChunkMaxOccupancy / 4,
+      s"corpus max chunk occupancy $maxOcc is within 4x of the cap — re-tune HotChunkMaxOccupancy")
+  }
+
   // sf0.01: at sf0.001 the hot partition compresses under any sane
   // skew threshold; 60K rows make the skew physically visible.
   private val skewDir = "/root/testdata/sf0.01"
