@@ -195,14 +195,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("decontaminate broadcasts the eval shingle set and reuses the dedup sketch cache") {
+  test("decontaminate broadcasts the eval shingle set; n=3 reuses the dedup sketch cache") {
+    // default (n=8): its own narrow token_shingles pass — no standing
+    // cache to reuse, but the join shape contract is the same
+    val p8 = plan(graft.ops.CurateOps.decontaminate(spark, sfDir))
+    assert(p8.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p8")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape:\n$p8")
+    // n=3 rides the dedup family's memoized shingle cache
     graft.ops.DedupOps.sharedShingles(spark, sfDir) // ensure the cache is registered
-    val df = graft.ops.CurateOps.decontaminate(spark, sfDir)
-    val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
-    assert(p.contains("InMemoryTableScan"), s"shingle cache not reused:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"quadratic join shape:\n$p")
+    val p3 = plan(graft.ops.CurateOps.decontaminate(spark, sfDir, n = 3))
+    assert(p3.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p3")
+    assert(p3.contains("InMemoryTableScan"), s"shingle cache not reused:\n$p3")
+    assert(!p3.contains("CartesianProduct") && !p3.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape:\n$p3")
   }
 
   test("summaries read the shared cleaned cache, not a join replay") {
