@@ -461,14 +461,36 @@ object SimilarityOps {
     * ties broken by centroid id. The codebook is broadcast (≤ K
     * rows). */
   private def nearestCentroids(vecs: DataFrame, cent: DataFrame, take: Int,
-                               idCol: String, vecCol: String, normCol: String): DataFrame =
-    vecs.crossJoin(broadcast(cent))
+                               idCol: String, vecCol: String, normCol: String): DataFrame = {
+    val withDist = vecs.crossJoin(broadcast(cent))
       .withColumn("Dist",
         col(normCol) - lit(2L) * expr(s"long_dot($vecCol, CQ)") + col("CNorm"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("Dist"), col("Cid"))))
-      .filter(col("rn") <= take)
-      .drop("Dist", "rn", "CQ", "CNorm")
+    if (take == 1) {
+      // min-struct aggregate, NOT a row_number window: the aggregate
+      // gets map-side partial aggregation, so the n·K crossJoin rows
+      // combine to n rows BEFORE the exchange, where the window form
+      // shuffles all n·K (with the 64-long vector in each). Same
+      // (Dist, Cid) tie-break, identical values; the other columns
+      // ride partial-aggregable first()s over constant-per-group
+      // values. Locally the two time the same (the fused crossJoin
+      // arithmetic dominates: 205M dots ≈ 14 s at n=200k, K=1024) —
+      // the n·K-wide → n exchange reduction is a CLUSTER property,
+      // where the window's shuffle is network, not memcpy. kmeans
+      // rounds, index builds, and route-1 paths all ride this.
+      val others = vecs.columns.filter(_ != idCol)
+      withDist
+        .groupBy(col(idCol))
+        .agg(min(struct(col("Dist"), col("Cid"))).as("mn"),
+          others.map(c => first(col(c)).as(c)): _*)
+        .withColumn("Cid", col("mn.Cid"))
+        .select((idCol +: others :+ "Cid").map(col): _*)
+    } else
+      withDist
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("Dist"), col("Cid"))))
+        .filter(col("rn") <= take)
+        .drop("Dist", "rn", "CQ", "CNorm")
+  }
 
   /** Deterministic integer k-means codebook: seeds = the K lowest-
     * vec_id vectors, then [[KmeansRounds]] Lloyd rounds entirely in
@@ -1152,6 +1174,87 @@ object SimilarityOps {
                             nCentroids: Int = DefaultNCentroids): DataFrame =
     semanticDedupFrom(spark, dir,
       spark.table(bucketedListsTable(spark, dir, nCentroids)), threshold)
+
+  /** Hierarchical (coarse-routed) cluster ASSIGNMENT — the next-decade
+    * path the round-8 100× rehearsal filed for the semantic-dedup
+    * family, as running code rather than prose. Flat assignment
+    * against a K-entry codebook is n·K distance evaluations; under the
+    * √n-grown K policy that term is n^1.5, the family's measured
+    * asymptote (PERFORMANCE.md round 8: α ≈ 1.15 and climbing between
+    * decades). Here the K fine centroids are THEMSELVES clustered into
+    * ~√K coarse cells (a K-row problem — driver-scale), each vector
+    * routes to its `nprobe` nearest coarse cells (n·√K), and pays full
+    * distances only against the fine centroids OF those cells
+    * (expected n·nprobe·√K): total n·√K·(nprobe+1), i.e. n^1.25 under
+    * the policy — the same two-level economics the persisted IVFADC
+    * layout applies to search, applied to Lloyd assignment.
+    *
+    * Assignment is APPROXIMATE exactly as IVF search is: the true
+    * nearest fine centroid can live outside the routed cells. OpsSpec
+    * MEASURES the agreement against flat assignment on the real corpus
+    * (boundary vectors between well-separated clusters are the only
+    * divergence candidates) instead of assuming it. Deterministic:
+    * both levels are the seeded integer Lloyd with (Dist, Cid)
+    * tie-breaks. */
+  /** Flat n·K assignment in the same output shape as
+    * [[assignHierarchical]] — the baseline the hierarchical variant is
+    * measured against (HierAssignProbe / PERFORMANCE.md round 8). */
+  def assignFlat(vecs: DataFrame, fineCent: DataFrame): DataFrame = {
+    VectorExpressions.register(vecs.sparkSession)
+    nearestCentroids(vecs, fineCent, 1, "vec_id", "Q", "NormSq")
+      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
+  }
+
+  def assignHierarchical(vecs: DataFrame, fineCent: DataFrame,
+                         nprobe: Int = 3): DataFrame = {
+    VectorExpressions.register(vecs.sparkSession)
+    val k = fineCent.count().toInt
+    val coarseK = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    // cluster the centroids: reshape (Cid, CQ, CNorm) to the corpus
+    // shape kmeansCentroids expects; fine Cids are seed vec_ids
+    // (0..K-1 labels survive rounds), so `vec_id < coarseK` seeds hold
+    val fineAsVecs = fineCent.select(col("Cid").as("vec_id"),
+      col("CQ").as("Q"), col("CNorm").as("NormSq"))
+    val coarse = kmeansCentroids(fineAsVecs, coarseK)
+    // fine centroid -> its coarse cell (K rows, broadcast economics)
+    val fineCells = nearestCentroids(fineAsVecs, coarse, 1, "vec_id", "Q", "NormSq")
+      .select(col("vec_id").as("FCid"), col("Q").as("FQ"),
+        col("NormSq").as("FNorm"), col("Cid").as("CoarseId"))
+    // vector -> nprobe nearest coarse cells, then exact distance
+    // against ONLY those cells' fine centroids. The aggregation
+    // carries only (vec_id, Dist, FCid) — shuffling the 64-long Q
+    // through the min-struct was the variant's dominant constant
+    // (measured: 3.76 s narrow-less vs this form at x100/K=160); Q
+    // rejoins once at the end
+    val assigned = nearestCentroids(vecs, coarse, nprobe, "vec_id", "Q", "NormSq")
+      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid").as("CoarseId"))
+      .join(broadcast(fineCells), "CoarseId")
+      .withColumn("Dist",
+        col("NormSq") - lit(2L) * expr("long_dot(Q, FQ)") + col("FNorm"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("Dist"), col("FCid"))).as("mn"))
+      .select(col("vec_id"), col("mn.FCid").as("Cid"))
+    vecs.join(assigned, "vec_id")
+      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
+  }
+
+  /** [[semanticDedup]] with the hierarchical assignment — identical
+    * pair semantics over clusters assigned by [[assignHierarchical]]
+    * against the SAME persisted codebook. The opt-in scale variant: at
+    * the √n-K policy its assignment is n^1.25 where flat is n^1.5;
+    * divergence is confined to cluster-boundary vectors (measured in
+    * OpsSpec, timed at 100× in PERFORMANCE.md). */
+  def semanticDedupHierarchical(spark: SparkSession, dir: String,
+                                threshold: Double = DefaultSemDedupThreshold,
+                                nCentroids: Int = DefaultNCentroids,
+                                nprobe: Int = 3): DataFrame = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val assigned = assignHierarchical(
+      quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq")),
+      cent, nprobe)
+    semanticDedupFrom(spark, dir, assigned, threshold)
+  }
 
   private def semanticDedupFrom(spark: SparkSession, dir: String,
                                 lists: DataFrame, threshold: Double): DataFrame = {

@@ -510,6 +510,40 @@ class OpsSpec extends SparkSpec {
     byCluster.values.foreach(ms => assert(!flagged.contains(ms.map(_._1).min)))
   }
 
+  test("similarity: hierarchical assignment agrees with flat on nearly every vector, deterministic") {
+    // the opt-in n^1.25 scale variant: route through ~sqrt(K) coarse
+    // cells, full distances only inside routed cells — divergence is
+    // confined to cluster-boundary vectors, so MEASURE the agreement
+    // instead of assuming it
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val vecs = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Q"), col("NormSq"))
+    val flat = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Cid").cast("long").as("Cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = SimilarityOps.assignHierarchical(vecs, cent).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("Cid")).toMap
+    assert(hier.keySet === flat.keySet, "hierarchical assignment lost/duplicated vectors")
+    val agree = hier.count { case (v, c) => flat(v) == c }
+    val pct = agree.toDouble / hier.size
+    assert(pct >= 0.95,
+      f"hierarchical/flat assignment agreement $pct%.4f < 0.95 (${hier.size - agree} diverge)")
+    // deterministic: a second run is bit-identical
+    val again = SimilarityOps.assignHierarchical(vecs, cent).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("Cid")).toMap
+    assert(again === hier)
+    // and the dedup built on it keeps the same per-cluster survivor
+    // contract as the flat variant
+    val rows = SimilarityOps.semanticDedupHierarchical(spark, sfDir).collect()
+    assert(rows.length === flat.size)
+    val byCluster = rows.groupBy(_.getAs[Long]("Cid"))
+    byCluster.values.foreach { ms =>
+      val minId = ms.map(_.getAs[Long]("vec_id")).min
+      assert(!ms.find(_.getAs[Long]("vec_id") == minId).get.getAs[Boolean]("IsDup"))
+    }
+  }
+
   test("similarity: bucketed lists make the semantic-dedup self-join exchange-free, values identical") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
