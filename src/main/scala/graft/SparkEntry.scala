@@ -88,6 +88,10 @@ object SparkEntry {
     "curate_pipeline_funnel" -> (CurateOps.curationFunnel _),
     "curate_pack_sequences" -> (CurateOps.packSequences _),
     "curate_sample_weighted" -> (CurateOps.sampleWeighted _),
+    // domain-mixing: per-source keep-rates toward target token shares
+    // (round 8) — exact-integer coin, oracle recomputes supply/T/rates
+    "curate_mixture_balance" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      CurateOps.mixtureSample(s, d)),
     "dedup_simhash" -> (DedupOps.simhash _),
     // ---- text extensions: repetition filter, TF-IDF, PII redaction ----
     "text_repetition" -> (TextOps.repetition _),
@@ -187,6 +191,7 @@ object SparkEntry {
     "curate_pipeline_funnel" -> ExtSql.curatePipelineFunnel,
     "curate_pack_sequences" -> ExtSql.curatePackSequences,
     "curate_sample_weighted" -> ExtSql.curateSampleWeighted,
+    "curate_mixture_balance" -> ExtSql.curateMixtureBalance,
     "dedup_simhash" -> ExtSql.dedupSimhash,
     "text_repetition" -> ExtSql.textRepetition,
     "text_tfidf" -> ExtSql.textTfidf,

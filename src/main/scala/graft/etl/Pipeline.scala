@@ -27,9 +27,12 @@ object Pipeline {
   }
 
   /** Full run: returns per-table row counts (the reference's summary
-    * dict, ref: etl.py:415-422). */
+    * dict, ref: etl.py:415-422). The default format list is the
+    * reference's `csv/parquet/sqlite` (etl.py:367) — same default as
+    * [[Load.load]], whose zero-config sqlite path lands an embedded-DB
+    * warehouse at `outDir/sales_data.db`. */
   def run(spark: SparkSession, dir: String, outDir: String,
-          formats: Seq[String] = Seq("csv", "parquet")): Map[String, Long] = {
+          formats: Seq[String] = Seq("csv", "parquet", "sqlite")): Map[String, Long] = {
     val tables = transform(spark, dir)
     Load.load(tables, outDir, formats)
     tables.map { case (name, df) => name -> df.count() }

@@ -94,17 +94,38 @@ object CurateOps {
     * stays correct, just less lopsided.) Output is every train doc
     * with its contamination evidence, zero-filled via left join.
     */
+  private val shinglesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  private val shinglesMemoLock = new Object
+
+  /** Drop `spark`'s memoized wide-window shingle tables — invoked by
+    * [[DedupOps.invalidateSketches]] so one corpus-refresh call clears
+    * every shingle substrate regardless of window width. */
+  private[ops] def invalidateShingles(spark: SparkSession): Unit =
+    shinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+      shinglesMemo.remove(k).foreach(_.unpersist(false))
+    }
+
   /** The corpus shingle table at window `n`: the dedup family's
     * memoized+cached 3-gram table when n == 3 (one md5 pass, shared
-    * session-wide), else a direct `token_shingles(text, n)` pass —
-    * wider windows are decontamination-only, so they don't earn a
-    * standing cache. */
+    * session-wide), else a session-memoized `token_shingles(text, n)`
+    * pass of its own — [[decontaminate]] shingles BOTH join sides and
+    * runs inside the gate query, `runCurationPipeline`, AND
+    * `curationFunnel`, so an uncached wide-window pass would re-md5
+    * the corpus on every call (caught in round-8 review). Same
+    * stopped-session eviction as the dedup memos. */
   private def shinglesAt(spark: SparkSession, dir: String, n: Int): DataFrame =
     if (n == 3) DedupOps.sharedShingles(spark, dir)
     else {
       graft.functions.ShingleExpressions.register(spark)
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), expr(s"token_shingles(text, $n)").as("Sh"))
+      shinglesMemo.keysIterator
+        .filter { case (s, _, _) => s.sparkContext.isStopped }
+        .foreach(shinglesMemo.remove)
+      graft.ops.BucketedTables.memoized(
+        shinglesMemo, (spark, dir, n), shinglesMemoLock)(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), expr(s"token_shingles(text, $n)").as("Sh"))
+          .cache())
     }
 
   /** The held-out eval (test-split) shingle set — the static side of
@@ -278,6 +299,80 @@ object CurateOps {
         col("NTokens").cast(DoubleType) / lit(WeightSampleDenom.toDouble))
       .select(col("doc_id"), col("source"), col("NTokens"),
         col("Hash48"), col("InclusionP"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Salt for the mixture coin — independent of the split and
+    * stratified-sample hashes (three correlated decisions would bias
+    * each other). */
+  val MixtureSalt = "mix|"
+
+  /** 2⁴⁸ — the coin space of the 48-bit md5-prefix hashes. */
+  val Pow48 = 281474976710656L
+
+  /** SOURCE-MIXTURE REBALANCING — the domain-mixing step of a
+    * pre-training data pipeline (the Pile/Dolma-style recipe): given
+    * relative target WEIGHTS per source, downsample each source so
+    * the kept corpus approaches the target token shares.
+    *
+    * Feasibility is computed in-plan, not assumed: with supply S_s
+    * (actual tokens per source), weight w_s, W = Σw_s, the largest
+    * achievable total is `T = min_s ⌊S_s·W / w_s⌋` (no upsampling —
+    * the scarcest source binds the whole mix, which is exactly how
+    * production mixes are sized). Each source then keeps documents at
+    * rate `r_s = w_s·T / (W·S_s) ≤ 1`, so kept tokens converge to the
+    * target share w_s/W of T.
+    *
+    * The keep decision is EXACT INTEGER arithmetic in the 48-bit coin
+    * space: keep iff `Hash48 · W · S_s < w_s·T · 2⁴⁸`, evaluated in
+    * decimal128 (the products pass 2⁶³ at corpus scale) — no float in
+    * the decision, bit-identical in any engine with the same md5.
+    * `InclusionP = w_s·T/(W·S_s)` rides along for Horvitz-Thompson
+    * reweighting; numerator and denominator stay below 2⁵³ even at
+    * 100 TB token counts, so the double division is exact-input IEEE
+    * and engine-portable.
+    *
+    * Scale shape: one narrow token-count pass, a by-source partial
+    * aggregate collapsing to |sources| rows, driver-free 1-row
+    * grand-total frames for W and T, and a broadcast join of the
+    * ≤|sources|-row rate table back onto the corpus — the same class
+    * as stratified sampling, with the rate derived from data instead
+    * of a constant. A document's verdict never changes as OTHER docs
+    * of its source arrive only if supply is pinned; re-running after
+    * ingestion legitimately re-rates (mixtures are sized per run). */
+  def mixtureSample(spark: SparkSession, dir: String,
+                    weights: Map[String, Long] = Map.empty): DataFrame = {
+    require(weights.values.forall(_ > 0), "mixture weights must be positive")
+    graft.functions.TextExpressions.register(spark)
+    val weightCol = weights.foldLeft(lit(1L)) {
+      case (acc, (src, w)) => when(col("source") === src, w).otherwise(acc)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        expr("token_stats(text).NTokens").cast(LongType).as("NTokens"),
+        conv(substring(md5(concat(lit(MixtureSalt), col("doc_id").cast(StringType))), 1, 12), 16, 10)
+          .cast(LongType).as("Hash48"))
+    val supply = docs.groupBy(col("source"))
+      .agg(sum(col("NTokens")).as("SupplyTokens"))
+      .withColumn("Weight", weightCol)
+    // 1-row grand-total frames (the bounded-crossJoin pattern): W and
+    // the feasibility bound T, all integer
+    val wTot = supply.agg(sum(col("Weight")).as("WTot"))
+    val tBound = supply.crossJoin(wTot)
+      .agg(min(expr("SupplyTokens * WTot div Weight")).as("T"))
+    val rates = supply.crossJoin(wTot).crossJoin(tBound)
+      .withColumn("TargetNum", col("Weight") * col("T")) // = w_s·T
+    val d38 = DecimalType(38, 0)
+    docs.join(broadcast(rates.select(col("source"), col("WTot"),
+        col("SupplyTokens"), col("TargetNum"))), "source")
+      .withColumn("IsKept",
+        col("Hash48").cast(d38) * col("WTot").cast(d38) * col("SupplyTokens").cast(d38)
+          < col("TargetNum").cast(d38) * lit(Pow48).cast(d38))
+      .withColumn("InclusionP",
+        col("TargetNum").cast(DoubleType)
+          / (col("WTot") * col("SupplyTokens")).cast(DoubleType))
+      .select(col("doc_id"), col("source"), col("NTokens"), col("Hash48"),
+        col("IsKept"), col("InclusionP"))
       .orderBy(col("doc_id"))
   }
 

@@ -132,6 +132,9 @@ object DedupOps {
     * against a refreshed corpus would silently return mixed-version
     * matches — the managed-table DROP removes the files too). */
   def invalidateSketches(spark: SparkSession): Unit = {
+    // the curation family's wide-window shingle memo rides the same
+    // corpus — one refresh call must clear every shingle substrate
+    graft.ops.CurateOps.invalidateShingles(spark)
     // same lock as the memo first-touch builds, so a teardown cannot
     // interleave with a concurrent build-if-absent of the same entry
     cacheMemoLock.synchronized {
@@ -182,21 +185,29 @@ object DedupOps {
     * are content-defined, while |A ∪ B| grows with the host document.
     * Candidates come from the chunk-keyed equi-join (uniform md5
     * keys, same shape as the shingle verify join — never all-pairs);
-    * sizes ride the exploded rows so the overlap fraction needs no
-    * extra join back. */
+    * both the shared-chunk numerator and the per-doc denominators are
+    * counted over the below-cap chunk universe, so the boilerplate
+    * cap bounds JOIN VOLUME without diluting the containment metric
+    * for boilerplate-heavy documents. */
   def chunkOverlap(spark: SparkSession, dir: String,
                    cap: Int = graft.ops.TextOps.HotChunkMaxOccupancy): DataFrame = {
     val exploded = docChunks(spark, dir)
-      .select(col("doc_id"), col("NDistinctChunks").as("ND"),
-        explode(col("Chs")).as("H"))
+      .select(col("doc_id"), explode(col("Chs")).as("H"))
     // boilerplate cap (the coolBands pattern in the chunk domain): a
     // chunk hash shared by more than `cap` docs is template content —
     // k docs on one hash is k(k-1)/2 pairs, the join's only
     // super-linear term (measured α 1.92 uncapped at 100×)
-    val ch = exploded.join(
+    val cooled = exploded.join(
       exploded.groupBy(col("H")).agg(count(lit(1)).as("ChOcc"))
         .filter(col("ChOcc") <= cap).select(col("H")),
       "H")
+    // denominators count the SAME below-cap universe as the numerator:
+    // containment is measured over non-boilerplate chunks on both
+    // sides. Pre-cap counts would dilute the fraction for
+    // boilerplate-heavy documents and silently drop genuinely
+    // contained pairs — the one metric the cap must not distort.
+    val ch = cooled.join(
+      cooled.groupBy(col("doc_id")).agg(count(lit(1)).as("ND")), "doc_id")
     ch.select(col("doc_id").as("D1"), col("ND").as("ND1"), col("H"))
       .join(ch.select(col("doc_id").as("D2"), col("ND").as("ND2"), col("H")), "H")
       .filter(col("D1") < col("D2"))

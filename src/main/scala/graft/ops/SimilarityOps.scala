@@ -316,9 +316,7 @@ object SimilarityOps {
       .foreach(pqFlatMemo.remove)
     pqFlatMemo.getOrElse((spark, dir), ivfBuildLock.synchronized {
       pqFlatMemo.getOrElseUpdate((spark, dir), {
-        val slug = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-        val h = graft.functions.TextExpressions.md5Hex(dir).substring(0, 8)
-        val base = s"${ivfRoot(spark)}/${slug}_${h}_pqflat"
+        val base = indexBase(spark, dir, "pqflat")
         val layoutFile = java.nio.file.Paths.get(base, "_pq_layout")
         val fpFile = java.nio.file.Paths.get(base, "_corpus_fingerprint")
         val complete = Seq("pqcodebook", "pqcodes").forall(d =>
@@ -545,16 +543,21 @@ object SimilarityOps {
       spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:") + "/graft_ivf")
 
-  /** Index location for (dir, K): a readable sanitized slug PLUS an
-    * md5 of the raw dir string — sanitization alone is lossy
-    * (`/data-sf1` and `/data_sf1` both sanitize to `_data_sf1`, so two
-    * sessions over distinct corpora would overwrite each other's index
-    * mid-query); the hash makes the mapping injective. */
-  private def ivfBase(spark: SparkSession, dir: String, nCentroids: Int): String = {
+  /** Injective index base path for (dir, suffix): a readable sanitized
+    * slug PLUS an md5 of the raw dir string — sanitization alone is
+    * lossy (`/data-sf1` and `/data_sf1` both sanitize to `_data_sf1`,
+    * so two sessions over distinct corpora would overwrite each
+    * other's index mid-query); the hash makes the mapping injective.
+    * ONE definition shared by every persisted-index family (IVF,
+    * flat-PQ) so the derivation cannot drift between them. */
+  private[ops] def indexBase(spark: SparkSession, dir: String, suffix: String): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val h = graft.functions.TextExpressions.md5Hex(dir).substring(0, 8)
-    s"${ivfRoot(spark)}/${slug}_${h}_k$nCentroids"
+    s"${ivfRoot(spark)}/${slug}_${h}_$suffix"
   }
+
+  private def ivfBase(spark: SparkSession, dir: String, nCentroids: Int): String =
+    indexBase(spark, dir, s"k$nCentroids")
 
   /** Build (or REBUILD) the persisted IVF index for (dir, K) and
     * return its base path — the explicit build API (round 4 built the
@@ -1220,13 +1223,23 @@ object SimilarityOps {
     val fineCells = nearestCentroids(fineAsVecs, coarse, 1, "vec_id", "Q", "NormSq")
       .select(col("vec_id").as("FCid"), col("Q").as("FQ"),
         col("NormSq").as("FNorm"), col("Cid").as("CoarseId"))
+    // route only through coarse cells that WON ≥1 fine centroid: the
+    // Lloyd update can leave a coarse cell empty under re-assignment,
+    // and a vector whose every routed cell were empty would vanish
+    // through the inner joins below — silent data loss in a dedup
+    // pipeline. Restricting the routing codebook (≤√K rows, driver
+    // scale) makes the output structurally complete: every vector
+    // routes to ≥1 occupied cell, every occupied cell holds ≥1 fine
+    // centroid, so exactly one output row per input vector.
+    val occupied = coarse.join(
+      fineCells.select(col("CoarseId").as("Cid")).distinct(), "Cid")
     // vector -> nprobe nearest coarse cells, then exact distance
     // against ONLY those cells' fine centroids. The aggregation
     // carries only (vec_id, Dist, FCid) — shuffling the 64-long Q
     // through the min-struct was the variant's dominant constant
     // (measured: 3.76 s narrow-less vs this form at x100/K=160); Q
     // rejoins once at the end
-    val assigned = nearestCentroids(vecs, coarse, nprobe, "vec_id", "Q", "NormSq")
+    val assigned = nearestCentroids(vecs, occupied, nprobe, "vec_id", "Q", "NormSq")
       .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid").as("CoarseId"))
       .join(broadcast(fineCells), "CoarseId")
       .withColumn("Dist",

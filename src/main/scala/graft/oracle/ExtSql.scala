@@ -148,8 +148,7 @@ FROM toks ORDER BY doc_id
   FROM toks
 )
 SELECT *, CAST("StopCount" AS DOUBLE) / "NTokens" AS "StopRatio",
-       least(CAST(1.0 AS DOUBLE), CAST("NTokens" AS DOUBLE) / 200.0)
-         * (CAST(1.0 AS DOUBLE) - CAST("StopCount" AS DOUBLE) / "NTokens") AS "QualityScore"
+       ${qualitySql("\"NTokens\"", "\"StopCount\"")} AS "QualityScore"
 FROM q ORDER BY doc_id
 """
 
@@ -164,15 +163,9 @@ FROM q ORDER BY doc_id
   FROM toks
 )
 SELECT doc_id, "CEn", "CEs", "CDe", "CFr",
-       CASE WHEN "CEn" >= greatest("CEs", "CDe", "CFr") THEN 'en'
-            WHEN "CEs" >= greatest("CDe", "CFr") THEN 'es'
-            WHEN "CDe" >= "CFr" THEN 'de'
-            ELSE 'fr' END AS "Predicted",
+       ${langArgmaxSql("\"CEn\"", "\"CEs\"", "\"CDe\"", "\"CFr\"")} AS "Predicted",
        lang AS "ActualLang",
-       (CASE WHEN "CEn" >= greatest("CEs", "CDe", "CFr") THEN 'en'
-             WHEN "CEs" >= greatest("CDe", "CFr") THEN 'es'
-             WHEN "CDe" >= "CFr" THEN 'de'
-             ELSE 'fr' END) = lang AS "IsMatch"
+       (${langArgmaxSql("\"CEn\"", "\"CEs\"", "\"CDe\"", "\"CFr\"")}) = lang AS "IsMatch"
 FROM c ORDER BY doc_id
 """
   }
@@ -419,12 +412,8 @@ FROM b ORDER BY doc_id
 sel AS (
   SELECT m.doc_id,
          ntok AS "NTokens",
-         least(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / 200.0)
-           * (CAST(1.0 AS DOUBLE) - CAST(stopc AS DOUBLE) / ntok) AS "QualityScore",
-         CASE WHEN cen >= greatest(ces, cde, cfr) THEN 'en'
-              WHEN ces >= greatest(cde, cfr) THEN 'es'
-              WHEN cde >= cfr THEN 'de'
-              ELSE 'fr' END AS pred
+         ${qualitySql("ntok", "stopc")} AS "QualityScore",
+         ${langArgmaxSql("cen", "ces", "cde", "cfr")} AS pred
   FROM m JOIN comp c ON m.doc_id = c.doc_id AND m.doc_id = c.cluster
 )
 SELECT doc_id, "NTokens", "QualityScore"
@@ -447,8 +436,7 @@ ORDER BY doc_id
 ),
 q AS (
   SELECT lang, ntok,
-         least(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / 200.0)
-           * (CAST(1.0 AS DOUBLE) - CAST(stopc AS DOUBLE) / ntok) AS qs
+         ${qualitySql("ntok", "stopc")} AS qs
   FROM sc
 ),
 g AS (
@@ -476,8 +464,7 @@ FROM g ORDER BY lang
 ),
 s AS (
   SELECT doc_id, ntok,
-         least(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / 200.0)
-           * (CAST(1.0 AS DOUBLE) - CAST(stopc AS DOUBLE) / ntok) AS qs
+         ${qualitySql("ntok", "stopc")} AS qs
   FROM q
 ),
 c AS (
@@ -532,6 +519,29 @@ WHERE h * ${graft.ops.CurateOps.WeightSampleDenom} < CAST(nt AS BIGINT) * 281474
 ORDER BY doc_id
 """
 
+  /** Mixture-rebalancing mirror (default uniform weights): per-source
+    * token supply, the in-plan feasibility bound T = min(S·W // w),
+    * and the EXACT integer keep decision in HUGEINT (the Spark side
+    * evaluates the same products in decimal128) — coin salted with
+    * CurateOps.MixtureSalt. */
+  lazy val curateMixtureBalance: String = s"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt,
+         CAST(${hex48(s"md5('${graft.ops.CurateOps.MixtureSalt}' || CAST(doc_id AS VARCHAR))")} AS BIGINT) AS h
+  FROM documents
+),
+sup AS (SELECT source, sum(nt) AS s, CAST(1 AS BIGINT) AS w FROM t GROUP BY source),
+tot AS (SELECT sum(w) AS wtot FROM sup),
+tm AS (SELECT min(s * wtot // w) AS tt FROM sup CROSS JOIN tot),
+r AS (SELECT source, s, w * tt AS tn, wtot FROM sup CROSS JOIN tot CROSS JOIN tm)
+SELECT t.doc_id, t.source, nt AS "NTokens", h AS "Hash48",
+       CAST(h AS HUGEINT) * wtot * s < CAST(tn AS HUGEINT) * ${graft.ops.CurateOps.Pow48} AS "IsKept",
+       CAST(tn AS DOUBLE) / CAST(wtot * s AS DOUBLE) AS "InclusionP"
+FROM t JOIN r ON t.source = r.source
+ORDER BY t.doc_id
+"""
+
   /** Salted md5-first-byte bucket of doc_id (mirrors
     * CurateOps.hashBucket; DuckDB lacks base-16 conversion, so decode
     * the two hex digits with the instr trick). */
@@ -541,34 +551,100 @@ ORDER BY doc_id
     s"CAST(16 * ${hex(1)} + ${hex(2)} AS INTEGER)"
   }
 
-  /** Train/eval n-gram decontamination mirror: same shingles (window
-    * = CurateOps.DecontaminationShingleN, the SAME constant the Spark
-    * side bakes into its plan), same md5 split, eval = test split,
-    * any shared shingle counts. */
-  val curateDecontaminate: String = {
-    import graft.ops.CurateOps.{ContaminationMinShingles, DecontaminationShingleN, TrainUpper, ValUpper}
-    toksCte + s"""
-, sh AS (SELECT doc_id, ${shExprN(DecontaminationShingleN)} AS s FROM toks),
-spl AS (
+  // ---- shared curation/text formula fragments ----
+  //
+  // ONE definition each for every formula that appears in more than
+  // one mirror (stage mirrors + the funnel that recomposes them): a
+  // threshold or formula change must flow through every mirror from a
+  // single site, or the funnel silently drifts from the stages it
+  // claims to recompose.
+
+  /** The `spl(doc_id, split)` CTE — the md5 split every curation
+    * mirror filters on. */
+  private def splitCteSql: String = {
+    import graft.ops.CurateOps.{TrainUpper, ValUpper}
+    s"""spl AS (
   SELECT doc_id,
          CASE WHEN ${bucketSql("")} < $TrainUpper THEN 'train'
               WHEN ${bucketSql("")} < $ValUpper THEN 'val'
               ELSE 'test' END AS split
   FROM documents
+)"""
+  }
+
+  /** Per-language stratified-sampling threshold CASE. */
+  private def sampleCaseSql: String = {
+    import graft.ops.CurateOps.{SampleDefaultThreshold, SampleThresholds}
+    SampleThresholds
+      .map { case (lang, t) => s"WHEN lang = '$lang' THEN $t" }
+      .mkString("CASE ", " ", s" ELSE $SampleDefaultThreshold END")
+  }
+
+  /** The textQuality score formula over token-count / stop-count
+    * expressions. */
+  private def qualitySql(ntok: String, stopc: String): String =
+    s"""least(CAST(1.0 AS DOUBLE), CAST($ntok AS DOUBLE) / 200.0)
+           * (CAST(1.0 AS DOUBLE) - CAST($stopc AS DOUBLE) / $ntok)"""
+
+  /** The langid argmax CASE over four marker-count expressions (tie
+    * order en > es > de > fr, same as TokenStats). */
+  private def langArgmaxSql(cen: String, ces: String, cde: String, cfr: String): String =
+    s"""CASE WHEN $cen >= greatest($ces, $cde, $cfr) THEN 'en'
+            WHEN $ces >= greatest($cde, $cfr) THEN 'es'
+            WHEN $cde >= $cfr THEN 'de'
+            ELSE 'fr' END"""
+
+  /** Non-distinct bigram list over the token array `t`. */
+  private def bigramsSql: String = "[t[i] || ' ' || t[i+1] for i in range(1, len(t))]"
+
+  /** Per-doc max token multiplicity (needs `toks` in scope); `alias`
+    * names the count column. */
+  private def topTokenCountSql(alias: String): String = s"""
+  SELECT doc_id, CAST(max(c) AS INTEGER) AS $alias
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id"""
+
+  /** The repetition-filter predicate over bigram/top-token counts. */
+  private def repetitivePredSql(nbg: String, ndbg: String,
+                                topc: String, ntok: String): String =
+    s"""((CASE WHEN $nbg = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST($nbg - $ndbg AS DOUBLE) / $nbg END) > ${TextOps.MaxDupBigramFrac}
+          OR CAST($topc AS DOUBLE) / $ntok > ${TextOps.MaxTopTokenFrac})"""
+
+  /** Decontamination CTE chain `${p}sh/${p}ex/${p}ev/${p}hits` — hits
+    * = per-TRAIN-doc distinct contaminating eval docs (`ne`) and
+    * shared shingles (`ns`). Requires `toks` and `spl` CTEs in scope;
+    * the prefix lets the funnel avoid colliding with componentsCore's
+    * `sh`. */
+  private def decontamCtes(p: String): String = {
+    import graft.ops.CurateOps.DecontaminationShingleN
+    s"""${p}sh AS (SELECT doc_id, ${shExprN(DecontaminationShingleN)} AS s FROM toks),
+${p}ex AS (
+  SELECT h.doc_id, spl.split, unnest(h.s) AS shingle
+  FROM ${p}sh h JOIN spl ON h.doc_id = spl.doc_id
 ),
-ex AS (
-  SELECT sh.doc_id, spl.split, unnest(sh.s) AS shingle
-  FROM sh JOIN spl ON sh.doc_id = spl.doc_id
-),
-ev AS (SELECT DISTINCT shingle, doc_id AS eval_id FROM ex WHERE split = 'test'),
-hits AS (
+${p}ev AS (SELECT DISTINCT shingle, doc_id AS eval_id FROM ${p}ex WHERE split = 'test'),
+${p}hits AS (
   SELECT t.doc_id,
          CAST(count(DISTINCT ev.eval_id) AS INTEGER) AS ne,
          CAST(count(DISTINCT t.shingle) AS INTEGER) AS ns
-  FROM ex t JOIN ev ON t.shingle = ev.shingle
+  FROM ${p}ex t JOIN ${p}ev ev ON t.shingle = ev.shingle
   WHERE t.split = 'train'
   GROUP BY t.doc_id
-)
+)"""
+  }
+
+  /** Train/eval n-gram decontamination mirror: same shingles (window
+    * = CurateOps.DecontaminationShingleN, the SAME constant the Spark
+    * side bakes into its plan), same md5 split, eval = test split,
+    * any shared shingle counts. */
+  val curateDecontaminate: String = {
+    import graft.ops.CurateOps.ContaminationMinShingles
+    toksCte + s"""
+, $splitCteSql,
+${decontamCtes("")}
 SELECT s.doc_id,
        coalesce(ne, 0) AS "NEvalDocs",
        coalesce(ns, 0) AS "NSharedShingles",
@@ -588,40 +664,18 @@ ORDER BY s.doc_id
     * interpolate from CurateOps/TextOps, so a threshold change flows
     * through both engines from one definition. */
   val curatePipelineFunnel: String = {
-    import graft.ops.CurateOps.{ContaminationMinShingles, DecontaminationShingleN,
-      MinQuality, SampleDefaultThreshold, SampleThresholds, TokenBudget, TrainUpper, ValUpper}
-    val sampCase = SampleThresholds
-      .map { case (lang, t) => s"WHEN lang = '$lang' THEN $t" }
-      .mkString("CASE ", " ", s" ELSE $SampleDefaultThreshold END")
+    import graft.ops.CurateOps.{ContaminationMinShingles, MinQuality, TokenBudget}
     componentsCore + s""",
-spl AS (
-  SELECT doc_id,
-         CASE WHEN ${bucketSql("")} < $TrainUpper THEN 'train'
-              WHEN ${bucketSql("")} < $ValUpper THEN 'val'
-              ELSE 'test' END AS split
-  FROM documents
-),
-dsh AS (SELECT doc_id, ${shExprN(DecontaminationShingleN)} AS s FROM toks),
-dex AS (
-  SELECT d.doc_id, s.split, unnest(d.s) AS shingle
-  FROM dsh d JOIN spl s ON d.doc_id = s.doc_id
-),
-dev AS (SELECT DISTINCT shingle FROM dex WHERE split = 'test'),
-dhits AS (
-  SELECT doc_id, CAST(count(DISTINCT shingle) AS INTEGER) AS ns
-  FROM dex WHERE split = 'train' AND shingle IN (SELECT shingle FROM dev)
-  GROUP BY doc_id
-),
+$splitCteSql,
+${decontamCtes("d")},
 samp AS (
-  SELECT doc_id, ${bucketSql("sample|")} < ($sampCase) AS is_sampled
+  SELECT doc_id, ${bucketSql("sample|")} < ($sampleCaseSql) AS is_sampled
   FROM documents
 ),
 qual AS (
   SELECT doc_id,
          CAST(len(t) AS INTEGER) AS ntok,
-         least(CAST(1.0 AS DOUBLE), CAST(len(t) AS DOUBLE) / 200.0)
-           * (CAST(1.0 AS DOUBLE)
-              - CAST(len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)}))) AS DOUBLE) / len(t)) AS qs
+         ${qualitySql("len(t)", s"len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)})))")} AS qs
   FROM toks
 ),
 rbs AS (
@@ -629,19 +683,12 @@ rbs AS (
          CAST(len(t) AS INTEGER) AS ntok,
          CAST(len(bgs) AS INTEGER) AS nbg,
          CAST(len(list_distinct(bgs)) AS INTEGER) AS ndbg
-  FROM (SELECT doc_id, t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bgs FROM toks)
+  FROM (SELECT doc_id, t, $bigramsSql AS bgs FROM toks)
 ),
 rep AS (
   SELECT rbs.doc_id,
-         ((CASE WHEN nbg = 0 THEN CAST(0.0 AS DOUBLE)
-                ELSE CAST(nbg - ndbg AS DOUBLE) / nbg END) > ${TextOps.MaxDupBigramFrac}
-          OR CAST(tt.topc AS DOUBLE) / rbs.ntok > ${TextOps.MaxTopTokenFrac}) AS isrep
-  FROM rbs JOIN (
-    SELECT doc_id, CAST(max(c) AS INTEGER) AS topc
-    FROM (SELECT doc_id, tok, count(*) AS c
-          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
-          GROUP BY doc_id, tok)
-    GROUP BY doc_id
+         ${repetitivePredSql("nbg", "ndbg", "tt.topc", "rbs.ntok")} AS isrep
+  FROM rbs JOIN (${topTokenCountSql("topc")}
   ) tt ON rbs.doc_id = tt.doc_id
 ),
 flags AS (
@@ -690,21 +737,15 @@ FROM (
 
   /** Stratified-sampling mirror: salted bucket + the per-language
     * threshold CASE built from the same SampleThresholds constants. */
-  val curateSampleStratified: String = {
-    import graft.ops.CurateOps.{SampleDefaultThreshold, SampleThresholds}
-    val caseExpr = SampleThresholds
-      .map { case (lang, t) => s"WHEN lang = '$lang' THEN $t" }
-      .mkString("CASE ", " ", s" ELSE $SampleDefaultThreshold END")
-    s"""
+  val curateSampleStratified: String = s"""
 WITH b AS (
   SELECT doc_id, lang, ${bucketSql("sample|")} AS "SampleBucket"
   FROM documents
 )
 SELECT doc_id, lang, "SampleBucket",
-       "SampleBucket" < ($caseExpr) AS "IsSampled"
+       "SampleBucket" < ($sampleCaseSql) AS "IsSampled"
 FROM b ORDER BY doc_id
 """
-  }
 
   /** Repetition-filter mirror: non-distinct bigram list comprehension
     * + unnest/group max token count; thresholds from TextOps. */
@@ -714,14 +755,9 @@ FROM b ORDER BY doc_id
          CAST(len(t) AS INTEGER) AS "NTokens",
          CAST(len(bgs) AS INTEGER) AS "NBigrams",
          CAST(len(list_distinct(bgs)) AS INTEGER) AS "NDistinctBigrams"
-  FROM (SELECT doc_id, t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bgs FROM toks)
+  FROM (SELECT doc_id, t, $bigramsSql AS bgs FROM toks)
 ),
-tt AS (
-  SELECT doc_id, CAST(max(c) AS INTEGER) AS "TopTokenCount"
-  FROM (SELECT doc_id, tok, count(*) AS c
-        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
-        GROUP BY doc_id, tok)
-  GROUP BY doc_id
+tt AS (${topTokenCountSql("\"TopTokenCount\"")}
 ),
 f AS (
   SELECT bs.doc_id, "NTokens", "NBigrams", "NDistinctBigrams", "TopTokenCount",
@@ -731,8 +767,7 @@ f AS (
   FROM bs JOIN tt ON bs.doc_id = tt.doc_id
 )
 SELECT *,
-       ("DupBigramFrac" > ${TextOps.MaxDupBigramFrac}
-        OR "TopTokenFrac" > ${TextOps.MaxTopTokenFrac}) AS "IsRepetitive"
+       ${repetitivePredSql("\"NBigrams\"", "\"NDistinctBigrams\"", "\"TopTokenCount\"", "\"NTokens\"")} AS "IsRepetitive"
 FROM f ORDER BY doc_id
 """
 
@@ -828,11 +863,15 @@ FROM ch ORDER BY doc_id
 
   val dedupChunkOverlap: String = chunkCte + s""",
 e AS (
-  SELECT doc_id, len(list_distinct(chs)) AS nd, unnest(list_distinct(chs)) AS h
+  SELECT doc_id, unnest(list_distinct(chs)) AS h
   FROM ch
 ),
+-- denominators (nd) are counted over the SAME below-cap chunk
+-- universe as the shared-chunk numerator (see DedupOps.chunkOverlap)
 ecool AS (
-  SELECT e.* FROM e
+  SELECT e.doc_id, e.h,
+         count(*) OVER (PARTITION BY e.doc_id) AS nd
+  FROM e
   JOIN (SELECT h FROM e GROUP BY h
         HAVING count(*) <= ${graft.ops.TextOps.HotChunkMaxOccupancy}) k
   ON e.h = k.h

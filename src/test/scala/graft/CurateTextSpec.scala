@@ -333,4 +333,42 @@ class CurateTextSpec extends SparkSpec {
     assert(CurateOps.sampleWeighted(spark, sfDir).collect()
       .map(_.getAs[Long]("doc_id")).toSet === keptIds)
   }
+
+  test("mixture_balance: exact integer decision, feasible rates, weight monotonicity, deterministic") {
+    val rows = CurateOps.mixtureSample(spark, sfDir).collect()
+    val total = graft.etl.Tables.documents(spark, sfDir).count()
+    assert(rows.length === total, "one verdict row per document")
+    // driver recomputation of the full contract in exact BigInt math:
+    // supply, W, T = min(S·W/w), and each doc's keep decision
+    val supply = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("NTokens")).sum).toMap
+    val wTot = BigInt(supply.size) // uniform default: every weight 1
+    val t = supply.values.map(s => BigInt(s) * wTot).min // /1
+    rows.foreach { r =>
+      val s = BigInt(supply(r.getAs[String]("source")))
+      val want = BigInt(r.getAs[Long]("Hash48")) * wTot * s < t * BigInt(CurateOps.Pow48)
+      assert(r.getAs[Boolean]("IsKept") === want, s"decision mismatch at $r")
+      val p = r.getAs[Double]("InclusionP")
+      assert(p > 0.0 && p <= 1.0, s"infeasible rate $p")
+      assert(p === t.toDouble / (wTot * s).toDouble)
+    }
+    // uniform weights → every source gets the SAME token target, so
+    // the scarcest source's rate is ~1 and larger sources downsample
+    val ps = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.head.getAs[Double]("InclusionP")).toMap
+    assert(ps(supply.minBy(_._2)._1) > 0.999)
+    assert(ps(supply.maxBy(_._2)._1) < 1.0)
+    // weight monotonicity: doubling one source's weight never lowers
+    // its keep set (its rate rises; the coin is unchanged)
+    val boosted = supply.minBy(_._2)._1
+    val keptBase = rows.filter(r => r.getAs[String]("source") == boosted
+      && r.getAs[Boolean]("IsKept")).map(_.getAs[Long]("doc_id")).toSet
+    val keptBoost = CurateOps.mixtureSample(spark, sfDir, Map(boosted -> 2L))
+      .collect().filter(r => r.getAs[String]("source") == boosted
+        && r.getAs[Boolean]("IsKept")).map(_.getAs[Long]("doc_id")).toSet
+    assert(keptBase.subsetOf(keptBoost),
+      "raising a source's weight dropped some of its previously kept docs")
+    // determinism
+    assert(CurateOps.mixtureSample(spark, sfDir).collect().toSeq === rows.toSeq)
+  }
 }

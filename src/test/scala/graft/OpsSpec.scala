@@ -770,4 +770,35 @@ class OpsSpec extends SparkSpec {
       .orderBy(col("event_id")).collect().map(_.toSeq).toSeq
     assert(viaRows === rawRows, "via(ParquetSource, events) diverges from eventsRaw")
   }
+
+  test("ts sniff cache self-invalidates on an in-place rewrite inside a NESTED (partitioned) layout") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // the fingerprint must see LEAF files: a partitioned layout
+    // (`events.parquet/date=1/part-0.parquet`) rewritten in place
+    // keeps every level-1 dir entry byte-identical, so a one-level
+    // listing would serve the stale encoding for the JVM lifetime
+    val stage = Files.createTempDirectory("graft_ts_stage")
+    graft.etl.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .limit(50).coalesce(1).write.parquet(s"$stage/micros")
+    graft.etl.Tables.eventsRaw(spark, sfDir)
+      .limit(50).coalesce(1).write.parquet(s"$stage/nanos")
+    def partFile(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head.toPath
+    val tmp = Files.createTempDirectory("graft_ts_part")
+    val leafDir = tmp.resolve("events.parquet").resolve("date=1")
+    Files.createDirectories(leafDir)
+    Files.copy(partFile(s"$stage/micros"), leafDir.resolve("part-0.parquet"))
+    val dir = tmp.resolve("events.parquet").toString
+    val t1 = graft.etl.Tables.eventsTsType(spark, dir)
+    assert(t1 === TimestampNTZType || t1 === TimestampType, s"got $t1")
+    // in-place rewrite: same file NAME, other encoding — no level-1
+    // entry is created or removed
+    Files.copy(partFile(s"$stage/nanos"), leafDir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(graft.etl.Tables.eventsTsType(spark, dir) === LongType,
+      "stale ts encoding served after an in-place nested rewrite")
+  }
 }

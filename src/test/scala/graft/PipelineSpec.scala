@@ -9,7 +9,7 @@ import graft.etl.{Load, Pipeline}
 /** End-to-end pipeline + sink tests (ref: etl.py:390-413, 264-386). */
 class PipelineSpec extends SparkSpec {
 
-  test("run(): five tables, sane cardinalities, csv+parquet written") {
+  test("run(): five tables, sane cardinalities, csv+parquet+sqlite written") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     val counts = Pipeline.run(spark, sfDir, out)
     assert(counts.keySet === Set("transactions", "customer_summary",
@@ -23,6 +23,11 @@ class PipelineSpec extends SparkSpec {
     // csv written with header
     val csv = spark.read.option("header", "true").csv(s"$out/csv/country_summary")
     assert(csv.count() === 25L && csv.columns.contains("TotalRevenue"))
+    // run()'s default format list is the reference's csv/parquet/sqlite
+    // (etl.py:367) — the zero-config embedded warehouse must land too
+    val wh = Load.embeddedSink(out)
+    val sq = spark.read.jdbc(wh.url, "country_summary", wh.props)
+    assert(sq.count() === 25L && sq.columns.contains("TotalRevenue"))
   }
 
   test("sqlSinkShape: lowercase names + bround half-even (⚠R, etl.py:328,356)") {

@@ -54,21 +54,34 @@ class SkewSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_chunk_hot")
     val boiler = (0 until 6).map(i => s"template header $i block " * 4).mkString(" ")
     val pairTxt = ("unique copied paragraph alpha beta gamma " * 12)
+    // a second pair that is identical IN CONTENT but mostly
+    // boilerplate: its shared signal lives in the few non-template
+    // chunks, so a denominator that still counted the capped template
+    // chunks would dilute its containment below threshold
+    val mixedTxt = boiler + " rare sentinel tail delta epsilon"
     val rows =
       (100L to 109L).map(i => (i, boiler, "en", "t", boiler.length.toLong)) ++
         Seq((1L, pairTxt, "en", "p", pairTxt.length.toLong),
-          (2L, pairTxt, "en", "p", pairTxt.length.toLong))
+          (2L, pairTxt, "en", "p", pairTxt.length.toLong),
+          (201L, mixedTxt, "en", "m", mixedTxt.length.toLong),
+          (202L, mixedTxt, "en", "m", mixedTxt.length.toLong))
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    // capped: the flood contributes NOTHING (45 pairs uncapped), the
-    // below-cap pair survives with full containment
+    // capped: the flood contributes NOTHING, the below-cap pair
+    // survives with full containment, and the boilerplate-heavy pair
+    // is STILL found at full containment because the denominators
+    // count only the below-cap chunk universe (its template chunks —
+    // occupancy 12 > 4 — vanish from numerator AND denominator)
     val capped = graft.ops.DedupOps.chunkOverlap(spark, tmp.toString, cap = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(capped.toSeq === Seq((1L, 2L)), s"got ${capped.toSeq}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(capped.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L), (201L, 202L)),
+      s"got ${capped.toSeq}")
+    capped.foreach { case (_, _, frac) => assert(frac === 1.0, s"got $frac") }
     // at the default cap the same fixture pairs the flood too — the
-    // cap, not content, is what bounded the volume above
+    // cap, not content, is what bounded the volume above (45 flood
+    // pairs + flood-vs-mixed cross pairs + the two planted pairs)
     val uncapped = graft.ops.DedupOps.chunkOverlap(spark, tmp.toString).count()
-    assert(uncapped === 45L + 1L, s"got $uncapped")
+    assert(uncapped >= 45L + 2L, s"got $uncapped")
     // premise that keeps the production corpus' pairs unchanged: its
     // max chunk occupancy sits far below the cap
     val maxOcc = graft.ops.DedupOps.docChunks(spark, sfDir)
