@@ -93,9 +93,18 @@ object SparkEntry {
     "curate_mixture_balance" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
       CurateOps.mixtureSample(s, d)),
     "dedup_simhash" -> (DedupOps.simhash _),
+    // exact-substring span profile (round 8): per-doc duplicated-window
+    // fraction, df-counted — NO pair join, no super-linear term
+    "dedup_span_windows" -> (DedupOps.spanWindows _),
     // ---- text extensions: repetition filter, TF-IDF, PII redaction ----
     "text_repetition" -> (TextOps.repetition _),
     "text_tfidf" -> (TextOps.tfidf _),
+    // BM25 lexical retrieval (round 8): rational idf + quantized-long
+    // score sums; the query set is a broadcast literal
+    "text_bm25_topk" -> (TextOps.bm25Topk _),
+    // unigram-LM surprisal (round 8): CCNet-style two-sided perplexity
+    // filter in integer-exact arithmetic over a cached LM-counts table
+    "text_perplexity" -> (TextOps.perplexity _),
     "text_pii_redact" -> (TextOps.piiRedact _),
     "text_corpus_stats" -> (TextOps.corpusStats _),
     "text_source_similarity" -> (TextOps.sourceSimilarity _),
@@ -109,6 +118,9 @@ object SparkEntry {
     "similarity_pq_topk" -> ((s: SparkSession, d: String) => SimilarityOps.pqTopk(s, d)),
     "similarity_ivfpq_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfpqTopk(s, d)),
     "similarity_kmeans_profile" -> ((s: SparkSession, d: String) => SimilarityOps.kmeansProfile(s, d)),
+    // per-vector centroid-distance outlier flags (round 8): the
+    // embedding-space quality filter off the same persisted index
+    "similarity_outliers" -> ((s: SparkSession, d: String) => SimilarityOps.outliers(s, d)),
     "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "similarity_incremental_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.incrementalDedup(s, d)),
     // ---- multimodal ----
@@ -125,6 +137,12 @@ object SparkEntry {
     "sketch_heavy_hitters" -> (RelationalOps.heavyHitters _),
     "join_bloom_pruned" -> (RelationalOps.bloomPrunedJoin _),
     "timeseries_gapfill" -> (RelationalOps.gapfillDaily _),
+    // integer-exact damped PageRank over the co-purchase graph
+    // (round 8): Pregel-shaped join+agg per round, fixed horizon
+    "graph_pagerank" -> (graft.ops.GraphOps.pagerank _),
+    // exact-power-sum bivariate stats (round 8): corr/covar/stddev
+    // from order-free integer sums — reproducible where corr() is not
+    "stats_correlation" -> (RelationalOps.statsCorrelation _),
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
@@ -136,6 +154,8 @@ object SparkEntry {
     "events_session_windows_stream" -> (graft.streaming.EventsStream.sessionWindowsStreamQuery _),
     "events_click_attribution_stream" -> (graft.streaming.EventsStream.clickAttributionStreamQuery _),
     "events_funnel_stream" -> (graft.streaming.EventsStream.funnelStreamQuery _),
+    // stateful-upsert compaction (mapGroupsWithState) in the gate
+    "events_dedup_latest_stream" -> (graft.streaming.EventsStream.dedupLatestStreamQuery _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
@@ -193,8 +213,11 @@ object SparkEntry {
     "curate_sample_weighted" -> ExtSql.curateSampleWeighted,
     "curate_mixture_balance" -> ExtSql.curateMixtureBalance,
     "dedup_simhash" -> ExtSql.dedupSimhash,
+    "dedup_span_windows" -> ExtSql.dedupSpanWindows,
     "text_repetition" -> ExtSql.textRepetition,
     "text_tfidf" -> ExtSql.textTfidf,
+    "text_bm25_topk" -> ExtSql.textBm25Topk,
+    "text_perplexity" -> ExtSql.textPerplexity,
     "text_pii_redact" -> ExtSql.textPiiRedact,
     "text_corpus_stats" -> ExtSql.textCorpusStats,
     "text_source_similarity" -> ExtSql.textSourceSimilarity,
@@ -214,6 +237,7 @@ object SparkEntry {
     // hash match here is a measured recall of 1.0 for the PQ stage
     "similarity_ivfpq_topk" -> ExtSql.similarityIvfTopk,
     "similarity_kmeans_profile" -> ExtSql.similarityKmeansProfile,
+    "similarity_outliers" -> ExtSql.similarityOutliers,
     "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
     "multimodal_meta" -> ExtSql.multimodalMeta,
@@ -228,6 +252,8 @@ object SparkEntry {
     "sketch_heavy_hitters" -> ExtSql.heavyHitters,
     "join_bloom_pruned" -> ExtSql.bloomPrunedJoin,
     "timeseries_gapfill" -> ExtSql.gapfillDaily,
+    "graph_pagerank" -> ExtSql.graphPagerank,
+    "stats_correlation" -> ExtSql.statsCorrelation,
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
@@ -239,6 +265,7 @@ object SparkEntry {
     "events_session_windows_stream" -> ExtSql.sessionWindows,
     "events_click_attribution_stream" -> ExtSql.clickAttribution,
     "events_funnel_stream" -> ExtSql.eventsFunnel,
+    "events_dedup_latest_stream" -> ExtSql.eventsDedupLatest,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "unpivot_country_metrics" -> ExtSql.unpivotCountryMetrics,

@@ -220,6 +220,67 @@ object DedupOps {
       .transform(graft.etl.Summaries.smallSort(_, col("D1"), col("D2")))
   }
 
+  /** Sliding-window width (tokens) for exact-substring duplication
+    * evidence — the Lee et al. 2022 "Deduplicating Training Data"
+    * signal, which published pipelines run at ~50 tokens; 16 suits
+    * this corpus's ~100-token documents. Shared with the mirror. */
+  val SpanWindowTokens = 16
+  /** Duplicated-window fraction at/above which a doc is flagged. */
+  val SpanDupFracFlag = 0.5
+
+  /** EXACT-SUBSTRING duplication profile (position-window dedup, the
+    * complement of content-defined chunking): every [[SpanWindowTokens]]-token
+    * sliding window is hashed; a window whose hash occurs in ≥ 2
+    * DISTINCT documents is cross-document duplicated text, and each
+    * doc reports what fraction of its windows are duplicated — the
+    * "how much of this document is copied from elsewhere" score that
+    * drives substring-level removal decisions.
+    *
+    * Deliberately NO pair join anywhere: the evidence is per-window
+    * document frequency (a count-over-hash window on the distinct
+    * (doc, hash) rows — the tfidf df trick), so a boilerplate window
+    * shared by 10⁶ docs costs one counted partition, never k(k−1)/2
+    * pairs — this query has no super-linear term at all, unlike the
+    * containment JOIN in [[chunkOverlap]] which needs its occupancy
+    * cap. Cost is one explode pass (n·tokens window rows, ~W× the
+    * token count in md5 work), a (doc, hash) partial agg, and the
+    * hash-keyed count window — all uniform md5 keys.
+    *
+    * Docs shorter than the window report zero windows (kept via the
+    * left join, fraction 0.0). Within-doc repetition alone does NOT
+    * count (df is per distinct doc) — that signal is
+    * `text_repetition`'s job. */
+  def spanWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = SpanWindowTokens
+    val wins = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // single-file input: spread the md5 pass
+      .withColumn("Toks", expr(toksSql))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(Toks) >= $w THEN
+           |  transform(sequence(1, size(Toks) - ${w - 1}),
+           |    i -> md5(array_join(slice(Toks, i, $w), ' ')))
+           |ELSE cast(array() as array<string>) END""".stripMargin)).as("WH"))
+    val dw = wins.groupBy(col("doc_id"), col("WH"))
+      .agg(count(lit(1)).cast(IntegerType).as("PosCnt"))
+    val perDoc = dw
+      .withColumn("DfDocs",
+        count(lit(1)).over(Window.partitionBy(col("WH"))).cast(IntegerType))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("PosCnt")).as("NW"),
+        sum(when(col("DfDocs") >= 2, col("PosCnt")).otherwise(0)).as("ND"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("NW"), lit(0L)).as("NWindows"),
+        coalesce(col("ND"), lit(0L)).as("NDupWindows"))
+      .withColumn("DupWindowFrac",
+        when(col("NWindows") === 0, lit(0.0))
+          .otherwise(col("NDupWindows").cast(DoubleType) / col("NWindows")))
+      .withColumn("IsFlagged", col("DupWindowFrac") >= SpanDupFracFlag)
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures + LSH band values per doc (the sketch stage). */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
     docBands(spark, dir)

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.Tables
+
+/** Graph analytics over relationally-derived graphs — the family next
+  * to DedupOps.componentsOf (connected components): damped PageRank in
+  * PURE INTEGER arithmetic, over the product co-purchase graph mined
+  * from the fact table.
+  *
+  * Why integer: classic PageRank iterates `r' = (1-d)/n + d·Σ r/deg`
+  * in doubles, whose sums are shuffle-order-dependent — the same
+  * nondeterminism the Summaries scaladoc banishes. Here ranks are
+  * LONGS scaled by [[RankScale]]; each contribution is an integer
+  * floor-division `rank div outdeg`, the damping is `(85·in) div 100`,
+  * and the teleport term is a constant long — every step exact,
+  * associative, and bit-identical in any engine, so the DuckDB mirror
+  * (the same five unrolled iterations as chained CTEs) hash-matches.
+  * Floor losses strictly shrink total mass (bounded by n·(deg+2) units
+  * of 1e-9 per round) — a documented, deterministic quantization.
+  *
+  * Scale shape: one iteration = one equi-join of the edge list with
+  * the rank table on the source key + one hash aggregate on the
+  * destination key — the Pregel/GraphX message-passing shape, where
+  * the edge list (bucketed on Src in production) never re-shuffles.
+  * Iteration count is FIXED ([[PageRankIters]]), not convergence-run:
+  * fixed-horizon PageRank is the standard batch formulation (the
+  * convergence-run variant belongs with componentsOf's changed-count
+  * loop). Per-order pair expansion is capped at [[MaxOrderParts]]
+  * distinct parts (TPC-H orders have ≤ 7 — the cap is the hot-key
+  * guard for corpora with pathological mega-orders, same argument as
+  * DedupOps.HotBandMaxOccupancy).
+  */
+object GraphOps {
+
+  /** Fixed damped-iteration count (shared with the DuckDB mirror). */
+  val PageRankIters = 5
+  /** Damping factor 0.85 as an exact integer ratio. */
+  val DampNum = 85L
+  val DampDen = 100L
+  /** Rank fixed-point scale: rank 1.0 ≡ 1e9 units. */
+  val RankScale = 1000000000L
+  /** Per-node teleport mass `(1-d)·RankScale` = 150_000_000. */
+  val TeleportQ: Long = RankScale * (DampDen - DampNum) / DampDen
+  /** Orders with more distinct parts than this are excluded from the
+    * pair expansion (quadratic hot-key guard; TPC-H max is 7). */
+  val MaxOrderParts = 50
+
+  /** Undirected co-purchase edge list (Src, Dst), both directions, one
+    * row per distinct part pair that shares at least one order.
+    *
+    * Built in ONE pass: distinct (order, part) → collect the ≤
+    * [[MaxOrderParts]] parts per order → explode the within-order pair
+    * array (a codegen'd HOF cross of a ≤50-element array — bounded
+    * quadratic, the declared cap) → global distinct on the pair key.
+    * No self-join diamond: the per-order array form reads the fact
+    * table once. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("OrderKey"), col("l_partkey").as("Part"))
+      .distinct()
+      .groupBy(col("OrderKey"))
+      .agg(collect_list(col("Part")).as("Ps"))
+      .filter(size(col("Ps")).between(2, MaxOrderParts))
+      .select(explode(expr(
+        """flatten(transform(Ps, x -> transform(Ps, y -> struct(x as Src, y as Dst))))"""))
+        .as("E"))
+      .select(col("E.Src").as("Src"), col("E.Dst").as("Dst"))
+      .filter(col("Src") =!= col("Dst"))
+      .distinct()
+
+  /** Fixed-horizon integer PageRank over [[coPurchaseEdges]]: per part,
+    * its co-purchase degree and its rank in [[RankScale]] fixed-point
+    * units after [[PageRankIters]] damped rounds from a uniform start.
+    * Hub parts (co-bought with many frequently-co-bought parts) rank
+    * highest — the "anchor product" signal. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.groupBy(col("Src")).agg(count(lit(1)).as("OutDeg"))
+    var ranks = deg.select(
+      col("Src").as("Node"), col("OutDeg"), lit(RankScale).as("RankQ"))
+    for (_ <- 1 to PageRankIters) {
+      val in = edges
+        .join(ranks.withColumn("Contrib", expr("RankQ div OutDeg"))
+          .select(col("Node"), col("Contrib")),
+          edges("Src") === col("Node"))
+        .groupBy(col("Dst")).agg(sum(col("Contrib")).as("InQ"))
+      // undirected graph: every node has in-edges, but keep the null
+      // seam explicit so a directed caller can't silently drop nodes
+      ranks = deg.join(in, deg("Src") === in("Dst"), "left")
+        .select(deg("Src").as("Node"), col("OutDeg"),
+          (lit(TeleportQ) +
+            expr(s"($DampNum * coalesce(InQ, 0L)) div $DampDen")).as("RankQ"))
+    }
+    ranks.select(col("Node").as("PartKey"), col("OutDeg"), col("RankQ"))
+      .orderBy(col("PartKey"))
+  }
+}

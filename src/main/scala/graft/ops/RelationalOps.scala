@@ -187,6 +187,64 @@ object RelationalOps {
       .transform(Summaries.smallSort(_, col("ColName")))
   }
 
+  /** Bivariate numeric profiling THE DETERMINISTIC WAY — per
+    * (returnflag, linestatus) group, Pearson correlation, population
+    * covariance, and stddevs between quantity and (whole-dollar) line
+    * price, computed from EXACT INTEGER power sums instead of Spark's
+    * `corr`/`covar_pop` aggregates (whose running double sums are
+    * shuffle-order-dependent — rerun the same query, get a different
+    * last bit; useless for an oracle gate or a reproducible data
+    * card).
+    *
+    * Method: x = quantity (integral doubles → exact BIGINT),
+    * y = floor(extendedprice) (floor of an identical IEEE double is
+    * unambiguous everywhere); accumulate n, Σx, Σy, Σx², Σy², Σxy as
+    * LONGS (order-free; Σy² ≤ ~1.1e10/row keeps even an sf100
+    * group < 2³⁶ rows away from overflow, documented bound); combine
+    * into `n·Σxy − Σx·Σy` etc. in DECIMAL(38,0) (exact — the longs'
+    * products exceed int64); ONE correctly-rounded cast to double,
+    * then IEEE sqrt/divide, which every engine rounds identically.
+    * Degenerate (zero-variance) groups yield NULL via an exact integer
+    * comparison, not a float guard.
+    *
+    * Scale shape: a single narrow scan → partial-aggregated hash agg
+    * on a 6-value key; the decimal combination runs on the handful of
+    * post-agg rows. */
+  def statsCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(LongType).as("X"),
+        floor(col("l_extendedprice")).cast(LongType).as("Y"))
+    val sums = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("N"),
+        sum(col("X")).as("Sx"), sum(col("Y")).as("Sy"),
+        sum(col("X") * col("X")).as("Sxx"),
+        sum(col("Y") * col("Y")).as("Syy"),
+        sum(col("X") * col("Y")).as("Sxy"))
+    // decimal(38,0) exact combination; doubles only after the cast
+    sums
+      .withColumn("NumD", expr(
+        "cast(N as decimal(38,0)) * Sxy - cast(Sx as decimal(38,0)) * Sy"))
+      .withColumn("DxD", expr(
+        "cast(N as decimal(38,0)) * Sxx - cast(Sx as decimal(38,0)) * Sx"))
+      .withColumn("DyD", expr(
+        "cast(N as decimal(38,0)) * Syy - cast(Sy as decimal(38,0)) * Sy"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("N"),
+        (col("Sx").cast(DoubleType) / col("N")).as("MeanX"),
+        (col("Sy").cast(DoubleType) / col("N")).as("MeanY"),
+        (sqrt(col("DxD").cast(DoubleType)) / col("N")).as("StddevX"),
+        (sqrt(col("DyD").cast(DoubleType)) / col("N")).as("StddevY"),
+        (col("NumD").cast(DoubleType) /
+          (col("N").cast(DoubleType) * col("N"))).as("CovarPop"),
+        when(col("DxD") === 0 || col("DyD") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("NumD").cast(DoubleType) /
+            (sqrt(col("DxD").cast(DoubleType)) * sqrt(col("DyD").cast(DoubleType))))
+          .as("PearsonR"))
+      .transform(Summaries.smallSort(_, col("l_returnflag"), col("l_linestatus")))
+  }
+
   /** Heavy-hitter threshold: report countries carrying ≥ 3% of all
     * sale lines. The Misra-Gries capacity (64 > 1/0.03) guarantees
     * every qualifying key survives the sketch. */

@@ -1069,6 +1069,68 @@ object SimilarityOps {
       .transform(graft.etl.Summaries.smallSort(_, col("Cid")))
   }
 
+  /** A vector is an embedding-space outlier when its centroid distance
+    * exceeds its cluster's mean by more than this many population
+    * standard deviations (the z-score rule; shared with the mirror —
+    * the comparison enters both engines as the cross-multiplied
+    * square: `(d·n − Σd)² > σ²·(n·Σd² − (Σd)²)` with `d·n > Σd`). */
+  val OutlierSigmas = 2L
+
+  /** EMBEDDING OUTLIER DETECTION — the embedding-space quality filter
+    * (mislabeled / garbage / off-distribution vectors): each vector's
+    * exact integer L2² distance to its assigned k-means centroid,
+    * flagged when it sits more than [[OutlierSigmas]]σ above its
+    * cluster's mean distance. The per-vector twin of
+    * [[kmeansProfile]]'s per-cluster dispersion card, off the SAME
+    * persisted index (no k-means re-run). A fixed multiple-of-mean
+    * rule is useless on a unit-norm corpus (distances concentrate —
+    * nothing ever reaches 2× the mean); the z-score adapts to each
+    * cluster's own spread, which is how production embedding QA
+    * thresholds are set.
+    *
+    * Determinism: distances are exact integers in quantized units; the
+    * z-score verdict is computed ENTIRELY in exact integer arithmetic
+    * by cross-multiplying and squaring — `d·n − Σd > 0` and
+    * `(d·n − Σd)² > σ²·(n·Σd² − (Σd)²)` — decimal128 on the Spark
+    * side ≡ HUGEINT in DuckDB, so no division, sqrt, or float ever
+    * enters the decision. Magnitude bound: d ≤ ~2.6e10 quantized
+    * units (d=64, scale=1e4), so at n = 1e8 vectors/cluster the
+    * squared deviation reaches ~7e36 — inside decimal(38)/int128,
+    * documented ceiling ~n=4e8 per cluster.
+    *
+    * Scale shape: one scan of the persisted lists joined to the K-row
+    * broadcast codebook; the per-cluster (n, Σd, Σd²) frame is K rows,
+    * broadcast back. No corpus self-join, no window over members. */
+  def outliers(spark: SparkSession, dir: String,
+               nCentroids: Int = DefaultNCentroids): DataFrame = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val lists = spark.read.parquet(s"$base/lists")
+    val members = lists.join(broadcast(cent), "Cid")
+      .withColumn("DistQ",
+        col("NormSq") - lit(2L) * expr("long_dot(Q, CQ)") + col("CNorm"))
+      .select(col("vec_id"), col("Cid"), col("DistQ"))
+    val stats = members.groupBy(col("Cid"))
+      .agg(count(lit(1)).as("NMembers"), sum(col("DistQ")).as("SumDistQ"),
+        sum(expr("cast(DistQ as decimal(38,0)) * DistQ")).as("SumDist2Q"))
+    members.join(broadcast(stats), "Cid")
+      .withColumn("Dev", expr(
+        "cast(DistQ as decimal(38,0)) * NMembers - cast(SumDistQ as decimal(38,0))"))
+      .withColumn("VarTerm", expr(
+        "cast(NMembers as decimal(38,0)) * SumDist2Q - cast(SumDistQ as decimal(38,0)) * SumDistQ"))
+      .select(col("vec_id"), col("Cid").cast(LongType).as("Cid"),
+        col("DistQ"), col("NMembers"),
+        // n·(d − μ) as an exact integer — the z-score's numerator
+        // scaled by n, hash-checked per vector (richer oracle evidence
+        // than the boolean; fits int64 to ~3.5e8 vectors/cluster)
+        col("Dev").cast(LongType).as("DevQ"),
+        (col("SumDistQ").cast(DoubleType) / col("NMembers")).as("MeanClusterDist"),
+        (col("Dev") > 0 &&
+          expr(s"Dev * Dev > ${OutlierSigmas * OutlierSigmas} * VarTerm"))
+          .as("IsOutlier"))
+      .orderBy(col("vec_id"))
+  }
+
   private val listsTableMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
 

@@ -406,6 +406,172 @@ object TextOps {
         md5(concat_ws(" ", array_sort(col("Chs")))).as("ChunksetMd5"))
       .orderBy(col("doc_id"))
 
+  /** Results returned per query by [[bm25Topk]]. */
+  val Bm25TopK = 5
+  /** Okapi BM25 constants (the standard defaults; shared with the
+    * DuckDB mirror so both engines score the same function). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** The retrieval workload: a fixed query set over the corpus
+    * vocabulary (terms are whitespace-split, duplicates ignored —
+    * declared query semantics, shared with the oracle). */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash join batch",
+    2 -> "window agg stream",
+    3 -> "slow scan filter vector",
+    4 -> "customer query")
+
+  /** BM25 top-k retrieval — ranked keyword search over `documents`,
+    * the lexical-retrieval primitive (eval-set mining, hard-negative
+    * sourcing, decontamination triage) next to the embedding ANN stack.
+    *
+    * Scoring is Okapi BM25 with the RATIONAL idf `(N-df+0.5)/(df+0.5)`
+    * (log-free for the same reason as [[tfidf]]: every step is an IEEE
+    * exactly-rounded mul/div of integer-derived values, so DuckDB
+    * reproduces each per-term score bit-for-bit where `ln` would be at
+    * the mercy of each engine's libm). Per-document totals sum the
+    * per-term scores as `floor(s·1e9)` LONGS — exact and
+    * order-independent under any shuffle order (the corpusStats
+    * playbook); the reported Score is the quantized sum re-scaled.
+    *
+    * Scale shape: the query-term set is a tiny broadcast literal; the
+    * corpus pass filters tokens against it INSIDE the explode (array
+    * `filter` HOF before the explode), so the tf table is proportional
+    * to hit rows, not corpus tokens. df comes from a count-over-Token
+    * window on those distinct (doc, term) rows (the tfidf trick — no
+    * second corpus pass); doc lengths ride the same token_stats pass;
+    * N and avgdl are a 1-row broadcast crossJoin (A13 grand-total
+    * pattern). Final per-query top-k is a WindowGroupLimit over the
+    * |queries|·|hit docs| score rows, never a global sort. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExpressions.register(spark)
+    val allTerms = Bm25Queries.flatMap(_._2.split("\\s+")).distinct.sorted
+    val termsArr = s"array(${allTerms.map("'" + _ + "'").mkString(", ")})"
+    val docs = Tables.documents(spark, dir)
+      .withColumn("TS", expr("token_stats(text)"))
+      .select(col("doc_id"), col("TS.NTokens").as("Dl"), expr(toksSql).as("Toks"))
+    // corpus-level N and avgdl: one aggregate row, broadcast
+    val stats = docs.agg(
+      count(lit(1)).cast(IntegerType).as("NDocs"),
+      sum(col("Dl").cast(LongType)).as("SumDl"))
+    // per-(doc, query-term) tf: tokens filtered against the query
+    // vocabulary BEFORE the explode — the narrow pass stays hit-sized
+    val tf = docs
+      .repartition(col("doc_id")) // single-file input: spread the pass
+      .select(col("doc_id"), col("Dl"),
+        explode(expr(s"filter(Toks, t -> array_contains($termsArr, t))")).as("Term"))
+      .groupBy(col("doc_id"), col("Dl"), col("Term"))
+      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+    import spark.implicits._
+    val queries = Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(qid -> _) }
+      .toDF("QueryId", "Term")
+    val scored = tf
+      .withColumn("Df",
+        count(lit(1)).over(Window.partitionBy(col("Term"))).cast(IntegerType))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), "Term")
+      .withColumn("AvgDl", col("SumDl").cast(DoubleType) / col("NDocs"))
+      .withColumn("Idf", (col("NDocs") - col("Df") + 0.5) / (col("Df") + 0.5))
+      .withColumn("K",
+        lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("Dl") / col("AvgDl")))
+      .withColumn("S",
+        col("Idf") * (col("Tf") * lit(Bm25K1 + 1.0)) / (col("Tf") + col("K")))
+      .withColumn("Sq", floor(col("S") * 1e9).cast(LongType))
+    val w = Window.partitionBy(col("QueryId"))
+      .orderBy(col("ScoreQ").desc, col("doc_id").asc)
+    scored.groupBy(col("QueryId"), col("doc_id"))
+      .agg(sum(col("Sq")).as("ScoreQ"), count(lit(1)).cast(IntegerType).as("NTermsHit"))
+      .withColumn("Rank", row_number().over(w))
+      .filter(col("Rank") <= Bm25TopK)
+      .withColumn("Score", col("ScoreQ").cast(DoubleType) / 1e9)
+      .select(col("QueryId"), col("doc_id"), col("NTermsHit"),
+        col("ScoreQ"), col("Score"), col("Rank"))
+      .orderBy(col("QueryId"), col("Rank"))
+  }
+
+  /** Mean-surprisal band (in bits) outside which [[perplexity]] flags a
+    * document as an outlier (too predictable = boilerplate/looping,
+    * too surprising = gibberish/OOV soup) — the CCNet-style two-sided
+    * perplexity filter. Shared with the DuckDB mirror. */
+  val PplBandBits = 0.5
+
+  private val unigramMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val unigramLock = new Object
+
+  /** Corpus unigram counts (Token, C) — the language-model substrate of
+    * [[perplexity]]. Memoized + `.cache()`d per (session, dir) like
+    * DedupOps.docBands: in production the LM counts are materialized
+    * once per corpus snapshot and every scoring pass joins against
+    * them; the memo gives the same one-build/many-read shape here.
+    * Vocabulary-sized (≪ corpus), so the cache cost is trivial. */
+  private def unigramCounts(spark: SparkSession, dir: String): DataFrame = {
+    unigramMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(unigramMemo.remove)
+    BucketedTables.memoized(unigramMemo, (spark, dir), unigramLock) {
+      Tables.documents(spark, dir)
+        .repartition(col("doc_id"))
+        .select(explode(expr(toksSql)).as("Token"))
+        .groupBy(col("Token")).agg(count(lit(1)).as("C"))
+        .cache()
+    }
+  }
+
+  /** Unigram-LM surprisal scoring — the perplexity-style quality filter
+    * (CCNet's wikipedia-LM filter, re-expressed engine-portably): each
+    * token's Laplace-smoothed probability is `(c+1)/(T+V)`, its
+    * surprisal is quantized to INTEGER BITS as
+    * `floor(log2((T+V) div (c+1)))` = `length(bin(r)) - 1` — every
+    * step integer arithmetic, so Spark and DuckDB agree bit-for-bit
+    * where a libm `ln` would drift in the last ulp. A document's score
+    * is its mean token surprisal; docs outside ±[[PplBandBits]] of the
+    * corpus mean are flagged (two-sided, the CCNet convention).
+    *
+    * Scale shape: the LM-counts substrate ([[unigramCounts]]) is built
+    * once (vocab-sized output, one explode pass) and cached — the
+    * production shape is a materialized counts table per corpus
+    * snapshot. Scoring is one more explode pass joined to the counts
+    * on Token (broadcast when the vocabulary fits, shuffle otherwise —
+    * AQE decides from the counts table's actual size). Corpus totals
+    * (T, V, total bits) are vocabulary-sized aggregates riding the
+    * cached counts, broadcast as 1-row frames (A13 pattern). Per-doc
+    * sums are LONGS — order-independent under any shuffle. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = unigramCounts(spark, dir)
+    val tot = cnt.agg(
+      count(lit(1)).cast(LongType).as("V"),
+      sum(col("C")).as("T"))
+    // per-token integer surprisal bits, from the cached vocab table
+    val cb = cnt.crossJoin(broadcast(tot))
+      .withColumn("Bits",
+        (length(expr("bin((T + V) div (C + 1))")) - 1).cast(IntegerType))
+    val corp = cb.agg(
+      sum(col("C") * col("Bits")).as("TB"),
+      sum(col("C")).as("TT"))
+    val tf = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(expr(toksSql)).as("Token"))
+      .groupBy(col("doc_id"), col("Token"))
+      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+    tf.join(cb.select(col("Token"), col("Bits")), "Token")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("Tf").cast(LongType)).as("NTokens"),
+        sum((col("Tf") * col("Bits")).cast(LongType)).as("SumBits"))
+      .crossJoin(broadcast(corp))
+      .withColumn("MeanBits", col("SumBits").cast(DoubleType) / col("NTokens"))
+      .withColumn("CorpusMeanBits", col("TB").cast(DoubleType) / col("TT"))
+      .withColumn("DeltaBits", col("MeanBits") - col("CorpusMeanBits"))
+      .withColumn("IsOutlier", abs(col("DeltaBits")) > PplBandBits)
+      .select(col("doc_id"), col("NTokens"), col("SumBits"), col("MeanBits"),
+        col("DeltaBits"), col("IsOutlier"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

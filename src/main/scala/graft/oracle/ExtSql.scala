@@ -793,6 +793,186 @@ FROM r WHERE rn <= ${TextOps.TfidfTopK}
 ORDER BY doc_id, rn
 """
 
+  /** BM25 mirror: identical query VALUES, rational idf, and the same
+    * floor(s·1e9) per-term quantization before the order-free long sum.
+    * Every fractional literal is CAST(... AS DOUBLE) — DuckDB parses
+    * bare decimal literals as DECIMAL, which would silently switch the
+    * arithmetic to exact-decimal division and diverge from Spark's
+    * IEEE doubles. */
+  val textBm25Topk: String = {
+    val terms = TextOps.Bm25Queries.flatMap(_._2.split("\\s+")).distinct.sorted
+    val qvals = TextOps.Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val k1 = TextOps.Bm25K1
+    val b = TextOps.Bm25B
+    toksCte + s"""
+, ex AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS dl, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS INTEGER) AS tfc
+       FROM ex WHERE tok IN (${sqlList(terms)}) GROUP BY doc_id, dl, tok),
+dft AS (SELECT tok, CAST(count(*) AS INTEGER) AS dfc FROM tf GROUP BY tok),
+st AS (SELECT CAST(count(*) AS INTEGER) AS ndocs,
+              CAST(sum(len(t)) AS BIGINT) AS sumdl FROM toks),
+q(qid, tok) AS (VALUES $qvals),
+s AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(floor(
+           (((ndocs - dfc + CAST(0.5 AS DOUBLE)) / (dfc + CAST(0.5 AS DOUBLE)))
+            * (tfc * CAST(${k1 + 1.0} AS DOUBLE))
+            / (tfc + CAST($k1 AS DOUBLE)
+               * (CAST(${1.0 - b} AS DOUBLE)
+                  + CAST($b AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / ndocs))))
+           * 1e9) AS BIGINT) AS sq
+  FROM tf JOIN dft USING (tok) JOIN q ON q.tok = tf.tok CROSS JOIN st
+),
+g AS (SELECT qid, doc_id, CAST(sum(sq) AS BIGINT) AS scoreq,
+             CAST(count(*) AS INTEGER) AS nhit
+      FROM s GROUP BY qid, doc_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY scoreq DESC, doc_id ASC) AS INTEGER) AS rn
+      FROM g)
+SELECT qid AS "QueryId", doc_id, nhit AS "NTermsHit", scoreq AS "ScoreQ",
+       CAST(scoreq AS DOUBLE) / 1e9 AS "Score", rn AS "Rank"
+FROM r WHERE rn <= ${TextOps.Bm25TopK}
+ORDER BY qid, rn
+"""
+  }
+
+  /** Exact-substring span mirror: identical sliding windows
+    * (list_slice(t, i, i+W-1) ≡ Spark's slice(Toks, i, W)), identical
+    * md5-of-joined-window hashes, df via the same count-over-hash
+    * window on distinct (doc, hash) rows. */
+  val dedupSpanWindows: String = {
+    val w = graft.ops.DedupOps.SpanWindowTokens
+    toksCte + s"""
+, win AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= $w THEN
+                  [md5(array_to_string(list_slice(t, i, i + ${w - 1}), ' '))
+                   for i in generate_series(1, len(t) - ${w - 1})]
+                ELSE CAST([] AS VARCHAR[]) END) AS wh
+  FROM toks
+),
+dw AS (SELECT doc_id, wh, CAST(count(*) AS INTEGER) AS pc
+       FROM win GROUP BY doc_id, wh),
+df AS (SELECT *, CAST(count(*) OVER (PARTITION BY wh) AS INTEGER) AS dfd FROM dw),
+d AS (SELECT doc_id,
+             CAST(sum(pc) AS BIGINT) AS nw,
+             CAST(sum(CASE WHEN dfd >= 2 THEN pc ELSE 0 END) AS BIGINT) AS nd
+      FROM df GROUP BY doc_id),
+j AS (SELECT docs.doc_id,
+             coalesce(nw, 0) AS "NWindows",
+             coalesce(nd, 0) AS "NDupWindows"
+      FROM (SELECT doc_id FROM documents) docs LEFT JOIN d ON docs.doc_id = d.doc_id)
+SELECT doc_id, "NWindows", "NDupWindows",
+       CASE WHEN "NWindows" = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST("NDupWindows" AS DOUBLE) / "NWindows" END AS "DupWindowFrac",
+       (CASE WHEN "NWindows" = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST("NDupWindows" AS DOUBLE) / "NWindows" END)
+         >= ${graft.ops.DedupOps.SpanDupFracFlag} AS "IsFlagged"
+FROM j ORDER BY doc_id
+"""
+  }
+
+  /** Unigram-surprisal mirror: identical Laplace rarity
+    * `(T+V) // (c+1)`, identical `len(bin(r)) - 1` integer log2, and
+    * the same long sums — all integer arithmetic, so the only doubles
+    * are the two final exactly-rounded divisions. Sums feeding further
+    * arithmetic are CAST BIGINT up front (hugeint `bin`/`//` would
+    * diverge). */
+  val textPerplexity: String = toksCte + s"""
+, ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS INTEGER) AS tfc FROM ex GROUP BY doc_id, tok),
+cnt AS (SELECT tok, CAST(sum(tfc) AS BIGINT) AS c FROM tf GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS t FROM cnt),
+cb AS (SELECT tok, c,
+              CAST(len(bin((t + v) // (c + 1))) - 1 AS INTEGER) AS bits
+       FROM cnt CROSS JOIN tot),
+corp AS (SELECT CAST(sum(c * bits) AS BIGINT) AS tb,
+                CAST(sum(c) AS BIGINT) AS tt FROM cb),
+d AS (SELECT tf.doc_id,
+             CAST(sum(tfc) AS BIGINT) AS ntokens,
+             CAST(sum(tfc * bits) AS BIGINT) AS sumbits
+      FROM tf JOIN cb USING (tok) GROUP BY tf.doc_id)
+SELECT doc_id, ntokens AS "NTokens", sumbits AS "SumBits",
+       CAST(sumbits AS DOUBLE) / ntokens AS "MeanBits",
+       CAST(sumbits AS DOUBLE) / ntokens - CAST(tb AS DOUBLE) / tt AS "DeltaBits",
+       abs(CAST(sumbits AS DOUBLE) / ntokens - CAST(tb AS DOUBLE) / tt)
+         > CAST(${TextOps.PplBandBits} AS DOUBLE) AS "IsOutlier"
+FROM d CROSS JOIN corp ORDER BY doc_id
+"""
+
+  /** Exact-power-sum correlation mirror: identical integer sums (long
+    * range), the wide combination in HUGEINT (≡ Spark's
+    * DECIMAL(38,0) — both exact int128-class arithmetic), one
+    * correctly-rounded cast to double, then IEEE sqrt/divide. The
+    * degenerate-group guard is the same exact integer comparison. */
+  val statsCorrelation: String = """
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY l_returnflag, l_linestatus
+),
+d AS (
+  SELECT *,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+  FROM s
+)
+SELECT l_returnflag, l_linestatus, n AS "N",
+       CAST(sx AS DOUBLE) / n AS "MeanX",
+       CAST(sy AS DOUBLE) / n AS "MeanY",
+       sqrt(CAST(dx AS DOUBLE)) / n AS "StddevX",
+       sqrt(CAST(dy AS DOUBLE)) / n AS "StddevY",
+       CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS "CovarPop",
+       CASE WHEN dx = 0 OR dy = 0 THEN NULL
+            ELSE CAST(num AS DOUBLE) / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+       END AS "PearsonR"
+FROM d ORDER BY l_returnflag, l_linestatus
+"""
+
+  /** Integer-PageRank mirror: the same co-purchase edge list (via a
+    * plain self-join — DuckDB's optimizer handles it; Spark runs the
+    * single-pass array-expansion plan) and the SAME
+    * [[graft.ops.GraphOps.PageRankIters]] damped rounds unrolled as
+    * chained CTEs. Every constant (scale, damping ratio, teleport,
+    * order-size cap) is interpolated from GraphOps, and every step is
+    * integer floor-division — bit-identical across engines. Sums are
+    * CAST BIGINT before the damping multiply so the arithmetic never
+    * enters hugeint. */
+  val graphPagerank: String = {
+    import graft.ops.GraphOps._
+    val iters = (1 to PageRankIters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+  SELECT d.src AS node, d.outdeg,
+         CAST($TeleportQ + ($DampNum * CAST(sum(p.rq // p.outdeg) AS BIGINT)) // $DampDen AS BIGINT) AS rq
+  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.dst = d.src
+  GROUP BY d.src, d.outdeg)"""
+    }.mkString(",\n")
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
+e AS (SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
+      WHERE a.part <> b.part),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT src AS node, outdeg, CAST($RankScale AS BIGINT) AS rq FROM deg),
+$iters
+SELECT node AS "PartKey", outdeg AS "OutDeg", rq AS "RankQ"
+FROM r$PageRankIters ORDER BY node
+"""
+  }
+
   /** PII-redaction mirror: identical planted contact line, identical
     * regexes (shared constants — both dialects parse them the same),
     * 'g' flag to match Spark's replace-all. */
@@ -1095,6 +1275,41 @@ SELECT pr.cid AS "Cid", nm AS "NMembers", mj.ml AS "MajorityLabel", mj.mc AS "Ma
        sd AS "SumDist",
        CAST(sd AS DOUBLE) / CAST(nm AS DOUBLE) AS "MeanDist"
 FROM pr JOIN mj ON pr.cid = mj.cid ORDER BY "Cid"
+"""
+  }
+
+  /** Embedding-outlier mirror: per-member distance recomputed against
+    * the assigned centroid (same CTEs as the profile mirror); the
+    * z-score verdict is the identical cross-multiplied-and-squared
+    * integer comparison in HUGEINT (≡ Spark's decimal128), so no
+    * division, sqrt, or float enters the decision. dist is CAST
+    * BIGINT on output (DuckDB's list_sum runs in hugeint). */
+  val similarityOutliers: String = {
+    val cFinal = kmeansCFinal
+    val s2 = graft.ops.SimilarityOps.OutlierSigmas * graft.ops.SimilarityOps.OutlierSigmas
+    quantCte + codebookCtes + s""",
+m AS (
+  SELECT a.avid AS vec_id, a.cid,
+         (v.nn - 2 * list_sum([v.qv[i] * c.cq[i] for i in range(1, len(v.qv)+1)]) + c.cn) AS dist
+  FROM af a JOIN n v ON a.avid = v.vec_id JOIN $cFinal c ON a.cid = c.cid
+),
+st AS (
+  SELECT cid, count(*) AS nm, CAST(sum(dist) AS BIGINT) AS sd,
+         sum(CAST(dist AS HUGEINT) * dist) AS sd2
+  FROM m GROUP BY cid
+),
+v AS (
+  SELECT m.vec_id, m.cid, m.dist, st.nm, st.sd,
+         CAST(m.dist AS HUGEINT) * st.nm - st.sd AS dev,
+         CAST(st.nm AS HUGEINT) * st.sd2 - CAST(st.sd AS HUGEINT) * st.sd AS vt
+  FROM m JOIN st ON m.cid = st.cid
+)
+SELECT vec_id, cid AS "Cid", CAST(dist AS BIGINT) AS "DistQ",
+       nm AS "NMembers",
+       CAST(dev AS BIGINT) AS "DevQ",
+       CAST(sd AS DOUBLE) / nm AS "MeanClusterDist",
+       (dev > 0 AND dev * dev > $s2 * vt) AS "IsOutlier"
+FROM v ORDER BY vec_id
 """
   }
 

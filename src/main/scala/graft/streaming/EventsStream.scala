@@ -530,6 +530,45 @@ object EventsStream {
     * identical nullif-guarded formula. One staged batch ⇒ exactly one
     * emission per user; cross-batch state carry is StreamingSpec's
     * two-file funnel test. */
+  /** Streaming twin of `EventsOps.dedupLatest` for the driver gate —
+    * the stateful-upsert compaction ([[latestPerUser]]'s
+    * `mapGroupsWithState`, one small record per key) run as a real
+    * one-shot stream and shaped to hash-match the batch oracle. One
+    * data batch ⇒ Update mode emits each user's winner exactly once,
+    * so the sink IS the batch latest-per-key table. This puts the
+    * third stateful-operator family (arbitrary `GroupState`, next to
+    * the windowed-agg and stream-stream-join twins) inside the
+    * driver's correctness gate. */
+  def dedupLatestStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    implicit val spark: SparkSession = stateSizedSession(spark0)
+    import spark.implicits._
+    val streamDir = Files.createTempDirectory("graft_latest_once")
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val events = readEventsStream(spark, streamDir.toString)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val name = s"events_dedup_latest_stream_${onceCounter.incrementAndGet()}"
+      val q = latestPerUser(events)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .select(col("user_id"),
+          date_format(timestamp_micros(col("lastUs")), "yyyy-MM-dd HH:mm:ss")
+            .as("LastTs"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    } finally {
+      deleteRecursively(streamDir)
+      Tables.forgetTsEncoding(streamDir.toString)
+    }
+  }
+
   def funnelStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     implicit val spark: SparkSession = stateSizedSession(spark0)

@@ -248,4 +248,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
     assert(!p.contains("Window ["), s"unexpected window:\n$p")
   }
+
+  test("bm25 filters query terms inside the token pass and ranks via WindowGroupLimit") {
+    val df = graft.ops.TextOps.bm25Topk(spark, sfDir)
+    val p = plan(df)
+    // the term filter rides the explode's input array — the Generate's
+    // own expression carries the filter HOF, so tf is hit-sized
+    val gen = df.queryExecution.sparkPlan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gen.nonEmpty, p)
+    assert(gen.exists(_.boundGenerator.toString.contains("filter")),
+      s"query-term filter not inside the explode:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pagerank iterations reuse the edge-list exchange instead of re-shuffling per round") {
+    val df = graft.ops.GraphOps.pagerank(spark, sfDir)
+    // ReuseExchange dedupes the identical edges/deg subplans across the
+    // five unrolled rounds — assert on the POST-reuse executedPlan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"no exchange reuse across pagerank rounds:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphOps, RelationalOps, TextOps}
+
+/** Driver-recomputation cross-checks for the round-8 analytics ops:
+  * BM25 retrieval, unigram-surprisal scoring, integer PageRank, and
+  * exact-power-sum correlation. Each test recomputes the operator's
+  * declared arithmetic in plain Scala over collected sf0.001 rows and
+  * demands exact agreement (all four are engineered to be bit-exact). */
+class RetrievalGraphSpec extends SparkSpec {
+
+  private def docsTokens(): Map[Long, Seq[String]] =
+    graft.etl.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim.split("\\s+").toSeq)
+      .toMap
+
+  test("bm25: quantized scores equal a driver recomputation of the declared formula") {
+    val toks = docsTokens()
+    val n = toks.size
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    // df per query term over the corpus
+    val allTerms = TextOps.Bm25Queries.flatMap(_._2.split("\\s+")).distinct
+    val df = allTerms.map(t => t -> toks.values.count(_.contains(t))).toMap
+    def scoreQ(qterms: Seq[String], docToks: Seq[String]): Long = {
+      val dl = docToks.size
+      qterms.distinct.flatMap { t =>
+        val tf = docToks.count(_ == t)
+        if (tf == 0 || df(t) == 0) None
+        else {
+          val idf = (n - df(t) + 0.5) / (df(t) + 0.5)
+          val k = TextOps.Bm25K1 * (1.0 - TextOps.Bm25B + TextOps.Bm25B * dl / avgdl)
+          val s = idf * (tf * (TextOps.Bm25K1 + 1.0)) / (tf + k)
+          Some(math.floor(s * 1e9).toLong)
+        }
+      }.sum
+    }
+    val got = TextOps.bm25Topk(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val byQuery = got.groupBy(_.getAs[Int]("QueryId"))
+    assert(byQuery.keySet === TextOps.Bm25Queries.map(_._1).toSet,
+      "every query returned results")
+    byQuery.foreach { case (qid, rows) =>
+      // ranks are 1..k, ScoreQ non-increasing
+      val sorted = rows.sortBy(_.getAs[Int]("Rank"))
+      assert(sorted.map(_.getAs[Int]("Rank")).toSeq === (1 to sorted.length))
+      assert(sorted.map(_.getAs[Long]("ScoreQ")).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      })
+      val qterms = TextOps.Bm25Queries.toMap.apply(qid).split("\\s+").toSeq
+      sorted.foreach { r =>
+        val d = r.getAs[Long]("doc_id")
+        assert(r.getAs[Long]("ScoreQ") === scoreQ(qterms, toks(d)),
+          s"query $qid doc $d quantized score mismatch")
+      }
+      // top-1 really is the best over ALL docs, not just the returned k
+      val best = toks.map { case (d, tk) => (scoreQ(qterms, tk), d) }.max
+      assert(sorted.head.getAs[Long]("ScoreQ") === best._1,
+        s"query $qid top-1 is not the corpus-wide max")
+    }
+  }
+
+  test("perplexity: surprisal sums equal a driver recomputation; outlier band two-sided") {
+    val toks = docsTokens()
+    val cnt = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val v = cnt.size.toLong
+    val t = cnt.values.sum
+    def bits(c: Long): Int = java.lang.Long.toBinaryString((t + v) / (c + 1)).length - 1
+    val rows = TextOps.perplexity(spark, sfDir).collect()
+    assert(rows.length === toks.size)
+    val totalBits = cnt.map { case (tok, c) => c * bits(c) }.sum
+    val corpusMean = totalBits.toDouble / t
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val expSum = toks(d).map(tok => bits(cnt(tok)).toLong).sum
+      assert(r.getAs[Long]("SumBits") === expSum, s"doc $d SumBits")
+      assert(r.getAs[Long]("NTokens") === toks(d).size.toLong)
+      val mean = r.getAs[Double]("MeanBits")
+      assert(math.abs(mean - expSum.toDouble / toks(d).size) < 1e-12)
+      assert(r.getAs[Boolean]("IsOutlier") ===
+        (math.abs(mean - corpusMean) > TextOps.PplBandBits), s"doc $d outlier flag")
+    }
+  }
+
+  test("pagerank: integer ranks equal a driver-run of the same five damped rounds") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    assert(edges.nonEmpty)
+    // undirected: every edge present in both directions, no self-loops
+    val eset = edges.toSet
+    edges.foreach { case (s, d) =>
+      assert(s != d)
+      assert(eset.contains((d, s)), s"missing reverse edge for ($s,$d)")
+    }
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var rank = out.keys.map(_ -> GraphOps.RankScale).toMap
+    for (_ <- 1 to GraphOps.PageRankIters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = out.keys.map(n =>
+        n -> (GraphOps.TeleportQ +
+          GraphOps.DampNum * in.getOrElse(n, 0L) / GraphOps.DampDen)).toMap
+    }
+    val got = GraphOps.pagerank(spark, sfDir).collect()
+    assert(got.length === out.size)
+    got.foreach { r =>
+      val n = r.getAs[Long]("PartKey")
+      assert(r.getAs[Long]("OutDeg") === out(n))
+      assert(r.getAs[Long]("RankQ") === rank(n), s"node $n rank mismatch")
+    }
+    // total mass conserved up to floor losses (strictly shrinking)
+    val mass = got.map(_.getAs[Long]("RankQ")).sum
+    val start = out.size.toLong * GraphOps.RankScale
+    assert(mass <= start && mass > start * 9 / 10, s"mass $mass vs start $start")
+  }
+
+  test("span windows: duplicated-window fractions equal a driver recomputation") {
+    val toks = docsTokens()
+    val w = graft.ops.DedupOps.SpanWindowTokens
+    def windows(ts: Seq[String]): Seq[String] =
+      if (ts.size < w) Seq.empty
+      else (0 to ts.size - w).map(i => ts.slice(i, i + w).mkString(" "))
+    val byDoc = toks.map { case (d, ts) => d -> windows(ts) }
+    val docsPerWindow = byDoc.toSeq
+      .flatMap { case (d, ws) => ws.distinct.map(_ -> d) }
+      .groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.size }
+    val rows = graft.ops.DedupOps.spanWindows(spark, sfDir).collect()
+    assert(rows.length === toks.size, "left join keeps every doc")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val ws = byDoc(d)
+      assert(r.getAs[Long]("NWindows") === ws.size.toLong, s"doc $d NWindows")
+      val nd = ws.count(h => docsPerWindow(h) >= 2).toLong
+      assert(r.getAs[Long]("NDupWindows") === nd, s"doc $d NDupWindows")
+      val frac = if (ws.isEmpty) 0.0 else nd.toDouble / ws.size
+      assert(math.abs(r.getAs[Double]("DupWindowFrac") - frac) < 1e-12)
+      assert(r.getAs[Boolean]("IsFlagged") === (frac >= graft.ops.DedupOps.SpanDupFracFlag))
+    }
+    // the corpus's planted near-dups must surface as span duplication
+    assert(rows.count(_.getAs[Long]("NDupWindows") > 0) > 0,
+      "no cross-document spans found — operator is blind")
+  }
+
+  test("outliers: z-score flags equal a BigInt recomputation over kmeansProfile's own stats") {
+    val prof = graft.ops.SimilarityOps.kmeansProfile(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("Cid") ->
+        (r.getAs[Long]("NMembers"), r.getAs[Long]("SumDist"))).toMap
+    val rows = graft.ops.SimilarityOps.outliers(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === rows.length,
+      "one row per vector — no join fan-out")
+    val s2 = BigInt(graft.ops.SimilarityOps.OutlierSigmas).pow(2)
+    rows.groupBy(_.getAs[Long]("Cid")).foreach { case (cid, rs) =>
+      val (nm, sd) = prof(cid)
+      assert(rs.length.toLong === nm, s"cluster $cid member count")
+      val dists = rs.map(_.getAs[Long]("DistQ"))
+      assert(dists.sum === sd, s"cluster $cid dist sum")
+      val sd2 = dists.map(d => BigInt(d) * d).sum
+      val vt = BigInt(nm) * sd2 - BigInt(sd) * sd
+      rs.foreach { r =>
+        val dev = BigInt(r.getAs[Long]("DistQ")) * nm - sd
+        assert(BigInt(r.getAs[Long]("DevQ")) === dev, "exact deviation column")
+        val exp = dev > 0 && dev * dev > s2 * vt
+        assert(r.getAs[Boolean]("IsOutlier") === exp,
+          s"vec ${r.getAs[Long]("vec_id")} z-score flag")
+      }
+    }
+    // uniform unit-norm synthetic vectors have NO organic outliers
+    // (distances concentrate at 1/sqrt(d) relative spread) — a clean
+    // corpus legitimately flags zero; the rule itself must fire on a
+    // planted heavy tail
+    val frac = rows.count(_.getAs[Boolean]("IsOutlier")).toDouble / rows.length
+    assert(frac < 0.25, s"outlier fraction $frac out of band")
+    val planted = Seq(100L, 100L, 100L, 100L, 100L, 100L, 100L, 100L, 100L, 400L)
+    val n = planted.size
+    val sdp = planted.sum
+    val sd2p = planted.map(d => BigInt(d) * d).sum
+    val vtp = BigInt(n) * sd2p - BigInt(sdp) * sdp
+    val flags = planted.map { d =>
+      val dev = BigInt(d) * n - sdp
+      dev > 0 && dev * dev > s2 * vtp
+    }
+    assert(flags === Seq.fill(n - 1)(false) :+ true,
+      "planted heavy tail must be the only flagged member")
+  }
+
+  test("stats: exact-power-sum Pearson agrees with Spark's corr to 1e-9 and is NULL-guarded") {
+    val got = RelationalOps.statsCorrelation(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val ref = graft.etl.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("X"),
+        floor(col("l_extendedprice")).cast("long").as("Y"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(corr(col("X"), col("Y")).as("R"),
+        covar_pop(col("X"), col("Y")).as("C"),
+        stddev_pop(col("X")).as("SX"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("R"), r.getAs[Double]("C"), r.getAs[Double]("SX"))).toMap
+    got.foreach { r =>
+      val k = (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
+      val (er, ec, esx) = ref(k)
+      assert(math.abs(r.getAs[Double]("PearsonR") - er) < 1e-9, s"$k corr")
+      assert(math.abs(r.getAs[Double]("CovarPop") - ec) < 1e-6 * math.abs(ec), s"$k covar")
+      assert(math.abs(r.getAs[Double]("StddevX") - esx) < 1e-9, s"$k stddev")
+    }
+  }
+}
