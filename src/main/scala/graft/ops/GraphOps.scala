@@ -49,6 +49,10 @@ object GraphOps {
     * pair expansion (quadratic hot-key guard; TPC-H max is 7). */
   val MaxOrderParts = 50
 
+  private val edgesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val edgesLock = new Object
+
   /** Undirected co-purchase edge list (Src, Dst), both directions, one
     * row per distinct part pair that shares at least one order.
     *
@@ -57,20 +61,37 @@ object GraphOps {
     * array (a codegen'd HOF cross of a ≤50-element array — bounded
     * quadratic, the declared cap) → global distinct on the pair key.
     * No self-join diamond: the per-order array form reads the fact
-    * table once. */
-  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("OrderKey"), col("l_partkey").as("Part"))
-      .distinct()
-      .groupBy(col("OrderKey"))
-      .agg(collect_list(col("Part")).as("Ps"))
-      .filter(size(col("Ps")).between(2, MaxOrderParts))
-      .select(explode(expr(
-        """flatten(transform(Ps, x -> transform(Ps, y -> struct(x as Src, y as Dst))))"""))
-        .as("E"))
-      .select(col("E.Src").as("Src"), col("E.Dst").as("Dst"))
-      .filter(col("Src") =!= col("Dst"))
-      .distinct()
+    * table once.
+    *
+    * Memoized + `.cache()`d per (session, dir) like DedupOps.docBands:
+    * the edge list is the graph family's shared substrate — every
+    * PageRank round (and any future graph op) re-reads it, and in
+    * production it is a materialized table the iteration never
+    * rebuilds (the GraphX/Pregel shape). The uncached form re-derived
+    * the four edge-build stages under every materialization. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    edgesMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(edgesMemo.remove)
+    graft.ops.BucketedTables.memoized(edgesMemo, (spark, dir), edgesLock) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("OrderKey"), col("l_partkey").as("Part"))
+        .distinct()
+        .groupBy(col("OrderKey"))
+        .agg(collect_list(col("Part")).as("Ps"))
+        .filter(size(col("Ps")).between(2, MaxOrderParts))
+        .select(explode(expr(
+          """flatten(transform(Ps, x -> transform(Ps, y -> struct(x as Src, y as Dst))))"""))
+          .as("E"))
+        .select(col("E.Src").as("Src"), col("E.Dst").as("Dst"))
+        .filter(col("Src") =!= col("Dst"))
+        .distinct()
+        // pre-shuffled on the join key once: every round's edge⋈rank
+        // join then reuses this layout instead of re-exchanging edges
+        .repartition(col("Src"))
+        .cache()
+    }
+  }
 
   /** Fixed-horizon integer PageRank over [[coPurchaseEdges]]: per part,
     * its co-purchase degree and its rank in [[RankScale]] fixed-point

@@ -264,14 +264,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("pagerank iterations reuse the edge-list exchange instead of re-shuffling per round") {
+  test("pagerank rounds read the cached edge substrate, never rebuild the pair expansion") {
     val df = graft.ops.GraphOps.pagerank(spark, sfDir)
-    // ReuseExchange dedupes the identical edges/deg subplans across the
-    // five unrolled rounds — assert on the POST-reuse executedPlan
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
-      s"no exchange reuse across pagerank rounds:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    // assert on the plan TREE: the cached relation is an
+    // InMemoryTableScan LEAF, so a pair-expansion GenerateExec in the
+    // traversal means some round re-derived edges instead of reading
+    // the cache (the string form would false-positive on the cache's
+    // own stored build plan)
+    val sp = df.queryExecution.sparkPlan
+    val scans = sp.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(scans.size >= 6,
+      s"expected every round + deg to read the cached edges, got ${scans.size}:\n$sp")
+    val gens = sp.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty,
+      s"a round re-derived the pair expansion instead of reading the cache:\n$sp")
+    assert(!sp.toString.contains("CartesianProduct"), sp.toString)
   }
 }
