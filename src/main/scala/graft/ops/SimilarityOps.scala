@@ -1103,6 +1103,10 @@ object SimilarityOps {
     * broadcast back. No corpus self-join, no window over members. */
   def outliers(spark: SparkSession, dir: String,
                nCentroids: Int = DefaultNCentroids): DataFrame = {
+    // register long_dot explicitly: this query reads the PERSISTED
+    // index without touching the quantized() memo, so on a fresh
+    // session with a pre-built index nothing else registers it
+    VectorExpressions.register(spark)
     val base = ivfIndexPath(spark, dir, nCentroids)
     val cent = spark.read.parquet(s"$base/codebook")
     val lists = spark.read.parquet(s"$base/lists")
