@@ -52,6 +52,9 @@ object SparkEntry {
     "top_products" -> cleanedQ(Summaries.topProducts(_)),
     "daily_trend_recent" -> cleanedQ(Summaries.dailyTrendRecent(_)),
     "window_running_total" -> cleanedQ(Summaries.runningTotal),
+    // recency-weighted daily trend (round 8): α=1/2 EWMA with exact
+    // binary weights — engine-portable where pow(α,k) is libm-bound
+    "timeseries_ewma" -> cleanedQ(Summaries.ewmaDaily),
     "window_lag_growth" -> cleanedQ(Summaries.lagGrowth),
     "window_topn_per_country" -> cleanedQ(Summaries.topnPerCountry(_)),
     // ---- star-schema joins (SURVEY.md §2.6 / §7.3-5) ----
@@ -59,6 +62,9 @@ object SparkEntry {
     "join_mktsegment_rollup" -> (StarQueries.mktsegmentRollup _),
     "join_semi_cancelled_customers" -> (StarQueries.cancelledCustomers _),
     "join_anti_unsold_parts" -> (StarQueries.unsoldParts _),
+    // SCD type-2 dimension maintenance (round 8): close + open + pass
+    // through via one broadcast-able key join (kernel: etl.Scd)
+    "dim_scd2_customers" -> (graft.etl.Scd.scd2Customers _),
     // ---- events: tumbling windows, JSON, dedup, sessionization ----
     "events_hourly" -> (EventsOps.hourly _),
     "events_json_stats" -> (EventsOps.jsonStats _),
@@ -143,6 +149,9 @@ object SparkEntry {
     // exact-power-sum bivariate stats (round 8): corr/covar/stddev
     // from order-free integer sums — reproducible where corr() is not
     "stats_correlation" -> (RelationalOps.statsCorrelation _),
+    // data-quality assertion suite (round 8): referential, uniqueness
+    // and range rules over the star, one branch per rule
+    "dq_checks" -> (RelationalOps.dqChecks _),
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
@@ -156,6 +165,8 @@ object SparkEntry {
     "events_funnel_stream" -> (graft.streaming.EventsStream.funnelStreamQuery _),
     // stateful-upsert compaction (mapGroupsWithState) in the gate
     "events_dedup_latest_stream" -> (graft.streaming.EventsStream.dedupLatestStreamQuery _),
+    // Append-mode flatMapGroupsWithState as-of view in the gate
+    "events_asof_view_stream" -> (graft.streaming.EventsStream.asofViewStreamQuery _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
@@ -182,12 +193,14 @@ object SparkEntry {
     "top_products" -> CoreSql.topProducts,
     "daily_trend_recent" -> CoreSql.dailyTrendRecent,
     "window_running_total" -> CoreSql.runningTotal,
+    "timeseries_ewma" -> CoreSql.timeseriesEwma,
     "window_lag_growth" -> CoreSql.lagGrowth,
     "window_topn_per_country" -> CoreSql.topnPerCountry,
     "join_region_rollup" -> CoreSql.regionRollup,
     "join_mktsegment_rollup" -> CoreSql.mktsegmentRollup,
     "join_semi_cancelled_customers" -> CoreSql.cancelledCustomers,
     "join_anti_unsold_parts" -> CoreSql.unsoldParts,
+    "dim_scd2_customers" -> CoreSql.dimScd2Customers,
     "events_hourly" -> ExtSql.eventsHourly,
     "events_json_stats" -> ExtSql.eventsJsonStats,
     "events_dedup_latest" -> ExtSql.eventsDedupLatest,
@@ -254,6 +267,7 @@ object SparkEntry {
     "timeseries_gapfill" -> ExtSql.gapfillDaily,
     "graph_pagerank" -> ExtSql.graphPagerank,
     "stats_correlation" -> ExtSql.statsCorrelation,
+    "dq_checks" -> ExtSql.dqChecks,
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
@@ -266,6 +280,7 @@ object SparkEntry {
     "events_click_attribution_stream" -> ExtSql.clickAttribution,
     "events_funnel_stream" -> ExtSql.eventsFunnel,
     "events_dedup_latest_stream" -> ExtSql.eventsDedupLatest,
+    "events_asof_view_stream" -> ExtSql.purchaseAsofView,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "unpivot_country_metrics" -> ExtSql.unpivotCountryMetrics,

@@ -324,6 +324,48 @@ object Summaries {
       .transform(smallSort(_, col("Date")))                         // O2
   }
 
+  /** EWMA lag horizon: weights 2⁰, 2⁻¹ … 2⁻⁷ over the trailing
+    * [[EwmaLags]] days (shared with the DuckDB mirror). */
+  val EwmaLags = 8
+
+  /** Exponentially-weighted moving average of daily revenue — the
+    * recency-weighted trend signal next to dailySales' flat MAs, built
+    * ENGINE-PORTABLY: the decay base is ½, so every weight 2⁻ᵏ is an
+    * EXACT binary double, each product is one exactly-rounded IEEE
+    * multiply, and the additions are written in one fixed left-assoc
+    * order in both engines — no `pow`, no libm, no running-recurrence
+    * nondeterminism. The α=½ restriction is the price of bit-exact
+    * cross-engine parity; an arbitrary-α EWMA is this same window
+    * expression with libm-dependent weights.
+    *
+    * Lead-in handling: missing lags contribute 0 to the decay sum and
+    * their weight drops from the divisor (the min_periods-free
+    * normalization), so early rows are true weighted means of the
+    * data that exists, not biased toward zero.
+    *
+    * Scale: identical to dailySales — the global date window runs on
+    * post-aggregation calendar-sized rows. */
+  def ewmaDaily(cleaned: DataFrame): DataFrame = {
+    val daily = sales(cleaned)
+      .groupBy(col("Date"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+      .withColumn("Revenue", col("RevDec").cast(DoubleType))
+    val w = Window.orderBy(col("Date"))
+    def wk(k: Int): Double = 1.0 / (1L << k)
+    val decay = (1 until EwmaLags).foldLeft(col("Revenue")) { (acc, k) =>
+      acc + coalesce(lag(col("Revenue"), k).over(w), lit(0.0)) * lit(wk(k))
+    }
+    val weight = (1 until EwmaLags).foldLeft(lit(1.0): Column) { (acc, k) =>
+      acc + when(row_number().over(w) > k, lit(wk(k))).otherwise(lit(0.0))
+    }
+    daily
+      .withColumn("DecaySum", decay)
+      .withColumn("WeightSum", weight)
+      .withColumn("Ewma", col("DecaySum") / col("WeightSum"))
+      .select(col("Date"), col("Revenue"), col("Ewma"))
+      .transform(smallSort(_, col("Date")))
+  }
+
   /** country_summary (ref: etl.py:206-236) with the grand-total
     * RevenueShare ratio (A13) via an empty-frame window over the
     * already-aggregated rows (≤ #countries, so the single-partition

@@ -187,6 +187,61 @@ object RelationalOps {
       .transform(Summaries.smallSort(_, col("ColName")))
   }
 
+  /** DATA-QUALITY ASSERTION SUITE — the dbt-test/Great-Expectations
+    * workload as one query: referential integrity (orphan facts,
+    * orphan orders), key uniqueness, and domain-range rules over the
+    * star, each reported as (checked, violations, rate). The numbers a
+    * load pipeline gates on before publishing a snapshot.
+    *
+    * Shapes: one branch per rule, each a column-pruned narrow scan —
+    * referential rules are anti-join counts (broadcast when the dim
+    * side fits, shuffle-hash otherwise; never row-by-row lookups),
+    * uniqueness is the Expand-free two-level form (groupBy key count →
+    * Σ(cnt−1), the Summaries countDistinct idiom), ranges are plain
+    * filter counts with map-side partial aggregation. The union runs
+    * on six 1-row frames. */
+  /** Declared valid order-date span (half-open) — the dataset contract
+    * the range rule enforces; shared with the DuckDB mirror. The
+    * synthetic corpus spans 1995..2001, so the contract is the
+    * generous warehouse envelope, not TPC-H's 1992-1998. */
+  val DqDateMin = "1992-01-01"
+  val DqDateMaxExcl = "2002-01-01"
+
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    def rule(no: Int, name: String, checked: DataFrame, violations: DataFrame): DataFrame =
+      checked.agg(count(lit(1)).as("NChecked"))
+        .crossJoin(violations.agg(count(lit(1)).as("NViolations")))
+        .select(lit(no).as("RuleNo"), lit(name).as("Rule"),
+          col("NChecked"), col("NViolations"),
+          (col("NViolations").cast(DoubleType) / col("NChecked")).as("ViolationRate"))
+    val dupViolations = li
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("C")).filter(col("C") > 1)
+      .select(explode(expr("sequence(2, C)")).as("x")) // one row per extra copy
+    Seq(
+      rule(1, "lineitem_orphan_order", li,
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      rule(2, "order_orphan_customer", ord,
+        ord.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")),
+      rule(3, "lineitem_dup_linenumber", li, dupViolations),
+      rule(4, "lineitem_qty_range", li,
+        li.filter(col("l_quantity") <= 0 || col("l_quantity") > 50)),
+      rule(5, "lineitem_price_positive", li,
+        li.filter(col("l_extendedprice") <= 0)),
+      rule(6, "order_date_range", ord,
+        ord.filter(col("o_orderdate") < to_date(lit(DqDateMin)) ||
+          col("o_orderdate") >= to_date(lit(DqDateMaxExcl)))))
+      .reduce(_.union(_))
+      .transform(graft.etl.Summaries.smallSort(_, col("RuleNo")))
+  }
+
   /** Bivariate numeric profiling THE DETERMINISTIC WAY — per
     * (returnflag, linestatus) group, Pearson correlation, population
     * covariance, and stddevs between quantity and (whole-dollar) line

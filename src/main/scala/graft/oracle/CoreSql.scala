@@ -171,6 +171,32 @@ WINDOW w7 AS (ORDER BY "Date" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
 ORDER BY "Date"
 """
 
+  /** EWMA mirror: identical exact binary weights 2⁻ᵏ (interpolated
+    * from Summaries.EwmaLags), identical left-assoc addition order,
+    * identical present-weight normalization — every step an
+    * exactly-rounded IEEE op, so the whole column hash-matches. */
+  val timeseriesEwma: String = {
+    val lags = graft.etl.Summaries.EwmaLags
+    def wk(k: Int): Double = 1.0 / (1L << k)
+    val decay = (1 until lags)
+      .map(k => s"""+ coalesce(lag(rev, $k) OVER w, CAST(0.0 AS DOUBLE)) * CAST(${wk(k)} AS DOUBLE)""")
+      .mkString("\n         ")
+    val weight = (1 until lags)
+      .map(k => s"""+ CASE WHEN row_number() OVER w > $k THEN CAST(${wk(k)} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END""")
+      .mkString("\n         ")
+    dailyCte + s""",
+d2 AS (SELECT "Date", CAST("RevDec" AS DOUBLE) AS rev FROM daily)
+SELECT "Date", rev AS "Revenue",
+       (rev
+         $decay)
+       / (CAST(1.0 AS DOUBLE)
+         $weight) AS "Ewma"
+FROM d2
+WINDOW w AS (ORDER BY "Date")
+ORDER BY "Date"
+"""
+  }
+
   val countrySummary: String = txnCte + """,
 ctry AS (
   SELECT "Country",
@@ -272,6 +298,28 @@ WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 ORDER BY c.c_custkey
 """
+
+  /** SCD2 mirror: identical planted change batch (custkey ≡ 3 mod 7 →
+    * SEG<key mod 5>), version-1 rows closed iff a change exists, a
+    * version-2 row opened per change; dates interpolated from Scd so
+    * the two sides cannot drift. */
+  val dimScd2Customers: String = {
+    import graft.etl.Scd.{ChangeDate, DimBirth}
+    s"""
+WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+ch AS (SELECT k, 'SEG' || CAST(k % 5 AS VARCHAR) AS nseg
+       FROM dim WHERE k % 7 = 3)
+SELECT d.k AS "CustKey", d.seg AS "Segment", CAST(1 AS INTEGER) AS "Version",
+       DATE '$DimBirth' AS "ValidFrom",
+       CASE WHEN ch.k IS NOT NULL THEN DATE '$ChangeDate' END AS "ValidTo",
+       (ch.k IS NULL) AS "IsCurrent"
+FROM dim d LEFT JOIN ch ON d.k = ch.k
+UNION ALL
+SELECT k, nseg, CAST(2 AS INTEGER), DATE '$ChangeDate', CAST(NULL AS DATE), true
+FROM ch
+ORDER BY "CustKey", "Version"
+"""
+  }
 
   val unsoldParts: String = """
 SELECT p.p_partkey, p.p_name, p.p_brand

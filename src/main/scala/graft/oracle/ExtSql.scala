@@ -901,6 +901,38 @@ SELECT doc_id, ntokens AS "NTokens", sumbits AS "SumBits",
 FROM d CROSS JOIN corp ORDER BY doc_id
 """
 
+  /** DQ-suite mirror: the same six rules as anti-join / uniqueness /
+    * range counts; rates are the identical NViol/NChecked division;
+    * the date contract comes from the shared RelationalOps constants. */
+  val dqChecks: String = s"""
+WITH
+lic AS (SELECT count(*) AS c FROM lineitem),
+orc AS (SELECT count(*) AS c FROM orders),
+r1 AS (SELECT count(*) AS v FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+r2 AS (SELECT count(*) AS v FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+r3 AS (SELECT coalesce(CAST(sum(cnt - 1) AS BIGINT), 0) AS v FROM (
+         SELECT count(*) AS cnt FROM lineitem
+         GROUP BY l_orderkey, l_linenumber) WHERE cnt > 1),
+r4 AS (SELECT count(*) AS v FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50),
+r5 AS (SELECT count(*) AS v FROM lineitem WHERE l_extendedprice <= 0),
+r6 AS (SELECT count(*) AS v FROM orders
+       WHERE o_orderdate < DATE '${graft.ops.RelationalOps.DqDateMin}'
+          OR o_orderdate >= DATE '${graft.ops.RelationalOps.DqDateMaxExcl}')
+SELECT CAST(rn AS INTEGER) AS "RuleNo", rule AS "Rule",
+       nc AS "NChecked", nv AS "NViolations",
+       CAST(nv AS DOUBLE) / nc AS "ViolationRate"
+FROM (
+  SELECT 1 AS rn, 'lineitem_orphan_order' AS rule, lic.c AS nc, r1.v AS nv FROM lic, r1
+  UNION ALL SELECT 2, 'order_orphan_customer', orc.c, r2.v FROM orc, r2
+  UNION ALL SELECT 3, 'lineitem_dup_linenumber', lic.c, r3.v FROM lic, r3
+  UNION ALL SELECT 4, 'lineitem_qty_range', lic.c, r4.v FROM lic, r4
+  UNION ALL SELECT 5, 'lineitem_price_positive', lic.c, r5.v FROM lic, r5
+  UNION ALL SELECT 6, 'order_date_range', orc.c, r6.v FROM orc, r6
+) ORDER BY "RuleNo"
+"""
+
   /** Exact-power-sum correlation mirror: identical integer sums (long
     * range), the wide combination in HUGEINT (≡ Spark's
     * DECIMAL(38,0) — both exact int128-class arithmetic), one

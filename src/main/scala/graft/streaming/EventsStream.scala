@@ -569,6 +569,45 @@ object EventsStream {
     }
   }
 
+  /** Streaming twin of `RelationalOps.purchaseAsofView` for the driver
+    * gate — [[purchaseAsof]]'s `flatMapGroupsWithState` (Append mode:
+    * zero-or-one row per input event, per-user last-view state) run as
+    * a one-shot and shaped to hash-match the batch oracle. Completes
+    * the stateful-operator coverage in the gate: windowed agg,
+    * session_window, stream-stream join, mapGroupsWithState upsert,
+    * and now Append-mode flatMapGroupsWithState. */
+  def asofViewStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    implicit val spark: SparkSession = stateSizedSession(spark0)
+    import spark.implicits._
+    val streamDir = Files.createTempDirectory("graft_asof_once")
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val events = readEventsStream(spark, streamDir.toString)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val name = s"events_asof_view_stream_${onceCounter.incrementAndGet()}"
+      val q = purchaseAsof(events)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .select(col("user_id"), col("event_id"),
+          date_format(timestamp_micros(col("purchaseUs")), "yyyy-MM-dd HH:mm:ss")
+            .as("PurchaseTs"),
+          date_format(timestamp_micros(col("lastViewUs")), "yyyy-MM-dd HH:mm:ss")
+            .as("LastViewTs"),
+          (col("purchaseUs") - col("lastViewUs")).as("GapMicros"))
+        .orderBy(col("user_id"), col("event_id"))
+    } finally {
+      deleteRecursively(streamDir)
+      Tables.forgetTsEncoding(streamDir.toString)
+    }
+  }
+
   def funnelStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     implicit val spark: SparkSession = stateSizedSession(spark0)

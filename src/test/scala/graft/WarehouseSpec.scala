@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Scd, Summaries, Tables, Transactions}
+import graft.ops.RelationalOps
+
+/** Round-8 warehouse-surface tests: EWMA determinism, SCD2 kernel
+  * semantics (incl. the no-op contract), and the DQ suite on both the
+  * clean testdata and a PLANTED dirty mini-star. */
+class WarehouseSpec extends SparkSpec {
+
+  test("ewma: equals a driver recomputation with the identical left-assoc double arithmetic") {
+    val rows = Summaries.ewmaDaily(Transactions.cleaned(spark, sfDir)).collect()
+    assert(rows.length > 30)
+    val rev = rows.map(_.getAs[Double]("Revenue"))
+    def wk(k: Int): Double = 1.0 / (1L << k)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      var s = rev(i)
+      var w = 1.0
+      (1 until Summaries.EwmaLags).foreach { k =>
+        s = s + (if (i - k >= 0) rev(i - k) * wk(k) else 0.0 * wk(k))
+        w = w + (if (i - k >= 0) wk(k) else 0.0)
+      }
+      assert(r.getAs[Double]("Ewma") === s / w, s"row $i ewma not bit-identical")
+    }
+    // EWMA tracks the series: stays within the trailing-window envelope
+    rows.zipWithIndex.drop(Summaries.EwmaLags).foreach { case (r, i) =>
+      val win = (0 until Summaries.EwmaLags).map(k => rev(i - k))
+      val e = r.getAs[Double]("Ewma")
+      assert(e >= win.min - 1e-9 && e <= win.max + 1e-9)
+    }
+  }
+
+  test("scd2: gate query closes+opens exactly the planted keys; every key has one current row") {
+    val rows = Scd.scd2Customers(spark, sfDir).collect()
+    val nCust = Tables.customer(spark, sfDir).count()
+    val changed = rows.map(_.getAs[Long]("CustKey")).distinct
+      .count(_ % 7 == 3).toLong
+    assert(rows.length.toLong === nCust + changed)
+    rows.groupBy(_.getAs[Long]("CustKey")).foreach { case (k, rs) =>
+      assert(rs.count(_.getAs[Boolean]("IsCurrent")) === 1, s"key $k current rows")
+      if (k % 7 == 3) {
+        assert(rs.length === 2, s"changed key $k version count")
+        val v1 = rs.find(_.getAs[Int]("Version") == 1).get
+        val v2 = rs.find(_.getAs[Int]("Version") == 2).get
+        assert(!v1.getAs[Boolean]("IsCurrent"))
+        assert(v1.getAs[java.sql.Date]("ValidTo").toString === Scd.ChangeDate)
+        assert(v2.getAs[Boolean]("IsCurrent"))
+        assert(v2.getAs[java.sql.Date]("ValidFrom").toString === Scd.ChangeDate)
+        assert(v2.isNullAt(v2.fieldIndex("ValidTo")))
+        assert(v2.getAs[String]("Segment") === s"SEG${k % 5}")
+      } else {
+        assert(rs.length === 1)
+        assert(rs.head.getAs[Int]("Version") === 1)
+        assert(rs.head.isNullAt(rs.head.fieldIndex("ValidTo")))
+      }
+    }
+  }
+
+  test("scd2: a no-op change batch (same values) produces zero new versions") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "A", 1, "2020-01-01", null.asInstanceOf[String], true),
+      (2L, "B", 1, "2020-01-01", null.asInstanceOf[String], true))
+      .toDF("K", "Attr", "Version", "VF", "VT", "IsCurrent")
+      .select(col("K"), col("Attr"), col("Version"),
+        to_date(col("VF")).as("ValidFrom"), to_date(col("VT")).as("ValidTo"),
+        col("IsCurrent"))
+    val noop = Seq((1L, "A")).toDF("K", "Attr")
+    val out = Scd.scd2Apply(dim, noop, "K", Seq("Attr"),
+      to_date(lit("2021-06-01"))).collect()
+    assert(out.length === 2, "no-op change must not version")
+    assert(out.forall(_.getAs[Boolean]("IsCurrent")))
+    val real = Seq((1L, "Z")).toDF("K", "Attr")
+    val out2 = Scd.scd2Apply(dim, real, "K", Seq("Attr"),
+      to_date(lit("2021-06-01"))).collect()
+    assert(out2.length === 3)
+    assert(out2.count(r => r.getAs[Long]("K") == 1L) === 2)
+  }
+
+  test("dq: testdata rule counts match independent recomputation (incl. the real dup-key finding)") {
+    val rows = RelationalOps.dqChecks(spark, sfDir).collect()
+    assert(rows.length === 6)
+    val liDf = Tables.lineitem(spark, sfDir)
+    val li = liDf.count()
+    val ord = Tables.orders(spark, sfDir).count()
+    // the synthetic lineitem genuinely carries duplicate
+    // (l_orderkey, l_linenumber) pairs — the suite's first real catch;
+    // recompute the count independently instead of assuming clean
+    val expectedDups = liDf.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .count().filter(col("count") > 1)
+      .agg(sum(col("count") - 1)).head().getLong(0)
+    assert(expectedDups > 0, "fixture changed: dup-key rule no longer exercised")
+    rows.foreach { r =>
+      val expected = if (r.getAs[Int]("RuleNo") == 3) expectedDups else 0L
+      assert(r.getAs[Long]("NViolations") === expected,
+        s"rule ${r.getAs[String]("Rule")} violation count")
+      val checked = r.getAs[Long]("NChecked")
+      if (Set(1, 3, 4, 5).contains(r.getAs[Int]("RuleNo"))) assert(checked === li)
+      else assert(checked === ord)
+    }
+  }
+
+  test("dq: a planted dirty star yields exact per-rule violation counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty").toString
+    val ts = Timestamp.valueOf("1995-06-01 00:00:00")
+    val old = Timestamp.valueOf("1990-01-01 00:00:00")
+    def write(name: String, schema: org.apache.spark.sql.types.StructType,
+              rows: Seq[Row]): Unit =
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("customer", Tables.customerSchema, Seq(
+      Row(1L, "c1", 0, 0.0, "BUILDING")))
+    write("orders", Tables.ordersSchema, Seq(
+      Row(10L, 1L, "O", 5.0, ts, "1-URGENT"),
+      Row(11L, 99L, "O", 5.0, ts, "1-URGENT"),     // orphan custkey
+      Row(12L, 1L, "O", 5.0, old, "1-URGENT")))    // date out of range
+    def li(ok: Long, ln: Int, qty: Double, px: Double) =
+      Row(ok, 1L, 1L, ln, qty, px, 0.0, 0.0, "N", "O", ts)
+    write("lineitem", Tables.lineitemSchema, Seq(
+      li(10L, 1, 5.0, 100.0),
+      li(10L, 1, 5.0, 100.0),   // dup (orderkey, linenumber)
+      li(77L, 1, 5.0, 100.0),   // orphan orderkey
+      li(10L, 2, 0.0, 100.0),   // qty out of range
+      li(10L, 3, 5.0, -1.0)))   // non-positive price
+    val got = RelationalOps.dqChecks(spark, dir).collect()
+      .map(r => r.getAs[Int]("RuleNo") -> r.getAs[Long]("NViolations")).toMap
+    assert(got === Map(1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L, 5 -> 1L, 6 -> 1L))
+  }
+}
