@@ -127,6 +127,8 @@ object SparkEntry {
     // per-vector centroid-distance outlier flags (round 8): the
     // embedding-space quality filter off the same persisted index
     "similarity_outliers" -> ((s: SparkSession, d: String) => SimilarityOps.outliers(s, d)),
+    // per-cluster exact medoids in O(n·d) via the sum-vector identity
+    "similarity_medoids" -> ((s: SparkSession, d: String) => SimilarityOps.medoids(s, d)),
     "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
     "similarity_incremental_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.incrementalDedup(s, d)),
     // ---- multimodal ----
@@ -251,6 +253,7 @@ object SparkEntry {
     "similarity_ivfpq_topk" -> ExtSql.similarityIvfTopk,
     "similarity_kmeans_profile" -> ExtSql.similarityKmeansProfile,
     "similarity_outliers" -> ExtSql.similarityOutliers,
+    "similarity_medoids" -> ExtSql.similarityMedoids,
     "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
     "multimodal_meta" -> ExtSql.multimodalMeta,

@@ -1135,6 +1135,51 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** CLUSTER MEDOIDS — the representative-selection op (dataset cards,
+    * per-cluster exemplars for curriculum/inspection): per k-means
+    * cluster, the member minimizing the exact total L2² distance to
+    * every other member.
+    *
+    * The naive medoid is a Σn_c² pairwise join; this uses the
+    * sum-vector identity `Σ_j d(i,j) = n·‖q_i‖² − 2·q_i·S + Σ_j‖q_j‖²`
+    * (S = the cluster's per-dimension integer sum vector), so the
+    * whole query is O(n·d): one posexplode pass builds the K sum
+    * vectors, each member then scores itself against its own cluster's
+    * broadcast S — no pairwise term anywhere, and every quantity is an
+    * exact integer (magnitudes: n_c·nn ≈ 3e10 at 300-member clusters,
+    * int64-safe to n_c ≈ 9e7 per cluster, documented bound). The
+    * argmin resolves INSIDE the aggregate via `min(struct(dist, id))`
+    * (the kmeansProfile majority pattern — no window over members). */
+  def medoids(spark: SparkSession, dir: String,
+              nCentroids: Int = DefaultNCentroids): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val lists = spark.read.parquet(s"$base/lists")
+    val sumVec = lists
+      .select(col("Cid"), posexplode(col("Q")).as(Seq("P", "V")))
+      .groupBy(col("Cid"), col("P")).agg(sum(col("V")).as("SV"))
+      .groupBy(col("Cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(P, SV))), s -> s.SV)").as("S"))
+    val stats = lists.groupBy(col("Cid"))
+      .agg(count(lit(1)).as("NMembers"), sum(col("NormSq")).as("SumNN"))
+    lists
+      .join(broadcast(sumVec), "Cid")
+      .join(broadcast(stats), "Cid")
+      .withColumn("TotalDist",
+        col("NMembers") * col("NormSq") - lit(2L) * expr("long_dot(Q, S)") + col("SumNN"))
+      .groupBy(col("Cid").cast(LongType).as("Cid"))
+      .agg(
+        max(col("NMembers")).as("NMembers"),
+        min(struct(col("TotalDist"), col("vec_id"))).as("M"))
+      .select(col("Cid"), col("NMembers"),
+        col("M.vec_id").as("MedoidId"),
+        col("M.TotalDist").as("MedoidTotalDistQ"),
+        when(col("NMembers") > 1,
+          col("M.TotalDist").cast(DoubleType) / (col("NMembers") - 1))
+          .otherwise(lit(0.0)).as("MeanDistToMedoid"))
+      .transform(graft.etl.Summaries.smallSort(_, col("Cid")))
+  }
+
   private val listsTableMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), String]
 

@@ -1345,6 +1345,39 @@ FROM v ORDER BY vec_id
 """
   }
 
+  /** Medoid mirror: the same sum-vector identity (per-cluster
+    * per-dimension integer sums, then `n·nn − 2·q·S + Σnn` per member)
+    * — no pairwise term in either engine; argmin via (dist, id)
+    * row_number. */
+  val similarityMedoids: String = {
+    val cFinal = kmeansCFinal
+    quantCte + codebookCtes + s""",
+sv AS (
+  SELECT a.cid, e.dim, CAST(sum(e.v) AS BIGINT) AS svv
+  FROM ed e JOIN af a ON e.vec_id = a.avid GROUP BY a.cid, e.dim
+),
+sarr AS (SELECT cid, list(svv ORDER BY dim) AS s FROM sv GROUP BY cid),
+stt AS (SELECT a.cid, count(*) AS nm, CAST(sum(v.nn) AS BIGINT) AS snn
+        FROM af a JOIN n v ON a.avid = v.vec_id GROUP BY a.cid),
+md AS (
+  SELECT a.cid, v.vec_id,
+         stt.nm * v.nn
+           - 2 * list_sum([v.qv[i] * sarr.s[i] for i in range(1, len(v.qv)+1)])
+           + stt.snn AS td
+  FROM af a JOIN n v ON a.avid = v.vec_id
+  JOIN sarr ON a.cid = sarr.cid JOIN stt ON a.cid = stt.cid
+),
+r AS (SELECT cid, vec_id, td,
+             row_number() OVER (PARTITION BY cid ORDER BY td, vec_id) AS rn
+      FROM md)
+SELECT r.cid AS "Cid", stt.nm AS "NMembers", r.vec_id AS "MedoidId",
+       CAST(r.td AS BIGINT) AS "MedoidTotalDistQ",
+       CASE WHEN stt.nm > 1 THEN CAST(r.td AS DOUBLE) / (stt.nm - 1)
+            ELSE CAST(0.0 AS DOUBLE) END AS "MeanDistToMedoid"
+FROM r JOIN stt ON r.cid = stt.cid WHERE rn = 1 ORDER BY "Cid"
+"""
+  }
+
   /** SemDeDup-style semantic-dedup mirror: candidates are pairs WITHIN
     * a final k-means cluster only (never all-pairs); a vector is a
     * duplicate iff some LOWER-id same-cluster vector reaches the

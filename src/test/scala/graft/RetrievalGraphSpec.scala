@@ -186,6 +186,31 @@ class RetrievalGraphSpec extends SparkSpec {
       "planted heavy tail must be the only flagged member")
   }
 
+  test("medoids: sum-vector identity equals the brute-force pairwise medoid per cluster") {
+    val lists = graft.ops.SimilarityOps.kmeansProfile(spark, sfDir) // ensure index built
+    lists.collect()
+    val got = graft.ops.SimilarityOps.medoids(spark, sfDir).collect()
+    // brute force: collect quantized members per cluster and do the n²
+    // the same persisted lists the operator reads
+    val base = spark.read.parquet(
+      graft.ops.SimilarityOps.ivfIndexPath(spark, sfDir) + "/lists")
+    val members = base.select(col("Cid"), col("vec_id"), col("Q"), col("NormSq")).collect()
+      .map(r => (r.getAs[Int]("Cid"), r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Long]]("Q").toArray, r.getAs[Long]("NormSq")))
+    val byCluster = members.groupBy(_._1)
+    assert(got.length === byCluster.size)
+    got.foreach { r =>
+      val cid = r.getAs[Long]("Cid").toInt
+      val ms = byCluster(cid)
+      def dist(a: (Int, Long, Array[Long], Long), b: (Int, Long, Array[Long], Long)): Long =
+        a._4 - 2L * a._3.zip(b._3).map { case (x, y) => x * y }.sum + b._4
+      val best = ms.map(m => (ms.map(o => dist(m, o)).sum, m._2)).min
+      assert(r.getAs[Long]("MedoidId") === best._2, s"cluster $cid medoid")
+      assert(r.getAs[Long]("MedoidTotalDistQ") === best._1, s"cluster $cid total dist")
+      assert(r.getAs[Long]("NMembers") === ms.length.toLong)
+    }
+  }
+
   test("stats: exact-power-sum Pearson agrees with Spark's corr to 1e-9 and is NULL-guarded") {
     val got = RelationalOps.statsCorrelation(spark, sfDir).collect()
     assert(got.nonEmpty)
