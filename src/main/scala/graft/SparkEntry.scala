@@ -55,6 +55,10 @@ object SparkEntry {
     // recency-weighted daily trend (round 8): α=1/2 EWMA with exact
     // binary weights — engine-portable where pow(α,k) is libm-bound
     "timeseries_ewma" -> cleanedQ(Summaries.ewmaDaily),
+    // sales-analytics classics (round 8): RFM segmentation + cohort
+    // retention — post-aggregation windows only (A13/⚠Q discipline)
+    "customer_rfm" -> cleanedQ(Summaries.customerRfm),
+    "cohort_retention" -> cleanedQ(Summaries.cohortRetention),
     "window_lag_growth" -> cleanedQ(Summaries.lagGrowth),
     "window_topn_per_country" -> cleanedQ(Summaries.topnPerCountry(_)),
     // ---- star-schema joins (SURVEY.md §2.6 / §7.3-5) ----
@@ -67,6 +71,8 @@ object SparkEntry {
     "dim_scd2_customers" -> (graft.etl.Scd.scd2Customers _),
     // ---- events: tumbling windows, JSON, dedup, sessionization ----
     "events_hourly" -> (EventsOps.hourly _),
+    // seasonal-baseline anomaly flags (round 8): all-integer z-rule
+    "events_hourly_anomalies" -> (EventsOps.hourlyAnomalies _),
     "events_json_stats" -> (EventsOps.jsonStats _),
     "events_dedup_latest" -> (EventsOps.dedupLatest _),
     "events_sessionize" -> (EventsOps.sessionize _),
@@ -196,6 +202,8 @@ object SparkEntry {
     "daily_trend_recent" -> CoreSql.dailyTrendRecent,
     "window_running_total" -> CoreSql.runningTotal,
     "timeseries_ewma" -> CoreSql.timeseriesEwma,
+    "customer_rfm" -> CoreSql.customerRfm,
+    "cohort_retention" -> CoreSql.cohortRetention,
     "window_lag_growth" -> CoreSql.lagGrowth,
     "window_topn_per_country" -> CoreSql.topnPerCountry,
     "join_region_rollup" -> CoreSql.regionRollup,
@@ -204,6 +212,7 @@ object SparkEntry {
     "join_anti_unsold_parts" -> CoreSql.unsoldParts,
     "dim_scd2_customers" -> CoreSql.dimScd2Customers,
     "events_hourly" -> ExtSql.eventsHourly,
+    "events_hourly_anomalies" -> ExtSql.eventsHourlyAnomalies,
     "events_json_stats" -> ExtSql.eventsJsonStats,
     "events_dedup_latest" -> ExtSql.eventsDedupLatest,
     "events_sessionize" -> ExtSql.eventsSessionize,

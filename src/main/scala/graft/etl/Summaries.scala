@@ -366,6 +366,73 @@ object Summaries {
       .transform(smallSort(_, col("Date")))
   }
 
+  /** RFM (recency/frequency/monetary) customer scoring — the classic
+    * sales-analytics segmentation the reference's customer_summary
+    * stops short of. Recency anchors on the CORPUS max date (broadcast
+    * 1-row frame — no wall clock, so the query is reproducible);
+    * scores are `ntile(5)` over TOTAL orders (value, then CustomerID —
+    * the ⚠Q qcut discipline: a deterministic total order is what makes
+    * rank-binning engine-portable); the segment label is a shared CASE
+    * over (R, F). The three ntile windows are global but run over the
+    * ~|customers| POST-aggregation rows — the A13 rule.
+    *
+    * Tile orientation: higher score = better (tile 5 = most recent /
+    * most frequent / highest spend). */
+  def customerRfm(cleaned: DataFrame): DataFrame = {
+    val s = sales(cleaned)
+    val per = s.groupBy(col("CustomerID"))
+      .agg(max(col("Date")).as("LastDate"),
+        decSum(col("TotalAmount")).as("MDec"))
+      .join(distinctCount(s, Seq("CustomerID"), "InvoiceNo", "Frequency"),
+        "CustomerID")
+    val anchor = s.agg(max(col("Date")).as("AnchorDate"))
+    def tile(order: Column*): Column =
+      ntile(5).over(Window.orderBy(order: _*))
+    per.crossJoin(broadcast(anchor))
+      .withColumn("RecencyDays", datediff(col("AnchorDate"), col("LastDate")))
+      .withColumn("RScore", tile(col("RecencyDays").desc, col("CustomerID")))
+      .withColumn("FScore", tile(col("Frequency").asc, col("CustomerID")))
+      .withColumn("MScore", tile(col("MDec").asc, col("CustomerID")))
+      .withColumn("Segment",
+        when(col("RScore") >= 4 && col("FScore") >= 4, "champion")
+          .when(col("RScore") >= 4, "recent")
+          .when(col("FScore") >= 4, "at_risk")
+          .otherwise("regular"))
+      .select(col("CustomerID"), col("RecencyDays"), col("Frequency"),
+        col("MDec").cast(DoubleType).as("Monetary"),
+        col("RScore"), col("FScore"), col("MScore"), col("Segment"))
+      .transform(smallSort(_, col("CustomerID")))
+  }
+
+  /** COHORT RETENTION — the acquisition-month × months-since activity
+    * matrix (the growth-analytics staple): customers grouped by first
+    * purchase month, each cohort's share still active n months later.
+    * Two passes over sales: the per-customer cohort aggregate and the
+    * distinct customer-month activity set, joined on the customer key
+    * (uniform); the retention grid itself is months² rows. CohortSize
+    * rides a partition window over the POST-aggregation grid. */
+  def cohortRetention(cleaned: DataFrame): DataFrame = {
+    val s = sales(cleaned)
+    val cohort = s.groupBy(col("CustomerID"))
+      .agg(trunc(min(col("Date")), "MM").as("CohortMonth"))
+    val active = s.select(col("CustomerID"), trunc(col("Date"), "MM").as("ActiveMonth"))
+      .distinct()
+    val grid = active.join(cohort, "CustomerID")
+      .withColumn("MonthsSince",
+        months_between(col("ActiveMonth"), col("CohortMonth")).cast(IntegerType))
+      .groupBy(col("CohortMonth"), col("MonthsSince"))
+      .agg(count(lit(1)).as("NActive"))
+    grid
+      .withColumn("CohortSize",
+        max(when(col("MonthsSince") === 0, col("NActive")))
+          .over(Window.partitionBy(col("CohortMonth"))))
+      .withColumn("RetentionRate",
+        col("NActive").cast(DoubleType) / col("CohortSize"))
+      .select(col("CohortMonth"), col("MonthsSince"), col("NActive"),
+        col("CohortSize"), col("RetentionRate"))
+      .transform(smallSort(_, col("CohortMonth"), col("MonthsSince")))
+  }
+
   /** country_summary (ref: etl.py:206-236) with the grand-total
     * RevenueShare ratio (A13) via an empty-frame window over the
     * already-aggregated rows (≤ #countries, so the single-partition

@@ -37,6 +37,49 @@ object EventsOps {
         sum(col("value").cast(dec)).cast(DoubleType).as("TotalValue"))
       .orderBy(col("HourTs"), col("event_type"))
 
+  /** Hourly-count anomaly z-band in standard deviations (shared with
+    * the mirror; the verdict is the two-sided cross-multiplied square,
+    * all integer). */
+  val AnomalySigmas = 2L
+
+  /** HOURLY ANOMALY DETECTION — the operational-monitoring twin of
+    * [[hourly]]: each (hour, event_type) bucket's event count checked
+    * against the seasonal baseline of its HOUR-OF-DAY × type peer
+    * group (the standard seasonal-naive profile), flagged when it sits
+    * more than [[AnomalySigmas]]σ from the peer mean IN EITHER
+    * DIRECTION (spikes and droughts both page someone).
+    *
+    * Fully exact: counts are integers, the baseline's (n, Σc, Σc²) are
+    * integer sums, and the verdict cross-multiplies and squares —
+    * `(c·n − Σc)² > σ²·(n·Σc² − (Σc)²)` — so no division, sqrt, or
+    * float enters any comparison (the similarity_outliers rule on the
+    * time axis). Magnitude bound: DevQ² needs (c·n)² < 2⁶³ — safe to
+    * ~10⁶ events/hour against a ~1000-bucket baseline; past that,
+    * promote the square to decimal128 (the similarity_outliers form).
+    * Shapes: the hourly aggregate (one shuffle on a near-uniform
+    * composite key), a 24×|types| baseline aggregate broadcast back. */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourlyCounts = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("Hour"), col("event_type"))
+      .agg(count(lit(1)).as("NEvents"))
+      .withColumn("HourOfDay", hour(col("Hour")).cast(IntegerType))
+    val baseline = hourlyCounts.groupBy(col("HourOfDay"), col("event_type"))
+      .agg(count(lit(1)).as("BucketN"),
+        sum(col("NEvents")).as("SumC"),
+        sum(col("NEvents") * col("NEvents")).as("SumC2"))
+    hourlyCounts.join(broadcast(baseline), Seq("HourOfDay", "event_type"))
+      .withColumn("DevQ", col("NEvents") * col("BucketN") - col("SumC"))
+      .withColumn("VarTerm",
+        col("BucketN") * col("SumC2") - col("SumC") * col("SumC"))
+      .select(
+        date_format(col("Hour"), "yyyy-MM-dd HH:mm:ss").as("HourTs"),
+        col("event_type"), col("NEvents"), col("HourOfDay"),
+        col("BucketN"), col("DevQ"),
+        (col("DevQ") * col("DevQ") >
+          lit(AnomalySigmas * AnomalySigmas) * col("VarTerm")).as("IsAnomaly"))
+      .orderBy(col("HourTs"), col("event_type"))
+  }
+
   /** JSON property extraction (`props` is a JSON string). Uses
     * regexp_extract rather than from_json so the exact same expression
     * is portable to the oracle; the engine also exposes

@@ -299,6 +299,60 @@ WHERE EXISTS (SELECT 1 FROM orders o
 ORDER BY c.c_custkey
 """
 
+  /** RFM mirror: identical recency anchor (corpus max date), identical
+    * ntile total orders (value direction, then CustomerID), identical
+    * (R, F) segment CASE. */
+  val customerRfm: String = txnCte + """,
+per AS (
+  SELECT "CustomerID",
+         max("Date") AS last_date,
+         sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS mdec,
+         count(DISTINCT "InvoiceNo") AS freq
+  FROM sales GROUP BY "CustomerID"
+),
+anch AS (SELECT max("Date") AS anchor FROM sales),
+sc AS (
+  SELECT "CustomerID",
+         CAST(date_diff('day', last_date, anchor) AS INTEGER) AS rdays,
+         freq, mdec,
+         CAST(ntile(5) OVER (ORDER BY date_diff('day', last_date, anchor) DESC, "CustomerID") AS INTEGER) AS rs,
+         CAST(ntile(5) OVER (ORDER BY freq ASC, "CustomerID") AS INTEGER) AS fs,
+         CAST(ntile(5) OVER (ORDER BY mdec ASC, "CustomerID") AS INTEGER) AS ms
+  FROM per CROSS JOIN anch
+)
+SELECT "CustomerID", rdays AS "RecencyDays", freq AS "Frequency",
+       CAST(mdec AS DOUBLE) AS "Monetary",
+       rs AS "RScore", fs AS "FScore", ms AS "MScore",
+       CASE WHEN rs >= 4 AND fs >= 4 THEN 'champion'
+            WHEN rs >= 4 THEN 'recent'
+            WHEN fs >= 4 THEN 'at_risk'
+            ELSE 'regular' END AS "Segment"
+FROM sc ORDER BY "CustomerID"
+"""
+
+  /** Cohort-retention mirror: identical month truncation, month-diff
+    * grid, and size-at-month-0 partition window. */
+  val cohortRetention: String = txnCte + """,
+coh AS (
+  SELECT "CustomerID", date_trunc('month', min("Date")) AS cm
+  FROM sales GROUP BY "CustomerID"
+),
+act AS (
+  SELECT DISTINCT "CustomerID", date_trunc('month', "Date") AS am FROM sales
+),
+grid AS (
+  SELECT cm, CAST(date_diff('month', cm, am) AS INTEGER) AS msince,
+         count(*) AS n_active
+  FROM act JOIN coh USING ("CustomerID")
+  GROUP BY cm, msince
+)
+SELECT cm AS "CohortMonth", msince AS "MonthsSince", n_active AS "NActive",
+       max(CASE WHEN msince = 0 THEN n_active END) OVER (PARTITION BY cm) AS "CohortSize",
+       CAST(n_active AS DOUBLE) /
+         max(CASE WHEN msince = 0 THEN n_active END) OVER (PARTITION BY cm) AS "RetentionRate"
+FROM grid ORDER BY "CohortMonth", "MonthsSince"
+"""
+
   /** SCD2 mirror: identical planted change batch (custkey ≡ 3 mod 7 →
     * SEG<key mod 5>), version-1 rows closed iff a change exists, a
     * version-2 row opened per change; dates interpolated from Scd so

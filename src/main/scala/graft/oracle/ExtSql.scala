@@ -41,6 +41,34 @@ SELECT event_type, count(*) AS "NEvents",
 FROM e GROUP BY event_type ORDER BY event_type
 """
 
+  /** Hourly-anomaly mirror: identical hour-of-day × type baseline and
+    * the identical two-sided cross-multiplied integer z-rule. Sums are
+    * CAST BIGINT before the squares so the arithmetic matches Spark's
+    * int64 exactly. */
+  val eventsHourlyAnomalies: String = {
+    val s2 = graft.ops.EventsOps.AnomalySigmas * graft.ops.EventsOps.AnomalySigmas
+    s"""
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+hcb AS (SELECT *, CAST(hour(hr) AS INTEGER) AS hod FROM hc),
+bl AS (
+  SELECT hod, event_type, count(*) AS bn,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM hcb GROUP BY hod, event_type
+)
+SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS "HourTs",
+       h.event_type, h.c AS "NEvents", h.hod AS "HourOfDay",
+       b.bn AS "BucketN",
+       h.c * b.bn - b.sc AS "DevQ",
+       ((h.c * b.bn - b.sc) * (h.c * b.bn - b.sc) > $s2 * (b.bn * b.sc2 - b.sc * b.sc)) AS "IsAnomaly"
+FROM hcb h JOIN bl b ON h.hod = b.hod AND h.event_type = b.event_type
+ORDER BY "HourTs", h.event_type
+"""
+  }
+
   val eventsDedupLatest: String = """
 WITH r AS (
   SELECT user_id, ts, event_type, value,

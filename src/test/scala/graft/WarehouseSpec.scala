@@ -82,6 +82,68 @@ class WarehouseSpec extends SparkSpec {
     assert(out2.count(r => r.getAs[Long]("K") == 1L) === 2)
   }
 
+  test("rfm: scores are balanced quintiles, anchor is corpus max, segments follow the case map") {
+    val cleaned = Transactions.cleaned(spark, sfDir)
+    val rows = Summaries.customerRfm(cleaned).collect()
+    assert(rows.nonEmpty)
+    // quintiles balanced within 1 (ntile contract)
+    Seq("RScore", "FScore", "MScore").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Int](c)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$c tiles unbalanced")
+      assert(rows.forall(r => (1 to 5).contains(r.getAs[Int](c))))
+    }
+    // recency: minimum is 0 (someone bought on the anchor day)
+    assert(rows.map(_.getAs[Int]("RecencyDays")).min === 0)
+    // tile orientation: the most recent customers carry the TOP RScore
+    val byR = rows.sortBy(_.getAs[Int]("RecencyDays"))
+    assert(byR.head.getAs[Int]("RScore") === 5)
+    assert(byR.last.getAs[Int]("RScore") === 1)
+    rows.foreach { r =>
+      val (rs, fs) = (r.getAs[Int]("RScore"), r.getAs[Int]("FScore"))
+      val exp = if (rs >= 4 && fs >= 4) "champion"
+        else if (rs >= 4) "recent" else if (fs >= 4) "at_risk" else "regular"
+      assert(r.getAs[String]("Segment") === exp)
+    }
+  }
+
+  test("cohort: month-0 retention is 1.0, rates bounded, cohort sizes sum to customer count") {
+    val cleaned = Transactions.cleaned(spark, sfDir)
+    val rows = Summaries.cohortRetention(cleaned).collect()
+    assert(rows.nonEmpty)
+    val m0 = rows.filter(_.getAs[Int]("MonthsSince") == 0)
+    m0.foreach(r => assert(r.getAs[Double]("RetentionRate") === 1.0))
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("RetentionRate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("NActive") <= r.getAs[Long]("CohortSize"))
+    }
+    val nCust = Summaries.sales(cleaned).select(col("CustomerID")).distinct().count()
+    assert(m0.map(_.getAs[Long]("CohortSize")).sum === nCust,
+      "every customer belongs to exactly one cohort")
+  }
+
+  test("anomalies: z-rule equals a BigInt recomputation over the hour-of-day baseline") {
+    val rows = graft.ops.EventsOps.hourlyAnomalies(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(r =>
+      (r.getAs[Int]("HourOfDay"), r.getAs[String]("event_type")))
+    val s2 = BigInt(graft.ops.EventsOps.AnomalySigmas).pow(2)
+    byBucket.foreach { case ((hod, et), rs) =>
+      val cs = rs.map(_.getAs[Long]("NEvents"))
+      val n = cs.length
+      val sc = cs.sum
+      val sc2 = cs.map(c => BigInt(c) * c).sum
+      val vt = BigInt(n) * sc2 - BigInt(sc) * sc
+      rs.foreach { r =>
+        assert(r.getAs[Long]("BucketN") === n.toLong)
+        val dev = BigInt(r.getAs[Long]("NEvents")) * n - sc
+        assert(BigInt(r.getAs[Long]("DevQ")) === dev)
+        assert(r.getAs[Boolean]("IsAnomaly") === (dev * dev > s2 * vt),
+          s"bucket ($hod,$et) flag")
+      }
+    }
+  }
+
   test("dq: testdata rule counts match independent recomputation (incl. the real dup-key finding)") {
     val rows = RelationalOps.dqChecks(spark, sfDir).collect()
     assert(rows.length === 6)
