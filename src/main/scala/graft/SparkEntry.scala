@@ -175,6 +175,8 @@ object SparkEntry {
     "events_dedup_latest_stream" -> (graft.streaming.EventsStream.dedupLatestStreamQuery _),
     // Append-mode flatMapGroupsWithState as-of view in the gate
     "events_asof_view_stream" -> (graft.streaming.EventsStream.asofViewStreamQuery _),
+    // foreachBatch curation firehose in the gate (zero state store)
+    "curate_decontaminate_stream" -> (graft.streaming.DocsStream.decontaminateStreamQuery _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
@@ -293,6 +295,7 @@ object SparkEntry {
     "events_funnel_stream" -> ExtSql.eventsFunnel,
     "events_dedup_latest_stream" -> ExtSql.eventsDedupLatest,
     "events_asof_view_stream" -> ExtSql.purchaseAsofView,
+    "curate_decontaminate_stream" -> ExtSql.curateDecontaminate,
     "window_daily_ranks" -> ExtSql.windowDailyRanks,
     "pivot_country_year" -> ExtSql.pivotCountryYear,
     "unpivot_country_metrics" -> ExtSql.unpivotCountryMetrics,

@@ -149,6 +149,14 @@ object CurateOps {
       .agg(
         countDistinct(col("EvalId")).cast(IntegerType).as("NEvalDocs"),
         countDistinct(col("Shingle")).cast(IntegerType).as("NSharedShingles"))
+    decontaminateShape(spark, dir, hits)
+  }
+
+  /** The zero-filled presentation over the train split, shared by the
+    * batch query and the streaming one-shot gate twin (whose hits come
+    * from the foreachBatch kernel instead of the in-plan join). */
+  private[graft] def decontaminateShape(spark: SparkSession, dir: String,
+                                        hits: DataFrame): DataFrame =
     docSplits(spark, dir).filter(col("Split") === "train").select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -157,7 +165,6 @@ object CurateOps {
         (coalesce(col("NSharedShingles"), lit(0)) >= ContaminationMinShingles)
           .as("IsContaminated"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-language keep-thresholds over the 0..255 sample-bucket space.
     * The synthetic corpus is ~44% English; sampling en at 84/256

@@ -65,6 +65,47 @@ object DocsStream {
       }
       .start()
 
+  /** Streaming twin of `curate_decontaminate` for the driver gate: the
+    * documents parquet staged as a one-shot firehose, every microbatch
+    * checked against the static eval shingle set via the foreachBatch
+    * kernel, hit rows accumulated and re-shaped through the SAME
+    * zero-fill presentation the batch query uses — so the batch oracle
+    * SQL hashes the streaming run directly. This puts the
+    * foreachBatch-against-static-relations pattern (zero state store,
+    * the ingestion-curation front door) inside the gate next to the
+    * five stateful one-shots. The driver-side hit buffer is
+    * contaminated-rows-sized (a production sink upserts hits to a
+    * table and the shaping is a view over it). */
+  def decontaminateStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft_decon_once")
+    try {
+      Files.copy(Paths.get(s"$dir/documents.parquet"),
+        streamDir.resolve("documents.parquet"))
+      val evalSh = CurateOps.evalShingles(spark, dir)
+      val buf = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = runDecontaminate(spark,
+        readDocsStream(spark, streamDir.toString), evalSh) { out =>
+        val rows = out.collect()
+        buf.synchronized { buf ++= rows }
+      }
+      q.processAllAvailable()
+      q.stop()
+      val hitSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("NEvalDocs", IntegerType),
+        org.apache.spark.sql.types.StructField("NSharedShingles", IntegerType)))
+      val hits = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava),
+        hitSchema)
+      CurateOps.decontaminateShape(spark, dir, hits)
+    } finally {
+      graft.ops.BucketedTables.deleteRecursively(streamDir)
+    }
+  }
+
   /** Drive the incremental-dedup kernel (DedupOps.incrementalAgainst —
     * one definition with the batch query) over a document stream,
     * invoking `sink` with each microbatch's verified matches (e.g. an
