@@ -73,6 +73,8 @@ object SparkEntry {
     "events_hourly" -> (EventsOps.hourly _),
     // seasonal-baseline anomaly flags (round 8): all-integer z-rule
     "events_hourly_anomalies" -> (EventsOps.hourlyAnomalies _),
+    // per-type distribution card: exact percentiles + fixed histogram
+    "events_value_distribution" -> (EventsOps.valueDistribution _),
     "events_json_stats" -> (EventsOps.jsonStats _),
     "events_dedup_latest" -> (EventsOps.dedupLatest _),
     "events_sessionize" -> (EventsOps.sessionize _),
@@ -215,6 +217,7 @@ object SparkEntry {
     "dim_scd2_customers" -> CoreSql.dimScd2Customers,
     "events_hourly" -> ExtSql.eventsHourly,
     "events_hourly_anomalies" -> ExtSql.eventsHourlyAnomalies,
+    "events_value_distribution" -> ExtSql.eventsValueDistribution,
     "events_json_stats" -> ExtSql.eventsJsonStats,
     "events_dedup_latest" -> ExtSql.eventsDedupLatest,
     "events_sessionize" -> ExtSql.eventsSessionize,

@@ -80,6 +80,54 @@ object EventsOps {
       .orderBy(col("HourTs"), col("event_type"))
   }
 
+  /** Histogram buckets per distribution card (shared with mirror). */
+  val DistBuckets = 10
+
+  /** VALUE DISTRIBUTION CARD — per event type, the numbers a
+    * monitoring dashboard or dataset card shows for a metric column:
+    * count, min/max, exact p50/p90/p99 (Spark's `percentile`
+    * interpolation rule ≡ DuckDB's `quantile_cont`, hash-verified
+    * corpus-wide by text_corpus_stats' precedent), an
+    * order-independent mean (floor-quantized LONG sum — the
+    * corpusStats playbook), and a fixed [[DistBuckets]]-bucket
+    * histogram pivoted to columns.
+    *
+    * Bucketing is `min(B-1, floor((v−min)·B/(max−min)))` — every step
+    * an exactly-rounded IEEE op on identical doubles, so bucket
+    * assignment is bit-identical across engines; a degenerate type
+    * (min = max) lands everything in bucket 0 via the same CASE both
+    * sides. Two passes over the events scan (bounds+percentiles, then
+    * bucket counts) — both partial-aggregated hash aggs on the tiny
+    * type key; the histogram pivot is a conditional-sum aggregate, not
+    * an Expand. */
+  def valueDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("N"),
+        min(col("value")).as("MinV"),
+        max(col("value")).as("MaxV"),
+        expr("percentile(value, 0.5)").as("P50"),
+        expr("percentile(value, 0.9)").as("P90"),
+        expr("percentile(value, 0.99)").as("P99"),
+        (sum(floor(col("value") * 1e9).cast(LongType)).cast(DoubleType)
+          / count(lit(1)) / 1e9).as("AvgValue"))
+    val b = DistBuckets
+    val bucketed = ev
+      .join(broadcast(stats.select(col("event_type"), col("MinV"), col("MaxV"))),
+        "event_type")
+      .withColumn("Bkt",
+        when(col("MaxV") === col("MinV"), lit(0)).otherwise(
+          least(lit(b - 1),
+            floor((col("value") - col("MinV")) * b / (col("MaxV") - col("MinV")))
+              .cast(IntegerType))))
+    val histCols = (0 until b).map(i =>
+      sum(when(col("Bkt") === i, 1L).otherwise(0L)).as(s"H$i"))
+    val hist = bucketed.groupBy(col("event_type")).agg(histCols.head, histCols.tail: _*)
+    stats.join(hist, "event_type")
+      .transform(graft.etl.Summaries.smallSort(_, col("event_type")))
+  }
+
   /** JSON property extraction (`props` is a JSON string). Uses
     * regexp_extract rather than from_json so the exact same expression
     * is portable to the oracle; the engine also exposes

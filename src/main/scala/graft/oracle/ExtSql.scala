@@ -69,6 +69,45 @@ ORDER BY "HourTs", h.event_type
 """
   }
 
+  /** Distribution-card mirror: quantile_cont ≡ Spark's percentile
+    * interpolation; identical quantized-long mean; identical bucket
+    * arithmetic (every step exactly-rounded on identical doubles). */
+  val eventsValueDistribution: String = {
+    val b = graft.ops.EventsOps.DistBuckets
+    val hist = (0 until b).map(i =>
+      s"""CAST(sum(CASE WHEN bkt = $i THEN 1 ELSE 0 END) AS BIGINT) AS "H$i"""")
+      .mkString(",\n         ")
+    s"""
+WITH st AS (
+  SELECT event_type, count(*) AS n,
+         min(value) AS minv, max(value) AS maxv,
+         quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.9) AS p90,
+         quantile_cont(value, 0.99) AS p99,
+         CAST(sum(CAST(floor(value * 1e9) AS BIGINT)) AS DOUBLE) / count(*) / 1e9 AS avgv
+  FROM events GROUP BY event_type
+),
+bk AS (
+  SELECT e.event_type,
+         CASE WHEN st.maxv = st.minv THEN 0
+              ELSE least($b - 1, CAST(floor((e.value - st.minv) * $b / (st.maxv - st.minv)) AS INTEGER))
+         END AS bkt
+  FROM events e JOIN st ON e.event_type = st.event_type
+),
+h AS (
+  SELECT event_type,
+         $hist
+  FROM bk GROUP BY event_type
+)
+SELECT st.event_type, st.n AS "N", st.minv AS "MinV", st.maxv AS "MaxV",
+       st.p50 AS "P50", st.p90 AS "P90", st.p99 AS "P99",
+       st.avgv AS "AvgValue",
+       ${(0 until b).map(i => s""""H$i"""").mkString(", ")}
+FROM st JOIN h ON st.event_type = h.event_type
+ORDER BY st.event_type
+"""
+  }
+
   val eventsDedupLatest: String = """
 WITH r AS (
   SELECT user_id, ts, event_type, value,

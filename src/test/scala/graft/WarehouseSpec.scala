@@ -144,6 +144,35 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("distribution: histograms partition the count, percentiles ordered, buckets recompute") {
+    val rows = graft.ops.EventsOps.valueDistribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val vals = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getDouble(1)) }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vs = vals(t)
+      assert(r.getAs[Long]("N") === vs.length.toLong)
+      val hs = (0 until graft.ops.EventsOps.DistBuckets)
+        .map(i => r.getAs[Long](s"H$i"))
+      assert(hs.sum === vs.length.toLong, s"$t histogram does not partition N")
+      assert(r.getAs[Double]("P50") <= r.getAs[Double]("P90"))
+      assert(r.getAs[Double]("P90") <= r.getAs[Double]("P99"))
+      assert(r.getAs[Double]("P99") <= r.getAs[Double]("MaxV"))
+      // recompute the buckets with the identical arithmetic
+      val (lo, hi) = (r.getAs[Double]("MinV"), r.getAs[Double]("MaxV"))
+      val b = graft.ops.EventsOps.DistBuckets
+      val exp = Array.fill(b)(0L)
+      vs.foreach { v =>
+        val k = if (hi == lo) 0
+          else math.min(b - 1, math.floor((v - lo) * b / (hi - lo)).toInt)
+        exp(k) += 1
+      }
+      assert(hs.toSeq === exp.toSeq, s"$t bucket counts")
+    }
+  }
+
   test("dq: testdata rule counts match independent recomputation (incl. the real dup-key finding)") {
     val rows = RelationalOps.dqChecks(spark, sfDir).collect()
     assert(rows.length === 6)
