@@ -162,6 +162,8 @@ object SparkEntry {
     // data-quality assertion suite (round 8): referential, uniqueness
     // and range rules over the star, one branch per rule
     "dq_checks" -> (RelationalOps.dqChecks _),
+    // group-median imputation report (fillna) with planted nulls
+    "clean_impute" -> (RelationalOps.imputeReport _),
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
@@ -285,6 +287,7 @@ object SparkEntry {
     "graph_pagerank" -> ExtSql.graphPagerank,
     "stats_correlation" -> ExtSql.statsCorrelation,
     "dq_checks" -> ExtSql.dqChecks,
+    "clean_impute" -> ExtSql.cleanImpute,
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,

@@ -242,6 +242,43 @@ object RelationalOps {
       .transform(graft.etl.Summaries.smallSort(_, col("RuleNo")))
   }
 
+  /** GROUP-MEDIAN IMPUTATION (fillna) — the data-prep staple the
+    * reference's cleaning stage sidesteps by dropping nulls (F1/F2):
+    * missing numerics filled with their GROUP's median, the robust
+    * default every prep library ships. The corpus has no organic nulls
+    * (declared schemas, synthetic data), so the query PLANTS them
+    * deterministically (l_orderkey ≡ 0 mod 37 — the piiRedact
+    * pattern) and reports the imputation per group: null count, the
+    * fill value (exact `percentile` median of the surviving values ≡
+    * DuckDB `quantile_cont`), and exact before/after sums in
+    * centi-units (quantities are integral, medians at worst x.5 —
+    * ×100 stays integer-exact, so the AFTER sum proves the fill
+    * arithmetic rather than trusting it).
+    *
+    * Scale shape: one scan, two hash aggs on the tiny group key (the
+    * median needs the full group pass; at extreme cardinality swap in
+    * `percentile_approx` — the customerSegmentsApprox trade). The
+    * per-row imputed output is the same `coalesce(v, FillValue)`
+    * broadcast join, elided here in favor of the verifiable report. */
+  def imputeReport(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        when(col("l_orderkey") % 37 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("l_quantity")).as("Q"))
+    planted.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("NRows"),
+        (count(lit(1)) - count(col("Q"))).as("NNulls"),
+        expr("percentile(Q, 0.5)").as("FillMedian"),
+        sum((col("Q") * 100).cast(LongType)).as("SumQ100Before"))
+      .withColumn("SumQ100After",
+        col("SumQ100Before") +
+          col("NNulls") * floor(col("FillMedian") * 100).cast(LongType))
+      .select(col("l_returnflag"), col("NRows"), col("NNulls"),
+        col("FillMedian"), col("SumQ100Before"), col("SumQ100After"))
+      .transform(graft.etl.Summaries.smallSort(_, col("l_returnflag")))
+  }
+
   /** Bivariate numeric profiling THE DETERMINISTIC WAY — per
     * (returnflag, linestatus) group, Pearson correlation, population
     * covariance, and stddevs between quantity and (whole-dollar) line

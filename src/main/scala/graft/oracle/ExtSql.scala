@@ -968,6 +968,28 @@ SELECT doc_id, ntokens AS "NTokens", sumbits AS "SumBits",
 FROM d CROSS JOIN corp ORDER BY doc_id
 """
 
+  /** Imputation-report mirror: identical planted nulls, quantile_cont
+    * median fill, and the same centi-unit exact before/after sums. */
+  val cleanImpute: String = """
+WITH p AS (
+  SELECT l_returnflag,
+         CASE WHEN l_orderkey % 37 = 0 THEN NULL ELSE l_quantity END AS q
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag,
+         count(*) AS nrows,
+         count(*) - count(q) AS nnulls,
+         quantile_cont(q, 0.5) AS fm,
+         CAST(sum(CAST(q * 100 AS BIGINT)) AS BIGINT) AS sb
+  FROM p GROUP BY l_returnflag
+)
+SELECT l_returnflag, nrows AS "NRows", nnulls AS "NNulls",
+       fm AS "FillMedian", sb AS "SumQ100Before",
+       sb + nnulls * CAST(floor(fm * 100) AS BIGINT) AS "SumQ100After"
+FROM g ORDER BY l_returnflag
+"""
+
   /** DQ-suite mirror: the same six rules as anti-join / uniqueness /
     * range counts; rates are the identical NViol/NChecked division;
     * the date contract comes from the shared RelationalOps constants. */

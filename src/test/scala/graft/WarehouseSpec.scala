@@ -173,6 +173,31 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("impute: planted-null report reconciles with a driver recomputation") {
+    val rows = RelationalOps.imputeReport(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val g = li(flag)
+      val nulls = g.count(_._2 % 37 == 0).toLong
+      assert(r.getAs[Long]("NRows") === g.length.toLong)
+      assert(r.getAs[Long]("NNulls") === nulls)
+      assert(nulls > 0, "planting exercised")
+      val kept = g.filter(_._2 % 37 != 0).map(_._3)
+      val before = kept.map(q => (q * 100).toLong).sum
+      assert(r.getAs[Long]("SumQ100Before") === before)
+      val fill = math.floor(r.getAs[Double]("FillMedian") * 100).toLong
+      assert(r.getAs[Long]("SumQ100After") === before + nulls * fill)
+      // median is within the kept values' range
+      assert(r.getAs[Double]("FillMedian") >= kept.min &&
+        r.getAs[Double]("FillMedian") <= kept.max)
+    }
+  }
+
   test("dq: testdata rule counts match independent recomputation (incl. the real dup-key finding)") {
     val rows = RelationalOps.dqChecks(spark, sfDir).collect()
     assert(rows.length === 6)
