@@ -264,6 +264,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dq referential rules plan as broadcast-able joins, never nested loops") {
+    val p = plan(graft.ops.RelationalOps.dqChecks(spark, sfDir))
+    // per-rule checked×violations crossJoins are 1-row broadcast
+    // frames (the A13 pattern); a CartesianProduct would mean a rule
+    // degenerated to a row-scale cross
+    assert(!p.contains("CartesianProduct"), p)
+    // the two referential rules are LeftAnti hash joins
+    assert("LeftAnti".r.findAllIn(p).length >= 2,
+      s"referential rules not planned as anti-joins:\n$p")
+  }
+
+  test("rfm and cohort windows run over post-aggregation frames only") {
+    val cleaned = Transactions.cleaned(spark, sfDir)
+    Seq(graft.etl.Summaries.customerRfm(cleaned),
+        graft.etl.Summaries.cohortRetention(cleaned)).foreach { df =>
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        // every window's child chain must contain an aggregate — the
+        // window never runs over raw transaction rows
+        val hasAggBelow = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+          case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+        }.nonEmpty
+        assert(hasAggBelow, s"window over raw rows:\n$w")
+      }
+    }
+  }
+
   test("pagerank rounds read the cached edge substrate, never rebuild the pair expansion") {
     val df = graft.ops.GraphOps.pagerank(spark, sfDir)
     // assert on the plan TREE: the cached relation is an
