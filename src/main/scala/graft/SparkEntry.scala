@@ -156,6 +156,8 @@ object SparkEntry {
     // integer-exact damped PageRank over the co-purchase graph
     // (round 8): Pregel-shaped join+agg per round, fixed horizon
     "graph_pagerank" -> (graft.ops.GraphOps.pagerank _),
+    // market-basket association report: support/confidence/lift
+    "basket_pair_lift" -> (graft.ops.GraphOps.basketPairLift _),
     // exact-power-sum bivariate stats (round 8): corr/covar/stddev
     // from order-free integer sums — reproducible where corr() is not
     "stats_correlation" -> (RelationalOps.statsCorrelation _),
@@ -285,6 +287,7 @@ object SparkEntry {
     "join_bloom_pruned" -> ExtSql.bloomPrunedJoin,
     "timeseries_gapfill" -> ExtSql.gapfillDaily,
     "graph_pagerank" -> ExtSql.graphPagerank,
+    "basket_pair_lift" -> ExtSql.basketPairLift,
     "stats_correlation" -> ExtSql.statsCorrelation,
     "dq_checks" -> ExtSql.dqChecks,
     "clean_impute" -> ExtSql.cleanImpute,

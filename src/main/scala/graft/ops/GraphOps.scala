@@ -99,6 +99,61 @@ object GraphOps {
     }
   }
 
+  /** Pairs reported by [[basketPairLift]]. */
+  val BasketTopK = 50
+
+  /** MARKET-BASKET PAIR ANALYSIS — support / confidence / lift for
+    * co-purchased part pairs, the classic association-mining report
+    * over the same basket universe as [[coPurchaseEdges]] (orders
+    * capped at [[MaxOrderParts]] distinct parts; the hot-key guard is
+    * part of the metric's definition, shared with the mirror).
+    *
+    * Every metric is a ratio of exact integer counts over one basket
+    * universe: support = both/N, confidence = both/n_A,
+    * lift = both·N/(n_A·n_B) — deterministic divisions of identical
+    * integers, so the doubles hash-match. Top-[[BasketTopK]] by
+    * (pair count desc, PartA, PartB) — a total order, planning as
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: baskets collect per order (bounded arrays), the pair
+    * expansion is the same capped HOF cross as the edge build but
+    * KEEPING per-order multiplicity collapsed to one row per (order,
+    * pair) — pair counts then hash-aggregate on uniform pair keys; the
+    * per-part order counts and the 1-row basket total broadcast back
+    * onto the pair table. */
+  def basketPairLift(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("OrderKey"), col("l_partkey").as("Part"))
+      .distinct()
+    val baskets = lp.groupBy(col("OrderKey"))
+      .agg(collect_list(col("Part")).as("Ps"))
+      .filter(size(col("Ps")) <= MaxOrderParts)
+    val total = baskets.agg(count(lit(1)).as("NBaskets"))
+    val partN = baskets
+      .select(explode(col("Ps")).as("Part"))
+      .groupBy(col("Part")).agg(count(lit(1)).as("NOrders"))
+    val pairs = baskets
+      .filter(size(col("Ps")) >= 2)
+      .select(explode(expr(
+        """filter(flatten(transform(Ps, x -> transform(Ps, y -> struct(x as A, y as B)))),
+          |  p -> p.A < p.B)""".stripMargin)).as("P"))
+      .select(col("P.A").as("PartA"), col("P.B").as("PartB"))
+      .groupBy(col("PartA"), col("PartB"))
+      .agg(count(lit(1)).as("NOrdersBoth"))
+    pairs
+      .join(partN.select(col("Part").as("PartA"), col("NOrders").as("NOrdersA")), "PartA")
+      .join(partN.select(col("Part").as("PartB"), col("NOrders").as("NOrdersB")), "PartB")
+      .crossJoin(broadcast(total))
+      .select(col("PartA"), col("PartB"), col("NOrdersBoth"),
+        col("NOrdersA"), col("NOrdersB"), col("NBaskets"),
+        (col("NOrdersBoth").cast(DoubleType) / col("NBaskets")).as("Support"),
+        (col("NOrdersBoth").cast(DoubleType) / col("NOrdersA")).as("Confidence"),
+        ((col("NOrdersBoth") * col("NBaskets")).cast(DoubleType) /
+          (col("NOrdersA") * col("NOrdersB"))).as("Lift"))
+      .orderBy(col("NOrdersBoth").desc, col("PartA"), col("PartB"))
+      .limit(BasketTopK)
+  }
+
   /** Fixed-horizon integer PageRank over [[coPurchaseEdges]]: per part,
     * its co-purchase degree and its rank in [[RankScale]] fixed-point
     * units after [[PageRankIters]] damped rounds from a uniform start.

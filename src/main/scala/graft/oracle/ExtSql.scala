@@ -1061,6 +1061,32 @@ SELECT l_returnflag, l_linestatus, n AS "N",
 FROM d ORDER BY l_returnflag, l_linestatus
 """
 
+  /** Market-basket mirror: the same capped basket universe (DuckDB
+    * builds pairs with a self-join; Spark runs the single-pass array
+    * expansion — identical pair sets), identical exact-integer-count
+    * ratios, identical total order for the top-k. */
+  val basketPairLift: String = {
+    import graft.ops.GraphOps.{BasketTopK, MaxOrderParts}
+    s"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+bs AS (SELECT ok FROM lp GROUP BY ok HAVING count(*) <= $MaxOrderParts),
+u AS (SELECT lp.ok, lp.part FROM lp JOIN bs ON lp.ok = bs.ok),
+tot AS (SELECT count(DISTINCT ok) AS nb FROM u),
+pn AS (SELECT part, count(*) AS na FROM u GROUP BY part),
+pr AS (SELECT a.part AS pa, b.part AS pb, count(*) AS nboth
+       FROM u a JOIN u b ON a.ok = b.ok AND a.part < b.part
+       GROUP BY a.part, b.part)
+SELECT pa AS "PartA", pb AS "PartB", nboth AS "NOrdersBoth",
+       x.na AS "NOrdersA", y.na AS "NOrdersB", tot.nb AS "NBaskets",
+       CAST(nboth AS DOUBLE) / tot.nb AS "Support",
+       CAST(nboth AS DOUBLE) / x.na AS "Confidence",
+       CAST(nboth * tot.nb AS DOUBLE) / (x.na * y.na) AS "Lift"
+FROM pr JOIN pn x ON pr.pa = x.part JOIN pn y ON pr.pb = y.part CROSS JOIN tot
+ORDER BY nboth DESC, pa, pb
+LIMIT $BasketTopK
+"""
+  }
+
   /** Integer-PageRank mirror: the same co-purchase edge list (via a
     * plain self-join — DuckDB's optimizer handles it; Spark runs the
     * single-pass array-expansion plan) and the SAME

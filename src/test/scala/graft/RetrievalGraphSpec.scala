@@ -211,6 +211,35 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("basket: pair metrics equal a driver recomputation; ordering is the declared total order") {
+    val rows = graft.ops.GraphOps.basketPairLift(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.ops.GraphOps.BasketTopK)
+    val lp = graft.etl.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = lp.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+      .filter(_.size <= graft.ops.GraphOps.MaxOrderParts).toSeq
+    val n = baskets.size.toLong
+    val partN = baskets.flatten.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    def both(a: Long, b: Long): Long = baskets.count(s => s(a) && s(b)).toLong
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("PartA"), r.getAs[Long]("PartB"))
+      assert(a < b)
+      assert(r.getAs[Long]("NBaskets") === n)
+      assert(r.getAs[Long]("NOrdersA") === partN(a))
+      assert(r.getAs[Long]("NOrdersB") === partN(b))
+      val nb = both(a, b)
+      assert(r.getAs[Long]("NOrdersBoth") === nb, s"pair ($a,$b)")
+      assert(r.getAs[Double]("Support") === nb.toDouble / n)
+      assert(r.getAs[Double]("Confidence") === nb.toDouble / partN(a))
+      assert(r.getAs[Double]("Lift") === (nb * n).toDouble / (partN(a) * partN(b)))
+    }
+    // declared total order: pair count desc, then (PartA, PartB)
+    val keys = rows.map(r => (-r.getAs[Long]("NOrdersBoth"),
+      r.getAs[Long]("PartA"), r.getAs[Long]("PartB"))).toSeq
+    assert(keys === keys.sorted, "output not in the declared order")
+  }
+
   test("stats: exact-power-sum Pearson agrees with Spark's corr to 1e-9 and is NULL-guarded") {
     val got = RelationalOps.statsCorrelation(spark, sfDir).collect()
     assert(got.nonEmpty)
