@@ -105,9 +105,26 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, startMs, gcMillis() - gc0, err)
     }
+    // host-load sample: the 1/5/15-min loadavg plus running/total task
+    // counts — read per pass so a pass-wide HOST stall (round-8 driver
+    // artifact: one ~10-min window inflating 69 alphabetically-adjacent
+    // queries) is attributable from the artifact alone, instead of
+    // reconstructed from per-sample timestamp gaps
+    def loadavg(): String =
+      try "\"" + scala.io.Source.fromFile("/proc/loadavg").mkString.trim + "\""
+      catch { case _: Throwable => "null" }
     // interleaved: full pass 1 over all queries, then pass 2, then pass 3
+    val passMeta = collection.mutable.ArrayBuffer.empty[String]
     val samples: Seq[Seq[(String, (Double, Long, Long, Option[String]))]] =
-      (1 to passes).map(_ => qs.map { case (name, fn) => (name, timed(fn)) })
+      (1 to passes).map { p =>
+        val load0 = loadavg()
+        val start = System.currentTimeMillis()
+        val t0 = System.nanoTime()
+        val out = qs.map { case (name, fn) => (name, timed(fn)) }
+        val wall = (System.nanoTime() - t0) / 1e9
+        passMeta += s"""{"pass":$p,"wall_sec":$wall,"start_ms":$start,"loadavg_start":${load0},"loadavg_end":${loadavg()}}"""
+        out
+      }
     val results = qs.map(_._1).zipWithIndex.map { case (name, i) =>
       val runs = samples.map(_(i)._2)
       val good = runs.collect { case (s, _, _, None) => s }
@@ -134,7 +151,8 @@ object Bench {
     val rddInfo = spark.sparkContext.getRDDStorageInfo
     val maxHeap = Runtime.getRuntime.maxMemory()
     val sjson = s"""{"cached_rdds":${rddInfo.length},"mem_bytes":${rddInfo.map(_.memSize).sum},"disk_bytes":${rddInfo.map(_.diskSize).sum},"max_heap_bytes":$maxHeap}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"raw":$rjson,"errors":$ejson,"storage":$sjson,"sf":"$sfDir"}"""
+    val pjson = passMeta.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"raw":$rjson,"errors":$ejson,"storage":$sjson,"passes":$pjson,"sf":"$sfDir"}"""
     println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
 import graft.etl.{Summaries, StarQueries, Transactions}
-import graft.ops.{AggMaintenance, CurateOps, DedupOps, EventsOps, MultimodalOps, RelationalOps, SimilarityOps, TextOps}
+import graft.ops.{AggMaintenance, CurateOps, DedupOps, EventsOps, MultimodalOps, RelationalOps, RetrievalOps, SimilarityOps, TextOps}
 import graft.oracle.{CoreSql, ExtSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -138,7 +138,14 @@ object SparkEntry {
     // per-cluster exact medoids in O(n·d) via the sum-vector identity
     "similarity_medoids" -> ((s: SparkSession, d: String) => SimilarityOps.medoids(s, d)),
     "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
+    // the declared next-decade assignment path (round 9): coarse-routed
+    // two-level Lloyd assignment, gated against its OWN DuckDB mirror
+    "similarity_semantic_dedup_hier" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedupHierarchical(s, d)),
     "similarity_incremental_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.incrementalDedup(s, d)),
+    // hybrid retrieval (round 9): reciprocal-rank fusion of the BM25
+    // and exact-cosine top-k substrates — two bounded top-k branches,
+    // one equi-join on (QueryId, doc_id)
+    "retrieval_hybrid_rrf" -> (RetrievalOps.hybridRrf _),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     "multimodal_framesample" -> (MultimodalOps.frameSample _),
@@ -273,7 +280,9 @@ object SparkEntry {
     "similarity_outliers" -> ExtSql.similarityOutliers,
     "similarity_medoids" -> ExtSql.similarityMedoids,
     "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
+    "similarity_semantic_dedup_hier" -> ExtSql.similaritySemanticDedupHier,
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
+    "retrieval_hybrid_rrf" -> ExtSql.retrievalHybridRrf,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,
     "multimodal_features" -> ExtSql.multimodalFeatures,

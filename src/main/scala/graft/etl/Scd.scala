@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{DateType, IntegerType}
   * one row per key with NEW values for the tracked attributes. Keys
   * whose tracked attributes differ from their current row get that row
   * CLOSED (`ValidTo` = effective date, `IsCurrent` = false) and a new
-  * `Version`+1 row opened; unchanged keys, no-op changes, and
+  * `Version`+1 row opened; change keys with no current row open a
+  * `Version` 1 row (insert); unchanged keys, no-op changes, and
   * historical rows pass through untouched.
   *
   * Scale shape: one equi-join of the current slice with the change
@@ -29,33 +30,49 @@ object Scd {
 
   /** Apply a type-2 change batch. `changes` must carry `key` plus the
     * `tracked` columns (new values); all other `current` columns are
-    * carried forward into the new version rows. */
+    * carried forward into the new version rows.
+    *
+    * Change semantics (null-aware): attribute comparison is NULL-SAFE
+    * (`<=>`), so a change row setting a tracked attribute to NULL *is*
+    * a real change (closes + re-opens), and NULL-to-NULL is a no-op —
+    * not the silent no-op a plain `=!=` + coalesce would produce.
+    * Change rows whose key has NO current dimension row are INSERTS:
+    * they open a `Version` = 1 row (`ValidFrom` = effective, open
+    * `ValidTo`, `IsCurrent`); non-tracked attribute columns of an
+    * inserted row are NULL because the change feed carries only
+    * key + tracked values. */
   def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
                 tracked: Seq[String], effective: Column): DataFrame = {
     val outCols = current.columns.map(col).toSeq
-    val cur = current.filter(col("IsCurrent"))
+    val cur = current.filter(col("IsCurrent")).withColumn("CurPresent", lit(true))
     val hist = current.filter(!col("IsCurrent"))
     val renamed = tracked.foldLeft(
       changes.select((key +: tracked).map(col): _*))(
       (d, c) => d.withColumnRenamed(c, s"New_$c"))
-    val joined = cur.join(renamed, Seq(key), "left")
-    // a key with no change row, or a no-op change, is NOT a new version
-    val differs = coalesce(
-      tracked.map(c => col(s"New_$c") =!= col(c)).reduce(_ || _), lit(false))
-    val unchanged = joined.filter(!differs).select(outCols: _*)
+      .withColumn("ChgPresent", lit(true))
+    // full outer: left-only = current keys without a change row
+    // (pass-through), right-only = inserts, both = candidate updates
+    val joined = cur.join(renamed, Seq(key), "full_outer")
+    val isInsert = col("CurPresent").isNull
+    // a key with no change row, or a no-op change, is NOT a new
+    // version; `<=>` makes set-to-NULL a detected change
+    val differs = col("ChgPresent").isNotNull && !isInsert &&
+      tracked.map(c => !(col(s"New_$c") <=> col(c))).reduce(_ || _)
+    val unchanged = joined.filter(!isInsert && !differs).select(outCols: _*)
     val closed = joined.filter(differs)
       .withColumn("ValidTo", effective.cast(DateType))
       .withColumn("IsCurrent", lit(false))
       .select(outCols: _*)
-    val opened = tracked.foldLeft(joined.filter(differs)) {
-        (d, c) => d.withColumn(c, col(s"New_$c"))
-      }
-      .withColumn("Version", (col("Version") + 1).cast(IntegerType))
-      .withColumn("ValidFrom", effective.cast(DateType))
-      .withColumn("ValidTo", lit(null).cast(DateType))
-      .withColumn("IsCurrent", lit(true))
-      .select(outCols: _*)
-    hist.union(unchanged).union(closed).union(opened)
+    def openVersion(d: DataFrame, version: Column): DataFrame =
+      tracked.foldLeft(d)((d, c) => d.withColumn(c, col(s"New_$c")))
+        .withColumn("Version", version.cast(IntegerType))
+        .withColumn("ValidFrom", effective.cast(DateType))
+        .withColumn("ValidTo", lit(null).cast(DateType))
+        .withColumn("IsCurrent", lit(true))
+        .select(outCols: _*)
+    val opened = openVersion(joined.filter(differs), col("Version") + 1)
+    val inserted = openVersion(joined.filter(isInsert), lit(1))
+    hist.union(unchanged).union(closed).union(opened).union(inserted)
   }
 
   /** Epoch of the synthetic dataset (dimension birth date). */

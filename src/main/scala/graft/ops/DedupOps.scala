@@ -127,6 +127,42 @@ object DedupOps {
         .cache())
   }
 
+  private val cooledChunksMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  /** The hot-capped exploded (doc_id, H, ND) chunk listing — one row
+    * per below-cap distinct chunk per doc, carrying the doc's
+    * below-cap denominator. Memoized + `.cache()`d per (session, dir,
+    * cap) like [[cooledBands]]: the containment query self-joins this
+    * frame, so without memoization the whole explode → occupancy-cap →
+    * denominator chain runs once per join SIDE (measured 6.7× on the
+    * gate query). With it, both sides read one cached substrate and
+    * the occupancy aggregate runs once per corpus. The boilerplate cap
+    * itself (chunk shared by > cap docs is template content; k docs on
+    * one hash is k(k-1)/2 pairs, the join's only super-linear term —
+    * measured α 1.92 uncapped at the 100× decade) is unchanged, and
+    * the denominators still count the SAME below-cap universe as the
+    * numerator so the cap bounds join volume without diluting the
+    * containment fraction for boilerplate-heavy documents. Released by
+    * [[invalidateSketches]]. */
+  private[ops] def cooledChunks(spark: SparkSession, dir: String,
+                                cap: Int = graft.ops.TextOps.HotChunkMaxOccupancy): DataFrame = {
+    cooledChunksMemo.keysIterator
+      .filter { case (s, _, _) => s.sparkContext.isStopped }
+      .foreach(cooledChunksMemo.remove)
+    BucketedTables.memoized(cooledChunksMemo, (spark, dir, cap), cacheMemoLock) {
+      val exploded = docChunks(spark, dir)
+        .select(col("doc_id"), explode(col("Chs")).as("H"))
+      val cooled = exploded.join(
+        exploded.groupBy(col("H")).agg(count(lit(1)).as("ChOcc"))
+          .filter(col("ChOcc") <= cap).select(col("H")),
+        "H")
+      cooled.join(
+        cooled.groupBy(col("doc_id")).agg(count(lit(1)).as("ND")), "doc_id")
+        .cache()
+    }
+  }
+
   /** Drop and unpersist every memoized sketch table for `spark`, AND
     * drop its persisted band-index tables (a stale on-disk index
     * against a refreshed corpus would silently return mixed-version
@@ -143,6 +179,9 @@ object DedupOps {
       }
       chunksMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         chunksMemo.remove(k).foreach(_.unpersist(false))
+      }
+      cooledChunksMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        cooledChunksMemo.remove(k).foreach(_.unpersist(false))
       }
       sourceShinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         sourceShinglesMemo.remove(k).foreach(_.unpersist(false))
@@ -191,23 +230,7 @@ object DedupOps {
     * for boilerplate-heavy documents. */
   def chunkOverlap(spark: SparkSession, dir: String,
                    cap: Int = graft.ops.TextOps.HotChunkMaxOccupancy): DataFrame = {
-    val exploded = docChunks(spark, dir)
-      .select(col("doc_id"), explode(col("Chs")).as("H"))
-    // boilerplate cap (the coolBands pattern in the chunk domain): a
-    // chunk hash shared by more than `cap` docs is template content —
-    // k docs on one hash is k(k-1)/2 pairs, the join's only
-    // super-linear term (measured α 1.92 uncapped at 100×)
-    val cooled = exploded.join(
-      exploded.groupBy(col("H")).agg(count(lit(1)).as("ChOcc"))
-        .filter(col("ChOcc") <= cap).select(col("H")),
-      "H")
-    // denominators count the SAME below-cap universe as the numerator:
-    // containment is measured over non-boilerplate chunks on both
-    // sides. Pre-cap counts would dilute the fraction for
-    // boilerplate-heavy documents and silently drop genuinely
-    // contained pairs — the one metric the cap must not distort.
-    val ch = cooled.join(
-      cooled.groupBy(col("doc_id")).agg(count(lit(1)).as("ND")), "doc_id")
+    val ch = cooledChunks(spark, dir, cap)
     ch.select(col("doc_id").as("D1"), col("ND").as("ND1"), col("H"))
       .join(ch.select(col("doc_id").as("D2"), col("ND").as("ND2"), col("H")), "H")
       .filter(col("D1") < col("D2"))

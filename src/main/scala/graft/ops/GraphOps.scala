@@ -92,9 +92,10 @@ object GraphOps {
         // at five rounds that halves the stage count
         .withColumn("OutDeg", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("Src"))))
-        // pre-shuffled on the join key once: every round's edge⋈rank
-        // join then reuses this layout instead of re-exchanging edges
-        .repartition(col("Src"))
+        // the window's own exchange leaves the data hash-partitioned
+        // on Src — the cached layout every round's edge⋈rank join
+        // reuses; an explicit repartition(Src) here would be a second
+        // consecutive shuffle on the same key
         .cache()
     }
   }
@@ -158,7 +159,19 @@ object GraphOps {
     * its co-purchase degree and its rank in [[RankScale]] fixed-point
     * units after [[PageRankIters]] damped rounds from a uniform start.
     * Hub parts (co-bought with many frequently-co-bought parts) rank
-    * highest — the "anchor product" signal. */
+    * highest — the "anchor product" signal.
+    *
+    * Int64 ceiling (the EventsOps/SimilarityOps documentation rule):
+    * the damping step multiplies a node's aggregate in-mass `InQ` by
+    * [[DampNum]] before the integer divide, so it overflows long once
+    * `InQ` nears `Long.MaxValue / DampNum` ≈ 1.08e17 units — at
+    * [[RankScale]] = 1e9 that is a single node absorbing ~1.08e8
+    * nodes' worth of rank mass, i.e. graphs around 1e8 nodes with one
+    * total-mass sink. Below that the arithmetic is exact; a caller at
+    * that scale should lower RankScale (rank precision trades 1:1
+    * against headroom) or promote the damping multiply to
+    * decimal(38,0) the way `similarity_outliers` does its
+    * cross-multiplied z-rule. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, dir)
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()

@@ -78,6 +78,9 @@ object SimilarityOps {
   val ProbeIdMax = 8
   /** Fixed k-means refinement rounds for the IVF codebook. */
   val KmeansRounds = 2
+  /** Coarse cells probed by the hierarchical assignment route
+    * ([[assignHierarchical]]); shared with the DuckDB mirror. */
+  val HierNProbe = 3
   /** Cosine threshold for [[semanticDedup]] — ALSO read by the DuckDB
     * mirror (ExtSql.similaritySemanticDedup). This corpus's near-dups
     * top out below 0.5 cosine (see the band-shape scaladoc), so 0.3
@@ -1320,7 +1323,7 @@ object SimilarityOps {
   }
 
   def assignHierarchical(vecs: DataFrame, fineCent: DataFrame,
-                         nprobe: Int = 3): DataFrame = {
+                         nprobe: Int = HierNProbe): DataFrame = {
     VectorExpressions.register(vecs.sparkSession)
     val k = fineCent.count().toInt
     val coarseK = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
@@ -1371,7 +1374,7 @@ object SimilarityOps {
   def semanticDedupHierarchical(spark: SparkSession, dir: String,
                                 threshold: Double = DefaultSemDedupThreshold,
                                 nCentroids: Int = DefaultNCentroids,
-                                nprobe: Int = 3): DataFrame = {
+                                nprobe: Int = HierNProbe): DataFrame = {
     val base = ivfIndexPath(spark, dir, nCentroids)
     val cent = spark.read.parquet(s"$base/codebook")
     val assigned = assignHierarchical(

@@ -1521,6 +1521,146 @@ ORDER BY m.vec_id
 """
   }
 
+  /** Hybrid-retrieval (RRF) mirror: the two branch mirrors nested
+    * VERBATIM as CTE subqueries (DuckDB allows a full WITH query
+    * inside a CTE), so branch semantics are shared by construction;
+    * fusion is `Σ 1/(K + rank)` over INTEGER ranks — each term one
+    * exactly-rounded double division (CAST 1 AS DOUBLE: a bare 1.0
+    * literal is DECIMAL in DuckDB, the HUGEINT house rule's cousin),
+    * the score one addition of two such doubles. Tie-break
+    * (score DESC, doc_id) is total, so fused ranks are deterministic. */
+  val retrievalHybridRrf: String = {
+    import graft.ops.RetrievalOps.{RrfK, RrfTopK}
+    val qids = graft.ops.TextOps.Bm25Queries.map(_._1).mkString(", ")
+    s"""
+WITH lex AS ($textBm25Topk),
+vec AS ($similarityTopk),
+u AS (
+  SELECT COALESCE(l."QueryId", CAST(v."QId" AS INTEGER)) AS qid,
+         COALESCE(l.doc_id, v."NId") AS did,
+         l."Rank" AS lexrank, v."Rank" AS vecrank
+  FROM lex l
+  FULL OUTER JOIN (SELECT * FROM vec WHERE "QId" IN ($qids)) v
+    ON l."QueryId" = v."QId" AND l.doc_id = v."NId"
+),
+s AS (
+  SELECT qid, did, lexrank, vecrank,
+         COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lexrank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + vecrank), CAST(0 AS DOUBLE)) AS score
+  FROM u
+),
+r AS (
+  SELECT qid, did, lexrank, vecrank, score,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS INTEGER) AS rn
+  FROM s
+)
+SELECT qid AS "QueryId", did AS doc_id,
+       lexrank AS "LexRank", vecrank AS "VecRank",
+       score AS "RrfScore", rn AS "Rank"
+FROM r WHERE rn <= $RrfTopK
+ORDER BY "QueryId", "Rank"
+"""
+  }
+
+  /** Hierarchical (coarse-routed) semantic-dedup mirror: the same
+    * fine codebook CTEs, then SimilarityOps.assignHierarchical
+    * transcribed step for step — coarse Lloyd over the fine centroids
+    * (seeds = fine cids < coarseK, same `//` update), fine→coarse
+    * cell assignment, routing each corpus vector to its HierNProbe
+    * nearest OCCUPIED coarse cells by (dist, cid), fine argmin within
+    * the routed cells by (dist, fcid) — and the flat mirror's pair
+    * semantics over the resulting assignment. This is an INDEPENDENT
+    * mirror of the two-level route itself, not an agreement claim
+    * against flat assignment: a vector whose true centroid lies
+    * outside its routed cells diverges from flat in BOTH engines
+    * identically (measured flat agreement at gate scale: 0.992), so
+    * the gate hash checks the exact hierarchical semantics.
+    * coarseK is round(√K) of the DEFAULT codebook size — the engine
+    * derives it from the surviving-centroid count at runtime, so this
+    * mirror assumes full seed survival (holds on this corpus; the
+    * kmeans-profile oracle would go red first if it ever broke). */
+  val similaritySemanticDedupHier: String = {
+    import graft.ops.SimilarityOps.{DefaultNCentroids, DefaultSemDedupThreshold, HierNProbe, KmeansRounds}
+    val coarseK = math.max(1, math.round(math.sqrt(DefaultNCentroids.toDouble)).toInt)
+    val dot = (a: String, b: String) =>
+      s"list_sum([$a.qv[i] * $b.cq[i] for i in range(1, len($a.qv)+1)])"
+    val coarseRounds = (1 to KmeansRounds).map { r =>
+      s""",
+ha$r AS (
+  SELECT vec_id AS avid, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nn - 2 * ${dot("v", "c")} + c.cn), c.cid) AS rn
+    FROM fv v CROSS JOIN h${r - 1} c
+  ) WHERE rn = 1
+),
+h${r}d AS (
+  SELECT a.cid, e.dim, CAST(sum(e.v) // count(*) AS BIGINT) AS cv
+  FROM fed e JOIN ha$r a ON e.vec_id = a.avid
+  GROUP BY a.cid, e.dim
+),
+h$r AS (
+  SELECT cid, list(cv ORDER BY dim) AS cq, CAST(sum(cv * cv) AS BIGINT) AS cn
+  FROM h${r}d GROUP BY cid
+)"""
+    }.mkString
+    val hFinal = s"h$KmeansRounds"
+    quantCte + codebookCtes + s""",
+fv AS (SELECT cid AS vec_id, cq AS qv, cn AS nn FROM $kmeansCFinal),
+fed AS (
+  SELECT vec_id, i AS dim, qv[i] AS v
+  FROM fv CROSS JOIN range(1, 65) t(i)
+),
+h0 AS (SELECT vec_id AS cid, qv AS cq, nn AS cn FROM fv WHERE vec_id < $coarseK)""" +
+      coarseRounds + s""",
+fc AS (
+  SELECT vec_id AS fcid, qv AS fq, nn AS fn, cid AS coarseid FROM (
+    SELECT v.vec_id, v.qv, v.nn, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nn - 2 * ${dot("v", "c")} + c.cn), c.cid) AS rn
+    FROM fv v CROSS JOIN $hFinal c
+  ) WHERE rn = 1
+),
+occ AS (
+  SELECT c.cid, c.cq, c.cn
+  FROM $hFinal c JOIN (SELECT DISTINCT coarseid AS cid FROM fc) u USING (cid)
+),
+rt AS (
+  SELECT vec_id, qv, nn, cid AS coarseid FROM (
+    SELECT v.vec_id, v.qv, v.nn, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (v.nn - 2 * ${dot("v", "c")} + c.cn), c.cid) AS rn
+    FROM n v CROSS JOIN occ c
+  ) WHERE rn <= $HierNProbe
+),
+haf AS (
+  SELECT vec_id, fcid AS cid FROM (
+    SELECT r2.vec_id, f.fcid,
+           row_number() OVER (PARTITION BY r2.vec_id ORDER BY
+             (r2.nn - 2 * list_sum([r2.qv[i] * f.fq[i] for i in range(1, len(r2.qv)+1)]) + f.fn),
+             f.fcid) AS rn
+    FROM rt r2 JOIN fc f ON r2.coarseid = f.coarseid
+  ) WHERE rn = 1
+),
+hmem AS (
+  SELECT h.vec_id, h.cid, v.label, v.qv, v.nn
+  FROM haf h JOIN n v USING (vec_id)
+),
+hpr AS (
+  SELECT b.vec_id AS v2, count(*) AS nd
+  FROM hmem a JOIN hmem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS DOUBLE)
+        / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) >= $DefaultSemDedupThreshold
+  GROUP BY b.vec_id
+)
+SELECT m.vec_id, CAST(m.cid AS BIGINT) AS "Cid", m.label,
+       CAST(COALESCE(p.nd, 0) AS BIGINT) AS "NDupEarlier",
+       (COALESCE(p.nd, 0) > 0) AS "IsDup"
+FROM hmem m LEFT JOIN hpr p ON m.vec_id = p.v2
+ORDER BY m.vec_id
+"""
+  }
+
   /** Incremental embedding-dedup mirror: new arrivals (vec_id ≡ 9
     * mod 10) route to their nprobe nearest FINAL centroids, then
     * exact-cosine-verify against only the standing corpus members

@@ -77,20 +77,39 @@ object DocsStream {
     * contaminated-rows-sized (a production sink upserts hits to a
     * table and the shaping is a view over it). */
   def decontaminateStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     val streamDir = Files.createTempDirectory("graft_decon_once")
     try {
-      Files.copy(Paths.get(s"$dir/documents.parquet"),
+      // stage file OR directory (a compacted corpus is one file; a
+      // written one is a dir of part files) — all staged files are
+      // visible before start(), and the parquet file source with no
+      // maxFilesPerTrigger takes every available file in ONE batch
+      def stage(src: Path, dst: Path): Unit =
+        if (Files.isDirectory(src)) {
+          Files.createDirectories(dst)
+          Files.list(src).forEach(p => stage(p, dst.resolve(p.getFileName)))
+        } else Files.copy(src, dst)
+      stage(Paths.get(s"$dir/documents.parquet"),
         streamDir.resolve("documents.parquet"))
       val evalSh = CurateOps.evalShingles(spark, dir)
       val buf = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = runDecontaminate(spark,
         readDocsStream(spark, streamDir.toString), evalSh) { out =>
         val rows = out.collect()
+        if (rows.nonEmpty) batches.incrementAndGet()
         buf.synchronized { buf ++= rows }
       }
       q.processAllAvailable()
       q.stop()
+      // countDistinct rows are NOT composable across batches by plain
+      // union (a doc split over two triggers would double-report) —
+      // the one-shot staging above guarantees a single batch; assert
+      // it rather than silently fan out in decontaminateShape
+      require(batches.get() <= 1,
+        s"decontaminateStreamQuery expected one-shot staging to yield one " +
+          s"microbatch with hits, saw ${batches.get()} — per-batch distinct " +
+          "counts do not compose by union")
       val hitSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),

@@ -316,4 +316,54 @@ class PlanSpec extends SparkSpec {
       s"a round re-derived the pair expansion instead of reading the cache:\n$sp")
     assert(!sp.toString.contains("CartesianProduct"), sp.toString)
   }
+
+  test("hierarchical assignment shuffles O(n·√K) rows — never the n·K flat-window blowup") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.SimilarityOps
+    // build the persisted index once so the assignment reads it
+    SimilarityOps.semanticDedup(spark, sfDir).write
+      .format("noop").mode("overwrite").save()
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir, SimilarityOps.DefaultNCentroids)
+    val vecs = spark.read.parquet(s"$base/lists")
+      .select(col("vec_id"), col("Q"), col("NormSq"))
+    val cent = spark.read.parquet(s"$base/codebook")
+    val n = vecs.count()
+    val k = cent.count()
+    val coarseK = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    // task-metrics accumulator: AQE hides exchanges inside query
+    // stages, so per-node plan metrics are awkward — total shuffle
+    // records written across the job is the quantity the claim is
+    // actually about
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          records.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SimilarityOps.assignHierarchical(vecs, cent).write
+        .format("noop").mode("overwrite").save()
+      // listener delivery is async: wait for the count to go quiet
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (last != records.get() && System.currentTimeMillis() < deadline) {
+        last = records.get()
+        Thread.sleep(300)
+      }
+      // Budget: routing windows over occupied coarse cells shuffle
+      // ≤ n·coarseK rows; the fine argmin aggregate and final rejoin
+      // are ≤ n each after partial aggregation; the coarse Lloyd over
+      // K centroids contributes ≤ 64·K dim rows per round. The flat
+      // assignment expressed as a window would shuffle n·K — at
+      // K = coarseK² that is structurally above this budget, which is
+      // the regression this test pins.
+      val budget = n * (coarseK + 3) + 64L * k * (SimilarityOps.KmeansRounds + 2)
+      val nk = n * k
+      assert(records.get() > 0L, "no shuffle records observed — listener broken?")
+      assert(records.get() <= budget,
+        s"hierarchical assignment shuffled ${records.get()} rows " +
+          s"(budget $budget, n=$n, K=$k) — an n·K term ($nk) is leaking in")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -192,6 +192,27 @@ class StreamingSpec extends SparkSpec {
     straddling.foreach { case (k, v) =>
       assert(batch(k) === v, s"cut-straddling window $k lost pre-restart state")
     }
+    // full batch-oracle equivalence over the finalized domain (the
+    // gate query's hash bar, applied across the restart): EVERY
+    // emitted window must carry exactly the batch value, and every
+    // batch window watermark-finalized by the last arrival (window
+    // end ≤ max ts − 30 min) must have been emitted — restart
+    // equivalence as "nothing wrong AND nothing missing", not just
+    // the one straddling hour
+    resumed.foreach { case (k, v) =>
+      assert(batch(k) === v, s"window $k diverged from the batch oracle across the restart")
+    }
+    val maxUs = raw.selectExpr("CAST(max(ts) AS BIGINT)").first().getLong(0) / 1000L
+    val finalizedBy = maxUs - 30L * 60L * 1000000L
+    val mustHave = batch.keySet.filter { case (hourTs, _) =>
+      val endUs = java.time.LocalDateTime
+        .parse(hourTs.stripSuffix(".0"),
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + 3600L * 1000000L
+      endUs <= finalizedBy
+    }
+    val missing = mustHave -- resumed.keySet
+    assert(missing.isEmpty, s"watermark-finalized windows lost across the restart: $missing")
   }
 
   test("dropDuplicatesWithinWatermark: twice-delivered stream dedups to the single-copy batch table") {
@@ -552,13 +573,25 @@ class StreamingSpec extends SparkSpec {
     // the FileStreamSource the other tests use. Update-mode sink rows
     // are per-trigger snapshots, so per-key NEvents is monotone and
     // the LAST snapshot per key must conserve the exact input total.
-    // recentProgress retains only numRecentProgressUpdates entries
-    // (default 100) — a slow run producing more microbatches would
-    // silently undercount `input` and fail the exact-equality check
-    // spuriously; raise the retention far past any plausible batch
-    // count for this ≤60 s stream (restored in the finally)
-    val prevRetention = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    // The input total comes from a StreamingQueryListener accumulator,
+    // NOT recentProgress: the progress buffer retains only
+    // numRecentProgressUpdates entries (default 100), so a slow run
+    // past 100 microbatches would silently undercount and fail the
+    // exact-equality check spuriously; the listener sees every
+    // progress event with no retention limit.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val nonEmptyBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "rate_hourly") {
+          inputRows.addAndGet(e.progress.numInputRows)
+          if (e.progress.numInputRows > 0) nonEmptyBatches.incrementAndGet()
+        }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener) // before start(): no missed events
     try {
       val ev = spark.readStream.format("rate")
         .option("rowsPerSecond", "500").option("numPartitions", "2").load()
@@ -570,15 +603,21 @@ class StreamingSpec extends SparkSpec {
         .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
         .format("memory").queryName("rate_hourly").start()
       val deadline = System.currentTimeMillis() + 60000
-      def nonEmpty = q.recentProgress.count(_.numInputRows > 0)
-      while (nonEmpty < 2 && System.currentTimeMillis() < deadline)
+      while (nonEmptyBatches.get() < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(200)
       q.processAllAvailable() // drain what the last trigger admitted
       q.stop()
-      assert(nonEmpty >= 2, "rate source never produced two non-empty batches")
-      assert(q.recentProgress.length < 10000,
-        "progress retention saturated — raise it further or shorten the stream")
-      val input = q.recentProgress.map(_.numInputRows).sum
+      // listener events are delivered async on the listener-bus
+      // thread: wait until the accumulator goes quiet before reading
+      val quietBy = System.currentTimeMillis() + 30000
+      var last = -1L
+      while (last != inputRows.get() && System.currentTimeMillis() < quietBy) {
+        last = inputRows.get()
+        Thread.sleep(500)
+      }
+      assert(nonEmptyBatches.get() >= 2,
+        "rate source never produced two non-empty batches")
+      val input = inputRows.get()
       val counted = spark.table("rate_hourly")
         .groupBy(col("WindowStart"), col("event_type"))
         .agg(max(col("NEvents")).as("N")) // last (= max) snapshot per key
@@ -586,10 +625,7 @@ class StreamingSpec extends SparkSpec {
       assert(input > 0L)
       assert(counted === input,
         s"windowed counts ($counted) do not conserve the unbounded input ($input)")
-    } finally prevRetention match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
-      case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
-    }
+    } finally spark.streams.removeListener(listener)
   }
 
   test("mapGroupsWithState sessionization matches batch sessionize") {

@@ -82,6 +82,72 @@ class WarehouseSpec extends SparkSpec {
     assert(out2.count(r => r.getAs[Long]("K") == 1L) === 2)
   }
 
+  test("scd2: two consecutive change batches sequence into adjacent version chains") {
+    import spark.implicits._
+    // key 1: changed by BOTH batches (3-version chain); key 2: only by
+    // batch 2 (2 versions); key 3: untouched (1 version)
+    val dim = Seq(
+      (1L, "A", 1, "2020-01-01", null.asInstanceOf[String], true),
+      (2L, "B", 1, "2020-01-01", null.asInstanceOf[String], true),
+      (3L, "C", 1, "2020-01-01", null.asInstanceOf[String], true))
+      .toDF("K", "Attr", "Version", "VF", "VT", "IsCurrent")
+      .select(col("K"), col("Attr"), col("Version"),
+        to_date(col("VF")).as("ValidFrom"), to_date(col("VT")).as("ValidTo"),
+        col("IsCurrent"))
+    val after1 = Scd.scd2Apply(dim, Seq((1L, "A2")).toDF("K", "Attr"),
+      "K", Seq("Attr"), to_date(lit("2021-01-01")))
+    val after2 = Scd.scd2Apply(after1,
+      Seq((1L, "A3"), (2L, "B2"), (3L, "C")).toDF("K", "Attr"),
+      "K", Seq("Attr"), to_date(lit("2022-01-01"))).collect()
+    assert(after2.length === 6) // 3 + 1 + 2 versions
+    val byKey = after2.groupBy(_.getAs[Long]("K"))
+    byKey.foreach { case (k, rs) =>
+      assert(rs.count(_.getAs[Boolean]("IsCurrent")) === 1, s"key $k current rows")
+      val chain = rs.sortBy(_.getAs[Int]("Version"))
+      assert(chain.map(_.getAs[Int]("Version")).toSeq === (1 to chain.length),
+        s"key $k versions not contiguous")
+      // ValidTo of version v must equal ValidFrom of version v+1, and
+      // only the last version may have an open ValidTo
+      chain.sliding(2).foreach {
+        case Array(prev, next) =>
+          assert(prev.getAs[java.sql.Date]("ValidTo") ===
+            next.getAs[java.sql.Date]("ValidFrom"), s"key $k chain not adjacent")
+        case _ => ()
+      }
+      assert(chain.last.isNullAt(chain.last.fieldIndex("ValidTo")))
+      assert(chain.dropRight(1).forall(r => !r.isNullAt(r.fieldIndex("ValidTo"))))
+    }
+    assert(byKey(1L).length === 3)
+    assert(byKey(1L).maxBy(_.getAs[Int]("Version")).getAs[String]("Attr") === "A3")
+    assert(byKey(2L).length === 2)
+    assert(byKey(3L).length === 1) // no-op change in batch 2
+  }
+
+  test("scd2: set-to-NULL is a real change and an unknown key is a version-1 insert") {
+    import spark.implicits._
+    val dim = Seq((1L, "A", 1, "2020-01-01", null.asInstanceOf[String], true))
+      .toDF("K", "Attr", "Version", "VF", "VT", "IsCurrent")
+      .select(col("K"), col("Attr"), col("Version"),
+        to_date(col("VF")).as("ValidFrom"), to_date(col("VT")).as("ValidTo"),
+        col("IsCurrent"))
+    val changes = Seq((1L, null.asInstanceOf[String]), (9L, "NEW"))
+      .toDF("K", "Attr")
+    val out = Scd.scd2Apply(dim, changes, "K", Seq("Attr"),
+      to_date(lit("2021-06-01"))).collect()
+    assert(out.length === 3)
+    val k1 = out.filter(_.getAs[Long]("K") == 1L).sortBy(_.getAs[Int]("Version"))
+    // null-safe inequality: A -> NULL closes v1 and opens a v2 with NULL
+    assert(k1.length === 2, "set-to-NULL must version (plain =!= would no-op)")
+    assert(k1(1).isNullAt(k1(1).fieldIndex("Attr")))
+    assert(k1(1).getAs[Boolean]("IsCurrent"))
+    val k9 = out.filter(_.getAs[Long]("K") == 9L)
+    assert(k9.length === 1, "unknown key must insert")
+    assert(k9.head.getAs[Int]("Version") === 1)
+    assert(k9.head.getAs[Boolean]("IsCurrent"))
+    assert(k9.head.getAs[String]("Attr") === "NEW")
+    assert(k9.head.getAs[java.sql.Date]("ValidFrom").toString === "2021-06-01")
+  }
+
   test("rfm: scores are balanced quintiles, anchor is corpus max, segments follow the case map") {
     val cleaned = Transactions.cleaned(spark, sfDir)
     val rows = Summaries.customerRfm(cleaned).collect()
