@@ -242,7 +242,9 @@ object EventsOps {
         min(col("cus") - col("vus")).as("MinLagUs"),
         max(col("cus") - col("vus")).as("MaxLagUs"),
         sum(col("cus") - col("vus")).as("SumLagUs"))
-      .transform(graft.etl.Summaries.smallSort(_, col("user_id")))
+      // user-dimension output (grows with the corpus): keep the
+      // presentation sort distributed per smallSort's applicability rule
+      .orderBy(col("user_id"))
   }
 
   /** Per-session ROWS via Spark's native `session_window` — the
@@ -271,7 +273,12 @@ object EventsOps {
         unix_micros(col("session_window.start")).as("StartUs"),
         unix_micros(col("session_window.end")).as("EndUs"),
         col("NEvents"), col("ValueSum"))
-      .transform(graft.etl.Summaries.smallSort(_, col("user_id"), col("StartUs")))
+      // DISTRIBUTED presentation sort: sessions ≈ events on this
+      // corpus (30-min gap ≪ mean inter-event gap), so the output is
+      // corpus-linear — smallSort's coalesce(1) would run the final
+      // session-merge aggregate in ONE task (measured 36.9 s vs ~4 s
+      // at the 10M-event decade; the range sort keeps it parallel)
+      .orderBy(col("user_id"), col("StartUs"))
 
   /** Sessionization with a 30-minute inactivity gap: lag + prefix-sum
     * of session-start flags, all in exact microsecond integers. */

@@ -1404,7 +1404,10 @@ object SimilarityOps {
         col("vec_id"), col("Cid"), col("label"),
         coalesce(col("NDupEarlier"), lit(0L)).as("NDupEarlier"),
         (coalesce(col("NDupEarlier"), lit(0L)) > 0).as("IsDup"))
-      .transform(graft.etl.Summaries.smallSort(_, col("vec_id")))
+      // per-VECTOR output (corpus-linear): distributed range sort, not
+      // smallSort — at the 20M-vector decade a coalesce(1) here would
+      // single-task the zero-fill join (smallSort's applicability rule)
+      .orderBy(col("vec_id"))
   }
 
   /** Incremental embedding dedup — the ingestion-time shape: a batch

@@ -317,6 +317,28 @@ class PlanSpec extends SparkSpec {
     assert(!sp.toString.contains("CartesianProduct"), sp.toString)
   }
 
+  test("hybrid RRF fuses two bounded top-k branches with one equi-join — no global sort, no cartesian") {
+    val df = graft.ops.RetrievalOps.hybridRrf(spark, sfDir)
+    val sp = df.queryExecution.sparkPlan
+    val p = sp.toString
+    // both branches must rank via per-group top-k (WindowGroupLimit
+    // rank pushdown), never a global sort of the scored stream
+    val wgl = "WindowGroupLimit".r.findAllIn(p).length
+    assert(wgl >= 2, s"expected 2 bounded top-k branches, found $wgl:\n$p")
+    // the fusion is an equi-join on (QueryId, doc_id): anything
+    // nested-loop here means the rank keys got lost
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is the vector branch's bounded
+    // probes×corpus scan (|probes| ≤ 8 by construction); the FUSION
+    // join itself must be hash-equi on the rank keys
+    val fusionJoins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.nonEmpty
+    }
+    assert(fusionJoins.exists(identity), s"no equi-join found in the fusion plan:\n$p")
+  }
+
   test("hierarchical assignment shuffles O(n·√K) rows — never the n·K flat-window blowup") {
     import org.apache.spark.sql.functions.col
     import graft.ops.SimilarityOps
