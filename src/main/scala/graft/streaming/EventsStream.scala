@@ -461,18 +461,35 @@ object EventsStream {
         lit("view").as("event_type"),
         lit(0.0).as("value"),
         lit("{}").as("props")), streamDir.resolve("b_flush.parquet"), t0 + 10000)
+      // FILE sink, not memory: sessions ≈ events on this corpus, so a
+      // memory sink would collect a corpus-linear result into the
+      // driver (measured ~9.5M rows/run at the 10M-event decade — the
+      // one-shot pattern's only non-distributed stage). The parquet
+      // sink keeps emission distributed; the result is read back and
+      // cache-materialized BEFORE the staging/sink dirs are deleted.
       val name = s"events_session_windows_stream_${onceCounter.incrementAndGet()}"
-      val q = sessionValueCounts(
-          readEventsStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)),
-          delay = "1 second")
-        .writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      spark.table(name)
-        .filter(col("user_id") >= 0)
-        .orderBy(col("user_id"), col("StartUs"))
+      val sinkDir = Files.createTempDirectory("graft_sess_sink")
+      val ckDir = Files.createTempDirectory("graft_sess_ck")
+      try {
+        val q = sessionValueCounts(
+            readEventsStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)),
+            delay = "1 second")
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckDir.toString)
+          .queryName(name)
+          .start(sinkDir.toString)
+        q.processAllAvailable()
+        q.stop()
+        val res = spark.read.parquet(sinkDir.toString)
+          .filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("StartUs"))
+          .cache()
+        res.count() // pin the blocks before the sink files vanish
+        res
+      } finally {
+        deleteRecursively(sinkDir)
+        deleteRecursively(ckDir)
+      }
     } finally {
       deleteRecursively(streamDir)
       Tables.forgetTsEncoding(streamDir.toString)
