@@ -143,6 +143,9 @@ object SimilarityOps {
       sigMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         sigMemo.remove(k).foreach(_.unpersist(false))
       }
+      hierAssignMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        hierAssignMemo.remove(k).foreach(_.unpersist(false))
+      }
     }
     // deletion under the same lock that guards builds, so an invalidate
     // racing a concurrent build-if-absent cannot delete a half-written
@@ -740,6 +743,11 @@ object SimilarityOps {
       } finally assigned.unpersist(false)
     }
     val (batches, routedIds) = routed
+    // OUTSIDE the build lock: hierAssigned's first-touch build holds
+    // cacheMemoLock while calling ivfIndexPath (which takes the build
+    // lock), so taking cacheMemoLock while holding the build lock here
+    // would be the classic AB/BA deadlock under Verify's concurrency
+    dropHierAssign(spark, dir, nCentroids)
     // skew check is PERIODIC: the per-Cid count scans the whole index
     if (batches % skewCheckEvery == 0) {
       val sizes = spark.read.parquet(s"$base/lists")
@@ -762,7 +770,14 @@ object SimilarityOps {
     * twin are derived from assignments, so both are dropped (they
     * lazily rebuild). */
   def reclusterIvfIndex(spark: SparkSession, dir: String,
-                        nCentroids: Int = DefaultNCentroids): Unit = ivfBuildLock.synchronized {
+                        nCentroids: Int = DefaultNCentroids): Unit = {
+    reclusterLocked(spark, dir, nCentroids)
+    // outside the build lock — same deadlock-ordering rule as ivfAppend
+    dropHierAssign(spark, dir, nCentroids)
+  }
+
+  private def reclusterLocked(spark: SparkSession, dir: String,
+                              nCentroids: Int): Unit = ivfBuildLock.synchronized {
     val base = ivfBase(spark, dir, nCentroids)
     val rows = spark.read.parquet(s"$base/lists")
       .select(col("vec_id"), col("Q"), col("NormSq"))
@@ -1371,17 +1386,48 @@ object SimilarityOps {
     * the √n-K policy its assignment is n^1.25 where flat is n^1.5;
     * divergence is confined to cluster-boundary vectors (measured in
     * OpsSpec, timed at 100× in PERFORMANCE.md). */
+  private val hierAssignMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
+
+  /** The hierarchical assignment as a memoized cached substrate per
+    * (session, dir, K, nprobe) — in production the assignment IS a
+    * materialized index artifact (it is what the persisted lists are
+    * for the flat path), so the coarse Lloyd + routing pipeline runs
+    * once per corpus and every consumer (the pair self-join reads it
+    * from BOTH sides) scans the cache. Released with the rest of the
+    * embedding substrates by [[invalidateQuantized]]. */
+  /** Drop the cached hierarchical assignments for (dir, K) — they
+    * derive from the persisted codebook+corpus, so every index
+    * MUTATION (append, recluster) must release them the way it drops
+    * the bucketed lists twin; the flat path needs no such hook only
+    * because it re-reads the lists files per plan. */
+  private def dropHierAssign(spark: SparkSession, dir: String, nCentroids: Int): Unit =
+    cacheMemoLock.synchronized {
+      hierAssignMemo.keysIterator
+        .filter { case (s, d, k, _) => (s eq spark) && d == dir && k == nCentroids }
+        .foreach { k => hierAssignMemo.remove(k).foreach(_.unpersist(false)) }
+    }
+
+  private def hierAssigned(spark: SparkSession, dir: String,
+                           nCentroids: Int, nprobe: Int): DataFrame = {
+    hierAssignMemo.keysIterator
+      .filter { case (s, _, _, _) => s.sparkContext.isStopped }
+      .foreach(hierAssignMemo.remove)
+    BucketedTables.memoized(hierAssignMemo, (spark, dir, nCentroids, nprobe), cacheMemoLock) {
+      val base = ivfIndexPath(spark, dir, nCentroids)
+      val cent = spark.read.parquet(s"$base/codebook")
+      assignHierarchical(
+        quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq")),
+        cent, nprobe).cache()
+    }
+  }
+
   def semanticDedupHierarchical(spark: SparkSession, dir: String,
                                 threshold: Double = DefaultSemDedupThreshold,
                                 nCentroids: Int = DefaultNCentroids,
-                                nprobe: Int = HierNProbe): DataFrame = {
-    val base = ivfIndexPath(spark, dir, nCentroids)
-    val cent = spark.read.parquet(s"$base/codebook")
-    val assigned = assignHierarchical(
-      quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq")),
-      cent, nprobe)
-    semanticDedupFrom(spark, dir, assigned, threshold)
-  }
+                                nprobe: Int = HierNProbe): DataFrame =
+    semanticDedupFrom(spark, dir,
+      hierAssigned(spark, dir, nCentroids, nprobe), threshold)
 
   private def semanticDedupFrom(spark: SparkSession, dir: String,
                                 lists: DataFrame, threshold: Double): DataFrame = {
