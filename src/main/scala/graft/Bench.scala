@@ -111,7 +111,8 @@ object Bench {
     // queries) is attributable from the artifact alone, instead of
     // reconstructed from per-sample timestamp gaps
     def loadavg(): String =
-      try "\"" + scala.io.Source.fromFile("/proc/loadavg").mkString.trim + "\""
+      try "\"" + java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim + "\""
       catch { case _: Throwable => "null" }
     // interleaved: full pass 1 over all queries, then pass 2, then pass 3
     val passMeta = collection.mutable.ArrayBuffer.empty[String]

@@ -44,34 +44,53 @@ object Scd {
   def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
                 tracked: Seq[String], effective: Column): DataFrame = {
     val outCols = current.columns.map(col).toSeq
-    val cur = current.filter(col("IsCurrent")).withColumn("CurPresent", lit(true))
+    val cur = current.filter(col("IsCurrent"))
     val hist = current.filter(!col("IsCurrent"))
     val renamed = tracked.foldLeft(
       changes.select((key +: tracked).map(col): _*))(
       (d, c) => d.withColumnRenamed(c, s"New_$c"))
       .withColumn("ChgPresent", lit(true))
-    // full outer: left-only = current keys without a change row
-    // (pass-through), right-only = inserts, both = candidate updates
-    val joined = cur.join(renamed, Seq(key), "full_outer")
-    val isInsert = col("CurPresent").isNull
+    // LEFT join (not full outer): the dimension side stays the probe
+    // side of a BroadcastHashJoin with the ingest-sized change batch —
+    // a full-outer join cannot broadcast and would shuffle the whole
+    // current slice per batch. Inserts ride a separate anti-join
+    // branch below (change-batch-sized on both sides).
+    val joined = cur.join(renamed, Seq(key), "left")
     // a key with no change row, or a no-op change, is NOT a new
     // version; `<=>` makes set-to-NULL a detected change
-    val differs = col("ChgPresent").isNotNull && !isInsert &&
+    val differs = col("ChgPresent").isNotNull &&
       tracked.map(c => !(col(s"New_$c") <=> col(c))).reduce(_ || _)
-    val unchanged = joined.filter(!isInsert && !differs).select(outCols: _*)
+    val unchanged = joined.filter(!differs).select(outCols: _*)
     val closed = joined.filter(differs)
       .withColumn("ValidTo", effective.cast(DateType))
       .withColumn("IsCurrent", lit(false))
       .select(outCols: _*)
-    def openVersion(d: DataFrame, version: Column): DataFrame =
-      tracked.foldLeft(d)((d, c) => d.withColumn(c, col(s"New_$c")))
-        .withColumn("Version", version.cast(IntegerType))
-        .withColumn("ValidFrom", effective.cast(DateType))
-        .withColumn("ValidTo", lit(null).cast(DateType))
-        .withColumn("IsCurrent", lit(true))
-        .select(outCols: _*)
-    val opened = openVersion(joined.filter(differs), col("Version") + 1)
-    val inserted = openVersion(joined.filter(isInsert), lit(1))
+    val opened = tracked.foldLeft(joined.filter(differs)) {
+        (d, c) => d.withColumn(c, col(s"New_$c"))
+      }
+      .withColumn("Version", (col("Version") + 1).cast(IntegerType))
+      .withColumn("ValidFrom", effective.cast(DateType))
+      .withColumn("ValidTo", lit(null).cast(DateType))
+      .withColumn("IsCurrent", lit(true))
+      .select(outCols: _*)
+    // inserts: change keys with no current row open a Version-1 row;
+    // the anti join keys on the (broadcastable) change batch, so this
+    // branch never touches the dimension beyond its key column
+    val curType = current.schema
+    val insertCols = curType.map { f =>
+      if (f.name == key) col(key)
+      else if (tracked.contains(f.name)) col(s"New_${f.name}").cast(f.dataType).as(f.name)
+      else f.name match {
+        case "Version" => lit(1).cast(f.dataType).as(f.name)
+        case "ValidFrom" => effective.cast(f.dataType).as(f.name)
+        case "ValidTo" => lit(null).cast(f.dataType).as(f.name)
+        case "IsCurrent" => lit(true).cast(f.dataType).as(f.name)
+        case _ => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val inserted = renamed
+      .join(cur.select(col(key)), Seq(key), "left_anti")
+      .select(insertCols: _*)
     hist.union(unchanged).union(closed).union(opened).union(inserted)
   }
 

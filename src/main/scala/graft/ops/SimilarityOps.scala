@@ -1413,13 +1413,20 @@ object SimilarityOps {
     hierAssignMemo.keysIterator
       .filter { case (s, _, _, _) => s.sparkContext.isStopped }
       .foreach(hierAssignMemo.remove)
-    BucketedTables.memoized(hierAssignMemo, (spark, dir, nCentroids, nprobe), cacheMemoLock) {
+    hierAssignMemo.getOrElse((spark, dir, nCentroids, nprobe), {
+      // resolve BOTH dependencies before entering the memo lock:
+      // memoized() runs its build closure INSIDE cacheMemoLock, and
+      // ivfIndexPath takes ivfBuildLock whose holder (buildIvfIndex)
+      // takes cacheMemoLock via quantized() — nesting either call
+      // under the memo lock is the AB/BA deadlock pair. Out here both
+      // acquisitions are un-nested; a racing first-toucher just
+      // resolves idempotent paths twice and loses the getOrElseUpdate.
       val base = ivfIndexPath(spark, dir, nCentroids)
+      val vecs = quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq"))
       val cent = spark.read.parquet(s"$base/codebook")
-      assignHierarchical(
-        quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq")),
-        cent, nprobe).cache()
-    }
+      BucketedTables.memoized(hierAssignMemo, (spark, dir, nCentroids, nprobe), cacheMemoLock)(
+        assignHierarchical(vecs, cent, nprobe).cache())
+    })
   }
 
   def semanticDedupHierarchical(spark: SparkSession, dir: String,

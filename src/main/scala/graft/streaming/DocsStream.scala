@@ -87,7 +87,9 @@ object DocsStream {
       def stage(src: Path, dst: Path): Unit =
         if (Files.isDirectory(src)) {
           Files.createDirectories(dst)
-          Files.list(src).forEach(p => stage(p, dst.resolve(p.getFileName)))
+          val listing = Files.list(src) // must close: holds a dir handle
+          try listing.forEach(p => stage(p, dst.resolve(p.getFileName)))
+          finally listing.close()
         } else Files.copy(src, dst)
       stage(Paths.get(s"$dir/documents.parquet"),
         streamDir.resolve("documents.parquet"))

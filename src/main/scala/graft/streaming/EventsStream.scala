@@ -468,6 +468,12 @@ object EventsStream {
       // sink keeps emission distributed; the result is read back and
       // cache-materialized BEFORE the staging/sink dirs are deleted.
       val name = s"events_session_windows_stream_${onceCounter.incrementAndGet()}"
+      // the SINK dir is deliberately NOT deleted: the returned frame
+      // reads it lazily (a cache-pinned copy instead would accumulate
+      // a corpus-linear cached relation per invocation in storage
+      // memory, with no unpersist seam once the frame is returned —
+      // parquet on tmp disk is the cheaper place for that residue);
+      // only the checkpoint and the staged input corpus are reclaimed
       val sinkDir = Files.createTempDirectory("graft_sess_sink")
       val ckDir = Files.createTempDirectory("graft_sess_ck")
       try {
@@ -480,14 +486,10 @@ object EventsStream {
           .start(sinkDir.toString)
         q.processAllAvailable()
         q.stop()
-        val res = spark.read.parquet(sinkDir.toString)
+        spark.read.parquet(sinkDir.toString)
           .filter(col("user_id") >= 0)
           .orderBy(col("user_id"), col("StartUs"))
-          .cache()
-        res.count() // pin the blocks before the sink files vanish
-        res
       } finally {
-        deleteRecursively(sinkDir)
         deleteRecursively(ckDir)
       }
     } finally {

@@ -330,13 +330,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     // the only nested-loop allowed is the vector branch's bounded
     // probes×corpus scan (|probes| ≤ 8 by construction); the FUSION
-    // join itself must be hash-equi on the rank keys
+    // join — the plan's one FullOuter node, which distinguishes it
+    // from the branches' own inner equi-joins — must itself be
+    // hash-equi on the rank keys (a refactor losing the
+    // QueryId/doc_id keys would plan it as BroadcastNestedLoopJoin)
+    import org.apache.spark.sql.catalyst.plans.FullOuter
     val fusionJoins = sp.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.nonEmpty
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.nonEmpty
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == FullOuter => j.leftKeys.nonEmpty
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType == FullOuter => j.leftKeys.nonEmpty
     }
-    assert(fusionJoins.exists(identity), s"no equi-join found in the fusion plan:\n$p")
+    assert(fusionJoins.nonEmpty && fusionJoins.forall(identity),
+      s"the FullOuter fusion join is not a keyed hash/merge join:\n$p")
   }
 
   test("hierarchical assignment shuffles O(n·√K) rows — never the n·K flat-window blowup") {
