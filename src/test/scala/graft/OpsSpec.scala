@@ -529,6 +529,16 @@ class OpsSpec extends SparkSpec {
     val pct = agree.toDouble / hier.size
     assert(pct >= 0.95,
       f"hierarchical/flat assignment agreement $pct%.4f < 0.95 (${hier.size - agree} diverge)")
+    // the gate oracle's independence is only MEANINGFUL while the
+    // corpus exercises route-vs-flat divergence (boundary vectors the
+    // nprobe routing resolves differently): if this ever fails after a
+    // testdata regeneration, the hier mirror has silently become
+    // equivalent to the flat one — not a bug, but the gate's "tests
+    // the route itself" claim should be re-established on a corpus
+    // with boundary vectors
+    assert(agree < hier.size,
+      "hierarchical assignment agrees with flat on EVERY vector — the hier " +
+        "oracle no longer exercises the two-level route's divergence cases")
     // deterministic: a second run is bit-identical
     val again = SimilarityOps.assignHierarchical(vecs, cent).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("Cid")).toMap
