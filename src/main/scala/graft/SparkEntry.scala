@@ -83,6 +83,9 @@ object SparkEntry {
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
     "text_langid" -> (TextOps.langid _),
+    // corpus-TRAINED char-trigram language-ID (round 9): per-class LM
+    // profiles + integer-surprisal argmin — the naive-Bayes shape
+    "text_langid_trained" -> (TextOps.langidTrained _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
@@ -90,6 +93,9 @@ object SparkEntry {
     "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
     "dedup_editdistance" -> (DedupOps.editDistancePairs _),
     "dedup_components" -> (DedupOps.components _),
+    // quality-aware survivor selection (round 9): keep-best-copy
+    // policy over the same clusters, argmax as a combinable aggregate
+    "dedup_survivor_quality" -> (DedupOps.componentsQualitySurvivors _),
     "dedup_incremental" -> (DedupOps.incremental _),
     // ---- corpus curation (split assignment + composite filter) ----
     "curate_split_assign" -> (CurateOps.splitAssign _),
@@ -236,12 +242,14 @@ object SparkEntry {
     "text_tokens" -> ExtSql.textTokens,
     "text_quality" -> ExtSql.textQuality,
     "text_langid" -> ExtSql.textLangid,
+    "text_langid_trained" -> ExtSql.textLangidTrained,
     "text_fingerprint" -> ExtSql.textFingerprint,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
     "dedup_editdistance" -> ExtSql.dedupEditDistance,
     "dedup_components" -> ExtSql.dedupComponents,
+    "dedup_survivor_quality" -> ExtSql.dedupSurvivorQuality,
     "dedup_incremental" -> ExtSql.dedupIncremental,
     "curate_split_assign" -> ExtSql.curateSplitAssign,
     "curate_corpus" -> ExtSql.curateCorpus,

@@ -953,6 +953,37 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** QUALITY-AWARE survivor selection — the keep-best policy real
+    * dedup pipelines apply instead of [[components]]' keep-lowest-id:
+    * within each near-dup cluster the surviving copy is the one with
+    * the highest quality score (ties to the lowest doc_id — exact
+    * copies share identical integer-derived scores, so the tie-break
+    * carries real weight). Reuses the verified-pair clustering and THE
+    * quality formula (TextOps.qualityScoreCol — single definition with
+    * the quality query and the mirror).
+    *
+    * The survivor argmax is an aggregate `min(struct(-score, doc_id))`
+    * — map-side combinable, so the per-cluster reduction shuffles one
+    * row per cluster, never a window sort over members; the survivor
+    * table joins back on ClusterId (cluster-count-sized — AQE
+    * broadcasts it at any realistic dup rate). Output is per-doc
+    * (corpus-linear), so presentation keeps the distributed range
+    * sort per smallSort's applicability rule. */
+  def componentsQualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir).select(col("D1"), col("D2"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val scored = componentsOf(pairs, ids)
+      .join(graft.ops.TextOps.quality(spark, dir)
+        .select(col("doc_id"), col("QualityScore")), "doc_id")
+    val survivors = scored.groupBy(col("ClusterId"))
+      .agg(min(struct(negate(col("QualityScore")), col("doc_id"))).as("mn"))
+      .select(col("ClusterId"), col("mn.doc_id").as("SurvivorId"))
+    scored.join(survivors, "ClusterId")
+      .select(col("doc_id"), col("ClusterId"), col("QualityScore"),
+        col("SurvivorId"), (col("doc_id") === col("SurvivorId")).as("IsSurvivor"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash-family sketch: 8 hex positions of per-token md5s, each
     * position's bit = coordinate mean ≥ 7.5 (integer compare: 2·sum ≥
     * 15·count). Docs sharing the 8-bit sketch land in one bucket.

@@ -89,6 +89,67 @@ object TextOps {
       .withColumn("QualityScore", qualityScoreCol(col("NTokens"), col("StopCount")))
       .orderBy(col("doc_id"))
 
+  /** TRAINED language-ID — the Cavnar–Trenkle char-trigram model as
+    * the corpus-trained companion to the fixed marker heuristic
+    * ([[langid]]), and the engine's per-CLASS LM classifier shape
+    * (naive-Bayes decision): per-language trigram profiles are
+    * learned from the labeled corpus, every doc is scored against
+    * every profile with the same Laplace integer-surprisal bits as
+    * [[perplexity]] (`len(bin((T_l+V) div (c_l+1))) - 1` — all
+    * integer arithmetic, bit-identical in DuckDB), predicted = argmin
+    * total bits with lexicographic tie-break. Languages come from the
+    * data (distinct labels), so an unseen-label corpus needs no code
+    * change — zh is covered here where the marker heuristic cannot be.
+    *
+    * Honesty note: on this synthetic corpus the text is drawn from ONE
+    * shared vocabulary regardless of label, so measured accuracy is
+    * label-prior noise — the gate verifies the train→score MECHANISM
+    * (profile table, broadcast grid, argmin decision), which is what
+    * transfers to a real multilingual corpus.
+    *
+    * Scale shape: the profile grid is (vocab × #langs) — vocab-scale,
+    * broadcast; training is one explode+agg pass; scoring is one more
+    * explode joined to the broadcast grid, aggregated on (doc, lang) —
+    * #langs·n rows through a combinable sum. Nothing is corpus×corpus. */
+  def langidTrained(spark: SparkSession, dir: String): DataFrame = {
+    val triSql = s"flatten(transform(filter($toksSql, t -> length(t) >= 3), " +
+      "tok -> transform(sequence(1, length(tok) - 2), i -> substring(tok, i, 3))))"
+    val dtri = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(expr(triSql)).as("Tri"))
+      .groupBy(col("doc_id"), col("lang"), col("Tri"))
+      .agg(count(lit(1)).cast(LongType).as("M"))
+    val langCnt = dtri.groupBy(col("lang"), col("Tri")).agg(sum(col("M")).as("C"))
+    val totals = langCnt.groupBy(col("lang")).agg(sum(col("C")).as("T"))
+    val vCount = langCnt.select(col("Tri")).distinct()
+      .agg(count(lit(1)).cast(LongType).as("V"))
+    // complete (lang, tri) grid: absent pairs get c = 0 (Laplace floor)
+    val grid = langCnt.select(col("Tri")).distinct()
+      .crossJoin(totals)
+      .join(langCnt, Seq("lang", "Tri"), "left")
+      .withColumn("C", coalesce(col("C"), lit(0L)))
+      .crossJoin(broadcast(vCount))
+      .withColumn("Bits",
+        (length(expr("bin((T + V) div (C + 1))")) - 1).cast(IntegerType))
+      .select(col("lang").as("PLang"), col("Tri"), col("Bits"))
+    val scores = dtri.select(col("doc_id"), col("Tri"), col("M"))
+      .join(broadcast(grid), "Tri")
+      .groupBy(col("doc_id"), col("PLang"))
+      .agg(sum(col("M") * col("Bits")).as("TotalBits"))
+    // zero-fill: a doc with no ≥3-char tokens scores 0 for every lang
+    // and resolves purely on the tie-break — still deterministic
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(totals.select(col("lang").as("PLang"))))
+    base.join(scores, Seq("doc_id", "PLang"), "left")
+      .withColumn("TotalBits", coalesce(col("TotalBits"), lit(0L)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(col("TotalBits"), col("PLang"))).as("mn"))
+      .select(col("doc_id"), col("lang").as("ActualLang"),
+        col("mn.PLang").as("Predicted"), col("mn.TotalBits").as("PredictedBits"),
+        (col("mn.PLang") === col("lang")).as("IsMatch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** N-gram-marker language-ID heuristic: count hits against per-lang
     * marker lists, argmax with a fixed preference order for ties. */
   def langid(spark: SparkSession, dir: String): DataFrame =

@@ -237,6 +237,58 @@ FROM c ORDER BY doc_id
 """
   }
 
+  /** Trained-langid mirror: identical trigram extraction (1-based
+    * substr over ≥3-char tokens, WITH multiplicity), identical Laplace
+    * integer-surprisal bits (`length(bin((T+V) // (c+1))) - 1` — the
+    * perplexity house trick, all-integer), identical argmin with
+    * lexicographic tie-break; sums CAST BIGINT up front per the
+    * HUGEINT rule. */
+  val textLangidTrained: String = toksCte + s""",
+tokx AS (
+  SELECT doc_id, lang, unnest(list_filter(t, x -> length(x) >= 3)) AS tok
+  FROM toks
+),
+trix AS (
+  SELECT doc_id, lang,
+         unnest([substr(tok, i, 3) for i in generate_series(1, length(tok) - 2)]) AS tri
+  FROM tokx
+),
+dtri AS (
+  SELECT doc_id, lang, tri, CAST(count(*) AS BIGINT) AS m
+  FROM trix GROUP BY doc_id, lang, tri
+),
+lc AS (SELECT lang, tri, CAST(sum(m) AS BIGINT) AS c FROM dtri GROUP BY lang, tri),
+tt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM lc GROUP BY lang),
+vv AS (SELECT CAST(count(DISTINCT tri) AS BIGINT) AS v FROM lc),
+grid AS (
+  SELECT tt.lang, d.tri,
+         CAST(length(bin((tt.t + vv.v) // (COALESCE(lc.c, 0) + 1))) - 1 AS INTEGER) AS bits
+  FROM (SELECT DISTINCT tri FROM lc) d CROSS JOIN tt CROSS JOIN vv
+  LEFT JOIN lc ON lc.lang = tt.lang AND lc.tri = d.tri
+),
+sc AS (
+  SELECT dt.doc_id, g.lang AS plang, CAST(sum(dt.m * g.bits) AS BIGINT) AS totalbits
+  FROM dtri dt JOIN grid g ON dt.tri = g.tri
+  GROUP BY dt.doc_id, g.lang
+),
+bse AS (
+  SELECT d.doc_id, d.lang, l.lang AS plang
+  FROM documents d CROSS JOIN (SELECT lang FROM tt) l
+),
+fl AS (
+  SELECT b.doc_id, b.lang, b.plang, COALESCE(sc.totalbits, 0) AS totalbits
+  FROM bse b LEFT JOIN sc ON b.doc_id = sc.doc_id AND b.plang = sc.plang
+),
+pick AS (
+  SELECT doc_id, lang, plang, totalbits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY totalbits, plang) AS rn
+  FROM fl
+)
+SELECT doc_id, lang AS "ActualLang", plang AS "Predicted",
+       totalbits AS "PredictedBits", (plang = lang) AS "IsMatch"
+FROM pick WHERE rn = 1 ORDER BY doc_id
+"""
+
   val textFingerprint: String = toksCte + s"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS "Fingerprint",
@@ -413,6 +465,38 @@ SELECT doc_id,
        cluster AS "ClusterId",
        (doc_id = cluster) AS "IsSurvivor"
 FROM comp ORDER BY doc_id
+"""
+
+  /** Quality-aware survivor mirror: the SAME recursive-CTE transitive
+    * closure as [[dedupComponents]], survivor = per-cluster argmax by
+    * (quality DESC, doc_id ASC) — the row_number transcription of the
+    * engine's `min(struct(-score, doc_id))` aggregate (identical
+    * ordering: negated-double ascending = score descending). */
+  val dedupSurvivorQuality: String = componentsCore + s""",
+qv AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) AS ntok,
+         CAST(len(list_filter(t, x -> x IN (${sqlList(TextOps.stopwords)}))) AS INTEGER) AS stopc
+  FROM toks
+),
+qq AS (
+  SELECT comp.doc_id, comp.cluster,
+         ${qualitySql("ntok", "stopc")} AS qs
+  FROM comp JOIN qv ON comp.doc_id = qv.doc_id
+),
+sv AS (
+  SELECT cluster, doc_id AS survivor FROM (
+    SELECT cluster, doc_id,
+           row_number() OVER (PARTITION BY cluster ORDER BY qs DESC, doc_id) AS rn
+    FROM qq
+  ) WHERE rn = 1
+)
+SELECT q.doc_id, CAST(q.cluster AS BIGINT) AS "ClusterId",
+       q.qs AS "QualityScore",
+       CAST(sv.survivor AS BIGINT) AS "SurvivorId",
+       (q.doc_id = sv.survivor) AS "IsSurvivor"
+FROM qq q JOIN sv ON q.cluster = sv.cluster
+ORDER BY q.doc_id
 """
 
   val dedupSimhash: String = {
