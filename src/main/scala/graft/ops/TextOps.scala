@@ -114,12 +114,21 @@ object TextOps {
   def langidTrained(spark: SparkSession, dir: String): DataFrame = {
     val triSql = s"flatten(transform(filter($toksSql, t -> length(t) >= 3), " +
       "tok -> transform(sequence(1, length(tok) - 2), i -> substring(tok, i, 3))))"
+    // the trigram table feeds the profile chain (counts → totals,
+    // vocab, grid: 3 consumers) AND the scoring join. Checkpointing
+    // langCnt (VOCAB-scale) collapses the profile chain to one dtri
+    // pass, so dtri executes twice total (profile + scoring) instead
+    // of ~4× (measured 43 s at 500k docs). dtri itself is deliberately
+    // NOT materialized: it is corpus-scale, and pinning it starves
+    // execution memory on small heaps (measured OOM at 500k docs under
+    // a 4 GiB driver) — two streaming passes are the safe shape.
     val dtri = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"), explode(expr(triSql)).as("Tri"))
       .groupBy(col("doc_id"), col("lang"), col("Tri"))
       .agg(count(lit(1)).cast(LongType).as("M"))
     val langCnt = dtri.groupBy(col("lang"), col("Tri")).agg(sum(col("M")).as("C"))
+      .localCheckpoint()
     val totals = langCnt.groupBy(col("lang")).agg(sum(col("C")).as("T"))
     val vCount = langCnt.select(col("Tri")).distinct()
       .agg(count(lit(1)).cast(LongType).as("V"))
