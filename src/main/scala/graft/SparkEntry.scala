@@ -116,6 +116,9 @@ object SparkEntry {
     // exact-substring span profile (round 8): per-doc duplicated-window
     // fraction, df-counted — NO pair join, no super-linear term
     "dedup_span_windows" -> (DedupOps.spanWindows _),
+    // span EXCISION (round 9): the removal rewrite on top of the span
+    // detection — owner copy kept, covered positions dropped elsewhere
+    "dedup_span_excise" -> (DedupOps.spanExcise _),
     // ---- text extensions: repetition filter, TF-IDF, PII redaction ----
     "text_repetition" -> (TextOps.repetition _),
     "text_tfidf" -> (TextOps.tfidf _),
@@ -262,6 +265,7 @@ object SparkEntry {
     "curate_mixture_balance" -> ExtSql.curateMixtureBalance,
     "dedup_simhash" -> ExtSql.dedupSimhash,
     "dedup_span_windows" -> ExtSql.dedupSpanWindows,
+    "dedup_span_excise" -> ExtSql.dedupSpanExcise,
     "text_repetition" -> ExtSql.textRepetition,
     "text_tfidf" -> ExtSql.textTfidf,
     "text_bm25_topk" -> ExtSql.textBm25Topk,

@@ -304,6 +304,61 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT-SUBSTRING EXCISION — the REMOVAL step on top of
+    * [[spanWindows]]' detection (Lee et al. 2022 run both: find
+    * duplicated spans, then rewrite the corpus without them). Policy:
+    * a duplicated window (hash in ≥ 2 distinct docs) keeps its copy in
+    * the OWNER doc (lowest doc_id containing that hash) and is excised
+    * everywhere else — token positions covered by any non-owned
+    * duplicated window are dropped and the text is rebuilt from the
+    * surviving tokens in order (single-space joined; the operator's
+    * contract is token-level, so original inter-token whitespace is
+    * not preserved).
+    *
+    * Everything is exact string/integer work (window md5s, position
+    * sets, min-owner), so the DuckDB mirror reproduces every rebuilt
+    * text byte-for-byte. Scale shape: three narrow corpus passes
+    * (window hashing ×2 consumers + the token listing), one
+    * hash-keyed owner aggregate, one (doc, pos) anti-join — NO pair
+    * join anywhere, the same property that made spanWindows' decade
+    * α 0.54: excision volume rides window df, never doc pairs. */
+  def spanExcise(spark: SparkSession, dir: String): DataFrame = {
+    val w = SpanWindowTokens
+    val docs = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .withColumn("Toks", expr(toksSql))
+    val wins = docs.select(col("doc_id"), posexplode(expr(
+      s"""CASE WHEN size(Toks) >= $w THEN
+         |  transform(sequence(1, size(Toks) - ${w - 1}),
+         |    i -> md5(array_join(slice(Toks, i, $w), ' ')))
+         |ELSE cast(array() as array<string>) END""".stripMargin))
+      .as(Seq("P0", "WH")))
+    val owner = wins.groupBy(col("WH"))
+      .agg(min(col("doc_id")).as("MinDoc"),
+        countDistinct(col("doc_id")).as("DfDocs"))
+      .filter(col("DfDocs") >= 2)
+    val covered = wins.join(owner, "WH")
+      .filter(col("doc_id") =!= col("MinDoc"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(cast(P0 + 1 as bigint), cast(P0 + $w as bigint))")).as("Pos"))
+      .distinct()
+    val kept = docs
+      .select(col("doc_id"), posexplode(col("Toks")).as(Seq("P0t", "Tok")))
+      .withColumn("Pos", (col("P0t") + 1).cast(LongType))
+      .join(covered, Seq("doc_id", "Pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("NKept"),
+        expr("array_join(transform(array_sort(collect_list(struct(Pos, Tok))), x -> x.Tok), ' ')")
+          .as("CleanText"))
+    docs.select(col("doc_id"), size(col("Toks")).cast(LongType).as("NTokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("NTokens"),
+        coalesce(col("NKept"), lit(0L)).as("NKept"),
+        (col("NTokens") - coalesce(col("NKept"), lit(0L))).as("NRemoved"),
+        coalesce(col("CleanText"), lit("")).as("CleanText"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures + LSH band values per doc (the sketch stage). */
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
     docBands(spark, dir)

@@ -1024,6 +1024,59 @@ FROM j ORDER BY doc_id
 """
   }
 
+  /** Span-excision mirror: identical windows/hashes as
+    * [[dedupSpanWindows]], owner = min doc_id per duplicated hash,
+    * covered = 16 positions per non-owned duplicated window, rebuild =
+    * position-ordered join of the surviving tokens. The double unnest
+    * in `tok` is DuckDB's positional zip (Spark's posexplode). */
+  val dedupSpanExcise: String = {
+    val w = graft.ops.DedupOps.SpanWindowTokens
+    toksCte + s""",
+wpos AS (
+  SELECT doc_id, t,
+         unnest(CASE WHEN len(t) >= $w THEN generate_series(1, len(t) - ${w - 1})
+                ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM toks
+),
+win AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(t, i, i + ${w - 1}), ' ')) AS wh
+  FROM wpos
+),
+own AS (
+  SELECT wh, min(doc_id) AS mindoc
+  FROM win GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+),
+cov0 AS (
+  SELECT w.doc_id, unnest(generate_series(w.i, w.i + ${w - 1})) AS pos
+  FROM win w JOIN own o ON w.wh = o.wh AND w.doc_id <> o.mindoc
+),
+cov AS (SELECT DISTINCT doc_id, pos FROM cov0),
+tok AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM toks
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tok tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nkept,
+         array_to_string(list(tok ORDER BY pos), ' ') AS cleantext
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS "NTokens",
+       COALESCE(reb.nkept, 0) AS "NKept",
+       CAST(len(t.t) AS BIGINT) - COALESCE(reb.nkept, 0) AS "NRemoved",
+       COALESCE(reb.cleantext, '') AS "CleanText"
+FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+ORDER BY t.doc_id
+"""
+  }
+
   /** Unigram-surprisal mirror: identical Laplace rarity
     * `(T+V) // (c+1)`, identical `len(bin(r)) - 1` integer log2, and
     * the same long sums — all integer arithmetic, so the only doubles

@@ -811,4 +811,41 @@ class OpsSpec extends SparkSpec {
     assert(graft.etl.Tables.eventsTsType(spark, dir) === LongType,
       "stale ts encoding served after an in-place nested rewrite")
   }
+
+  test("dedup: span excision keeps the owner copy and rewrites only the non-owner") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val w = DedupOps.SpanWindowTokens
+    // a 16-token shared run pasted into two docs with distinct tails;
+    // doc 10 (lowest id containing it) is the OWNER and keeps it
+    val shared = (1 to w).map(i => s"shared$i").mkString(" ")
+    val t10 = shared + " owner tail alpha"
+    val t20 = "copy head " + shared + " copy tail"
+    val t30 = "totally different words " + (1 to w).map(i => s"uniq$i").mkString(" ")
+    val tmp = Files.createTempDirectory("graft_excise")
+    Seq((10L, t10, "en", "a", t10.length.toLong),
+        (20L, t20, "en", "b", t20.length.toLong),
+        (30L, t30, "en", "c", t30.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = DedupOps.spanExcise(spark, tmp.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("NRemoved"), r.getAs[String]("CleanText")))).toMap
+    // owner keeps everything
+    assert(rows(10L)._1 === 0L)
+    assert(rows(10L)._2 === t10)
+    // the non-owner loses exactly the shared window's 16 positions
+    assert(rows(20L)._1 === w.toLong, s"got ${rows(20L)}")
+    assert(rows(20L)._2 === "copy head copy tail")
+    // an unrelated doc is untouched
+    assert(rows(30L)._1 === 0L)
+    assert(rows(30L)._2 === t30)
+    // conservation: NKept + NRemoved = NTokens and CleanText re-splits
+    // to NKept tokens on every row
+    DedupOps.spanExcise(spark, tmp.toString).collect().foreach { r =>
+      assert(r.getAs[Long]("NKept") + r.getAs[Long]("NRemoved") === r.getAs[Long]("NTokens"))
+      val n = r.getAs[String]("CleanText").split("\\s+").count(_.nonEmpty)
+      assert(n.toLong === r.getAs[Long]("NKept"), r.toString)
+    }
+  }
 }
