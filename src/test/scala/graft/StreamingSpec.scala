@@ -628,6 +628,63 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("mapGroupsWithState sessionization survives a checkpointed restart with exact state") {
+    import spark.implicits._
+    implicit val s = spark
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val raw = graft.etl.Tables.eventsRaw(spark, sfDir)
+    // split arrivals at the median event time: users with events on
+    // BOTH sides only reconcile with the batch answer if the explicit
+    // per-user GroupState (lastUs, nEvents, nSessions) survived the
+    // process restart — lost state would reset their running counts
+    val cutNs = raw.selectExpr("CAST(percentile_approx(ts, 0.5) AS BIGINT)").first().getLong(0)
+    val streamDir = Files.createTempDirectory("graft_mgs_in")
+    val ckDir = Files.createTempDirectory("graft_mgs_ck").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_mgs_half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+      try Files.copy(
+        part.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get,
+        streamDir.resolve(name))
+      finally part.close()
+    }
+    // the upsert sink: one map shared across both process incarnations
+    // (update mode re-emits only changed groups, so survivors of run 1
+    // keep their values and straddling users get overwritten in run 2)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+    def runOnce(): Unit = {
+      val events = EventsStream.readEventsStream(spark, streamDir.toString)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventsStream.Event]
+      val q = EventsStream.sessionCounts(events)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventsStream.UserSessions], _: Long) =>
+          b.collect().foreach(u => acc.put(u.user_id, (u.nEvents, u.nSessions)))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    stage(raw.filter(col("ts") <= cutNs), "a_half1.parquet")
+    runOnce()
+    stage(raw.filter(col("ts") > cutNs), "b_half2.parquet")
+    runOnce() // restart from the same checkpoint — resumes, not replays
+    val batch = EventsOps.sessionize(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("NEvents"), r.getAs[Long]("NSessions")))).toMap
+    // the premise that makes equality a state-survival proof
+    val h1 = raw.filter(col("ts") <= cutNs).select(col("user_id")).distinct()
+    val straddlers = h1.join(
+      raw.filter(col("ts") > cutNs).select(col("user_id")).distinct(),
+      Seq("user_id"), "inner").count()
+    assert(straddlers > 0L, "no user straddles the cut — restart untested")
+    assert(acc.asScala.toMap === batch,
+      "restarted mapGroupsWithState diverged from batch sessionize (state lost or replayed)")
+  }
+
   test("mapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     implicit val s = spark
