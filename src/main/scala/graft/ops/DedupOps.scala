@@ -273,16 +273,23 @@ object DedupOps {
     * left join, fraction 0.0). Within-doc repetition alone does NOT
     * count (df is per distinct doc) — that signal is
     * `text_repetition`'s job. */
-  def spanWindows(spark: SparkSession, dir: String): DataFrame = {
+  /** The [[SpanWindowTokens]]-token sliding-window md5 array over a
+    * `Toks` column — ONE definition for the detection query, the
+    * excision query, and (transcribed) the DuckDB mirrors; drift here
+    * is a silent hash mismatch in two gate rows. */
+  private def winHashArrSql: String = {
     val w = SpanWindowTokens
+    s"""CASE WHEN size(Toks) >= $w THEN
+       |  transform(sequence(1, size(Toks) - ${w - 1}),
+       |    i -> md5(array_join(slice(Toks, i, $w), ' ')))
+       |ELSE cast(array() as array<string>) END""".stripMargin
+  }
+
+  def spanWindows(spark: SparkSession, dir: String): DataFrame = {
     val wins = Tables.documents(spark, dir)
       .repartition(col("doc_id")) // single-file input: spread the md5 pass
       .withColumn("Toks", expr(toksSql))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(Toks) >= $w THEN
-           |  transform(sequence(1, size(Toks) - ${w - 1}),
-           |    i -> md5(array_join(slice(Toks, i, $w), ' ')))
-           |ELSE cast(array() as array<string>) END""".stripMargin)).as("WH"))
+      .select(col("doc_id"), explode(expr(winHashArrSql)).as("WH"))
     val dw = wins.groupBy(col("doc_id"), col("WH"))
       .agg(count(lit(1)).cast(IntegerType).as("PosCnt"))
     val perDoc = dw
@@ -327,12 +334,8 @@ object DedupOps {
     val docs = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .withColumn("Toks", expr(toksSql))
-    val wins = docs.select(col("doc_id"), posexplode(expr(
-      s"""CASE WHEN size(Toks) >= $w THEN
-         |  transform(sequence(1, size(Toks) - ${w - 1}),
-         |    i -> md5(array_join(slice(Toks, i, $w), ' ')))
-         |ELSE cast(array() as array<string>) END""".stripMargin))
-      .as(Seq("P0", "WH")))
+    val wins = docs.select(col("doc_id"),
+      posexplode(expr(winHashArrSql)).as(Seq("P0", "WH")))
     val owner = wins.groupBy(col("WH"))
       .agg(min(col("doc_id")).as("MinDoc"),
         countDistinct(col("doc_id")).as("DfDocs"))

@@ -1389,13 +1389,6 @@ object SimilarityOps {
   private val hierAssignMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
 
-  /** The hierarchical assignment as a memoized cached substrate per
-    * (session, dir, K, nprobe) — in production the assignment IS a
-    * materialized index artifact (it is what the persisted lists are
-    * for the flat path), so the coarse Lloyd + routing pipeline runs
-    * once per corpus and every consumer (the pair self-join reads it
-    * from BOTH sides) scans the cache. Released with the rest of the
-    * embedding substrates by [[invalidateQuantized]]. */
   /** Drop the cached hierarchical assignments for (dir, K) — they
     * derive from the persisted codebook+corpus, so every index
     * MUTATION (append, recluster) must release them the way it drops
@@ -1408,6 +1401,14 @@ object SimilarityOps {
         .foreach { k => hierAssignMemo.remove(k).foreach(_.unpersist(false)) }
     }
 
+  /** The hierarchical assignment as a memoized cached substrate per
+    * (session, dir, K, nprobe) — in production the assignment IS a
+    * materialized index artifact (it is what the persisted lists are
+    * for the flat path), so the coarse Lloyd + routing pipeline runs
+    * once per corpus and every consumer (the pair self-join reads it
+    * from BOTH sides) scans the cache. Released by
+    * [[invalidateQuantized]] and on index mutation by
+    * [[dropHierAssign]]. */
   private def hierAssigned(spark: SparkSession, dir: String,
                            nCentroids: Int, nprobe: Int): DataFrame = {
     hierAssignMemo.keysIterator

@@ -8,6 +8,24 @@ import graft.streaming.EventsStream
 /** Structured Streaming twins must agree with their batch siblings. */
 class StreamingSpec extends SparkSpec {
 
+  /** Write `df` as ONE parquet part file at `dst` — FileStreamSource
+    * staging shared by the restart/sentinel tests; `mtimeMs` pins the
+    * file's modification time (the source orders batches by it). */
+  private def stagePart(df: org.apache.spark.sql.DataFrame,
+                        dst: java.nio.file.Path,
+                        mtimeMs: Option[Long] = None): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_stage_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    try Files.copy(listing.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get, dst)
+    finally listing.close()
+    mtimeMs.foreach(ms => Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(ms)))
+  }
+
   test("streaming hourly agg over events parquet matches batch totals") {
     // FileStreamSource needs a directory: stage the events file into one
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -129,13 +147,8 @@ class StreamingSpec extends SparkSpec {
     // rows on BOTH sides — its final count is only correct if the
     // aggregation state survived the restart
     val cutNs = raw.selectExpr("CAST(percentile_approx(ts, 0.5) AS BIGINT)").first().getLong(0)
-    def stage(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft_half")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.copy(part, dir.resolve(name))
-    }
+    def stage(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path, name: String): Unit =
+      stagePart(df, dir.resolve(name))
     def runToCompletion(streamDir: String, outDir: String, ckDir: String): Unit = {
       val q = EventsStream.hourlyCounts(EventsStream.readEventsStream(spark, streamDir))
         .writeStream.outputMode(OutputMode.Append())
@@ -525,15 +538,8 @@ class StreamingSpec extends SparkSpec {
     // every real session's end, so append mode finalizes ALL of them —
     // the sentinel's own session stays in-flight and is never emitted
     val streamDir = Files.createTempDirectory("graft_stream_sess")
-    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_sess_half")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dst = streamDir.resolve(name)
-      Files.copy(part, dst)
-      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit =
+      stagePart(df, streamDir.resolve(name), Some(mtime))
     val t0 = System.currentTimeMillis() - 60000
     stage(raw.filter(col("ts") <= cutNs), "a_half1.parquet", t0)
     stage(raw.filter(col("ts") > cutNs), "b_half2.parquet", t0 + 10000)
@@ -641,15 +647,8 @@ class StreamingSpec extends SparkSpec {
     val cutNs = raw.selectExpr("CAST(percentile_approx(ts, 0.5) AS BIGINT)").first().getLong(0)
     val streamDir = Files.createTempDirectory("graft_mgs_in")
     val ckDir = Files.createTempDirectory("graft_mgs_ck").toString
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft_mgs_half")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-      try Files.copy(
-        part.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get,
-        streamDir.resolve(name))
-      finally part.close()
-    }
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      stagePart(df, streamDir.resolve(name))
     // the upsert sink: one map shared across both process incarnations
     // (update mode re-emits only changed groups, so survivors of run 1
     // keep their values and straddling users get overwritten in run 2)
