@@ -155,6 +155,9 @@ object SparkEntry {
     // and exact-cosine top-k substrates — two bounded top-k branches,
     // one equi-join on (QueryId, doc_id)
     "retrieval_hybrid_rrf" -> (RetrievalOps.hybridRrf _),
+    // RM3-style pseudo-relevance feedback (round 9): first-pass top-k
+    // as the feedback set, integer expansion weights, BM25 re-score
+    "retrieval_prf_expand" -> (RetrievalOps.prfExpand _),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     "multimodal_framesample" -> (MultimodalOps.frameSample _),
@@ -295,6 +298,7 @@ object SparkEntry {
     "similarity_semantic_dedup_hier" -> ExtSql.similaritySemanticDedupHier,
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
     "retrieval_hybrid_rrf" -> ExtSql.retrievalHybridRrf,
+    "retrieval_prf_expand" -> ExtSql.retrievalPrfExpand,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,
     "multimodal_features" -> ExtSql.multimodalFeatures,

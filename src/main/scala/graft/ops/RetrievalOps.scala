@@ -3,7 +3,9 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.etl.Tables
 
 /** HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (BM25)
   * and embedding (exact cosine top-k) ranked lists, the canonical
@@ -68,6 +70,102 @@ object RetrievalOps {
       .filter(col("Rank") <= RrfTopK)
       .select(col("QueryId"), col("doc_id"), col("LexRank"), col("VecRank"),
         col("RrfScore"), col("Rank"))
+      .orderBy(col("QueryId"), col("Rank"))
+  }
+
+  /** Expansion terms added per query by [[prfExpand]]. */
+  val PrfExpansionTerms = 3
+
+  /** PSEUDO-RELEVANCE FEEDBACK (RM3-style query expansion) — the third
+    * retrieval primitive after BM25 and RRF: the first-pass BM25 top-k
+    * per query is TREATED as relevant, candidate expansion terms are
+    * weighted by `Σ_d tf(t, d) · ScoreQ_d` over that feedback set
+    * (integer × quantized-long — exact and order-free; RM3's
+    * P(t|d)·P(q|d) shape with the engine's quantized score standing in
+    * for the query likelihood), the top-[[PrfExpansionTerms]] non-query
+    * terms (weight desc, term asc) join the query, and BM25 re-scores
+    * the corpus against the EXPANDED term sets. Everything downstream
+    * of the exact integer weights is the proven BM25 arithmetic, so
+    * the DuckDB mirror — which nests the first-pass mirror verbatim —
+    * hash-matches the reranked lists and the expansion terms.
+    *
+    * Scale shape: the feedback set is |queries|·k docs (their token
+    * pass is bounded, not corpus-scale); the second corpus pass is
+    * hit-sized on a still-tiny expanded vocabulary (explode ⋈
+    * broadcast term set); df rides a count-distinct over the hit
+    * table; per-query top-k is a WindowGroupLimit. No stage touches
+    * corpus×corpus. */
+  def prfExpand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TextExpressions.register(spark)
+    val k1 = TextOps.Bm25K1
+    val b = TextOps.Bm25B
+    val origTerms = TextOps.Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(qid -> _) }
+      .toDF("QueryId", "Term")
+    // (doc, token, tf) + doc length over the whole corpus — one pass
+    val docs = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .withColumn("TS", expr("token_stats(text)"))
+      .select(col("doc_id"), col("TS.NTokens").as("Dl"),
+        explode(expr(TextOps.toksSql)).as("Term"))
+    val stats = Tables.documents(spark, dir)
+      .withColumn("TS", expr("token_stats(text)"))
+      .agg(count(lit(1)).cast(IntegerType).as("NDocs"),
+        sum(col("TS.NTokens").cast(LongType)).as("SumDl"))
+    // stage 1: the EXISTING gate query is the feedback set
+    val fb = TextOps.bm25Topk(spark, dir)
+      .select(col("QueryId"), col("doc_id"), col("ScoreQ"))
+    // candidate weights over the FEEDBACK DOCS' vocabularies only (the
+    // broadcast semi-join keeps this pass |queries|·k-doc-sized — no
+    // corpus-wide tf aggregate exists anywhere in this query),
+    // original query terms excluded
+    val cand = docs.join(broadcast(fb), "doc_id")
+      .groupBy(col("QueryId"), col("ScoreQ"), col("doc_id"), col("Term"))
+      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+      .join(origTerms, Seq("QueryId", "Term"), "left_anti")
+      .groupBy(col("QueryId"), col("Term"))
+      .agg(sum(col("Tf").cast(LongType) * col("ScoreQ")).as("Wt"))
+    val wExp = Window.partitionBy(col("QueryId"))
+      .orderBy(col("Wt").desc, col("Term"))
+    val expansion = cand
+      .withColumn("rn", row_number().over(wExp))
+      .filter(col("rn") <= PrfExpansionTerms)
+      .select(col("QueryId"), col("Term"))
+    val allq = origTerms.union(expansion).distinct()
+    // stage 2: BM25 over the expanded per-query term sets — the tf
+    // pass joins the broadcast expanded vocabulary BEFORE aggregating,
+    // so the aggregate is hit-sized
+    val hit = docs.join(broadcast(allq.select(col("Term")).distinct()), "Term")
+      .groupBy(col("doc_id"), col("Dl"), col("Term"))
+      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+    val dft = hit.groupBy(col("Term"))
+      .agg(countDistinct(col("doc_id")).cast(IntegerType).as("Df"))
+    val scored = hit
+      .join(broadcast(dft), "Term")
+      .join(broadcast(allq), "Term")
+      .crossJoin(broadcast(stats))
+      .withColumn("AvgDl", col("SumDl").cast(DoubleType) / col("NDocs"))
+      .withColumn("Idf", (col("NDocs") - col("Df") + 0.5) / (col("Df") + 0.5))
+      .withColumn("K",
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("Dl") / col("AvgDl")))
+      .withColumn("S",
+        col("Idf") * (col("Tf") * lit(k1 + 1.0)) / (col("Tf") + col("K")))
+      .withColumn("Sq", floor(col("S") * 1e9).cast(LongType))
+    val wRank = Window.partitionBy(col("QueryId"))
+      .orderBy(col("ScoreQ").desc, col("doc_id"))
+    val expStr = expansion.groupBy(col("QueryId"))
+      .agg(expr("array_join(array_sort(collect_list(Term)), ',')").as("ExpTerms"))
+    scored.groupBy(col("QueryId"), col("doc_id"))
+      .agg(sum(col("Sq")).as("ScoreQ"),
+        count(lit(1)).cast(IntegerType).as("NTermsHit"))
+      .withColumn("Rank", row_number().over(wRank))
+      .filter(col("Rank") <= TextOps.Bm25TopK)
+      .join(broadcast(expStr), Seq("QueryId"), "left")
+      .withColumn("ExpTerms", coalesce(col("ExpTerms"), lit("")))
+      .withColumn("Score", col("ScoreQ").cast(DoubleType) / 1e9)
+      .select(col("QueryId"), col("doc_id"), col("NTermsHit"),
+        col("ScoreQ"), col("Score"), col("Rank"), col("ExpTerms"))
       .orderBy(col("QueryId"), col("Rank"))
   }
 }

@@ -1699,6 +1699,77 @@ ORDER BY "QueryId", "Rank"
 """
   }
 
+  /** PRF-expansion mirror: the first-pass mirror nested VERBATIM as
+    * the feedback CTE, expansion weights as exact BIGINT
+    * tf × quantized-score sums with (weight DESC, term) ranking, and
+    * the second pass the SAME proven BM25 arithmetic over the expanded
+    * per-query term sets. */
+  val retrievalPrfExpand: String = {
+    import graft.ops.RetrievalOps.PrfExpansionTerms
+    val k1 = TextOps.Bm25K1
+    val b = TextOps.Bm25B
+    val qvals = TextOps.Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    toksCte + s""",
+fb AS ($textBm25Topk),
+ex AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS dl, unnest(t) AS tok FROM toks),
+qterms(qid, tok) AS (VALUES $qvals),
+fbtf AS (
+  SELECT f."QueryId" AS qid, f."ScoreQ" AS sq, e.doc_id, e.tok,
+         CAST(count(*) AS INTEGER) AS tfc
+  FROM fb f JOIN ex e ON e.doc_id = f.doc_id
+  GROUP BY qid, sq, e.doc_id, e.tok
+),
+cand AS (
+  SELECT f.qid, f.tok, CAST(sum(CAST(f.tfc AS BIGINT) * f.sq) AS BIGINT) AS wt
+  FROM fbtf f
+  WHERE NOT EXISTS (SELECT 1 FROM qterms q WHERE q.qid = f.qid AND q.tok = f.tok)
+  GROUP BY f.qid, f.tok
+),
+expn AS (
+  SELECT qid, tok FROM (
+    SELECT qid, tok,
+           row_number() OVER (PARTITION BY qid ORDER BY wt DESC, tok) AS rn
+    FROM cand
+  ) WHERE rn <= $PrfExpansionTerms
+),
+allq AS (SELECT qid, tok FROM qterms UNION SELECT qid, tok FROM expn),
+hit AS (
+  SELECT e.doc_id, e.dl, e.tok, CAST(count(*) AS INTEGER) AS tfc
+  FROM ex e JOIN (SELECT DISTINCT tok FROM allq) dt ON e.tok = dt.tok
+  GROUP BY e.doc_id, e.dl, e.tok
+),
+dft AS (SELECT tok, CAST(count(DISTINCT doc_id) AS INTEGER) AS dfc FROM hit GROUP BY tok),
+st AS (SELECT CAST(count(*) AS INTEGER) AS ndocs,
+              CAST(sum(len(t)) AS BIGINT) AS sumdl FROM toks),
+s2 AS (
+  SELECT a.qid, h.doc_id,
+         CAST(floor(
+           (((ndocs - dfc + CAST(0.5 AS DOUBLE)) / (dfc + CAST(0.5 AS DOUBLE)))
+            * (tfc * CAST(${k1 + 1.0} AS DOUBLE))
+            / (tfc + CAST($k1 AS DOUBLE)
+               * (CAST(${1.0 - b} AS DOUBLE)
+                  + CAST($b AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / ndocs))))
+           * 1e9) AS BIGINT) AS sq
+  FROM hit h JOIN dft USING (tok) JOIN allq a ON a.tok = h.tok CROSS JOIN st
+),
+g2 AS (SELECT qid, doc_id, CAST(sum(sq) AS BIGINT) AS scoreq,
+              CAST(count(*) AS INTEGER) AS nhit
+       FROM s2 GROUP BY qid, doc_id),
+es AS (SELECT qid, array_to_string(list(tok ORDER BY tok), ',') AS expterms
+       FROM expn GROUP BY qid),
+r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY scoreq DESC, doc_id) AS INTEGER) AS rn
+       FROM g2)
+SELECT r2.qid AS "QueryId", r2.doc_id, r2.nhit AS "NTermsHit",
+       r2.scoreq AS "ScoreQ", CAST(r2.scoreq AS DOUBLE) / 1e9 AS "Score",
+       r2.rn AS "Rank", COALESCE(es.expterms, '') AS "ExpTerms"
+FROM r2 LEFT JOIN es ON r2.qid = es.qid
+WHERE r2.rn <= ${TextOps.Bm25TopK}
+ORDER BY "QueryId", "Rank"
+"""
+  }
+
   /** Hierarchical (coarse-routed) semantic-dedup mirror: the same
     * fine codebook CTEs, then SimilarityOps.assignHierarchical
     * transcribed step for step — coarse Lloyd over the fine centroids
