@@ -262,4 +262,41 @@ class RetrievalGraphSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("StddevX") - esx) < 1e-9, s"$k stddev")
     }
   }
+
+  test("prf: expansion is exactly 3 fresh corpus terms per query and the rerank stays consistent") {
+    import graft.ops.{RetrievalOps, TextOps}
+    val rows = RetrievalOps.prfExpand(spark, sfDir).collect()
+    val orig = TextOps.Bm25Queries.toMap.map { case (q, s) => q -> s.split("\\s+").toSet }
+    val byQ = rows.groupBy(_.getAs[Int]("QueryId"))
+    assert(byQ.keySet === orig.keySet, "every query must produce a reranked list")
+    byQ.foreach { case (q, rs) =>
+      // one expansion string per query, PrfExpansionTerms fresh terms,
+      // none of them original query terms
+      val expSets = rs.map(_.getAs[String]("ExpTerms")).distinct
+      assert(expSets.length === 1, s"query $q has inconsistent ExpTerms")
+      val exp = expSets.head.split(",").filter(_.nonEmpty).toSet
+      assert(exp.size === RetrievalOps.PrfExpansionTerms, s"query $q expansion $exp")
+      assert(exp.intersect(orig(q)).isEmpty, s"query $q re-added its own terms: $exp")
+      // ranked list shape: contiguous ranks, ScoreQ non-increasing,
+      // every hit count bounded by the expanded vocabulary
+      val sorted = rs.sortBy(_.getAs[Int]("Rank"))
+      assert(sorted.map(_.getAs[Int]("Rank")).toSeq === (1 to rs.length))
+      assert(rs.length <= TextOps.Bm25TopK)
+      val scores = sorted.map(_.getAs[Long]("ScoreQ"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"query $q not ranked by score")
+      rs.foreach { r =>
+        assert(r.getAs[Int]("NTermsHit") <= orig(q).size + RetrievalOps.PrfExpansionTerms)
+      }
+    }
+    // the feedback loop genuinely changes at least one query's ranking
+    // (else the expansion did nothing on this corpus and the operator
+    // is untested at gate scale)
+    val firstPass = TextOps.bm25Topk(spark, sfDir).collect()
+      .groupBy(_.getAs[Int]("QueryId"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Int]("Rank")).map(_.getAs[Long]("doc_id")).toSeq }
+    val second = byQ.map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Int]("Rank")).map(_.getAs[Long]("doc_id")).toSeq }
+    assert(firstPass.exists { case (q, docs) => second(q) != docs },
+      "expansion changed no ranking — the PRF loop is vacuous on this corpus")
+  }
 }
