@@ -86,6 +86,9 @@ object SparkEntry {
     // corpus-TRAINED char-trigram language-ID (round 9): per-class LM
     // profiles + integer-surprisal argmin — the naive-Bayes shape
     "text_langid_trained" -> (TextOps.langidTrained _),
+    // corpus novelty (round 9): first-seen shingle fraction per doc —
+    // the novelty-weighted-sampling signal, complement of dup flags
+    "text_novelty" -> (TextOps.novelty _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
@@ -249,6 +252,7 @@ object SparkEntry {
     "text_quality" -> ExtSql.textQuality,
     "text_langid" -> ExtSql.textLangid,
     "text_langid_trained" -> ExtSql.textLangidTrained,
+    "text_novelty" -> ExtSql.textNovelty,
     "text_fingerprint" -> ExtSql.textFingerprint,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,

@@ -89,6 +89,40 @@ object TextOps {
       .withColumn("QualityScore", qualityScoreCol(col("NTokens"), col("StopCount")))
       .orderBy(col("doc_id"))
 
+  /** CORPUS NOVELTY — per doc, the fraction of its distinct trigram
+    * shingles whose FIRST appearance (min doc_id — the corpus's
+    * canonical ingestion order) is this doc. Mostly-derivative docs
+    * (near-dup copies, template-heavy boilerplate) score near 0, the
+    * complement signal to the dup detectors, and the weight
+    * novelty-biased sampling runs on. Shares the dedup family's
+    * shingle definition (`token_shingles`, distinct per doc), so the
+    * mirror transcribes the same windows.
+    *
+    * Scale shape: one shingle explode, one shingle-keyed min aggregate
+    * (uniform keys — the same distribution the LSH band join rides),
+    * one doc aggregate, a zero-fill left join. No pair join, no
+    * super-linear term. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.ShingleExpressions.register(spark)
+    val sh = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(expr("token_shingles(text, 3)")).as("Sh"))
+    val first = sh.groupBy(col("Sh")).agg(min(col("doc_id")).as("FirstDoc"))
+    val agg = sh.join(first, "Sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("NShingles"),
+        sum(when(col("FirstDoc") === col("doc_id"), 1L).otherwise(0L)).as("NNovel"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("NShingles"), lit(0L)).as("NShingles"),
+        coalesce(col("NNovel"), lit(0L)).as("NNovel"))
+      .withColumn("NoveltyFrac",
+        when(col("NShingles") === 0, lit(0.0))
+          .otherwise(col("NNovel").cast(DoubleType) / col("NShingles")))
+      .orderBy(col("doc_id"))
+  }
+
   /** TRAINED language-ID — the Cavnar–Trenkle char-trigram model as
     * the corpus-trained companion to the fixed marker heuristic
     * ([[langid]]), and the engine's per-CLASS LM classifier shape

@@ -237,6 +237,28 @@ FROM c ORDER BY doc_id
 """
   }
 
+  /** Novelty mirror: the dedup family's distinct trigram shingles,
+    * first-seen owner = min doc_id, per-doc novel fraction with the
+    * zero-fill left join. */
+  val textNovelty: String = toksCte + s""",
+shl AS (SELECT doc_id, unnest($shExpr) AS sh FROM toks),
+fs AS (SELECT sh, min(doc_id) AS firstdoc FROM shl GROUP BY sh),
+agg AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS nsh,
+         CAST(sum(CASE WHEN f.firstdoc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS nnovel
+  FROM shl s JOIN fs f ON s.sh = f.sh
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.nsh, 0) AS "NShingles",
+       COALESCE(agg.nnovel, 0) AS "NNovel",
+       CASE WHEN COALESCE(agg.nsh, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(agg.nnovel AS DOUBLE) / agg.nsh END AS "NoveltyFrac"
+FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id
+ORDER BY t.doc_id
+"""
+
   /** Trained-langid mirror: identical trigram extraction (1-based
     * substr over ≥3-char tokens, WITH multiplicity), identical Laplace
     * integer-surprisal bits (`length(bin((T+V) // (c+1))) - 1` — the
