@@ -61,6 +61,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`SPARK_GRAFT_BENCH_OUT` overrides) — the driver persists only a
   * ~4 KB stdout tail, which in round 4 truncated 31 of 47 per-query
   * numbers out of the record; the committed file is the durable copy.
+  *
+  * Round 10: pass-position bias removed. The round-9 driver artifact
+  * showed the FIRST query of every alphabetical pass absorbing the
+  * pass's session-warmup + coldest host window (agg_incremental_daily:
+  * 18.8/15.7/8.4 s raw vs 3.5 s quiet-session at the same HEAD — its
+  * start_ms equaled each pass's start_ms). Two fixes compose: (a) each
+  * pass starts with one small UNTIMED warmup job (parquet scan +
+  * shuffle + noop sink) that soaks up scheduler/codegen/session-cold
+  * cost, and (b) each pass ROTATES its execution order by len/passes,
+  * so a query's min-of-N samples come from different pass positions —
+  * no single query's committed record carries the pass-head tax in
+  * every sample.
   */
 object Bench {
 
@@ -114,20 +126,33 @@ object Bench {
       try "\"" + java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).trim + "\""
       catch { case _: Throwable => "null" }
-    // interleaved: full pass 1 over all queries, then pass 2, then pass 3
+    // pass-head warmup: one small real job (parquet scan → shuffle →
+    // noop sink) per pass, UNTIMED — absorbs scheduler spin-up, codegen
+    // compilation, and the pass's coldest host window so the first
+    // rotated query doesn't
+    def warmup(): Unit =
+      try materialize(spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count())
+      catch { case _: Throwable => () }
+    // interleaved: full pass 1 over all queries, then pass 2, then pass
+    // 3 — each pass rotated by len/passes so every query samples
+    // different pass positions
     val passMeta = collection.mutable.ArrayBuffer.empty[String]
-    val samples: Seq[Seq[(String, (Double, Long, Long, Option[String]))]] =
+    val samples: Seq[Map[String, (Double, Long, Long, Option[String])]] =
       (1 to passes).map { p =>
+        val off = (((p - 1).toLong * qs.length) / passes).toInt
+        val order = qs.drop(off) ++ qs.take(off)
         val load0 = loadavg()
         val start = System.currentTimeMillis()
         val t0 = System.nanoTime()
-        val out = qs.map { case (name, fn) => (name, timed(fn)) }
+        warmup()
+        val out = order.map { case (name, fn) => (name, timed(fn)) }.toMap
         val wall = (System.nanoTime() - t0) / 1e9
-        passMeta += s"""{"pass":$p,"wall_sec":$wall,"start_ms":$start,"loadavg_start":${load0},"loadavg_end":${loadavg()}}"""
+        passMeta += s"""{"pass":$p,"wall_sec":$wall,"start_ms":$start,"rot":$off,"loadavg_start":${load0},"loadavg_end":${loadavg()}}"""
         out
       }
-    val results = qs.map(_._1).zipWithIndex.map { case (name, i) =>
-      val runs = samples.map(_(i)._2)
+    val results = qs.map(_._1).map { name =>
+      val runs = samples.map(_(name))
       val good = runs.collect { case (s, _, _, None) => s }
       val err = if (good.isEmpty) runs.flatMap(_._4).headOption else None
       (name, if (good.isEmpty) 0.0 else good.min, runs, err)

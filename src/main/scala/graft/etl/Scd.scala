@@ -37,10 +37,16 @@ object Scd {
     * a real change (closes + re-opens), and NULL-to-NULL is a no-op —
     * not the silent no-op a plain `=!=` + coalesce would produce.
     * Change rows whose key has NO current dimension row are INSERTS:
-    * they open a `Version` = 1 row (`ValidFrom` = effective, open
-    * `ValidTo`, `IsCurrent`); non-tracked attribute columns of an
-    * inserted row are NULL because the change feed carries only
-    * key + tracked values. */
+    * they open a row with `ValidFrom` = effective, open `ValidTo`,
+    * `IsCurrent` = true; non-tracked attribute columns of an inserted
+    * row are NULL because the change feed carries only key + tracked
+    * values. A key the dimension has never seen opens `Version` 1; a
+    * RE-APPEARING key (every row closed — e.g. after a soft-delete)
+    * CONTINUES its chain at max(historical `Version`) + 1, preserving
+    * the contiguous-version/adjacent-chain invariant WarehouseSpec
+    * asserts. The history lookup is bounded: it semi-joins the
+    * (broadcastable) insert-key set before aggregating, so the scan
+    * is hit-sized, never dimension-history-sized. */
   def scd2Apply(current: DataFrame, changes: DataFrame, key: String,
                 tracked: Seq[String], effective: Column): DataFrame = {
     val outCols = current.columns.map(col).toSeq
@@ -81,29 +87,48 @@ object Scd {
       if (f.name == key) col(key)
       else if (tracked.contains(f.name)) col(s"New_${f.name}").cast(f.dataType).as(f.name)
       else f.name match {
-        case "Version" => lit(1).cast(f.dataType).as(f.name)
+        // a re-appearing key (closed history, no current row) continues
+        // its chain; a never-seen key starts at 1
+        case "Version" => coalesce(col("PrevVersion") + 1, lit(1)).cast(f.dataType).as(f.name)
         case "ValidFrom" => effective.cast(f.dataType).as(f.name)
         case "ValidTo" => lit(null).cast(f.dataType).as(f.name)
         case "IsCurrent" => lit(true).cast(f.dataType).as(f.name)
         case _ => lit(null).cast(f.dataType).as(f.name)
       }
     }
-    val inserted = renamed
-      .join(cur.select(col(key)), Seq(key), "left_anti")
+    val insertKeys = renamed.join(cur.select(col(key)), Seq(key), "left_anti")
+    // historical max version for RE-APPEARING insert keys only: the
+    // semi-join against the batch-sized insert-key set keeps this pass
+    // hit-sized (broadcast probe into history), never a full
+    // dimension-history aggregate
+    val histMax = hist
+      .join(broadcast(insertKeys.select(col(key))), Seq(key), "left_semi")
+      .groupBy(col(key)).agg(max(col("Version")).as("PrevVersion"))
+    val inserted = insertKeys
+      .join(broadcast(histMax), Seq(key), "left")
       .select(insertCols: _*)
     hist.union(unchanged).union(closed).union(opened).union(inserted)
   }
 
   /** Epoch of the synthetic dataset (dimension birth date). */
   val DimBirth = "1992-01-01"
-  /** Effective date of the planted change batch. */
+  /** Effective date of the first planted change batch. */
   val ChangeDate = "1998-01-01"
+  /** Effective date of the second planted change batch. */
+  val ChangeDate2 = "2000-01-01"
 
-  /** The gate query: customers as a version-1 SCD2 dimension, with a
-    * PLANTED deterministic change batch (the corpus ships no change
-    * feed — the piiRedact pattern): every custkey ≡ 3 (mod 7) moves to
-    * segment `SEG<key mod 5>`, exercising close + open + pass-through
-    * in one result. The kernel itself ([[scd2Apply]]) is feed-agnostic. */
+  /** The gate query: customers as a version-1 SCD2 dimension, with TWO
+    * SEQUENTIAL planted deterministic change batches (the corpus ships
+    * no change feed — the piiRedact pattern). Batch 1 (effective
+    * [[ChangeDate]]): every custkey ≡ 3 (mod 7) moves to
+    * `SEG<key mod 5>`. Batch 2 (effective [[ChangeDate2]]): every
+    * custkey ≡ 2 (mod 6) moves to `SEG<key mod 4>B`. Keys in both
+    * batches reach Version 3 (close→open→close→open), keys in one
+    * reach Version 2, the rest pass through — so the gate hash proves
+    * the two-batch COMPOSITION (the output of apply #1 is a valid
+    * input to apply #2 and versions/validity chain correctly), not
+    * just the single-batch kernel WarehouseSpec already spec-proves.
+    * The kernel itself ([[scd2Apply]]) is feed-agnostic. */
   def scd2Customers(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(spark, dir).select(
       col("c_custkey").as("CustKey"),
@@ -112,11 +137,17 @@ object Scd {
       to_date(lit(DimBirth)).as("ValidFrom"),
       lit(null).cast(DateType).as("ValidTo"),
       lit(true).as("IsCurrent"))
-    val changes = Tables.customer(spark, dir)
+    val changes1 = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 7 === 3)
       .select(col("c_custkey").as("CustKey"),
         concat(lit("SEG"), (col("c_custkey") % 5).cast("string")).as("Segment"))
-    scd2Apply(dim, changes, "CustKey", Seq("Segment"), to_date(lit(ChangeDate)))
+    val changes2 = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 6 === 2)
+      .select(col("c_custkey").as("CustKey"),
+        concat(lit("SEG"), (col("c_custkey") % 4).cast("string"), lit("B")).as("Segment"))
+    val afterBatch1 =
+      scd2Apply(dim, changes1, "CustKey", Seq("Segment"), to_date(lit(ChangeDate)))
+    scd2Apply(afterBatch1, changes2, "CustKey", Seq("Segment"), to_date(lit(ChangeDate2)))
       .orderBy(col("CustKey"), col("Version"))
   }
 }

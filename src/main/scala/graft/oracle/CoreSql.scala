@@ -353,24 +353,40 @@ SELECT cm AS "CohortMonth", msince AS "MonthsSince", n_active AS "NActive",
 FROM grid ORDER BY "CohortMonth", "MonthsSince"
 """
 
-  /** SCD2 mirror: identical planted change batch (custkey ≡ 3 mod 7 →
-    * SEG<key mod 5>), version-1 rows closed iff a change exists, a
-    * version-2 row opened per change; dates interpolated from Scd so
-    * the two sides cannot drift. */
+  /** SCD2 mirror: the SAME two planted change batches (batch 1:
+    * custkey ≡ 3 mod 7 → SEG<k mod 5> at ChangeDate; batch 2:
+    * custkey ≡ 2 mod 6 → SEG<k mod 4>B at ChangeDate2) applied as a
+    * closed-form two-step derivation. Every batch-2 segment carries a
+    * 'B' suffix no original mktsegment or batch-1 value has, so every
+    * batch-2 change row is a REAL change: v1 rows close at whichever
+    * batch first touches the key; batch-1 rows (Version 2) close iff
+    * batch 2 touches the key; batch-2 rows open Version 3 where
+    * batch 1 already versioned the key, else Version 2. Dates
+    * interpolated from Scd so the two sides cannot drift. */
   val dimScd2Customers: String = {
-    import graft.etl.Scd.{ChangeDate, DimBirth}
+    import graft.etl.Scd.{ChangeDate, ChangeDate2, DimBirth}
     s"""
 WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
-ch AS (SELECT k, 'SEG' || CAST(k % 5 AS VARCHAR) AS nseg
-       FROM dim WHERE k % 7 = 3)
+ch1 AS (SELECT k, 'SEG' || CAST(k % 5 AS VARCHAR) AS n1
+        FROM dim WHERE k % 7 = 3),
+ch2 AS (SELECT k, 'SEG' || CAST(k % 4 AS VARCHAR) || 'B' AS n2
+        FROM dim WHERE k % 6 = 2)
 SELECT d.k AS "CustKey", d.seg AS "Segment", CAST(1 AS INTEGER) AS "Version",
        DATE '$DimBirth' AS "ValidFrom",
-       CASE WHEN ch.k IS NOT NULL THEN DATE '$ChangeDate' END AS "ValidTo",
-       (ch.k IS NULL) AS "IsCurrent"
-FROM dim d LEFT JOIN ch ON d.k = ch.k
+       CASE WHEN c1.k IS NOT NULL THEN DATE '$ChangeDate'
+            WHEN c2.k IS NOT NULL THEN DATE '$ChangeDate2' END AS "ValidTo",
+       (c1.k IS NULL AND c2.k IS NULL) AS "IsCurrent"
+FROM dim d LEFT JOIN ch1 c1 ON d.k = c1.k LEFT JOIN ch2 c2 ON d.k = c2.k
 UNION ALL
-SELECT k, nseg, CAST(2 AS INTEGER), DATE '$ChangeDate', CAST(NULL AS DATE), true
-FROM ch
+SELECT c1.k, c1.n1, CAST(2 AS INTEGER), DATE '$ChangeDate',
+       CASE WHEN c2.k IS NOT NULL THEN DATE '$ChangeDate2' END,
+       (c2.k IS NULL)
+FROM ch1 c1 LEFT JOIN ch2 c2 ON c1.k = c2.k
+UNION ALL
+SELECT c2.k, c2.n2,
+       CAST(CASE WHEN c1.k IS NOT NULL THEN 3 ELSE 2 END AS INTEGER),
+       DATE '$ChangeDate2', CAST(NULL AS DATE), true
+FROM ch2 c2 LEFT JOIN ch1 c1 ON c2.k = c1.k
 ORDER BY "CustKey", "Version"
 """
   }

@@ -379,19 +379,20 @@ class PlanSpec extends SparkSpec {
         last = records.get()
         Thread.sleep(300)
       }
-      // Budget: routing windows over occupied coarse cells shuffle
-      // ≤ n·coarseK rows; the fine argmin aggregate and final rejoin
-      // are ≤ n each after partial aggregation; the coarse Lloyd over
-      // K centroids contributes ≤ 64·K dim rows per round. The flat
-      // assignment expressed as a window would shuffle n·K — at
-      // K = coarseK² that is structurally above this budget, which is
-      // the regression this test pins.
-      val budget = n * (coarseK + 3) + 64L * k * (SimilarityOps.KmeansRounds + 2)
+      // Gate on the RATIO to the flat n·K term this test pins, not a
+      // tight hand-derived additive budget: the O(n·√K) path's real
+      // shuffle volume is ≈ n·(coarseK+3) + 64·K·rounds (orders of
+      // magnitude under n·K), but partial-aggregation behavior, AQE
+      // replans, and reused exchanges legitimately move the constant.
+      // n·K/2 is far above any benign plan change and far below the
+      // n·K blowup a flat-assignment regression would shuffle — the
+      // only thing that crosses it is the regression itself.
+      val expected = n * (coarseK + 3) + 64L * k * (SimilarityOps.KmeansRounds + 2)
       val nk = n * k
       assert(records.get() > 0L, "no shuffle records observed — listener broken?")
-      assert(records.get() <= budget,
+      assert(records.get() < nk / 2,
         s"hierarchical assignment shuffled ${records.get()} rows " +
-          s"(budget $budget, n=$n, K=$k) — an n·K term ($nk) is leaking in")
+          s"(O(n·√K) expectation ≈ $expected, n=$n, K=$k) — an n·K term ($nk) is leaking in")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

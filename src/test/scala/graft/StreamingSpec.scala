@@ -157,10 +157,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       q.stop()
     }
-    def readOut(outDir: String): Map[(String, String), (Long, Double)] =
-      (try spark.read.parquet(outDir).collect() catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] })
-        .map(r => (r.getAs[java.sql.Timestamp]("WindowStart").toString,
-          r.getAs[String]("event_type")) ->
+    // key windows by RAW MICROSECONDS, not rendered strings:
+    // java.sql.Timestamp.toString renders in the JVM default timezone,
+    // so a string key would shift the finalizedBy cutoff by the local
+    // offset on a non-UTC JVM (spuriously failing — or silently
+    // weakening — the completeness check below)
+    def readOut(outDir: String): Map[(Long, String), (Long, Double)] =
+      (try spark.read.parquet(outDir)
+        .withColumn("WUs", org.apache.spark.sql.functions
+          .unix_micros(col("WindowStart"))).collect()
+      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] })
+        .map(r => (r.getAs[Long]("WUs"), r.getAs[String]("event_type")) ->
           ((r.getAs[Long]("NEvents"), r.getAs[Double]("TotalValue")))).toMap
 
     // interrupted run: half1 → stop → half2 → restart from checkpoint
@@ -193,15 +200,21 @@ class StreamingSpec extends SparkSpec {
     // no lost/extra: resumed == uninterrupted, keys AND values
     assert(resumed === uninterrupted)
     // state survival: the cut-straddling hour aggregated rows from both
-    // incarnations; its value must match the batch query over all data
-    val cutHour = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochSecond(cutNs / 1000000000L / 3600L * 3600L))
+    // incarnations; its value must match the batch query over all data.
+    // The batch side's HourTs strings were rendered by Spark under the
+    // session's UTC timezone, so parsing them with an explicit UTC
+    // formatter recovers the exact window-start instant
+    val cutHourUs = cutNs / 1000000000L / 3600L * 3600L * 1000000L
+    val hourFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    def hourTsToUs(s: String): Long = java.time.LocalDateTime
+      .parse(s, hourFmt).toInstant(java.time.ZoneOffset.UTC)
+      .getEpochSecond * 1000000L
     val batch = EventsOps.hourly(spark, sfDir).collect()
-      .map(r => (r.getAs[String]("HourTs") + ".0", r.getAs[String]("event_type")) ->
+      .map(r => (hourTsToUs(r.getAs[String]("HourTs")), r.getAs[String]("event_type")) ->
         ((r.getAs[Long]("NEvents"), r.getAs[Double]("TotalValue")))).toMap
-    val straddling = resumed.filter(_._1._1 == cutHour + ".0")
-    assert(straddling.nonEmpty, s"cut hour $cutHour was not finalized — split landed too late in the stream")
+    val straddling = resumed.filter(_._1._1 == cutHourUs)
+    assert(straddling.nonEmpty, s"cut hour $cutHourUs was not finalized — split landed too late in the stream")
     straddling.foreach { case (k, v) =>
       assert(batch(k) === v, s"cut-straddling window $k lost pre-restart state")
     }
@@ -217,12 +230,8 @@ class StreamingSpec extends SparkSpec {
     }
     val maxUs = raw.selectExpr("CAST(max(ts) AS BIGINT)").first().getLong(0) / 1000L
     val finalizedBy = maxUs - 30L * 60L * 1000000L
-    val mustHave = batch.keySet.filter { case (hourTs, _) =>
-      val endUs = java.time.LocalDateTime
-        .parse(hourTs.stripSuffix(".0"),
-          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + 3600L * 1000000L
-      endUs <= finalizedBy
+    val mustHave = batch.keySet.filter { case (wus, _) =>
+      wus + 3600L * 1000000L <= finalizedBy
     }
     val missing = mustHave -- resumed.keySet
     assert(missing.isEmpty, s"watermark-finalized windows lost across the restart: $missing")

@@ -35,29 +35,44 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
-  test("scd2: gate query closes+opens exactly the planted keys; every key has one current row") {
+  test("scd2: two-batch gate query versions exactly the planted keys; chains adjacent, one current row per key") {
     val rows = Scd.scd2Customers(spark, sfDir).collect()
+    val keys = rows.map(_.getAs[Long]("CustKey")).distinct
     val nCust = Tables.customer(spark, sfDir).count()
-    val changed = rows.map(_.getAs[Long]("CustKey")).distinct
-      .count(_ % 7 == 3).toLong
-    assert(rows.length.toLong === nCust + changed)
+    val n1 = keys.count(_ % 7 == 3).toLong
+    val n2 = keys.count(_ % 6 == 2).toLong
+    assert(keys.length.toLong === nCust)
+    assert(rows.length.toLong === nCust + n1 + n2)
     rows.groupBy(_.getAs[Long]("CustKey")).foreach { case (k, rs) =>
+      val in1 = k % 7 == 3
+      val in2 = k % 6 == 2
+      val expectVersions = 1 + (if (in1) 1 else 0) + (if (in2) 1 else 0)
+      assert(rs.length === expectVersions, s"key $k version count")
       assert(rs.count(_.getAs[Boolean]("IsCurrent")) === 1, s"key $k current rows")
-      if (k % 7 == 3) {
-        assert(rs.length === 2, s"changed key $k version count")
-        val v1 = rs.find(_.getAs[Int]("Version") == 1).get
-        val v2 = rs.find(_.getAs[Int]("Version") == 2).get
-        assert(!v1.getAs[Boolean]("IsCurrent"))
-        assert(v1.getAs[java.sql.Date]("ValidTo").toString === Scd.ChangeDate)
-        assert(v2.getAs[Boolean]("IsCurrent"))
-        assert(v2.getAs[java.sql.Date]("ValidFrom").toString === Scd.ChangeDate)
-        assert(v2.isNullAt(v2.fieldIndex("ValidTo")))
-        assert(v2.getAs[String]("Segment") === s"SEG${k % 5}")
-      } else {
-        assert(rs.length === 1)
-        assert(rs.head.getAs[Int]("Version") === 1)
-        assert(rs.head.isNullAt(rs.head.fieldIndex("ValidTo")))
+      val chain = rs.sortBy(_.getAs[Int]("Version"))
+      assert(chain.map(_.getAs[Int]("Version")).toSeq === (1 to chain.length),
+        s"key $k versions not contiguous")
+      // the chain must be date-adjacent and only the last row open
+      chain.sliding(2).foreach {
+        case Array(prev, next) =>
+          assert(prev.getAs[java.sql.Date]("ValidTo") ===
+            next.getAs[java.sql.Date]("ValidFrom"), s"key $k chain not adjacent")
+        case _ => ()
       }
+      assert(chain.last.isNullAt(chain.last.fieldIndex("ValidTo")), s"key $k open row")
+      assert(chain.last.getAs[Boolean]("IsCurrent"), s"key $k last row current")
+      // the final segment value reflects whichever batch last touched it
+      val expectFinal =
+        if (in2) s"SEG${k % 4}B" else if (in1) s"SEG${k % 5}" else null
+      if (expectFinal != null)
+        assert(chain.last.getAs[String]("Segment") === expectFinal, s"key $k final segment")
+      if (in1) {
+        val v2 = chain(1)
+        assert(v2.getAs[String]("Segment") === s"SEG${k % 5}", s"key $k batch-1 segment")
+        assert(v2.getAs[java.sql.Date]("ValidFrom").toString === Scd.ChangeDate)
+      }
+      if (in2)
+        assert(chain.last.getAs[java.sql.Date]("ValidFrom").toString === Scd.ChangeDate2)
     }
   }
 
@@ -146,6 +161,34 @@ class WarehouseSpec extends SparkSpec {
     assert(k9.head.getAs[Boolean]("IsCurrent"))
     assert(k9.head.getAs[String]("Attr") === "NEW")
     assert(k9.head.getAs[java.sql.Date]("ValidFrom").toString === "2021-06-01")
+  }
+
+  test("scd2: a re-appearing key (all rows closed) continues its version chain instead of duplicating Version 1") {
+    import spark.implicits._
+    // key 5 was soft-deleted: versions 1 and 2 both CLOSED, no current
+    // row. A change row for it must open Version 3 (max hist + 1) —
+    // re-opening Version 1 would duplicate the historical Version 1 and
+    // break the contiguous-chain invariant. Key 9 is brand new.
+    val dim = Seq(
+      (5L, "A", 1, "2020-01-01", "2021-01-01", false),
+      (5L, "B", 2, "2021-01-01", "2021-06-01", false),
+      (7L, "C", 1, "2020-01-01", null.asInstanceOf[String], true))
+      .toDF("K", "Attr", "Version", "VF", "VT", "IsCurrent")
+      .select(col("K"), col("Attr"), col("Version"),
+        to_date(col("VF")).as("ValidFrom"), to_date(col("VT")).as("ValidTo"),
+        col("IsCurrent"))
+    val out = Scd.scd2Apply(dim, Seq((5L, "D"), (9L, "N")).toDF("K", "Attr"),
+      "K", Seq("Attr"), to_date(lit("2022-01-01"))).collect()
+    val k5 = out.filter(_.getAs[Long]("K") == 5L).sortBy(_.getAs[Int]("Version"))
+    assert(k5.map(_.getAs[Int]("Version")).toSeq === Seq(1, 2, 3),
+      "re-appearing key must continue at max(historical Version) + 1")
+    assert(k5.count(_.getAs[Boolean]("IsCurrent")) === 1)
+    assert(k5.last.getAs[String]("Attr") === "D")
+    assert(k5.last.getAs[java.sql.Date]("ValidFrom").toString === "2022-01-01")
+    val k9 = out.filter(_.getAs[Long]("K") == 9L)
+    assert(k9.length === 1 && k9.head.getAs[Int]("Version") === 1,
+      "a never-seen key still starts at Version 1")
+    assert(out.count(_.getAs[Long]("K") == 7L) === 1) // untouched passthrough
   }
 
   test("rfm: scores are balanced quintiles, anchor is corpus max, segments follow the case map") {
