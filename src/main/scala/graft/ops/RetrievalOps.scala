@@ -5,8 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-import graft.etl.Tables
-
 /** HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical (BM25)
   * and embedding (exact cosine top-k) ranked lists, the canonical
   * two-tower retrieval composition a training-data pipeline runs for
@@ -89,30 +87,24 @@ object RetrievalOps {
     * the DuckDB mirror — which nests the first-pass mirror verbatim —
     * hash-matches the reranked lists and the expansion terms.
     *
-    * Scale shape: the feedback set is |queries|·k docs (their token
-    * pass is bounded, not corpus-scale); the second corpus pass is
-    * hit-sized on a still-tiny expanded vocabulary (explode ⋈
-    * broadcast term set); df rides a count-distinct over the hit
+    * Scale shape: every token pass rides the cached
+    * [[TextOps.docPostings]] inverted-index substrate — the feedback
+    * tf pass is a broadcast join of |queries|·k doc ids into it, the
+    * second-pass tf is a broadcast join of the still-tiny expanded
+    * vocabulary into it; no per-execution corpus explode remains
+    * anywhere in this query. df rides a count-distinct over the hit
     * table; per-query top-k is a WindowGroupLimit. No stage touches
     * corpus×corpus. */
   def prfExpand(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.functions.TextExpressions.register(spark)
     val k1 = TextOps.Bm25K1
     val b = TextOps.Bm25B
     val origTerms = TextOps.Bm25Queries
       .flatMap { case (qid, q) => q.split("\\s+").distinct.map(qid -> _) }
       .toDF("QueryId", "Term")
-    // (doc, token, tf) + doc length over the whole corpus — one pass
-    val docs = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .withColumn("TS", expr("token_stats(text)"))
-      .select(col("doc_id"), col("TS.NTokens").as("Dl"),
-        explode(expr(TextOps.toksSql)).as("Term"))
-    val stats = Tables.documents(spark, dir)
-      .withColumn("TS", expr("token_stats(text)"))
-      .agg(count(lit(1)).cast(IntegerType).as("NDocs"),
-        sum(col("TS.NTokens").cast(LongType)).as("SumDl"))
+    // (doc, term, tf, doc length): the shared postings substrate
+    val docs = TextOps.docPostings(spark, dir)
+    val stats = TextOps.docStats(spark, dir)
     // stage 1: the EXISTING gate query is the feedback set
     val fb = TextOps.bm25Topk(spark, dir)
       .select(col("QueryId"), col("doc_id"), col("ScoreQ"))
@@ -121,8 +113,6 @@ object RetrievalOps {
     // corpus-wide tf aggregate exists anywhere in this query),
     // original query terms excluded
     val cand = docs.join(broadcast(fb), "doc_id")
-      .groupBy(col("QueryId"), col("ScoreQ"), col("doc_id"), col("Term"))
-      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
       .join(origTerms, Seq("QueryId", "Term"), "left_anti")
       .groupBy(col("QueryId"), col("Term"))
       .agg(sum(col("Tf").cast(LongType) * col("ScoreQ")).as("Wt"))
@@ -134,11 +124,10 @@ object RetrievalOps {
       .select(col("QueryId"), col("Term"))
     val allq = origTerms.union(expansion).distinct()
     // stage 2: BM25 over the expanded per-query term sets — the tf
-    // pass joins the broadcast expanded vocabulary BEFORE aggregating,
-    // so the aggregate is hit-sized
+    // table is the postings substrate filtered by the broadcast
+    // expanded vocabulary, hit-sized
     val hit = docs.join(broadcast(allq.select(col("Term")).distinct()), "Term")
-      .groupBy(col("doc_id"), col("Dl"), col("Term"))
-      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+      .select(col("doc_id"), col("Dl"), col("Term"), col("Tf"))
     val dft = hit.groupBy(col("Term"))
       .agg(countDistinct(col("doc_id")).cast(IntegerType).as("Df"))
     val scored = hit

@@ -135,11 +135,14 @@ object TextOps {
     * data (distinct labels), so an unseen-label corpus needs no code
     * change — zh is covered here where the marker heuristic cannot be.
     *
-    * Honesty note: on this synthetic corpus the text is drawn from ONE
-    * shared vocabulary regardless of label, so measured accuracy is
-    * label-prior noise — the gate verifies the train→score MECHANISM
-    * (profile table, broadcast grid, argmin decision), which is what
-    * transfers to a real multilingual corpus.
+    * Honesty note: the FIXTURE corpus draws every language from ONE
+    * shared vocabulary, so its gate row verifies the train→score
+    * MECHANISM (profile table, broadcast grid, argmin decision), not
+    * classification. Accuracy IS measured — OpsSpec runs this
+    * classifier over scripts/gen_scale_corpus.py corpora (which plant
+    * a distinct per-language orthography) at two decades and asserts
+    * ≥0.9 accuracy beating the label prior; PERFORMANCE.md records
+    * the measured numbers.
     *
     * Scale shape: the profile grid is (vocab × #langs) — vocab-scale,
     * broadcast; training is one explode+agg pass; scoring is one more
@@ -510,6 +513,61 @@ object TextOps {
         md5(concat_ws(" ", array_sort(col("Chs")))).as("ChunksetMd5"))
       .orderBy(col("doc_id"))
 
+  private val postingsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val postingsLock = new Object
+  private val docStatsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val docStatsLock = new Object
+
+  /** Corpus POSTINGS substrate `(doc_id, Dl, Term, Tf)` — the inverted
+    * index in relational shape, memoized + `.cache()`d per (session,
+    * dir) like [[unigramCounts]]/DedupOps.docBands. Every lexical-
+    * retrieval consumer ([[bm25Topk]], RetrievalOps.prfExpand — and
+    * via bm25Topk, RetrievalOps.hybridRrf) previously re-derived the
+    * corpus token explode per execution (2-3 corpus passes per
+    * retrieval query); in production the postings table IS the
+    * materialized index artifact built once per corpus snapshot, and
+    * every query joins against it. Corpus-token-scale, so the cache is
+    * MEMORY_AND_DISK (Dataset.cache default) — eviction spills, never
+    * recomputes mid-plan. Term frequencies aggregated here are
+    * identical to counting raw exploded rows downstream, so every
+    * consumer's arithmetic (and its oracle hash) is unchanged. */
+  def docPostings(spark: SparkSession, dir: String): DataFrame = {
+    postingsMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(postingsMemo.remove)
+    graft.functions.TextExpressions.register(spark)
+    BucketedTables.memoized(postingsMemo, (spark, dir), postingsLock) {
+      Tables.documents(spark, dir)
+        .repartition(col("doc_id")) // single-file input: spread the pass
+        .withColumn("TS", expr("token_stats(text)"))
+        .select(col("doc_id"), col("TS.NTokens").as("Dl"),
+          explode(expr(toksSql)).as("Term"))
+        .groupBy(col("doc_id"), col("Dl"), col("Term"))
+        .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+        .cache()
+    }
+  }
+
+  /** 1-row corpus stats `(NDocs, SumDl)` — kept SEPARATE from the
+    * postings substrate so documents with zero tokens still count
+    * toward N and avgdl exactly as the original per-query aggregate
+    * did (they have no postings rows). Trivially cached. */
+  def docStats(spark: SparkSession, dir: String): DataFrame = {
+    docStatsMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(docStatsMemo.remove)
+    graft.functions.TextExpressions.register(spark)
+    BucketedTables.memoized(docStatsMemo, (spark, dir), docStatsLock) {
+      Tables.documents(spark, dir)
+        .withColumn("TS", expr("token_stats(text)"))
+        .agg(count(lit(1)).cast(IntegerType).as("NDocs"),
+          sum(col("TS.NTokens").cast(LongType)).as("SumDl"))
+        .cache()
+    }
+  }
+
   /** Results returned per query by [[bm25Topk]]. */
   val Bm25TopK = 5
   /** Okapi BM25 constants (the standard defaults; shared with the
@@ -539,35 +597,24 @@ object TextOps {
     * order-independent under any shuffle order (the corpusStats
     * playbook); the reported Score is the quantized sum re-scaled.
     *
-    * Scale shape: the query-term set is a tiny broadcast literal; the
-    * corpus pass filters tokens against it INSIDE the explode (array
-    * `filter` HOF before the explode), so the tf table is proportional
-    * to hit rows, not corpus tokens. df comes from a count-over-Token
-    * window on those distinct (doc, term) rows (the tfidf trick — no
-    * second corpus pass); doc lengths ride the same token_stats pass;
-    * N and avgdl are a 1-row broadcast crossJoin (A13 grand-total
-    * pattern). Final per-query top-k is a WindowGroupLimit over the
-    * |queries|·|hit docs| score rows, never a global sort. */
+    * Scale shape: the query-term set is a tiny broadcast literal and
+    * the tf table is a FILTER of the cached [[docPostings]] substrate
+    * against it — hit-sized rows out of the one-build/many-read
+    * inverted index, no per-query corpus explode. df comes from a
+    * count-over-Token window on those distinct (doc, term) rows (the
+    * tfidf trick — no second corpus pass); doc lengths ride the
+    * postings rows; N and avgdl are the 1-row [[docStats]] broadcast
+    * crossJoin (A13 grand-total pattern). Final per-query top-k is a
+    * WindowGroupLimit over the |queries|·|hit docs| score rows, never
+    * a global sort. */
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.TextExpressions.register(spark)
     val allTerms = Bm25Queries.flatMap(_._2.split("\\s+")).distinct.sorted
-    val termsArr = s"array(${allTerms.map("'" + _ + "'").mkString(", ")})"
-    val docs = Tables.documents(spark, dir)
-      .withColumn("TS", expr("token_stats(text)"))
-      .select(col("doc_id"), col("TS.NTokens").as("Dl"), expr(toksSql).as("Toks"))
     // corpus-level N and avgdl: one aggregate row, broadcast
-    val stats = docs.agg(
-      count(lit(1)).cast(IntegerType).as("NDocs"),
-      sum(col("Dl").cast(LongType)).as("SumDl"))
-    // per-(doc, query-term) tf: tokens filtered against the query
-    // vocabulary BEFORE the explode — the narrow pass stays hit-sized
-    val tf = docs
-      .repartition(col("doc_id")) // single-file input: spread the pass
-      .select(col("doc_id"), col("Dl"),
-        explode(expr(s"filter(Toks, t -> array_contains($termsArr, t))")).as("Term"))
-      .groupBy(col("doc_id"), col("Dl"), col("Term"))
-      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
+    val stats = docStats(spark, dir)
+    // per-(doc, query-term) tf: the postings substrate filtered to the
+    // query vocabulary — hit-sized
+    val tf = docPostings(spark, dir).filter(col("Term").isInCollection(allTerms))
     import spark.implicits._
     val queries = Bm25Queries
       .flatMap { case (qid, q) => q.split("\\s+").distinct.map(qid -> _) }

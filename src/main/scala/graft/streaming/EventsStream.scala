@@ -341,21 +341,55 @@ object EventsStream {
     * re-runs each one — a shared memory-sink name would collide. */
   private val onceCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Session CLONE with state-sized shuffle parallelism for the
+  /** Sink dirs whose returned frames read them LAZILY (so they cannot
+    * be deleted inside the query) are registered here and reclaimed by
+    * one JVM shutdown hook — without this, every sessionWindows
+    * one-shot left a corpus-linear parquet directory in /tmp for the
+    * life of the MACHINE; the hook bounds the residue to the life of
+    * the process (the caller may hold the frame until then). */
+  private val pendingSinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val sinkDirCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = pendingSinkDirs.poll()
+      while (p != null) { deleteRecursively(p); p = pendingSinkDirs.poll() }
+    }, "graft-sink-dir-cleanup"))
+  private def registerSinkDirForCleanup(p: java.nio.file.Path): Unit = {
+    sinkDirCleanupHook
+    pendingSinkDirs.add(p)
+  }
+
+  /** Rows of in-flight state one store partition is sized to carry.
+    * Above this, per-partition snapshot/commit and lookup costs
+    * dominate; below it, extra stores are pure per-microbatch
+    * overhead. The round-9 10M-event decade measured the failure mode
+    * this constant exists for: ~9.5M in-flight sessions funneled
+    * through a fixed 4 stores spent 62 s mostly inside state
+    * maintenance. */
+  val StateRowsPerStore = 250000L
+
+  /** Session CLONE with STATE-SIZED shuffle parallelism for the
     * one-shot runs. Stateful streaming allocates one state store per
-    * shuffle partition per stateful operator; these gate queries carry
-    * ~10⁴-row state, so the session's scan parallelism (32) buys
-    * nothing and pays 32 store snapshots/commits per microbatch. A
-    * clone owns its SQLConf — the shared session's conf is never
-    * mutated (Verify runs queries concurrently), and the SparkContext
-    * (and so the executors and the memory-sink registry the clone's
-    * catalog sees) is shared. Production tuning note: state-store
-    * partition count is fixed at first checkpoint, so a real
-    * deployment sizes it to projected STATE, not scan width — this is
-    * that decision in miniature. */
-  private def stateSizedSession(spark: SparkSession): SparkSession = {
+    * shuffle partition per stateful operator, and the store count is
+    * fixed at first checkpoint — so a real deployment sizes it to
+    * projected STATE, not scan width. This applies that rule as code
+    * (the componentsOf partition-clamp pattern): partitions =
+    * clamp(ceil(projectedStateRows / [[StateRowsPerStore]]), 4,
+    * defaultParallelism). The gate queries carry ~10⁴-row state and
+    * get the old 4 (hashes untouched); a 10M-event decade run gets
+    * the full core count instead of 4 store bottlenecks. A clone owns
+    * its SQLConf — the shared session's conf is never mutated (Verify
+    * runs queries concurrently), and the SparkContext (and so the
+    * executors and the memory-sink registry the clone's catalog sees)
+    * is shared. */
+  private def stateSizedSession(spark: SparkSession,
+                                projectedStateRows: Long = 0L): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val byState = (projectedStateRows + StateRowsPerStore - 1) / StateRowsPerStore
+    val parts = math.min(
+      math.max(4L, byState),
+      math.max(4L, spark.sparkContext.defaultParallelism.toLong))
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     s
   }
 
@@ -432,12 +466,17 @@ object EventsStream {
     * the batch twin. */
   def sessionWindowsStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val spark = stateSizedSession(spark0)
-    val raw = Tables.eventsRaw(spark, dir)
-    val maxRow = raw.agg(max(col("ts"))).head()
-    require(!maxRow.isNullAt(0),
+    // one pre-pass serves double duty: the flush-sentinel timestamp AND
+    // the projected-state estimate (in-flight sessions ≈ events on a
+    // sparse corpus) that sizes the clone's state-store parallelism
+    val statRow = Tables.eventsRaw(spark0, dir)
+      .agg(max(col("ts")), count(lit(1))).head()
+    require(!statRow.isNullAt(0),
       s"events fixture at $dir is empty — cannot stage the session-window flush sentinel")
-    val maxNs = maxRow.getLong(0)
+    val maxNs = statRow.getLong(0)
+    val nEvents = statRow.getLong(1)
+    val spark = stateSizedSession(spark0, projectedStateRows = nEvents)
+    val raw = Tables.eventsRaw(spark, dir)
     val streamDir = Files.createTempDirectory("graft_sess_once")
     try {
       val t0 = System.currentTimeMillis() - 60000
@@ -468,13 +507,15 @@ object EventsStream {
       // sink keeps emission distributed; the result is read back and
       // cache-materialized BEFORE the staging/sink dirs are deleted.
       val name = s"events_session_windows_stream_${onceCounter.incrementAndGet()}"
-      // the SINK dir is deliberately NOT deleted: the returned frame
-      // reads it lazily (a cache-pinned copy instead would accumulate
-      // a corpus-linear cached relation per invocation in storage
+      // the SINK dir is NOT deleted here: the returned frame reads it
+      // lazily (a cache-pinned copy instead would accumulate a
+      // corpus-linear cached relation per invocation in storage
       // memory, with no unpersist seam once the frame is returned —
-      // parquet on tmp disk is the cheaper place for that residue);
-      // only the checkpoint and the staged input corpus are reclaimed
+      // parquet on tmp disk is the cheaper place for that residue).
+      // It IS registered for shutdown-hook deletion, so the residue
+      // lives at most as long as the process, not the machine
       val sinkDir = Files.createTempDirectory("graft_sess_sink")
+      registerSinkDirForCleanup(sinkDir)
       val ckDir = Files.createTempDirectory("graft_sess_ck")
       try {
         val q = sessionValueCounts(
@@ -512,7 +553,10 @@ object EventsStream {
     * watermarks. */
   def clickAttributionStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val spark = stateSizedSession(spark0)
+    // the corpus-spanning delay buffers BOTH join sides, so projected
+    // state ≈ the event count — size the store parallelism to it
+    val nEvents = Tables.eventsRaw(spark0, dir).count()
+    val spark = stateSizedSession(spark0, projectedStateRows = nEvents)
     val streamDir = Files.createTempDirectory("graft_attr_once")
     try {
       Files.copy(Paths.get(s"$dir/events.parquet"),
