@@ -50,8 +50,32 @@ COMMON = ("batch part spark line column order small sort fast value scan hash "
 # property, not an engine one; measured in the round-6 rehearsal)
 SYLL = ["ka", "ro", "mi", "tu", "ve", "so", "pla", "den", "gor", "lix",
         "ban", "cre", "dul", "fen", "hap", "jor", "kel", "lom", "nur", "pex"]
-TAIL = [a + b + c for a in SYLL for b in SYLL for c in SYLL[:5]]  # 2000 words
-VOCAB = COMMON + TAIL
+# PER-LANGUAGE vocabularies (round 10): before this, every language's
+# docs drew from ONE shared vocabulary, so the trained char-trigram
+# classifier's accuracy was label-prior noise — the gate verified the
+# train→score mechanism but NOTHING could measure classification (the
+# round-6 Zipf-realism precedent, applied to langid). Now each language
+# writes its own orthography — a distinct syllable inventory for the
+# tail plus a language-specific suffix on the common words — so
+# character-trigram distributions genuinely separate languages and
+# accuracy is a measurable, assertable property. "en" keeps the
+# original vocabulary byte-for-byte (en-only corpora are unchanged).
+LANG_SYLL = {
+    "en": SYLL,
+    "de": ["sch", "ber", "gen", "ung", "hei", "zwi", "pfe", "tra", "kel", "mun",
+           "dor", "fal", "gru", "hab", "ich", "jah", "kra", "leb", "nach", "wer"],
+    "fr": ["eau", "oux", "ille", "gne", "que", "ois", "eur", "ent", "cha", "jou",
+           "lune", "mais", "noir", "pet", "ral", "sou", "tre", "vie", "bleu", "cri"],
+    "es": ["cion", "illo", "ada", "ito", "nda", "que", "rro", "lla", "mbre", "dad",
+           "cer", "fue", "gua", "hom", "jar", "lun", "mar", "nino", "pla", "tie"],
+    "pt": ["cao", "inho", "ada", "nha", "oes", "que", "rra", "lho", "agem", "dade",
+           "cei", "fal", "gui", "hoj", "jan", "lua", "mar", "nov", "pra", "ter"],
+}
+LANG_SUFFIX = {"en": "", "de": "ung", "fr": "eux", "es": "cion", "pt": "cao"}
+LANG_COMMON = {l: (COMMON if l == "en" else [w + LANG_SUFFIX[l] for w in COMMON])
+               for l in LANG_SYLL}
+LANG_TAIL = {l: [a + b + c for a in s for b in s for c in s[:5]]  # 2000 words
+             for l, s in LANG_SYLL.items()}
 LANGS = ["en"] * 8 + ["de", "fr", "es", "pt"]
 SOURCES = [f"src{i}" for i in range(20)]
 
@@ -62,23 +86,27 @@ def gen_documents(rng: np.random.RandomState, n: int) -> pa.Table:
     sources: list[str] = []
     for i in range(n):
         if i > 10 and rng.rand() < 0.08:
-            # near-dup: copy a recent doc, mutate a few words
+            # near-dup: copy a recent doc, mutate a few words (drawn
+            # from the SOURCE doc's language so the copy stays in-lang)
             j = i - 1 - int(rng.randint(0, 10))
             words = texts[j].split()
+            lv = LANG_COMMON[langs[j]] + LANG_TAIL[langs[j]]
             for _ in range(int(rng.randint(1, 4))):
-                words[int(rng.randint(0, len(words)))] = VOCAB[int(rng.randint(0, len(VOCAB)))]
+                words[int(rng.randint(0, len(words)))] = lv[int(rng.randint(0, len(lv)))]
             texts.append(" ".join(words))
             langs.append(langs[j])
             sources.append(sources[j])
         else:
+            lang = LANGS[int(rng.randint(0, len(LANGS)))]
+            cm, tl = LANG_COMMON[lang], LANG_TAIL[lang]
             k = int(rng.randint(40, 60))
             # ~60% common-word mass, ~40% tail mass per token draw
-            words = [COMMON[int(rng.randint(0, len(COMMON)))]
+            words = [cm[int(rng.randint(0, len(cm)))]
                      if rng.rand() < 0.6
-                     else TAIL[int(rng.randint(0, len(TAIL)))]
+                     else tl[int(rng.randint(0, len(tl)))]
                      for _ in range(k)]
             texts.append(" ".join(words))
-            langs.append(LANGS[int(rng.randint(0, len(LANGS)))])
+            langs.append(lang)
             sources.append(SOURCES[int(rng.randint(0, len(SOURCES)))])
     return pa.table({
         "doc_id": pa.array(range(n), pa.int64()),

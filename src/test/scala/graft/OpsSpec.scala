@@ -510,6 +510,43 @@ class OpsSpec extends SparkSpec {
     byCluster.values.foreach(ms => assert(!flagged.contains(ms.map(_._1).min)))
   }
 
+  test("text: trained langid MEASURES ≥0.9 accuracy on generator corpora with per-language vocabularies (1× and 10×)") {
+    // The fixture corpus draws every language from ONE shared
+    // vocabulary, so its gate row can only verify the train→score
+    // mechanism. The scale generator now plants a distinct orthography
+    // per language (round-6 Zipf-realism precedent applied to langid):
+    // on ITS corpora the Cavnar–Trenkle classifier's accuracy is a
+    // real, assertable property — at two decades, so the signal
+    // survives vocabulary growth, not just a lucky small draw.
+    for (n <- Seq(1000, 10000)) {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_langid_$n")
+      try {
+        val rc = scala.sys.process.Process(
+          Seq("python3", "scripts/gen_scale_corpus.py",
+            out.toString, n.toString, "8", "42"),
+          new java.io.File(".")).!
+        assume(rc == 0, "corpus generator (python3+numpy+pyarrow) unavailable")
+        val rows = TextOps.langidTrained(spark, out.toString).collect()
+        assert(rows.length === n)
+        val acc = rows.count(_.getAs[Boolean]("IsMatch")).toDouble / rows.length
+        // the trivial classifier that always answers the majority label
+        // scores the label prior (~2/3 en) — the trained model must
+        // beat it decisively, not ride it
+        val prior = rows.groupBy(_.getAs[String]("ActualLang"))
+          .values.map(_.size).max.toDouble / rows.length
+        assert(acc >= 0.9, f"trained-langid accuracy $acc%.4f < 0.9 at n=$n")
+        assert(acc >= prior + 0.15,
+          f"accuracy $acc%.4f does not beat the label prior $prior%.4f at n=$n")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(out)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
   test("similarity: hierarchical assignment agrees with flat on nearly every vector, deterministic") {
     // the opt-in n^1.25 scale variant: route through ~sqrt(K) coarse
     // cells, full distances only inside routed cells — divergence is
@@ -517,6 +554,13 @@ class OpsSpec extends SparkSpec {
     // instead of assuming it
     val base = SimilarityOps.ivfIndexPath(spark, sfDir)
     val cent = spark.read.parquet(s"$base/codebook")
+    // the hier DuckDB mirror hardcodes coarseK = round(sqrt(
+    // DefaultNCentroids)) while the engine derives it from the
+    // SURVIVING fine-centroid count at runtime — pin full seed
+    // survival here so a drop fails LOUDLY instead of via a silent
+    // downstream hash mismatch in the gate
+    assert(cent.count().toInt === SimilarityOps.DefaultNCentroids,
+      "fine codebook lost seeds: the hier oracle's coarseK assumption no longer holds")
     val vecs = spark.read.parquet(s"$base/lists")
       .select(col("vec_id"), col("Q"), col("NormSq"))
     val flat = spark.read.parquet(s"$base/lists")
