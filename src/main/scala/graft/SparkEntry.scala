@@ -161,6 +161,10 @@ object SparkEntry {
     // RM3-style pseudo-relevance feedback (round 9): first-pass top-k
     // as the feedback set, integer expansion weights, BM25 re-score
     "retrieval_prf_expand" -> (RetrievalOps.prfExpand _),
+    // retrieval-quality eval (round 10): recall/precision/RR per
+    // (method, query) against declared relevance — conjunctive term
+    // containment for lexical, exact top-k for ANN
+    "retrieval_eval" -> (RetrievalOps.retrievalEval _),
     // ---- multimodal ----
     "multimodal_meta" -> (MultimodalOps.metaQuery _),
     "multimodal_framesample" -> (MultimodalOps.frameSample _),
@@ -303,6 +307,7 @@ object SparkEntry {
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
     "retrieval_hybrid_rrf" -> ExtSql.retrievalHybridRrf,
     "retrieval_prf_expand" -> ExtSql.retrievalPrfExpand,
+    "retrieval_eval" -> ExtSql.retrievalEval,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,
     "multimodal_features" -> ExtSql.multimodalFeatures,

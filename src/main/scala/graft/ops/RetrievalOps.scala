@@ -71,6 +71,109 @@ object RetrievalOps {
       .orderBy(col("QueryId"), col("Rank"))
   }
 
+  /** RETRIEVAL-QUALITY EVAL — recall@k and reciprocal rank for every
+    * retrieval method in the engine, as one gate query. Before this,
+    * the gate proved each method's rank list matches an independent
+    * oracle (correct execution) but nothing measured retrieval QUALITY
+    * against a declared relevance standard. Two relevance families,
+    * both derivable and oracle-expressible:
+    *
+    *  - LEXICAL (`bm25`, `rrf`, `prf`): a doc is relevant to query q
+    *    iff it contains EVERY term of q (conjunctive Boolean
+    *    containment — the classic implicit-judgment stand-in when no
+    *    human qrels exist; declared relevance semantics, shared with
+    *    the mirror). Recall@k = |top-k ∩ relevant| / |relevant|.
+    *  - VECTOR (`ivf`, `pq`, `ivfpq`): relevance for probe q is the
+    *    EXACT brute-force top-k — the standard ANN recall-vs-exact
+    *    metric. `pq`/`ivfpq` reranking exactly means their measured
+    *    recall lands at 1.0/IVF-route recall respectively — here that
+    *    long-claimed property is a NUMBER in the gate, not a scaladoc
+    *    claim.
+    *
+    * Every metric is an exact rational of small integers (hit counts,
+    * 1/first-relevant-rank), so the DuckDB mirror — which nests the
+    * method mirrors as CTEs — reproduces each value bit-for-bit. The
+    * per-(method, query) grain keeps the row set deterministic even
+    * for queries with zero relevant docs (Recall/RR defined 0.0).
+    *
+    * Scale shape: each method's list is already bounded (|queries|·k);
+    * the lexical relevance set is a broadcast-join filter of the
+    * cached [[TextOps.docPostings]] substrate aggregated per (query,
+    * doc) — hit-sized, the same economics as BM25's tf pass; the
+    * vector truth set is the bounded-probe exact scan. All eval joins
+    * are |queries|·k vs relevance-set sized. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qids = TextOps.Bm25Queries.map(_._1)
+    // ---- lexical relevance: conjunctive term containment ----
+    val qterms = TextOps.Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(qid -> _) }
+      .toDF("QueryId", "Term")
+    val nq = qterms.groupBy(col("QueryId"))
+      .agg(countDistinct(col("Term")).as("NQ"))
+    val rel = TextOps.docPostings(spark, dir)
+      .join(broadcast(qterms), "Term")
+      .groupBy(col("QueryId"), col("doc_id"))
+      .agg(countDistinct(col("Term")).as("NHit"))
+      .join(broadcast(nq), "QueryId")
+      .filter(col("NHit") === col("NQ"))
+      .select(col("QueryId"), col("doc_id"))
+    val nRel = rel.groupBy(col("QueryId")).agg(count(lit(1)).as("NRel"))
+    val lexSpine = qids.toDF("QueryId")
+    def evalOf(method: String, ranked: DataFrame, truth: DataFrame,
+               spine: DataFrame, truthN: DataFrame, k: Int): DataFrame = {
+      val hits = ranked.join(truth, Seq("QueryId", "doc_id"))
+        .groupBy(col("QueryId"))
+        .agg(count(lit(1)).as("Hits"), min(col("Rank")).as("FirstRel"))
+      spine
+        .join(broadcast(truthN), Seq("QueryId"), "left")
+        .join(broadcast(hits), Seq("QueryId"), "left")
+        .select(
+          lit(method).as("Method"),
+          col("QueryId"),
+          coalesce(col("NRel"), lit(0L)).as("NRel"),
+          lit(k).as("K"),
+          coalesce(col("Hits"), lit(0L)).as("Hits"),
+          when(coalesce(col("NRel"), lit(0L)) === 0, lit(0.0))
+            .otherwise(coalesce(col("Hits"), lit(0L)).cast(DoubleType) /
+              col("NRel")).as("Recall"),
+          // with |relevant| >> k recall@k is floor-bound; precision@k
+          // carries the discriminating lexical signal
+          (coalesce(col("Hits"), lit(0L)).cast(DoubleType) / lit(k))
+            .as("Precision"),
+          when(col("FirstRel").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("FirstRel")).as("RR"))
+    }
+    val lex = Seq(
+      evalOf("bm25", TextOps.bm25Topk(spark, dir)
+        .select(col("QueryId"), col("doc_id"), col("Rank")),
+        rel, lexSpine, nRel, TextOps.Bm25TopK),
+      evalOf("prf", prfExpand(spark, dir)
+        .select(col("QueryId"), col("doc_id"), col("Rank")),
+        rel, lexSpine, nRel, TextOps.Bm25TopK),
+      evalOf("rrf", hybridRrf(spark, dir)
+        .select(col("QueryId"), col("doc_id"), col("Rank")),
+        rel, lexSpine, nRel, RrfTopK))
+    // ---- vector relevance: the exact top-k list ----
+    val exact = SimilarityOps.topk(spark, dir)
+      .select(col("QId").cast(IntegerType).as("QueryId"),
+        col("NId").as("doc_id"))
+    val nRelV = exact.groupBy(col("QueryId")).agg(count(lit(1)).as("NRel"))
+    val vecSpine = (0 until SimilarityOps.ProbeIdMax).toDF("QueryId")
+    def vecRanked(df: DataFrame): DataFrame =
+      df.select(col("QId").cast(IntegerType).as("QueryId"),
+        col("NId").as("doc_id"), col("Rank"))
+    val vec = Seq(
+      evalOf("ivf", vecRanked(SimilarityOps.ivfTopk(spark, dir)),
+        exact, vecSpine, nRelV, SimilarityOps.DefaultK),
+      evalOf("pq", vecRanked(SimilarityOps.pqTopk(spark, dir)),
+        exact, vecSpine, nRelV, SimilarityOps.DefaultK),
+      evalOf("ivfpq", vecRanked(SimilarityOps.ivfpqTopk(spark, dir)),
+        exact, vecSpine, nRelV, SimilarityOps.DefaultK))
+    (lex ++ vec).reduce(_.union(_))
+      .orderBy(col("Method"), col("QueryId"))
+  }
+
   /** Expansion terms added per query by [[prfExpand]]. */
   val PrfExpansionTerms = 3
 

@@ -1792,6 +1792,83 @@ ORDER BY "QueryId", "Rank"
 """
   }
 
+  /** Retrieval-quality eval mirror: relevance derived by the SAME two
+    * declared standards as the engine — conjunctive term containment
+    * for the lexical methods (bm25/prf/rrf), the exact brute-force
+    * top-k for the ANN methods (ivf/pq/ivfpq) — with each method's own
+    * mirror nested verbatim as a CTE. pq's retrieved list mirror IS
+    * the exact list (its gate oracle), so its recall/precision rows
+    * compute to 1.0 — the measured PQ-rerank-losslessness claim as
+    * values; ivfpq reuses the ivf mirror for the same reason (the
+    * route is the only lossy stage, in both engines identically). All
+    * metrics are exact rationals of small integer counts. */
+  val retrievalEval: String = {
+    import graft.ops.RetrievalOps.RrfTopK
+    import graft.ops.SimilarityOps.{DefaultK, ProbeIdMax}
+    val lexQids = TextOps.Bm25Queries.map(q => s"(${q._1})").mkString(", ")
+    val vecQids = (0 until ProbeIdMax).map(q => s"($q)").mkString(", ")
+    val qtermVals = TextOps.Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    // one eval block per method: spine LEFT JOIN relevance counts LEFT
+    // JOIN per-query hits over `cte`'s ranked list
+    def block(m: String, cte: String, k: Int, spine: String,
+              relCte: String, nrelCte: String,
+              qidCol: String, docCol: String): String = s"""
+SELECT '$m' AS "Method", s.qid AS "QueryId",
+       COALESCE(n.nrel, 0) AS "NRel", CAST($k AS INTEGER) AS "K",
+       COALESCE(h.hits, 0) AS "Hits",
+       CASE WHEN COALESCE(n.nrel, 0) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(h.hits, 0) AS DOUBLE) / n.nrel END AS "Recall",
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / $k AS "Precision",
+       CASE WHEN h.firstrel IS NULL THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) / h.firstrel END AS "RR"
+FROM $spine s
+LEFT JOIN $nrelCte n ON s.qid = n.qid
+LEFT JOIN (
+  SELECT t.$qidCol AS qid, CAST(count(*) AS BIGINT) AS hits,
+         min(t."Rank") AS firstrel
+  FROM $cte t JOIN $relCte v ON t.$qidCol = v.qid AND t.$docCol = v.doc_id
+  GROUP BY 1) h ON s.qid = h.qid"""
+    s"""
+WITH lexq(qid) AS (VALUES $lexQids),
+vecq(qid) AS (VALUES $vecQids),
+qt(qid, tok) AS (VALUES $qtermVals),
+dtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents),
+dex AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM dtoks),
+nqt AS (SELECT qid, count(DISTINCT tok) AS nq FROM qt GROUP BY qid),
+rel AS (
+  SELECT x.qid, x.doc_id FROM (
+    SELECT q.qid, e.doc_id, count(DISTINCT e.tok) AS nh
+    FROM dex e JOIN qt q ON e.tok = q.tok GROUP BY q.qid, e.doc_id) x
+  JOIN nqt ON x.qid = nqt.qid WHERE x.nh = nqt.nq
+),
+nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS nrel FROM rel GROUP BY qid),
+bm AS ($textBm25Topk),
+pr AS ($retrievalPrfExpand),
+rr AS ($retrievalHybridRrf),
+vex AS ($similarityTopk),
+ivf AS ($similarityIvfTopk),
+vrel AS (SELECT CAST("QId" AS INTEGER) AS qid, "NId" AS doc_id FROM vex),
+vnrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS nrel FROM vrel GROUP BY qid),
+vexi AS (SELECT CAST("QId" AS INTEGER) AS "QueryId", "NId" AS doc_id, "Rank" FROM vex),
+ivfi AS (SELECT CAST("QId" AS INTEGER) AS "QueryId", "NId" AS doc_id, "Rank" FROM ivf)
+${block("bm25", "bm", TextOps.Bm25TopK, "lexq", "rel", "nrel", "\"QueryId\"", "doc_id")}
+UNION ALL
+${block("prf", "pr", TextOps.Bm25TopK, "lexq", "rel", "nrel", "\"QueryId\"", "doc_id")}
+UNION ALL
+${block("rrf", "rr", RrfTopK, "lexq", "rel", "nrel", "\"QueryId\"", "doc_id")}
+UNION ALL
+${block("ivf", "ivfi", DefaultK, "vecq", "vrel", "vnrel", "\"QueryId\"", "doc_id")}
+UNION ALL
+${block("pq", "vexi", DefaultK, "vecq", "vrel", "vnrel", "\"QueryId\"", "doc_id")}
+UNION ALL
+${block("ivfpq", "ivfi", DefaultK, "vecq", "vrel", "vnrel", "\"QueryId\"", "doc_id")}
+ORDER BY "Method", "QueryId"
+"""
+  }
+
   /** Hierarchical (coarse-routed) semantic-dedup mirror: the same
     * fine codebook CTEs, then SimilarityOps.assignHierarchical
     * transcribed step for step — coarse Lloyd over the fine centroids

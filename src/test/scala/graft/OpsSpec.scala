@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CurateOps, DedupOps, EventsOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{CurateOps, DedupOps, EventsOps, MultimodalOps, RetrievalOps, SimilarityOps, TextOps}
 
 /** Sanity + structural tests for the extension operators over the
   * sf0.001 testdata (exact-value parity vs DuckDB is covered by the
@@ -545,6 +545,47 @@ class OpsSpec extends SparkSpec {
         finally walk.close()
       }
     }
+  }
+
+  test("retrieval: quality is monotone under nprobe, exhaustive probing recovers exact, PQ rerank is lossless") {
+    // the engine's retrieval-quality knobs must MOVE the measured
+    // metric the right way — rank lists matching an oracle proves
+    // correct execution, not that the knobs buy quality
+    val exact = SimilarityOps.topk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("QId"), r.getAs[Long]("NId"))).toSet
+    def recall(nprobe: Int): Double = {
+      val got = SimilarityOps.ivfTopk(spark, sfDir, nprobe = nprobe).collect()
+        .map(r => (r.getAs[Long]("QId"), r.getAs[Long]("NId"))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val rDef = recall(SimilarityOps.DefaultNProbe)
+    val rAll = recall(SimilarityOps.DefaultNCentroids)
+    assert(r1 <= rDef && rDef <= rAll,
+      f"IVF recall not monotone in nprobe: $r1%.3f / $rDef%.3f / $rAll%.3f")
+    assert(rAll === 1.0, f"probing every list must recover the exact top-k, got $rAll%.3f")
+    assert(rDef >= 0.5, f"default-nprobe recall $rDef%.3f — the route buys nothing")
+    // the gate eval table agrees: complete grain, PQ rows lossless,
+    // ivfpq == ivf per query (the route is the only lossy stage)
+    val eval = RetrievalOps.retrievalEval(spark, sfDir).collect()
+    val lexQ = TextOps.Bm25Queries.length
+    val vecQ = SimilarityOps.ProbeIdMax
+    assert(eval.length === 3 * lexQ + 3 * vecQ)
+    eval.filter(_.getAs[String]("Method") == "pq").foreach { r =>
+      assert(r.getAs[Double]("Recall") === 1.0 && r.getAs[Double]("Precision") === 1.0,
+        s"pq row not lossless: $r")
+    }
+    val ivfHits = eval.filter(_.getAs[String]("Method") == "ivf")
+      .map(r => r.getAs[Int]("QueryId") -> r.getAs[Long]("Hits")).toMap
+    eval.filter(_.getAs[String]("Method") == "ivfpq").foreach { r =>
+      assert(r.getAs[Long]("Hits") === ivfHits(r.getAs[Int]("QueryId")))
+    }
+    // every method must surface at least one relevant doc in its list
+    // (RR > 0) on this corpus — rank-1 is NOT guaranteed (measured:
+    // RRF can fuse a vector-branch doc missing a query term into the
+    // top slot), but a scorer that finds nothing relevant is broken
+    eval.foreach { r => assert(r.getAs[Double]("RR") > 0.0,
+      s"method ${r.getAs[String]("Method")} query ${r.getAs[Int]("QueryId")} found no relevant doc") }
   }
 
   test("similarity: hierarchical assignment agrees with flat on nearly every vector, deterministic") {
