@@ -127,9 +127,15 @@ def gen_embeddings(rng: np.random.RandomState, n: int) -> pa.Table:
             j = i - 1 - int(rng.randint(0, 15))
             vecs[i] = vecs[j] + rng.randn(64).astype(np.float32) * 0.01
             labels[i] = labels[j]
+    # zero-copy list<float32> construction (offsets + flat values):
+    # the python list-of-lists path allocates ~50 bytes/float and dies
+    # around 500k vectors; this writes 2M+ vectors in-place. Values and
+    # schema (list<float32 "item">) are byte-identical to the old path.
+    flat = pa.array(vecs.reshape(-1), pa.float32())
+    offsets = pa.array(np.arange(0, (n + 1) * 64, 64, dtype=np.int32))
     return pa.table({
         "vec_id": pa.array(range(n), pa.int64()),
-        "embedding": pa.array([v for v in vecs.tolist()], pa.list_(pa.float32())),
+        "embedding": pa.ListArray.from_arrays(offsets, flat),
         "label": pa.array(labels, pa.int32()),
     })
 

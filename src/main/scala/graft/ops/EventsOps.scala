@@ -212,6 +212,19 @@ object EventsOps {
       .orderBy(col("Step"))
   }
 
+  /** Ceiling on [[clickAttribution]]'s ESTIMATED expected pair volume
+    * (the [[graft.ops.GraphOps.MaxOrderParts]] pattern applied to the
+    * interval join's one quadratic risk). The join's output is
+    * quadratic in per-user event DENSITY by construction — the
+    * round-9 density decade (10M events on the fixture's user count)
+    * measured exactly that axis — so a misconfigured deployment
+    * (density-scaled corpus, or a window far wider than the arrival
+    * gap) must fail LOUDLY before materializing a near-cross-product,
+    * not after. 100M expected pairs ≈ several GB of shuffled pairs —
+    * past any sane single-node run; a cluster deployment that truly
+    * wants more raises the cap consciously via the 3-arg overload. */
+  val MaxAttributionEstPairs = 100000000L
+
   /** Click attribution — every (view, click) pair by the same user
     * with the click inside ([[FunnelWindowHours]]] after the view,
     * aggregated per user: pair count and exact min/max/total lag in
@@ -225,11 +238,43 @@ object EventsOps {
     * .skewSaltedJoin]] treatment. The streaming twin
     * ([[graft.streaming.EventsStream.clickAttribution]]) runs the
     * same join as a watermarked stream-stream join whose range
-    * condition is what lets Spark EVICT join state. */
-  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    * condition is what lets Spark EVICT join state.
+    *
+    * PAIR-VOLUME GUARD: before the join runs, one linear keyed pass
+    * estimates the expected output as
+    * `Σ_u views_u·clicks_u · min(1, window/span)` (the uniform-arrival
+    * expectation; the Σ term alone is the equi-join's worst case) and
+    * refuses to execute past `maxEstPairs` — the quadratic risk fails
+    * at estimate time, never at shuffle-write time. The guard pass is
+    * a narrow groupBy over the events scan, trivially amortized
+    * against the join it protects. */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame =
+    clickAttribution(spark, dir, MaxAttributionEstPairs)
+
+  def clickAttribution(spark: SparkSession, dir: String,
+                       maxEstPairs: Long): DataFrame = {
     val winUs = FunnelWindowHours * 3600L * 1000000L
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+    val guard = e.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("NV"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("NC"),
+        min(col("us")).as("Mn"), max(col("us")).as("Mx"))
+      .agg(sum(col("NV") * col("NC")).as("P"),
+        min(col("Mn")).as("Mn"), max(col("Mx")).as("Mx"))
+      .first()
+    if (!guard.isNullAt(0)) {
+      val worstPairs = guard.getAs[Long]("P")
+      val spanUs = guard.getAs[Long]("Mx") - guard.getAs[Long]("Mn")
+      val frac = if (spanUs <= 0L) 1.0 else math.min(1.0, winUs.toDouble / spanUs)
+      val est = (worstPairs * frac).toLong
+      require(est <= maxEstPairs,
+        s"click-attribution expected pair volume ~$est (worst-case $worstPairs, " +
+          s"window/span fraction $frac) exceeds $maxEstPairs — the corpus's per-user " +
+          "view×click density makes the interval join near-quadratic; reduce " +
+          "FunnelWindowHours, pre-filter the event types, or raise the cap explicitly")
+    }
     val v = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("us").as("vus"))
     val c = e.filter(col("event_type") === "click")

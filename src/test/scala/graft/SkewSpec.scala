@@ -123,6 +123,51 @@ class SkewSpec extends SparkSpec {
       "flood pairs leaked through the cap")
   }
 
+  test("attribution pair-volume guard: a density-pathological corpus fails at estimate time; the real corpus passes with headroom") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // planted dense corpus: ONE user, 2000 views + 2000 clicks packed
+    // inside a single attribution window — the interval join would
+    // write ~2M pairs (the quadratic risk the guard exists for).
+    // Timestamps all inside one hour, so window/span fraction = 1 and
+    // the estimate equals the worst case.
+    val n = 2000
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val rows = (0 until n).map(i =>
+        (i.toLong, base + i * 1000L, 7L, "view", 1.0, "{}")) ++
+      (0 until n).map(i =>
+        ((n + i).toLong, base + 500L + i * 1000L, 7L, "click", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_guard")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.ops.EventsOps.clickAttribution(spark, dir.toString,
+          maxEstPairs = 100000L)
+      }
+      assert(ex.getMessage.contains("pair volume"),
+        s"guard tripped with the wrong message: ${ex.getMessage}")
+      // the same corpus under a permissive cap still computes correctly
+      // (every view precedes 1999-2000 clicks within the window)
+      val ok = graft.ops.EventsOps.clickAttribution(spark, dir.toString,
+        maxEstPairs = 10000000L).collect()
+      assert(ok.length === 1 && ok.head.getAs[Long]("Pairs") > 1000000L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      graft.etl.Tables.forgetTsEncoding(dir.toString)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    // the real fixture sits ≥10× under the default cap — the guard
+    // never perturbs a legitimate corpus
+    graft.ops.EventsOps.clickAttribution(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+  }
+
   test("salted join: identical to the plain join, no broadcast, salt in the keys") {
     import org.apache.spark.sql.functions._
     val salted = RelationalOps.skewSaltedJoin(spark, skewDir)
