@@ -279,13 +279,12 @@ object TextOps {
     * driver action. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .repartition(col("doc_id")) // single-file input: spread the explode
-      .select(col("doc_id"), explode(expr(toksSql)).as("Token"))
-      .groupBy(col("doc_id"), col("Token"))
-      .agg(count(lit(1)).cast(IntegerType).as("Tf"))
-    val n = docs.agg(count(lit(1)).cast(IntegerType).as("NDocs"))
+    // tf IS the postings substrate (round 10): same (doc, token, count)
+    // values the per-query explode produced, read from the one cached
+    // inverted index the whole retrieval family shares
+    val tf = docPostings(spark, dir)
+      .select(col("doc_id"), col("Term").as("Token"), col("Tf"))
+    val n = docStats(spark, dir).select(col("NDocs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("Score").desc, col("Token").asc)
     tf.withColumn("Df",

@@ -249,17 +249,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window ["), s"unexpected window:\n$p")
   }
 
-  test("bm25 filters query terms inside the token pass and ranks via WindowGroupLimit") {
+  test("bm25 reads the cached postings substrate hit-filtered, ranks via WindowGroupLimit") {
     val df = graft.ops.TextOps.bm25Topk(spark, sfDir)
     val p = plan(df)
-    // the term filter rides the explode's input array — the Generate's
-    // own expression carries the filter HOF, so tf is hit-sized
+    // round 10: the tf table is the memoized docPostings inverted
+    // index — the plan must scan the CACHED substrate (one build
+    // shared by bm25/PRF/RRF/eval), with the query-vocabulary IN
+    // filter applied on top so the pass stays hit-sized, and must NOT
+    // re-run the corpus token explode (no Generate anywhere)
+    assert(p.contains("InMemoryTableScan"),
+      s"bm25 is not reading the cached postings substrate:\n$p")
     val gen = df.queryExecution.sparkPlan.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g
     }
-    assert(gen.nonEmpty, p)
-    assert(gen.exists(_.boundGenerator.toString.contains("filter")),
-      s"query-term filter not inside the explode:\n$p")
+    assert(gen.isEmpty,
+      s"bm25 re-runs a corpus explode instead of riding the substrate:\n$p")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Term#") && (opt.contains(" IN ") || opt.contains("INSET")),
+      s"query-vocabulary IN filter missing above the substrate scan:\n$opt")
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
