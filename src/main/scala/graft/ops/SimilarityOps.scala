@@ -1337,6 +1337,36 @@ object SimilarityOps {
       .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
   }
 
+  /** n·K threshold above which [[assignAuto]] routes to the
+    * hierarchical assignment. Measured (PERFORMANCE.md round 10, this
+    * host): at 200k×1024 (n·K = 2.0e8) flat still wins — one fused
+    * whole-stage-codegen crossJoin beats the two-level plan's three
+    * stage boundaries (13.7 vs 19.7 s); at 2M×512 (n·K = 1.0e9) the
+    * hierarchical route wins the clock **9.2×** (flat 264.9 s vs hier
+    * 28.9 s, assignment agreement 0.9960 — HierAssignProbe on the
+    * generated vec2m corpus). The crossover sits between; 5e8 splits
+    * the measured points. Below it flat's fused pipeline amortizes
+    * everything; above it the n·K dot-product volume dominates
+    * per-stage overhead and the n·√K·(nprobe+1) route pays for
+    * itself. */
+  val HierAssignMinNK = 500000000L
+
+  /** Size-routed assignment: flat below [[HierAssignMinNK]] n·K,
+    * hierarchical above — the measured crossover as an executable
+    * default rather than a scaladoc claim. `n` and `k` are one
+    * metadata-cheap count each (the codebook is K rows; the corpus
+    * count rides parquet/cached statistics). Both branches emit the
+    * identical (vec_id, Q, NormSq, Cid) shape; divergence between
+    * them is confined to cluster-boundary vectors (OpsSpec measures
+    * ≥0.95 agreement). */
+  def assignAuto(vecs: DataFrame, fineCent: DataFrame,
+                 nprobe: Int = HierNProbe,
+                 minNK: Long = HierAssignMinNK): DataFrame = {
+    val nk = vecs.count() * fineCent.count()
+    if (nk >= minNK) assignHierarchical(vecs, fineCent, nprobe)
+    else assignFlat(vecs, fineCent)
+  }
+
   def assignHierarchical(vecs: DataFrame, fineCent: DataFrame,
                          nprobe: Int = HierNProbe): DataFrame = {
     VectorExpressions.register(vecs.sparkSession)

@@ -23,7 +23,12 @@ object HierAssignProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // this host shows multi-minute whole-VM stalls (see Bench
+      // scaladoc): without these a stalled heartbeat kills the
+      // in-process executor mid-measurement
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.SimilarityOps
     def time(f: => Unit): Double = {
@@ -31,8 +36,11 @@ object HierAssignProbe {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // warmup builds the index + codegen for both paths
-    noop(SimilarityOps.semanticDedup(spark, dir, nCentroids = k))
+    // build-if-absent the persisted index DIRECTLY — the old warmup
+    // ran the full semanticDedup, whose n²/K intra-cluster pair join
+    // is quadratic work this probe doesn't measure (at 2M×K=512 that
+    // is ~7.8e9 cosine evals — it starved the driver before the race
+    // even started); the assignment race needs only codebook + lists
     val base = SimilarityOps.ivfIndexPath(spark, dir, k)
     val vecs = spark.read.parquet(s"$base/lists")
       .select(col("vec_id"), col("Q"), col("NormSq"))

@@ -13,7 +13,12 @@ object RetrievalEvalProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // this host shows multi-minute whole-VM stalls (see Bench
+      // scaladoc): without these a stalled heartbeat kills the
+      // in-process executor mid-measurement
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Verify.registerAll(spark)
     graft.ops.RetrievalOps.retrievalEval(spark, sfDir).show(100, false)

@@ -26,7 +26,12 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // this host shows multi-minute whole-VM stalls (see Bench
+      // scaladoc): without these a stalled heartbeat kills the
+      // in-process executor mid-measurement
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def once(name: String): Double = {
       // construction INSIDE the timer: queries with eager driver-side

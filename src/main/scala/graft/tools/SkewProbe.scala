@@ -17,7 +17,12 @@ object SkewProbe {
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // this host shows multi-minute whole-VM stalls (see Bench
+      // scaladoc): without these a stalled heartbeat kills the
+      // in-process executor mid-measurement
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
     spark.sparkContext.setLogLevel("INFO")
     val df = graft.ops.RelationalOps.skewedOrderJoin(spark, dir)
     df.collect()

@@ -628,6 +628,18 @@ class OpsSpec extends SparkSpec {
     val again = SimilarityOps.assignHierarchical(vecs, cent).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("Cid")).toMap
     assert(again === hier)
+    // the size-based routing default is EXECUTABLE, not prose: below
+    // the measured n·K crossover it returns the flat assignment, above
+    // it (forced with minNK=1) the hierarchical one — bit-identical to
+    // the respective direct paths
+    val autoFlat = SimilarityOps.assignAuto(vecs, cent).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("Cid")).toMap
+    assert(autoFlat === flat,
+      "assignAuto below the crossover must be the flat assignment")
+    val autoHier = SimilarityOps.assignAuto(vecs, cent, minNK = 1L).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("Cid")).toMap
+    assert(autoHier === hier,
+      "assignAuto above the crossover must be the hierarchical assignment")
     // and the dedup built on it keeps the same per-cluster survivor
     // contract as the flat variant
     val rows = SimilarityOps.semanticDedupHierarchical(spark, sfDir).collect()
