@@ -519,8 +519,27 @@ object SimilarityOps {
       .select(col("vec_id"), (col("d0") + 1).as("dim"), col("v"))
     var cent = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("Cid"), col("Q").as("CQ"), col("NormSq").as("CNorm"))
+    // Route each round's assignment by the measured n·K crossover
+    // ([[HierAssignMinNK]]): past it the flat crossJoin is the build's
+    // dominant term (264.9 s/round at 2M×512 vs 28.9 s routed —
+    // HierAssignProbe, PERFORMANCE.md round 10), and Lloyd with an
+    // approximate assignment step is the standard large-K k-means
+    // economics (the assignment is approximate exactly as IVF search
+    // is; agreement 0.996 at the measured decade). Below the
+    // crossover the loop is bit-identical to the always-flat form, so
+    // gate-scale codebooks — and the DuckDB oracle's bit-for-bit
+    // mirror of them — are unchanged. Routed rounds materialize the
+    // K-row centroid table first: [[assignHierarchical]] references
+    // it many times (count, inner coarse k-means, routing joins), and
+    // an unmaterialized round-chain would recompute the whole prior
+    // lineage per reference — multiplicative plan blowup. The inner
+    // coarse build recurses here with n=K, K'=√K — always far below
+    // the threshold, so recursion terminates on the flat branch.
+    val routed = all.count() * nCentroids >= HierAssignMinNK
     for (_ <- 1 to KmeansRounds) {
-      val assign = nearestCentroids(all, cent, 1, "vec_id", "Q", "NormSq")
+      val centR = if (routed) cent.localCheckpoint(true) else cent
+      val assign = (if (routed) assignHierarchical(all, centR)
+                    else nearestCentroids(all, centR, 1, "vec_id", "Q", "NormSq"))
         .select(col("vec_id").as("AVid"), col("Cid"))
       cent = dims.join(assign, dims("vec_id") === assign("AVid"))
         .groupBy(col("Cid"), col("dim"))
@@ -592,10 +611,12 @@ object SimilarityOps {
     kmeansCentroids(all, nCentroids)
       .write.mode("overwrite").parquet(s"$base/codebook")
     // assignment against the PERSISTED codebook (read it back rather
-    // than re-running the Lloyd rounds a second time)
-    nearestCentroids(all, spark.read.parquet(s"$base/codebook"), 1,
-        "vec_id", "Q", "NormSq")
-      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
+    // than re-running the Lloyd rounds a second time), size-routed:
+    // below the measured crossover this IS the flat take-1 (gate
+    // hashes unchanged); past it the hierarchical route wins 9.2×
+    // (PERFORMANCE.md round 10) and an IVF list built from the routed
+    // assignment is approximate exactly as the probe side already is
+    assignAuto(all, spark.read.parquet(s"$base/codebook"))
       .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/lists")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(base, "_corpus_fingerprint"),
@@ -783,9 +804,10 @@ object SimilarityOps {
       .select(col("vec_id"), col("Q"), col("NormSq"))
     kmeansCentroids(rows, nCentroids)
       .write.mode("overwrite").parquet(s"$base/codebook_next")
-    nearestCentroids(rows, spark.read.parquet(s"$base/codebook_next"), 1,
-        "vec_id", "Q", "NormSq")
-      .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
+    // size-routed like the direct build: identical below the
+    // crossover, so append-then-recluster stays bit-identical to a
+    // direct build over the same rows at every measured gate scale
+    assignAuto(rows, spark.read.parquet(s"$base/codebook_next"))
       .write.mode("overwrite").partitionBy("Cid").parquet(s"$base/lists_next")
     Seq("codebook", "lists").foreach { d =>
       deleteRecursively(s"$base/$d")
