@@ -145,39 +145,19 @@ object TextOps {
     * the measured numbers.
     *
     * Scale shape: the profile grid is (vocab × #langs) — vocab-scale,
-    * broadcast; training is one explode+agg pass; scoring is one more
-    * explode joined to the broadcast grid, aggregated on (doc, lang) —
-    * #langs·n rows through a combinable sum. Nothing is corpus×corpus. */
+    * broadcast, and since round 10 a memoized substrate
+    * ([[langidModel]]: train once per corpus snapshot, score per
+    * query); training is one explode+agg pass on first touch; scoring
+    * is one explode joined to the broadcast grid, aggregated on
+    * (doc, lang) — #langs·n rows through a combinable sum. Nothing is
+    * corpus×corpus. */
   def langidTrained(spark: SparkSession, dir: String): DataFrame = {
-    val triSql = s"flatten(transform(filter($toksSql, t -> length(t) >= 3), " +
-      "tok -> transform(sequence(1, length(tok) - 2), i -> substring(tok, i, 3))))"
-    // the trigram table feeds the profile chain (counts → totals,
-    // vocab, grid: 3 consumers) AND the scoring join. Checkpointing
-    // langCnt (VOCAB-scale) collapses the profile chain to one dtri
-    // pass, so dtri executes twice total (profile + scoring) instead
-    // of ~4× (measured 43 s at 500k docs). dtri itself is deliberately
-    // NOT materialized: it is corpus-scale, and pinning it starves
-    // execution memory on small heaps (measured OOM at 500k docs under
-    // a 4 GiB driver) — two streaming passes are the safe shape.
-    val dtri = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"), explode(expr(triSql)).as("Tri"))
-      .groupBy(col("doc_id"), col("lang"), col("Tri"))
-      .agg(count(lit(1)).cast(LongType).as("M"))
-    val langCnt = dtri.groupBy(col("lang"), col("Tri")).agg(sum(col("M")).as("C"))
-      .localCheckpoint()
-    val totals = langCnt.groupBy(col("lang")).agg(sum(col("C")).as("T"))
-    val vCount = langCnt.select(col("Tri")).distinct()
-      .agg(count(lit(1)).cast(LongType).as("V"))
-    // complete (lang, tri) grid: absent pairs get c = 0 (Laplace floor)
-    val grid = langCnt.select(col("Tri")).distinct()
-      .crossJoin(totals)
-      .join(langCnt, Seq("lang", "Tri"), "left")
-      .withColumn("C", coalesce(col("C"), lit(0L)))
-      .crossJoin(broadcast(vCount))
-      .withColumn("Bits",
-        (length(expr("bin((T + V) div (C + 1))")) - 1).cast(IntegerType))
-      .select(col("lang").as("PLang"), col("Tri"), col("Bits"))
+    val (grid, totals) = langidModel(spark, dir)
+    // scoring re-derives the corpus trigram pass per execution: dtri
+    // is corpus-scale, and pinning it starves execution memory on
+    // small heaps (measured OOM at 500k docs under a 4 GiB driver) —
+    // a streaming pass against the broadcast MODEL is the safe shape
+    val dtri = langTrigrams(spark, dir)
     val scores = dtri.select(col("doc_id"), col("Tri"), col("M"))
       .join(broadcast(grid), "Tri")
       .groupBy(col("doc_id"), col("PLang"))
@@ -511,6 +491,61 @@ object TextOps {
       .select(col("doc_id"), col("NChunks"), col("NDistinctChunks"),
         md5(concat_ws(" ", array_sort(col("Chs")))).as("ChunksetMd5"))
       .orderBy(col("doc_id"))
+
+  /** Per-doc char-trigram bag `(doc_id, lang, Tri, M)` — the shared
+    * input of [[langidTrained]]'s training and scoring passes.
+    * Deliberately NOT materialized: corpus-scale (see the OOM note in
+    * [[langidModel]]). */
+  private def langTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val triSql = s"flatten(transform(filter($toksSql, t -> length(t) >= 3), " +
+      "tok -> transform(sequence(1, length(tok) - 2), i -> substring(tok, i, 3))))"
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(expr(triSql)).as("Tri"))
+      .groupBy(col("doc_id"), col("lang"), col("Tri"))
+      .agg(count(lit(1)).cast(LongType).as("M"))
+  }
+
+  private val langidModelMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val langidModelLock = new Object
+
+  /** TRAINED langid MODEL substrate `(grid, totals)` — the
+    * Cavnar–Trenkle profile grid `(PLang, Tri, Bits)` plus the
+    * language totals, memoized + cached per (session, dir) like
+    * [[docPostings]]: train once per corpus snapshot, score per
+    * query — the production classifier lifecycle. The grid is
+    * vocab × #langs (broadcast-scale; cache is cheap); langCnt is
+    * localCheckpointed at build so the profile chain (totals, vocab,
+    * grid: 3 consumers) costs ONE corpus trigram pass total. The
+    * corpus-scale trigram bag itself is deliberately NOT pinned —
+    * pinning it starves execution memory on small heaps (measured OOM
+    * at 500k docs under a 4 GiB driver); streaming passes are the
+    * safe shape. */
+  private def langidModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    langidModelMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(langidModelMemo.remove)
+    graft.functions.TextExpressions.register(spark)
+    BucketedTables.memoized(langidModelMemo, (spark, dir), langidModelLock) {
+      val langCnt = langTrigrams(spark, dir)
+        .groupBy(col("lang"), col("Tri")).agg(sum(col("M")).as("C"))
+        .localCheckpoint()
+      val totals = langCnt.groupBy(col("lang")).agg(sum(col("C")).as("T"))
+      val vCount = langCnt.select(col("Tri")).distinct()
+        .agg(count(lit(1)).cast(LongType).as("V"))
+      // complete (lang, tri) grid: absent pairs get c = 0 (Laplace floor)
+      val grid = langCnt.select(col("Tri")).distinct()
+        .crossJoin(totals)
+        .join(langCnt, Seq("lang", "Tri"), "left")
+        .withColumn("C", coalesce(col("C"), lit(0L)))
+        .crossJoin(broadcast(vCount))
+        .withColumn("Bits",
+          (length(expr("bin((T + V) div (C + 1))")) - 1).cast(IntegerType))
+        .select(col("lang").as("PLang"), col("Tri"), col("Bits"))
+      (grid.cache(), totals.cache())
+    }
+  }
 
   private val postingsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
