@@ -89,6 +89,9 @@ object SparkEntry {
     // corpus novelty (round 9): first-seen shingle fraction per doc —
     // the novelty-weighted-sampling signal, complement of dup flags
     "text_novelty" -> (TextOps.novelty _),
+    // BPE vocabulary learning (round 10): the tokenizer-training merge
+    // table — one corpus pass to the word dict, vocab-scale iterations
+    "text_bpe_vocab" -> (TextOps.bpeVocab _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
@@ -257,6 +260,7 @@ object SparkEntry {
     "text_langid" -> ExtSql.textLangid,
     "text_langid_trained" -> ExtSql.textLangidTrained,
     "text_novelty" -> ExtSql.textNovelty,
+    "text_bpe_vocab" -> ExtSql.textBpeVocab,
     "text_fingerprint" -> ExtSql.textFingerprint,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,

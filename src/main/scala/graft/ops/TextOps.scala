@@ -492,6 +492,93 @@ object TextOps {
         md5(concat_ws(" ", array_sort(col("Chs")))).as("ChunksetMd5"))
       .orderBy(col("doc_id"))
 
+  /** Number of merge operations [[bpeVocab]] learns. Small enough
+    * that the unrolled DuckDB mirror stays tractable; large enough
+    * that the learned table exercises multi-character merges merging
+    * into still-larger units (merges of merges appear well before
+    * step 30 on natural text). */
+  val BpeMerges = 30
+
+  /** BPE vocabulary LEARNING (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the tokenizer-
+    * training half of the token-counting story: learn the first
+    * [[BpeMerges]] byte-pair merges from the corpus and return the
+    * merge table `(Step, A, B, Merged, PairCount)`.
+    *
+    * Semantics (the reference learn_bpe algorithm, word-internal):
+    * words are the engine's whitespace tokens; each word starts as its
+    * character sequence; per step, the most frequent adjacent symbol
+    * pair — counted per POSITION, weighted by word frequency, ties
+    * broken (PairCount desc, A, B) — is merged LEFT-TO-RIGHT
+    * NON-OVERLAPPING in every word. No end-of-word marker: merges
+    * never cross word boundaries, and the marker is a representation
+    * choice orthogonal to the algorithm.
+    *
+    * Representation trick shared verbatim with the DuckDB mirror:
+    * a segmentation is the word's symbols each TERMINATED by a tab
+    * (tokens cannot contain whitespace by construction, so the
+    * delimiter is injective), and applying a merge is ONE
+    * `replace(seg, A+TAB+B+TAB, AB+TAB)` — because every symbol
+    * occurrence carries its own terminator, string-level
+    * non-overlapping left-to-right replacement coincides exactly with
+    * symbol-level BPE application (a space-JOINED form does not: a
+    * match consumes the next occurrence's leading delimiter and
+    * diverges on runs like `a a a`).
+    *
+    * Scale shape — the production BPE-training pipeline: ONE corpus
+    * pass collapses 100 TB of text to the word dictionary (shuffle on
+    * uniform word keys), and every merge iteration after that is
+    * VOCAB-scale (explode adjacent pairs over the dict, one
+    * partial-aggregated sum, a 1-row argmax, a narrow map). The
+    * driver sees one row per step (the argmax — bounded like the
+    * codebook collects) and the ≤[[BpeMerges]]-row merge table;
+    * the dictionary itself stays distributed, localCheckpointed per
+    * step so the plan chain stays linear. A 50k-merge production run
+    * keeps the same first pass and either batches steps or collects
+    * the (vocab-scale, Zipf-truncated) dict to one node — the classic
+    * two-phase shape; the per-step distributed loop here is the
+    * unbounded-dict half of that trade. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val tab = "\t"
+    var dict = Tables.documents(spark, dir)
+      .select(explode(expr(toksSql)).as("W"))
+      .filter(length(col("W")) >= 1)
+      .groupBy(col("W")).agg(count(lit(1)).as("Cnt"))
+      .withColumn("Seg", regexp_replace(col("W"), "(.)", "$1" + tab))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= BpeMerges && !exhausted) {
+      val top = dict
+        .select(col("Cnt"),
+          expr(s"filter(split(Seg, '$tab'), x -> x != '')").as("Syms"))
+        .filter(size(col("Syms")) >= 2)
+        .select(col("Cnt"), explode(expr(
+          "transform(sequence(1, size(Syms) - 1), i -> " +
+            "struct(element_at(Syms, i) AS A, element_at(Syms, i + 1) AS B))")).as("P"))
+        .groupBy(col("P.A").as("A"), col("P.B").as("B"))
+        .agg(sum(col("Cnt")).as("PairCount"))
+        .orderBy(col("PairCount").desc, col("A"), col("B"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getAs[String]("A")
+        val b = top(0).getAs[String]("B")
+        merges += ((step, a, b, a + b, top(0).getAs[Long]("PairCount")))
+        // literal columns, not SQL-string interpolation: symbols are
+        // arbitrary token characters (quotes included)
+        dict = dict.withColumn("Seg", call_function("replace",
+            col("Seg"), lit(a + tab + b + tab), lit(a + b + tab)))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("Step", "A", "B", "Merged", "PairCount")
+      .orderBy(col("Step"))
+  }
+
   /** Per-doc char-trigram bag `(doc_id, lang, Tri, M)` — the shared
     * input of [[langidTrained]]'s training and scoring passes.
     * Deliberately NOT materialized: corpus-scale (see the OOM note in

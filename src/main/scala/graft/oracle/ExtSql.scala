@@ -237,6 +237,53 @@ FROM c ORDER BY doc_id
 """
   }
 
+  /** BPE-vocabulary mirror: the merge loop UNROLLED to
+    * [[graft.ops.TextOps.BpeMerges]] CTE triples (pair counts → best
+    * pair → applied dictionary), the kmeans-rounds pattern. The
+    * tab-TERMINATED segmentation representation is shared verbatim
+    * with the engine, so both sides' single `replace()` per step is
+    * the same left-to-right non-overlapping symbol-level merge; pair
+    * extraction drops the trailing empty split cell with the same
+    * non-empty filter; ties and sums follow the house rules
+    * (PairCount desc + lexicographic; CAST BIGINT up front per the
+    * HUGEINT rule). An exhausted corpus empties b_m and thereafter
+    * every d_m — the same early-stop shape as the engine's loop. */
+  val textBpeVocab: String = {
+    val n = graft.ops.TextOps.BpeMerges
+    // every step CTE is MATERIALIZED: inlined, each d_m would expand
+    // its two references to d_{m-1} recursively — 2^BpeMerges parquet
+    // scans (observed as a file-handle explosion, not just slowness)
+    val steps = (1 to n).map { m =>
+      s"""
+p$m AS MATERIALIZED (
+  SELECT pr.a AS A, pr.b AS B, CAST(sum(Cnt) AS BIGINT) AS PairCount FROM (
+    SELECT Cnt, unnest([{'a': Syms[i], 'b': Syms[i+1]} for i in range(1, len(Syms))]) AS pr
+    FROM (SELECT Cnt, [x for x in string_split(Seg, chr(9)) if x <> ''] AS Syms FROM d${m - 1})
+  ) GROUP BY 1, 2
+),
+b$m AS MATERIALIZED (SELECT A, B, PairCount FROM p$m ORDER BY PairCount DESC, A, B LIMIT 1),
+d$m AS MATERIALIZED (
+  SELECT d.W, d.Cnt,
+         replace(d.Seg, b.A || chr(9) || b.B || chr(9), b.A || b.B || chr(9)) AS Seg
+  FROM d${m - 1} d, b$m b
+)"""
+    }.mkString(",")
+    val out = (1 to n).map { m =>
+      s"""SELECT CAST($m AS INTEGER) AS "Step", A AS "A", B AS "B", A || B AS "Merged", PairCount AS "PairCount" FROM b$m"""
+    }.mkString("\nUNION ALL ")
+    toksCte + s""",
+w AS (SELECT unnest(t) AS W FROM toks),
+d0 AS MATERIALIZED (
+  SELECT W, CAST(count(*) AS BIGINT) AS Cnt,
+         regexp_replace(W, '(.)', '\\1' || chr(9), 'g') AS Seg
+  FROM w WHERE length(W) >= 1 GROUP BY W
+),""" + steps + s"""
+SELECT * FROM (
+$out
+) ORDER BY "Step"
+"""
+  }
+
   /** Novelty mirror: the dedup family's distinct trigram shingles,
     * first-seen owner = min doc_id, per-doc novel fraction with the
     * zero-fill left join. */

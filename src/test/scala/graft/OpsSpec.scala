@@ -945,4 +945,44 @@ class OpsSpec extends SparkSpec {
       assert(n.toLong === r.getAs[Long]("NKept"), r.toString)
     }
   }
+
+  test("bpe: hand-checked merges, left-to-right non-overlap, tie-break, early exhaustion") {
+    import spark.implicits._
+    // aaa×2: pairs (a,a) counted PER POSITION (2 per word ⇒ 4) but
+    // merged non-overlapping left-to-right ("a a a" → "aa a", ONE
+    // merge); three count-1 pairs at the tail pin the lexicographic
+    // tie-break; 5 total merges exhaust the corpus well before
+    // BpeMerges — the loop must stop emitting, not pad
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe")
+    Seq((1L, "aaa aaa ab", "en", "a", 10L), (2L, "xy xz", "en", "b", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.bpeVocab(spark, tmp.toString).collect()
+      .map(r => (r.getAs[Int]("Step"), r.getAs[String]("A"), r.getAs[String]("B"),
+        r.getAs[String]("Merged"), r.getAs[Long]("PairCount")))
+    assert(rows.toSeq === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "aa", "a", "aaa", 2L),
+      (3, "a", "b", "ab", 1L),
+      (4, "x", "y", "xy", 1L),
+      (5, "x", "z", "xz", 1L)))
+  }
+
+  test("bpe: fixture-corpus merge table is full-length with non-increasing counts") {
+    val rows = TextOps.bpeVocab(spark, sfDir).collect()
+    assert(rows.length === TextOps.BpeMerges)
+    rows.foreach { r =>
+      assert(r.getAs[String]("Merged") ===
+        r.getAs[String]("A") + r.getAs[String]("B"))
+      assert(r.getAs[String]("A").nonEmpty && r.getAs[String]("B").nonEmpty)
+      assert(!r.getAs[String]("Merged").exists(_.isWhitespace))
+    }
+    // a merged symbol can only create pairs at most as frequent as
+    // itself, so the best-pair count never increases step-over-step
+    val counts = rows.sortBy(_.getAs[Int]("Step")).map(_.getAs[Long]("PairCount"))
+    counts.sliding(2).foreach { case Array(x, y) => assert(x >= y, counts.mkString(",")) }
+    // and real text merges merged symbols again within 30 steps
+    assert(rows.exists(r => r.getAs[String]("A").length > 1 ||
+      r.getAs[String]("B").length > 1))
+  }
 }
