@@ -92,6 +92,8 @@ object SparkEntry {
     // BPE vocabulary learning (round 10): the tokenizer-training merge
     // table — one corpus pass to the word dict, vocab-scale iterations
     "text_bpe_vocab" -> (TextOps.bpeVocab _),
+    // the apply half: per-doc subword counts via dict lookup
+    "text_bpe_encode" -> (TextOps.bpeEncode _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
@@ -261,6 +263,7 @@ object SparkEntry {
     "text_langid_trained" -> ExtSql.textLangidTrained,
     "text_novelty" -> ExtSql.textNovelty,
     "text_bpe_vocab" -> ExtSql.textBpeVocab,
+    "text_bpe_encode" -> ExtSql.textBpeEncode,
     "text_fingerprint" -> ExtSql.textFingerprint,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,

@@ -539,44 +539,97 @@ object TextOps {
     * two-phase shape; the per-step distributed loop here is the
     * unbounded-dict half of that trade. */
   def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
-    val tab = "\t"
-    var dict = Tables.documents(spark, dir)
-      .select(explode(expr(toksSql)).as("W"))
-      .filter(length(col("W")) >= 1)
-      .groupBy(col("W")).agg(count(lit(1)).as("Cnt"))
-      .withColumn("Seg", regexp_replace(col("W"), "(.)", "$1" + tab))
-      .localCheckpoint()
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    var step = 1
-    var exhausted = false
-    while (step <= BpeMerges && !exhausted) {
-      val top = dict
-        .select(col("Cnt"),
-          expr(s"filter(split(Seg, '$tab'), x -> x != '')").as("Syms"))
-        .filter(size(col("Syms")) >= 2)
-        .select(col("Cnt"), explode(expr(
-          "transform(sequence(1, size(Syms) - 1), i -> " +
-            "struct(element_at(Syms, i) AS A, element_at(Syms, i + 1) AS B))")).as("P"))
-        .groupBy(col("P.A").as("A"), col("P.B").as("B"))
-        .agg(sum(col("Cnt")).as("PairCount"))
-        .orderBy(col("PairCount").desc, col("A"), col("B"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val a = top(0).getAs[String]("A")
-        val b = top(0).getAs[String]("B")
-        merges += ((step, a, b, a + b, top(0).getAs[Long]("PairCount")))
-        // literal columns, not SQL-string interpolation: symbols are
-        // arbitrary token characters (quotes included)
-        dict = dict.withColumn("Seg", call_function("replace",
-            col("Seg"), lit(a + tab + b + tab), lit(a + b + tab)))
-          .localCheckpoint()
-        step += 1
-      }
-    }
     import spark.implicits._
-    merges.result().toDF("Step", "A", "B", "Merged", "PairCount")
+    bpeModel(spark, dir)._1
+      .toDF("Step", "A", "B", "Merged", "PairCount")
       .orderBy(col("Step"))
+  }
+
+  /** BPE ENCODING stats — the apply half of [[bpeVocab]]: segment
+    * every corpus word with the learned merge table and report
+    * per-doc word/subword counts and fertility (subwords per word,
+    * the standard tokenizer-quality metric). No per-document merge
+    * replay: the trained model's final DICTIONARY already carries
+    * each word's segmentation, so encoding is corpus tokens joined to
+    * the vocab-scale dict on uniform word keys — the production
+    * tokenize-by-lookup shape (at 100 TB: broadcast the dict or
+    * shuffle on words; either way one corpus pass). Docs whose every
+    * token was filtered (none here; words are non-empty by
+    * construction) zero-fill through the left join. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val dict = bpeModel(spark, dir)._2
+      .select(col("W"),
+        size(expr(s"filter(split(Seg, '$BpeTab'), x -> x != '')")).as("NSyms"))
+    val enc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(toksSql)).as("W"))
+      .filter(length(col("W")) >= 1)
+      .join(dict, "W")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("NWords"), sum(col("NSyms")).as("NSubwords"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("NWords"), lit(0L)).as("NWords"),
+        coalesce(col("NSubwords"), lit(0L)).as("NSubwords"))
+      .withColumn("Fertility",
+        when(col("NWords") === 0, lit(0.0))
+          .otherwise(col("NSubwords").cast(DoubleType) / col("NWords")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val BpeTab = "\t"
+  private val bpeModelMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Int, String, String, String, Long)], DataFrame)]
+  private val bpeModelLock = new Object
+
+  /** Learn the BPE model once per (session, corpus): the merge table
+    * plus the final word dictionary `(W, Cnt, Seg)` — memoized like
+    * [[langidModel]] (train once, encode/report per query). The dict
+    * is localCheckpointed per step, so the memoized frame is
+    * materialized and lineage-free. */
+  private def bpeModel(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    bpeModelMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(bpeModelMemo.remove)
+    BucketedTables.memoized(bpeModelMemo, (spark, dir), bpeModelLock) {
+      val tab = BpeTab
+      var dict = Tables.documents(spark, dir)
+        .select(explode(expr(toksSql)).as("W"))
+        .filter(length(col("W")) >= 1)
+        .groupBy(col("W")).agg(count(lit(1)).as("Cnt"))
+        .withColumn("Seg", regexp_replace(col("W"), "(.)", "$1" + tab))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeMerges && !exhausted) {
+        val top = dict
+          .select(col("Cnt"),
+            expr(s"filter(split(Seg, '$tab'), x -> x != '')").as("Syms"))
+          .filter(size(col("Syms")) >= 2)
+          .select(col("Cnt"), explode(expr(
+            "transform(sequence(1, size(Syms) - 1), i -> " +
+              "struct(element_at(Syms, i) AS A, element_at(Syms, i + 1) AS B))")).as("P"))
+          .groupBy(col("P.A").as("A"), col("P.B").as("B"))
+          .agg(sum(col("Cnt")).as("PairCount"))
+          .orderBy(col("PairCount").desc, col("A"), col("B"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val a = top(0).getAs[String]("A")
+          val b = top(0).getAs[String]("B")
+          merges += ((step, a, b, a + b, top(0).getAs[Long]("PairCount")))
+          // literal columns, not SQL-string interpolation: symbols are
+          // arbitrary token characters (quotes included)
+          dict = dict.withColumn("Seg", call_function("replace",
+              col("Seg"), lit(a + tab + b + tab), lit(a + b + tab)))
+            .localCheckpoint()
+          step += 1
+        }
+      }
+      (merges.result(), dict)
+    }
   }
 
   /** Per-doc char-trigram bag `(doc_id, lang, Tri, M)` — the shared

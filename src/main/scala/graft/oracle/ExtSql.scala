@@ -248,7 +248,49 @@ FROM c ORDER BY doc_id
     * (PairCount desc + lexicographic; CAST BIGINT up front per the
     * HUGEINT rule). An exhausted corpus empties b_m and thereafter
     * every d_m — the same early-stop shape as the engine's loop. */
-  val textBpeVocab: String = {
+  val textBpeVocab: String =
+    bpeCtes + s"""
+SELECT * FROM (
+$bpeMergeUnion
+) ORDER BY "Step"
+"""
+
+  /** Encode mirror: corpus tokens joined to the final dictionary
+    * d{BpeMerges} (tokenize-by-lookup, same shape as the engine), the
+    * same non-empty split-cell filter for symbol counts, zero-fill
+    * left join, IEEE double fertility. */
+  val textBpeEncode: String = {
+    val n = graft.ops.TextOps.BpeMerges
+    bpeCtes + s""",
+tw AS (SELECT doc_id, unnest(t) AS W FROM toks),
+enc AS (
+  SELECT tw.doc_id,
+         CAST(count(*) AS BIGINT) AS NWords,
+         CAST(sum(len([x for x in string_split(d.Seg, chr(9)) if x <> ''])) AS BIGINT) AS NSubwords
+  FROM tw JOIN d$n d ON tw.W = d.W
+  WHERE length(tw.W) >= 1
+  GROUP BY tw.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(enc.NWords, 0) AS "NWords",
+       COALESCE(enc.NSubwords, 0) AS "NSubwords",
+       CASE WHEN COALESCE(enc.NWords, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(enc.NSubwords AS DOUBLE) / enc.NWords END AS "Fertility"
+FROM toks t LEFT JOIN enc ON t.doc_id = enc.doc_id
+ORDER BY t.doc_id
+"""
+  }
+
+  private def bpeMergeUnion: String = {
+    val n = graft.ops.TextOps.BpeMerges
+    (1 to n).map { m =>
+      s"""SELECT CAST($m AS INTEGER) AS "Step", A AS "A", B AS "B", A || B AS "Merged", PairCount AS "PairCount" FROM b$m"""
+    }.mkString("\nUNION ALL ")
+  }
+
+  // lazy: referenced by textBpeVocab/textBpeEncode ABOVE its
+  // definition — a plain val would still be null mid-object-init
+  private lazy val bpeCtes: String = {
     val n = graft.ops.TextOps.BpeMerges
     // every step CTE is MATERIALIZED: inlined, each d_m would expand
     // its two references to d_{m-1} recursively — 2^BpeMerges parquet
@@ -268,20 +310,13 @@ d$m AS MATERIALIZED (
   FROM d${m - 1} d, b$m b
 )"""
     }.mkString(",")
-    val out = (1 to n).map { m =>
-      s"""SELECT CAST($m AS INTEGER) AS "Step", A AS "A", B AS "B", A || B AS "Merged", PairCount AS "PairCount" FROM b$m"""
-    }.mkString("\nUNION ALL ")
     toksCte + s""",
 w AS (SELECT unnest(t) AS W FROM toks),
 d0 AS MATERIALIZED (
   SELECT W, CAST(count(*) AS BIGINT) AS Cnt,
          regexp_replace(W, '(.)', '\\1' || chr(9), 'g') AS Seg
   FROM w WHERE length(W) >= 1 GROUP BY W
-),""" + steps + s"""
-SELECT * FROM (
-$out
-) ORDER BY "Step"
-"""
+),""" + steps
   }
 
   /** Novelty mirror: the dedup family's distinct trigram shingles,

@@ -985,4 +985,26 @@ class OpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[String]("A").length > 1 ||
       r.getAs[String]("B").length > 1))
   }
+
+  test("bpe encode: dict-lookup segmentation counts are consistent and non-trivial") {
+    val rows = TextOps.bpeEncode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("NWords"); val s = r.getAs[Long]("NSubwords")
+      // a word is ≥1 subword, and 30 merges can't collapse real text
+      // to one symbol per word corpus-wide
+      assert(s >= w, r.toString)
+      assert(r.getAs[Double]("Fertility") ===
+        (if (w == 0) 0.0 else s.toDouble / w), r.toString)
+    }
+    val totW = rows.map(_.getAs[Long]("NWords")).sum
+    val totS = rows.map(_.getAs[Long]("NSubwords")).sum
+    assert(totS > totW, s"every word fully merged after ${TextOps.BpeMerges} steps?")
+    // word-count conservation against the independent token stats
+    val toks = TextOps.tokens(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("NTokens")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("NWords") === toks(r.getAs[Long]("doc_id")).toLong, r.toString)
+    }
+  }
 }
