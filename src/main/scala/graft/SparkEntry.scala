@@ -144,6 +144,9 @@ object SparkEntry {
     "dedup_chunk_overlap" -> ((s: SparkSession, d: String) => DedupOps.chunkOverlap(s, d)),
     // ---- similarity search ----
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
+    // deterministic ±1 JL projection (round 10): 64 → 16 exact integer
+    // coordinates in one narrow codegen pass, the cheap ANN front
+    "similarity_random_projection" -> (SimilarityOps.randomProjection _),
     "similarity_lsh_neardup" -> ((s: SparkSession, d: String) => SimilarityOps.lshNeardup(s, d)),
     "similarity_ivf_topk" -> ((s: SparkSession, d: String) => SimilarityOps.ivfTopk(s, d)),
     "similarity_pq_topk" -> ((s: SparkSession, d: String) => SimilarityOps.pqTopk(s, d)),
@@ -295,6 +298,7 @@ object SparkEntry {
     "text_chunks" -> ExtSql.textChunks,
     "dedup_chunk_overlap" -> ExtSql.dedupChunkOverlap,
     "similarity_topk" -> ExtSql.similarityTopk,
+    "similarity_random_projection" -> ExtSql.similarityRandomProjection,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,
     // the PQ oracle is deliberately the EXACT brute-force top-k: the

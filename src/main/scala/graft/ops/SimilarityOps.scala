@@ -1359,6 +1359,54 @@ object SimilarityOps {
       .select(col("vec_id"), col("Q"), col("NormSq"), col("Cid"))
   }
 
+  /** Output dimensionality of [[randomProjection]]. */
+  val RpOutDims = 16
+
+  /** Deterministic ±1 sign matrix (RpOutDims × 64) — the database-
+    * friendly Johnson–Lindenstrauss family (Achlioptas 2003: ±1
+    * entries preserve inner products in expectation with no float
+    * matrix, E[⟨Pu,Pv⟩] = d'·⟨u,v⟩). Seeded by md5 of the cell
+    * coordinates, so both engines share the SAME matrix as a
+    * compile-time constant (the mirror interpolates these values —
+    * the kmeans-constants pattern) and no runtime randomness exists
+    * anywhere. */
+  lazy val RpSigns: Array[Array[Int]] = Array.tabulate(RpOutDims, 64) { (k0, j0) =>
+    val hex = graft.functions.TextExpressions.md5Hex(s"rp_${k0 + 1}_${j0 + 1}")
+    if (hex.charAt(0) < '8') 1 else -1
+  }
+
+  /** Sign-random-projection of every embedding to [[RpOutDims]] exact
+    * integer coordinates: P_k = Σ_j sign(k,j)·Q_j — the cheap
+    * dimensionality-reduction front for ANN/clustering pipelines
+    * (4× fewer coordinates before any distance work). OpsSpec MEASURES
+    * how well projected cosines track exact cosines on the real corpus
+    * instead of assuming the JL bound — and the honest result is that
+    * at 64 input dims over this near-orthogonal corpus (pairwise
+    * cosine std 0.122) the d'=16 estimator noise (~1/√d') dominates
+    * (corr 0.37, matching simulation for random ±1 matrices). The JL
+    * error depends only on the OUTPUT dimension, so the operator's
+    * real regime is high-dimensional inputs (768→64 for production
+    * embeddings, a 12× cut at the same noise) — at 64→16 it is the
+    * mechanism demonstrated at the gate's fidelity bar, exactly the
+    * trained-langid precedent.
+    *
+    * Scale shape: the matrix is a broadcast-free LITERAL inside one
+    * narrow whole-stage-codegen pass (transform/zip_with/aggregate
+    * HOFs over the quantized substrate) — no join, no shuffle except
+    * the presentation sort; rows out = RpOutDims per vector. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val signsSql = RpSigns.map(_.mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    quantized(spark, dir)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform($signsSql, row -> aggregate(" +
+          "zip_with(row, Q, (s, q) -> CAST(s AS BIGINT) * q), 0L, (a, x) -> a + x))"))
+        .as(Seq("D0", "V")))
+      .select(col("vec_id"), (col("D0") + 1).cast(IntegerType).as("Dim"), col("V"))
+      .orderBy(col("vec_id"), col("Dim"))
+  }
+
   /** n·K threshold above which [[assignAuto]] routes to the
     * hierarchical assignment. Measured (PERFORMANCE.md round 10, this
     * host): at 200k×1024 (n·K = 2.0e8) flat still wins — one fused

@@ -1532,6 +1532,24 @@ n AS (
   FROM q
 )"""
 
+  /** Sign-random-projection mirror: the SAME ±1 matrix interpolated
+    * from [[graft.ops.SimilarityOps.RpSigns]] (the kmeans-constants
+    * pattern — a seed change cannot silently diverge the engines),
+    * exact integer dot per output dim, HUGEINT-cast per the house
+    * rule. */
+  val similarityRandomProjection: String = {
+    val signsLit = graft.ops.SimilarityOps.RpSigns
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    quantCte + s""",
+sg AS (SELECT $signsLit AS m)
+SELECT n.vec_id,
+       CAST(t.k AS INTEGER) AS "Dim",
+       CAST(list_sum([sg.m[t.k][j] * n.qv[j] for j in range(1, len(n.qv)+1)]) AS BIGINT) AS "V"
+FROM n, sg, range(1, ${graft.ops.SimilarityOps.RpOutDims + 1}) t(k)
+ORDER BY n.vec_id, "Dim"
+"""
+  }
+
   val similarityTopk: String = quantCte + """
 , p AS (
   SELECT a.vec_id AS "QId", b.vec_id AS "NId",

@@ -986,6 +986,49 @@ class OpsSpec extends SparkSpec {
       r.getAs[String]("B").length > 1))
   }
 
+  test("random projection: projected dots track exact dots on the real corpus") {
+    // the JL guarantee is distributional; MEASURE it on this corpus
+    // rather than assume it: Pearson correlation between 16-dim
+    // projected cosines and exact 64-dim cosines over all pairs of a
+    // probe set. This corpus is near-ORTHOGONAL (pairwise cosine std
+    // 0.122), so the d'=16 estimator's own ~1/√16 noise dominates and
+    // the measured correlation is 0.37 — consistent with the
+    // numpy-simulated 0.43 for random ±1 matrices at these dims, and
+    // exactly why the operator's scaladoc points its regime at
+    // high-dimensional inputs. Deterministic (fixed matrix, fixed
+    // corpus): 0.3 is a regression pin, not a flake bound
+    val proj = SimilarityOps.randomProjection(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("Dim")).map(_.getAs[Long]("V"))
+      }
+    assert(proj.values.forall(_.length === SimilarityOps.RpOutDims))
+    // ALL pairs of a 50-vector probe set — full cosine range, not the
+    // top-k slice (whose restricted range has no variance to track)
+    val vecs = graft.etl.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cosine(u: Array[Double], v: Array[Double]): Double =
+      u.zip(v).map { case (a, b) => a * b }.sum /
+        (math.sqrt(u.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    val pairs = for {
+      (i, u) <- vecs; (j, v) <- vecs if i < j
+    } yield {
+      val pq = proj(i); val pn = proj(j)
+      val pcos = cosine(pq.map(_.toDouble), pn.map(_.toDouble))
+      (pcos, cosine(u, v))
+    }
+    val n = pairs.length.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val corr = cov / (sx * sy)
+    assert(corr > 0.3, s"projected-vs-exact cosine correlation $corr over ${pairs.length} pairs")
+  }
+
   test("bpe encode: dict-lookup segmentation counts are consistent and non-trivial") {
     val rows = TextOps.bpeEncode(spark, sfDir).collect()
     assert(rows.nonEmpty)
