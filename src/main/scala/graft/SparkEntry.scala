@@ -107,6 +107,8 @@ object SparkEntry {
     "dedup_incremental" -> (DedupOps.incremental _),
     // ---- corpus curation (split assignment + composite filter) ----
     "curate_split_assign" -> (CurateOps.splitAssign _),
+    // leakage-safe variant (round 10): whole sources share one split
+    "curate_split_grouped" -> (CurateOps.splitGrouped _),
     "curate_corpus" -> (CurateOps.curate _),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => CurateOps.decontaminate(s, d)),
     "curate_sample_stratified" -> (CurateOps.sampleStratified _),
@@ -276,6 +278,7 @@ object SparkEntry {
     "dedup_survivor_quality" -> ExtSql.dedupSurvivorQuality,
     "dedup_incremental" -> ExtSql.dedupIncremental,
     "curate_split_assign" -> ExtSql.curateSplitAssign,
+    "curate_split_grouped" -> ExtSql.curateSplitGrouped,
     "curate_corpus" -> ExtSql.curateCorpus,
     "curate_decontaminate" -> ExtSql.curateDecontaminate,
     "curate_sample_stratified" -> ExtSql.curateSampleStratified,

@@ -54,6 +54,26 @@ object CurateOps {
     * (graft.streaming.DocsStream). */
   def splitOf(id: Column): Column = splitFromBucket(hashBucket(id, ""))
 
+  /** GROUP-aware split: every document of one SOURCE lands in the
+    * same split — the leakage-safe assignment real pipelines use for
+    * provenance-clustered corpora (a domain's mirrors, re-crawls, and
+    * re-posts are near-duplicates of each other; a per-document hash
+    * split scatters them across train AND test, leaking the test set
+    * into training no matter how good the decontamination pass is —
+    * the grouped split removes the whole leak class by construction).
+    * Same bucket function and thresholds as [[splitAssign]], keyed by
+    * the group: stable as the corpus grows, engine-portable,
+    * fractions converge over many groups (at FEW groups the split
+    * sizes are lumpy — that is inherent to group splits, not a
+    * defect; OpsSpec asserts the one-split-per-source invariant).
+    * One narrow codegen pass, no shuffle beyond the presentation
+    * sort. */
+  def splitGrouped(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("Split", splitFromBucket(hashBucket(col("source"), "")))
+      .orderBy(col("doc_id"))
+
   /** The split column alone (no presentation sort) — shared by
     * [[splitAssign]]'s consumers below. */
   private def docSplits(spark: SparkSession, dir: String): DataFrame =

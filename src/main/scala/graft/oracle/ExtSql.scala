@@ -626,6 +626,26 @@ FROM sim ORDER BY doc_id
   /** Deterministic split mirror: bucket = first md5 byte, decoded with
     * the same instr-per-hex-digit trick as the LSH planes (DuckDB has
     * no base-16 string conversion). Thresholds from CurateOps. */
+  /** Grouped-split mirror: the same first-md5-byte bucket keyed by
+    * SOURCE, so the one-split-per-source invariant holds identically
+    * both sides. */
+  val curateSplitGrouped: String = {
+    import graft.ops.CurateOps.{TrainUpper, ValUpper}
+    """
+WITH b AS (
+  SELECT doc_id, source,
+         16 * (instr('0123456789abcdef', substr(md5(source), 1, 1)) - 1)
+           + (instr('0123456789abcdef', substr(md5(source), 2, 1)) - 1) AS bk
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bk < """ + TrainUpper + """ THEN 'train'
+            WHEN bk < """ + ValUpper + """ THEN 'val'
+            ELSE 'test' END AS "Split"
+FROM b ORDER BY doc_id
+"""
+  }
+
   val curateSplitAssign: String = {
     import graft.ops.CurateOps.{TrainUpper, ValUpper}
     """

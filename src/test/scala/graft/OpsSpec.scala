@@ -237,6 +237,23 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.getAs[Long]("doc_id")) === r.getAs[String]("Split")))
   }
 
+  test("curate: grouped split keeps every source whole and covers the corpus") {
+    val rows = CurateOps.splitGrouped(spark, sfDir).collect()
+    assert(rows.length === 500)
+    // the leakage invariant: ONE split per source, by construction
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[String]("Split")).distinct.length === 1,
+        s"source $src straddles splits")
+    }
+    // this fixture's 20 sources land 18/1/1 (measured) — all three
+    // splits present, and sizes lumpy exactly as a group split is
+    val bySplit = rows.groupBy(_.getAs[String]("Split")).view.mapValues(
+      _.map(_.getAs[String]("source")).distinct.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"), bySplit.toString)
+    assert(bySplit("train") === 18 && bySplit("val") === 1 && bySplit("test") === 1,
+      bySplit.toString)
+  }
+
   test("curate: curated corpus is survivor-only, en-only, above threshold") {
     val curated = CurateOps.curate(spark, sfDir).collect()
     assert(curated.nonEmpty && curated.length < 500)
