@@ -94,6 +94,8 @@ object SparkEntry {
     "text_bpe_vocab" -> (TextOps.bpeVocab _),
     // the apply half: per-doc subword counts via dict lookup
     "text_bpe_encode" -> (TextOps.bpeEncode _),
+    // the production-merge-count shape: collected dict + in-memory loop
+    "text_bpe_vocab_deep" -> ((s: SparkSession, d: String) => TextOps.bpeVocabDriver(s, d)),
     "text_fingerprint" -> (TextOps.fingerprint _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
@@ -269,6 +271,7 @@ object SparkEntry {
     "text_novelty" -> ExtSql.textNovelty,
     "text_bpe_vocab" -> ExtSql.textBpeVocab,
     "text_bpe_encode" -> ExtSql.textBpeEncode,
+    "text_bpe_vocab_deep" -> ExtSql.textBpeVocabDeep,
     "text_fingerprint" -> ExtSql.textFingerprint,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,

@@ -577,6 +577,74 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Merge count of the DRIVER-loop trainer's gate query. */
+  val BpeDeepMerges = 100
+
+  /** BPE training over the COLLECTED word dictionary — the production
+    * shape for real merge counts (a 32k-merge vocabulary would cost
+    * 32k distributed jobs through [[bpeVocab]]'s per-step loop; the
+    * classic two-phase pipeline instead does ONE distributed corpus
+    * pass to the word dict, then trains in memory where a merge step
+    * is microseconds). The collect is vocab-scale — the Zipf dict of
+    * a 100 TB corpus is tens of millions of rows, single-node
+    * territory; for anything larger the distributed loop above IS the
+    * fallback, which is exactly the trade both scaladocs declare.
+    *
+    * Semantics are IDENTICAL to [[bpeVocab]] by construction: same
+    * per-position pair counting weighted by word frequency, same
+    * (count desc, A, B) tie-break, same left-to-right non-overlapping
+    * application (the in-memory walk is literally the symbol-level
+    * definition the tab-terminated replace trick implements
+    * string-wise); words split per CODE POINT to match the regex
+    * `(.)` seeding. OpsSpec asserts the first [[BpeMerges]] merges
+    * equal the distributed loop's on the fixture corpus, and the
+    * deeper gate row hash-matches the same unrolled mirror at
+    * [[BpeDeepMerges]] steps. */
+  def bpeVocabDriver(spark: SparkSession, dir: String,
+                     nMerges: Int = BpeDeepMerges): DataFrame = {
+    import spark.implicits._
+    def codePoints(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var segs = Tables.documents(spark, dir)
+      .select(explode(expr(toksSql)).as("W"))
+      .filter(length(col("W")) >= 1)
+      .groupBy(col("W")).agg(count(lit(1)).as("Cnt"))
+      .collect()
+      .map(r => (codePoints(r.getAs[String]("W")), r.getAs[Long]("Cnt")))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        merges += ((step, a, b, a + b, c))
+        segs = segs.map { case (syms, cnt) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), cnt)
+        }
+        step += 1
+      }
+    }
+    merges.result().toDF("Step", "A", "B", "Merged", "PairCount")
+      .orderBy(col("Step"))
+  }
+
   private val BpeTab = "\t"
   private val bpeModelMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Seq[(Int, String, String, String, Long)], DataFrame)]

@@ -249,9 +249,20 @@ FROM c ORDER BY doc_id
     * HUGEINT rule). An exhausted corpus empties b_m and thereafter
     * every d_m — the same early-stop shape as the engine's loop. */
   val textBpeVocab: String =
-    bpeCtes + s"""
+    bpeCtes(graft.ops.TextOps.BpeMerges) + s"""
 SELECT * FROM (
-$bpeMergeUnion
+${bpeMergeUnion(graft.ops.TextOps.BpeMerges)}
+) ORDER BY "Step"
+"""
+
+  /** The driver-loop trainer's mirror is the SAME unrolled chain at
+    * [[graft.ops.TextOps.BpeDeepMerges]] steps — one oracle definition
+    * covering both execution shapes, which is the equivalence claim
+    * made checkable. */
+  val textBpeVocabDeep: String =
+    bpeCtes(graft.ops.TextOps.BpeDeepMerges) + s"""
+SELECT * FROM (
+${bpeMergeUnion(graft.ops.TextOps.BpeDeepMerges)}
 ) ORDER BY "Step"
 """
 
@@ -261,7 +272,7 @@ $bpeMergeUnion
     * left join, IEEE double fertility. */
   val textBpeEncode: String = {
     val n = graft.ops.TextOps.BpeMerges
-    bpeCtes + s""",
+    bpeCtes(n) + s""",
 tw AS (SELECT doc_id, unnest(t) AS W FROM toks),
 enc AS (
   SELECT tw.doc_id,
@@ -281,17 +292,12 @@ ORDER BY t.doc_id
 """
   }
 
-  private def bpeMergeUnion: String = {
-    val n = graft.ops.TextOps.BpeMerges
+  private def bpeMergeUnion(n: Int): String =
     (1 to n).map { m =>
       s"""SELECT CAST($m AS INTEGER) AS "Step", A AS "A", B AS "B", A || B AS "Merged", PairCount AS "PairCount" FROM b$m"""
     }.mkString("\nUNION ALL ")
-  }
 
-  // lazy: referenced by textBpeVocab/textBpeEncode ABOVE its
-  // definition — a plain val would still be null mid-object-init
-  private lazy val bpeCtes: String = {
-    val n = graft.ops.TextOps.BpeMerges
+  private def bpeCtes(n: Int): String = {
     // every step CTE is MATERIALIZED: inlined, each d_m would expand
     // its two references to d_{m-1} recursively — 2^BpeMerges parquet
     // scans (observed as a file-handle explosion, not just slowness)

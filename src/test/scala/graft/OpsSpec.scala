@@ -1046,6 +1046,21 @@ class OpsSpec extends SparkSpec {
     assert(corr > 0.3, s"projected-vs-exact cosine correlation $corr over ${pairs.length} pairs")
   }
 
+  test("bpe: the in-memory driver trainer equals the distributed loop, then goes deeper") {
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Int]("Step"), r.getAs[String]("A"), r.getAs[String]("B"),
+        r.getAs[String]("Merged"), r.getAs[Long]("PairCount"))).toSeq
+    val dist = key(TextOps.bpeVocab(spark, sfDir).collect())
+    val drv = key(TextOps.bpeVocabDriver(spark, sfDir, TextOps.BpeMerges).collect())
+    assert(drv === dist, "driver trainer diverged from the distributed loop")
+    // the production merge count is seconds in memory: 500 merges,
+    // counts non-increasing, prefix identical to the 30-merge run
+    val deep = key(TextOps.bpeVocabDriver(spark, sfDir, 500).collect())
+    assert(deep.take(TextOps.BpeMerges) === dist)
+    assert(deep.length > TextOps.BpeMerges)
+    deep.map(_._5).sliding(2).foreach { case Seq(x, y) => assert(x >= y) }
+  }
+
   test("bpe encode: dict-lookup segmentation counts are consistent and non-trivial") {
     val rows = TextOps.bpeEncode(spark, sfDir).collect()
     assert(rows.nonEmpty)
