@@ -71,6 +71,9 @@ object SparkEntry {
     "dim_scd2_customers" -> (graft.etl.Scd.scd2Customers _),
     // ---- events: tumbling windows, JSON, dedup, sessionization ----
     "events_hourly" -> (EventsOps.hourly _),
+    // DAU/WAU engagement card (round 10): exact rolling distinct via
+    // the bounded window explode over deduped user-days
+    "events_active_users" -> (EventsOps.activeUsers _),
     // seasonal-baseline anomaly flags (round 8): all-integer z-rule
     "events_hourly_anomalies" -> (EventsOps.hourlyAnomalies _),
     // per-type distribution card: exact percentiles + fixed histogram
@@ -258,6 +261,7 @@ object SparkEntry {
     "join_anti_unsold_parts" -> CoreSql.unsoldParts,
     "dim_scd2_customers" -> CoreSql.dimScd2Customers,
     "events_hourly" -> ExtSql.eventsHourly,
+    "events_active_users" -> ExtSql.eventsActiveUsers,
     "events_hourly_anomalies" -> ExtSql.eventsHourlyAnomalies,
     "events_value_distribution" -> ExtSql.eventsValueDistribution,
     "events_json_stats" -> ExtSql.eventsJsonStats,

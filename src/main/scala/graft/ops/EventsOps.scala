@@ -37,6 +37,40 @@ object EventsOps {
         sum(col("value").cast(dec)).cast(DoubleType).as("TotalValue"))
       .orderBy(col("HourTs"), col("event_type"))
 
+  /** Trailing window (days) of the rolling-actives report. */
+  val ActiveWindowDays = 7
+
+  /** ENGAGEMENT CARD — DAU / trailing-7-day WAU / stickiness per day,
+    * the rolling-distinct-actives report every events pipeline ships.
+    * Exact distinct over a sliding window needs no window-distinct
+    * support in either engine: dedupe to USER-DAYS once, then each
+    * user-day contributes to the [[ActiveWindowDays]] window-end days
+    * it covers (a bounded `sequence` explode), dedupe again, count.
+    * Rows are ≤ 7×|user-days| — a fixed small multiple of the already
+    * day-deduped input, shuffled on uniform day keys; for long windows
+    * (MAU90) where the multiplier bites, the sketch family's mergeable
+    * HLL per day + window merge is the documented approximate path
+    * (sketch_approx_stats demonstrates the machinery). Stickiness =
+    * DAU/WAU as one IEEE divide of exact longs. Leading days carry
+    * partial (warm-up) windows, the standard trailing-window
+    * convention. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("Day"), col("user_id")).distinct()
+    val dau = ud.groupBy(col("Day")).agg(count(lit(1)).as("DAU"))
+    val wau = ud
+      .select(explode(expr(
+        s"sequence(Day, date_add(Day, ${ActiveWindowDays - 1}))")).as("Day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("Day")).agg(count(lit(1)).as("WAU"))
+    dau.join(wau, "Day")
+      .select(date_format(col("Day"), "yyyy-MM-dd").as("Day"),
+        col("DAU"), col("WAU"),
+        (col("DAU").cast(DoubleType) / col("WAU")).as("Stickiness"))
+      .orderBy(col("Day"))
+  }
+
   /** Hourly-count anomaly z-band in standard deviations (shared with
     * the mirror; the verdict is the two-sided cross-multiplied square,
     * all integer). */

@@ -30,6 +30,25 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS "HourTs",
 FROM events GROUP BY 1, 2 ORDER BY "HourTs", event_type
 """
 
+  /** Engagement-card mirror: same user-day dedupe, same bounded
+    * window explode (`range(0, 7)` days ahead), same exact counts and
+    * one IEEE divide. Day keys ride ISO strings like HourTs. */
+  val eventsActiveUsers: String = {
+    val w = graft.ops.EventsOps.ActiveWindowDays
+    s"""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS ndau FROM ud GROUP BY day),
+wexp AS (
+  SELECT DISTINCT day + CAST(t.i AS INTEGER) AS day, user_id
+  FROM ud CROSS JOIN range(0, $w) t(i)
+),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS nwau FROM wexp GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS "Day", d.ndau AS "DAU", w.nwau AS "WAU",
+       CAST(d.ndau AS DOUBLE) / w.nwau AS "Stickiness"
+FROM dau d JOIN wau w ON d.day = w.day ORDER BY "Day"
+"""
+  }
+
   val eventsJsonStats: String = """
 WITH e AS (
   SELECT event_type,

@@ -1046,6 +1046,29 @@ class OpsSpec extends SparkSpec {
     assert(corr > 0.3, s"projected-vs-exact cosine correlation $corr over ${pairs.length} pairs")
   }
 
+  test("events: DAU/WAU card matches a driver recomputation over raw user-days") {
+    val rows = EventsOps.activeUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ud = graft.etl.Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("Day"), col("user_id")).distinct().collect()
+      .map(r => (r.getAs[java.sql.Date]("Day").toLocalDate, r.getAs[Long]("user_id")))
+    val byDay = ud.groupBy(_._1)
+    rows.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getAs[String]("Day"))
+      val dau = byDay(d).map(_._2).distinct.length.toLong
+      val wau = ud.filter { case (ad, _) =>
+        !ad.isAfter(d) && ad.isAfter(d.minusDays(EventsOps.ActiveWindowDays))
+      }.map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("DAU") === dau, s"DAU($d)")
+      assert(r.getAs[Long]("WAU") === wau, s"WAU($d)")
+      assert(r.getAs[Long]("WAU") >= r.getAs[Long]("DAU"))
+      assert(r.getAs[Double]("Stickiness") === dau.toDouble / wau)
+    }
+    // every day with activity appears exactly once
+    assert(rows.map(_.getAs[String]("Day")).distinct.length === byDay.size)
+    assert(rows.length === byDay.size)
+  }
+
   test("bpe: the in-memory driver trainer equals the distributed loop, then goes deeper") {
     def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
       (r.getAs[Int]("Step"), r.getAs[String]("A"), r.getAs[String]("B"),
