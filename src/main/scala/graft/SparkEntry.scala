@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
     "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
     "dedup_editdistance" -> (DedupOps.editDistancePairs _),
+    "dedup_jaccard_exact" -> (DedupOps.jaccardExact _),
     "dedup_components" -> (DedupOps.components _),
     // quality-aware survivor selection (round 9): keep-best-copy
     // policy over the same clusters, argmax as a combinable aggregate
@@ -197,6 +198,8 @@ object SparkEntry {
     // integer-exact damped PageRank over the co-purchase graph
     // (round 8): Pregel-shaped join+agg per round, fixed horizon
     "graph_pagerank" -> (graft.ops.GraphOps.pagerank _),
+    // degree-oriented triangle counting + local clustering coefficient
+    "graph_triangles" -> (graft.ops.GraphOps.triangles _),
     // market-basket association report: support/confidence/lift
     "basket_pair_lift" -> (graft.ops.GraphOps.basketPairLift _),
     // exact-power-sum bivariate stats (round 8): corr/covar/stddev
@@ -281,6 +284,7 @@ object SparkEntry {
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
     "dedup_editdistance" -> ExtSql.dedupEditDistance,
+    "dedup_jaccard_exact" -> ExtSql.dedupJaccardExact,
     "dedup_components" -> ExtSql.dedupComponents,
     "dedup_survivor_quality" -> ExtSql.dedupSurvivorQuality,
     "dedup_incremental" -> ExtSql.dedupIncremental,
@@ -342,6 +346,7 @@ object SparkEntry {
     "join_bloom_pruned" -> ExtSql.bloomPrunedJoin,
     "timeseries_gapfill" -> ExtSql.gapfillDaily,
     "graph_pagerank" -> ExtSql.graphPagerank,
+    "graph_triangles" -> ExtSql.graphTriangles,
     "basket_pair_lift" -> ExtSql.basketPairLift,
     "stats_correlation" -> ExtSql.statsCorrelation,
     "dq_checks" -> ExtSql.dqChecks,

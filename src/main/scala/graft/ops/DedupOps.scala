@@ -1058,4 +1058,71 @@ object DedupOps {
       .select(col("doc_id"), col("Simhash"), col("BucketSize"))
       .orderBy(col("doc_id"))
   }
+
+  /** [[JaccardThreshold]] as the exact rational Num/Den — the prefix
+    * and length filters below do their ceil arithmetic in integers,
+    * so the blocking guarantee never hinges on double rounding. */
+  private val JaccardNum = 1
+  private val JaccardDen = 2
+
+  /** EXACT similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin family — Bayardo, Ma & Srikant, WWW 2007; Xiao et al.,
+    * WWW 2008): every pair with shingle Jaccard ≥ [[JaccardThreshold]],
+    * with a ZERO-false-negative guarantee the LSH path cannot give.
+    *
+    * Blocking argument (lossless, unlike banding): order each doc's
+    * shingles by ascending global document frequency (ties by value —
+    * any consistent total order works), and keep only the first
+    * p = |S| − ⌈t·|S|⌉ + 1 as the doc's PREFIX. If Jaccard(x,y) ≥ t
+    * then |x∩y| ≥ t·|x∪y| ≥ ⌈t·|x|⌉, so y must contain at least one
+    * of x's first p shingles — otherwise the intersection fits inside
+    * x's last ⌈t·|x|⌉ − 1 positions, a contradiction. The candidate
+    * join is therefore prefix(lower-id doc) ⋈ full shingle listing
+    * (higher-id doc) on the shingle value: every qualifying pair
+    * appears; only candidates pay the exact verify.
+    *
+    * Scale shape: one df aggregate over the exploded shingles (the
+    * same volume every dedup pass already shuffles), a per-doc
+    * row_number window (doc-sized partitions), and a shingle-keyed
+    * equi-join whose prefix side holds each doc's globally RAREST
+    * shingles — the df-ascending order is what keeps the join
+    * fan-out small, and the t·max ≤ min length filter prunes
+    * mismatched-size collisions before the verify. No cartesian
+    * anywhere (plan-asserted). At boilerplate-heavy extremes the
+    * LSH+cap path stays the throughput default; this operator is the
+    * recall-1.0 variant for when missing a duplicate is not
+    * acceptable — and its oracle is the full brute-force quadratic
+    * join, so the gate proves the losslessness claim rather than
+    * assuming it. */
+  def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(spark, dir)
+    // |S| and the integer prefix length |S| − ⌈t·|S|⌉ + 1
+    val sized = sh.withColumn("N", size(col("Sh"))).filter(col("N") > 0)
+      .withColumn("PrefLen",
+        col("N") - expr(s"CAST((N * $JaccardNum + ${JaccardDen - 1}) DIV $JaccardDen AS INT)") + 1)
+    val exploded = sized.select(col("doc_id"), col("N"), col("PrefLen"),
+      explode(col("Sh")).as("Shingle"))
+    val dfCounts = exploded.groupBy(col("Shingle")).agg(count(lit(1)).as("Df"))
+    val prefix = exploded.join(dfCounts, "Shingle")
+      .withColumn("Pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("Df"), col("Shingle"))))
+      .filter(col("Pos") <= col("PrefLen"))
+      .select(col("Shingle"), col("doc_id").as("D1"), col("N").as("N1"))
+    val full = exploded
+      .select(col("Shingle").as("ShF"), col("doc_id").as("D2"), col("N").as("N2"))
+    val cand = prefix.join(full,
+        col("Shingle") === col("ShF") &&
+          col("D1") < col("D2") &&
+          // Jaccard ≥ Num/Den ⟹ Den·min(|x|,|y|) ≥ Num·max(|x|,|y|)
+          col("N1") * JaccardDen >= col("N2") * JaccardNum &&
+          col("N2") * JaccardDen >= col("N1") * JaccardNum)
+      .select(col("D1"), col("D2")).distinct()
+    jaccardVerified(
+      cand
+        .join(sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1")), "D1")
+        .join(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")), "D2"),
+      "Sh1", "Sh2")
+      .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
+      .orderBy(col("D1"), col("D2"))
+  }
 }

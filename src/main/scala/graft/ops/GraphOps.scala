@@ -193,4 +193,63 @@ object GraphOps {
       .select(col("Node").as("PartKey"), col("OutDeg"), col("RankQ"))
       .orderBy(col("PartKey"))
   }
+
+  /** TRIANGLE COUNTING + local clustering coefficient over the
+    * co-purchase graph — the standard distributed formulation with
+    * DEGREE ORIENTATION (Suri & Vassilvitskii, "Counting Triangles
+    * and the Curse of the Last Reducer", WWW 2011): orient every
+    * undirected edge from its lower-(degree, id) endpoint to its
+    * higher one, enumerate wedges as pairs of ORIENTED out-neighbors,
+    * and close them with one equi-join back on the oriented edges.
+    *
+    * Why orientation is the whole scale story: a naive wedge
+    * enumeration fans out Σ deg(u)² rows — one celebrity node of
+    * degree 10⁶ alone emits 10¹² wedges into a single reducer. Under
+    * degree orientation each node's ORIENTED out-degree is O(√m)
+    * regardless of its raw degree (a node keeps only edges toward
+    * higher-degree peers, and there can be at most 2√m nodes of
+    * degree ≥ √m), so wedge volume is bounded by O(m^{3/2}) TOTAL and
+    * the per-key fan-out is capped — the hot-key guard is structural,
+    * not a tuning constant. Each triangle {a,b,c} (orientation order
+    * a<b<c) is found exactly once: at apex a with wedge (b,c) closed
+    * by oriented edge b→c.
+    *
+    * Exactness: counts are integers; ClustCoeff = 2T/(d(d−1)) is one
+    * deterministic division of exact integers (0.0 when d < 2). The
+    * mirror counts the same triangles via plain id-ordering — the
+    * count per node is orientation-independent, so hash equality also
+    * checks that the degree-oriented plan loses/invents nothing. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir) // Src, Dst, OutDeg = deg(Src); both directions
+    val deg = e.select(col("Src").as("N"), col("OutDeg").as("Deg")).distinct()
+    // edge rows carrying BOTH endpoint degrees (one node-sized join)
+    val withDd = e
+      .join(deg.select(col("N").as("DstN"), col("Deg").as("DegD")), col("Dst") === col("DstN"))
+      .select(col("Src"), col("Dst"), col("OutDeg").as("DegS"), col("DegD"))
+    // keep the lower-(deg, id) → higher-(deg, id) direction only
+    val o = withDd.filter(col("DegS") < col("DegD") ||
+        (col("DegS") === col("DegD") && col("Src") < col("Dst")))
+    val e1 = o.select(col("Src").as("U"), col("Dst").as("V"), col("DegD").as("DegV"))
+    val e2 = o.select(col("Src").as("U2"), col("Dst").as("W"), col("DegD").as("DegW"))
+    // wedges at apex U: ordered pairs of out-neighbors (V before W)
+    val wedges = e1.join(e2, col("U") === col("U2") &&
+        (col("DegV") < col("DegW") || (col("DegV") === col("DegW") && col("V") < col("W"))))
+      .select(col("U"), col("V"), col("W"))
+    val closing = o.select(col("Src").as("CV"), col("Dst").as("CW"))
+    val tris = wedges.join(closing, col("V") === col("CV") && col("W") === col("CW"))
+      .select(col("U"), col("V"), col("W"))
+    val perNode = tris
+      .select(explode(array(col("U"), col("V"), col("W"))).as("N"))
+      .groupBy(col("N")).agg(count(lit(1)).as("T"))
+    deg.join(perNode, Seq("N"), "left")
+      .select(col("N").as("PartKey"),
+        col("Deg").cast(LongType).as("Degree"),
+        coalesce(col("T"), lit(0L)).as("NTriangles"))
+      .withColumn("ClustCoeff",
+        when(col("Degree") >= 2,
+          (col("NTriangles") * 2).cast(DoubleType) /
+            (col("Degree") * (col("Degree") - 1)).cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .orderBy(col("PartKey"))
+  }
 }

@@ -534,6 +534,27 @@ WHERE 1.0 - CAST("EditDist" AS DOUBLE) / ml >= ${graft.ops.DedupOps.EditSimThres
 ORDER BY "D1", "D2"
 """
 
+  /** Exact-Jaccard-join mirror: deliberately BRUTE FORCE — the full
+    * quadratic pair join with NO blocking of any kind. The engine
+    * answers with a prefix-filtered join (DedupOps.jaccardExact);
+    * hash equality against this mirror is the executable proof that
+    * prefix filtering is lossless (zero false negatives), which is
+    * exactly the property that separates it from the LSH path. */
+  val dedupJaccardExact: String = toksCte + s"""
+, sh2 AS (SELECT doc_id, $shExpr AS s FROM toks),
+shn AS (SELECT doc_id, s FROM sh2 WHERE len(s) > 0),
+j AS (
+  SELECT a.doc_id AS "D1", b.doc_id AS "D2",
+         CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS "NInter",
+         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS INTEGER) AS "NUnion"
+  FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+)
+SELECT "D1", "D2", "NInter", "NUnion",
+       CAST("NInter" AS DOUBLE) / "NUnion" AS "Jaccard"
+FROM j WHERE CAST("NInter" AS DOUBLE) / "NUnion" >= ${graft.ops.DedupOps.JaccardThreshold}
+ORDER BY "D1", "D2"
+"""
+
   /** Incremental (new-vs-corpus) dedup mirror: same band listing, the
     * join constrained to new × corpus instead of the self-pairing. */
   val dedupIncremental: String = {
@@ -1403,6 +1424,39 @@ r0 AS (SELECT src AS node, outdeg, CAST($RankScale AS BIGINT) AS rq FROM deg),
 $iters
 SELECT node AS "PartKey", outdeg AS "OutDeg", rq AS "RankQ"
 FROM r$PageRankIters ORDER BY node
+"""
+  }
+
+  /** Triangle-count mirror: the same co-purchase edge universe (the
+    * pagerank mirror's self-join form, cap interpolated), triangles
+    * enumerated by plain ID ordering (a<b<c) — deliberately NOT the
+    * engine's degree orientation, so hash equality proves the
+    * oriented plan counts the identical triangle set. */
+  val graphTriangles: String = {
+    import graft.ops.GraphOps._
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
+e AS (SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
+      WHERE a.part <> b.part),
+deg AS (SELECT src AS n, count(*) AS dg FROM e GROUP BY src),
+eu AS (SELECT src AS s, dst AS d FROM e WHERE src < dst),
+tri AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+        FROM eu e1 JOIN eu e2 ON e2.s = e1.d
+                   JOIN eu e3 ON e3.s = e1.s AND e3.d = e2.d),
+tn AS (SELECT x.n, count(*) AS t
+       FROM (SELECT a AS n FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) x
+       GROUP BY x.n)
+SELECT deg.n AS "PartKey", CAST(deg.dg AS BIGINT) AS "Degree",
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS "NTriangles",
+       CASE WHEN deg.dg >= 2
+            THEN CAST(2 * COALESCE(tn.t, 0) AS DOUBLE) / CAST(deg.dg * (deg.dg - 1) AS DOUBLE)
+            ELSE 0.0 END AS "ClustCoeff"
+FROM deg LEFT JOIN tn ON deg.n = tn.n
+ORDER BY "PartKey"
 """
   }
 

@@ -66,6 +66,31 @@ class OpsSpec extends SparkSpec {
     assert(labels.size === 18)
   }
 
+  test("dedup: prefix-filtered exact Jaccard join equals brute force, covers LSH pairs, no cartesian") {
+    val exact = DedupOps.jaccardExact(spark, sfDir)
+    val got = exact.collect()
+      .map(r => (r.getAs[Long]("D1"), r.getAs[Long]("D2"))).toSet
+    assert(got.nonEmpty, "no qualifying pairs at this SF — test is vacuous")
+    // reference: the full quadratic join with NO blocking of any kind
+    val sh = DedupOps.sharedShingles(spark, sfDir).filter(size(col("Sh")) > 0)
+    val brute = sh.select(col("doc_id").as("D1"), col("Sh").as("Sh1"))
+      .crossJoin(sh.select(col("doc_id").as("D2"), col("Sh").as("Sh2")))
+      .filter(col("D1") < col("D2"))
+      .withColumn("NI", size(array_intersect(col("Sh1"), col("Sh2"))))
+      .withColumn("NU", size(col("Sh1")) + size(col("Sh2")) - col("NI"))
+      .filter(col("NI") * 2 >= col("NU")) // t = 1/2 as an exact integer compare
+      .collect().map(r => (r.getAs[Long]("D1"), r.getAs[Long]("D2"))).toSet
+    assert(got === brute, "prefix filtering dropped or invented a pair — the losslessness claim failed")
+    // the LSH path's verified pairs are a subset (LSH may miss; exact may not)
+    val lsh = DedupOps.neardupPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("D1"), r.getAs[Long]("D2"))).toSet
+    assert(lsh.subsetOf(got), "exact join missed a pair the LSH path verified")
+    // the engine side must get there WITHOUT a quadratic plan
+    val plan = exact.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "exact Jaccard join fell back to a quadratic join strategy")
+  }
+
   test("dedup: incremental new-vs-corpus equals the straddling subset of the full self-join") {
     val rows = DedupOps.incremental(spark, sfDir).collect()
     assert(rows.nonEmpty, "no straddling near-dups at this SF — test is vacuous")

@@ -117,6 +117,35 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(mass <= start && mass > start * 9 / 10, s"mass $mass vs start $start")
   }
 
+  test("triangles: degree-oriented counts equal a brute-force driver enumeration") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    val eset = edges.toSet
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    // brute force: for each canonical edge (a<b), common neighbors c>b
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    var total = 0L
+    for ((a, b) <- edges if a < b; c <- adj(a) if c > b && eset.contains((b, c))) {
+      total += 1
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    assert(total > 0, "no triangles in the co-purchase graph at this SF — test is vacuous")
+    val got = GraphOps.triangles(spark, sfDir).collect()
+    assert(got.length === deg.size)
+    got.foreach { r =>
+      val n = r.getAs[Long]("PartKey")
+      assert(r.getAs[Long]("Degree") === deg(n))
+      assert(r.getAs[Long]("NTriangles") === triCount(n), s"node $n triangle count mismatch")
+      val d = deg(n)
+      val want = if (d >= 2) 2.0 * triCount(n) / (d * (d - 1)) else 0.0
+      assert(r.getAs[Double]("ClustCoeff") === want)
+      assert(r.getAs[Double]("ClustCoeff") <= 1.0 + 1e-12)
+    }
+    // sum over nodes = 3 × global triangle count (each triangle hits 3 nodes)
+    assert(got.map(_.getAs[Long]("NTriangles")).sum === 3 * total)
+  }
+
   test("span windows: duplicated-window fractions equal a driver recomputation") {
     val toks = docsTokens()
     val w = graft.ops.DedupOps.SpanWindowTokens
