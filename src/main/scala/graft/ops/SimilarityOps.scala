@@ -223,6 +223,77 @@ object SimilarityOps {
       .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("Rank")))
   }
 
+  /** Candidate pool per probe the MMR selection draws from. */
+  val MmrCandK = 20
+  /** Diversified results reported per probe. */
+  val MmrSelectK = 5
+
+  /** MAXIMAL MARGINAL RELEVANCE diversified top-k (Carbonell &
+    * Goldstein, SIGIR 1998) — the standard rerank that trades raw
+    * relevance against redundancy: greedily select
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 1/2, so a
+    * near-duplicate of an already-selected result is penalized by
+    * exactly its similarity to it. On a corpus with planted near-dups
+    * this visibly differs from [[topk]]: the duplicate cluster
+    * contributes ONE representative instead of flooding the cut.
+    *
+    * Determinism: rel and sim are the same exact-integer-dot cosines
+    * as [[topk]] (bit-identical across engines); each round's argmax
+    * uses the (score desc, NId) total order; λ = 1/2 makes every
+    * score an exact halving, so the mirror — the same
+    * [[MmrSelectK]]−1 selection rounds unrolled as chained CTEs, the
+    * PageRank/BPE pattern — hash-matches.
+    *
+    * Scale shape: the greedy loop is inherently sequential in k but
+    * each round is ONE bounded join + window over |queries|·k rows —
+    * never the corpus. The candidate pool ([[MmrCandK]] per query via
+    * the exact scan; IVF in production) and the k² pairwise-sim table
+    * are built ONCE and localCheckpoint-pinned (the componentsOf loop
+    * discipline: the union tree references them once per round, and
+    * unpinned they would re-run the corpus scan per reference). Total
+    * cost: pool scan + |Q|·k² sims + k·(|Q|·k) selection rows. */
+  def mmrTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cand = topk(spark, dir, MmrCandK)
+      .select(col("QId"), col("NId"), col("Cosine").as("Rel"))
+      .localCheckpoint()
+    val vecs = quantized(spark, dir).select(col("vec_id"), col("Q"), col("NormSq"))
+    val cv = cand.join(vecs, col("NId") === col("vec_id"))
+      .select(col("QId"), col("NId"), col("Q"), col("NormSq"))
+    val a = cv.select(col("QId"), col("NId").as("A"), col("Q").as("QA"), col("NormSq").as("NA"))
+    val b = cv.select(col("QId").as("QIdB"), col("NId").as("B"),
+      col("Q").as("QB"), col("NormSq").as("NB"))
+    val pr = a.join(b, col("QId") === col("QIdB") && col("A") =!= col("B"))
+      .withColumn("Sim", expr("long_dot(QA, QB)").cast(DoubleType) /
+        (sqrt(col("NA").cast(DoubleType)) * sqrt(col("NB").cast(DoubleType))))
+      .select(col("QId"), col("A"), col("B"), col("Sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("QId"))
+    var sel = cand
+      .withColumn("rn", row_number().over(w.orderBy(col("Rel").desc, col("NId"))))
+      .filter(col("rn") === 1)
+      .select(col("QId"), col("NId"), (col("Rel") / lit(2)).as("MmrScore"),
+        lit(1).as("SelRank"))
+    for (r <- 2 to MmrSelectK) {
+      // max sim of each candidate to the selected set, then argmax of
+      // (rel − maxSim)/2 over the not-yet-selected candidates
+      val simToSel = pr
+        .join(sel.select(col("QId").as("QS"), col("NId").as("B2")),
+          col("QId") === col("QS") && col("B") === col("B2"))
+        .groupBy(col("QId"), col("A")).agg(max(col("Sim")).as("MaxSim"))
+        .select(col("QId"), col("A").as("NId"), col("MaxSim"))
+      sel = sel.union(
+        cand.join(sel.select(col("QId"), col("NId")), Seq("QId", "NId"), "left_anti")
+          .join(simToSel, Seq("QId", "NId"))
+          .withColumn("MmrScore", (col("Rel") - col("MaxSim")) / lit(2))
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("MmrScore").desc, col("NId"))))
+          .filter(col("rn") === 1)
+          .select(col("QId"), col("NId"), col("MmrScore"), lit(r).as("SelRank")))
+    }
+    sel.select(col("QId"), col("SelRank"), col("NId"), col("MmrScore"))
+      .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("SelRank")))
+  }
+
   // ---------------------------------------------------------------
   // Product quantization (PQ): compressed-domain candidate scan
   // ---------------------------------------------------------------

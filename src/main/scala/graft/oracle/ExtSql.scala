@@ -1670,6 +1670,62 @@ SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
 ORDER BY "QId", "Rank"
 """
 
+  /** MMR mirror: the same greedy selection, each round one chained
+    * CTE (the PageRank/BPE unrolling pattern). λ = 1/2 ⇒ every score
+    * is an exact halving of a difference of the engine's own cosine
+    * doubles, so selection order and scores hash-match. */
+  val similarityMmrTopk: String = {
+    import graft.ops.SimilarityOps.{ProbeIdMax, MmrCandK, MmrSelectK}
+    val rounds = (2 to MmrSelectK).map { r =>
+      s""",
+m$r AS (
+  SELECT c.qid, c.nid, c.rel, max(pr.sim) AS ms
+  FROM cand c
+  JOIN pr ON pr.qid = c.qid AND pr.a = c.nid
+  JOIN sel${r - 1} s ON s.qid = pr.qid AND s.nid = pr.b
+  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x WHERE x.qid = c.qid AND x.nid = c.nid)
+  GROUP BY c.qid, c.nid, c.rel
+),
+sel$r AS (
+  SELECT qid, nid, score, selrank FROM sel${r - 1}
+  UNION ALL
+  SELECT qid, nid, (rel - ms) / 2 AS score, $r AS selrank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY (rel - ms) / 2 DESC, nid) AS rn
+    FROM m$r
+  ) WHERE rn = 1
+)"""
+    }.mkString
+    quantCte + s"""
+, p0 AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST(list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS DOUBLE)
+           / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS rel
+  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < $ProbeIdMax
+),
+cand AS (
+  SELECT qid, nid, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM p0
+  ) WHERE rn <= $MmrCandK
+),
+pr AS (
+  SELECT c1.qid, c1.nid AS a, c2.nid AS b,
+         CAST(list_sum([va.qv[i] * vb.qv[i] for i in range(1, len(va.qv)+1)]) AS DOUBLE)
+           / (sqrt(CAST(va.nn AS DOUBLE)) * sqrt(CAST(vb.nn AS DOUBLE))) AS sim
+  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.nid <> c2.nid
+  JOIN n va ON va.vec_id = c1.nid JOIN n vb ON vb.vec_id = c2.nid
+),
+sel1 AS (
+  SELECT qid, nid, rel / 2 AS score, 1 AS selrank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM cand
+  ) WHERE rn = 1
+)$rounds
+SELECT qid AS "QId", CAST(selrank AS INTEGER) AS "SelRank", nid AS "NId", score AS "MmrScore"
+FROM sel$MmrSelectK
+ORDER BY "QId", "SelRank"
+"""
+  }
+
   /** k-means codebook CTEs shared by every IVF-family oracle
     * ([[similarityIvfTopk]], [[similarityKmeansProfile]],
     * [[similaritySemanticDedup]]): seeds = K lowest vec_ids, then

@@ -143,6 +143,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity: MMR selection equals a driver-run of the same greedy rounds") {
+    graft.functions.VectorExpressions.register(spark)
+    // candidate pool + quantized vectors, exactly as the engine sees them
+    val cand = SimilarityOps.topk(spark, sfDir, SimilarityOps.MmrCandK).collect()
+      .groupBy(_.getAs[Long]("QId"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Int]("Rank"))
+        .map(r => (r.getAs[Long]("NId"), r.getAs[Double]("Cosine"))).toSeq }
+    val qv = graft.etl.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("quantize_vec(embedding)").as("Q"))
+      .withColumn("NormSq", expr("long_dot(Q, Q)")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[scala.collection.Seq[Long]]("Q").toArray, r.getAs[Long]("NormSq"))))
+      .toMap
+    def sim(x: Long, y: Long): Double = {
+      val ((ax, nx), (ay, ny)) = (qv(x), qv(y))
+      ax.zip(ay).map { case (p, q) => p * q }.sum.toDouble /
+        (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+    }
+    // driver-run greedy MMR, λ = 1/2, (score desc, NId) total order
+    val want = cand.toSeq.flatMap { case (q, cs) =>
+      var sel = Vector(cs.maxBy { case (n, rel) => (rel, -n) })
+      var scores = Vector(sel.head._2 / 2)
+      while (sel.length < SimilarityOps.MmrSelectK) {
+        val next = cs.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (n, rel) =>
+            (n, (rel - sel.map(s => sim(n, s._1)).max) / 2) }
+          .maxBy { case (n, sc) => (sc, -n) }
+        sel :+= (next._1, next._2); scores :+= next._2
+      }
+      sel.zipWithIndex.map { case ((n, _), i) => (q, i + 1, n, scores(i)) }
+    }.toSet
+    val got = SimilarityOps.mmrTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("QId"), r.getAs[Int]("SelRank"),
+        r.getAs[Long]("NId"), r.getAs[Double]("MmrScore"))).toSet
+    assert(got === want, "engine MMR selection diverged from the driver greedy run")
+    // the diversity penalty must be non-vacuous somewhere: at least one
+    // probe's MMR cut differs from the plain relevance top-k cut
+    val plain = SimilarityOps.topk(spark, sfDir, SimilarityOps.MmrSelectK).collect()
+      .groupBy(_.getAs[Long]("QId"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("NId")).toSet }
+    val mmrSets = got.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3) }
+    assert(mmrSets.exists { case (q, s) => plain(q) != s },
+      "MMR equals plain top-k for every probe — the penalty never bound; test corpus is vacuous")
+  }
+
   test("similarity: IVF top-k recalls >= 0.8 of brute-force neighbors") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("QId"), r.getAs[Long]("NId"))).toSet
