@@ -100,6 +100,8 @@ object SparkEntry {
     // the production-merge-count shape: collected dict + in-memory loop
     "text_bpe_vocab_deep" -> ((s: SparkSession, d: String) => TextOps.bpeVocabDriver(s, d)),
     "text_fingerprint" -> (TextOps.fingerprint _),
+    // per-source length-histogram drift card: fixed-order exact chi^2
+    "text_drift_chisq" -> (TextOps.driftChisq _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
@@ -282,6 +284,7 @@ object SparkEntry {
     "text_bpe_encode" -> ExtSql.textBpeEncode,
     "text_bpe_vocab_deep" -> ExtSql.textBpeVocabDeep,
     "text_fingerprint" -> ExtSql.textFingerprint,
+    "text_drift_chisq" -> ExtSql.textDriftChisq,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,

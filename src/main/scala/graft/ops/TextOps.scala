@@ -965,6 +965,64 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Length-histogram buckets for the drift card: NTokens div
+    * [[DriftBucketWidth]], clamped to [[DriftBuckets]]−1. */
+  val DriftBuckets = 5
+  val DriftBucketWidth = 20
+  /** χ² critical value at df = [[DriftBuckets]]−1 = 4, p = 0.001 —
+    * the drift flag's fixed decision bar (both engines compare the
+    * same deterministic double against the same constant). */
+  val DriftChiSqCrit = 18.467
+
+  /** PER-SOURCE DISTRIBUTION-DRIFT CARD — the monitoring query a
+    * 100 TB ingest pipeline runs per batch: does any source's
+    * token-length histogram diverge from the corpus baseline?
+    * Pearson's χ² per source against expected counts e_b = n_s·N_b/N,
+    * over [[DriftBuckets]] fixed-width buckets.
+    *
+    * Determinism discipline: every count is an exact integer; each
+    * χ² term is (o_b·N − n_s·N_b)²/(N·n_s·N_b) with the difference
+    * formed in LONGS (exact while n_s·N < 2⁶³ — holds to ~10⁹ docs ×
+    * 10⁹ corpus? no: the bound is o_b·N ≤ n_s·N ≤ N², so exact to
+    * N ≈ 3·10⁹ docs; past that promote to decimal), then squared and
+    * divided in doubles; the [[DriftBuckets]] terms are summed as a
+    * FIXED expression chain (t0+t1+…), never a shuffle-order
+    * aggregate — the EWMA determinism trick, so the double
+    * hash-matches the mirror. Buckets with N_b = 0 contribute 0 (o_b
+    * is necessarily 0 there too).
+    *
+    * Scale shape: one narrow token-stats pass → one per-source
+    * aggregate (map-side combined conditional counts, |sources|
+    * rows) → a broadcast 1-row corpus total. No shuffle is
+    * histogram-sized; nothing is corpus² — the card costs one scan
+    * regardless of source count. */
+  def driftChisq(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docsWithStats(spark, dir)
+      .select(col("source"), least(expr(s"TS.NTokens div $DriftBucketWidth"),
+        lit(DriftBuckets - 1)).as("Bk"))
+    val obs = (0 until DriftBuckets).map(b =>
+      sum(when(col("Bk") === b, 1L).otherwise(0L)).as(s"O$b"))
+    val aggs = count(lit(1)).as("NDocs") +: obs
+    val perSource = perDoc.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val totAggs = sum(col("NDocs")).as("N") +:
+      (0 until DriftBuckets).map(b => sum(col(s"O$b")).as(s"N$b"))
+    val totals = perSource.agg(totAggs.head, totAggs.tail: _*)
+    val terms = (0 until DriftBuckets).map { b =>
+      val d = col(s"O$b") * col("N") - col("NDocs") * col(s"N$b")
+      when(col(s"N$b") === 0, lit(0.0)).otherwise(
+        (d.cast(DoubleType) * d.cast(DoubleType)) /
+          (col("N").cast(DoubleType) * col("NDocs").cast(DoubleType) *
+            col(s"N$b").cast(DoubleType)))
+    }
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("Chi2", terms.reduceLeft(_ + _))
+      .withColumn("Drifted", col("Chi2") > DriftChiSqCrit)
+      .select((col("source") +: col("NDocs") +:
+        (0 until DriftBuckets).map(b => col(s"O$b")) :+
+        col("Chi2") :+ col("Drifted")): _*)
+      .orderBy(col("source"))
+  }
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

@@ -1427,6 +1427,44 @@ FROM r$PageRankIters ORDER BY node
 """
   }
 
+  /** Drift-card mirror: identical integer bucket counts, identical
+    * FIXED-ORDER χ² term chain (t0+t1+…, the EWMA determinism trick)
+    * — the sum is an expression, not an aggregate, so the double is
+    * bit-identical across engines. */
+  val textDriftChisq: String = {
+    import graft.ops.TextOps.{DriftBuckets, DriftBucketWidth, DriftChiSqCrit}
+    val obs = (0 until DriftBuckets)
+      .map(b => s"sum(CASE WHEN bk = $b THEN 1 ELSE 0 END) AS o$b")
+      .mkString(",\n         ")
+    val sumN = (0 until DriftBuckets).map(b => s"sum(o$b) AS n$b").mkString(", ")
+    val terms = (0 until DriftBuckets).map { b =>
+      s"CASE WHEN n$b = 0 THEN 0.0 ELSE CAST(o$b * n - ns * n$b AS DOUBLE) * " +
+        s"CAST(o$b * n - ns * n$b AS DOUBLE) / " +
+        s"(CAST(n AS DOUBLE) * CAST(ns AS DOUBLE) * CAST(n$b AS DOUBLE)) END"
+    }.mkString("\n         + ")
+    val ocols = (0 until DriftBuckets)
+      .map(b => s"""CAST(o$b AS BIGINT) AS "O$b"""").mkString(", ")
+    s"""
+WITH d AS (
+  SELECT source,
+         least(len(regexp_split_to_array(trim(text), '\\s+')) // $DriftBucketWidth,
+               ${DriftBuckets - 1}) AS bk
+  FROM documents
+),
+s AS (
+  SELECT source, count(*) AS ns,
+         $obs
+  FROM d GROUP BY source
+),
+t AS (SELECT sum(ns) AS n, $sumN FROM s)
+SELECT source, CAST(ns AS BIGINT) AS "NDocs", $ocols,
+       ($terms) AS "Chi2",
+       ($terms) > $DriftChiSqCrit AS "Drifted"
+FROM s CROSS JOIN t
+ORDER BY source
+"""
+  }
+
   /** Triangle-count mirror: the same co-purchase edge universe (the
     * pagerank mirror's self-join form, cap interpolated), triangles
     * enumerated by plain ID ordering (a<b<c) — deliberately NOT the

@@ -412,6 +412,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("text: drift chi2 equals a driver recomputation; counts partition; flag consistent") {
+    val rows = TextOps.driftChisq(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val os = rows.map { r =>
+      (0 until TextOps.DriftBuckets).map(b => r.getAs[Long](s"O$b"))
+    }
+    // bucket counts partition each source's docs
+    rows.zip(os).foreach { case (r, o) =>
+      assert(o.sum === r.getAs[Long]("NDocs"))
+    }
+    val n = rows.map(_.getAs[Long]("NDocs")).sum
+    val nb = (0 until TextOps.DriftBuckets).map(b => os.map(_(b)).sum)
+    rows.zip(os).foreach { case (r, o) =>
+      val ns = r.getAs[Long]("NDocs")
+      // the same fixed-order term chain, recomputed on the driver
+      val want = (0 until TextOps.DriftBuckets).map { b =>
+        if (nb(b) == 0) 0.0
+        else {
+          val d = (o(b) * n - ns * nb(b)).toDouble
+          d * d / (n.toDouble * ns.toDouble * nb(b).toDouble)
+        }
+      }.reduceLeft(_ + _)
+      assert(r.getAs[Double]("Chi2") === want, s"chi2 mismatch for ${r.getAs[String]("source")}")
+      assert(r.getAs[Boolean]("Drifted") === (want > TextOps.DriftChiSqCrit))
+      assert(want >= 0.0)
+    }
+    // a PLANTED drifted slice must trip the same arithmetic: shift one
+    // synthetic source's histogram entirely into the top bucket and the
+    // recomputed chi2 crosses the critical value by construction
+    val planted = {
+      val ns = 25L; val shifted = Seq(0L, 0L, 0L, 0L, ns)
+      val n2 = n + ns
+      val nb2 = nb.zipWithIndex.map { case (v, b) => v + shifted(b) }
+      (0 until TextOps.DriftBuckets).map { b =>
+        if (nb2(b) == 0) 0.0
+        else { val d = (shifted(b) * n2 - ns * nb2(b)).toDouble
+          d * d / (n2.toDouble * ns.toDouble * nb2(b).toDouble) }
+      }.sum
+    }
+    assert(planted > TextOps.DriftChiSqCrit,
+      "an all-top-bucket source must register as drifted against this baseline")
+  }
+
   test("text: source similarity covers all pairs; jaccards bounded; estimate calibrated on identity") {
     val nSources = graft.etl.Tables.documents(spark, sfDir)
       .select("source").distinct().count().toInt
