@@ -156,6 +156,8 @@ object SparkEntry {
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     // MMR-diversified top-k: greedy relevance-vs-redundancy rerank
     "similarity_mmr_topk" -> (SimilarityOps.mmrTopk _),
+    // top principal component: exact integer scatter + power iteration
+    "similarity_pca_power" -> (SimilarityOps.pcaPower _),
     // deterministic ±1 JL projection (round 10): 64 → 16 exact integer
     // coordinates in one narrow codegen pass, the cheap ANN front
     "similarity_random_projection" -> (SimilarityOps.randomProjection _),
@@ -318,6 +320,7 @@ object SparkEntry {
     "dedup_chunk_overlap" -> ExtSql.dedupChunkOverlap,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_mmr_topk" -> ExtSql.similarityMmrTopk,
+    "similarity_pca_power" -> ExtSql.similarityPcaPower,
     "similarity_random_projection" -> ExtSql.similarityRandomProjection,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,
     "similarity_ivf_topk" -> ExtSql.similarityIvfTopk,

@@ -1478,6 +1478,87 @@ object SimilarityOps {
       .orderBy(col("vec_id"), col("Dim"))
   }
 
+  /** Fixed power-iteration horizon for [[pcaPower]] (the PageRank
+    * fixed-horizon discipline — convergence checked in spec, not
+    * looped at runtime). Direction error contracts as (λ₂/λ₁)^R: the
+    * fixture spectra sit at λ₂/λ₁ ≈ 0.93–0.99, so 96 rounds give
+    * ≤1e-3 direction error at sf0.001 and — the guarantee that
+    * matters on a near-degenerate spectrum — an explained-variance
+    * estimate within (λ₂/λ₁)^{2R}·(1−λ₂/λ₁) of λ₁ everywhere
+    * (eigenvalue error is QUADRATIC in direction error, so even a
+    * direction still mixing nearby top components reports essentially
+    * the top eigenvalue's variance share). */
+  val PcaPowerRounds = 96
+  /** Fixed-point scale of the iterated eigenvector: after each round
+    * the vector renormalizes to max |v_i| = 2²⁰ exactly. */
+  val PcaVecScale: Long = 1L << 20
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus — exact integer
+    * scatter matrix + deterministic fixed-point power iteration.
+    *
+    * The scatter matrix S = n·Σxxᵀ − (Σx)(Σx)ᵀ (= n²·Cov) is computed
+    * in one distributed pass over the quantized corpus: each row fans
+    * its d² products through codegen into a d²-key hash aggregate
+    * (map-side combined — the shuffle carries d² rows per task, never
+    * n·d²), plus a d-key sum pass and a count. Everything is exact
+    * integer arithmetic: with |q| ≤ 3·10⁴ quantized units, Σ xᵢxⱼ
+    * stays under int64 to n ≈ 10⁹ vectors and n·Σxxᵀ to n ≈ 3·10⁶ —
+    * the documented ceiling (promote the combine to decimal past it,
+    * the PageRank int64-mass argument).
+    *
+    * The iteration itself is CODEBOOK-SCALE work — S is d×d = 4096
+    * longs — so it runs on the driver in BigInt (the
+    * `text_bpe_vocab_deep` collected-substrate pattern): v₀ = 1⃗,
+    * [[PcaPowerRounds]] rounds of w = S·v followed by exact integer
+    * renormalization v = w·[[PcaVecScale]] div max|w| (truncating
+    * division — BigInt `/` and DuckDB `//` agree). S is PSD, so the
+    * Rayleigh quotient vᵀSv/vᵀv is the variance along v;
+    * EvrPpm = (vᵀSv·10⁶) div (vᵀv·trace S) is the explained-variance
+    * share in exact parts-per-million. The mirror replays the same
+    * rounds as chained hugeint CTEs — bit-identical by construction.
+    *
+    * Why power iteration and not a library eigensolver: determinism.
+    * LAPACK-style solvers are float-ordering-dependent; this is the
+    * standard big-data formulation (the d×d Gram collapse is how
+    * distributed PCA is actually done — the n-dimensional work is the
+    * one-pass aggregate, never the eigensolve). */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val all = quantized(spark, dir)
+    val sxx = all.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${Dims - 1}, 1), i ->
+              transform(sequence(0, ${Dims - 1}, 1), j ->
+                struct(i AS I, j AS J, Q[i] * Q[j] AS P))))""")).as("e"))
+      .select(col("e.I").as("I"), col("e.J").as("J"), col("e.P").as("P"))
+      .groupBy(col("I"), col("J")).agg(sum(col("P")).as("Sxx"))
+      .collect().map(r => (r.getAs[Int]("I"), r.getAs[Int]("J")) -> r.getAs[Long]("Sxx"))
+      .toMap
+    val sx = all.select(posexplode(col("Q")).as(Seq("I", "X")))
+      .groupBy(col("I")).agg(sum(col("X")).as("Sx"))
+      .collect().map(r => r.getAs[Int]("I") -> r.getAs[Long]("Sx")).toMap
+    val n = BigInt(all.count())
+    require(n > 0, "pcaPower on an empty corpus")
+    val s = Array.tabulate(Dims, Dims)((i, j) =>
+      n * BigInt(sxx((i, j))) - BigInt(sx(i)) * BigInt(sx(j)))
+    def mul(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(Dims)(i => (0 until Dims).map(j => s(i)(j) * v(j)).sum)
+    var v = Array.fill(Dims)(BigInt(PcaVecScale))
+    for (_ <- 1 to PcaPowerRounds) {
+      val w = mul(v)
+      val m = w.map(_.abs).max
+      require(m > 0, "zero scatter matrix — degenerate corpus")
+      v = w.map(_ * PcaVecScale / m) // truncating, = DuckDB //
+    }
+    val w = mul(v)
+    val num = (0 until Dims).map(i => v(i) * w(i)).sum
+    val den = (0 until Dims).map(i => v(i) * v(i)).sum
+    val trace = (0 until Dims).map(i => s(i)(i)).sum
+    val evrPpm = (num * 1000000 / (den * trace)).toLong
+    import spark.implicits._
+    (0 until Dims).map(i => (i, v(i).toLong, evrPpm))
+      .toDF("Dim", "V", "EvrPpm")
+      .orderBy(col("Dim"))
+  }
+
   /** n·K threshold above which [[assignAuto]] routes to the
     * hierarchical assignment. Measured (PERFORMANCE.md round 10, this
     * host): at 200k×1024 (n·K = 2.0e8) flat still wins — one fused

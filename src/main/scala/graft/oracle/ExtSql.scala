@@ -1708,6 +1708,50 @@ SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
 ORDER BY "QId", "Rank"
 """
 
+  /** PCA-power mirror: the same exact-integer scatter matrix and the
+    * same [[graft.ops.SimilarityOps.PcaPowerRounds]] fixed-point
+    * rounds unrolled as hugeint CTEs; truncating `//` matches the
+    * engine's BigInt division. */
+  val similarityPcaPower: String = {
+    import graft.ops.SimilarityOps.{PcaPowerRounds, PcaVecScale}
+    // every CTE in the chain is MATERIALIZED: unmaterialized, DuckDB
+    // inlines each round into its consumer — two references per round
+    // expands 2^rounds-fold, and even a strictly-linear chain (renorm
+    // via a whole-partition window max, one reference per round)
+    // builds an optimizer tree super-linear in depth that stalled at
+    // 96 rounds. Materialization makes the chain genuinely
+    // sequential: 64 rows per step, 1.4 s total at sf0.01.
+    val rounds = (1 to PcaPowerRounds).map { r =>
+      s""",
+w$r AS MATERIALIZED (
+  SELECT s.i, sum(s.sv * v.vv) AS wv
+  FROM sm s JOIN v${r - 1} v ON v.i = s.j
+  GROUP BY s.i
+),
+v$r AS MATERIALIZED (SELECT i, (wv * $PcaVecScale) // (max(abs(wv)) OVER ()) AS vv FROM w$r)"""
+    }.mkString
+    quantCte + s"""
+, nm AS MATERIALIZED (SELECT vec_id, qv, nn FROM n),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+cn AS (SELECT CAST(count(*) AS HUGEINT) AS c FROM nm),
+sx AS (SELECT d.i, sum(v.qv[d.i]) AS s FROM nm v CROSS JOIN dims d GROUP BY d.i),
+sxx AS (SELECT a.i, b.i AS j, sum(v.qv[a.i] * v.qv[b.i]) AS p
+        FROM nm v CROSS JOIN dims a CROSS JOIN dims b GROUP BY a.i, b.i),
+sm AS MATERIALIZED (SELECT x.i, x.j, cn.c * x.p - sa.s * sb.s AS sv
+       FROM sxx x JOIN sx sa ON sa.i = x.i JOIN sx sb ON sb.i = x.j CROSS JOIN cn),
+v0 AS (SELECT i, CAST($PcaVecScale AS HUGEINT) AS vv FROM dims)$rounds,
+tr AS (SELECT sum(sv) AS t FROM sm WHERE i = j),
+wf AS (SELECT s.i, sum(s.sv * v.vv) AS wv
+       FROM sm s JOIN v$PcaPowerRounds v ON v.i = s.j GROUP BY s.i),
+ray AS (SELECT sum(v.vv * w.wv) AS num, sum(v.vv * v.vv) AS den
+        FROM v$PcaPowerRounds v JOIN wf w ON w.i = v.i)
+SELECT CAST(v.i - 1 AS INTEGER) AS "Dim", CAST(v.vv AS BIGINT) AS "V",
+       CAST((ray.num * 1000000) // (ray.den * tr.t) AS BIGINT) AS "EvrPpm"
+FROM v$PcaPowerRounds v CROSS JOIN ray CROSS JOIN tr
+ORDER BY "Dim"
+"""
+  }
+
   /** MMR mirror: the same greedy selection, each round one chained
     * CTE (the PageRank/BPE unrolling pattern). λ = 1/2 ⇒ every score
     * is an exact halving of a difference of the engine's own cosine

@@ -188,6 +188,47 @@ class OpsSpec extends SparkSpec {
       "MMR equals plain top-k for every probe — the penalty never bound; test corpus is vacuous")
   }
 
+  test("similarity: PCA power iterate aligns with a double-precision eigensolve") {
+    val rows = SimilarityOps.pcaPower(spark, sfDir).collect()
+    assert(rows.length === 64)
+    val v = rows.sortBy(_.getAs[Int]("Dim")).map(_.getAs[Long]("V").toDouble)
+    val evr = rows.head.getAs[Long]("EvrPpm")
+    assert(rows.forall(_.getAs[Long]("EvrPpm") === evr))
+    assert(evr > 0 && evr <= 1000000L, s"explained-variance ppm out of range: $evr")
+    assert(v.map(math.abs).max === SimilarityOps.PcaVecScale.toDouble,
+      "renormalization invariant broken: max |v_i| must be exactly the fixed-point scale")
+    // double-precision reference: centered scatter from the raw floats,
+    // 300 plain power rounds — direction must agree
+    val x = graft.etl.Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val d = 64; val n = x.length
+    val mu = Array.tabulate(d)(i => x.map(_(i)).sum / n)
+    val s = Array.tabulate(d, d)((i, j) =>
+      x.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum)
+    var u = Array.fill(d)(1.0)
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => s(i)(j) * u(j)).sum)
+      val norm = math.sqrt(w.map(a => a * a).sum)
+      u = w.map(_ / norm)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (p, q) => p * q }.sum /
+        (math.sqrt(a.map(p => p * p).sum) * math.sqrt(b.map(p => p * p).sum))
+    assert(math.abs(cos(u, v)) >= 0.99,
+      s"integer power iterate diverged from the float eigensolve: |cos| = ${math.abs(cos(u, v))}")
+    // the reported direction dominates every coordinate axis' variance
+    def rayleigh(a: Array[Double]): Double = {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => s(i)(j) * a(j)).sum)
+      a.zip(w).map { case (p, q) => p * q }.sum / a.map(p => p * p).sum
+    }
+    val rv = rayleigh(v)
+    (0 until d).foreach { i =>
+      val e = Array.fill(d)(0.0); e(i) = 1.0
+      assert(rv >= rayleigh(e) - 1e-9, s"axis $i explains more variance than the reported PC")
+    }
+  }
+
   test("similarity: IVF top-k recalls >= 0.8 of brute-force neighbors") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("QId"), r.getAs[Long]("NId"))).toSet
