@@ -55,6 +55,8 @@ object SparkEntry {
     // recency-weighted daily trend (round 8): α=1/2 EWMA with exact
     // binary weights — engine-portable where pow(α,k) is libm-bound
     "timeseries_ewma" -> cleanedQ(Summaries.ewmaDaily),
+    // robust trend: median-of-pairwise-slopes over the trailing window
+    "timeseries_theilsen" -> cleanedQ(Summaries.theilSenTrend),
     // sales-analytics classics (round 8): RFM segmentation + cohort
     // retention — post-aggregation windows only (A13/⚠Q discipline)
     "customer_rfm" -> cleanedQ(Summaries.customerRfm),
@@ -260,6 +262,7 @@ object SparkEntry {
     "daily_trend_recent" -> CoreSql.dailyTrendRecent,
     "window_running_total" -> CoreSql.runningTotal,
     "timeseries_ewma" -> CoreSql.timeseriesEwma,
+    "timeseries_theilsen" -> CoreSql.theilSenTrend,
     "customer_rfm" -> CoreSql.customerRfm,
     "cohort_retention" -> CoreSql.cohortRetention,
     "window_lag_growth" -> CoreSql.lagGrowth,

@@ -533,4 +533,57 @@ object Summaries {
       .select(col("Country"), col("StockCode"), col("TotalRevenue"), col("Rank"))
       .orderBy(col("Country"), col("Rank"))
   }
+
+  /** Trailing window (days from the corpus max date) the Theil–Sen
+    * trend fits over — the pair volume is window², so the window IS
+    * the cost bound (see [[theilSenTrend]]). */
+  val TheilSenWindowDays = 90
+  /** Day-index epoch for the fit (any fixed date; slopes are
+    * invariant, the intercept is anchored here). Shared with the
+    * mirror. */
+  val TheilSenEpoch = "1992-01-01"
+
+  /** THEIL–SEN ROBUST TREND per country — the median-of-pairwise-
+    * slopes estimator (Theil 1950; Sen 1968): slope = median over all
+    * day pairs of (rev_j−rev_i)/(d_j−d_i), intercept = median of
+    * rev_i − slope·d_i. Unlike least squares, a 29% contamination of
+    * outlier days (a flash sale, an outage) cannot move the fit — the
+    * robust-statistics counterpart to the z-score anomaly cards.
+    *
+    * Determinism: daily revenues are exact decimal sums; each pair
+    * slope is ONE double division of exact quantities; medians are
+    * Spark `percentile` ≡ DuckDB `quantile_cont` (the established
+    * hash-verified interpolation parity). No shuffle-order double
+    * sums anywhere.
+    *
+    * Scale shape: the fit runs over the POST-AGGREGATION
+    * country×day frame restricted to the trailing
+    * [[TheilSenWindowDays]] (the dailyTrendRecent anchor discipline —
+    * corpus max date, no wall clock). The pair self-join is
+    * window²/2 ≈ 4k rows per country BY CONSTRUCTION — the quadratic
+    * term is bounded by the declared window, never by corpus size, so
+    * the query's cost at 100 TB is the one fact-table scan feeding
+    * the daily aggregate. */
+  def theilSenTrend(cleaned: DataFrame): DataFrame = {
+    val daily = sales(cleaned).groupBy(col("Country"), col("Date"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+    val maxD = daily.agg(max(col("Date")).as("MaxDate"))
+    val win = daily.crossJoin(broadcast(maxD))
+      .filter(datediff(col("MaxDate"), col("Date")) < TheilSenWindowDays)
+      .withColumn("D", datediff(col("Date"), to_date(lit(TheilSenEpoch))))
+    val a = win.select(col("Country"), col("D").as("D1"), col("RevDec").as("R1"))
+    val b = win.select(col("Country").as("C2"), col("D").as("D2"), col("RevDec").as("R2"))
+    val slope = a.join(b, col("Country") === col("C2") && col("D1") < col("D2"))
+      .withColumn("PairSlope",
+        (col("R2") - col("R1")).cast(DoubleType) / (col("D2") - col("D1")))
+      .groupBy(col("Country"))
+      .agg(count(lit(1)).as("NPairs"), expr("percentile(PairSlope, 0.5D)").as("Slope"))
+    val inter = win.join(slope.select(col("Country"), col("Slope")), "Country")
+      .withColumn("Res", col("RevDec").cast(DoubleType) - col("Slope") * col("D"))
+      .groupBy(col("Country"))
+      .agg(count(lit(1)).as("NDays"), expr("percentile(Res, 0.5D)").as("Intercept"))
+    slope.join(inter, "Country")
+      .select(col("Country"), col("NDays"), col("NPairs"), col("Slope"), col("Intercept"))
+      .transform(smallSort(_, col("Country")))
+  }
 }

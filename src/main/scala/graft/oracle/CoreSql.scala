@@ -397,4 +397,43 @@ FROM part p
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
 ORDER BY p.p_partkey
 """
+
+  /** Theil–Sen mirror: identical trailing window, identical exact
+    * decimal daily frame, pair slopes as one double division each,
+    * quantile_cont ≡ Spark percentile (hash-verified parity). */
+  val theilSenTrend: String = {
+    import graft.etl.Summaries.{TheilSenWindowDays, TheilSenEpoch}
+    txnCte + s""",
+cd AS (
+  SELECT "Country", "Date",
+         sum(CAST("TotalAmount" AS DECIMAL(18,4))) AS rev
+  FROM sales GROUP BY "Country", "Date"
+),
+mx AS (SELECT max("Date") AS md FROM cd),
+winf AS (
+  SELECT "Country",
+         CAST(date_diff('day', DATE '$TheilSenEpoch', "Date") AS INTEGER) AS d,
+         rev
+  FROM cd CROSS JOIN mx
+  WHERE CAST(date_diff('day', "Date", md) AS INTEGER) < $TheilSenWindowDays
+),
+pr AS (
+  SELECT a."Country", count(*) AS np,
+         quantile_cont(CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d), 0.5) AS slope
+  FROM winf a JOIN winf b ON a."Country" = b."Country" AND a.d < b.d
+  GROUP BY a."Country"
+),
+itc AS (
+  SELECT w."Country", count(*) AS nd,
+         quantile_cont(CAST(w.rev AS DOUBLE) - p.slope * w.d, 0.5) AS ic
+  FROM winf w JOIN pr p ON p."Country" = w."Country"
+  GROUP BY w."Country"
+)
+SELECT p."Country", CAST(i.nd AS BIGINT) AS "NDays",
+       CAST(p.np AS BIGINT) AS "NPairs",
+       p.slope AS "Slope", i.ic AS "Intercept"
+FROM pr p JOIN itc i ON i."Country" = p."Country"
+ORDER BY p."Country"
+"""
+  }
 }

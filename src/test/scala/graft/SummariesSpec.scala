@@ -155,4 +155,32 @@ class SummariesSpec extends SparkSpec {
     assert(pct >= 0.99,
       f"segment agreement $pct%.4f < 0.99 (${bounds.size - agree} of ${bounds.size} customers differ)")
   }
+
+  test("theilSen: recovers a planted linear trend exactly despite a 10x outlier day") {
+    // 40 days of rev = 100 + 5·t, with day 20 spiked 10× — the median
+    // of pairwise slopes must still be EXACTLY 5.0/day (the breakdown
+    // property that distinguishes Theil–Sen from least squares), and
+    // the intercept the median residual anchor
+    val base = java.time.LocalDate.parse("1995-06-01")
+    val rows = (0 until 40).map { t =>
+      val day = base.plusDays(t).toString
+      val rev = if (t == 20) 10.0 * (100.0 + 5.0 * t) else 100.0 + 5.0 * t
+      sale(s"I$t", 1, rev, s"$day 12:00:00")
+    }
+    val out = Summaries.theilSenTrend(mk(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("NDays") === 40L)
+    assert(r.getAs[Long]("NPairs") === 40L * 39 / 2)
+    assert(r.getAs[Double]("Slope") === 5.0,
+      s"outlier moved the robust slope: ${r.getAs[Double]("Slope")}")
+    // intercept: median of rev_t − 5·d_t; 39 of 40 residuals equal the
+    // clean intercept, so the median IS the clean line's intercept at
+    // the shared epoch
+    val epochOff = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(Summaries.TheilSenEpoch), base)
+    val wantIntercept = 100.0 - 5.0 * epochOff
+    assert(r.getAs[Double]("Intercept") === wantIntercept,
+      s"intercept ${r.getAs[Double]("Intercept")} != $wantIntercept")
+  }
 }
