@@ -235,6 +235,8 @@ object SparkEntry {
     "events_asof_view_stream" -> (graft.streaming.EventsStream.asofViewStreamQuery _),
     // foreachBatch curation firehose in the gate (zero state store)
     "curate_decontaminate_stream" -> (graft.streaming.DocsStream.decontaminateStreamQuery _),
+    // streaming drift card: source-keyed bounded-state aggregation
+    "text_drift_chisq_stream" -> (graft.streaming.DocsStream.driftChisqStreamQuery _),
     "window_daily_ranks" -> (RelationalOps.windowDailyRanks _),
     "pivot_country_year" -> (RelationalOps.pivotCountryYear _),
     "unpivot_country_metrics" -> (RelationalOps.unpivotCountryMetrics _),
@@ -290,6 +292,7 @@ object SparkEntry {
     "text_bpe_vocab_deep" -> ExtSql.textBpeVocabDeep,
     "text_fingerprint" -> ExtSql.textFingerprint,
     "text_drift_chisq" -> ExtSql.textDriftChisq,
+    "text_drift_chisq_stream" -> ExtSql.textDriftChisq,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,

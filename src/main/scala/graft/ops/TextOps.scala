@@ -996,14 +996,28 @@ object TextOps {
     * rows) → a broadcast 1-row corpus total. No shuffle is
     * histogram-sized; nothing is corpus² — the card costs one scan
     * regardless of source count. */
-  def driftChisq(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = docsWithStats(spark, dir)
+  def driftChisq(spark: SparkSession, dir: String): DataFrame =
+    driftFromPerSource(driftPerSource(docsWithStats(spark, dir)))
+
+  /** The histogram-aggregation half of the drift card, factored so
+    * the STREAMING twin runs the identical kernel: works on any frame
+    * carrying `source` + the `TS` token-stats struct (static or
+    * streaming — a source-keyed streaming aggregation's state is
+    * |sources| rows, bounded by construction). */
+  private[graft] def driftPerSource(docsWithTs: DataFrame): DataFrame = {
+    val perDoc = docsWithTs
       .select(col("source"), least(expr(s"TS.NTokens div $DriftBucketWidth"),
         lit(DriftBuckets - 1)).as("Bk"))
     val obs = (0 until DriftBuckets).map(b =>
       sum(when(col("Bk") === b, 1L).otherwise(0L)).as(s"O$b"))
     val aggs = count(lit(1)).as("NDocs") +: obs
-    val perSource = perDoc.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    perDoc.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The χ²-shaping half: totals + the fixed-order term chain over a
+    * (source, NDocs, O0..O{B−1}) frame. ONE definition for the batch
+    * query and the streaming twin's final complete-mode table. */
+  private[graft] def driftFromPerSource(perSource: DataFrame): DataFrame = {
     val totAggs = sum(col("NDocs")).as("N") +:
       (0 until DriftBuckets).map(b => sum(col(s"O$b")).as(s"N$b"))
     val totals = perSource.agg(totAggs.head, totAggs.tail: _*)

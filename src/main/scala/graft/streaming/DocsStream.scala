@@ -30,6 +30,62 @@ object DocsStream {
       .schema(Tables.documentsSchema)
       .parquet(dir)
 
+  private val onceCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage the documents parquet (one compacted file OR a dir of part
+    * files) into a fresh temp dir so every staged file is visible
+    * before `start()` — the parquet file source with no
+    * maxFilesPerTrigger then takes the whole corpus in ONE batch.
+    * Caller deletes the returned dir. */
+  private[streaming] def stageDocsOnce(dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path, Paths}
+    val streamDir = Files.createTempDirectory("graft_docs_once")
+    def stage(src: Path, dst: Path): Unit =
+      if (Files.isDirectory(src)) {
+        Files.createDirectories(dst)
+        val listing = Files.list(src) // must close: holds a dir handle
+        try listing.forEach(p => stage(p, dst.resolve(p.getFileName)))
+        finally listing.close()
+      } else Files.copy(src, dst)
+    stage(Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    streamDir
+  }
+
+  /** Streaming twin of `text_drift_chisq`: documents stream in and a
+    * SOURCE-KEYED streaming aggregation maintains each source's
+    * token-length histogram incrementally — state is |sources| rows,
+    * BOUNDED by construction (the opposite of a doc-keyed state,
+    * which nothing can evict). Complete-mode output feeds the SAME
+    * χ²-shaping kernel as the batch card (TextOps.driftFromPerSource
+    * — one definition), so the batch oracle SQL hashes the streaming
+    * run directly. This is the live form of the ingest-monitoring
+    * card: in production each trigger publishes a fresh drift table;
+    * the one-shot staging makes the final trigger's table equal the
+    * batch answer. The driver-side collect is |sources| rows. */
+  def driftChisqStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val streamDir = stageDocsOnce(dir)
+    try {
+      val docsTs = readDocsStream(spark, streamDir.toString)
+        .withColumn("TS", expr("token_stats(text)"))
+      val perSource = graft.ops.TextOps.driftPerSource(docsTs)
+      val name = s"text_drift_once_${onceCounter.incrementAndGet()}"
+      val q = perSource.writeStream
+        .outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      val schema = spark.table(name).schema
+      val rows = spark.table(name).collect() // |sources| rows
+      spark.catalog.dropTempView(name)
+      val perS = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+        schema)
+      graft.ops.TextOps.driftFromPerSource(perS)
+    } finally graft.ops.BucketedTables.deleteRecursively(streamDir)
+  }
+
   /** The per-batch decontamination kernel: per-train-doc distinct
     * eval-doc/shingle collision counts against the static `(Shingle,
     * EvalId)` relation (CurateOps.evalShingles or any curated
@@ -77,22 +133,8 @@ object DocsStream {
     * contaminated-rows-sized (a production sink upserts hits to a
     * table and the shaping is a view over it). */
   def decontaminateStreamQuery(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Path, Paths}
-    val streamDir = Files.createTempDirectory("graft_decon_once")
+    val streamDir = stageDocsOnce(dir)
     try {
-      // stage file OR directory (a compacted corpus is one file; a
-      // written one is a dir of part files) — all staged files are
-      // visible before start(), and the parquet file source with no
-      // maxFilesPerTrigger takes every available file in ONE batch
-      def stage(src: Path, dst: Path): Unit =
-        if (Files.isDirectory(src)) {
-          Files.createDirectories(dst)
-          val listing = Files.list(src) // must close: holds a dir handle
-          try listing.forEach(p => stage(p, dst.resolve(p.getFileName)))
-          finally listing.close()
-        } else Files.copy(src, dst)
-      stage(Paths.get(s"$dir/documents.parquet"),
-        streamDir.resolve("documents.parquet"))
       val evalSh = CurateOps.evalShingles(spark, dir)
       val buf = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
       val batches = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -706,4 +706,37 @@ class StreamingSpec extends SparkSpec {
         ((r.getAs[Long]("NEvents"), r.getAs[Long]("NSessions")))).toMap
     assert(stateful === batch)
   }
+
+  test("drift histogram state accumulates across TWO microbatches to the batch card") {
+    import java.nio.file.Files
+    graft.functions.TextExpressions.register(spark)
+    val docs = graft.etl.Tables.documents(spark, sfDir)
+    val watch = Files.createTempDirectory("graft_drift_watch")
+    try {
+      stagePart(docs.filter(col("doc_id") % 2 === 0), watch.resolve("h1.parquet"))
+      val perSource = graft.ops.TextOps.driftPerSource(
+        graft.streaming.DocsStream.readDocsStream(spark, watch.toString)
+          .withColumn("TS", expr("token_stats(text)")))
+      val q = perSource.writeStream
+        .outputMode("complete").format("memory").queryName("drift_2b").start()
+      try {
+        q.processAllAvailable()
+        val afterB1 = spark.table("drift_2b")
+          .agg(sum(col("NDocs"))).collect()(0).getLong(0)
+        val total = docs.count()
+        assert(afterB1 > 0 && afterB1 < total,
+          s"first trigger saw $afterB1 of $total docs — two-batch split did not happen")
+        stagePart(docs.filter(col("doc_id") % 2 === 1), watch.resolve("h2.parquet"))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the accumulated state, shaped by the SAME chi2 kernel, equals
+      // the batch card row-for-row (values AND flags)
+      val got = graft.ops.TextOps.driftFromPerSource(spark.table("drift_2b"))
+        .collect().map(_.toSeq).toSeq
+      val want = graft.ops.TextOps.driftChisq(spark, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(got === want, "two-microbatch drift state diverged from the batch card")
+      spark.catalog.dropTempView("drift_2b")
+    } finally graft.ops.BucketedTables.deleteRecursively(watch)
+  }
 }
