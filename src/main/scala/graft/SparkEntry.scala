@@ -94,6 +94,7 @@ object SparkEntry {
     // corpus novelty (round 9): first-seen shingle fraction per doc —
     // the novelty-weighted-sampling signal, complement of dup flags
     "text_novelty" -> (TextOps.novelty _),
+    "text_pmi_collocations" -> (TextOps.pmiCollocations _),
     // BPE vocabulary learning (round 10): the tokenizer-training merge
     // table — one corpus pass to the word dict, vocab-scale iterations
     "text_bpe_vocab" -> (TextOps.bpeVocab _),
@@ -120,6 +121,7 @@ object SparkEntry {
     // leakage-safe variant (round 10): whole sources share one split
     "curate_split_grouped" -> (CurateOps.splitGrouped _),
     "curate_corpus" -> (CurateOps.curate _),
+    "curate_importance_resample" -> (CurateOps.importanceResample _),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => CurateOps.decontaminate(s, d)),
     "curate_sample_stratified" -> (CurateOps.sampleStratified _),
     "curate_token_budget" -> (CurateOps.tokenBudget _),
@@ -194,6 +196,7 @@ object SparkEntry {
     "multimodal_framesample" -> (MultimodalOps.frameSample _),
     "multimodal_features" -> (MultimodalOps.featuresQuery _),
     "multimodal_resize" -> (MultimodalOps.resize _),
+    "multimodal_ahash_neardup" -> (MultimodalOps.ahashNeardup _),
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
     "groupingsets_country_year" -> (RelationalOps.groupingSetsCountryYear _),
@@ -287,6 +290,7 @@ object SparkEntry {
     "text_langid" -> ExtSql.textLangid,
     "text_langid_trained" -> ExtSql.textLangidTrained,
     "text_novelty" -> ExtSql.textNovelty,
+    "text_pmi_collocations" -> ExtSql.textPmiCollocations,
     "text_bpe_vocab" -> ExtSql.textBpeVocab,
     "text_bpe_encode" -> ExtSql.textBpeEncode,
     "text_bpe_vocab_deep" -> ExtSql.textBpeVocabDeep,
@@ -304,6 +308,7 @@ object SparkEntry {
     "curate_split_assign" -> ExtSql.curateSplitAssign,
     "curate_split_grouped" -> ExtSql.curateSplitGrouped,
     "curate_corpus" -> ExtSql.curateCorpus,
+    "curate_importance_resample" -> ExtSql.curateImportanceResample,
     "curate_decontaminate" -> ExtSql.curateDecontaminate,
     "curate_sample_stratified" -> ExtSql.curateSampleStratified,
     "curate_token_budget" -> ExtSql.curateTokenBudget,
@@ -352,6 +357,7 @@ object SparkEntry {
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,
     "multimodal_features" -> ExtSql.multimodalFeatures,
     "multimodal_resize" -> ExtSql.multimodalResize,
+    "multimodal_ahash_neardup" -> ExtSql.multimodalAhashNeardup,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
     "groupingsets_country_year" -> ExtSql.groupingSetsCountryYear,
     "cube_country_year" -> ExtSql.cubeCountryYear,

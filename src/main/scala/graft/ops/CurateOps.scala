@@ -566,4 +566,59 @@ object CurateOps {
       .select(col("doc_id"), col("NTokens"), col("QualityScore"))
       .orderBy(col("doc_id"))
   }
+
+  /** Importance-resampling knobs: the target domain is the
+    * [[DsirTargetSource]] slice; the top [[DsirTopK]] most
+    * target-like candidate docs are selected. Shared with the
+    * DuckDB mirror. */
+  val DsirTargetSource = "src0"
+  val DsirTopK = 100
+
+  /** DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR — Xie et al.
+    * 2023, re-expressed integer-exact): select from the general
+    * corpus the documents most like a small TARGET domain, by
+    * importance weight log(p_target(doc)/p_rest(doc)) under two
+    * Laplace-smoothed unigram LMs sharing the corpus vocabulary.
+    * The log-ratio is quantized to INTEGER BITS per term — weight =
+    * Σ Tf·(restBits − targetBits) with each side's surprisal
+    * `floor(log2((T+V) div (c+1)))` = `length(bin(r)) − 1` (the
+    * langid/perplexity integer-surprisal discipline) — so both
+    * engines agree bit-for-bit where a libm `ln` would drift, and
+    * (weight desc, doc_id) is a total order.
+    *
+    * The paper hashes n-grams into buckets to bound the feature
+    * space; here the feature space is the unigram vocabulary itself,
+    * which the engine already materializes as the cached postings
+    * substrate — the bucketing becomes unnecessary when the LM table
+    * is a first-class vocab-scale artifact.
+    *
+    * Scale shape: LM training is ONE vocab-keyed aggregate over the
+    * cached postings (map-side combined); scoring is the candidate
+    * slice of the same postings joined to the vocab-scale bits table
+    * on Term (AQE broadcasts when it fits) into a doc-keyed sum.
+    * Nothing is corpus×corpus; the only new state is the (Term, BT,
+    * BR) grid — the production "trained importance model" artifact. */
+  def importanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val post = TextOps.docPostings(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val p = post.join(src, "doc_id")
+      .withColumn("IsT", col("source") === DsirTargetSource)
+    val termCnt = p.groupBy(col("Term")).agg(
+      sum(when(col("IsT"), col("Tf").cast(LongType)).otherwise(0L)).as("CT"),
+      sum(when(not(col("IsT")), col("Tf").cast(LongType)).otherwise(0L)).as("CR"))
+    val tot = termCnt.agg(
+      sum(col("CT")).as("TT"), sum(col("CR")).as("TR"),
+      count(lit(1)).cast(LongType).as("V"))
+    val bits = termCnt.crossJoin(broadcast(tot))
+      .withColumn("BT", (length(expr("bin((TT + V) div (CT + 1))")) - 1).cast(IntegerType))
+      .withColumn("BR", (length(expr("bin((TR + V) div (CR + 1))")) - 1).cast(IntegerType))
+      .select(col("Term"), col("BT"), col("BR"))
+    p.filter(not(col("IsT")))
+      .join(bits, "Term")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("Tf").cast(LongType)).as("NTokens"),
+        sum((col("Tf") * (col("BR") - col("BT"))).cast(LongType)).as("LogRatioBits"))
+      .orderBy(col("LogRatioBits").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
 }

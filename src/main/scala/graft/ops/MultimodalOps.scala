@@ -317,4 +317,138 @@ object MultimodalOps {
       .withColumn("AspectRatio",
         col("FakeWidth").cast(DoubleType) / col("FakeHeight"))
       .orderBy(col("doc_id"))
+
+  // ---------- perceptual-hash near-duplicate detection ----------
+
+  /** aHash layout: 4 bands × 16 bits = the canonical 64-bit average
+    * hash, stored band-wise so no engine ever left-shifts into the
+    * sign bit (DuckDB raises on `1::BIGINT << 63`; band values stay
+    * < 2¹⁶). */
+  val AhashBands = 4
+  val AhashBandBits = 16
+  /** Candidate pairs must land within this Hamming distance to be
+    * reported. With 4 bands, any pair at distance ≤ 3 is GUARANTEED a
+    * shared band (pigeonhole); beyond that discovery is probabilistic
+    * exactly like MinHash banding — declared recall semantics, mirrored
+    * identically by the oracle. */
+  val AhashMaxHamming = 10
+  /** Hot-bucket cap (the MinHash hot-band discipline): a band bucket
+    * larger than this is skipped for candidate generation — a
+    * degenerate band value (e.g. all-dark images hashing to 0) would
+    * otherwise quadratically explode one reducer at corpus scale. */
+  val AhashBucketCap = 64
+
+  /** PERCEPTUAL-HASH NEAR-DUP over the binary payload column — the
+    * image analog of MinHash text dedup, the dedup pass a multimodal
+    * training pipeline runs over its image shards. Byte-level twin of
+    * the real decode (the [[metaQuery]] honesty pattern): the "8×8
+    * grayscale downsample" samples 64 evenly-spaced payload bytes
+    * (pixel positions never shift in a fixed-raster image, so
+    * positional sampling IS the honest fake); bit i = sample_i > mean
+    * (integer mean, floor). The REAL pixel kernel — block means over
+    * the decoded raster with cross-multiplied integer thresholding —
+    * is [[ahashOf]], verified on generated PNG fixtures in
+    * MultimodalSpec; this twin keeps the driver's hash gate on the
+    * Spark-side plumbing: band explode, hot-capped bucket self-join,
+    * XOR/bit_count verify.
+    *
+    * Scale shape: two narrow corpus passes (hash build is all
+    * codegen'd HOFs), a (band, value)-keyed window for the cap, a
+    * bucket-bounded self-join (never all-pairs — candidate volume is
+    * Σ bucket², capped), then a |candidates|-sized hash join +
+    * bit_count verify. The exact minhash/banding geometry, on binary
+    * payloads. */
+  def ahashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      // the position multiply is widened to BIGINT (docs past ~34M
+      // chars would overflow 32-bit i*len; the final cast back to INT
+      // is safe — JVM strings cap at 2^31 chars, so positions fit)
+      .withColumn("S", expr(
+        "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"))
+      .withColumn("M", expr("aggregate(S, 0, (a, x) -> a + x) div 64"))
+      .withColumn("BV", expr(
+        s"""transform(sequence(0, ${AhashBands - 1}), b ->
+           |  aggregate(sequence(0, ${AhashBandBits - 1}), 0,
+           |    (a, j) -> a + IF(element_at(S, $AhashBandBits * b + j + 1) > M,
+           |                     shiftleft(1, j), 0)))""".stripMargin))
+      .select(col("doc_id"), col("BV"))
+    val bx = base.select(col("doc_id"),
+      posexplode(col("BV")).as(Seq("B", "V")))
+    val cool = bx
+      .withColumn("BS", count(lit(1)).over(Window.partitionBy(col("B"), col("V"))))
+      .filter(col("BS") <= AhashBucketCap)
+    val cand = cool.as("a").join(cool.as("c"),
+        col("a.B") === col("c.B") && col("a.V") === col("c.V") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("IdA"), col("c.doc_id").as("IdB"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("IdA"), col("BV").as("BVA")), "IdA")
+      .join(base.select(col("doc_id").as("IdB"), col("BV").as("BVB")), "IdB")
+      .withColumn("Hamming", expr(
+        "aggregate(zip_with(BVA, BVB, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)")
+        .cast(IntegerType))
+      .filter(col("Hamming") <= AhashMaxHamming)
+      .select(col("IdA"), col("IdB"), col("Hamming"))
+      .orderBy(col("IdA"), col("IdB"))
+  }
+
+  /** A decoded payload's 64-bit average hash, band-wise ([[AhashBands]]
+    * ints of [[AhashBandBits]] bits); `ok = false` (hash all-zero) for
+    * payloads no image reader accepts. */
+  case class AHash(doc_id: Long, ok: Boolean, bands: Seq[Int])
+
+  /** REAL aHash over the decoded raster: luminance block means on an
+    * 8×8 grid, each cell's bit set when its block mean exceeds the
+    * global mean — all comparisons cross-multiplied in longs
+    * (blockSum·totalPixels > totalSum·blockPixels), so the kernel is
+    * integer-exact and scale-invariant: a downscaled copy with the
+    * same block structure hashes identically. Same mapPartitions
+    * decode seam as [[imageStatsOf]]. */
+  def ahashOf(payloads: Dataset[(Long, Array[Byte])]): Dataset[AHash] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions(_.map { case (id, bytes) =>
+      readImage(bytes) match {
+        case None => AHash(id, ok = false, Seq.fill(AhashBands)(0))
+        case Some((img, _)) =>
+          val raster = img.getRaster
+          val (w, h, nb) = (img.getWidth, img.getHeight, raster.getNumBands)
+          val blockSum = Array.ofDim[Long](8, 8)
+          val blockPix = Array.ofDim[Long](8, 8)
+          var y = 0
+          while (y < h) {
+            val gy = (y.toLong * 8 / h).toInt
+            var x = 0
+            while (x < w) {
+              val gx = (x.toLong * 8 / w).toInt
+              var lum = 0L
+              var b = 0
+              while (b < nb) { lum += raster.getSample(x, y, b); b += 1 }
+              blockSum(gy)(gx) += lum
+              blockPix(gy)(gx) += nb
+              x += 1
+            }
+            y += 1
+          }
+          val totalSum = blockSum.map(_.sum).sum
+          val totalPix = blockPix.map(_.sum).sum
+          val bands = Array.fill(AhashBands)(0)
+          var i = 0
+          while (i < 64) {
+            val (gy, gx) = (i / 8, i % 8)
+            // block mean > global mean, exactly: s/p > S/P  ⇔  s·P > S·p —
+            // the 64 comparisons promote to BigInt (s·P nears the int64
+            // ceiling around 22k×22k×3-channel images; 64 BigInt
+            // multiplies per image are free next to the pixel loop)
+            if (blockPix(gy)(gx) > 0 &&
+                BigInt(blockSum(gy)(gx)) * totalPix > BigInt(totalSum) * blockPix(gy)(gx))
+              bands(i / AhashBandBits) |= 1 << (i % AhashBandBits)
+            i += 1
+          }
+          AHash(id, ok = true, bands.toSeq)
+      }
+    })
+  }
 }

@@ -1037,6 +1037,63 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Collocation-mining knobs: an adjacent bigram must occur at least
+    * [[PmiMinPairCount]] times corpus-wide to be scored (the standard
+    * low-count guard — PMI explodes on hapax pairs); top [[PmiTopK]]
+    * reported. Shared with the DuckDB mirror. */
+  val PmiMinPairCount = 5
+  val PmiTopK = 50
+
+  /** PMI COLLOCATION MINING (Church & Hanks 1990) — the phrase-mining
+    * pass a tokenizer/vocabulary pipeline runs before merging
+    * multi-word units: rank adjacent token bigrams by pointwise mutual
+    * information, PMI = log2(P(ab) / (P(a)·P(b))). Ordering by PMI is
+    * ordering by the RATIO C(ab)·N² / (C(a)·C(b)·B) (N = corpus
+    * tokens, B = corpus bigrams), so the score is computed as exact
+    * integer cross-products widened in DECIMAL(38,0) (≡ DuckDB
+    * HUGEINT) with ONE correctly-rounded cast to double and ONE IEEE
+    * division — the statsCorrelation discipline; both engines produce
+    * the bit-identical double, and (ratio desc, TermA, TermB) is a
+    * total order over the unique pair keys.
+    *
+    * Scale shape: the bigram explode is corpus-token-scale and
+    * map-side combines into a pair-keyed hash aggregate (vocab²-bounded
+    * but count-filtered); unigram counts ride the cached
+    * [[unigramCounts]] substrate; corpus totals are 1-row broadcasts.
+    * No pair join, nothing corpus×corpus — the whole query is two
+    * narrow passes plus vocabulary-scale joins on the term keys (AQE
+    * broadcasts them when the vocab fits). 38-digit headroom: the
+    * numerator is C(ab)·N² ≤ N³, exact to N ≈ 10¹² tokens. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr(toksSql).as("T"))
+    val pairCnt = toks.filter(size(col("T")) >= 2)
+      .select(explode(expr(
+        "transform(slice(T, 1, size(T) - 1), (x, i) -> struct(x AS A, element_at(T, i + 2) AS B))"))
+        .as("P"))
+      .groupBy(col("P.A").as("TermA"), col("P.B").as("TermB"))
+      .agg(count(lit(1)).as("NBoth"))
+      .filter(col("NBoth") >= PmiMinPairCount)
+    val uni = unigramCounts(spark, dir)
+    val ntok = uni.agg(sum(col("C")).as("NTok"))
+    val nbig = toks.agg(sum((size(col("T")) - 1).cast(LongType)).as("NBig"))
+    pairCnt
+      .join(uni.select(col("Token").as("TermA"), col("C").as("NA")), "TermA")
+      .join(uni.select(col("Token").as("TermB"), col("C").as("NB")), "TermB")
+      .crossJoin(broadcast(ntok))
+      .crossJoin(broadcast(nbig))
+      .withColumn("PmiRatio",
+        (col("NBoth").cast(DecimalType(38, 0)) * col("NTok") * col("NTok"))
+          .cast(DoubleType) /
+        (col("NA").cast(DecimalType(38, 0)) * col("NB") * col("NBig"))
+          .cast(DoubleType))
+      .select(col("TermA"), col("TermB"), col("NBoth"), col("NA"), col("NB"),
+        col("PmiRatio"))
+      .orderBy(col("PmiRatio").desc, col("TermA"), col("TermB"))
+      .limit(PmiTopK)
+  }
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

@@ -714,6 +714,42 @@ FROM b ORDER BY doc_id
     * predicted-en ∧ quality ≥ threshold. Score/argmax formulas are the
     * exact textQuality/textLangid expressions, so every IEEE
     * comparison (threshold included) reproduces bit-for-bit. */
+  /** DSIR importance-resampling mirror: identical target/rest split,
+    * identical Laplace integer-surprisal bits per term on each side
+    * (`len(bin((T+V) // (c+1))) - 1` ≡ Spark's `length(bin(...)) - 1`),
+    * identical Σ Tf·(br − bt) integer weight, identical
+    * (weight desc, doc_id) total order. */
+  val curateImportanceResample: String = {
+    val tgt = graft.ops.CurateOps.DsirTargetSource
+    s"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+ex AS (SELECT k.doc_id, d.source, unnest(k.t) AS tok
+       FROM toks k JOIN documents d ON d.doc_id = k.doc_id),
+tc AS (SELECT tok,
+              CAST(sum(CASE WHEN source = '$tgt' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              CAST(sum(CASE WHEN source <> '$tgt' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+       FROM ex GROUP BY tok),
+tt AS (SELECT CAST(sum(ct) AS BIGINT) AS ttot, CAST(sum(cr) AS BIGINT) AS rtot,
+              CAST(count(*) AS BIGINT) AS v FROM tc),
+bits AS (SELECT tok,
+                CAST(len(bin((ttot + v) // (ct + 1))) - 1 AS INTEGER) AS bt,
+                CAST(len(bin((rtot + v) // (cr + 1))) - 1 AS INTEGER) AS br
+         FROM tc CROSS JOIN tt),
+cand AS (SELECT doc_id, source, tok, CAST(count(*) AS INTEGER) AS tf
+         FROM ex WHERE source <> '$tgt' GROUP BY 1, 2, 3)
+SELECT doc_id, source,
+       CAST(sum(tf) AS BIGINT) AS "NTokens",
+       CAST(sum(tf * (br - bt)) AS BIGINT) AS "LogRatioBits"
+FROM cand JOIN bits ON bits.tok = cand.tok
+GROUP BY doc_id, source
+ORDER BY "LogRatioBits" DESC, doc_id
+LIMIT ${graft.ops.CurateOps.DsirTopK}
+"""
+  }
+
   val curateCorpus: String = {
     val en = sqlList(TextOps.langMarkers.toMap.apply("en"))
     val es = sqlList(TextOps.langMarkers.toMap.apply("es"))
@@ -1120,6 +1156,33 @@ ORDER BY doc_id, rn
     * bare decimal literals as DECIMAL, which would silently switch the
     * arithmetic to exact-decimal division and diverge from Spark's
     * IEEE doubles. */
+  /** PMI-collocation mirror: identical adjacent bigrams (t[i], t[i+1]),
+    * identical count floor, and the identical exact-integer ratio
+    * C(ab)·N²/(C(a)·C(b)·B) widened in HUGEINT (≡ Spark
+    * DECIMAL(38,0)) with one correctly-rounded cast to double and one
+    * IEEE division — bit-identical PmiRatio, total order on
+    * (ratio desc, TermA, TermB). */
+  val textPmiCollocations: String = toksCte + s""",
+bg AS (
+  SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in generate_series(1, len(t)-1)]) AS p
+  FROM toks WHERE len(t) >= 2
+),
+pc AS (SELECT p.a AS ta, p.b AS tb, CAST(count(*) AS BIGINT) AS nboth
+       FROM bg GROUP BY 1, 2 HAVING count(*) >= ${TextOps.PmiMinPairCount}),
+un AS (SELECT unnest(t) AS tok FROM toks),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM un GROUP BY tok),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS ntok FROM un),
+bt AS (SELECT CAST(sum(len(t) - 1) AS BIGINT) AS nbig FROM toks)
+SELECT ta AS "TermA", tb AS "TermB", nboth AS "NBoth",
+       ua.c AS "NA", ub.c AS "NB",
+       CAST(CAST(nboth AS HUGEINT) * ntok * ntok AS DOUBLE)
+         / CAST(CAST(ua.c AS HUGEINT) * ub.c * nbig AS DOUBLE) AS "PmiRatio"
+FROM pc JOIN uc ua ON ua.tok = pc.ta JOIN uc ub ON ub.tok = pc.tb
+CROSS JOIN tt CROSS JOIN bt
+ORDER BY "PmiRatio" DESC, "TermA", "TermB"
+LIMIT ${TextOps.PmiTopK}
+"""
+
   val textBm25Topk: String = {
     val terms = TextOps.Bm25Queries.flatMap(_._2.split("\\s+")).distinct.sorted
     val qvals = TextOps.Bm25Queries
@@ -2744,6 +2807,52 @@ FROM sales GROUP BY "Country" ORDER BY "Country"
 
   /** Frame-sampling mirror (ASCII corpus ⇒ string substr == binary
     * slice); constants shared with MultimodalOps. */
+  /** aHash near-dup mirror: identical 64 evenly-spaced byte samples,
+    * identical floor-mean threshold, identical band-wise hash (no
+    * engine shifts into a BIGINT sign bit), identical hot-capped
+    * band-bucket candidate join and XOR/bit_count verify. */
+  val multimodalAhashNeardup: String = {
+    val mm = graft.ops.MultimodalOps
+    s"""
+WITH smp AS (
+  SELECT doc_id,
+         [ascii(substr(text, (i * length(text)) // 64 + 1, 1))
+          for i in generate_series(0, 63)] AS s
+  FROM documents
+),
+hb AS (SELECT doc_id, s, list_sum(s) // 64 AS m FROM smp),
+bands AS (
+  SELECT doc_id,
+         [list_sum([CASE WHEN s[${mm.AhashBandBits} * b + j + 1] > m THEN 1 << j ELSE 0 END
+                    for j in generate_series(0, ${mm.AhashBandBits - 1})])
+          for b in generate_series(0, ${mm.AhashBands - 1})] AS bv
+  FROM hb
+),
+bx AS (SELECT doc_id, unnest(generate_series(0, ${mm.AhashBands - 1})) AS b,
+              unnest(bv) AS v
+       FROM bands),
+cool AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, v) AS bs FROM bx)
+  WHERE bs <= ${mm.AhashBucketCap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+  FROM cool a JOIN cool c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+),
+pairs AS (
+  SELECT ida, idb,
+         CAST(${(1 to mm.AhashBands)
+           .map(i => s"bit_count(xor(CAST(ha.bv[$i] AS BIGINT), CAST(hz.bv[$i] AS BIGINT)))")
+           .mkString("\n            + ")}
+           AS INTEGER) AS hamming
+  FROM cand JOIN bands ha ON ha.doc_id = ida JOIN bands hz ON hz.doc_id = idb
+)
+SELECT ida AS "IdA", idb AS "IdB", hamming AS "Hamming"
+FROM pairs WHERE hamming <= ${mm.AhashMaxHamming}
+ORDER BY "IdA", "IdB"
+"""
+  }
+
   val multimodalFrameSample: String = {
     import graft.ops.MultimodalOps.{FrameBytes, FrameStride}
     s"""

@@ -371,4 +371,94 @@ class CurateTextSpec extends SparkSpec {
     // determinism
     assert(CurateOps.mixtureSample(spark, sfDir).collect().toSeq === rows.toSeq)
   }
+
+  /** The engines' shared token semantics, recomputed independently. */
+  private def tokensOf(text: String): Seq[String] =
+    text.trim.split("\\s+").toSeq
+
+  /** floor(log2(x)) for x >= 1 — the integer-surprisal quantizer. */
+  private def log2Floor(x: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(x)
+
+  test("pmi_collocations: full brute-force recomputation matches on the fixture corpus") {
+    val texts = graft.etl.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val toks = texts.map(tokensOf)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = toks.map(_.size.toLong).sum
+    val nBig = toks.map(t => (t.size - 1).toLong).sum
+    val pairs = toks.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= TextOps.PmiMinPairCount)
+    val expected = pairs.toSeq.map { case ((a, b), nb) =>
+      val ratio = (BigInt(nb) * BigInt(nTok) * BigInt(nTok)).toDouble /
+        (BigInt(uni(a)) * BigInt(uni(b)) * BigInt(nBig)).toDouble
+      (a, b, nb, uni(a), uni(b), ratio)
+    }.sortBy { case (a, b, _, _, _, r) => (-r, a, b) }
+      .take(TextOps.PmiTopK)
+    val got = TextOps.pmiCollocations(spark, sfDir).collect().map(r =>
+      (r.getAs[String]("TermA"), r.getAs[String]("TermB"), r.getAs[Long]("NBoth"),
+        r.getAs[Long]("NA"), r.getAs[Long]("NB"), r.getAs[Double]("PmiRatio"))).toSeq
+    assert(got === expected)
+    got.foreach { case (_, _, nb, _, _, _) =>
+      assert(nb >= TextOps.PmiMinPairCount)
+    }
+  }
+
+  /** documents fixture with caller-controlled sources. */
+  private def docsFixtureSrc(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-src").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("importance_resample: planted target vocabulary ranks target-like candidates first, weights exact") {
+    val dir = docsFixtureSrc(Seq(
+      (1L, "dose patient trial", CurateOps.DsirTargetSource),
+      (2L, "dose patient trial", CurateOps.DsirTargetSource),
+      (3L, "dose patient trial", CurateOps.DsirTargetSource),
+      // candidate that reuses the target vocabulary
+      (10L, "dose patient trial dose", "web"),
+      // candidate with none of it
+      (11L, "quick brown fox jumps", "web")))
+    val got = CurateOps.importanceResample(spark, dir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("NTokens"), r.getAs[Long]("LogRatioBits")))
+    assert(got.map(_._1).toSeq === Seq(10L, 11L), "target-like candidate must rank first")
+    // exact integer weights: V=7, TT=9, TR=8.
+    // dose: ct=3,cr=2 -> bt=floor(log2(16/4))=2, br=floor(log2(15/3))=2, d=0
+    // patient/trial: ct=3,cr=1 -> bt=2, br=floor(log2(15/2))=2, d=0  -> doc 10 weight 0
+    // generic terms: ct=0,cr=1 -> bt=floor(log2(16))=4, br=2, d=-2   -> doc 11 weight -8
+    assert(got.toSeq === Seq((10L, 4L, 0L), (11L, 4L, -8L)))
+  }
+
+  test("importance_resample: full brute-force recomputation matches on the fixture corpus") {
+    val docs = graft.etl.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("source")))
+    val tgt = CurateOps.DsirTargetSource
+    val termCnt = docs.flatMap { case (_, t, s) => tokensOf(t).map(tok => (tok, s == tgt)) }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+      }.toMap
+    val tt = termCnt.values.map(_._1).sum
+    val tr = termCnt.values.map(_._2).sum
+    val v = termCnt.size.toLong
+    val bits = termCnt.map { case (tok, (ct, cr)) =>
+      tok -> ((log2Floor((tt + v) / (ct + 1)), log2Floor((tr + v) / (cr + 1))))
+    }
+    val expected = docs.filter(_._3 != tgt).map { case (id, t, s) =>
+      val tf = tokensOf(t).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val w = tf.map { case (tok, f) =>
+        val (bt, br) = bits(tok); f * (br - bt)
+      }.sum
+      (id, s, tf.values.sum, w)
+    }.sortBy { case (id, _, _, w) => (-w, id) }.take(CurateOps.DsirTopK).toSeq
+    val got = CurateOps.importanceResample(spark, sfDir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("NTokens"), r.getAs[Long]("LogRatioBits"))).toSeq
+    assert(got === expected)
+  }
 }

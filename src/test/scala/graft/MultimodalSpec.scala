@@ -104,4 +104,74 @@ class MultimodalSpec extends SparkSpec {
       assert(rows(id).channel_means.isEmpty)
     }
   }
+
+  test("ahashOf: brightness- and scale-invariant on real decodes; distinct patterns are distant") {
+    import spark.implicits._
+    // left-dark / right-bright split: block means separate cleanly
+    def split(w: Int, h: Int, lo: Int, hi: Int)(x: Int, y: Int): Int = {
+      val v = if (x < w / 2) lo else hi; rgb(v, v, v)
+    }
+    val base = imageBytes("png", 64, 64)(split(64, 64, 40, 200))
+    val bright = imageBytes("png", 64, 64)(split(64, 64, 60, 220)) // +20 everywhere
+    val small = imageBytes("png", 32, 32)(split(32, 32, 40, 200)) // 2× downscale
+    val inverted = imageBytes("png", 64, 64)(split(64, 64, 200, 40))
+    val checker = imageBytes("png", 64, 64)((x, y) =>
+      if ((x / 8 + y / 8) % 2 == 0) rgb(0, 0, 0) else rgb(255, 255, 255))
+    val rows = MultimodalOps.ahashOf(Seq(
+        1L -> base, 2L -> bright, 3L -> small, 4L -> inverted,
+        5L -> checker, 6L -> "not an image".getBytes("UTF-8")).toDS())
+      .collect().map(a => a.doc_id -> a).toMap
+    def ham(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(rows(1L).ok && rows(5L).ok && !rows(6L).ok)
+    // a uniform brightness shift moves block means and the global mean
+    // together: hash exactly invariant
+    assert(rows(1L).bands === rows(2L).bands, "brightness shift changed the hash")
+    // a clean 2x downscale preserves the 8x8 block structure exactly
+    assert(rows(1L).bands === rows(3L).bands, "downscale changed the hash")
+    // inversion flips every decided bit: maximal distance from base
+    assert(ham(rows(1L).bands, rows(4L).bands) === 64)
+    // an unrelated pattern is far away (half-split vs checkerboard)
+    assert(ham(rows(1L).bands, rows(5L).bands) >= 16,
+      s"checker unexpectedly close: ${ham(rows(1L).bands, rows(5L).bands)}")
+  }
+
+  test("ahash_neardup: banded query equals an independent brute-force recomputation at fixture scale") {
+    import graft.etl.Tables
+    val mm = MultimodalOps
+    // independent recomputation of the declared byte-twin semantics
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def bandsOf(text: String): Seq[Int] = {
+      val len = text.length
+      val s = (0 until 64).map { i =>
+        if (len == 0) 0 else text.charAt((i * len) / 64).toInt
+      }
+      val m = s.sum / 64
+      (0 until mm.AhashBands).map { b =>
+        (0 until mm.AhashBandBits).map { j =>
+          if (s(mm.AhashBandBits * b + j) > m) 1 << j else 0
+        }.sum
+      }
+    }
+    val bv = docs.map { case (id, t) => id -> bandsOf(t) }.toMap
+    // hot-cap + shared-band candidates, exactly as declared
+    val bucketSizes = bv.toSeq
+      .flatMap { case (id, bs) => bs.zipWithIndex.map { case (v, b) => (b, v) -> id } }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cand = bucketSizes.values.filter(_.size <= mm.AhashBucketCap)
+      .flatMap(ids => for (a <- ids; c <- ids if a < c) yield (a, c)).toSet
+    val expected = cand.toSeq.map { case (a, c) =>
+      val h = bv(a).zip(bv(c)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      (a, c, h)
+    }.filter(_._3 <= mm.AhashMaxHamming).sortBy(p => (p._1, p._2))
+    val got = mm.ahashNeardup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("IdA"), r.getAs[Long]("IdB"), r.getAs[Int]("Hamming"))).toSeq
+    assert(got === expected)
+    // every reported pair respects the declared bound and orientation
+    got.foreach { case (a, c, h) =>
+      assert(a < c && h <= mm.AhashMaxHamming, s"($a,$c,$h)")
+    }
+  }
 }
