@@ -150,6 +150,8 @@ object SparkEntry {
     // unigram-LM surprisal (round 8): CCNet-style two-sided perplexity
     // filter in integer-exact arithmetic over a cached LM-counts table
     "text_perplexity" -> (TextOps.perplexity _),
+    // bigram-LM upgrade (round 10): order-2 conditional surprisal
+    "text_perplexity_bigram" -> (TextOps.perplexityBigram _),
     "text_pii_redact" -> (TextOps.piiRedact _),
     "text_corpus_stats" -> (TextOps.corpusStats _),
     "text_source_similarity" -> (TextOps.sourceSimilarity _),
@@ -323,6 +325,7 @@ object SparkEntry {
     "text_tfidf" -> ExtSql.textTfidf,
     "text_bm25_topk" -> ExtSql.textBm25Topk,
     "text_perplexity" -> ExtSql.textPerplexity,
+    "text_perplexity_bigram" -> ExtSql.textPerplexityBigram,
     "text_pii_redact" -> ExtSql.textPiiRedact,
     "text_corpus_stats" -> ExtSql.textCorpusStats,
     "text_source_similarity" -> ExtSql.textSourceSimilarity,

@@ -1037,6 +1037,37 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  private val bigramMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val bigramLock = new Object
+
+  /** Corpus ADJACENT-BIGRAM counts `(A, B, C2)` — the order-2 LM
+    * substrate, memoized + `.cache()`d per (session, dir) exactly like
+    * [[unigramCounts]]: in production the bigram table is materialized
+    * once per corpus snapshot and every consumer ([[pmiCollocations]],
+    * [[perplexityBigram]]) joins against it instead of re-exploding
+    * the corpus. The explode is corpus-token-scale and map-side
+    * combines into a pair-keyed hash aggregate; the cached output is
+    * vocab²-BOUNDED but corpus-LIMITED (≤ total bigram occurrences),
+    * and Zipf corpora keep it far below either bound. */
+  private def bigramCounts(spark: SparkSession, dir: String): DataFrame = {
+    bigramMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(bigramMemo.remove)
+    BucketedTables.memoized(bigramMemo, (spark, dir), bigramLock) {
+      Tables.documents(spark, dir)
+        .repartition(col("doc_id"))
+        .select(expr(toksSql).as("T"))
+        .filter(size(col("T")) >= 2)
+        .select(explode(expr(
+          "transform(slice(T, 1, size(T) - 1), (x, i) -> struct(x AS A, element_at(T, i + 2) AS B))"))
+          .as("P"))
+        .groupBy(col("P.A").as("A"), col("P.B").as("B"))
+        .agg(count(lit(1)).as("C2"))
+        .cache()
+    }
+  }
+
   /** Collocation-mining knobs: an adjacent bigram must occur at least
     * [[PmiMinPairCount]] times corpus-wide to be scored (the standard
     * low-count guard — PMI explodes on hapax pairs); top [[PmiTopK]]
@@ -1056,28 +1087,22 @@ object TextOps {
     * the bit-identical double, and (ratio desc, TermA, TermB) is a
     * total order over the unique pair keys.
     *
-    * Scale shape: the bigram explode is corpus-token-scale and
-    * map-side combines into a pair-keyed hash aggregate (vocab²-bounded
-    * but count-filtered); unigram counts ride the cached
-    * [[unigramCounts]] substrate; corpus totals are 1-row broadcasts.
-    * No pair join, nothing corpus×corpus — the whole query is two
-    * narrow passes plus vocabulary-scale joins on the term keys (AQE
-    * broadcasts them when the vocab fits). 38-digit headroom: the
-    * numerator is C(ab)·N² ≤ N³, exact to N ≈ 10¹² tokens. */
+    * Scale shape: pair counts ride the cached [[bigramCounts]]
+    * substrate and unigram counts the cached [[unigramCounts]]
+    * substrate — the query itself touches only vocabulary-scale
+    * tables; corpus totals (NTok = Σ unigram C, NBig = Σ bigram C2 —
+    * identities of the raw-pass totals by construction) are 1-row
+    * broadcasts. No pair join, nothing corpus×corpus; the term-key
+    * joins broadcast when the vocab fits (AQE decides). 38-digit
+    * headroom: the numerator is C(ab)·N² ≤ N³, exact to N ≈ 10¹²
+    * tokens. */
   def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(toksSql).as("T"))
-    val pairCnt = toks.filter(size(col("T")) >= 2)
-      .select(explode(expr(
-        "transform(slice(T, 1, size(T) - 1), (x, i) -> struct(x AS A, element_at(T, i + 2) AS B))"))
-        .as("P"))
-      .groupBy(col("P.A").as("TermA"), col("P.B").as("TermB"))
-      .agg(count(lit(1)).as("NBoth"))
-      .filter(col("NBoth") >= PmiMinPairCount)
+    val pairCnt = bigramCounts(spark, dir)
+      .filter(col("C2") >= PmiMinPairCount)
+      .select(col("A").as("TermA"), col("B").as("TermB"), col("C2").as("NBoth"))
     val uni = unigramCounts(spark, dir)
     val ntok = uni.agg(sum(col("C")).as("NTok"))
-    val nbig = toks.agg(sum((size(col("T")) - 1).cast(LongType)).as("NBig"))
+    val nbig = bigramCounts(spark, dir).agg(sum(col("C2")).as("NBig"))
     pairCnt
       .join(uni.select(col("Token").as("TermA"), col("C").as("NA")), "TermA")
       .join(uni.select(col("Token").as("TermB"), col("C").as("NB")), "TermB")
@@ -1092,6 +1117,64 @@ object TextOps {
         col("PmiRatio"))
       .orderBy(col("PmiRatio").desc, col("TermA"), col("TermB"))
       .limit(PmiTopK)
+  }
+
+  /** BIGRAM-LM perplexity filter — the order-2 upgrade of
+    * [[perplexity]], one model order closer to the 5-gram KenLM filter
+    * CCNet actually ships: each adjacent bigram's conditional Laplace
+    * probability is P(b|a) = (C(ab)+1)/(C(a)+V), its surprisal
+    * quantized to INTEGER BITS as `floor(log2((C(a)+V) div (C(ab)+1)))`
+    * = `length(bin(r)) − 1` — the same all-integer quantizer as the
+    * unigram filter, so Spark and DuckDB agree bit-for-bit where a
+    * libm `ln` would drift. A document's score is its mean bigram
+    * surprisal; docs outside ±[[PplBandBits]] of the corpus mean are
+    * flagged (two-sided, the CCNet convention). A bigram LM separates
+    * what a unigram LM cannot: looping boilerplate re-uses COMMON
+    * words in IMPROBABLE orders, scoring near the unigram mean but
+    * far above the bigram mean. Documents under 2 tokens have no
+    * bigrams and drop out — declared semantics, mirrored.
+    *
+    * Scale shape: the LM table is the cached [[bigramCounts]]
+    * substrate joined to [[unigramCounts]] on the history term A
+    * (vocab-scale join, built once); corpus totals (Σ C2·Bits, Σ C2)
+    * ride that table as a 1-row broadcast. Scoring is one more
+    * corpus explode pass map-side combined to per-doc (A, B) counts,
+    * then joined to the bits table on the pair key — the
+    * [[perplexity]] plan shape exactly, one model order up. */
+  def perplexityBigram(spark: SparkSession, dir: String): DataFrame = {
+    val uni = unigramCounts(spark, dir)
+    val vRow = uni.agg(count(lit(1)).cast(LongType).as("V"))
+    val bits = bigramCounts(spark, dir)
+      .join(uni.select(col("Token").as("A"), col("C").as("CA")), "A")
+      .crossJoin(broadcast(vRow))
+      .withColumn("Bits",
+        (length(expr("bin((CA + V) div (C2 + 1))")) - 1).cast(IntegerType))
+      .select(col("A"), col("B"), col("C2"), col("Bits"))
+    val corp = bits.agg(
+      sum(col("C2") * col("Bits")).as("TB"),
+      sum(col("C2")).as("TT"))
+    val dtf = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr(toksSql).as("T"))
+      .filter(size(col("T")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(T, 1, size(T) - 1), (x, i) -> struct(x AS A, element_at(T, i + 2) AS B))"))
+        .as("P"))
+      .groupBy(col("doc_id"), col("P.A").as("A"), col("P.B").as("B"))
+      .agg(count(lit(1)).cast(IntegerType).as("Tf2"))
+    dtf.join(bits.select(col("A"), col("B"), col("Bits")), Seq("A", "B"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("Tf2").cast(LongType)).as("NBigrams"),
+        sum((col("Tf2") * col("Bits")).cast(LongType)).as("SumBits"))
+      .crossJoin(broadcast(corp))
+      .withColumn("MeanBits", col("SumBits").cast(DoubleType) / col("NBigrams"))
+      .withColumn("CorpusMeanBits", col("TB").cast(DoubleType) / col("TT"))
+      .withColumn("DeltaBits", col("MeanBits") - col("CorpusMeanBits"))
+      .withColumn("IsOutlier", abs(col("DeltaBits")) > PplBandBits)
+      .select(col("doc_id"), col("NBigrams"), col("SumBits"), col("MeanBits"),
+        col("DeltaBits"), col("IsOutlier"))
+      .orderBy(col("doc_id"))
   }
 
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of

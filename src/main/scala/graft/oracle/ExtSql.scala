@@ -1338,6 +1338,40 @@ SELECT doc_id, ntokens AS "NTokens", sumbits AS "SumBits",
 FROM d CROSS JOIN corp ORDER BY doc_id
 """
 
+  /** Bigram-surprisal mirror: identical adjacent pairs, identical
+    * conditional Laplace rarity `(C(a)+V) // (C(ab)+1)`, identical
+    * `len(bin(r)) - 1` integer log2 and long sums — the only doubles
+    * are the two final exactly-rounded divisions, as in the unigram
+    * mirror. */
+  val textPerplexityBigram: String = toksCte + s"""
+, bg AS (
+  SELECT doc_id,
+         unnest([{'a': t[i], 'b': t[i+1]} for i in generate_series(1, len(t)-1)]) AS p
+  FROM toks WHERE len(t) >= 2
+),
+dtf AS (SELECT doc_id, p.a AS a, p.b AS b, CAST(count(*) AS INTEGER) AS tf2
+        FROM bg GROUP BY 1, 2, 3),
+pc AS (SELECT a, b, CAST(sum(tf2) AS BIGINT) AS c2 FROM dtf GROUP BY a, b),
+un AS (SELECT unnest(t) AS tok FROM toks),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM un GROUP BY tok),
+vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+bits AS (SELECT a, b, c2,
+                CAST(len(bin((uc.c + v) // (c2 + 1))) - 1 AS INTEGER) AS bits
+         FROM pc JOIN uc ON uc.tok = pc.a CROSS JOIN vv),
+corp AS (SELECT CAST(sum(c2 * bits) AS BIGINT) AS tb,
+                CAST(sum(c2) AS BIGINT) AS tt FROM bits),
+d AS (SELECT dtf.doc_id,
+             CAST(sum(tf2) AS BIGINT) AS nbigrams,
+             CAST(sum(tf2 * bits) AS BIGINT) AS sumbits
+      FROM dtf JOIN bits USING (a, b) GROUP BY dtf.doc_id)
+SELECT doc_id, nbigrams AS "NBigrams", sumbits AS "SumBits",
+       CAST(sumbits AS DOUBLE) / nbigrams AS "MeanBits",
+       CAST(sumbits AS DOUBLE) / nbigrams - CAST(tb AS DOUBLE) / tt AS "DeltaBits",
+       abs(CAST(sumbits AS DOUBLE) / nbigrams - CAST(tb AS DOUBLE) / tt)
+         > CAST(${TextOps.PplBandBits} AS DOUBLE) AS "IsOutlier"
+FROM d CROSS JOIN corp ORDER BY doc_id
+"""
+
   /** Imputation-report mirror: identical planted nulls, quantile_cont
     * median fill, and the same centi-unit exact before/after sums. */
   val cleanImpute: String = """

@@ -84,6 +84,65 @@ class RetrievalGraphSpec extends SparkSpec {
     }
   }
 
+  test("perplexity_bigram: conditional surprisal sums equal a driver recomputation") {
+    val toks = docsTokens()
+    val uni = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val v = uni.size.toLong
+    val bigrams = toks.values.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    def bits(p: (String, String)): Int = java.lang.Long
+      .toBinaryString((uni(p._1) + v) / (bigrams(p) + 1)).length - 1
+    val totalBits = bigrams.map { case (p, c2) => c2 * bits(p) }.sum
+    val tt = bigrams.values.sum
+    val corpusMean = totalBits.toDouble / tt
+    val rows = TextOps.perplexityBigram(spark, sfDir).collect()
+    assert(rows.length === toks.count(_._2.size >= 2), "one row per doc with >= 2 tokens")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val pairs = toks(d).zip(toks(d).tail)
+      val expSum = pairs.map(p => bits(p).toLong).sum
+      assert(r.getAs[Long]("NBigrams") === pairs.size.toLong, s"doc $d NBigrams")
+      assert(r.getAs[Long]("SumBits") === expSum, s"doc $d SumBits")
+      val mean = r.getAs[Double]("MeanBits")
+      assert(math.abs(mean - expSum.toDouble / pairs.size) < 1e-12)
+      assert(r.getAs[Boolean]("IsOutlier") ===
+        (math.abs(mean - corpusMean) > TextOps.PplBandBits), s"doc $d outlier flag")
+    }
+  }
+
+  test("perplexity_bigram: looping boilerplate of common words flags under the bigram LM") {
+    // a doc made of COMMON tokens in an improbable repeated order: each
+    // bigram is rare (high conditional surprisal) while each unigram is
+    // common (low unigram surprisal) — the failure mode the order-2
+    // model exists to separate. Build it from the corpus's two most
+    // frequent tokens interleaved with two mid-frequency ones, check
+    // the engine's own substrate arithmetic would score it far above
+    // the corpus bigram mean.
+    val toks = docsTokens()
+    val uni = toks.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val v = uni.size.toLong
+    val bigrams = toks.values.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val tt = bigrams.values.sum
+    val corpusMean = bigrams.map { case (p, c2) =>
+      c2 * (java.lang.Long.toBinaryString((uni(p._1) + v) / (c2 + 1)).length - 1)
+    }.sum.toDouble / tt
+    val top = uni.toSeq.sortBy(-_._2).take(40).map(_._1)
+    // the rarest adjacent pairing among the top tokens: common words,
+    // uncommon order
+    val loop = (for (a <- top; b <- top if a != b)
+      yield (a, b, bigrams.getOrElse((a, b), 0L))).minBy(_._3)
+    val loopDoc = Seq.fill(20)(Seq(loop._1, loop._2)).flatten
+    val loopMean = loopDoc.zip(loopDoc.tail).map { p =>
+      (java.lang.Long.toBinaryString(
+        (uni(p._1) + v) / (bigrams.getOrElse(p, 0L) + 1)).length - 1).toLong
+    }.sum.toDouble / (loopDoc.size - 1)
+    assert(loopMean - corpusMean > TextOps.PplBandBits,
+      f"looping common-word doc scored $loopMean%.2f vs corpus $corpusMean%.2f — bigram LM lost its separating power")
+  }
+
   test("pagerank: integer ranks equal a driver-run of the same five damped rounds") {
     val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
