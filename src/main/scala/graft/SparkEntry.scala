@@ -95,6 +95,9 @@ object SparkEntry {
     // the novelty-weighted-sampling signal, complement of dup flags
     "text_novelty" -> (TextOps.novelty _),
     "text_pmi_collocations" -> (TextOps.pmiCollocations _),
+    // TextRank keywords (round 10): weighted integer PageRank over the
+    // adjacency co-occurrence graph off the bigram substrate
+    "text_textrank_keywords" -> (TextOps.textrankKeywords _),
     // BPE vocabulary learning (round 10): the tokenizer-training merge
     // table — one corpus pass to the word dict, vocab-scale iterations
     "text_bpe_vocab" -> (TextOps.bpeVocab _),
@@ -293,6 +296,7 @@ object SparkEntry {
     "text_langid_trained" -> ExtSql.textLangidTrained,
     "text_novelty" -> ExtSql.textNovelty,
     "text_pmi_collocations" -> ExtSql.textPmiCollocations,
+    "text_textrank_keywords" -> ExtSql.textTextrankKeywords,
     "text_bpe_vocab" -> ExtSql.textBpeVocab,
     "text_bpe_encode" -> ExtSql.textBpeEncode,
     "text_bpe_vocab_deep" -> ExtSql.textBpeVocabDeep,

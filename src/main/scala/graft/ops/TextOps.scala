@@ -1177,6 +1177,67 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TextRank knobs: an undirected co-occurrence edge must carry at
+    * least [[TextRankMinW]] total adjacent co-occurrences (both
+    * orders summed) to enter the graph; top [[TextRankTopK]] keywords
+    * reported. Shared with the DuckDB mirror. */
+  val TextRankMinW = 3
+  val TextRankTopK = 25
+
+  /** TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau, EMNLP 2004) —
+    * corpus-level keyword mining as weighted PageRank over the token
+    * co-occurrence graph: nodes are tokens, an undirected edge (a,b)
+    * carries weight W = C(ab)+C(ba) (adjacent co-occurrences in either
+    * order, self-pairs excluded, floored at [[TextRankMinW]]), and
+    * rank iterates r(v) = (1−d) + d·Σᵤ W(u,v)/SW(u)·r(u) with SW(u)
+    * the node's total incident weight.
+    *
+    * Arithmetic is the EXACT GraphOps.pagerank discipline, weighted:
+    * ranks are longs scaled by RankScale, each contribution is
+    * `(RankQ·W) div SW` (truncating integer division ≡ DuckDB `//` on
+    * positives), rounds are FIXED (PageRankIters, same damping
+    * rationals) — so the mirror's CTE replay is bit-identical and
+    * (RankQ desc, Token) is a total order. Int64 headroom: a
+    * contribution is ≤ RankScale·W ≈ 10⁹·W, so the multiply is exact
+    * while any single edge weight stays under ~9·10⁹ adjacent
+    * co-occurrences — beyond that, drop RankScale a decade or promote
+    * the product to decimal (the PageRank int64-mass note, one factor
+    * further along).
+    *
+    * Scale shape: the graph derives from the cached [[bigramCounts]]
+    * substrate — vocab²-bounded, corpus-limited, NEVER corpus-scale;
+    * one round = one rank join on Src + one Dst-keyed partial
+    * aggregate (the Pregel shape on token keys, which Zipf corpora
+    * keep hot only as far as the count floor lets them). The final
+    * top-k is TakeOrderedAndProject, never a global sort
+    * materialization. */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.GraphOps.{DampDen, DampNum, PageRankIters, RankScale, TeleportQ}
+    val bg = bigramCounts(spark, dir).filter(col("A") =!= col("B"))
+    val sym = bg.select(col("A"), col("B"), col("C2"))
+      .unionAll(bg.select(col("B").as("A"), col("A").as("B"), col("C2")))
+      .groupBy(col("A"), col("B")).agg(sum(col("C2")).as("W"))
+      .filter(col("W") >= TextRankMinW)
+    val sw = sym.groupBy(col("A")).agg(sum(col("W")).as("SW"))
+    val edges = sym.join(sw, "A")
+      .select(col("A").as("Src"), col("B").as("Dst"), col("W"), col("SW"))
+    var ranks = sw.select(col("A").as("Node"), lit(RankScale).as("RankQ"))
+    for (_ <- 1 to PageRankIters) {
+      // symmetric graph: every node both sends and receives, so the
+      // Dst aggregate can never lose a node (the pagerank invariant)
+      ranks = edges
+        .join(ranks, edges("Src") === ranks("Node"))
+        .select(col("Dst"), expr("(RankQ * W) div SW").as("Contrib"))
+        .groupBy(col("Dst")).agg(sum(col("Contrib")).as("InQ"))
+        .select(col("Dst").as("Node"),
+          (lit(TeleportQ) + expr(s"($DampNum * InQ) div $DampDen")).as("RankQ"))
+    }
+    ranks.join(sw, ranks("Node") === sw("A"))
+      .select(col("Node").as("Token"), col("SW").as("SumW"), col("RankQ"))
+      .orderBy(col("RankQ").desc, col("Token"))
+      .limit(TextRankTopK)
+  }
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

@@ -1372,6 +1372,45 @@ SELECT doc_id, nbigrams AS "NBigrams", sumbits AS "SumBits",
 FROM d CROSS JOIN corp ORDER BY doc_id
 """
 
+  /** TextRank mirror: identical symmetrized adjacent-co-occurrence
+    * edges and count floor, identical weighted integer-fixed-point
+    * rounds (`(rq*w) // sw` on positives ≡ Spark `div`), identical
+    * damping rationals — a CTE replay of the same
+    * [[graft.ops.GraphOps.PageRankIters]] rounds, so RankQ is
+    * bit-identical and (RankQ desc, Token) totally orders. */
+  val textTextrankKeywords: String = {
+    import graft.ops.GraphOps.{DampDen, DampNum, PageRankIters, RankScale, TeleportQ}
+    import graft.ops.TextOps.{TextRankMinW, TextRankTopK}
+    val iters = (1 to PageRankIters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+  SELECT e.dst AS node,
+         CAST($TeleportQ + ($DampNum * CAST(sum((p.rq * e.w) // e.sw) AS BIGINT)) // $DampDen AS BIGINT) AS rq
+  FROM e JOIN $prev p ON e.src = p.node
+  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    toksCte + s"""
+, bgp AS (
+  SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in generate_series(1, len(t)-1)]) AS p
+  FROM toks WHERE len(t) >= 2
+),
+pc AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c2
+       FROM bgp WHERE p.a <> p.b GROUP BY 1, 2),
+sym AS (
+  SELECT a, b, CAST(sum(c2) AS BIGINT) AS w
+  FROM (SELECT a, b, c2 FROM pc UNION ALL SELECT b AS a, a AS b, c2 FROM pc)
+  GROUP BY a, b HAVING sum(c2) >= $TextRankMinW
+),
+sw AS (SELECT a, CAST(sum(w) AS BIGINT) AS sw FROM sym GROUP BY a),
+e AS (SELECT sym.a AS src, sym.b AS dst, w, sw FROM sym JOIN sw ON sw.a = sym.a),
+r0 AS (SELECT a AS node, CAST($RankScale AS BIGINT) AS rq FROM sw),
+$iters
+SELECT node AS "Token", sw AS "SumW", rq AS "RankQ"
+FROM r$PageRankIters JOIN sw ON sw.a = node
+ORDER BY rq DESC, node LIMIT $TextRankTopK
+"""
+  }
+
   /** Imputation-report mirror: identical planted nulls, quantile_cont
     * median fill, and the same centi-unit exact before/after sums. */
   val cleanImpute: String = """

@@ -143,6 +143,35 @@ class RetrievalGraphSpec extends SparkSpec {
       f"looping common-word doc scored $loopMean%.2f vs corpus $corpusMean%.2f — bigram LM lost its separating power")
   }
 
+  test("textrank: weighted integer ranks equal a driver-run of the same five rounds") {
+    import graft.ops.GraphOps.{DampDen, DampNum, PageRankIters, RankScale, TeleportQ}
+    val toks = docsTokens()
+    // symmetrized adjacent co-occurrence weights with the count floor
+    val w = toks.values.filter(_.size >= 2)
+      .flatMap(t => t.zip(t.tail)).filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= TextOps.TextRankMinW)
+    assert(w.nonEmpty, "co-occurrence graph empty at the fixture floor")
+    // symmetry survives the floor: W(a,b) counts both orders, so both
+    // directed rows carry the same weight
+    w.foreach { case ((a, b), ww) => assert(w(b -> a) === ww) }
+    val sw = w.groupBy(_._1._1).map { case (a, es) => a -> es.values.sum }
+    var rank = sw.keys.map(_ -> RankScale).toMap
+    for (_ <- 1 to PageRankIters) {
+      val in = w.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((src, _), ww) => rank(src) * ww / sw(src) }.sum
+      }
+      rank = sw.keys.map(n =>
+        n -> (TeleportQ + DampNum * in.getOrElse(n, 0L) / DampDen)).toMap
+    }
+    val expected = rank.toSeq.map { case (t, rq) => (t, sw(t), rq) }
+      .sortBy { case (t, _, rq) => (-rq, t) }.take(TextOps.TextRankTopK)
+    val got = TextOps.textrankKeywords(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("Token"), r.getAs[Long]("SumW"), r.getAs[Long]("RankQ"))).toSeq
+    assert(got === expected)
+  }
+
   test("pagerank: integer ranks equal a driver-run of the same five damped rounds") {
     val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
