@@ -216,6 +216,8 @@ object SparkEntry {
     "graph_pagerank" -> (graft.ops.GraphOps.pagerank _),
     // degree-oriented triangle counting + local clustering coefficient
     "graph_triangles" -> (graft.ops.GraphOps.triangles _),
+    // deterministic fixed-round synchronous label propagation
+    "graph_label_propagation" -> (graft.ops.GraphOps.labelPropagation _),
     // market-basket association report: support/confidence/lift
     "basket_pair_lift" -> (graft.ops.GraphOps.basketPairLift _),
     // exact-power-sum bivariate stats (round 8): corr/covar/stddev
@@ -375,6 +377,7 @@ object SparkEntry {
     "timeseries_gapfill" -> ExtSql.gapfillDaily,
     "graph_pagerank" -> ExtSql.graphPagerank,
     "graph_triangles" -> ExtSql.graphTriangles,
+    "graph_label_propagation" -> ExtSql.graphLabelPropagation,
     "basket_pair_lift" -> ExtSql.basketPairLift,
     "stats_correlation" -> ExtSql.statsCorrelation,
     "dq_checks" -> ExtSql.dqChecks,

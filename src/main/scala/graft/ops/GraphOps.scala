@@ -252,4 +252,54 @@ object GraphOps {
           .otherwise(lit(0.0)))
       .orderBy(col("PartKey"))
   }
+
+  /** Synchronous label-propagation rounds (shared with the mirror). */
+  val LpaRounds = 4
+
+  /** COMMUNITY DETECTION by fixed-round synchronous label propagation
+    * (Raghavan, Albert & Kumara 2007, "Near linear time algorithm to
+    * detect community structures in large-scale networks") over
+    * [[coPurchaseEdges]]: every node starts labeled with its own id;
+    * each round it adopts the label most frequent among its neighbors,
+    * ties broken by the SMALLEST label — a fully deterministic variant
+    * of the (classically randomized) update, so both engines and any
+    * shuffle order produce the identical labeling. Fixed
+    * [[LpaRounds]] synchronous rounds rather than convergence-run:
+    * synchronous LPA can 2-cycle on near-bipartite structures, so a
+    * fixed horizon is the standard batch discipline (the
+    * convergence-run loop with a changed-count action belongs to
+    * DedupOps.componentsOf, which has a monotone lattice and cannot
+    * oscillate).
+    *
+    * Scale shape: one round = ONE equi-join of the cached
+    * degree-carrying edge substrate with the node-sized label table on
+    * Src + TWO hash aggregates (neighbor-label counts keyed by
+    * (Dst, Lbl), then the per-Dst argmax as a max-of-struct — both
+    * partial-aggregated map-side). Label state is node-sized; the edge
+    * list never re-shuffles (bucketed on Src in production — the
+    * Pregel shape shared with [[pagerank]]). The argmax struct orders
+    * (Cnt, −Lbl), so `max` = highest count then lowest label, with no
+    * window/sort in the loop.
+    *
+    * In an undirected graph every node has ≥1 neighbor, so no node
+    * drops out of the vote aggregate (directed callers would left-join
+    * the node universe back in — same note as pagerank). */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+    var labels = deg.select(col("Src").as("Node"), col("Src").as("Lbl"))
+    for (_ <- 1 to LpaRounds) {
+      labels = edges
+        .join(labels, edges("Src") === labels("Node"))
+        .groupBy(col("Dst"), col("Lbl")).agg(count(lit(1)).as("Cnt"))
+        .groupBy(col("Dst"))
+        .agg(max(struct(col("Cnt"), (-col("Lbl")).as("NegLbl"))).as("Best"))
+        .select(col("Dst").as("Node"), (-col("Best.NegLbl")).as("Lbl"))
+    }
+    val sizes = labels.groupBy(col("Lbl")).agg(count(lit(1)).as("CommunitySize"))
+    labels.join(sizes, "Lbl")
+      .select(col("Node").as("PartKey"), col("Lbl").as("Community"),
+        col("CommunitySize"))
+      .orderBy(col("PartKey"))
+  }
 }

@@ -1634,6 +1634,40 @@ ORDER BY "PartKey"
 """
   }
 
+  /** Label-propagation mirror: the same co-purchase edge universe and
+    * the SAME [[graft.ops.GraphOps.LpaRounds]] synchronous rounds
+    * unrolled as chained CTEs. The engine's per-node argmax is
+    * max(struct(Cnt, −Lbl)); the mirror expresses the identical rule
+    * as "min(lbl) among the labels attaining the round's max neighbor
+    * count" — pure integer counts and min/max, so the labeling is
+    * bit-identical across engines. */
+  val graphLabelPropagation: String = {
+    import graft.ops.GraphOps._
+    val rounds = (1 to LpaRounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT e.dst, p.lbl, count(*) AS c
+       FROM e JOIN $prev p ON e.src = p.node GROUP BY e.dst, p.lbl),
+m$i AS (SELECT dst, max(c) AS mc FROM c$i GROUP BY dst),
+l$i AS (SELECT c$i.dst AS node, min(c$i.lbl) AS lbl
+       FROM c$i JOIN m$i ON c$i.dst = m$i.dst AND c$i.c = m$i.mc
+       GROUP BY c$i.dst)"""
+    }.mkString(",\n")
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
+e AS (SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
+      WHERE a.part <> b.part),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+l0 AS (SELECT src AS node, src AS lbl FROM deg),
+$rounds,
+sz AS (SELECT lbl, count(*) AS s FROM l$LpaRounds GROUP BY lbl)
+SELECT f.node AS "PartKey", f.lbl AS "Community", CAST(sz.s AS BIGINT) AS "CommunitySize"
+FROM l$LpaRounds f JOIN sz ON f.lbl = sz.lbl
+ORDER BY f.node
+"""
+  }
+
   /** PII-redaction mirror: identical planted contact line, identical
     * regexes (shared constants — both dialects parse them the same),
     * 'g' flag to match Spark's replace-all. */

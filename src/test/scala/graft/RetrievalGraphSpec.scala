@@ -234,6 +234,33 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("NTriangles")).sum === 3 * total)
   }
 
+  test("label propagation: labels equal a driver-run of the same synchronous rounds") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    val nodes = edges.map(_._1).distinct
+    val inNbrs = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LpaRounds) {
+      lbl = nodes.map { n =>
+        val votes = inNbrs(n).map(lbl).groupBy(identity).map { case (l, v) => l -> v.length }
+        val maxC = votes.values.max
+        n -> votes.collect { case (l, c) if c == maxC => l }.min
+      }.toMap
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val got = GraphOps.labelPropagation(spark, sfDir).collect()
+    assert(got.length === nodes.length)
+    got.foreach { r =>
+      val n = r.getAs[Long]("PartKey")
+      assert(r.getAs[Long]("Community") === lbl(n), s"node $n label mismatch")
+      assert(r.getAs[Long]("CommunitySize") === sizes(lbl(n)))
+    }
+    // the propagation must actually merge something: fewer communities
+    // than nodes, and at least one non-singleton community
+    assert(sizes.size < nodes.length)
+    assert(sizes.values.max > 1)
+  }
+
   test("span windows: duplicated-window fractions equal a driver recomputation") {
     val toks = docsTokens()
     val w = graft.ops.DedupOps.SpanWindowTokens
