@@ -83,6 +83,9 @@ object SparkEntry {
     "events_json_stats" -> (EventsOps.jsonStats _),
     "events_dedup_latest" -> (EventsOps.dedupLatest _),
     "events_sessionize" -> (EventsOps.sessionize _),
+    // top within-session event-type 3-step journeys (one user-keyed
+    // exchange: running-sum sessionization + double lead, no re-shuffle)
+    "events_path_topk" -> (EventsOps.pathTopk _),
     "events_funnel" -> (EventsOps.funnel _),
     // ---- text analysis ----
     "text_tokens" -> (TextOps.tokens _),
@@ -291,6 +294,7 @@ object SparkEntry {
     "events_json_stats" -> ExtSql.eventsJsonStats,
     "events_dedup_latest" -> ExtSql.eventsDedupLatest,
     "events_sessionize" -> ExtSql.eventsSessionize,
+    "events_path_topk" -> ExtSql.eventsPathTopk,
     "events_funnel" -> ExtSql.eventsFunnel,
     "text_tokens" -> ExtSql.textTokens,
     "text_quality" -> ExtSql.textQuality,

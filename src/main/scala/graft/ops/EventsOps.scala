@@ -373,4 +373,57 @@ object EventsOps {
       .agg(count(lit(1)).as("NEvents"), sum(col("new_sess")).as("NSessions"))
       .orderBy(col("user_id"))
   }
+
+  /** Paths reported by [[pathTopk]]. */
+  val PathTopK = 30
+
+  /** TOP EVENT-TYPE PATHS — the most frequent within-session
+    * 3-step event-type sequences (the clickstream "common journeys"
+    * report): sessionize with the same 30-minute-gap rule as
+    * [[sessionize]], slide a length-3 window along each session's
+    * event order, count every occurrence and the number of distinct
+    * sessions containing the path, report the top [[PathTopK]] under
+    * the total order (occurrences desc, then the path itself).
+    *
+    * Plan shape — ONE user-keyed exchange for the whole derivation:
+    * the session index is a running sum of gap flags over the
+    * (user_id; ts, event_id) window, and the two lookahead steps are
+    * `lead` over the SAME window spec (session membership enforced by
+    * comparing the led session index — `sess` is monotone along the
+    * order, so `s3 = sess` implies the middle step matches too).
+    * Spark plans all three window passes over one Exchange + one sort;
+    * there is no per-session re-partition. Path counts then
+    * hash-aggregate on uniform trigram keys (map-side partials), and
+    * the top-k is TakeOrderedAndProject — the same no-global-sort
+    * discipline as every other top-k in the engine.
+    *
+    * The running sum is pinned to ROWS UNBOUNDED PRECEDING..CURRENT
+    * (not the RANGE default) so tie behavior cannot differ between
+    * engines — (ts, event_id) is a total order anyway (event ids are
+    * unique), the explicit frame just makes it structural. */
+  def pathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tri = Tables.events(spark, dir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(wr))
+      .withColumn("Step2", lead(col("event_type"), 1).over(w))
+      .withColumn("Step3", lead(col("event_type"), 2).over(w))
+      .withColumn("s3", lead(col("sess"), 2).over(w))
+      .filter(col("s3") === col("sess"))
+      .select(col("event_type").as("Step1"), col("Step2"), col("Step3"),
+        col("user_id"), col("sess"))
+    val occ = tri.groupBy(col("Step1"), col("Step2"), col("Step3"))
+      .agg(count(lit(1)).as("NOccurrences"))
+    val ns = tri.distinct()
+      .groupBy(col("Step1"), col("Step2"), col("Step3"))
+      .agg(count(lit(1)).as("NSessions"))
+    occ.join(ns, Seq("Step1", "Step2", "Step3"))
+      .orderBy(col("NOccurrences").desc, col("Step1"), col("Step2"), col("Step3"))
+      .limit(PathTopK)
+  }
 }

@@ -153,6 +153,46 @@ SELECT user_id, count(*) AS "NEvents", CAST(sum(ns) AS BIGINT) AS "NSessions"
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
+  /** Path-top-k mirror: the same 30-minute sessionization (lag +
+    * explicit ROWS-framed running sum — frame pinned on both sides so
+    * tie semantics cannot differ), the same session-checked double
+    * lead, identical integer counts and total order. */
+  val eventsPathTopk: String = {
+    val k = graft.ops.EventsOps.PathTopK
+    s"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+x AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(CASE WHEN prev IS NULL OR date_diff('microseconds', prev, ts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e
+),
+t AS (
+  SELECT user_id, sess, event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3,
+         lead(sess, 2) OVER w AS ss3
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tr AS (SELECT user_id, sess, s1, s2, s3 FROM t WHERE ss3 = sess),
+occ AS (SELECT s1, s2, s3, count(*) AS n FROM tr GROUP BY s1, s2, s3),
+sn AS (SELECT s1, s2, s3, count(*) AS ns
+       FROM (SELECT DISTINCT user_id, sess, s1, s2, s3 FROM tr) d
+       GROUP BY s1, s2, s3)
+SELECT occ.s1 AS "Step1", occ.s2 AS "Step2", occ.s3 AS "Step3",
+       CAST(occ.n AS BIGINT) AS "NOccurrences", CAST(sn.ns AS BIGINT) AS "NSessions"
+FROM occ JOIN sn ON occ.s1 = sn.s1 AND occ.s2 = sn.s2 AND occ.s3 = sn.s3
+ORDER BY occ.n DESC, occ.s1, occ.s2, occ.s3
+LIMIT $k
+"""
+  }
+
   /** Funnel mirror: the window bound is interpolated from
     * [[graft.ops.EventsOps.FunnelWindowHours]] so the two sides cannot
     * drift; instants are epoch_us == the Spark side's ts_ns div 1000. */

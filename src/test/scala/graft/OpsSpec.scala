@@ -543,6 +543,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("events: path top-k equals a driver sessionize-and-slide recomputation") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = graft.etl.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    // driver: per user sort by (us, event_id), split at >30min gaps,
+    // then slide a length-3 window within each session
+    val paths = scala.collection.mutable.Map[(String, String, String), (Long, Long)]()
+    ev.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._4 - prev > 1800L * 1000000L)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._3
+        prev = e._4
+      }
+      sessions.foreach { s =>
+        val tris = s.sliding(3).filter(_.size == 3).map(t => (t(0), t(1), t(2))).toSeq
+        tris.foreach { t =>
+          val (o, n) = paths.getOrElse(t, (0L, 0L))
+          paths(t) = (o + 1, n)
+        }
+        tris.distinct.foreach { t =>
+          val (o, n) = paths(t)
+          paths(t) = (o, n + 1)
+        }
+      }
+    }
+    val want = paths.toSeq
+      .sortBy { case ((a, b, c), (o, _)) => (-o, a, b, c) }
+      .take(EventsOps.PathTopK)
+    val got = EventsOps.pathTopk(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length === want.length)
+    got.zip(want).foreach { case (r, ((a, b, c), (o, n))) =>
+      assert((r.getAs[String]("Step1"), r.getAs[String]("Step2"), r.getAs[String]("Step3")) === ((a, b, c)))
+      assert(r.getAs[Long]("NOccurrences") === o)
+      assert(r.getAs[Long]("NSessions") === n)
+      assert(n <= o)
+    }
+  }
+
   test("events: hourly totals sum to overall event count") {
     val total = EventsOps.hourly(spark, sfDir).agg(sum("NEvents")).head().getLong(0)
     assert(total === 1000L)
