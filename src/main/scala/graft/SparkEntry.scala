@@ -57,6 +57,8 @@ object SparkEntry {
     "timeseries_ewma" -> cleanedQ(Summaries.ewmaDaily),
     // robust trend: median-of-pairwise-slopes over the trailing window
     "timeseries_theilsen" -> cleanedQ(Summaries.theilSenTrend),
+    // CUSUM level-shift detection per country (integer cross-multiply)
+    "timeseries_changepoint" -> cleanedQ(Summaries.cusumChangepoint),
     // sales-analytics classics (round 8): RFM segmentation + cohort
     // retention — post-aggregation windows only (A13/⚠Q discipline)
     "customer_rfm" -> cleanedQ(Summaries.customerRfm),
@@ -278,6 +280,7 @@ object SparkEntry {
     "window_running_total" -> CoreSql.runningTotal,
     "timeseries_ewma" -> CoreSql.timeseriesEwma,
     "timeseries_theilsen" -> CoreSql.theilSenTrend,
+    "timeseries_changepoint" -> CoreSql.cusumChangepoint,
     "customer_rfm" -> CoreSql.customerRfm,
     "cohort_retention" -> CoreSql.cohortRetention,
     "window_lag_growth" -> CoreSql.lagGrowth,

@@ -586,4 +586,60 @@ object Summaries {
       .select(col("Country"), col("NDays"), col("NPairs"), col("Slope"), col("Intercept"))
       .transform(smallSort(_, col("Country")))
   }
+
+  /** CUSUM CHANGE-POINT DETECTION per country — the single most
+    * likely level-shift date in each country's daily-revenue series,
+    * by the classic cumulative-sum statistic (Page 1954): the split
+    * point t maximizing |S_t − (t/N)·Total|, i.e. the day where the
+    * cumulative deviation from the series mean peaks.
+    *
+    * Exactness: revenue is quantized to scale-4 integer units
+    * (`RevDec · 10⁴` is integer-valued by construction at decSum's
+    * DECIMAL(18,4), so the BIGINT cast is exact in both engines —
+    * never a fractional cast, which Spark truncates but DuckDB
+    * rounds), and the statistic is cross-multiplied into pure
+    * integers: Dev_t = |N·S_t − t·Total|. Argmax ties break to the
+    * EARLIEST day via max(struct(Dev, −t)) — the labelPropagation
+    * argmax idiom. The reported doubles (peak deviation, before/after
+    * means) are each ONE deterministic division of exact integers.
+    *
+    * Int64 ceiling (the GraphOps.pagerank documentation rule):
+    * N·S_t ≤ days × revenue × 10⁴ overflows long when a country's
+    * total revenue nears 9.2e18/(10⁴·days) — ~2.5e11 currency units
+    * at a 10-year daily series. Beyond that, promote the
+    * cross-multiply to decimal(38,0) as similarity_outliers does.
+    *
+    * Scale shape: the CUSUM windows run over POST-aggregation
+    * country×day frames (the A13 rule — calendar-sized, never
+    * raw-row-sized), one exchange on Country for all four window
+    * functions; the argmax is a hash aggregate and one node-sized
+    * self-join back for the split's date and means. Proper splits
+    * only (t < N), so single-day countries drop out — deterministic
+    * on both sides. */
+  def cusumChangepoint(cleaned: DataFrame): DataFrame = {
+    val daily = sales(cleaned).groupBy(col("Country"), col("Date"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+      .withColumn("Q", (col("RevDec") * 10000).cast(LongType))
+    val wOrd = Window.partitionBy(col("Country")).orderBy(col("Date"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("Country"))
+    val pre = daily
+      .withColumn("T", row_number().over(wOrd))
+      .withColumn("S", sum(col("Q")).over(wRun))
+      .withColumn("N", count(lit(1)).over(wAll))
+      .withColumn("Total", sum(col("Q")).over(wAll))
+      .filter(col("T") < col("N"))
+      .withColumn("Dev", abs(col("N") * col("S") - col("T") * col("Total")))
+    val best = pre.groupBy(col("Country"))
+      .agg(max(struct(col("Dev"), (-col("T")).as("NegT"))).as("B"))
+      .select(col("Country"), (-col("B.NegT")).as("T"))
+    best.join(pre, Seq("Country", "T"))
+      .select(col("Country"), col("N").as("NDays"),
+        col("Date").as("ChangeDate"),
+        (col("Dev").cast(DoubleType) / (col("N") * lit(10000.0))).as("PeakDev"),
+        (col("S").cast(DoubleType) / (col("T") * lit(10000.0))).as("MeanBefore"),
+        ((col("Total") - col("S")).cast(DoubleType) /
+          ((col("N") - col("T")) * lit(10000.0))).as("MeanAfter"))
+      .transform(smallSort(_, col("Country")))
+  }
 }

@@ -436,4 +436,44 @@ FROM pr p JOIN itc i ON i."Country" = p."Country"
 ORDER BY p."Country"
 """
   }
+
+  /** CUSUM change-point mirror: identical scale-4 integer units (the
+    * ·10⁴ cast is exact on both sides because decSum's DECIMAL(18,4)
+    * makes it integer-valued — no fractional cast, where Spark
+    * truncates and DuckDB rounds), identical cross-multiplied
+    * Dev = |N·S_t − t·Total| in BIGINT, identical earliest-day
+    * tie-break (min(t) among max-Dev rows — the engine's
+    * max(struct(Dev, −t))), and the same three single divisions of
+    * exact integers at the end. */
+  val cusumChangepoint: String = txnCte + s""",
+cd AS (
+  SELECT "Country", "Date",
+         CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) * 10000 AS BIGINT) AS q
+  FROM sales GROUP BY "Country", "Date"
+),
+x AS (
+  SELECT "Country", "Date", q,
+         row_number() OVER w AS t,
+         sum(q) OVER (PARTITION BY "Country" ORDER BY "Date"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         count(*) OVER (PARTITION BY "Country") AS n,
+         sum(q) OVER (PARTITION BY "Country") AS total
+  FROM cd WINDOW w AS (PARTITION BY "Country" ORDER BY "Date")
+),
+p AS (
+  SELECT "Country", "Date", t, s, n, total,
+         abs(n * s - t * total) AS dev
+  FROM x WHERE t < n
+),
+mx AS (SELECT "Country", max(dev) AS md FROM p GROUP BY "Country"),
+bt AS (SELECT p."Country", min(p.t) AS bt
+       FROM p JOIN mx ON p."Country" = mx."Country" AND p.dev = mx.md
+       GROUP BY p."Country")
+SELECT p."Country", CAST(p.n AS BIGINT) AS "NDays", p."Date" AS "ChangeDate",
+       CAST(p.dev AS DOUBLE) / (p.n * 10000.0) AS "PeakDev",
+       CAST(p.s AS DOUBLE) / (p.t * 10000.0) AS "MeanBefore",
+       CAST(p.total - p.s AS DOUBLE) / ((p.n - p.t) * 10000.0) AS "MeanAfter"
+FROM p JOIN bt ON p."Country" = bt."Country" AND p.t = bt.bt
+ORDER BY p."Country"
+"""
 }

@@ -183,4 +183,40 @@ class SummariesSpec extends SparkSpec {
     assert(r.getAs[Double]("Intercept") === wantIntercept,
       s"intercept ${r.getAs[Double]("Intercept")} != $wantIntercept")
   }
+
+  test("cusum: planted level shift is located exactly, means recovered on both sides") {
+    // 30 days at 100/day then 30 days at 200/day: the integer CUSUM
+    // statistic |N·S_t − t·Total| peaks exactly at the last low day
+    // (Dev = 3000t rising, then 180000 − 3000t falling, both in
+    // scale-0 currency·days), so the split is recovered bit-exactly
+    val base = java.time.LocalDate.parse("1995-06-01")
+    val rows = (0 until 60).map { t =>
+      val day = base.plusDays(t.toLong).toString
+      sale(s"I$t", 1, if (t < 30) 100.0 else 200.0, s"$day 12:00:00")
+    }
+    val out = Summaries.cusumChangepoint(mk(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("NDays") === 60L)
+    assert(r.getAs[java.sql.Date]("ChangeDate").toLocalDate === base.plusDays(29))
+    assert(r.getAs[Double]("MeanBefore") === 100.0)
+    assert(r.getAs[Double]("MeanAfter") === 200.0)
+    assert(r.getAs[Double]("PeakDev") === 1500.0)
+  }
+
+  test("cusum: no-shift constant series still returns a proper split with equal means") {
+    val base = java.time.LocalDate.parse("1995-06-01")
+    val rows = (0 until 10).map { t =>
+      val day = base.plusDays(t.toLong).toString
+      sale(s"I$t", 1, 50.0, s"$day 12:00:00")
+    }
+    val out = Summaries.cusumChangepoint(mk(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // all Dev_t = 0 → earliest-day tie-break wins: t = 1
+    assert(r.getAs[java.sql.Date]("ChangeDate").toLocalDate === base)
+    assert(r.getAs[Double]("PeakDev") === 0.0)
+    assert(r.getAs[Double]("MeanBefore") === 50.0)
+    assert(r.getAs[Double]("MeanAfter") === 50.0)
+  }
 }
