@@ -170,6 +170,8 @@ object SparkEntry {
     "similarity_topk" -> ((s: SparkSession, d: String) => SimilarityOps.topk(s, d)),
     // MMR-diversified top-k: greedy relevance-vs-redundancy rerank
     "similarity_mmr_topk" -> (SimilarityOps.mmrTopk _),
+    // exact mutual-kNN graph (corpus-quadratic baseline; IVF-routed at scale)
+    "similarity_knn_graph" -> (SimilarityOps.knnGraph _),
     // top principal component: exact integer scatter + power iteration
     "similarity_pca_power" -> (SimilarityOps.pcaPower _),
     // deterministic ±1 JL projection (round 10): 64 → 16 exact integer
@@ -347,6 +349,7 @@ object SparkEntry {
     "dedup_chunk_overlap" -> ExtSql.dedupChunkOverlap,
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_mmr_topk" -> ExtSql.similarityMmrTopk,
+    "similarity_knn_graph" -> ExtSql.similarityKnnGraph,
     "similarity_pca_power" -> ExtSql.similarityPcaPower,
     "similarity_random_projection" -> ExtSql.similarityRandomProjection,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,

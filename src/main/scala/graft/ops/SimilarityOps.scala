@@ -294,6 +294,50 @@ object SimilarityOps {
       .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("SelRank")))
   }
 
+  /** Neighbors per node in [[knnGraph]]. */
+  val KnnGraphK = 5
+
+  /** K-NEAREST-NEIGHBOR GRAPH over the full embedding corpus — every
+    * vector's [[KnnGraphK]] nearest neighbors by exact quantized
+    * cosine, with the MUTUAL flag (is the reverse edge also in the
+    * neighbor's top-k?). The mutual-kNN graph is the standard
+    * substrate for density clustering and graph-based dedup (and the
+    * k-NN-descent literature's target object); the mutual flag is
+    * what those consumers branch on.
+    *
+    * Exactness: the same integer dot products and (Cosine desc, NId)
+    * row_number discipline as [[topk]] — bit-identical across
+    * engines; Mutual is set membership of exact edges, no floats.
+    *
+    * Scale shape: this query is the EXACT corpus-quadratic baseline —
+    * the same role [[topk]] plays for probe search; the production
+    * path at 100 TB builds the same edge list through the routed IVF
+    * probe ([[ivfTopk]]'s centroid-partitioned lists, cost
+    * n·nprobe/K of the corpus per side) and the downstream
+    * (rank/mutual) stages are unchanged. The edge list is
+    * localCheckpoint-pinned before the mutual self-join so the n²
+    * scan runs ONCE, not once per reference (the mmr pool
+    * discipline). */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val all = quantized(spark, dir)
+    val probes = all.select(col("vec_id").as("SrcId"), col("Q").as("QS"),
+      col("NormSq").as("NS"))
+    val edges = probes.crossJoin(all).filter(col("vec_id") =!= col("SrcId"))
+      .withColumn("Cosine",
+        expr("long_dot(QS, Q)").cast(DoubleType) /
+          (sqrt(col("NS").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
+      .withColumn("Rank", row_number().over(
+        Window.partitionBy(col("SrcId")).orderBy(col("Cosine").desc, col("vec_id"))))
+      .filter(col("Rank") <= KnnGraphK)
+      .select(col("SrcId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
+      .localCheckpoint()
+    val rev = edges.select(col("NId").as("RS"), col("SrcId").as("RT"))
+    edges.join(rev, col("SrcId") === col("RS") && col("NId") === col("RT"), "left")
+      .select(col("SrcId"), col("NId"), col("Cosine"), col("Rank"),
+        col("RS").isNotNull.as("Mutual"))
+      .transform(graft.etl.Summaries.smallSort(_, col("SrcId"), col("Rank")))
+  }
+
   // ---------------------------------------------------------------
   // Product quantization (PQ): compressed-domain candidate scan
   // ---------------------------------------------------------------

@@ -1918,6 +1918,37 @@ SELECT "QId", "NId", "Cosine", "Rank" FROM r WHERE "Rank" <= 5
 ORDER BY "QId", "Rank"
 """
 
+  /** kNN-graph mirror: full corpus self-join on the same quantized
+    * integer dots, same (Cosine desc, NId) row_number cut, Mutual as
+    * exact reverse-edge membership via a self left-join on the k-cut
+    * edge set. */
+  val similarityKnnGraph: String = {
+    val k = graft.ops.SimilarityOps.KnnGraphK
+    quantCte + s"""
+, p AS (
+  SELECT a.vec_id AS s, b.vec_id AS t,
+         list_sum([a.qv[i] * b.qv[i] for i in range(1, len(a.qv)+1)]) AS dot,
+         a.nn AS na, b.nn AS nb
+  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+),
+c AS (
+  SELECT s, t,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+  FROM p
+),
+r AS (
+  SELECT s, t, cos,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY cos DESC, t) AS INTEGER) AS rk
+  FROM c
+),
+kk AS (SELECT s, t, cos, rk FROM r WHERE rk <= $k)
+SELECT kk.s AS "SrcId", kk.t AS "NId", kk.cos AS "Cosine", kk.rk AS "Rank",
+       (m.s IS NOT NULL) AS "Mutual"
+FROM kk LEFT JOIN kk m ON m.s = kk.t AND m.t = kk.s
+ORDER BY "SrcId", "Rank"
+"""
+  }
+
   /** PCA-power mirror: the same exact-integer scatter matrix and the
     * same [[graft.ops.SimilarityOps.PcaPowerRounds]] fixed-point
     * rounds unrolled as hugeint CTEs; truncating `//` matches the

@@ -143,6 +143,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("similarity: kNN graph restricted to the probe ids equals topk; Mutual is symmetric") {
+    val g = SimilarityOps.knnGraph(spark, sfDir).collect()
+    val n = graft.etl.Tables.embeddings(spark, sfDir).count()
+    assert(g.length === n * SimilarityOps.KnnGraphK)
+    // probe slice == the exact topk query (same k, same total order)
+    val gp = g.filter(_.getAs[Long]("SrcId") < SimilarityOps.ProbeIdMax)
+      .map(r => (r.getAs[Long]("SrcId"), r.getAs[Int]("Rank")) ->
+        ((r.getAs[Long]("NId"), r.getAs[Double]("Cosine")))).toMap
+    val tk = SimilarityOps.topk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("QId"), r.getAs[Int]("Rank")) ->
+        ((r.getAs[Long]("NId"), r.getAs[Double]("Cosine")))).toMap
+    assert(gp === tk, "kNN graph probe slice diverges from the exact topk query")
+    // Mutual(s→t) must hold iff the reverse edge is in the k-cut set
+    val eset = g.map(r => (r.getAs[Long]("SrcId"), r.getAs[Long]("NId"))).toSet
+    g.foreach { r =>
+      val (s, t) = (r.getAs[Long]("SrcId"), r.getAs[Long]("NId"))
+      assert(r.getAs[Boolean]("Mutual") === eset.contains((t, s)), s"Mutual wrong for ($s,$t)")
+    }
+    // non-vacuous: both mutual and one-way edges exist on this corpus
+    assert(g.exists(_.getAs[Boolean]("Mutual")))
+    assert(g.exists(!_.getAs[Boolean]("Mutual")))
+  }
+
   test("similarity: MMR selection equals a driver-run of the same greedy rounds") {
     graft.functions.VectorExpressions.register(spark)
     // candidate pool + quantized vectors, exactly as the engine sees them
