@@ -59,6 +59,8 @@ object SparkEntry {
     "timeseries_theilsen" -> cleanedQ(Summaries.theilSenTrend),
     // CUSUM level-shift detection per country (integer cross-multiply)
     "timeseries_changepoint" -> cleanedQ(Summaries.cusumChangepoint),
+    // additive trend/weekday-seasonal/residual decomposition
+    "timeseries_decompose" -> cleanedQ(Summaries.seasonalDecompose),
     // sales-analytics classics (round 8): RFM segmentation + cohort
     // retention — post-aggregation windows only (A13/⚠Q discipline)
     "customer_rfm" -> cleanedQ(Summaries.customerRfm),
@@ -283,6 +285,7 @@ object SparkEntry {
     "timeseries_ewma" -> CoreSql.timeseriesEwma,
     "timeseries_theilsen" -> CoreSql.theilSenTrend,
     "timeseries_changepoint" -> CoreSql.cusumChangepoint,
+    "timeseries_decompose" -> CoreSql.seasonalDecompose,
     "customer_rfm" -> CoreSql.customerRfm,
     "cohort_retention" -> CoreSql.cohortRetention,
     "window_lag_growth" -> CoreSql.lagGrowth,

@@ -642,4 +642,56 @@ object Summaries {
           ((col("N") - col("T")) * lit(10000.0))).as("MeanAfter"))
       .transform(smallSort(_, col("Country")))
   }
+
+  /** CLASSICAL SEASONAL DECOMPOSITION of the daily revenue series —
+    * the additive `observed = trend + seasonal + residual` split
+    * (statsmodels' seasonal_decompose, the pandas-analytics staple):
+    * trend is a CENTERED 7-observation moving average (min_periods
+    * semantics — NULL until the full window exists, the ⚠M rule),
+    * the seasonal component is the per-weekday mean of the detrended
+    * series, and the residual is what remains.
+    *
+    * Exactness discipline: revenue is the same scale-4 integer
+    * quantization as [[cusumChangepoint]], and the detrended series
+    * is kept integer by scaling ×7: DetQ = 7·RevQ − TrendSumQ (both
+    * BIGINT — no division until presentation). Trend, Seasonal and
+    * Residual are then each a deterministic expression over exact
+    * integers (Seasonal = Σ DetQ / (7·count·10⁴), ONE division;
+    * Residual = DetQ/(7·10⁴) − Seasonal — IEEE ops on bit-identical
+    * inputs, the fixed-order chi² rule). Weekday uses the ⚠W Mon=0
+    * convention (`weekday` / isodow−1).
+    *
+    * Scale shape: one fact-scan daily aggregate, then everything runs
+    * on the calendar-sized frame (A13 rule) — a global 7-row window,
+    * a 7-row weekday aggregate broadcast back, and one presentation
+    * sort. The window is 7 OBSERVATIONS, not 7 calendar days: on a
+    * gappy calendar compose with gapfillDaily first (documented
+    * contract, identical on both sides). */
+  def seasonalDecompose(cleaned: DataFrame): DataFrame = {
+    val daily = sales(cleaned).groupBy(col("Date"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+      .withColumn("Q", (col("RevDec") * 10000).cast(LongType))
+    val w7 = Window.orderBy(col("Date")).rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("C7", count(lit(1)).over(w7))
+      .withColumn("TrendSumQ", when(col("C7") === 7, sum(col("Q")).over(w7)))
+      .withColumn("DetQ", when(col("TrendSumQ").isNotNull,
+        col("Q") * 7 - col("TrendSumQ")))
+      .withColumn("Weekday", weekday(col("Date")))
+    val seas = t.filter(col("DetQ").isNotNull)
+      .groupBy(col("Weekday"))
+      .agg(sum(col("DetQ")).as("SeasSumQ"), count(lit(1)).as("SeasN"))
+      .withColumn("Seasonal",
+        col("SeasSumQ").cast(DoubleType) / (col("SeasN") * lit(7 * 10000.0)))
+      .select(col("Weekday"), col("Seasonal"))
+    t.join(broadcast(seas), Seq("Weekday"))
+      .select(col("Date"), col("Weekday"),
+        (col("Q").cast(DoubleType) / lit(10000.0)).as("Revenue"),
+        (col("TrendSumQ").cast(DoubleType) / lit(7 * 10000.0)).as("Trend"),
+        col("Seasonal"),
+        when(col("DetQ").isNotNull,
+          col("DetQ").cast(DoubleType) / lit(7 * 10000.0) - col("Seasonal"))
+          .as("Residual"))
+      .transform(smallSort(_, col("Date")))
+  }
 }

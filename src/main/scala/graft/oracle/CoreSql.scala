@@ -476,4 +476,43 @@ SELECT p."Country", CAST(p.n AS BIGINT) AS "NDays", p."Date" AS "ChangeDate",
 FROM p JOIN bt ON p."Country" = bt."Country" AND p.t = bt.bt
 ORDER BY p."Country"
 """
+
+  /** Seasonal-decomposition mirror: identical scale-4 integer units,
+    * identical centered 7-observation ROWS window with the c7 = 7
+    * min_periods guard, identical ×7-scaled integer detrend
+    * (7q − Σ7), per-weekday seasonal as ONE division of exact
+    * integers, residual as the same two-double IEEE subtraction.
+    * Weekday = isodow − 1 (the ⚠W Mon=0 mapping). */
+  val seasonalDecompose: String = txnCte + s""",
+cd AS (
+  SELECT "Date",
+         CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) * 10000 AS BIGINT) AS q
+  FROM sales GROUP BY "Date"
+),
+t AS (
+  SELECT "Date", q,
+         count(*) OVER w7 AS c7,
+         sum(q) OVER w7 AS s7,
+         CAST(isodow("Date") - 1 AS INTEGER) AS wd
+  FROM cd WINDOW w7 AS (ORDER BY "Date" ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+x AS (
+  SELECT "Date", q, wd,
+         CASE WHEN c7 = 7 THEN s7 END AS ts,
+         CASE WHEN c7 = 7 THEN 7 * q - s7 END AS det
+  FROM t
+),
+se AS (
+  SELECT wd, CAST(sum(det) AS DOUBLE) / (count(det) * 70000.0) AS seas
+  FROM x WHERE det IS NOT NULL GROUP BY wd
+)
+SELECT x."Date", x.wd AS "Weekday",
+       CAST(x.q AS DOUBLE) / 10000.0 AS "Revenue",
+       CAST(x.ts AS DOUBLE) / 70000.0 AS "Trend",
+       se.seas AS "Seasonal",
+       CASE WHEN x.det IS NOT NULL
+            THEN CAST(x.det AS DOUBLE) / 70000.0 - se.seas END AS "Residual"
+FROM x JOIN se ON x.wd = se.wd
+ORDER BY x."Date"
+"""
 }

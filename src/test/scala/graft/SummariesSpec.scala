@@ -204,6 +204,33 @@ class SummariesSpec extends SparkSpec {
     assert(r.getAs[Double]("PeakDev") === 1500.0)
   }
 
+  test("seasonalDecompose: pure weekly pattern yields flat trend, exact seasonal, zero residual") {
+    // rev = 100 + 10·weekday over 35 consecutive days: any centered
+    // 7-row window sums one full week, so Trend ≡ weekly mean (130),
+    // Seasonal recovers 10·wd − 30 exactly, Residual ≡ 0
+    val base = java.time.LocalDate.parse("1995-06-05") // a Monday
+    val rows = (0 until 35).map { t =>
+      val day = base.plusDays(t.toLong)
+      val rev = 100.0 + 10.0 * day.getDayOfWeek.getValue.toDouble - 10.0
+      sale(s"I$t", 1, rev, s"$day 12:00:00")
+    }
+    val out = Summaries.seasonalDecompose(mk(rows)).collect()
+    assert(out.length === 35)
+    out.foreach { r =>
+      val wd = r.getAs[Int]("Weekday")
+      val rev = r.getAs[Double]("Revenue")
+      assert(rev === 100.0 + 10.0 * wd)
+      if (!r.isNullAt(r.fieldIndex("Trend"))) {
+        assert(r.getAs[Double]("Trend") === 130.0, s"trend not flat at $r")
+        assert(r.getAs[Double]("Seasonal") === 10.0 * wd - 30.0)
+        assert(r.getAs[Double]("Residual") === 0.0)
+      }
+    }
+    // min_periods edges: first 3 and last 3 rows have no full window
+    val nullTrend = out.count(r => r.isNullAt(r.fieldIndex("Trend")))
+    assert(nullTrend === 6)
+  }
+
   test("cusum: no-shift constant series still returns a proper split with equal means") {
     val base = java.time.LocalDate.parse("1995-06-01")
     val rows = (0 until 10).map { t =>
