@@ -94,6 +94,8 @@ object SparkEntry {
     // ---- text analysis ----
     "text_tokens" -> (TextOps.tokens _),
     "text_quality" -> (TextOps.quality _),
+    // weak-label-distilled Bernoulli NB token-vote quality model
+    "text_quality_classifier" -> (TextOps.qualityClassifier _),
     "text_langid" -> (TextOps.langid _),
     // corpus-TRAINED char-trigram language-ID (round 9): per-class LM
     // profiles + integer-surprisal argmin — the naive-Bayes shape
@@ -306,6 +308,7 @@ object SparkEntry {
     "events_funnel" -> ExtSql.eventsFunnel,
     "text_tokens" -> ExtSql.textTokens,
     "text_quality" -> ExtSql.textQuality,
+    "text_quality_classifier" -> ExtSql.textQualityClassifier,
     "text_langid" -> ExtSql.textLangid,
     "text_langid_trained" -> ExtSql.textLangidTrained,
     "text_novelty" -> ExtSql.textNovelty,

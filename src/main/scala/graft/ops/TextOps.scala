@@ -89,6 +89,75 @@ object TextOps {
       .withColumn("QualityScore", qualityScoreCol(col("NTokens"), col("StopCount")))
       .orderBy(col("doc_id"))
 
+  /** Minimum token count for the [[qualityClassifier]] weak label. */
+  val QcMinTokens = 20
+
+  /** TRAINED QUALITY CLASSIFIER — a Bernoulli naive-Bayes-style
+    * token-vote model DISTILLED from the heuristic quality rule (the
+    * standard weak-supervision bootstrap: cheap rule labels the
+    * corpus, a token model is trained on those labels, and the model
+    * then generalizes to docs the rule scores ambiguously). The weak
+    * label is the pure-integer form of [[quality]]'s signals: good ⟺
+    * Dl ≥ [[QcMinTokens]] AND 2·StopTf ≤ Dl. Training counts, per
+    * term, the GOOD and BAD document frequencies; a term votes good
+    * iff its Laplace-smoothed class likelihood ratio favors good —
+    * (g+1)(B+2) > (b+1)(G+2), the exact integer cross-multiply of
+    * (g+1)/(G+2) > (b+1)/(B+2) (the NB-SVM "log-count ratio" sign,
+    * Wang & Manning 2012, taken as a ±1 vote so no logs/doubles enter
+    * the model). A doc's prediction is the majority vote over its
+    * DISTINCT terms (Bernoulli presence semantics — one vote per
+    * term, however often it repeats).
+    *
+    * Everything is exact integers end-to-end: labels, per-class df,
+    * the vote rule, and the per-doc tallies — bit-identical across
+    * engines. Int64 ceiling: the cross-multiply products are bounded
+    * by (df+1)·(docs+2) < (docs+2)², overflowing long only past ~3e9
+    * documents (promote to decimal(38,0) there — the pagerank rule).
+    *
+    * Scale shape: THREE passes over the memoized [[docPostings]]
+    * substrate, nothing over raw text — (1) per-doc label aggregate
+    * (doc-sized), (2) per-term class-df aggregate joined with the
+    * broadcast 1-row prior (vocabulary-sized model — this IS the
+    * trained artifact, persistable as a table), (3) the scoring pass:
+    * postings ⋈ model on Term (vocab-scale build side) then a doc-
+    * keyed vote tally. Docs with zero tokens have no postings rows
+    * and drop out on both sides (documented contract, as with
+    * [[docStats]]). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val post = docPostings(spark, dir)
+    val perDoc = post.groupBy(col("doc_id"), col("Dl"))
+      .agg(sum(when(col("Term").isInCollection(stopwords), col("Tf"))
+        .otherwise(0)).cast(LongType).as("StopTf"))
+      .withColumn("Label",
+        col("Dl") >= QcMinTokens && col("StopTf") * 2 <= col("Dl"))
+      .select(col("doc_id"), col("Label"))
+    val prior = perDoc.agg(
+      sum(when(col("Label"), 1L).otherwise(0L)).as("G"),
+      sum(when(!col("Label"), 1L).otherwise(0L)).as("B"))
+    val model = post.select(col("doc_id"), col("Term"))
+      .join(perDoc, "doc_id")
+      .groupBy(col("Term"))
+      .agg(sum(when(col("Label"), 1L).otherwise(0L)).as("Gw"),
+        sum(when(!col("Label"), 1L).otherwise(0L)).as("Bw"))
+      .crossJoin(broadcast(prior))
+      .withColumn("Vote",
+        when((col("Gw") + 1) * (col("B") + 2) > (col("Bw") + 1) * (col("G") + 2), 1)
+          .when((col("Gw") + 1) * (col("B") + 2) < (col("Bw") + 1) * (col("G") + 2), -1)
+          .otherwise(0))
+      .select(col("Term"), col("Vote"))
+    post.select(col("doc_id"), col("Term"))
+      .join(model, "Term")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("Vote") === 1, 1L).otherwise(0L)).as("VotesGood"),
+        sum(when(col("Vote") === -1, 1L).otherwise(0L)).as("VotesBad"))
+      .join(perDoc, "doc_id")
+      .withColumn("Predicted", col("VotesGood") > col("VotesBad"))
+      .withColumn("Correct", col("Predicted") === col("Label"))
+      .select(col("doc_id"), col("Label"), col("VotesGood"), col("VotesBad"),
+        col("Predicted"), col("Correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CORPUS NOVELTY — per doc, the fraction of its distinct trigram
     * shingles whose FIRST appearance (min doc_id — the corpus's
     * canonical ingestion order) is this doc. Mostly-derivative docs

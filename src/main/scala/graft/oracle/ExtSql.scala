@@ -1949,6 +1949,49 @@ ORDER BY "SrcId", "Rank"
 """
   }
 
+  /** Trained-quality-classifier mirror: identical integer weak label
+    * (min-tokens + doubled stop-tf rule), identical per-class
+    * document frequencies over distinct (doc, term) rows, identical
+    * Laplace cross-multiply vote sign, identical majority tally —
+    * no doubles anywhere in the model. */
+  val textQualityClassifier: String = {
+    import graft.ops.TextOps.QcMinTokens
+    toksCte + s"""
+, ex AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS dl, unnest(t) AS tok FROM toks),
+pt AS (SELECT doc_id, dl, tok, count(*) AS tfc FROM ex GROUP BY doc_id, dl, tok),
+lab AS (
+  SELECT doc_id,
+         (max(dl) >= $QcMinTokens AND
+          2 * sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.stopwords)})
+                       THEN tfc ELSE 0 END) <= max(dl)) AS label
+  FROM pt GROUP BY doc_id
+),
+pr AS (SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS g,
+              sum(CASE WHEN label THEN 0 ELSE 1 END) AS b
+       FROM lab),
+md AS (SELECT pt.tok,
+              sum(CASE WHEN lab.label THEN 1 ELSE 0 END) AS gw,
+              sum(CASE WHEN lab.label THEN 0 ELSE 1 END) AS bw
+       FROM pt JOIN lab ON pt.doc_id = lab.doc_id
+       GROUP BY pt.tok),
+vt AS (SELECT tok,
+              CASE WHEN (gw + 1) * (b + 2) > (bw + 1) * (g + 2) THEN 1
+                   WHEN (gw + 1) * (b + 2) < (bw + 1) * (g + 2) THEN -1
+                   ELSE 0 END AS vote
+       FROM md CROSS JOIN pr),
+sc AS (SELECT pt.doc_id,
+              sum(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS vg,
+              sum(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS vb
+       FROM pt JOIN vt ON pt.tok = vt.tok
+       GROUP BY pt.doc_id)
+SELECT sc.doc_id, lab.label AS "Label",
+       CAST(vg AS BIGINT) AS "VotesGood", CAST(vb AS BIGINT) AS "VotesBad",
+       (vg > vb) AS "Predicted", ((vg > vb) = lab.label) AS "Correct"
+FROM sc JOIN lab ON sc.doc_id = lab.doc_id
+ORDER BY sc.doc_id
+"""
+  }
+
   /** PCA-power mirror: the same exact-integer scatter matrix and the
     * same [[graft.ops.SimilarityOps.PcaPowerRounds]] fixed-point
     * rounds unrolled as hugeint CTEs; truncating `//` matches the

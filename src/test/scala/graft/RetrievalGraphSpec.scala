@@ -261,6 +261,45 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(sizes.values.max > 1)
   }
 
+  test("quality classifier: labels, votes and predictions equal a driver NB recomputation") {
+    val toks = docsTokens()
+    val stop = TextOps.stopwords.toSet
+    val label = toks.map { case (d, ts) =>
+      d -> (ts.size >= TextOps.QcMinTokens && 2 * ts.count(stop.contains) <= ts.size)
+    }
+    val g = label.values.count(identity).toLong
+    val b = label.size - g
+    assert(g > 0 && b > 0, "weak-label rule is vacuous on this corpus")
+    val df = toks.toSeq.flatMap { case (d, ts) => ts.distinct.map(_ -> d) }
+      .groupBy(_._1).map { case (t, xs) =>
+        val gw = xs.count { case (_, d) => label(d) }.toLong
+        t -> ((gw, xs.size - gw))
+      }
+    def vote(t: String): Int = {
+      val (gw, bw) = df(t)
+      val l = (gw + 1) * (b + 2); val r = (bw + 1) * (g + 2)
+      if (l > r) 1 else if (l < r) -1 else 0
+    }
+    val got = TextOps.qualityClassifier(spark, sfDir).collect()
+    assert(got.length === label.size)
+    got.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val ts = toks(d).distinct
+      val vg = ts.count(vote(_) == 1).toLong
+      val vb = ts.count(vote(_) == -1).toLong
+      assert(r.getAs[Boolean]("Label") === label(d), s"label mismatch for doc $d")
+      assert(r.getAs[Long]("VotesGood") === vg, s"good votes mismatch for doc $d")
+      assert(r.getAs[Long]("VotesBad") === vb, s"bad votes mismatch for doc $d")
+      assert(r.getAs[Boolean]("Predicted") === (vg > vb))
+    }
+    // the distilled model must at least match the majority-class prior
+    // on its own training labels (NB fits its training set or the
+    // distillation is broken)
+    val acc = got.count(_.getAs[Boolean]("Correct")).toDouble / got.length
+    val prior = math.max(g, b).toDouble / label.size
+    assert(acc >= prior, f"NB vote accuracy $acc%.3f below majority prior $prior%.3f")
+  }
+
   test("span windows: duplicated-window fractions equal a driver recomputation") {
     val toks = docsTokens()
     val w = graft.ops.DedupOps.SpanWindowTokens
