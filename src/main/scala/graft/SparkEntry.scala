@@ -90,6 +90,8 @@ object SparkEntry {
     // top within-session event-type 3-step journeys (one user-keyed
     // exchange: running-sum sessionization + double lead, no re-shuffle)
     "events_path_topk" -> (EventsOps.pathTopk _),
+    // first-order Markov transition matrix over session bigrams
+    "events_transition_matrix" -> (EventsOps.transitionMatrix _),
     "events_funnel" -> (EventsOps.funnel _),
     // ---- text analysis ----
     "text_tokens" -> (TextOps.tokens _),
@@ -305,6 +307,7 @@ object SparkEntry {
     "events_dedup_latest" -> ExtSql.eventsDedupLatest,
     "events_sessionize" -> ExtSql.eventsSessionize,
     "events_path_topk" -> ExtSql.eventsPathTopk,
+    "events_transition_matrix" -> ExtSql.eventsTransitionMatrix,
     "events_funnel" -> ExtSql.eventsFunnel,
     "text_tokens" -> ExtSql.textTokens,
     "text_quality" -> ExtSql.textQuality,

@@ -426,4 +426,41 @@ object EventsOps {
       .orderBy(col("NOccurrences").desc, col("Step1"), col("Step2"), col("Step3"))
       .limit(PathTopK)
   }
+
+  /** MARKOV TRANSITION MATRIX over within-session event bigrams — the
+    * first-order behavioral model behind [[pathTopk]]'s journeys:
+    * P(next = To | current = From) as an exact integer-count ratio,
+    * over the same 30-minute-gap sessionization. The |types|² matrix
+    * is the trained artifact (broadcastable to any scorer); row
+    * probabilities sum to 1 per From by construction.
+    *
+    * Same single-exchange plan as [[pathTopk]] (running-sum session
+    * index + one lead over the one user-keyed window, session
+    * membership by led-index equality), then a hash aggregate on the
+    * (From, To) pair and a From-partition count window over the
+    * matrix-sized frame (the A13 rule). Probability is ONE
+    * deterministic division of exact longs. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pairs = Tables.events(spark, dir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(wr))
+      .withColumn("To", lead(col("event_type"), 1).over(w))
+      .withColumn("s2", lead(col("sess"), 1).over(w))
+      .filter(col("s2") === col("sess"))
+      .select(col("event_type").as("From"), col("To"))
+    pairs.groupBy(col("From"), col("To"))
+      .agg(count(lit(1)).as("NTransitions"))
+      .withColumn("FromTotal", sum(col("NTransitions")).over(
+        Window.partitionBy(col("From"))))
+      .withColumn("Prob",
+        col("NTransitions").cast(DoubleType) / col("FromTotal"))
+      .select(col("From"), col("To"), col("NTransitions"), col("FromTotal"), col("Prob"))
+      .orderBy(col("From"), col("To"))
+  }
 }

@@ -193,6 +193,38 @@ LIMIT $k
 """
   }
 
+  /** Transition-matrix mirror: the pathTopk sessionization, one lead,
+    * identical integer pair counts, From totals via the same
+    * partition window, probability as the same single division. */
+  val eventsTransitionMatrix: String = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+x AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(CASE WHEN prev IS NULL OR date_diff('microseconds', prev, ts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e
+),
+t AS (
+  SELECT event_type AS f,
+         lead(event_type, 1) OVER w AS tt,
+         lead(sess, 1) OVER w AS s2, sess
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (SELECT f, tt FROM t WHERE s2 = sess),
+c AS (SELECT f, tt, count(*) AS n FROM p GROUP BY f, tt),
+m AS (SELECT f, tt, n, sum(n) OVER (PARTITION BY f) AS ft FROM c)
+SELECT f AS "From", tt AS "To", CAST(n AS BIGINT) AS "NTransitions",
+       CAST(ft AS BIGINT) AS "FromTotal",
+       CAST(n AS DOUBLE) / ft AS "Prob"
+FROM m ORDER BY f, tt
+"""
+
   /** Funnel mirror: the window bound is interpolated from
     * [[graft.ops.EventsOps.FunnelWindowHours]] so the two sides cannot
     * drift; instants are epoch_us == the Spark side's ts_ns div 1000. */

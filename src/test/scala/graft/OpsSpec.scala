@@ -612,6 +612,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("events: transition matrix rows sum to 1 per From and reconcile with path bigrams") {
+    val m = EventsOps.transitionMatrix(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    m.groupBy(_.getAs[String]("From")).foreach { case (f, rs) =>
+      val tot = rs.head.getAs[Long]("FromTotal")
+      assert(rs.map(_.getAs[Long]("NTransitions")).sum === tot, s"FromTotal wrong for $f")
+      val probSum = rs.map(_.getAs[Double]("Prob")).sum
+      assert(math.abs(probSum - 1.0) < 1e-9, s"row $f probs sum to $probSum")
+    }
+    // total transitions = events − sessions (each session of length L
+    // contributes L−1 bigrams) — reconcile against sessionize
+    val s = EventsOps.sessionize(spark, sfDir).collect()
+    val want = s.map(r => r.getAs[Long]("NEvents") - r.getAs[Long]("NSessions")).sum
+    assert(m.map(_.getAs[Long]("NTransitions")).sum === want,
+      "bigram count does not equal events minus sessions")
+  }
+
   test("events: hourly totals sum to overall event count") {
     val total = EventsOps.hourly(spark, sfDir).agg(sum("NEvents")).head().getLong(0)
     assert(total === 1000L)
