@@ -215,6 +215,8 @@ object SparkEntry {
     "multimodal_features" -> (MultimodalOps.featuresQuery _),
     "multimodal_resize" -> (MultimodalOps.resize _),
     "multimodal_ahash_neardup" -> (MultimodalOps.ahashNeardup _),
+    // DCT perceptual hash (brightness-invariant image near-dup)
+    "multimodal_phash_neardup" -> (MultimodalOps.phashNeardup _),
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
     "groupingsets_country_year" -> (RelationalOps.groupingSetsCountryYear _),
@@ -386,6 +388,7 @@ object SparkEntry {
     "multimodal_features" -> ExtSql.multimodalFeatures,
     "multimodal_resize" -> ExtSql.multimodalResize,
     "multimodal_ahash_neardup" -> ExtSql.multimodalAhashNeardup,
+    "multimodal_phash_neardup" -> ExtSql.multimodalPhashNeardup,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
     "groupingsets_country_year" -> ExtSql.groupingSetsCountryYear,
     "cube_country_year" -> ExtSql.cubeCountryYear,

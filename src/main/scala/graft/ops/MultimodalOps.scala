@@ -352,28 +352,43 @@ object MultimodalOps {
     * Spark-side plumbing: band explode, hot-capped bucket self-join,
     * XOR/bit_count verify.
     *
-    * Scale shape: two narrow corpus passes (hash build is all
-    * codegen'd HOFs), a (band, value)-keyed window for the cap, a
-    * bucket-bounded self-join (never all-pairs — candidate volume is
-    * Σ bucket², capped), then a |candidates|-sized hash join +
-    * bit_count verify. The exact minhash/banding geometry, on binary
-    * payloads. */
+    * Scale shape: ONE narrow corpus pass builds the hashes
+    * (localCheckpoint-pinned — the three downstream references read
+    * materialized 4-int rows, not re-scans), a (band, value)-keyed
+    * window for the cap, a bucket-bounded self-join (never all-pairs
+    * — candidate volume is Σ bucket², capped), then a
+    * |candidates|-sized hash join + bit_count verify. The exact
+    * minhash/banding geometry, on binary payloads.
+    *
+    * Evaluation-structure note (the lesson this query paid 89 s at
+    * sf0.1 to learn): HOF pipelines must LET-BIND their stages. A
+    * naive `withColumn("S", …).withColumn("M", f(S)).withColumn("BV",
+    * g(S, M))` chain is collapsed by Catalyst's CollapseProject into
+    * ONE projection that textually inlines S into every one of BV's
+    * 64 bit-tests (and M's inlined copy re-inlines S again) — and
+    * higher-order functions evaluate INTERPRETED, so the O(len)
+    * sample extraction ran ~128× per doc. Binding each stage as a
+    * lambda variable (`transform(array(S), s -> …)`) makes the
+    * evaluate-once structure part of the expression itself — the
+    * optimizer cannot inline through a lambda binding. */
   def ahashNeardup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the position multiply is widened to BIGINT (docs past ~34M
+    // chars would overflow 32-bit i*len; the final cast back to INT
+    // is safe — JVM strings cap at 2^31 chars, so positions fit)
+    val sExpr =
+      "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"
     val base = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
-      // the position multiply is widened to BIGINT (docs past ~34M
-      // chars would overflow 32-bit i*len; the final cast back to INT
-      // is safe — JVM strings cap at 2^31 chars, so positions fit)
-      .withColumn("S", expr(
-        "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"))
-      .withColumn("M", expr("aggregate(S, 0, (a, x) -> a + x) div 64"))
       .withColumn("BV", expr(
-        s"""transform(sequence(0, ${AhashBands - 1}), b ->
-           |  aggregate(sequence(0, ${AhashBandBits - 1}), 0,
-           |    (a, j) -> a + IF(element_at(S, $AhashBandBits * b + j + 1) > M,
-           |                     shiftleft(1, j), 0)))""".stripMargin))
+        s"""element_at(transform(array($sExpr), s ->
+           |  element_at(transform(array(aggregate(s, 0, (a, x) -> a + x) div 64), m ->
+           |    transform(sequence(0, ${AhashBands - 1}), b ->
+           |      aggregate(sequence(0, ${AhashBandBits - 1}), 0,
+           |        (a, j) -> a + IF(element_at(s, $AhashBandBits * b + j + 1) > m,
+           |                         shiftleft(1, j), 0)))), 1)), 1)""".stripMargin))
       .select(col("doc_id"), col("BV"))
+      .localCheckpoint()
     val bx = base.select(col("doc_id"),
       posexplode(col("BV")).as(Seq("B", "V")))
     val cool = bx
@@ -392,6 +407,103 @@ object MultimodalOps {
         .cast(IntegerType))
       .filter(col("Hamming") <= AhashMaxHamming)
       .select(col("IdA"), col("IdB"), col("Hamming"))
+      .orderBy(col("IdA"), col("IdB"))
+  }
+
+  /** pHash DCT-basis fixed-point scale (2¹⁴). */
+  val PhashDctScale = 16384L
+  /** The 8×8 DCT-II basis, row-major: round(2¹⁴·cos((2j+1)·i·π/16)).
+    * Computed ONCE on the driver and interpolated as literals into
+    * both the Spark expression and the DuckDB mirror, so cross-engine
+    * parity is by construction, not by trusting two cos()
+    * implementations. For every AC row (i ≥ 1) the 8 rounded entries
+    * sum to EXACTLY 0 (the angles pair into exact negations and none
+    * hits a .5 rounding tie — asserted in MultimodalSpec), which is
+    * what makes the hash exactly invariant to a uniform brightness
+    * shift: a constant added to all 64 samples perturbs only the DC
+    * coefficient, which pHash discards. */
+  lazy val PhashDctBasis: Seq[Long] =
+    for (i <- 0 until 8; j <- 0 until 8)
+      yield math.round(PhashDctScale * math.cos((2 * j + 1) * i * math.Pi / 16.0))
+  /** "Close pair" Hamming ceiling for the [[phashNeardup]] IsClose
+    * verdict. Unlike [[ahashNeardup]], the query reports EVERY capped
+    * band-candidate with its spectral distance rather than dropping
+    * pairs past the ceiling: pHash bits are median-centered (≈ fair
+    * coins for unrelated inputs), so on a corpus with no true image
+    * near-dups the thresholded set is legitimately EMPTY — the
+    * candidate report keeps the gate non-vacuous while the verdict
+    * column carries the threshold semantics. */
+  val PhashMaxHamming = 10
+
+  /** pHash NEAR-DUP — the DCT perceptual hash next to [[ahashNeardup]]:
+    * where aHash thresholds raw samples against their mean (and so
+    * flips wholesale under contrast changes), pHash transforms the
+    * same 8×8 sample grid into the frequency domain and keeps the
+    * SHAPE spectrum — each of the 63 AC coefficients thresholded
+    * against their median, making the hash exactly invariant to
+    * uniform brightness shifts (see [[PhashDctBasis]]) and robust to
+    * smooth global gradients. Same byte-level proxy signal as aHash
+    * (the decode honesty pattern — the real-raster kernel seam is
+    * [[ahashOf]]'s mapPartitions shape), same band-bucket candidate
+    * join, hot-bucket cap and Hamming verify.
+    *
+    * Exactness: the DCT is pure integer — basis entries are driver-
+    * rounded literals, T[k] = Σ_m c(u,i)·c(v,j)·S[m] ≤ 2²⁸·255·64
+    * ≈ 2⁴² (long-safe), the median is the 32nd order statistic of 63
+    * exact integers, and every bit is an integer comparison. Bit k
+    * lands in band k div 16 (band 3 carries 15 bits — 63 AC bits
+    * total), so no shift ever reaches a sign bit.
+    *
+    * Scale shape: identical to [[ahashNeardup]] — ONE narrow corpus
+    * pass computes the 4096-multiply DCT per doc (fixed cost per row,
+    * no shuffle; every stage LET-BOUND as a lambda variable so
+    * sample, spectrum and median each evaluate exactly once per row —
+    * see ahashNeardup's CollapseProject note: unbound, the DCT would
+    * re-run ~65× per doc through the inlined median and bit tests),
+    * localCheckpoint-pinned, then the banded-LSH join with the
+    * [[AhashBucketCap]] hot-bucket guard bounds pair volume. */
+  def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = PhashDctBasis.map(v => s"${v}L").mkString("array(", ", ", ")")
+    val sExpr =
+      "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"
+    val tExpr =
+      s"""transform(sequence(0, 63), k ->
+         |  aggregate(sequence(0, 63), 0L, (a, m) ->
+         |    a + element_at($cl, CAST((k div 8) * 8 + (m div 8) + 1 AS INT))
+         |      * element_at($cl, (k % 8) * 8 + (m % 8) + 1)
+         |      * element_at(s, m + 1)))""".stripMargin
+    val base = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .withColumn("BV", expr(
+        s"""element_at(transform(array($sExpr), s ->
+           |  element_at(transform(array($tExpr), t ->
+           |    element_at(transform(array(element_at(array_sort(slice(t, 2, 63)), 32)), med ->
+           |      transform(sequence(0, ${AhashBands - 1}), b ->
+           |        aggregate(sequence(0, ${AhashBandBits - 1}), 0,
+           |          (a, j) -> a + IF($AhashBandBits * b + j + 1 <= 63 AND
+           |                           element_at(t, $AhashBandBits * b + j + 2) > med,
+           |                           shiftleft(1, j), 0)))), 1)), 1)), 1)""".stripMargin))
+      .select(col("doc_id"), col("BV"))
+      .localCheckpoint()
+    val bx = base.select(col("doc_id"),
+      posexplode(col("BV")).as(Seq("B", "V")))
+    val cool = bx
+      .withColumn("BS", count(lit(1)).over(Window.partitionBy(col("B"), col("V"))))
+      .filter(col("BS") <= AhashBucketCap)
+    val cand = cool.as("a").join(cool.as("c"),
+        col("a.B") === col("c.B") && col("a.V") === col("c.V") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("IdA"), col("c.doc_id").as("IdB"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("IdA"), col("BV").as("BVA")), "IdA")
+      .join(base.select(col("doc_id").as("IdB"), col("BV").as("BVB")), "IdB")
+      .withColumn("Hamming", expr(
+        "aggregate(zip_with(BVA, BVB, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)")
+        .cast(IntegerType))
+      .withColumn("IsClose", col("Hamming") <= PhashMaxHamming)
+      .select(col("IdA"), col("IdB"), col("Hamming"), col("IsClose"))
       .orderBy(col("IdA"), col("IdB"))
   }
 

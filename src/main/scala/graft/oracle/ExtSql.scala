@@ -3106,6 +3106,66 @@ ORDER BY "IdA", "IdB"
 """
   }
 
+  /** pHash mirror: identical 64-byte proxy samples, the SAME driver-
+    * rounded integer DCT basis literals (parity by construction),
+    * identical median-of-63 threshold, band layout, hot-bucket cap
+    * and Hamming verify. */
+  val multimodalPhashNeardup: String = {
+    val mm = graft.ops.MultimodalOps
+    val cl = mm.PhashDctBasis.mkString("[", ", ", "]")
+    s"""
+WITH cb AS (SELECT $cl AS c),
+smp AS (
+  SELECT doc_id,
+         [ascii(substr(text, (i * length(text)) // 64 + 1, 1))
+          for i in generate_series(0, 63)] AS s
+  FROM documents
+),
+dct AS (
+  SELECT doc_id,
+         [list_sum([CAST(c[(k // 8) * 8 + (m // 8) + 1] AS BIGINT)
+                    * c[(k % 8) * 8 + (m % 8) + 1]
+                    * s[m + 1]
+                    for m in generate_series(0, 63)])
+          for k in generate_series(0, 63)] AS t
+  FROM smp CROSS JOIN cb
+),
+md AS (SELECT doc_id, t, list_sort(t[2:64])[32] AS med FROM dct),
+bands AS (
+  SELECT doc_id,
+         [list_sum([CASE WHEN ${mm.AhashBandBits} * b + j + 1 <= 63
+                          AND t[${mm.AhashBandBits} * b + j + 2] > med
+                         THEN 1 << j ELSE 0 END
+                    for j in generate_series(0, ${mm.AhashBandBits - 1})])
+          for b in generate_series(0, ${mm.AhashBands - 1})] AS bv
+  FROM md
+),
+bx AS (SELECT doc_id, unnest(generate_series(0, ${mm.AhashBands - 1})) AS b,
+              unnest(bv) AS v
+       FROM bands),
+cool AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, v) AS bs FROM bx)
+  WHERE bs <= ${mm.AhashBucketCap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+  FROM cool a JOIN cool c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+),
+pairs AS (
+  SELECT ida, idb,
+         CAST(${(1 to mm.AhashBands)
+           .map(i => s"bit_count(xor(CAST(ha.bv[$i] AS BIGINT), CAST(hz.bv[$i] AS BIGINT)))")
+           .mkString("\n            + ")}
+           AS INTEGER) AS hamming
+  FROM cand JOIN bands ha ON ha.doc_id = ida JOIN bands hz ON hz.doc_id = idb
+)
+SELECT ida AS "IdA", idb AS "IdB", hamming AS "Hamming",
+       (hamming <= ${mm.PhashMaxHamming}) AS "IsClose"
+FROM pairs
+ORDER BY "IdA", "IdB"
+"""
+  }
+
   val multimodalFrameSample: String = {
     import graft.ops.MultimodalOps.{FrameBytes, FrameStride}
     s"""

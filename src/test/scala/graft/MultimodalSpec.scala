@@ -174,4 +174,64 @@ class MultimodalSpec extends SparkSpec {
       assert(a < c && h <= mm.AhashMaxHamming, s"($a,$c,$h)")
     }
   }
+
+  test("phash: every AC basis row sums to exactly zero — brightness shifts only move DC") {
+    val b = MultimodalOps.PhashDctBasis
+    assert(b.size === 64)
+    for (i <- 1 until 8)
+      assert((0 until 8).map(j => b(i * 8 + j)).sum === 0L, s"AC row $i does not cancel")
+    assert((0 until 8).map(b(_)).sum === 8 * MultimodalOps.PhashDctScale)
+  }
+
+  test("phash_neardup: banded query equals an independent DCT recomputation; shift-invariant") {
+    import graft.etl.Tables
+    val mm = MultimodalOps
+    val cb = mm.PhashDctBasis
+    def hashOf(s: IndexedSeq[Int]): Seq[Int] = {
+      val t = (0 until 64).map { k =>
+        val u = k / 8; val v = k % 8
+        var acc = 0L
+        var m = 0
+        while (m < 64) {
+          acc += cb(u * 8 + m / 8) * cb(v * 8 + m % 8) * s(m)
+          m += 1
+        }
+        acc
+      }
+      val med = t.drop(1).sorted.apply(31)
+      (0 until mm.AhashBands).map { bd =>
+        (0 until mm.AhashBandBits)
+          .filter(j => mm.AhashBandBits * bd + j + 1 <= 63 &&
+            t(mm.AhashBandBits * bd + j + 1) > med)
+          .map(1 << _).sum
+      }
+    }
+    def samples(text: String): IndexedSeq[Int] = {
+      val len = text.length
+      (0 until 64).map(i => if (len == 0) 0 else text.charAt((i * len) / 64).toInt)
+    }
+    // structural brightness invariance on a real doc's samples
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val s0 = samples(docs.head._2)
+    assert(hashOf(s0) === hashOf(s0.map(_ + 17)),
+      "uniform sample shift changed the pHash")
+    // full recomputation of the banded query
+    val bv = docs.map { case (id, t) => id -> hashOf(samples(t)) }.toMap
+    val buckets = bv.toSeq
+      .flatMap { case (id, bs) => bs.zipWithIndex.map { case (v, b) => (b, v) -> id } }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cand = buckets.values.filter(_.size <= mm.AhashBucketCap)
+      .flatMap(ids => for (a <- ids; c <- ids if a < c) yield (a, c)).toSet
+    val expected = cand.toSeq.map { case (a, c) =>
+      val h = bv(a).zip(bv(c)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      (a, c, h, h <= mm.PhashMaxHamming)
+    }.sortBy(p => (p._1, p._2))
+    val got = mm.phashNeardup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("IdA"), r.getAs[Long]("IdB"),
+        r.getAs[Int]("Hamming"), r.getAs[Boolean]("IsClose"))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "no band candidates at fixture scale — gate would be vacuous")
+  }
 }
