@@ -379,7 +379,14 @@ object MultimodalOps {
     val sExpr =
       "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"
     val base = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      // EXPLICIT partition count: AQE's coalescer sees only shuffle
+      // BYTES, and the corpus is a few MB — an unpinned
+      // repartition(doc_id) collapses to ONE post-shuffle partition,
+      // serializing the interpreted hash pass (measured 8.5 s vs
+      // 0.6 s in the suite; the checkpoint materializes at
+      // construction, so BenchOne's build-once loop never saw it —
+      // FreshRunProbe does)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("BV", expr(
         s"""element_at(transform(array($sExpr), s ->
            |  element_at(transform(array(aggregate(s, 0, (a, x) -> a + x) div 64), m ->
@@ -474,7 +481,8 @@ object MultimodalOps {
          |      * element_at($cl, (k % 8) * 8 + (m % 8) + 1)
          |      * element_at(s, m + 1)))""".stripMargin
     val base = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+      // explicit N: see ahashNeardup's AQE-coalesce note
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("BV", expr(
         s"""element_at(transform(array($sExpr), s ->
            |  element_at(transform(array($tExpr), t ->
