@@ -92,6 +92,9 @@ object SparkEntry {
     "events_path_topk" -> (EventsOps.pathTopk _),
     // first-order Markov transition matrix over session bigrams
     "events_transition_matrix" -> (EventsOps.transitionMatrix _),
+    // streaming twin: per-user last-event state emits transitions
+    "events_transition_matrix_stream" ->
+      (graft.streaming.EventsStream.transitionMatrixStreamQuery _),
     "events_funnel" -> (EventsOps.funnel _),
     // ---- text analysis ----
     "text_tokens" -> (TextOps.tokens _),
@@ -310,6 +313,7 @@ object SparkEntry {
     "events_sessionize" -> ExtSql.eventsSessionize,
     "events_path_topk" -> ExtSql.eventsPathTopk,
     "events_transition_matrix" -> ExtSql.eventsTransitionMatrix,
+    "events_transition_matrix_stream" -> ExtSql.eventsTransitionMatrix,
     "events_funnel" -> ExtSql.eventsFunnel,
     "text_tokens" -> ExtSql.textTokens,
     "text_quality" -> ExtSql.textQuality,

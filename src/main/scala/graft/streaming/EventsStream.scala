@@ -260,6 +260,47 @@ object EventsStream {
       }
   }
 
+  /** Per-user last-event state for [[transitionPairs]]. */
+  case class LastEventState(lastUs: Long, eventType: String)
+
+  /** One within-session event-type transition (the batch bigram). */
+  case class TransitionPair(from: String, to: String)
+
+  /** Streaming twin of the bigram derivation inside
+    * [[graft.ops.EventsOps.transitionMatrix]]: per-user LAST-EVENT
+    * state via `flatMapGroupsWithState` — each incoming event whose
+    * gap to the user's previous event is within the 30-minute session
+    * gap emits its (from, to) transition; a gap past it just replaces
+    * the state (session break, exactly the batch `s2 = sess` rule).
+    * Append mode, one (Long, enum) of state per user — watermark-free
+    * bounded state, the [[latestPerUser]] discipline. The matrix
+    * presentation (counts, row totals, probabilities) is a batch
+    * aggregate over the emitted transition stream — counts are
+    * additive, so any incremental sink rollup converges to the batch
+    * matrix. Same per-trigger sort + cross-trigger event-time
+    * ordering contract as [[purchaseAsof]]. */
+  def transitionPairs(events: Dataset[Event])(implicit spark: SparkSession): Dataset[TransitionPair] = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, evs: Iterator[Event], state: GroupState[LastEventState]) =>
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionPair]
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            last.foreach { l =>
+              if (us - l.lastUs <= gapUs) out += TransitionPair(l.eventType, e.event_type)
+            }
+            last = Some(LastEventState(us, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of [[graft.ops.EventsOps.sessionWindows]] via the
     * SAME native `session_window` grouping — the declarative
     * sessionization that the lag-window batch formulation cannot
@@ -626,6 +667,46 @@ object EventsStream {
             .as("LastTs"),
           col("event_type"), col("value"))
         .orderBy(col("user_id"))
+    } finally {
+      deleteRecursively(streamDir)
+      Tables.forgetTsEncoding(streamDir.toString)
+    }
+  }
+
+  /** One-shot of [[transitionPairs]] for the driver gate, shaped to
+    * hash-match the batch `events_transition_matrix` oracle: run the
+    * stateful stream over the staged corpus, then apply the batch
+    * matrix presentation (pair counts, From-row totals, one exact
+    * division) to the emitted transition stream. */
+  def transitionMatrixStreamQuery(spark0: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    implicit val spark: SparkSession = stateSizedSession(spark0)
+    import spark.implicits._
+    val streamDir = Files.createTempDirectory("graft_trans_once")
+    try {
+      Files.copy(Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val events = readEventsStream(spark, streamDir.toString)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Event]
+      val name = s"events_transition_matrix_stream_${onceCounter.incrementAndGet()}"
+      val q = transitionPairs(events)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .select(col("from").as("From"), col("to").as("To"))
+        .groupBy(col("From"), col("To"))
+        .agg(count(lit(1)).as("NTransitions"))
+        .withColumn("FromTotal", sum(col("NTransitions")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("From"))))
+        .withColumn("Prob",
+          col("NTransitions").cast(DoubleType) / col("FromTotal"))
+        .select(col("From"), col("To"), col("NTransitions"),
+          col("FromTotal"), col("Prob"))
+        .orderBy(col("From"), col("To"))
     } finally {
       deleteRecursively(streamDir)
       Tables.forgetTsEncoding(streamDir.toString)

@@ -504,6 +504,70 @@ class StreamingSpec extends SparkSpec {
     assert(batchRows(3)._3 === users3.toDouble / users2)
   }
 
+  test("flatMapGroupsWithState transition pairs over a time-split two-file stream match the batch matrix") {
+    import spark.implicits._
+    implicit val s = spark
+    // TIME split (not a hash split): the last-event state contract
+    // requires per-user event time non-decreasing across triggers;
+    // every transition straddling the cut is only found if the state
+    // carried the pre-cut last event over the batch boundary
+    val raw = graft.etl.Tables.eventsRaw(spark, sfDir)
+    // place the cut INSIDE a real transition (midpoint of some
+    // within-session consecutive pair) so at least one transition
+    // straddles the file boundary BY CONSTRUCTION — a median cut can
+    // land between sessions on a sparse corpus and test nothing
+    val wcut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val inPair = graft.etl.Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wcut))
+      .filter(col("prev_us").isNotNull &&
+        col("us") - col("prev_us") <= 1800L * 1000000L &&
+        col("us") > col("prev_us")) // strict gap: a midpoint exists
+      .select(((col("prev_us") + col("us")) / 2).cast("bigint").as("CutUs"))
+      .orderBy(col("CutUs"))
+    assert(inPair.count() > 0, "corpus has no within-session transition with a positive gap")
+    val cutNs = inPair.first().getLong(0) * 1000L
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_trans")
+    stagePart(raw.filter(col("ts").cast("bigint") <= cutNs),
+      streamDir.resolve("a.parquet"), Some(1000L))
+    stagePart(raw.filter(col("ts").cast("bigint") > cutNs),
+      streamDir.resolve("b.parquet"), Some(2000L))
+    val events = EventsStream.readEventsStream(spark, streamDir.toString,
+        maxFilesPerTrigger = Some(1))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    val pairs = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = EventsStream.transitionPairs(events)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventsStream.TransitionPair], _: Long) =>
+        val rows = batch.collect()
+        pairs.synchronized { rows.foreach(p => pairs += ((p.from, p.to))) }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected at least two non-empty microbatches")
+    val got = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = graft.ops.EventsOps.transitionMatrix(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("From"), r.getAs[String]("To")) ->
+        r.getAs[Long]("NTransitions")).toMap
+    assert(got === want, "streamed transition counts diverge from the batch matrix")
+    // non-vacuous straddle: at least one user has events on both sides
+    // of the cut within one session (else the state carry is untested)
+    val wus = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val straddle = graft.etl.Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wus))
+      .filter(col("prev_us").isNotNull &&
+        col("us") - col("prev_us") <= 1800L * 1000000L &&
+        col("prev_us") <= lit(cutNs / 1000L) && col("us") > lit(cutNs / 1000L))
+      .count()
+    assert(straddle > 0, "no cut-straddling transition — split landed degenerately")
+  }
+
   test("stream-stream interval join over a two-file event stream matches batch click attribution") {
     // a true stream-stream join: both sides are streaming, pairs are
     // emitted as their second half arrives across microbatch
