@@ -236,6 +236,8 @@ object SparkEntry {
     "graph_triangles" -> (graft.ops.GraphOps.triangles _),
     // deterministic fixed-round synchronous label propagation
     "graph_label_propagation" -> (graft.ops.GraphOps.labelPropagation _),
+    // density-thresholded k-core peeling (convergence-run, assert-bounded)
+    "graph_kcore" -> (graft.ops.GraphOps.kcore _),
     // market-basket association report: support/confidence/lift
     "basket_pair_lift" -> (graft.ops.GraphOps.basketPairLift _),
     // exact-power-sum bivariate stats (round 8): corr/covar/stddev
@@ -404,6 +406,7 @@ object SparkEntry {
     "graph_pagerank" -> ExtSql.graphPagerank,
     "graph_triangles" -> ExtSql.graphTriangles,
     "graph_label_propagation" -> ExtSql.graphLabelPropagation,
+    "graph_kcore" -> ExtSql.graphKcore,
     "basket_pair_lift" -> ExtSql.basketPairLift,
     "stats_correlation" -> ExtSql.statsCorrelation,
     "dq_checks" -> ExtSql.dqChecks,

@@ -302,4 +302,81 @@ object GraphOps {
         col("CommunitySize"))
       .orderBy(col("PartKey"))
   }
+
+  /** k-core threshold as a density ratio: K = (7 · ⌊Σdeg/n⌋) div 10 —
+    * 0.7× the average degree, all integer divisions, so K self-scales
+    * with corpus density instead of going vacuous when degrees grow
+    * with SF (a fixed K=3 admits the entire graph at every test
+    * scale). */
+  val KcoreDensityNum = 7L
+  val KcoreDensityDen = 10L
+  /** Mirror unroll depth; the engine ASSERTS its convergence loop
+    * fixpoints within this many peels (fail loudly if a regenerated
+    * corpus ever needs more — re-raise alongside the mirror). Peeling
+    * is monotone (the alive set only shrinks), so extra unrolled
+    * rounds past the fixpoint are exact no-ops. */
+  val KcoreUnrollRounds = 12
+
+  /** k-CORE DECOMPOSITION (Seidman 1983) at the density-derived
+    * threshold: iteratively peel nodes whose degree WITHIN the
+    * surviving subgraph falls below K until fixpoint — the standard
+    * cohesion filter (the "dense cluster" complement of
+    * [[labelPropagation]]'s partition). Output per node: its full
+    * degree, core membership, and its within-core degree.
+    *
+    * Exactness: degrees are integer counts and K is an exact integer
+    * ratio of them; the peel is a monotone set iteration — no floats,
+    * no ties to break, bit-identical in any engine. The engine runs
+    * the loop to CONVERGENCE (the componentsOf changed-count
+    * discipline — peeling cannot oscillate) and asserts fixpoint
+    * within [[KcoreUnrollRounds]]; the mirror unrolls exactly that
+    * many rounds (idempotent past the fixpoint).
+    *
+    * Scale shape: one round = two semi-joins of the cached edge
+    * substrate against the node-sized alive set + one Src-keyed count
+    * — Pregel-shaped like every graph loop here, edge list never
+    * re-shuffled, alive set localCheckpoint-pinned per round so the
+    * union of 12 rounds never replays lineage (live state is one
+    * node-sized set regardless of round count). The two driver-side
+    * scalars (K, per-round changed count) are metadata-cheap 1-row
+    * actions, the assignAuto precedent. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+    val nm = deg.agg(sum(col("OutDeg")).as("S"), count(lit(1)).as("N")).first()
+    val k = KcoreDensityNum * (nm.getLong(0) / nm.getLong(1)) / KcoreDensityDen
+    var alive = deg.select(col("Src").as("N")).localCheckpoint()
+    var aliveCount = alive.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      assert(rounds <= KcoreUnrollRounds,
+        s"k-core failed to fixpoint within $KcoreUnrollRounds peels — " +
+          "raise KcoreUnrollRounds together with the mirror's unroll")
+      val next = edges
+        .join(alive, edges("Src") === alive("N")).drop("N")
+        .join(alive.select(col("N").as("ND")), col("Dst") === col("ND"))
+        .groupBy(col("Src")).agg(count(lit(1)).as("C"))
+        .filter(col("C") >= k)
+        .select(col("Src").as("N"))
+        .localCheckpoint()
+      val nextCount = next.count()
+      if (nextCount == aliveCount) converged = true
+      else { alive = next; aliveCount = nextCount }
+    }
+    val coreDeg = edges
+      .join(alive, edges("Src") === alive("N")).drop("N")
+      .join(alive.select(col("N").as("ND")), col("Dst") === col("ND"))
+      .groupBy(col("Src")).agg(count(lit(1)).as("CoreDegree"))
+    deg
+      .join(alive, deg("Src") === alive("N"), "left")
+      .join(coreDeg.select(col("Src").as("SC"), col("CoreDegree")),
+        col("Src") === col("SC"), "left")
+      .select(col("Src").as("PartKey"),
+        col("OutDeg").cast(LongType).as("Degree"),
+        col("N").isNotNull.as("InCore"),
+        coalesce(col("CoreDegree"), lit(0L)).as("CoreDegree"))
+      .orderBy(col("PartKey"))
+  }
 }

@@ -1740,6 +1740,50 @@ ORDER BY f.node
 """
   }
 
+  /** k-core mirror: the same edge universe, the same exact-integer
+    * density threshold ((7·⌊Σdeg/n⌋) div 10 — divisions in the
+    * engine's order), and [[graft.ops.GraphOps.KcoreUnrollRounds]]
+    * peels unrolled as chained CTEs — the engine converges within
+    * that bound (asserted) and peeling is idempotent past the
+    * fixpoint, so the fixed unroll equals the convergence run. */
+  val graphKcore: String = {
+    import graft.ops.GraphOps._
+    // every CTE in the peel chain is MATERIALIZED — each round
+    // references its predecessor TWICE (both edge endpoints), so
+    // DuckDB's default inlining expands the chain 2^rounds-fold (the
+    // PcaPower mirror lesson; here it surfaced as "too many open
+    // files" from the exponentially re-read base table)
+    val rounds = (1 to KcoreUnrollRounds).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT e.src AS n, count(*) AS c
+       FROM e JOIN $prev a ON e.src = a.n JOIN $prev b ON e.dst = b.n
+       GROUP BY e.src),
+s$i AS MATERIALIZED (SELECT n FROM d$i CROSS JOIN kv WHERE c >= kv.k)"""
+    }.mkString(",\n")
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
+e AS MATERIALIZED (SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
+      WHERE a.part <> b.part),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+kv AS MATERIALIZED (SELECT $KcoreDensityNum * (sum(outdeg) // count(*)) // $KcoreDensityDen AS k
+       FROM deg),
+s0 AS MATERIALIZED (SELECT src AS n FROM deg),
+$rounds,
+cd AS (SELECT e.src AS n, count(*) AS c
+       FROM e JOIN s$KcoreUnrollRounds a ON e.src = a.n
+                JOIN s$KcoreUnrollRounds b ON e.dst = b.n
+       GROUP BY e.src)
+SELECT deg.src AS "PartKey", CAST(deg.outdeg AS BIGINT) AS "Degree",
+       (s.n IS NOT NULL) AS "InCore",
+       CAST(coalesce(cd.c, 0) AS BIGINT) AS "CoreDegree"
+FROM deg LEFT JOIN s$KcoreUnrollRounds s ON deg.src = s.n
+         LEFT JOIN cd ON deg.src = cd.n
+ORDER BY "PartKey"
+"""
+  }
+
   /** PII-redaction mirror: identical planted contact line, identical
     * regexes (shared constants — both dialects parse them the same),
     * 'g' flag to match Spark's replace-all. */

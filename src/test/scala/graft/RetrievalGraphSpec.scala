@@ -261,6 +261,34 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(sizes.values.max > 1)
   }
 
+  test("k-core: membership and core degrees equal a driver peel to fixpoint") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val k = GraphOps.KcoreDensityNum * (deg.values.sum / deg.size) / GraphOps.KcoreDensityDen
+    var alive = adj.keySet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      rounds += 1
+      val next = alive.filter(n => (adj(n) & alive).size >= k)
+      if (next == alive) done = true else alive = next
+    }
+    assert(rounds <= GraphOps.KcoreUnrollRounds, s"driver peel took $rounds rounds")
+    val got = GraphOps.kcore(spark, sfDir).collect()
+    assert(got.length === deg.size)
+    got.foreach { r =>
+      val n = r.getAs[Long]("PartKey")
+      assert(r.getAs[Long]("Degree") === deg(n))
+      assert(r.getAs[Boolean]("InCore") === alive.contains(n), s"membership wrong for $n")
+      val want = if (alive.contains(n)) (adj(n) & alive).size.toLong else 0L
+      assert(r.getAs[Long]("CoreDegree") === want, s"core degree wrong for $n")
+    }
+    // peeling must do SOMETHING here (neither all-in nor instant-empty)
+    assert(rounds >= 2, "corpus converged in one round — the loop is untested")
+  }
+
   test("quality classifier: labels, votes and predictions equal a driver NB recomputation") {
     val toks = docsTokens()
     val stop = TextOps.stopwords.toSet
