@@ -128,6 +128,8 @@ object SparkEntry {
     "dedup_neardup_pairs" -> (DedupOps.neardupPairs _),
     "dedup_editdistance" -> (DedupOps.editDistancePairs _),
     "dedup_jaccard_exact" -> (DedupOps.jaccardExact _),
+    // asymmetric containment |A∩B|/|A| (quote/subset detection)
+    "dedup_containment" -> (DedupOps.containment _),
     "dedup_components" -> (DedupOps.components _),
     // quality-aware survivor selection (round 9): keep-best-copy
     // policy over the same clusters, argmax as a combinable aggregate
@@ -336,6 +338,7 @@ object SparkEntry {
     "dedup_neardup_pairs" -> ExtSql.dedupNeardupPairs,
     "dedup_editdistance" -> ExtSql.dedupEditDistance,
     "dedup_jaccard_exact" -> ExtSql.dedupJaccardExact,
+    "dedup_containment" -> ExtSql.dedupContainment,
     "dedup_components" -> ExtSql.dedupComponents,
     "dedup_survivor_quality" -> ExtSql.dedupSurvivorQuality,
     "dedup_incremental" -> ExtSql.dedupIncremental,

@@ -1125,4 +1125,64 @@ object DedupOps {
       .select(col("D1"), col("D2"), col("NInter"), col("NUnion"), col("Jaccard"))
       .orderBy(col("D1"), col("D2"))
   }
+
+  /** Containment threshold |A∩B|/|A| ≥ 4/5 as an exact rational. */
+  val ContainNum = 4L
+  val ContainDen = 5L
+
+  /** SHINGLE-CONTAINMENT NEAR-DUP — the ASYMMETRIC complement of
+    * [[jaccardExact]]: ordered pairs (Inner, Outer) where
+    * |Inner ∩ Outer| / |Inner| ≥ [[ContainNum]]/[[ContainDen]], i.e.
+    * the inner doc's shingles are mostly contained in the outer's.
+    * Jaccard misses exactly this case (a short doc quoted inside a
+    * long one has tiny union-normalized similarity); containment is
+    * the standard detector for quote/subset/boilerplate-embedding
+    * relations (Broder's resemblance-vs-containment split, 1997).
+    *
+    * Prefix filtering adapts one-sidedly: C ≥ t ⟹ |Inner\Outer| ≤
+    * (1−t)·|Inner|, and Inner's prefix of length
+    * |Inner| − ⌈t·|Inner|⌉ + 1 is longer than that, so at least one
+    * PREFIX shingle of Inner lands in Outer — candidates =
+    * prefix(Inner) ⋈ FULL listing(Outer), with only the one-sided
+    * size bound |Outer| ≥ t·|Inner| (cross-multiplied in integers;
+    * no upper bound — a small doc inside a huge one is the point).
+    * Prefix ordering is globally-rarest-first (the jaccardExact
+    * fan-out discipline; correctness is ordering-independent).
+    * Verification is exact: NInter·Den ≥ |Inner|·Num, and the
+    * reported Containment is ONE deterministic division.
+    *
+    * Scale shape: identical to [[jaccardExact]] — shingle substrate
+    * shared, df counts one hash agg, candidates bounded by prefix
+    * rarity, exact verify only on candidates. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = sharedShingles(spark, dir)
+    val sized = sh.withColumn("N", size(col("Sh"))).filter(col("N") > 0)
+      .withColumn("PrefLen",
+        col("N") - expr(s"CAST((N * $ContainNum + ${ContainDen - 1}) DIV $ContainDen AS INT)") + 1)
+    val exploded = sized.select(col("doc_id"), col("N"), col("PrefLen"),
+      explode(col("Sh")).as("Shingle"))
+    val dfCounts = exploded.groupBy(col("Shingle")).agg(count(lit(1)).as("Df"))
+    val prefix = exploded.join(dfCounts, "Shingle")
+      .withColumn("Pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("Df"), col("Shingle"))))
+      .filter(col("Pos") <= col("PrefLen"))
+      .select(col("Shingle"), col("doc_id").as("DA"), col("N").as("NA"))
+    val full = exploded
+      .select(col("Shingle").as("ShF"), col("doc_id").as("DB"), col("N").as("NB"))
+    val cand = prefix.join(full,
+        col("Shingle") === col("ShF") &&
+          col("DA") =!= col("DB") &&
+          col("NB") * ContainDen >= col("NA") * ContainNum)
+      .select(col("DA"), col("DB")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("DA"), col("Sh").as("ShA")), "DA")
+      .join(sh.select(col("doc_id").as("DB"), col("Sh").as("ShB")), "DB")
+      .withColumn("NShingles", size(col("ShA")))
+      .withColumn("NInter", size(array_intersect(col("ShA"), col("ShB"))))
+      .filter(col("NInter") * ContainDen >= col("NShingles") * ContainNum)
+      .select(col("DA").as("InnerId"), col("DB").as("OuterId"),
+        col("NShingles"), col("NInter"),
+        (col("NInter").cast(DoubleType) / col("NShingles")).as("Containment"))
+      .orderBy(col("InnerId"), col("OuterId"))
+  }
 }

@@ -627,6 +627,28 @@ FROM j WHERE CAST("NInter" AS DOUBLE) / "NUnion" >= ${graft.ops.DedupOps.Jaccard
 ORDER BY "D1", "D2"
 """
 
+  /** Containment mirror: brute-force ordered self-join (the engine's
+    * prefix filter is LOSSLESS, so the full quadratic comparison must
+    * agree pair-for-pair), identical integer cross-multiplied
+    * threshold, one division. */
+  val dedupContainment: String = {
+    import graft.ops.DedupOps.{ContainNum, ContainDen}
+    toksCte + s"""
+, sh2 AS (SELECT doc_id, $shExpr AS s FROM toks),
+shn AS (SELECT doc_id, s FROM sh2 WHERE len(s) > 0),
+j AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         CAST(len(a.s) AS INTEGER) AS na,
+         CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS ni
+  FROM shn a JOIN shn b ON a.doc_id <> b.doc_id
+)
+SELECT ia AS "InnerId", ib AS "OuterId", na AS "NShingles", ni AS "NInter",
+       CAST(ni AS DOUBLE) / na AS "Containment"
+FROM j WHERE ni * $ContainDen >= na * $ContainNum
+ORDER BY "InnerId", "OuterId"
+"""
+  }
+
   /** Incremental (new-vs-corpus) dedup mirror: same band listing, the
     * join constrained to new × corpus instead of the self-pairing. */
   val dedupIncremental: String = {

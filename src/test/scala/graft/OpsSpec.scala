@@ -91,6 +91,34 @@ class OpsSpec extends SparkSpec {
       "exact Jaccard join fell back to a quadratic join strategy")
   }
 
+  test("dedup: prefix-filtered containment join equals brute force; asymmetry is real") {
+    val got = DedupOps.containment(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("InnerId"), r.getAs[Long]("OuterId"))).toSet
+    assert(got.nonEmpty, "no qualifying containment pairs at this SF — test is vacuous")
+    val sh = DedupOps.sharedShingles(spark, sfDir).filter(size(col("Sh")) > 0)
+    val brute = sh.select(col("doc_id").as("DA"), col("Sh").as("ShA"))
+      .crossJoin(sh.select(col("doc_id").as("DB"), col("Sh").as("ShB")))
+      .filter(col("DA") =!= col("DB"))
+      .withColumn("NI", size(array_intersect(col("ShA"), col("ShB"))))
+      .filter(col("NI") * DedupOps.ContainDen >= size(col("ShA")) * DedupOps.ContainNum)
+      .collect().map(r => (r.getAs[Long]("DA"), r.getAs[Long]("DB"))).toSet
+    assert(got === brute, "one-sided prefix filtering dropped or invented a containment pair")
+    // asymmetry of the METRIC: some mutual pair reports different
+    // Containment per direction (|A∩B|/|A| vs /|B| — the quantity
+    // Jaccard's union normalization collapses). At this SF all
+    // qualifying pairs happen to qualify both ways, so membership
+    // asymmetry would be vacuous; value asymmetry is not.
+    val vals = DedupOps.containment(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("InnerId"), r.getAs[Long]("OuterId")) ->
+        r.getAs[Double]("Containment")).toMap
+    assert(vals.exists { case ((a, b), c) =>
+      vals.get((b, a)).exists(_ != c)
+    }, "every pair's containment is direction-independent — the asymmetric metric is untested")
+    val plan = DedupOps.containment(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "containment join fell back to a quadratic join strategy")
+  }
+
   test("dedup: incremental new-vs-corpus equals the straddling subset of the full self-join") {
     val rows = DedupOps.incremental(spark, sfDir).collect()
     assert(rows.nonEmpty, "no straddling near-dups at this SF — test is vacuous")
