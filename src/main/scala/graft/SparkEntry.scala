@@ -61,6 +61,8 @@ object SparkEntry {
     "timeseries_changepoint" -> cleanedQ(Summaries.cusumChangepoint),
     // additive trend/weekday-seasonal/residual decomposition
     "timeseries_decompose" -> cleanedQ(Summaries.seasonalDecompose),
+    // exact ACF at lags 1..7 (mean-eliminated integer sums)
+    "timeseries_autocorr" -> cleanedQ(Summaries.autocorrDaily),
     // sales-analytics classics (round 8): RFM segmentation + cohort
     // retention — post-aggregation windows only (A13/⚠Q discipline)
     "customer_rfm" -> cleanedQ(Summaries.customerRfm),
@@ -299,6 +301,7 @@ object SparkEntry {
     "timeseries_theilsen" -> CoreSql.theilSenTrend,
     "timeseries_changepoint" -> CoreSql.cusumChangepoint,
     "timeseries_decompose" -> CoreSql.seasonalDecompose,
+    "timeseries_autocorr" -> CoreSql.timeseriesAutocorr,
     "customer_rfm" -> CoreSql.customerRfm,
     "cohort_retention" -> CoreSql.cohortRetention,
     "window_lag_growth" -> CoreSql.lagGrowth,

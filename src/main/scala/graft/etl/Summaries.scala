@@ -694,4 +694,53 @@ object Summaries {
           .as("Residual"))
       .transform(smallSort(_, col("Date")))
   }
+
+  /** Autocorrelation lags reported by [[autocorrDaily]]. */
+  val AcfMaxLag = 7
+
+  /** AUTOCORRELATION FUNCTION of the daily revenue series at lags
+    * 1..[[AcfMaxLag]] — the dependence diagnostic behind
+    * [[seasonalDecompose]]'s weekly seasonal (a true weekly cycle
+    * shows as an ACF peak at lag 7). Exactness via the
+    * mean-elimination trick: with y_t = n·q_t − S (q in scale-4
+    * integer units, S = Σq, both exact), ACF(k) = Σ y_t·y_{t−k} /
+    * Σ y_t² — the n² factors cancel, so every sum is EXACT
+    * DECIMAL(38,0) arithmetic (the statsCorrelation wide-combination
+    * rule; y ~ n·q can reach ~2⁴⁵, y² ~2⁹⁰ — far past long but
+    * 28 digits under the decimal ceiling at a 10-year daily series)
+    * and each reported Acf is two correctly-rounded casts + ONE IEEE
+    * division. Lag products ride lag() columns over the one
+    * calendar-sized window (A13 rule); the 7 numerators come out of
+    * ONE aggregate row, unpivoted with stack — no per-lag scan.
+    *
+    * Lag-k products pair CONSECUTIVE OBSERVATIONS k rows apart (the
+    * series index is the row, as in seasonalDecompose's
+    * 7-observation window); gapped calendars compose with
+    * gapfillDaily first — documented contract, identical on both
+    * sides. */
+  def autocorrDaily(cleaned: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val daily = sales(cleaned).groupBy(col("Date"))
+      .agg(decSum(col("TotalAmount")).as("RevDec"))
+      .withColumn("Q", (col("RevDec") * 10000).cast(LongType))
+    val stats = daily.agg(count(lit(1)).as("N"), sum(col("Q")).as("S"))
+    val w = Window.orderBy(col("Date"))
+    val y = daily.crossJoin(broadcast(stats))
+      .withColumn("Y",
+        (col("N").cast(d38) * col("Q").cast(d38) - col("S").cast(d38)))
+    val withLags = (1 to AcfMaxLag).foldLeft(y) { (df, k) =>
+      df.withColumn(s"Y$k", lag(col("Y"), k).over(w))
+    }
+    val aggCols = sum(col("Y") * col("Y")).as("Den") +:
+      (1 to AcfMaxLag).flatMap(k => Seq(
+        sum(col("Y") * col(s"Y$k")).as(s"Num$k"),
+        count(col(s"Y$k")).as(s"Cnt$k")))
+    val sums = withLags.agg(aggCols.head, aggCols.tail: _*)
+    sums.select(explode(array((1 to AcfMaxLag).map(k =>
+        struct(lit(k).as("Lag"), col(s"Cnt$k").as("NPairs"),
+          col(s"Num$k").as("Num"))): _*)).as("R"), col("Den"))
+      .select(col("R.Lag").as("Lag"), col("R.NPairs").as("NPairs"),
+        (col("R.Num").cast(DoubleType) / col("Den").cast(DoubleType)).as("Acf"))
+      .orderBy(col("Lag"))
+  }
 }

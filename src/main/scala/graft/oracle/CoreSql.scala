@@ -515,4 +515,34 @@ SELECT x."Date", x.wd AS "Weekday",
 FROM x JOIN se ON x.wd = se.wd
 ORDER BY x."Date"
 """
+
+  /** ACF mirror: identical scale-4 units, the same mean-eliminated
+    * y = n·q − S in HUGEINT (≡ the engine's DECIMAL(38,0) — both
+    * exact at these magnitudes), identical lag pairing over the date
+    * order, per-lag Acf as the same two casts + one division. */
+  val timeseriesAutocorr: String = {
+    val maxLag = graft.etl.Summaries.AcfMaxLag
+    val lagCols = (1 to maxLag)
+      .map(k => s"""lag(y, $k) OVER (ORDER BY "Date") AS y$k""").mkString(", ")
+    val sumCols = (1 to maxLag)
+      .map(k => s"sum(y * y$k) AS num$k, count(y$k) AS cnt$k").mkString(", ")
+    val rows = (1 to maxLag).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS "Lag", CAST(cnt$k AS BIGINT) AS "NPairs",
+       CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE) AS "Acf" FROM sm"""
+    }.mkString("\nUNION ALL\n")
+    txnCte + s""",
+cd AS (
+  SELECT "Date",
+         CAST(sum(CAST("TotalAmount" AS DECIMAL(18,4))) * 10000 AS BIGINT) AS q
+  FROM sales GROUP BY "Date"
+),
+st AS (SELECT count(*) AS n, sum(q) AS s FROM cd),
+yv AS (SELECT "Date", CAST(st.n AS HUGEINT) * q - CAST(st.s AS HUGEINT) AS y
+       FROM cd CROSS JOIN st),
+l AS (SELECT "Date", y, $lagCols FROM yv),
+sm AS (SELECT sum(y * y) AS den, $sumCols FROM l)
+$rows
+ORDER BY "Lag"
+"""
+  }
 }

@@ -231,6 +231,36 @@ class SummariesSpec extends SparkSpec {
     assert(nullTrend === 6)
   }
 
+  test("autocorr: weekly-patterned series peaks at lag 7; values equal a driver recomputation") {
+    val base = java.time.LocalDate.parse("1995-06-05") // a Monday
+    val rows = (0 until 70).map { t =>
+      val day = base.plusDays(t.toLong)
+      val rev = 100.0 + 10.0 * (day.getDayOfWeek.getValue - 1)
+      sale(s"I$t", 1, rev, s"$day 12:00:00")
+    }
+    val out = Summaries.autocorrDaily(mk(rows)).collect()
+    assert(out.map(_.getAs[Int]("Lag")).toSeq === (1 to Summaries.AcfMaxLag))
+    val acf = out.map(r => r.getAs[Int]("Lag") -> r.getAs[Double]("Acf")).toMap
+    // strict weekly periodicity: lag 7 dominates every shorter lag
+    (1 to 6).foreach(k => assert(acf(7) > acf(k), s"ACF(7)=${acf(7)} not above ACF($k)=${acf(k)}"))
+    assert(acf(7) > 0.5)
+    // driver recomputation of the exact formula (BigInt — the engine's
+    // decimal(38,0) sums must match these bit-for-bit after division)
+    val q = (0 until 70).map { t =>
+      val day = base.plusDays(t.toLong)
+      BigInt(math.round((100.0 + 10.0 * (day.getDayOfWeek.getValue - 1)) * 10000))
+    }
+    val n = BigInt(q.size); val s = q.sum
+    val y = q.map(v => n * v - s)
+    val den = y.map(v => v * v).sum
+    out.foreach { r =>
+      val k = r.getAs[Int]("Lag")
+      val num = (k until 70).map(t => y(t) * y(t - k)).sum
+      assert(r.getAs[Long]("NPairs") === (70 - k).toLong)
+      assert(r.getAs[Double]("Acf") === num.toDouble / den.toDouble, s"lag $k mismatch")
+    }
+  }
+
   test("cusum: no-shift constant series still returns a proper split with equal means") {
     val base = java.time.LocalDate.parse("1995-06-01")
     val rows = (0 until 10).map { t =>
