@@ -212,6 +212,8 @@ object SparkEntry {
     // RM3-style pseudo-relevance feedback (round 9): first-pass top-k
     // as the feedback set, integer expansion weights, BM25 re-score
     "retrieval_prf_expand" -> (RetrievalOps.prfExpand _),
+    // Dirichlet-smoothed query-likelihood LM retrieval (integer bits)
+    "retrieval_query_likelihood" -> (RetrievalOps.queryLikelihoodTopk _),
     // retrieval-quality eval (round 10): recall/precision/RR per
     // (method, query) against declared relevance — conjunctive term
     // containment for lexical, exact top-k for ANN
@@ -394,6 +396,7 @@ object SparkEntry {
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
     "retrieval_hybrid_rrf" -> ExtSql.retrievalHybridRrf,
     "retrieval_prf_expand" -> ExtSql.retrievalPrfExpand,
+    "retrieval_query_likelihood" -> ExtSql.retrievalQueryLikelihood,
     "retrieval_eval" -> ExtSql.retrievalEval,
     "multimodal_meta" -> ExtSql.multimodalMeta,
     "multimodal_framesample" -> ExtSql.multimodalFrameSample,

@@ -260,4 +260,68 @@ object RetrievalOps {
         col("ScoreQ"), col("Score"), col("Rank"), col("ExpTerms"))
       .orderBy(col("QueryId"), col("Rank"))
   }
+
+  /** Dirichlet smoothing pseudo-count µ for [[queryLikelihoodTopk]] —
+    * set near the corpus average doc length (the standard guidance
+    * scaled to this corpus's ~30-token docs; the classic 2000 assumes
+    * web-document lengths and would flatten every score here). */
+  val QlMu = 25L
+
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Ponte &
+    * Croft 1998; Zhai & Lafferty 2001) — the language-modeling
+    * scoring family next to BM25's probabilistic-relevance one, over
+    * the same query workload and postings substrate. The standard
+    * decomposition scores only HIT terms plus a per-doc length
+    * penalty: log p(Q|D) = Σ_{t∈Q∩D} log(1 + tf·C/(µ·ctf)) +
+    * |Q|·log(µ/(dl+µ)) + const(Q).
+    *
+    * Exactness: both log terms are quantized to INTEGER BITS with the
+    * perplexity floor-log2 quantizer (`len(bin(x div y)) − 1` — all
+    * integer arithmetic, no libm), so ScoreBits is an exact integer
+    * in both engines and ranking is the total order (bits desc,
+    * doc_id). Declared semantics — the engine DEFINES QL at bit
+    * resolution, as ⚠Q defines qcut. Int64 ceiling: tf·C overflows
+    * long once the corpus passes ~10¹⁷ tokens / µ·ctf — promote to
+    * decimal(38,0) there (the pagerank rule).
+    *
+    * Scale shape: identical to [[TextOps.bm25Topk]] — query terms are
+    * a broadcast literal filtering the cached postings substrate
+    * (hit-sized), ctf is a vocabulary-of-query-terms aggregate, C is
+    * the 1-row docStats broadcast, and the per-query top-k is a
+    * WindowGroupLimit. */
+  def queryLikelihoodTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps.{Bm25Queries, Bm25TopK}
+    val spark0 = spark
+    import spark0.implicits._
+    val allTerms = Bm25Queries.flatMap(_._2.split("\\s+")).distinct.sorted
+    val tf = TextOps.docPostings(spark, dir).filter(col("Term").isInCollection(allTerms))
+    val ctf = tf.groupBy(col("Term")).agg(sum(col("Tf")).cast(LongType).as("Ctf"))
+    val stats = TextOps.docStats(spark, dir)
+    val queries = Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(qid -> _) }
+      .toDF("QueryId", "Term")
+    val qlen = queries.groupBy(col("QueryId")).agg(count(lit(1)).as("QLen"))
+    val hits = tf
+      .join(broadcast(ctf), "Term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), "Term")
+      .withColumn("HitBits",
+        (length(expr(s"bin(($QlMu * Ctf + Tf * SumDl) div ($QlMu * Ctf))")) - 1)
+          .cast(IntegerType))
+    val w = Window.partitionBy(col("QueryId"))
+      .orderBy(col("ScoreBits").desc, col("doc_id").asc)
+    hits.groupBy(col("QueryId"), col("doc_id"), col("Dl"))
+      .agg(sum(col("HitBits")).as("HitBitsSum"),
+        count(lit(1)).cast(IntegerType).as("NTermsHit"))
+      .join(broadcast(qlen), "QueryId")
+      .withColumn("ScoreBits",
+        (col("HitBitsSum") -
+          col("QLen") * (length(expr(s"bin((Dl + $QlMu) div $QlMu)")) - 1))
+          .cast(LongType))
+      .withColumn("Rank", row_number().over(w))
+      .filter(col("Rank") <= Bm25TopK)
+      .select(col("QueryId"), col("doc_id"), col("NTermsHit"),
+        col("ScoreBits"), col("Rank"))
+      .orderBy(col("QueryId"), col("Rank"))
+  }
 }

@@ -1315,6 +1315,44 @@ ORDER BY qid, rn
 """
   }
 
+  /** Query-likelihood mirror: identical hit-term filter, identical
+    * integer-bit quantizer (`len(bin(x // y)) − 1` — the perplexity
+    * pattern), identical per-doc length penalty and (bits desc,
+    * doc_id) total order. */
+  val retrievalQueryLikelihood: String = {
+    val terms = TextOps.Bm25Queries.flatMap(_._2.split("\\s+")).distinct.sorted
+    val qvals = TextOps.Bm25Queries
+      .flatMap { case (qid, q) => q.split("\\s+").distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val mu = graft.ops.RetrievalOps.QlMu
+    toksCte + s"""
+, ex AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS dl, unnest(t) AS tok FROM toks),
+tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS INTEGER) AS tfc
+       FROM ex WHERE tok IN (${sqlList(terms)}) GROUP BY doc_id, dl, tok),
+ctf AS (SELECT tok, CAST(sum(tfc) AS BIGINT) AS ctfv FROM tf GROUP BY tok),
+st AS (SELECT CAST(sum(len(t)) AS BIGINT) AS sumdl FROM toks),
+q(qid, tok) AS (VALUES $qvals),
+ql AS (SELECT qid, count(*) AS qlen FROM q GROUP BY qid),
+s AS (
+  SELECT q.qid, tf.doc_id, tf.dl,
+         CAST(len(bin(($mu * ctfv + tfc * sumdl) // ($mu * ctfv))) - 1 AS INTEGER) AS hb
+  FROM tf JOIN ctf USING (tok) JOIN q ON q.tok = tf.tok CROSS JOIN st
+),
+g AS (SELECT qid, doc_id, dl, sum(hb) AS hbs, CAST(count(*) AS INTEGER) AS nhit
+      FROM s GROUP BY qid, doc_id, dl),
+sc AS (
+  SELECT g.qid, g.doc_id, g.nhit,
+         CAST(g.hbs - ql.qlen * (len(bin((g.dl + $mu) // $mu)) - 1) AS BIGINT) AS sb
+  FROM g JOIN ql ON g.qid = ql.qid
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sb DESC, doc_id ASC) AS INTEGER) AS rn
+      FROM sc)
+SELECT qid AS "QueryId", doc_id, nhit AS "NTermsHit", sb AS "ScoreBits", rn AS "Rank"
+FROM r WHERE rn <= ${TextOps.Bm25TopK}
+ORDER BY qid, rn
+"""
+  }
+
   /** Exact-substring span mirror: identical sliding windows
     * (list_slice(t, i, i+W-1) ≡ Spark's slice(Toks, i, W)), identical
     * md5-of-joined-window hashes, df via the same count-over-hash

@@ -261,6 +261,43 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(sizes.values.max > 1)
   }
 
+  test("query likelihood: bit scores and ranking equal a driver recomputation") {
+    import graft.ops.RetrievalOps
+    val toks = docsTokens()
+    val mu = RetrievalOps.QlMu
+    val sumDl = toks.values.map(_.size.toLong).sum
+    val allTerms = TextOps.Bm25Queries.flatMap(_._2.split("\\s+")).distinct
+    val ctf = allTerms.map(t => t -> toks.values.map(_.count(_ == t).toLong).sum).toMap
+    def bits(x: Long, y: Long): Int = java.lang.Long.toBinaryString(x / y).length - 1
+    val got = RetrievalOps.queryLikelihoodTopk(spark, sfDir).collect()
+      .groupBy(_.getAs[Int]("QueryId"))
+    TextOps.Bm25Queries.foreach { case (qid, q) =>
+      val qts = q.split("\\s+").distinct.toSeq
+      val scored = toks.toSeq.flatMap { case (d, ts) =>
+        val hits = qts.filter(ts.contains)
+        if (hits.isEmpty) None
+        else {
+          val hb = hits.map { t =>
+            val tfc = ts.count(_ == t).toLong
+            bits(mu * ctf(t) + tfc * sumDl, mu * ctf(t))
+          }.sum
+          val pen = qts.size * bits(ts.size + mu, mu)
+          Some((d, (hb - pen).toLong, hits.size))
+        }
+      }
+      val want = scored.sortBy { case (d, s, _) => (-s, d) }.take(TextOps.Bm25TopK)
+      val rows = got(qid).sortBy(_.getAs[Int]("Rank"))
+      assert(rows.length === want.length, s"query $qid row count")
+      rows.zip(want).zipWithIndex.foreach { case ((r, (d, s, nh)), i) =>
+        assert(r.getAs[Long]("doc_id") === d, s"query $qid rank ${i + 1} doc")
+        assert(r.getAs[Long]("ScoreBits") === s, s"query $qid doc $d score")
+        assert(r.getAs[Int]("NTermsHit") === nh)
+      }
+      // non-vacuous: the bit quantizer must separate scores somewhere
+      assert(scored.map(_._2).distinct.size > 1, s"query $qid scores all equal")
+    }
+  }
+
   test("k-core: membership and core degrees equal a driver peel to fixpoint") {
     val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
