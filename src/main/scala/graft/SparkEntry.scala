@@ -63,6 +63,8 @@ object SparkEntry {
     "timeseries_decompose" -> cleanedQ(Summaries.seasonalDecompose),
     // exact ACF at lags 1..7 (mean-eliminated integer sums)
     "timeseries_autocorr" -> cleanedQ(Summaries.autocorrDaily),
+    // Tukey-fence IQR outlier report per country
+    "clean_outliers_iqr" -> cleanedQ(Summaries.outliersIqr),
     // sales-analytics classics (round 8): RFM segmentation + cohort
     // retention — post-aggregation windows only (A13/⚠Q discipline)
     "customer_rfm" -> cleanedQ(Summaries.customerRfm),
@@ -304,6 +306,7 @@ object SparkEntry {
     "timeseries_changepoint" -> CoreSql.cusumChangepoint,
     "timeseries_decompose" -> CoreSql.seasonalDecompose,
     "timeseries_autocorr" -> CoreSql.timeseriesAutocorr,
+    "clean_outliers_iqr" -> CoreSql.cleanOutliersIqr,
     "customer_rfm" -> CoreSql.customerRfm,
     "cohort_retention" -> CoreSql.cohortRetention,
     "window_lag_growth" -> CoreSql.lagGrowth,

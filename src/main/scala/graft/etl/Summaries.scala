@@ -695,6 +695,45 @@ object Summaries {
       .transform(smallSort(_, col("Date")))
   }
 
+  /** IQR OUTLIER REPORT per country — the Tukey-fences data-prep
+    * staple (flag rows outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]) the
+    * reference's dropna-only cleaning never reaches. Quartiles are
+    * EXACT `percentile` (≡ DuckDB `quantile_cont` bit-for-bit — the
+    * corpus_stats-proven parity); 1.5 is an exact binary double, the
+    * fences are IEEE arithmetic on identical inputs, and every flag
+    * is a comparison of identical doubles — so the counts are
+    * integers both engines agree on exactly. OutlierRate is ONE
+    * division.
+    *
+    * Scale shape: exact percentile needs the group's values — at
+    * 100 TB swap in `percentile_approx` (the A8 sketch-row pattern)
+    * or the t-digest sketch; the fence arithmetic and counting pass
+    * are unchanged. Flag counting joins the 25-row fence table back
+    * broadcast, one fact scan. */
+  def outliersIqr(cleaned: DataFrame): DataFrame = {
+    val s = sales(cleaned)
+    val fences = s.groupBy(col("Country"))
+      .agg(count(lit(1)).as("NRows"),
+        expr("percentile(TotalAmount, 0.25D)").as("Q1"),
+        expr("percentile(TotalAmount, 0.75D)").as("Q3"))
+      .withColumn("IqrLo", col("Q1") - lit(1.5) * (col("Q3") - col("Q1")))
+      .withColumn("IqrHi", col("Q3") + lit(1.5) * (col("Q3") - col("Q1")))
+    s.join(broadcast(fences), "Country")
+      .groupBy(col("Country"))
+      // max() of per-group-constant columns, NOT first() — the ⚠First
+      // rule (values are identical within the group, so max is exact)
+      .agg(max(col("NRows")).as("NRows"),
+        max(col("Q1")).as("Q1"), max(col("Q3")).as("Q3"),
+        max(col("IqrLo")).as("IqrLo"), max(col("IqrHi")).as("IqrHi"),
+        sum(when(col("TotalAmount") < col("IqrLo"), 1L).otherwise(0L)).as("NBelow"),
+        sum(when(col("TotalAmount") > col("IqrHi"), 1L).otherwise(0L)).as("NAbove"))
+      .withColumn("OutlierRate",
+        (col("NBelow") + col("NAbove")).cast(DoubleType) / col("NRows"))
+      .select(col("Country"), col("NRows"), col("Q1"), col("Q3"),
+        col("IqrLo"), col("IqrHi"), col("NBelow"), col("NAbove"), col("OutlierRate"))
+      .transform(smallSort(_, col("Country")))
+  }
+
   /** Autocorrelation lags reported by [[autocorrDaily]]. */
   val AcfMaxLag = 7
 

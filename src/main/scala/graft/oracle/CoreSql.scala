@@ -516,6 +516,29 @@ FROM x JOIN se ON x.wd = se.wd
 ORDER BY x."Date"
 """
 
+  /** IQR-outlier mirror: quantile_cont ≡ percentile (proven parity),
+    * identical IEEE fence arithmetic, identical comparisons. */
+  val cleanOutliersIqr: String = txnCte + s""",
+f AS (
+  SELECT "Country", count(*) AS nr,
+         quantile_cont("TotalAmount", 0.25) AS q1,
+         quantile_cont("TotalAmount", 0.75) AS q3
+  FROM sales GROUP BY "Country"
+),
+fe AS (
+  SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f
+)
+SELECT fe."Country", CAST(fe.nr AS BIGINT) AS "NRows",
+       fe.q1 AS "Q1", fe.q3 AS "Q3", fe.lo AS "IqrLo", fe.hi AS "IqrHi",
+       CAST(sum(CASE WHEN s."TotalAmount" < fe.lo THEN 1 ELSE 0 END) AS BIGINT) AS "NBelow",
+       CAST(sum(CASE WHEN s."TotalAmount" > fe.hi THEN 1 ELSE 0 END) AS BIGINT) AS "NAbove",
+       CAST(sum(CASE WHEN s."TotalAmount" < fe.lo OR s."TotalAmount" > fe.hi
+                     THEN 1 ELSE 0 END) AS DOUBLE) / fe.nr AS "OutlierRate"
+FROM sales s JOIN fe ON s."Country" = fe."Country"
+GROUP BY fe."Country", fe.nr, fe.q1, fe.q3, fe.lo, fe.hi
+ORDER BY fe."Country"
+"""
+
   /** ACF mirror: identical scale-4 units, the same mean-eliminated
     * y = n·q − S in HUGEINT (≡ the engine's DECIMAL(38,0) — both
     * exact at these magnitudes), identical lag pairing over the date

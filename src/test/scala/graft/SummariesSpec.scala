@@ -261,6 +261,23 @@ class SummariesSpec extends SparkSpec {
     }
   }
 
+  test("outliersIqr: planted spike is flagged, clean bulk is not, counts reconcile") {
+    val base = java.time.LocalDate.parse("1995-06-01")
+    // 99 sales at 100 ± small spread, one 10_000 spike: exactly one
+    // upper outlier, zero lower (fences from the tight quartiles)
+    val rows = (0 until 99).map { t =>
+      sale(s"I$t", 1, 100.0 + (t % 5), s"${base.plusDays(t.toLong % 30)} 12:00:00")
+    } :+ sale("SPIKE", 1, 10000.0, s"$base 12:00:00")
+    val out = Summaries.outliersIqr(mk(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("NRows") === 100L)
+    assert(r.getAs[Long]("NAbove") === 1L, s"spike not flagged: $r")
+    assert(r.getAs[Long]("NBelow") === 0L)
+    assert(r.getAs[Double]("OutlierRate") === 0.01)
+    assert(r.getAs[Double]("IqrHi") < 10000.0 && r.getAs[Double]("IqrLo") < 100.0)
+  }
+
   test("cusum: no-shift constant series still returns a proper split with equal means") {
     val base = java.time.LocalDate.parse("1995-06-01")
     val rows = (0 until 10).map { t =>
