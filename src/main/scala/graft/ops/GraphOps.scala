@@ -226,9 +226,14 @@ object GraphOps {
     val withDd = e
       .join(deg.select(col("N").as("DstN"), col("Deg").as("DegD")), col("Dst") === col("DstN"))
       .select(col("Src"), col("Dst"), col("OutDeg").as("DegS"), col("DegD"))
-    // keep the lower-(deg, id) → higher-(deg, id) direction only
+    // keep the lower-(deg, id) → higher-(deg, id) direction only.
+    // localCheckpoint: the oriented edge set feeds THREE plan arms
+    // (both wedge sides + the closing join) — unpinned, each arm
+    // re-runs the edge⋈deg build (measured ~1/3 of the query's wall
+    // at sf0.1); pinned, the m/2-row table is built once
     val o = withDd.filter(col("DegS") < col("DegD") ||
         (col("DegS") === col("DegD") && col("Src") < col("Dst")))
+      .localCheckpoint()
     val e1 = o.select(col("Src").as("U"), col("Dst").as("V"), col("DegD").as("DegV"))
     val e2 = o.select(col("Src").as("U2"), col("Dst").as("W"), col("DegD").as("DegW"))
     // wedges at apex U: ordered pairs of out-neighbors (V before W)
