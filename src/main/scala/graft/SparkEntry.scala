@@ -228,6 +228,8 @@ object SparkEntry {
     "multimodal_ahash_neardup" -> (MultimodalOps.ahashNeardup _),
     // DCT perceptual hash (brightness-invariant image near-dup)
     "multimodal_phash_neardup" -> (MultimodalOps.phashNeardup _),
+    // Haitsma-Kalker energy-delta fingerprint (gain-invariant audio near-dup)
+    "multimodal_audio_fingerprint" -> (MultimodalOps.audioFingerprint _),
     // ---- relational surface: rollup, set ops, as-of, regex tokens ----
     "rollup_country_year" -> (RelationalOps.rollupCountryYear _),
     "groupingsets_country_year" -> (RelationalOps.groupingSetsCountryYear _),
@@ -407,6 +409,7 @@ object SparkEntry {
     "multimodal_resize" -> ExtSql.multimodalResize,
     "multimodal_ahash_neardup" -> ExtSql.multimodalAhashNeardup,
     "multimodal_phash_neardup" -> ExtSql.multimodalPhashNeardup,
+    "multimodal_audio_fingerprint" -> ExtSql.multimodalAudioFingerprint,
     "rollup_country_year" -> ExtSql.rollupCountryYear,
     "groupingsets_country_year" -> ExtSql.groupingSetsCountryYear,
     "cube_country_year" -> ExtSql.cubeCountryYear,

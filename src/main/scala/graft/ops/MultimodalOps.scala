@@ -515,6 +515,73 @@ object MultimodalOps {
       .orderBy(col("IdA"), col("IdB"))
   }
 
+  /** "Close pair" Hamming ceiling for [[audioFingerprint]]'s IsClose
+    * verdict (the [[PhashMaxHamming]] candidate-report discipline). */
+  val AudioMaxHamming = 10
+
+  /** AUDIO FINGERPRINT NEAR-DUP — the energy-difference fingerprint
+    * (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting
+    * System", ISMIR 2002) as the audio-modality member of the
+    * perceptual-hash family: 256 evenly-spaced payload bytes → 64
+    * frames of 4 samples → frame energies E_f = Σ s² → 63 bits of
+    * b_f = (E_{f+1} > E_f). Because every bit is a COMPARISON of
+    * energies, the hash is exactly invariant under any monotone gain
+    * change (volume scaling — the audio analog of pHash's
+    * brightness-shift invariance, asserted in MultimodalSpec); the
+    * real-decode seam is [[audioStatsOf]]'s mapPartitions shape (the
+    * metaQuery honesty pattern), this byte twin keeps the gate on
+    * Spark-side plumbing.
+    *
+    * Exactness: energies ≤ 4·255² are small integers, bits are
+    * integer comparisons, banding is [[AhashBands]]×16 (last band 15
+    * bits — no sign-bit shifts). Stages LET-BOUND and the partition
+    * count pinned (the two round-10 HOF lessons); hash table
+    * localCheckpoint-pinned before the banded-LSH join with the
+    * [[AhashBucketCap]] hot-bucket guard; candidates reported with
+    * the [[AudioMaxHamming]] IsClose verdict (unthresholded report —
+    * the pHash non-vacuous-gate discipline). */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sExpr =
+      "transform(sequence(0, 255), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 256 AS INT) + 1, 1)))"
+    val eExpr =
+      s"""transform(sequence(0, 63), f ->
+         |  aggregate(sequence(0, 3), 0, (a, j) ->
+         |    a + element_at(s, 4 * f + j + 1) * element_at(s, 4 * f + j + 1)))""".stripMargin
+    val base = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("BV", expr(
+        s"""element_at(transform(array($sExpr), s ->
+           |  element_at(transform(array($eExpr), e ->
+           |    transform(sequence(0, ${AhashBands - 1}), b ->
+           |      aggregate(sequence(0, ${AhashBandBits - 1}), 0,
+           |        (a, j) -> a + IF($AhashBandBits * b + j + 1 <= 63 AND
+           |                         element_at(e, $AhashBandBits * b + j + 2) >
+           |                         element_at(e, $AhashBandBits * b + j + 1),
+           |                         shiftleft(1, j), 0)))), 1)), 1)""".stripMargin))
+      .select(col("doc_id"), col("BV"))
+      .localCheckpoint()
+    val bx = base.select(col("doc_id"),
+      posexplode(col("BV")).as(Seq("B", "V")))
+    val cool = bx
+      .withColumn("BS", count(lit(1)).over(Window.partitionBy(col("B"), col("V"))))
+      .filter(col("BS") <= AhashBucketCap)
+    val cand = cool.as("a").join(cool.as("c"),
+        col("a.B") === col("c.B") && col("a.V") === col("c.V") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("IdA"), col("c.doc_id").as("IdB"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("IdA"), col("BV").as("BVA")), "IdA")
+      .join(base.select(col("doc_id").as("IdB"), col("BV").as("BVB")), "IdB")
+      .withColumn("Hamming", expr(
+        "aggregate(zip_with(BVA, BVB, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)")
+        .cast(IntegerType))
+      .withColumn("IsClose", col("Hamming") <= AudioMaxHamming)
+      .select(col("IdA"), col("IdB"), col("Hamming"), col("IsClose"))
+      .orderBy(col("IdA"), col("IdB"))
+  }
+
   /** A decoded payload's 64-bit average hash, band-wise ([[AhashBands]]
     * ints of [[AhashBandBits]] bits); `ok = false` (hash all-zero) for
     * payloads no image reader accepts. */

@@ -649,6 +649,61 @@ ORDER BY "InnerId", "OuterId"
 """
   }
 
+  /** Audio-fingerprint mirror: identical 256-byte proxy samples,
+    * identical 4-sample frame energies, identical energy-delta bits,
+    * band layout, hot-bucket cap, Hamming + IsClose verdict. */
+  val multimodalAudioFingerprint: String = {
+    val mm = graft.ops.MultimodalOps
+    s"""
+WITH smp AS (
+  SELECT doc_id,
+         [ascii(substr(text, (i * length(text)) // 256 + 1, 1))
+          for i in generate_series(0, 255)] AS s
+  FROM documents
+),
+en AS (
+  SELECT doc_id,
+         [list_sum([s[4 * f + j + 1] * s[4 * f + j + 1]
+                    for j in generate_series(0, 3)])
+          for f in generate_series(0, 63)] AS e
+  FROM smp
+),
+bands AS (
+  SELECT doc_id,
+         [list_sum([CASE WHEN ${mm.AhashBandBits} * b + j + 1 <= 63
+                          AND e[${mm.AhashBandBits} * b + j + 2] >
+                              e[${mm.AhashBandBits} * b + j + 1]
+                         THEN 1 << j ELSE 0 END
+                    for j in generate_series(0, ${mm.AhashBandBits - 1})])
+          for b in generate_series(0, ${mm.AhashBands - 1})] AS bv
+  FROM en
+),
+bx AS (SELECT doc_id, unnest(generate_series(0, ${mm.AhashBands - 1})) AS b,
+              unnest(bv) AS v
+       FROM bands),
+cool AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY b, v) AS bs FROM bx)
+  WHERE bs <= ${mm.AhashBucketCap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+  FROM cool a JOIN cool c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id
+),
+pairs AS (
+  SELECT ida, idb,
+         CAST(${(1 to mm.AhashBands)
+           .map(i => s"bit_count(xor(CAST(ha.bv[$i] AS BIGINT), CAST(hz.bv[$i] AS BIGINT)))")
+           .mkString("\n            + ")}
+           AS INTEGER) AS hamming
+  FROM cand JOIN bands ha ON ha.doc_id = ida JOIN bands hz ON hz.doc_id = idb
+)
+SELECT ida AS "IdA", idb AS "IdB", hamming AS "Hamming",
+       (hamming <= ${mm.AudioMaxHamming}) AS "IsClose"
+FROM pairs
+ORDER BY "IdA", "IdB"
+"""
+  }
+
   /** Incremental (new-vs-corpus) dedup mirror: same band listing, the
     * join constrained to new × corpus instead of the self-pairing. */
   val dedupIncremental: String = {

@@ -234,4 +234,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty, "no band candidates at fixture scale — gate would be vacuous")
   }
+
+  test("audio fingerprint: banded query equals a driver recomputation; gain-invariant") {
+    import graft.etl.Tables
+    val mm = MultimodalOps
+    def hashOf(s: IndexedSeq[Int]): Seq[Int] = {
+      val e = (0 until 64).map(f => (0 until 4).map(j => s(4 * f + j) * s(4 * f + j)).sum)
+      (0 until mm.AhashBands).map { b =>
+        (0 until mm.AhashBandBits)
+          .filter(j => mm.AhashBandBits * b + j + 1 <= 63 &&
+            e(mm.AhashBandBits * b + j + 1) > e(mm.AhashBandBits * b + j))
+          .map(1 << _).sum
+      }
+    }
+    def samples(text: String): IndexedSeq[Int] = {
+      val len = text.length
+      (0 until 256).map(i => if (len == 0) 0 else text.charAt((i * len) / 256).toInt)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    // gain invariance: scaling every sample preserves every energy
+    // comparison, so the fingerprint is identical (volume changes
+    // cannot create or destroy near-dup pairs)
+    val s0 = samples(docs.head._2)
+    assert(hashOf(s0) === hashOf(s0.map(_ * 3)), "gain change moved the fingerprint")
+    val bv = docs.map { case (id, t) => id -> hashOf(samples(t)) }.toMap
+    val buckets = bv.toSeq
+      .flatMap { case (id, bs) => bs.zipWithIndex.map { case (v, b) => (b, v) -> id } }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cand = buckets.values.filter(_.size <= mm.AhashBucketCap)
+      .flatMap(ids => for (a <- ids; c <- ids if a < c) yield (a, c)).toSet
+    val expected = cand.toSeq.map { case (a, c) =>
+      val h = bv(a).zip(bv(c)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      (a, c, h, h <= mm.AudioMaxHamming)
+    }.sortBy(p => (p._1, p._2))
+    val got = mm.audioFingerprint(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("IdA"), r.getAs[Long]("IdB"),
+        r.getAs[Int]("Hamming"), r.getAs[Boolean]("IsClose"))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "no band candidates at fixture scale — gate would be vacuous")
+  }
 }
