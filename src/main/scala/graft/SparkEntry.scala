@@ -126,6 +126,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprint _),
     // per-source length-histogram drift card: fixed-order exact chi^2
     "text_drift_chisq" -> (TextOps.driftChisq _),
+    // two-sample KS drift per source (exact rational sup, sqrt-free verdict)
+    "text_drift_ks" -> (TextOps.ksDrift _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
@@ -342,6 +344,7 @@ object SparkEntry {
     "text_bpe_vocab_deep" -> ExtSql.textBpeVocabDeep,
     "text_fingerprint" -> ExtSql.textFingerprint,
     "text_drift_chisq" -> ExtSql.textDriftChisq,
+    "text_drift_ks" -> ExtSql.textDriftKs,
     "text_drift_chisq_stream" -> ExtSql.textDriftChisq,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,

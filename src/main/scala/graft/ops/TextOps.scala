@@ -1106,6 +1106,74 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** KS α=0.05 two-sample critical coefficient 1.358 as an exact
+    * rational (its square 1358²/1000² enters the integer verdict). */
+  val KsCritNum = 1358L
+  val KsCritDen = 1000L
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT per source — the
+    * distribution-free complement of [[driftChisq]]: each source's
+    * doc-length (`n_chars`) distribution against the REST of the
+    * corpus, D = sup_v |F_s(v) − F_rest(v)|. Where the χ² card needs
+    * its fixed bucketing, KS compares full empirical CDFs — the
+    * standard pairing in drift monitoring.
+    *
+    * Exactness: with integer cumulative counts cS, cR and sizes nS,
+    * nR, D = max_v |cS·nR − cR·nS| / (nS·nR) — the sup is an integer
+    * max ([[DNum]]), the reported D is ONE division, and the α=0.05
+    * verdict (D > [[KsCritNum]]/[[KsCritDen]] · √((nS+nR)/(nS·nR)))
+    * is squared into the pure-integer DECIMAL(38,0) comparison
+    * DNum²·KsCritDen² > KsCritNum²·nS·nR·(nS+nR) — no sqrt, no
+    * float, bit-identical to the oracle's HUGEINT form.
+    *
+    * Scale shape: one doc-scan aggregate to (source, value) counts,
+    * then everything runs on the |sources|×|distinct values| grid
+    * (built by a crossJoin of two small distincts; per-source CDFs
+    * via one value-ordered running-sum window per side — A13-style
+    * post-aggregation frames). Sources are bounded by construction;
+    * a value domain that grows unboundedly at 100 TB gets quantized
+    * first (the driftChisq bucket-width seam). */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("V"))
+    val counts = docs.groupBy(col("source"), col("V")).agg(count(lit(1)).as("C"))
+    val grid = docs.select(col("V")).distinct()
+      .crossJoin(docs.select(col("source")).distinct())
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("NS"))
+    val total = docs.agg(count(lit(1)).as("N"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("V"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.orderBy(col("V"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.groupBy(col("V")).agg(sum(col("C")).as("TV"))
+      .withColumn("CT", sum(col("TV")).over(wT))
+      .select(col("V"), col("CT"))
+    val dev = grid
+      .join(counts, Seq("source", "V"), "left")
+      .withColumn("C", coalesce(col("C"), lit(0L)))
+      .withColumn("CS", sum(col("C")).over(wS))
+      .join(tot, "V")
+      .join(broadcast(sizes), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("NR", col("N") - col("NS"))
+      .withColumn("Dev",
+        abs(col("CS") * col("NR") - (col("CT") - col("CS")) * col("NS")))
+    dev.groupBy(col("source"))
+      .agg(max(col("NS")).as("NDocs"), max(col("NR")).as("NRest"),
+        max(col("Dev")).as("DNum"))
+      .withColumn("D",
+        col("DNum").cast(DoubleType) / (col("NDocs") * col("NRest")).cast(DoubleType))
+      .withColumn("Drifted",
+        col("DNum").cast(d38) * col("DNum") * lit(KsCritDen * KsCritDen) >
+          lit(KsCritNum * KsCritNum).cast(d38) * col("NDocs") * col("NRest") *
+            (col("NDocs") + col("NRest")))
+      .select(col("source"), col("NDocs"), col("NRest"), col("DNum"),
+        col("D"), col("Drifted"))
+      .orderBy(col("source"))
+  }
+
   private val bigramMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val bigramLock = new Object

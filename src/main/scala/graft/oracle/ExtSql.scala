@@ -1788,6 +1788,43 @@ ORDER BY source
 """
   }
 
+  /** KS-drift mirror: identical (source, value) grid, identical
+    * running-count CDFs, the same integer sup and the same squared
+    * HUGEINT verdict — no sqrt on either side. */
+  val textDriftKs: String = {
+    import graft.ops.TextOps.{KsCritNum, KsCritDen}
+    s"""
+WITH d AS (SELECT source, n_chars AS v FROM documents),
+c AS (SELECT source, v, count(*) AS cc FROM d GROUP BY source, v),
+g AS (SELECT gv.v, gs.source
+      FROM (SELECT DISTINCT v FROM d) gv CROSS JOIN (SELECT DISTINCT source FROM d) gs),
+sz AS (SELECT source, count(*) AS ns FROM d GROUP BY source),
+tt AS (SELECT count(*) AS n FROM d),
+tv AS (SELECT v, sum(cc) AS tvv FROM c GROUP BY v),
+ct AS (SELECT v, sum(tvv) OVER (ORDER BY v
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctv FROM tv),
+cs AS (
+  SELECT g.source, g.v,
+         sum(coalesce(c.cc, 0)) OVER (PARTITION BY g.source ORDER BY g.v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csv
+  FROM g LEFT JOIN c ON g.source = c.source AND g.v = c.v
+),
+dv AS (
+  SELECT cs.source, sz.ns, tt.n - sz.ns AS nr,
+         abs(cs.csv * (tt.n - sz.ns) - (ct.ctv - cs.csv) * sz.ns) AS dev
+  FROM cs JOIN ct ON cs.v = ct.v JOIN sz ON cs.source = sz.source CROSS JOIN tt
+),
+r AS (SELECT source, CAST(max(ns) AS BIGINT) AS nd, CAST(max(nr) AS BIGINT) AS nre,
+             CAST(max(dev) AS BIGINT) AS dnum
+      FROM dv GROUP BY source)
+SELECT source, nd AS "NDocs", nre AS "NRest", dnum AS "DNum",
+       CAST(dnum AS DOUBLE) / (nd * nre) AS "D",
+       (CAST(dnum AS HUGEINT) * dnum * ${KsCritDen * KsCritDen} >
+        CAST(${KsCritNum * KsCritNum} AS HUGEINT) * nd * nre * (nd + nre)) AS "Drifted"
+FROM r ORDER BY source
+"""
+  }
+
   /** Triangle-count mirror: the same co-purchase edge universe (the
     * pagerank mirror's self-join form, cap interpolated), triangles
     * enumerated by plain ID ordering (a<b<c) — deliberately NOT the

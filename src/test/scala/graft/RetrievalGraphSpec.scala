@@ -326,6 +326,38 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(rounds >= 2, "corpus converged in one round — the loop is untested")
   }
 
+  test("KS drift: sup statistic and verdicts equal a driver CDF recomputation") {
+    val rows = graft.etl.Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_chars"))
+    val n = rows.length.toLong
+    val bySource = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val allVals = rows.map(_._2).distinct.sorted
+    val got = TextOps.ksDrift(spark, sfDir).collect()
+    assert(got.length === bySource.size)
+    got.foreach { r =>
+      val s = r.getAs[String]("source")
+      val own = bySource(s)
+      val nS = own.size.toLong
+      val nR = n - nS
+      val rest = rows.filter(_._1 != s).map(_._2)
+      val dnum = allVals.map { v =>
+        val cS = own.count(_ <= v).toLong
+        val cR = rest.count(_ <= v).toLong
+        math.abs(cS * nR - cR * nS)
+      }.max
+      assert(r.getAs[Long]("NDocs") === nS)
+      assert(r.getAs[Long]("NRest") === nR)
+      assert(r.getAs[Long]("DNum") === dnum, s"source $s sup mismatch")
+      assert(r.getAs[Double]("D") === dnum.toDouble / (nS * nR).toDouble)
+      val lhs = BigInt(dnum) * BigInt(dnum) * BigInt(TextOps.KsCritDen * TextOps.KsCritDen)
+      val rhs = BigInt(TextOps.KsCritNum * TextOps.KsCritNum) * nS * nR * (nS + nR)
+      assert(r.getAs[Boolean]("Drifted") === (lhs > rhs), s"source $s verdict")
+    }
+    // D is a genuine statistic here: it must vary across sources
+    assert(got.map(_.getAs[Long]("DNum")).distinct.length > 1)
+  }
+
   test("quality classifier: labels, votes and predictions equal a driver NB recomputation") {
     val toks = docsTokens()
     val stop = TextOps.stopwords.toSet
