@@ -41,6 +41,14 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // whole-stage-codegen class cache: the default 100 entries
+      // thrash under a 150-query interleaved suite — every pass
+      // re-Janino-compiles every stage of every big-plan query
+      // (measured: pagerank 6.2 s -> 2.9 s once sized; the
+      // SeqRunProbe experiment). A long-lived production driver
+      // serving many queries wants the same sizing.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.network.timeout", "800s")
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
