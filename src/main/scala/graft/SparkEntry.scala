@@ -128,6 +128,8 @@ object SparkEntry {
     "text_drift_chisq" -> (TextOps.driftChisq _),
     // two-sample KS drift per source (exact rational sup, sqrt-free verdict)
     "text_drift_ks" -> (TextOps.ksDrift _),
+    // per-source vocabulary diversity (integer-bit entropy + TTR)
+    "text_source_entropy" -> (TextOps.sourceEntropy _),
     // ---- dedup ----
     "dedup_exact" -> (DedupOps.exact _),
     "dedup_minhash_bands" -> (DedupOps.minhashBands _),
@@ -345,6 +347,7 @@ object SparkEntry {
     "text_fingerprint" -> ExtSql.textFingerprint,
     "text_drift_chisq" -> ExtSql.textDriftChisq,
     "text_drift_ks" -> ExtSql.textDriftKs,
+    "text_source_entropy" -> ExtSql.textSourceEntropy,
     "text_drift_chisq_stream" -> ExtSql.textDriftChisq,
     "dedup_exact" -> ExtSql.dedupExact,
     "dedup_minhash_bands" -> ExtSql.dedupMinhashBands,

@@ -1106,6 +1106,45 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** PER-SOURCE VOCABULARY DIVERSITY CARD — the lexical-diversity
+    * signals corpus curation weighs sources by: token/type counts,
+    * type-token ratio, and Shannon entropy of the source's unigram
+    * distribution quantized to INTEGER BITS (the perplexity
+    * floor-log2 quantizer: H_q = Σ_t c_t·⌊log2(N/c_t)⌋ — all integer
+    * arithmetic, so the entropy is exact and engine-portable where
+    * −Σ p·ln p would sit on two libms; MeanBits = H_q/N and TTR are
+    * each ONE division). Low-entropy sources are template/boilerplate
+    * farms; the card is the per-source complement of the per-doc
+    * repetition and perplexity filters.
+    *
+    * Scale shape: one pass over the memoized [[docPostings]]
+    * substrate joined to the doc→source map (doc-sized broadcast side
+    * at gate scale, co-keyed join at 100 TB), then a (source, term)
+    * hash aggregate and a source-sized rollup. Int64 ceiling: the
+    * per-term product c·bits is ≤ 63·c, far under long for any real
+    * corpus. */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docPostings(spark, dir)
+      .join(srcs, "doc_id")
+      .groupBy(col("source"), col("Term"))
+      .agg(sum(col("Tf")).cast(LongType).as("C"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("C")).as("N"), count(lit(1)).as("NDistinct"))
+    counts.join(totals, "source")
+      .withColumn("Bits", length(expr("bin(N div C)")) - 1)
+      .groupBy(col("source"))
+      .agg(max(col("N")).as("NTokens"), max(col("NDistinct")).as("NTypes"),
+        sum(col("C") * col("Bits")).as("EntropyBitsQ"))
+      .withColumn("MeanBits",
+        col("EntropyBitsQ").cast(DoubleType) / col("NTokens"))
+      .withColumn("TypeTokenRatio",
+        col("NTypes").cast(DoubleType) / col("NTokens"))
+      .select(col("source"), col("NTokens"), col("NTypes"),
+        col("EntropyBitsQ"), col("MeanBits"), col("TypeTokenRatio"))
+      .orderBy(col("source"))
+  }
+
   /** KS α=0.05 two-sample critical coefficient 1.358 as an exact
     * rational (its square 1358²/1000² enters the integer verdict). */
   val KsCritNum = 1358L

@@ -1788,6 +1788,28 @@ ORDER BY source
 """
   }
 
+  /** Source-entropy mirror: identical per-(source, term) integer
+    * counts, identical floor-log2 bits, one division each for the
+    * two rates. */
+  val textSourceEntropy: String = toksCte + """
+, ex AS (SELECT k.doc_id, d.source, unnest(k.t) AS tok
+         FROM toks k JOIN documents d ON d.doc_id = k.doc_id),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cc
+      FROM ex GROUP BY source, tok),
+t AS (SELECT source, sum(cc) AS n, count(*) AS nd FROM c GROUP BY source),
+b AS (
+  SELECT c.source, t.n, t.nd,
+         sum(c.cc * (len(bin(t.n // c.cc)) - 1)) AS hq
+  FROM c JOIN t ON c.source = t.source
+  GROUP BY c.source, t.n, t.nd
+)
+SELECT source, CAST(n AS BIGINT) AS "NTokens", CAST(nd AS BIGINT) AS "NTypes",
+       CAST(hq AS BIGINT) AS "EntropyBitsQ",
+       CAST(hq AS DOUBLE) / n AS "MeanBits",
+       CAST(nd AS DOUBLE) / n AS "TypeTokenRatio"
+FROM b ORDER BY source
+"""
+
   /** KS-drift mirror: identical (source, value) grid, identical
     * running-count CDFs, the same integer sup and the same squared
     * HUGEINT verdict — no sqrt on either side. */

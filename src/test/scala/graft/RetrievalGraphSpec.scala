@@ -326,6 +326,32 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(rounds >= 2, "corpus converged in one round — the loop is untested")
   }
 
+  test("source entropy: bit totals and rates equal a driver recomputation") {
+    val docs = graft.etl.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").trim.split("\\s+").toSeq))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val got = TextOps.sourceEntropy(spark, sfDir).collect()
+    assert(got.length === bySrc.size)
+    got.foreach { r =>
+      val s = r.getAs[String]("source")
+      val toks = bySrc(s)
+      val n = toks.size.toLong
+      val counts = toks.groupBy(identity).map { case (_, v) => v.size.toLong }
+      val hq = counts.map(c => c * (java.lang.Long.toBinaryString(n / c).length - 1)).sum
+      assert(r.getAs[Long]("NTokens") === n)
+      assert(r.getAs[Long]("NTypes") === counts.size.toLong)
+      assert(r.getAs[Long]("EntropyBitsQ") === hq, s"source $s entropy mismatch")
+      assert(r.getAs[Double]("MeanBits") === hq.toDouble / n)
+      assert(r.getAs[Double]("TypeTokenRatio") === counts.size.toDouble / n)
+      // floor-log2 entropy is bounded by log2 of the support size
+      assert(r.getAs[Double]("MeanBits") <=
+        math.log(counts.size.toDouble) / math.log(2.0) + 1e-9)
+    }
+    // the statistic must discriminate: sources differ in MeanBits
+    assert(got.map(_.getAs[Double]("MeanBits")).distinct.length > 1)
+  }
+
   test("KS drift: sup statistic and verdicts equal a driver CDF recomputation") {
     val rows = graft.etl.Tables.documents(spark, sfDir)
       .select(col("source"), col("n_chars")).collect()
