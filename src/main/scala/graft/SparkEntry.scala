@@ -138,6 +138,8 @@ object SparkEntry {
     "dedup_jaccard_exact" -> (DedupOps.jaccardExact _),
     // asymmetric containment |A∩B|/|A| (quote/subset detection)
     "dedup_containment" -> (DedupOps.containment _),
+    // corpus dedup health card (one row per method, removal rates)
+    "dedup_report" -> (DedupOps.dedupReport _),
     "dedup_components" -> (DedupOps.components _),
     // quality-aware survivor selection (round 9): keep-best-copy
     // policy over the same clusters, argmax as a combinable aggregate
@@ -355,6 +357,7 @@ object SparkEntry {
     "dedup_editdistance" -> ExtSql.dedupEditDistance,
     "dedup_jaccard_exact" -> ExtSql.dedupJaccardExact,
     "dedup_containment" -> ExtSql.dedupContainment,
+    "dedup_report" -> ExtSql.dedupReport,
     "dedup_components" -> ExtSql.dedupComponents,
     "dedup_survivor_quality" -> ExtSql.dedupSurvivorQuality,
     "dedup_incremental" -> ExtSql.dedupIncremental,

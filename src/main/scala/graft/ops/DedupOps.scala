@@ -1185,4 +1185,33 @@ object DedupOps {
         (col("NInter").cast(DoubleType) / col("NShingles")).as("Containment"))
       .orderBy(col("InnerId"), col("OuterId"))
   }
+
+  /** CORPUS DEDUP HEALTH CARD — one row per dedup method (exact
+    * fingerprint, exact Jaccard ≥ ½, containment ≥ ⅘) with its link
+    * count, the docs a keep-canonical policy would REMOVE (exact:
+    * non-canonical group members; jaccard: the higher id of each
+    * pair; containment: the contained doc), and the removal rate —
+    * the summary a pipeline operator reads before committing a dedup
+    * pass, composed from the three oracle-green kernels so the card
+    * can never drift from the queries it summarizes. Counts are
+    * integers, each rate ONE division; methods ordered by name. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(graft.etl.Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("NDocs")))
+    def row(method: String, pairs: DataFrame, affectedCol: String): DataFrame =
+      pairs.agg(count(lit(1)).as("NPairs"),
+        countDistinct(col(affectedCol)).as("NAffected"))
+        .select(lit(method).as("Method"), col("NPairs"), col("NAffected"))
+    val ex = exact(spark, dir).filter(col("IsDup"))
+      .select(col("doc_id").as("A"))
+    val rows = row("containment", containment(spark, dir), "InnerId")
+      .union(row("exact", ex, "A"))
+      .union(row("jaccard", jaccardExact(spark, dir), "D2"))
+    rows.crossJoin(n)
+      .withColumn("RemovalRate",
+        col("NAffected").cast(DoubleType) / col("NDocs"))
+      .select(col("Method"), col("NPairs"), col("NAffected"),
+        col("NDocs"), col("RemovalRate"))
+      .orderBy(col("Method"))
+  }
 }

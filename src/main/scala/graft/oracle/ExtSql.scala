@@ -649,6 +649,44 @@ ORDER BY "InnerId", "OuterId"
 """
   }
 
+  /** Dedup-report mirror: the three kernels' short mirror forms
+    * (fingerprint groups; brute-force Jaccard ≥ ½ — the engine's
+    * prefix filter is lossless; ordered containment ≥ ⅘) reduced to
+    * the same counts and single-division rates. */
+  val dedupReport: String = {
+    import graft.ops.DedupOps.{ContainNum, ContainDen}
+    toksCte + s"""
+, fp AS (SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS f
+  FROM toks),
+exd AS (SELECT count(*) AS np, count(*) AS na
+        FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS c FROM fp) x
+        WHERE doc_id <> c),
+sh2 AS (SELECT doc_id, $shExpr AS s FROM toks),
+shn AS (SELECT doc_id, s FROM sh2 WHERE len(s) > 0),
+jp AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       FROM shn a JOIN shn b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.s, b.s)) * 2 >=
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+jn AS (SELECT count(*) AS np, count(DISTINCT d2) AS na FROM jp),
+cp AS (SELECT a.doc_id AS ia
+       FROM shn a JOIN shn b ON a.doc_id <> b.doc_id
+       WHERE len(list_intersect(a.s, b.s)) * $ContainDen >= len(a.s) * $ContainNum),
+cn AS (SELECT count(*) AS np, count(DISTINCT ia) AS na FROM cp),
+nn AS (SELECT count(*) AS n FROM documents),
+u AS (
+  SELECT 'containment' AS m, np, na FROM cn
+  UNION ALL SELECT 'exact', np, na FROM exd
+  UNION ALL SELECT 'jaccard', np, na FROM jn
+)
+SELECT u.m AS "Method", CAST(u.np AS BIGINT) AS "NPairs",
+       CAST(u.na AS BIGINT) AS "NAffected", CAST(nn.n AS BIGINT) AS "NDocs",
+       CAST(u.na AS DOUBLE) / nn.n AS "RemovalRate"
+FROM u CROSS JOIN nn
+ORDER BY "Method"
+"""
+  }
+
   /** Audio-fingerprint mirror: identical 256-byte proxy samples,
     * identical 4-sample frame energies, identical energy-delta bits,
     * band layout, hot-bucket cap, Hamming + IsClose verdict. */

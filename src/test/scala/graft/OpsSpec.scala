@@ -119,6 +119,29 @@ class OpsSpec extends SparkSpec {
       "containment join fell back to a quadratic join strategy")
   }
 
+  test("dedup: report rows reconcile exactly with the three underlying kernels") {
+    val rows = DedupOps.dedupReport(spark, sfDir).collect()
+      .map(r => r.getAs[String]("Method") ->
+        ((r.getAs[Long]("NPairs"), r.getAs[Long]("NAffected"),
+          r.getAs[Long]("NDocs"), r.getAs[Double]("RemovalRate")))).toMap
+    assert(rows.keySet === Set("containment", "exact", "jaccard"))
+    val n = graft.etl.Tables.documents(spark, sfDir).count()
+    val ex = DedupOps.exact(spark, sfDir).filter(col("IsDup")).count()
+    val jp = DedupOps.jaccardExact(spark, sfDir).collect()
+    val cp = DedupOps.containment(spark, sfDir).collect()
+    assert(rows("exact") === ((ex, ex, n, ex.toDouble / n)))
+    assert(rows("jaccard") === ((jp.length.toLong,
+      jp.map(_.getAs[Long]("D2")).distinct.length.toLong, n,
+      jp.map(_.getAs[Long]("D2")).distinct.length.toDouble / n)))
+    assert(rows("containment") === ((cp.length.toLong,
+      cp.map(_.getAs[Long]("InnerId")).distinct.length.toLong, n,
+      cp.map(_.getAs[Long]("InnerId")).distinct.length.toDouble / n)))
+    rows.values.foreach { case (np, na, _, rate) =>
+      assert(na <= np || np == 0)
+      assert(rate >= 0.0 && rate < 1.0)
+    }
+  }
+
   test("dedup: incremental new-vs-corpus equals the straddling subset of the full self-join") {
     val rows = DedupOps.incremental(spark, sfDir).collect()
     assert(rows.nonEmpty, "no straddling near-dups at this SF — test is vacuous")
