@@ -407,4 +407,36 @@ class PlanSpec extends SparkSpec {
           s"(O(n·√K) expectation ≈ $expected, n=$n, K=$k) — an n·K term ($nk) is leaking in")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("perceptual-hash passes pin their partition count — AQE cannot serialize the interpreted stage") {
+    // the round-10 lesson: an unpinned repartition(doc_id) over a
+    // few-MB corpus is coalesced by AQE to ONE post-shuffle partition,
+    // serializing the per-row-expensive interpreted HOF hash pass
+    // (measured 8.5 s vs 1.6 s at sf0.1). The explicit numPartitions
+    // shows up as a shuffleorigin the coalescer must respect; this
+    // test pins the plan property so a refactor to the unpinned form
+    // fails here instead of in a bench artifact.
+    // the hash table is eagerly localCheckpoint'd at construction, so
+    // the repartition is invisible in the final plan — assert the
+    // BEHAVIOR instead: the checkpointed RDD the query pins must hold
+    // multiple partitions (the failure mode was exactly ONE)
+    def newCheckpointPartitions(build: => org.apache.spark.sql.DataFrame): Seq[Int] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      build // construction materializes the checkpoint
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.map(_.getNumPartitions).toSeq
+    }
+    Seq(
+      ("ahash", () => graft.ops.MultimodalOps.ahashNeardup(spark, sfDir)),
+      ("phash", () => graft.ops.MultimodalOps.phashNeardup(spark, sfDir)),
+      ("audio", () => graft.ops.MultimodalOps.audioFingerprint(spark, sfDir))
+    ).foreach { case (name, build) =>
+      val parts = newCheckpointPartitions(build())
+      assert(parts.nonEmpty, s"$name pinned no checkpoint — the single-scan claim broke")
+      parts.foreach(p => assert(p > 1,
+        s"$name hash pass checkpointed into $p partition(s) — " +
+          "AQE coalesced the unpinned repartition and serialized the interpreted stage"))
+    }
+  }
 }
