@@ -666,7 +666,13 @@ object Summaries {
     * a 7-row weekday aggregate broadcast back, and one presentation
     * sort. The window is 7 OBSERVATIONS, not 7 calendar days: on a
     * gappy calendar compose with gapfillDaily first (documented
-    * contract, identical on both sides). */
+    * contract, identical on both sides).
+    *
+    * Degenerate-input contract: the seasonal table is LEFT-joined, so
+    * a series too short for any complete 7-row window (< ~10 days —
+    * no weekday ever detrends) still reports every day with Revenue
+    * populated and null Trend/Seasonal/Residual, rather than silently
+    * returning zero rows. Mirror joins identically. */
   def seasonalDecompose(cleaned: DataFrame): DataFrame = {
     val daily = sales(cleaned).groupBy(col("Date"))
       .agg(decSum(col("TotalAmount")).as("RevDec"))
@@ -684,7 +690,7 @@ object Summaries {
       .withColumn("Seasonal",
         col("SeasSumQ").cast(DoubleType) / (col("SeasN") * lit(7 * 10000.0)))
       .select(col("Weekday"), col("Seasonal"))
-    t.join(broadcast(seas), Seq("Weekday"))
+    t.join(broadcast(seas), Seq("Weekday"), "left")
       .select(col("Date"), col("Weekday"),
         (col("Q").cast(DoubleType) / lit(10000.0)).as("Revenue"),
         (col("TrendSumQ").cast(DoubleType) / lit(7 * 10000.0)).as("Trend"),

@@ -231,6 +231,25 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)
+
+  /** [[documents]] spread for a per-row-CPU pass — THE pinned form of
+    * the corpus repartition every sketch/tokenize/hash substrate
+    * starts from, centralizing the round-10 rule: a repartition whose
+    * DOWNSTREAM cost is per-row CPU (md5 shingling, tokenization,
+    * native text kernels) must pin its partition count, because AQE's
+    * coalescer sees only shuffle BYTES and a few-MB corpus collapses
+    * to ONE post-shuffle partition, serializing the expensive stage
+    * (measured 8.5 s vs 1.6 s on the pHash pass at sf0.1). The
+    * explicit count arrives as a REPARTITION_BY_NUM shuffle origin,
+    * which the coalescer is required to leave alone. At real scale
+    * the input is already many splits and this shuffle is a cheap
+    * narrow redistribution; doc_id keys are unique, so the spread is
+    * uniform by construction. PlanSpec guards the property on the
+    * dedup substrate and the three perceptual-hash passes. */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 
   /** Events with `ts` as a proper microsecond timestamp plus the raw

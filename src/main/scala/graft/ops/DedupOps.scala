@@ -35,12 +35,11 @@ object DedupOps {
     * TextOps.shinglesSql and validated identical via the oracle). */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
-    // The raw documents arrive as one small parquet file = one input
-    // partition; repartition by doc_id first so the md5-heavy sketching
-    // parallelizes across all cores (at real scale the input is already
-    // many splits and this shuffle is a cheap narrow redistribution).
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    // documentsSpread (PINNED count): the substrate under the entire
+    // dedup family — an AQE one-partition collapse here would
+    // serialize every shingle pass (the rule + measurement live on
+    // Tables.documentsSpread; PlanSpec guards this substrate).
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), expr("token_shingles(text)").as("Sh"))
   }
 
@@ -117,8 +116,7 @@ object DedupOps {
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(chunksMemo.remove)
     BucketedTables.memoized(chunksMemo, (spark, dir), cacheMemoLock)(
-      Tables.documents(spark, dir)
-        .repartition(col("doc_id"))
+      Tables.documentsSpread(spark, dir)
         .withColumn("Ch", expr("rolling_chunks(text)"))
         .select(col("doc_id"),
           size(col("Ch")).as("NChunks"),
@@ -286,8 +284,7 @@ object DedupOps {
   }
 
   def spanWindows(spark: SparkSession, dir: String): DataFrame = {
-    val wins = Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // single-file input: spread the md5 pass
+    val wins = Tables.documentsSpread(spark, dir)
       .withColumn("Toks", expr(toksSql))
       .select(col("doc_id"), explode(expr(winHashArrSql)).as("WH"))
     val dw = wins.groupBy(col("doc_id"), col("WH"))
@@ -331,8 +328,7 @@ object DedupOps {
     * α 0.54: excision volume rides window df, never doc pairs. */
   def spanExcise(spark: SparkSession, dir: String): DataFrame = {
     val w = SpanWindowTokens
-    val docs = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    val docs = Tables.documentsSpread(spark, dir)
       .withColumn("Toks", expr(toksSql))
     val wins = docs.select(col("doc_id"),
       posexplode(expr(winHashArrSql)).as(Seq("P0", "WH")))
@@ -1051,8 +1047,7 @@ object DedupOps {
     * token once per position). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // single-file input → spread md5 work
+    Tables.documentsSpread(spark, dir)
       .withColumn("Simhash", expr("simhash_bits(text)"))
       .withColumn("BucketSize", count(lit(1)).over(Window.partitionBy(col("Simhash"))).cast(IntegerType))
       .select(col("doc_id"), col("Simhash"), col("BucketSize"))
@@ -1187,21 +1182,28 @@ object DedupOps {
   }
 
   /** CORPUS DEDUP HEALTH CARD — one row per dedup method (exact
-    * fingerprint, exact Jaccard ≥ ½, containment ≥ ⅘) with its link
+    * fingerprint, exact Jaccard ≥ ½, containment ≥ ⅘) with its LINK
     * count, the docs a keep-canonical policy would REMOVE (exact:
     * non-canonical group members; jaccard: the higher id of each
     * pair; containment: the contained doc), and the removal rate —
     * the summary a pipeline operator reads before committing a dedup
     * pass, composed from the three oracle-green kernels so the card
-    * can never drift from the queries it summarizes. Counts are
-    * integers, each rate ONE division; methods ordered by name. */
+    * can never drift from the queries it summarizes. NLinks is
+    * uniformly the edge count of each method's duplicate graph as
+    * that method REPORTS it: jaccard/containment emit one row per
+    * discovered pair, exact emits one row per non-canonical member —
+    * a star to the canonical doc, so its NLinks equals NAffected by
+    * construction (the column was previously named NPairs, which
+    * misread as "all within-group pairs" for the exact method).
+    * Counts are integers, each rate ONE division; methods ordered by
+    * name. */
   def dedupReport(spark: SparkSession, dir: String): DataFrame = {
     val n = broadcast(graft.etl.Tables.documents(spark, dir)
       .agg(count(lit(1)).as("NDocs")))
     def row(method: String, pairs: DataFrame, affectedCol: String): DataFrame =
-      pairs.agg(count(lit(1)).as("NPairs"),
+      pairs.agg(count(lit(1)).as("NLinks"),
         countDistinct(col(affectedCol)).as("NAffected"))
-        .select(lit(method).as("Method"), col("NPairs"), col("NAffected"))
+        .select(lit(method).as("Method"), col("NLinks"), col("NAffected"))
     val ex = exact(spark, dir).filter(col("IsDup"))
       .select(col("doc_id").as("A"))
     val rows = row("containment", containment(spark, dir), "InnerId")
@@ -1210,7 +1212,7 @@ object DedupOps {
     rows.crossJoin(n)
       .withColumn("RemovalRate",
         col("NAffected").cast(DoubleType) / col("NDocs"))
-      .select(col("Method"), col("NPairs"), col("NAffected"),
+      .select(col("Method"), col("NLinks"), col("NAffected"),
         col("NDocs"), col("RemovalRate"))
       .orderBy(col("Method"))
   }

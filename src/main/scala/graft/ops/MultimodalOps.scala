@@ -69,7 +69,18 @@ object MultimodalOps {
       case None => MediaMeta(id, payload.length, 0, 0, 0, Undecodable)
     }
 
-  /** Documents' text bytes treated as opaque binary payloads. */
+  /** Documents' text bytes treated as opaque binary payloads.
+    *
+    * Pinned-spread audit exemption (deliberate, recorded): unlike the
+    * hash passes below, the decode/feature consumers of this frame do
+    * NOT get a `documentsSpread` repartition. Shuffling the opaque
+    * payload BYTES purely to parallelize the local single-file gate
+    * would contradict the operators' declared scale shape — at real
+    * scale the parquet reader already yields many memory-bounded
+    * splits (`maxPartitionBytes`) and decode inherits them with zero
+    * shuffle; the gate queries on this seam (features/frames/resize)
+    * measure ≤ 0.5 s at sf0.1 without it (BENCH_LOCAL), so there is
+    * no AQE-collapse tax to fix here. */
   def payloads(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
@@ -378,15 +389,11 @@ object MultimodalOps {
     // is safe — JVM strings cap at 2^31 chars, so positions fit)
     val sExpr =
       "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"
-    val base = Tables.documents(spark, dir)
-      // EXPLICIT partition count: AQE's coalescer sees only shuffle
-      // BYTES, and the corpus is a few MB — an unpinned
-      // repartition(doc_id) collapses to ONE post-shuffle partition,
-      // serializing the interpreted hash pass (measured 8.5 s vs
-      // 0.6 s in the suite; the checkpoint materializes at
-      // construction, so BenchOne's build-once loop never saw it —
-      // FreshRunProbe does)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // documentsSpread = the PINNED-count spread (AQE's byte-based
+    // coalescer would collapse an unpinned repartition(doc_id) to ONE
+    // partition and serialize this per-row-expensive pass — measured
+    // 8.5 s vs 0.6 s; rule + guard pointers on Tables.documentsSpread)
+    val base = Tables.documentsSpread(spark, dir)
       .withColumn("BV", expr(
         s"""element_at(transform(array($sExpr), s ->
            |  element_at(transform(array(aggregate(s, 0, (a, x) -> a + x) div 64), m ->
@@ -423,15 +430,20 @@ object MultimodalOps {
     * Computed ONCE on the driver and interpolated as literals into
     * both the Spark expression and the DuckDB mirror, so cross-engine
     * parity is by construction, not by trusting two cos()
-    * implementations. For every AC row (i ≥ 1) the 8 rounded entries
-    * sum to EXACTLY 0 (the angles pair into exact negations and none
-    * hits a .5 rounding tie — asserted in MultimodalSpec), which is
+    * implementations. StrictMath.cos, not math.cos: java.lang.Math
+    * may bind to a platform libm whose 1-ulp differences near a
+    * rounding boundary would silently change every pHash on another
+    * JVM/host; StrictMath is specified bit-identical everywhere (the
+    * 64 values round identically on this box — no angle lands near a
+    * .5 tie, the nearest fraction is < 0.499). For every AC row
+    * (i ≥ 1) the 8 rounded entries sum to EXACTLY 0 (the angles pair
+    * into exact negations — asserted in MultimodalSpec), which is
     * what makes the hash exactly invariant to a uniform brightness
     * shift: a constant added to all 64 samples perturbs only the DC
     * coefficient, which pHash discards. */
   lazy val PhashDctBasis: Seq[Long] =
     for (i <- 0 until 8; j <- 0 until 8)
-      yield math.round(PhashDctScale * math.cos((2 * j + 1) * i * math.Pi / 16.0))
+      yield math.round(PhashDctScale * StrictMath.cos((2 * j + 1) * i * math.Pi / 16.0))
   /** "Close pair" Hamming ceiling for the [[phashNeardup]] IsClose
     * verdict. Unlike [[ahashNeardup]], the query reports EVERY capped
     * band-candidate with its spectral distance rather than dropping
@@ -480,9 +492,8 @@ object MultimodalOps {
          |    a + element_at($cl, CAST((k div 8) * 8 + (m div 8) + 1 AS INT))
          |      * element_at($cl, (k % 8) * 8 + (m % 8) + 1)
          |      * element_at(s, m + 1)))""".stripMargin
-    val base = Tables.documents(spark, dir)
-      // explicit N: see ahashNeardup's AQE-coalesce note
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // pinned spread: see ahashNeardup's AQE-coalesce note
+    val base = Tables.documentsSpread(spark, dir)
       .withColumn("BV", expr(
         s"""element_at(transform(array($sExpr), s ->
            |  element_at(transform(array($tExpr), t ->
@@ -548,8 +559,8 @@ object MultimodalOps {
       s"""transform(sequence(0, 63), f ->
          |  aggregate(sequence(0, 3), 0, (a, j) ->
          |    a + element_at(s, 4 * f + j + 1) * element_at(s, 4 * f + j + 1)))""".stripMargin
-    val base = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // pinned spread: see ahashNeardup's AQE-coalesce note
+    val base = Tables.documentsSpread(spark, dir)
       .withColumn("BV", expr(
         s"""element_at(transform(array($sExpr), s ->
            |  element_at(transform(array($eExpr), e ->

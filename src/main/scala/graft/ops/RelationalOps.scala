@@ -795,7 +795,11 @@ object RelationalOps {
       // skewed side must arrive from multiple map tasks. A production
       // fact table is thousands of splits; the single-file testdata is
       // ONE, which makes any skew physically unsplittable — this uniform
-      // repartition stands in for the real input layout.
+      // repartition stands in for the real input layout. Deliberately
+      // UNPINNED (pinned-spread audit exemption): downstream cost here
+      // is join BYTES, not per-row CPU, which is exactly the case AQE's
+      // byte-based coalescing sizes correctly — and the skew-split
+      // machinery this query exists to exercise runs after it anyway.
       .repartition(col("l_orderkey"), col("l_linenumber"))
       .withColumn("JoinKey",
         when(col("l_orderkey") % 2 === 0, lit(1L)).otherwise(col("l_orderkey")))

@@ -173,8 +173,7 @@ object TextOps {
     * super-linear term. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.ShingleExpressions.register(spark)
-    val sh = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    val sh = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(expr("token_shingles(text, 3)")).as("Sh"))
     val first = sh.groupBy(col("Sh")).agg(min(col("doc_id")).as("FirstDoc"))
     val agg = sh.join(first, "Sh")
@@ -649,6 +648,19 @@ object TextOps {
   /** Merge count of the DRIVER-loop trainer's gate query. */
   val BpeDeepMerges = 100
 
+  /** Min corpus frequency for a word to enter [[bpeVocabDriver]]'s
+    * collected dictionary — the standard BPE noise-tail floor. The
+    * default 1 keeps every word (the gate corpora are Zipf-clean and
+    * the gate hash depends on the full dict); a web-scale run raises
+    * it, which is the knob that actually bounds the collect. */
+  val BpeDriverMinCount = 1L
+  /** LOUD ceiling on the collected dictionary's row count: the
+    * two-phase trainer's premise is that the post-floor word dict is
+    * vocab-scale (tens of millions of rows at 100 TB). A corpus whose
+    * typo/noise tail blows past this is told to raise the floor
+    * instead of silently OOMing the driver. */
+  val BpeDriverMaxDictRows = 20000000
+
   /** BPE training over the COLLECTED word dictionary — the production
     * shape for real merge counts (a 32k-merge vocabulary would cost
     * 32k distributed jobs through [[bpeVocab]]'s per-step loop; the
@@ -658,6 +670,11 @@ object TextOps {
     * a 100 TB corpus is tens of millions of rows, single-node
     * territory; for anything larger the distributed loop above IS the
     * fallback, which is exactly the trade both scaladocs declare.
+    * That premise is now ENFORCED, not assumed: see
+    * [[bpeVocabDriverOf]] — a [[BpeDriverMinCount]] frequency floor
+    * ahead of the collect plus the [[BpeDriverMaxDictRows]] loud
+    * ceiling (checked via a limit, so an over-ceiling dictionary
+    * aborts before it ever lands on the driver).
     *
     * Semantics are IDENTICAL to [[bpeVocab]] by construction: same
     * per-position pair counting weighted by word frequency, same
@@ -670,15 +687,44 @@ object TextOps {
     * deeper gate row hash-matches the same unrolled mirror at
     * [[BpeDeepMerges]] steps. */
   def bpeVocabDriver(spark: SparkSession, dir: String,
-                     nMerges: Int = BpeDeepMerges): DataFrame = {
+                     nMerges: Int = BpeDeepMerges): DataFrame =
+    bpeVocabDriverOf(
+      Tables.documents(spark, dir)
+        .select(explode(expr(toksSql)).as("W"))
+        .filter(length(col("W")) >= 1),
+      nMerges)
+
+  /** [[bpeVocabDriver]]'s core over any one-column word frame — split
+    * out so the collect bound is testable against a planted noise
+    * tail (OpsSpec) without synthesizing a corpus directory.
+    *
+    * The collect is BOUNDED, not trusted: `minCount` floors the Zipf
+    * noise tail before anything leaves the cluster (standard BPE
+    * practice — singleton typos can't win a merge against real pairs
+    * until real pairs are exhausted anyway), and `maxDictRows` is a
+    * loud ceiling enforced by collecting AT MOST maxDictRows+1 rows
+    * (a `limit`, so an over-ceiling dict aborts without materializing
+    * itself on the driver) — the failure message says to raise the
+    * floor. Results are unchanged whenever the bound passes: the
+    * limit returned every row. */
+  private[graft] def bpeVocabDriverOf(words: DataFrame, nMerges: Int,
+      minCount: Long = BpeDriverMinCount,
+      maxDictRows: Int = BpeDriverMaxDictRows): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
     def codePoints(w: String): Array[String] =
       w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-    var segs = Tables.documents(spark, dir)
-      .select(explode(expr(toksSql)).as("W"))
-      .filter(length(col("W")) >= 1)
+    val dictRows = words
       .groupBy(col("W")).agg(count(lit(1)).as("Cnt"))
+      .filter(col("Cnt") >= minCount)
+      .limit(maxDictRows + 1)
       .collect()
+    require(dictRows.length <= maxDictRows,
+      s"BPE word dictionary exceeds $maxDictRows rows after the " +
+        s"min-frequency floor $minCount — raise the floor (a noise tail " +
+        "this long should never reach the driver) or use the distributed " +
+        "per-step trainer (bpeVocab)")
+    var segs = dictRows
       .map(r => (codePoints(r.getAs[String]("W")), r.getAs[Long]("Cnt")))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 1
@@ -776,8 +822,7 @@ object TextOps {
   private def langTrigrams(spark: SparkSession, dir: String): DataFrame = {
     val triSql = s"flatten(transform(filter($toksSql, t -> length(t) >= 3), " +
       "tok -> transform(sequence(1, length(tok) - 2), i -> substring(tok, i, 3))))"
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), col("lang"), explode(expr(triSql)).as("Tri"))
       .groupBy(col("doc_id"), col("lang"), col("Tri"))
       .agg(count(lit(1)).cast(LongType).as("M"))
@@ -850,8 +895,7 @@ object TextOps {
       .foreach(postingsMemo.remove)
     graft.functions.TextExpressions.register(spark)
     BucketedTables.memoized(postingsMemo, (spark, dir), postingsLock) {
-      Tables.documents(spark, dir)
-        .repartition(col("doc_id")) // single-file input: spread the pass
+      Tables.documentsSpread(spark, dir)
         .withColumn("TS", expr("token_stats(text)"))
         .select(col("doc_id"), col("TS.NTokens").as("Dl"),
           explode(expr(toksSql)).as("Term"))
@@ -975,8 +1019,7 @@ object TextOps {
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(unigramMemo.remove)
     BucketedTables.memoized(unigramMemo, (spark, dir), unigramLock) {
-      Tables.documents(spark, dir)
-        .repartition(col("doc_id"))
+      Tables.documentsSpread(spark, dir)
         .select(explode(expr(toksSql)).as("Token"))
         .groupBy(col("Token")).agg(count(lit(1)).as("C"))
         .cache()
@@ -1014,8 +1057,7 @@ object TextOps {
     val corp = cb.agg(
       sum(col("C") * col("Bits")).as("TB"),
       sum(col("C")).as("TT"))
-    val tf = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    val tf = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), explode(expr(toksSql)).as("Token"))
       .groupBy(col("doc_id"), col("Token"))
       .agg(count(lit(1)).cast(IntegerType).as("Tf"))
@@ -1231,8 +1273,7 @@ object TextOps {
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(bigramMemo.remove)
     BucketedTables.memoized(bigramMemo, (spark, dir), bigramLock) {
-      Tables.documents(spark, dir)
-        .repartition(col("doc_id"))
+      Tables.documentsSpread(spark, dir)
         .select(expr(toksSql).as("T"))
         .filter(size(col("T")) >= 2)
         .select(explode(expr(
@@ -1329,8 +1370,7 @@ object TextOps {
     val corp = bits.agg(
       sum(col("C2") * col("Bits")).as("TB"),
       sum(col("C2")).as("TT"))
-    val dtf = Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    val dtf = Tables.documentsSpread(spark, dir)
       .select(col("doc_id"), expr(toksSql).as("T"))
       .filter(size(col("T")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1419,12 +1459,7 @@ object TextOps {
     * MinHash primitive). Both portable to any engine with md5. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
-    Tables.documents(spark, dir)
-      // single-file input = ONE partition; the per-token md5 work is
-      // the one text pass heavy enough to merit the narrow spread
-      // (same reasoning as DedupOps.docShingles — at real scale the
-      // input is already many splits)
-      .repartition(col("doc_id"))
+    Tables.documentsSpread(spark, dir)
       .withColumn("TF", expr("token_fingerprint(text)"))
       .select(
         col("doc_id"),

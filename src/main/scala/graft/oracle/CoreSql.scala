@@ -512,7 +512,7 @@ SELECT x."Date", x.wd AS "Weekday",
        se.seas AS "Seasonal",
        CASE WHEN x.det IS NOT NULL
             THEN CAST(x.det AS DOUBLE) / 70000.0 - se.seas END AS "Residual"
-FROM x JOIN se ON x.wd = se.wd
+FROM x LEFT JOIN se ON x.wd = se.wd
 ORDER BY x."Date"
 """
 

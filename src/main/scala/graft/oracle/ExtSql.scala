@@ -679,7 +679,7 @@ u AS (
   UNION ALL SELECT 'exact', np, na FROM exd
   UNION ALL SELECT 'jaccard', np, na FROM jn
 )
-SELECT u.m AS "Method", CAST(u.np AS BIGINT) AS "NPairs",
+SELECT u.m AS "Method", CAST(u.np AS BIGINT) AS "NLinks",
        CAST(u.na AS BIGINT) AS "NAffected", CAST(nn.n AS BIGINT) AS "NDocs",
        CAST(u.na AS DOUBLE) / nn.n AS "RemovalRate"
 FROM u CROSS JOIN nn

@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   */
 object FreshRunProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.tools.FreshRunProbe <sfDir> <query> [reps]")
+      sys.exit(2)
+    }
     val Array(sfDir, name) = args.take(2)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

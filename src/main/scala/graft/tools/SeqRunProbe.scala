@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object SeqRunProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.tools.SeqRunProbe <sfDir> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, list) = args.take(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

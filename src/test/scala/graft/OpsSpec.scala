@@ -122,7 +122,7 @@ class OpsSpec extends SparkSpec {
   test("dedup: report rows reconcile exactly with the three underlying kernels") {
     val rows = DedupOps.dedupReport(spark, sfDir).collect()
       .map(r => r.getAs[String]("Method") ->
-        ((r.getAs[Long]("NPairs"), r.getAs[Long]("NAffected"),
+        ((r.getAs[Long]("NLinks"), r.getAs[Long]("NAffected"),
           r.getAs[Long]("NDocs"), r.getAs[Double]("RemovalRate")))).toMap
     assert(rows.keySet === Set("containment", "exact", "jaccard"))
     val n = graft.etl.Tables.documents(spark, sfDir).count()
@@ -1373,6 +1373,33 @@ class OpsSpec extends SparkSpec {
     assert(deep.take(TextOps.BpeMerges) === dist)
     assert(deep.length > TextOps.BpeMerges)
     deep.map(_._5).sliding(2).foreach { case Seq(x, y) => assert(x >= y) }
+  }
+
+  test("bpe: the driver trainer's dictionary collect is bounded — noise tails abort loudly or floor away") {
+    import spark.implicits._
+    // a corpus with 3 real words and a 500-singleton noise tail (the
+    // typo/OCR tail of a web corpus in miniature)
+    val words = (Seq.fill(40)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(20)("gamma") ++ (1 to 500).map(i => s"noise$i")).toDF("W")
+    // ceiling smaller than the tail, no floor: must refuse BEFORE
+    // training rather than haul 503 rows to the driver and proceed
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeVocabDriverOf(words, nMerges = 5, minCount = 1L, maxDictRows = 100)
+    }
+    assert(e.getMessage.contains("raise the floor"))
+    // the standard fix: a min-frequency floor drops the tail and the
+    // SAME ceiling passes; merges are exactly the 3-word corpus's
+    val floored = TextOps.bpeVocabDriverOf(words, nMerges = 5,
+      minCount = 2L, maxDictRows = 100).collect()
+    assert(floored.nonEmpty)
+    val clean = TextOps.bpeVocabDriverOf(
+      words.filter(!col("W").startsWith("noise")), nMerges = 5,
+      minCount = 1L, maxDictRows = 100).collect()
+    assert(floored.map(_.toSeq).toSeq === clean.map(_.toSeq).toSeq,
+      "the floor changed training beyond dropping the sub-floor tail")
+    // the gate corpus is untouched by the default bound (floor 1
+    // keeps every word): asserted by the equality test above running
+    // bpeVocabDriver(sfDir) through the same bounded path
   }
 
   test("bpe encode: dict-lookup segmentation counts are consistent and non-trivial") {

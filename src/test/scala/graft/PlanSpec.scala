@@ -434,9 +434,30 @@ class PlanSpec extends SparkSpec {
     ).foreach { case (name, build) =>
       val parts = newCheckpointPartitions(build())
       assert(parts.nonEmpty, s"$name pinned no checkpoint — the single-scan claim broke")
-      parts.foreach(p => assert(p > 1,
-        s"$name hash pass checkpointed into $p partition(s) — " +
+      // assert the exact pinned count, not just > 1: on a single-CPU
+      // master repartition(defaultParallelism) legitimately yields ONE
+      // partition, and `> 1` would fail spuriously there while a
+      // wrong-count regression elsewhere would still slip under it
+      val want = spark.sparkContext.defaultParallelism
+      parts.foreach(p => assert(p == want,
+        s"$name hash pass checkpointed into $p partition(s), expected $want — " +
           "AQE coalesced the unpinned repartition and serialized the interpreted stage"))
     }
+  }
+
+  test("the dedup shingle substrate pins its partition count — the family-wide spread survives AQE") {
+    // docShingles is the substrate under the ENTIRE dedup family
+    // (bands, chunks, jaccard/containment prefixes, decontamination):
+    // an AQE one-partition collapse there would serialize every md5
+    // shingle pass. The repartition rides Tables.documentsSpread with
+    // an explicit count (REPARTITION_BY_NUM), which the coalescer must
+    // respect — assert the materialized substrate actually holds it.
+    val sub = graft.ops.DedupOps.sharedShingles(spark, sfDir)
+    sub.write.format("noop").mode("overwrite").save() // materialize the cache
+    val parts = sub.rdd.getNumPartitions
+    val want = spark.sparkContext.defaultParallelism
+    assert(parts == want,
+      s"shingle substrate cached into $parts partition(s), expected $want — " +
+        "the pinned documentsSpread repartition was lost or coalesced")
   }
 }
