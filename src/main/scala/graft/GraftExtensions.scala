@@ -53,7 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("bloom_contains", "membership probe against a bloom_build bitset",
       es => BloomMightContain(es(0), es(1))),
     ("kmv_kmin", "k smallest distinct bigints — KMV bottom-k sketch (col, k)",
-      es => KMinValues(es(0), SketchAggregates.intLit(es(1), "kmv_kmin(col, k)"))))
+      es => KMinValues(es(0), SketchAggregates.intLit(es(1), "kmv_kmin(col, k)"))),
+    ("ahash_bands", "4 band ints of the 64-bit average perceptual hash of text",
+      es => AhashBands(es.head)),
+    ("phash_bands", "4 band ints of the 64-bit DCT perceptual hash of text",
+      es => PhashBands(es.head)),
+    ("audiofp_bands", "4 band ints of the energy-delta audio fingerprint of text",
+      es => AudioFpBands(es.head)))
 
   /** Every function name this installer injects — the parity contract
     * the per-module register() path (Verify.registerAll) is tested

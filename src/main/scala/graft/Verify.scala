@@ -26,6 +26,7 @@ object Verify {
     graft.functions.ShingleExpressions.register(spark)
     graft.functions.VectorExpressions.register(spark)
     graft.functions.SketchAggregates.register(spark)
+    graft.functions.PerceptualHashExpressions.register(spark)
   }
 
   def main(args: Array[String]): Unit = {

@@ -242,6 +242,113 @@ object ExprKernels {
       sh.size()))
   }
 
+  // ---------- perceptual-hash byte-twin kernels (MultimodalOps) ----------
+
+  /** `k` evenly-spaced codepoint samples of the text — exactly
+    * `ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div k
+    * AS INT) + 1, 1))` for i in 0..k−1: Spark's `length`/`substr` are
+    * codepoint-based and `Ascii` is `codePointAt(0)` (verified against
+    * the 4.1.2 bytecode), so the sample is the ((i·n) div k)-th
+    * codepoint; empty text samples 0 (ascii('') = 0). The position
+    * multiply is widened to long first (the same overflow note as the
+    * SQL forms: docs past ~34M chars would overflow i·n in 32 bits). */
+  private def sampleCps(input: UTF8String, k: Int): Array[Int] = {
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
+    val out = new Array[Int](k)
+    if (n > 0) {
+      var i = 0
+      while (i < k) { out(i) = cps(((i.toLong * n) / k).toInt); i += 1 }
+    }
+    out
+  }
+
+  /** Shared band packer: bit j of band b is set iff `test(16·b + j)`
+    * holds AND the bit index 16·b+j stays inside `nBits` (aHash uses
+    * all 64; pHash/audio carry 63 — band 3 is 15 bits, so no shift
+    * ever reaches a sign bit, the DuckDB-parity band layout). */
+  private def packBands(nBits: Int)(test: Int => Boolean): ArrayData = {
+    val bands = new Array[Int](4)
+    var b = 0
+    while (b < 4) {
+      var w = 0
+      var j = 0
+      while (j < 16) {
+        val idx = 16 * b + j
+        if (idx < nBits && test(idx)) w |= 1 << j
+        j += 1
+      }
+      bands(b) = w
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  /** text → the 4 aHash bands ([[graft.ops.MultimodalOps.ahashNeardup]]):
+    * 64 samples, integer mean (floor — the SQL `div 64` on a
+    * non-negative sum), bit i = sample_i > mean. */
+  def ahashBands(input: UTF8String): ArrayData = {
+    val s = sampleCps(input, 64)
+    var sum = 0
+    var i = 0
+    while (i < 64) { sum += s(i); i += 1 }
+    val m = sum / 64
+    packBands(64)(i => s(i) > m)
+  }
+
+  /** text → the 4 pHash bands: integer 8×8 DCT-II of the 64 samples
+    * over the driver-rounded [[graft.ops.MultimodalOps.PhashDctBasis]]
+    * literals (T[k] ≤ 2⁴² — long-exact), 63 AC coefficients
+    * thresholded against their exact median (the 32nd order statistic
+    * of the sorted 63). Bit i (0-based) = T[i+1] > med. */
+  def phashBands(input: UTF8String): ArrayData = {
+    val s = sampleCps(input, 64)
+    val basis = graft.ops.MultimodalOps.PhashDctBasisArr
+    val t = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val u = (k >> 3) << 3
+      val v = (k & 7) << 3
+      var acc = 0L
+      var m = 0
+      while (m < 64) {
+        acc += basis(u + (m >> 3)) * basis(v + (m & 7)) * s(m)
+        m += 1
+      }
+      t(k) = acc
+      k += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(t, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    packBands(63)(i => t(i + 1) > med)
+  }
+
+  /** text → the 4 audio-fingerprint bands: 256 samples → 64 frames of
+    * 4 → frame energies E_f = Σ s² → bit f = E_{f+1} > E_f.
+    *
+    * Energies accumulate in LONG — a deliberate strengthening over
+    * the retired int-typed HOF form, which under Spark 4's default
+    * ANSI mode THREW on any sampled codepoint past ~23k (4·28450²
+    * overflows int32 — CJK text crashed the old query; found by the
+    * MultimodalSpec edge-case parity test). Identical values wherever
+    * the old form evaluated at all (4·2¹⁶ < 2³¹ covers every real
+    * PCM byte and the BMP's alphabetic planes); the DuckDB mirror is
+    * widened the same way. */
+  def audioFpBands(input: UTF8String): ArrayData = {
+    val s = sampleCps(input, 256)
+    val e = new Array[Long](64)
+    var f = 0
+    while (f < 64) {
+      var acc = 0L
+      var j = 0
+      while (j < 4) { val x = s(4 * f + j).toLong; acc += x * x; j += 1 }
+      e(f) = acc
+      f += 1
+    }
+    packBands(63)(i => e(i + 1) > e(i))
+  }
+
   /** Set the 4 double-hashed Bloom bits for `key` in a long-packed
     * bitset whose length is a power of two ([[SketchAggregates]]). */
   def bloomSet(bits: Array[Long], key: Long): Unit = {

@@ -371,37 +371,28 @@ object MultimodalOps {
     * |candidates|-sized hash join + bit_count verify. The exact
     * minhash/banding geometry, on binary payloads.
     *
-    * Evaluation-structure note (the lesson this query paid 89 s at
-    * sf0.1 to learn): HOF pipelines must LET-BIND their stages. A
-    * naive `withColumn("S", …).withColumn("M", f(S)).withColumn("BV",
+    * Evaluation-structure history (the lesson this query paid 89 s at
+    * sf0.1 to learn, preserved because it is a general Catalyst rule):
+    * the hash was first a declarative HOF pipeline, and a naive
+    * `withColumn("S", …).withColumn("M", f(S)).withColumn("BV",
     * g(S, M))` chain is collapsed by Catalyst's CollapseProject into
     * ONE projection that textually inlines S into every one of BV's
     * 64 bit-tests (and M's inlined copy re-inlines S again) — and
     * higher-order functions evaluate INTERPRETED, so the O(len)
-    * sample extraction ran ~128× per doc. Binding each stage as a
-    * lambda variable (`transform(array(S), s -> …)`) makes the
-    * evaluate-once structure part of the expression itself — the
-    * optimizer cannot inline through a lambda binding. */
+    * sample extraction ran ~128× per doc. Let-binding each stage as a
+    * lambda variable stopped the re-inlining; the hash now rides the
+    * native codegen'd `ahash_bands` expression instead (one JVM loop
+    * per row, whole-stage codegen — the house route for scalar work,
+    * value-identical by the unchanged DuckDB mirror). */
   def ahashNeardup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the position multiply is widened to BIGINT (docs past ~34M
-    // chars would overflow 32-bit i*len; the final cast back to INT
-    // is safe — JVM strings cap at 2^31 chars, so positions fit)
-    val sExpr =
-      "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"
+    graft.functions.PerceptualHashExpressions.register(spark)
     // documentsSpread = the PINNED-count spread (AQE's byte-based
     // coalescer would collapse an unpinned repartition(doc_id) to ONE
     // partition and serialize this per-row-expensive pass — measured
     // 8.5 s vs 0.6 s; rule + guard pointers on Tables.documentsSpread)
     val base = Tables.documentsSpread(spark, dir)
-      .withColumn("BV", expr(
-        s"""element_at(transform(array($sExpr), s ->
-           |  element_at(transform(array(aggregate(s, 0, (a, x) -> a + x) div 64), m ->
-           |    transform(sequence(0, ${AhashBands - 1}), b ->
-           |      aggregate(sequence(0, ${AhashBandBits - 1}), 0,
-           |        (a, j) -> a + IF(element_at(s, $AhashBandBits * b + j + 1) > m,
-           |                         shiftleft(1, j), 0)))), 1)), 1)""".stripMargin))
-      .select(col("doc_id"), col("BV"))
+      .select(col("doc_id"), expr("ahash_bands(text)").as("BV"))
       .localCheckpoint()
     val bx = base.select(col("doc_id"),
       posexplode(col("BV")).as(Seq("B", "V")))
@@ -444,6 +435,9 @@ object MultimodalOps {
   lazy val PhashDctBasis: Seq[Long] =
     for (i <- 0 until 8; j <- 0 until 8)
       yield math.round(PhashDctScale * StrictMath.cos((2 * j + 1) * i * math.Pi / 16.0))
+  /** [[PhashDctBasis]] as a flat array for the native kernel's inner
+    * loop ([[graft.functions.ExprKernels.phashBands]]). */
+  lazy val PhashDctBasisArr: Array[Long] = PhashDctBasis.toArray
   /** "Close pair" Hamming ceiling for the [[phashNeardup]] IsClose
     * verdict. Unlike [[ahashNeardup]], the query reports EVERY capped
     * band-candidate with its spectral distance rather than dropping
@@ -475,35 +469,19 @@ object MultimodalOps {
     *
     * Scale shape: identical to [[ahashNeardup]] — ONE narrow corpus
     * pass computes the 4096-multiply DCT per doc (fixed cost per row,
-    * no shuffle; every stage LET-BOUND as a lambda variable so
-    * sample, spectrum and median each evaluate exactly once per row —
-    * see ahashNeardup's CollapseProject note: unbound, the DCT would
-    * re-run ~65× per doc through the inlined median and bit tests),
-    * localCheckpoint-pinned, then the banded-LSH join with the
-    * [[AhashBucketCap]] hot-bucket guard bounds pair volume. */
+    * no shuffle) via the native codegen'd `phash_bands` expression
+    * (the interpreted HOF DCT was the multimodal family's worst
+    * decade exponent, α 0.51, even after the round-10 let-binding fix
+    * — ExprKernels.phashBands is the same arithmetic as one primitive
+    * loop per row), localCheckpoint-pinned, then the banded-LSH join
+    * with the [[AhashBucketCap]] hot-bucket guard bounds pair
+    * volume. */
   def phashNeardup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cl = PhashDctBasis.map(v => s"${v}L").mkString("array(", ", ", ")")
-    val sExpr =
-      "transform(sequence(0, 63), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 64 AS INT) + 1, 1)))"
-    val tExpr =
-      s"""transform(sequence(0, 63), k ->
-         |  aggregate(sequence(0, 63), 0L, (a, m) ->
-         |    a + element_at($cl, CAST((k div 8) * 8 + (m div 8) + 1 AS INT))
-         |      * element_at($cl, (k % 8) * 8 + (m % 8) + 1)
-         |      * element_at(s, m + 1)))""".stripMargin
+    graft.functions.PerceptualHashExpressions.register(spark)
     // pinned spread: see ahashNeardup's AQE-coalesce note
     val base = Tables.documentsSpread(spark, dir)
-      .withColumn("BV", expr(
-        s"""element_at(transform(array($sExpr), s ->
-           |  element_at(transform(array($tExpr), t ->
-           |    element_at(transform(array(element_at(array_sort(slice(t, 2, 63)), 32)), med ->
-           |      transform(sequence(0, ${AhashBands - 1}), b ->
-           |        aggregate(sequence(0, ${AhashBandBits - 1}), 0,
-           |          (a, j) -> a + IF($AhashBandBits * b + j + 1 <= 63 AND
-           |                           element_at(t, $AhashBandBits * b + j + 2) > med,
-           |                           shiftleft(1, j), 0)))), 1)), 1)), 1)""".stripMargin))
-      .select(col("doc_id"), col("BV"))
+      .select(col("doc_id"), expr("phash_bands(text)").as("BV"))
       .localCheckpoint()
     val bx = base.select(col("doc_id"),
       posexplode(col("BV")).as(Seq("B", "V")))
@@ -545,32 +523,19 @@ object MultimodalOps {
     *
     * Exactness: energies ≤ 4·255² are small integers, bits are
     * integer comparisons, banding is [[AhashBands]]×16 (last band 15
-    * bits — no sign-bit shifts). Stages LET-BOUND and the partition
-    * count pinned (the two round-10 HOF lessons); hash table
+    * bits — no sign-bit shifts). The hash rides the native codegen'd
+    * `audiofp_bands` expression with the partition count pinned (the
+    * two round-10 lessons, both now structural); hash table
     * localCheckpoint-pinned before the banded-LSH join with the
     * [[AhashBucketCap]] hot-bucket guard; candidates reported with
     * the [[AudioMaxHamming]] IsClose verdict (unthresholded report —
     * the pHash non-vacuous-gate discipline). */
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sExpr =
-      "transform(sequence(0, 255), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div 256 AS INT) + 1, 1)))"
-    val eExpr =
-      s"""transform(sequence(0, 63), f ->
-         |  aggregate(sequence(0, 3), 0, (a, j) ->
-         |    a + element_at(s, 4 * f + j + 1) * element_at(s, 4 * f + j + 1)))""".stripMargin
+    graft.functions.PerceptualHashExpressions.register(spark)
     // pinned spread: see ahashNeardup's AQE-coalesce note
     val base = Tables.documentsSpread(spark, dir)
-      .withColumn("BV", expr(
-        s"""element_at(transform(array($sExpr), s ->
-           |  element_at(transform(array($eExpr), e ->
-           |    transform(sequence(0, ${AhashBands - 1}), b ->
-           |      aggregate(sequence(0, ${AhashBandBits - 1}), 0,
-           |        (a, j) -> a + IF($AhashBandBits * b + j + 1 <= 63 AND
-           |                         element_at(e, $AhashBandBits * b + j + 2) >
-           |                         element_at(e, $AhashBandBits * b + j + 1),
-           |                         shiftleft(1, j), 0)))), 1)), 1)""".stripMargin))
-      .select(col("doc_id"), col("BV"))
+      .select(col("doc_id"), expr("audiofp_bands(text)").as("BV"))
       .localCheckpoint()
     val bx = base.select(col("doc_id"),
       posexplode(col("BV")).as(Seq("B", "V")))

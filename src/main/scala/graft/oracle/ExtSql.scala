@@ -688,8 +688,11 @@ ORDER BY "Method"
   }
 
   /** Audio-fingerprint mirror: identical 256-byte proxy samples,
-    * identical 4-sample frame energies, identical energy-delta bits,
-    * band layout, hot-bucket cap, Hamming + IsClose verdict. */
+    * identical 4-sample frame energies (widened to BIGINT on both
+    * sides — the engine kernel accumulates in long so CJK-range
+    * codepoints can't overflow; the mirror widens identically), the
+    * same energy-delta bits, band layout, hot-bucket cap, Hamming +
+    * IsClose verdict. */
   val multimodalAudioFingerprint: String = {
     val mm = graft.ops.MultimodalOps
     s"""
@@ -701,7 +704,7 @@ WITH smp AS (
 ),
 en AS (
   SELECT doc_id,
-         [list_sum([s[4 * f + j + 1] * s[4 * f + j + 1]
+         [list_sum([CAST(s[4 * f + j + 1] AS BIGINT) * s[4 * f + j + 1]
                     for j in generate_series(0, 3)])
           for f in generate_series(0, 63)] AS e
   FROM smp

@@ -34,7 +34,10 @@ class ExtensionsSpec extends AnyFunSuite {
           |  token_shingles('a b c d') AS sh,
           |  simhash_bits('a b c') AS sb,
           |  zorder_long(array(3L, 3L)) AS z,
-          |  rolling_chunks('short') AS rc
+          |  rolling_chunks('short') AS rc,
+          |  ahash_bands('some sample text body') AS ab,
+          |  phash_bands('some sample text body') AS pb,
+          |  audiofp_bands('some sample text body') AS fb
           |""".stripMargin).head()
       assert(r.getAs[Long]("d") === 32L)
       assert(r.getAs[Seq[Long]]("q") === Seq(5000L))
@@ -46,6 +49,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("z") === 15L)
       // sub-window text = one whole-text chunk
       assert(r.getAs[Seq[String]]("rc").length === 1)
+      Seq("ab", "pb", "fb").foreach { c =>
+        val bands = r.getAs[scala.collection.Seq[Int]](c)
+        assert(bands.length === 4, c)
+        bands.foreach(v => assert(v >= 0 && v < (1 << 16), s"$c band $v"))
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -76,9 +84,12 @@ class ExtensionsSpec extends AnyFunSuite {
         "token_fingerprint(concat('a b c ', CAST(id AS STRING))) AS tf",
         "quantize_vec(array(CAST(0.25 AS FLOAT), CAST(id AS FLOAT))) AS q",
         "zorder_long(array(id, id + 1L)) AS z",
-        "rolling_chunks(concat('some chunkable text body ', CAST(id AS STRING))) AS rc")
+        "rolling_chunks(concat('some chunkable text body ', CAST(id AS STRING))) AS rc",
+        "ahash_bands(concat('hash me ', CAST(id AS STRING))) AS ab",
+        "phash_bands(concat('hash me ', CAST(id AS STRING))) AS pb",
+        "audiofp_bands(concat('hash me ', CAST(id AS STRING))) AS fb")
         .selectExpr("minhash_bands(sh) AS mb", "long_dot(q, q) AS dd",
-          "sb", "ts", "tf", "z", "rc")
+          "sb", "ts", "tf", "z", "rc", "ab", "pb", "fb")
       val rows = df.collect()
       assert(rows.length === 64)
       assert(rows.forall(_.getAs[Seq[String]]("mb").length === 4))
@@ -100,6 +111,9 @@ class ExtensionsSpec extends AnyFunSuite {
           case _: graft.functions.SimhashBits => true
           case _: graft.functions.ZOrderLong => true
           case _: graft.functions.RollingChunks => true
+          case _: graft.functions.AhashBands => true
+          case _: graft.functions.PhashBands => true
+          case _: graft.functions.AudioFpBands => true
           case _ => false
         })
       assert(fused,

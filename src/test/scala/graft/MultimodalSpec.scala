@@ -239,7 +239,9 @@ class MultimodalSpec extends SparkSpec {
     import graft.etl.Tables
     val mm = MultimodalOps
     def hashOf(s: IndexedSeq[Int]): Seq[Int] = {
-      val e = (0 until 64).map(f => (0 until 4).map(j => s(4 * f + j) * s(4 * f + j)).sum)
+      // long energies — the engine kernel's widened arithmetic
+      val e = (0 until 64).map(f =>
+        (0 until 4).map(j => s(4 * f + j).toLong * s(4 * f + j)).sum)
       (0 until mm.AhashBands).map { b =>
         (0 until mm.AhashBandBits)
           .filter(j => mm.AhashBandBits * b + j + 1 <= 63 &&
@@ -274,5 +276,83 @@ class MultimodalSpec extends SparkSpec {
         r.getAs[Int]("Hamming"), r.getAs[Boolean]("IsClose"))).toSeq
     assert(got === expected)
     assert(got.nonEmpty, "no band candidates at fixture scale — gate would be vacuous")
+  }
+
+  test("native band kernels are bit-identical to the retired declarative HOF forms") {
+    // the HOF pipelines the native expressions replaced, kept here as
+    // the executable reference semantics: ascii/substr/length are the
+    // engine's own codepoint rules, so any kernel drift (sampling
+    // index, div/rounding, band packing, int overflow behavior) fails
+    // THIS test on the exact element that diverged — including the
+    // edge cases the corpus never exercises (empty text, non-ASCII
+    // codepoints, texts shorter than the sample count)
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.PerceptualHashExpressions.register(spark)
+    def hofSamples(k: Int) =
+      s"transform(sequence(0, ${k - 1}), i -> ascii(substr(text, CAST((CAST(i AS BIGINT) * length(text)) div $k AS INT) + 1, 1)))"
+    val cl = MultimodalOps.PhashDctBasis.map(v => s"${v}L").mkString("array(", ", ", ")")
+    val tExpr =
+      s"""transform(sequence(0, 63), k ->
+         |  aggregate(sequence(0, 63), 0L, (a, m) ->
+         |    a + element_at($cl, CAST((k div 8) * 8 + (m div 8) + 1 AS INT))
+         |      * element_at($cl, (k % 8) * 8 + (m % 8) + 1)
+         |      * element_at(s, m + 1)))""".stripMargin
+    // the audio energies are WIDENED to bigint relative to the retired
+    // int-typed form: under ANSI mode the old form THREW on sampled
+    // codepoints past ~23k (4·28450² > 2³¹ — the CJK edge row below),
+    // so the kernel accumulates in long; this reference is the same
+    // widened arithmetic, value-identical wherever the old form ran
+    val eExpr =
+      s"""transform(sequence(0, 63), f ->
+         |  aggregate(sequence(0, 3), 0L, (a, j) ->
+         |    a + CAST(element_at(s, 4 * f + j + 1) AS BIGINT)
+         |      * element_at(s, 4 * f + j + 1)))""".stripMargin
+    val hofAhash =
+      s"""element_at(transform(array(${hofSamples(64)}), s ->
+         |  element_at(transform(array(aggregate(s, 0, (a, x) -> a + x) div 64), m ->
+         |    transform(sequence(0, 3), b ->
+         |      aggregate(sequence(0, 15), 0,
+         |        (a, j) -> a + IF(element_at(s, 16 * b + j + 1) > m,
+         |                         shiftleft(1, j), 0)))), 1)), 1)""".stripMargin
+    val hofPhash =
+      s"""element_at(transform(array(${hofSamples(64)}), s ->
+         |  element_at(transform(array($tExpr), t ->
+         |    element_at(transform(array(element_at(array_sort(slice(t, 2, 63)), 32)), med ->
+         |      transform(sequence(0, 3), b ->
+         |        aggregate(sequence(0, 15), 0,
+         |          (a, j) -> a + IF(16 * b + j + 1 <= 63 AND
+         |                           element_at(t, 16 * b + j + 2) > med,
+         |                           shiftleft(1, j), 0)))), 1)), 1)), 1)""".stripMargin
+    val hofAudio =
+      s"""element_at(transform(array(${hofSamples(256)}), s ->
+         |  element_at(transform(array($eExpr), e ->
+         |    transform(sequence(0, 3), b ->
+         |      aggregate(sequence(0, 15), 0,
+         |        (a, j) -> a + IF(16 * b + j + 1 <= 63 AND
+         |                         element_at(e, 16 * b + j + 2) >
+         |                         element_at(e, 16 * b + j + 1),
+         |                         shiftleft(1, j), 0)))), 1)), 1)""".stripMargin
+    import spark.implicits._
+    val edge = Seq("", "x", "ab", "déjà vu — ünïcödé слова 漢字テキスト",
+      " control  bytes", " ", "0123456789" * 100,
+      (0x20 to 0x2FF).map(_.toChar).mkString).toDF("text")
+    val corpus = graft.etl.Tables.documents(spark, sfDir).select(col("text"))
+    Seq(corpus, edge).foreach { frame =>
+      val rows = frame
+        .withColumn("NA", expr("ahash_bands(text)"))
+        .withColumn("OA", expr(hofAhash))
+        .withColumn("NP", expr("phash_bands(text)"))
+        .withColumn("OP", expr(hofPhash))
+        .withColumn("NF", expr("audiofp_bands(text)"))
+        .withColumn("OF2", expr(hofAudio))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        def g(c: String) = r.getAs[scala.collection.Seq[Int]](c).toList
+        assert(g("NA") === g("OA"), s"ahash: ${r.getString(0).take(60)}")
+        assert(g("NP") === g("OP"), s"phash: ${r.getString(0).take(60)}")
+        assert(g("NF") === g("OF2"), s"audio: ${r.getString(0).take(60)}")
+      }
+    }
   }
 }
