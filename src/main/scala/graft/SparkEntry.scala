@@ -193,6 +193,7 @@ object SparkEntry {
     "similarity_mmr_topk" -> (SimilarityOps.mmrTopk _),
     // exact mutual-kNN graph (corpus-quadratic baseline; IVF-routed at scale)
     "similarity_knn_graph" -> (SimilarityOps.knnGraph _),
+    "similarity_knn_graph_ivf" -> ((s: SparkSession, d: String) => SimilarityOps.knnGraphIvf(s, d)),
     // top principal component: exact integer scatter + power iteration
     "similarity_pca_power" -> (SimilarityOps.pcaPower _),
     // deterministic ±1 JL projection (round 10): 64 → 16 exact integer
@@ -389,6 +390,7 @@ object SparkEntry {
     "similarity_topk" -> ExtSql.similarityTopk,
     "similarity_mmr_topk" -> ExtSql.similarityMmrTopk,
     "similarity_knn_graph" -> ExtSql.similarityKnnGraph,
+    "similarity_knn_graph_ivf" -> ExtSql.similarityKnnGraphIvf,
     "similarity_pca_power" -> ExtSql.similarityPcaPower,
     "similarity_random_projection" -> ExtSql.similarityRandomProjection,
     "similarity_lsh_neardup" -> ExtSql.similarityLshNeardup,

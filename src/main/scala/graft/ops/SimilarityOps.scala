@@ -338,6 +338,56 @@ object SimilarityOps {
       .transform(graft.etl.Summaries.smallSort(_, col("SrcId"), col("Rank")))
   }
 
+  /** ROUTED mutual-kNN graph — the production pair source
+    * [[knnGraph]]'s scaladoc declares, now a gated query of its own:
+    * every corpus vector probes its `nprobe` nearest IVF lists (the
+    * persisted index [[ivfTopk]] reads), candidates are the routed
+    * lists' members, and the rank / mutual-flag stages are the SAME
+    * code shape as the exact graph — (Cosine desc, NId) row_number
+    * cut, localCheckpoint-pinned edge list, reverse-edge left join.
+    * No candidate dedup is needed: a vector lives in exactly ONE
+    * inverted list and a query's probed lists are distinct, so each
+    * (query, candidate) pair surfaces at most once.
+    *
+    * Approximation semantics: recall < 1 is possible by construction
+    * (a true neighbor assigned to an unprobed list is missed) — the
+    * oracle REPLAYS the same deterministic routing (k-means codebook,
+    * (L2², Cid)-tie-broken nprobe route) rather than pretending the
+    * query is exact, and OpsSpec measures recall against [[knnGraph]]
+    * the way `retrieval_eval` scores ivf/pq.
+    *
+    * Scale shape: pair volume drops from the exact graph's n² to
+    * n·nprobe·(n/K) — at the engine's K ∝ √n sizing policy that is
+    * n^1.5·nprobe, the same exponent cut the hierarchical assignment
+    * takes, with the corpus-sized route riding one Cid-keyed shuffle
+    * join (the incrementalDedupAgainst shape, never a window over
+    * n·K). */
+  def knnGraphIvf(spark: SparkSession, dir: String,
+                  nCentroids: Int = DefaultNCentroids,
+                  nprobe: Int = DefaultNProbe): DataFrame = {
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val lists = spark.read.parquet(s"$base/lists")
+    val queries = quantized(spark, dir)
+      .select(col("vec_id").as("SrcId"), col("Q").as("QS"), col("NormSq").as("NS"))
+    val edges = nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS")
+      .join(lists, "Cid")
+      .filter(col("vec_id") =!= col("SrcId"))
+      .withColumn("Cosine",
+        expr("long_dot(QS, Q)").cast(DoubleType) /
+          (sqrt(col("NS").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
+      .withColumn("Rank", row_number().over(
+        Window.partitionBy(col("SrcId")).orderBy(col("Cosine").desc, col("vec_id"))))
+      .filter(col("Rank") <= KnnGraphK)
+      .select(col("SrcId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
+      .localCheckpoint()
+    val rev = edges.select(col("NId").as("RS"), col("SrcId").as("RT"))
+    edges.join(rev, col("SrcId") === col("RS") && col("NId") === col("RT"), "left")
+      .select(col("SrcId"), col("NId"), col("Cosine"), col("Rank"),
+        col("RS").isNotNull.as("Mutual"))
+      .transform(graft.etl.Summaries.smallSort(_, col("SrcId"), col("Rank")))
+  }
+
   // ---------------------------------------------------------------
   // Product quantization (PQ): compressed-domain candidate scan
   // ---------------------------------------------------------------

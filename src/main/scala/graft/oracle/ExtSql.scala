@@ -2460,6 +2460,45 @@ ORDER BY "QId", "Rank"
 """
   }
 
+  /** Routed-kNN-graph mirror: REPLAYS the approximation — the same
+    * deterministic k-means codebook CTEs as the IVF mirrors, a
+    * corpus-wide nprobe route ((L2², cid) tie-break, no probe-id
+    * cutoff), candidates = routed-list members via the replayed final
+    * assignment, then the exact graph mirror's rank / mutual stages
+    * verbatim. A hash match here proves the routing, not just the
+    * ranking. */
+  val similarityKnnGraphIvf: String = {
+    import graft.ops.SimilarityOps.{DefaultNProbe, KnnGraphK}
+    val cFinal = kmeansCFinal
+    quantCte + codebookCtes + s""",
+pl AS (
+  SELECT qid, qp, np, cid FROM (
+    SELECT p.vec_id AS qid, p.qv AS qp, p.nn AS np, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             (p.nn - 2 * list_sum([p.qv[i] * c.cq[i] for i in range(1, len(p.qv)+1)]) + c.cn), c.cid) AS rn
+    FROM n p CROSS JOIN $cFinal c
+  ) WHERE rn <= $DefaultNProbe
+),
+sc AS (
+  SELECT pl.qid AS s, v.vec_id AS t,
+         CAST(list_sum([pl.qp[i] * v.qv[i] for i in range(1, len(pl.qp)+1)]) AS DOUBLE)
+           / (sqrt(CAST(pl.np AS DOUBLE)) * sqrt(CAST(v.nn AS DOUBLE))) AS cos
+  FROM pl JOIN af a ON pl.cid = a.cid AND a.avid <> pl.qid
+  JOIN n v ON a.avid = v.vec_id
+),
+r AS (
+  SELECT s, t, cos,
+         CAST(row_number() OVER (PARTITION BY s ORDER BY cos DESC, t) AS INTEGER) AS rk
+  FROM sc
+),
+kk AS (SELECT s, t, cos, rk FROM r WHERE rk <= $KnnGraphK)
+SELECT kk.s AS "SrcId", kk.t AS "NId", kk.cos AS "Cosine", kk.rk AS "Rank",
+       (m.s IS NOT NULL) AS "Mutual"
+FROM kk LEFT JOIN kk m ON m.s = kk.t AND m.t = kk.s
+ORDER BY "SrcId", "Rank"
+"""
+  }
+
   /** Cluster-profile mirror: members = the final k-means assignment,
     * per-member distance recomputed as exact integer L2² against the
     * ASSIGNED centroid; majority label via (count DESC, label) window;

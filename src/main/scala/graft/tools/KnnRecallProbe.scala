@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures routed-kNN edge recall vs the exact graph as nprobe
+  * varies — the sizing evidence for the `similarity_knn_graph_ivf`
+  * gate parameters and the OpsSpec recall bound.
+  *
+  * usage: runMain graft.tools.KnnRecallProbe <sfDir> [nprobe,nprobe,...]
+  */
+object KnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) {
+      System.err.println("usage: runMain graft.tools.KnnRecallProbe <sfDir> [nprobes]")
+      sys.exit(2)
+    }
+    val sfDir = args(0)
+    val nprobes = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(4, 6, 8, 10, 12)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Verify.registerAll(spark)
+    val exact = graft.ops.SimilarityOps.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("SrcId"), r.getAs[Long]("NId"))).toSet
+    nprobes.foreach { np =>
+      val t0 = System.nanoTime()
+      val routed = graft.ops.SimilarityOps.knnGraphIvf(spark, sfDir, nprobe = np)
+        .collect().map(r => (r.getAs[Long]("SrcId"), r.getAs[Long]("NId"))).toSet
+      val recall = (exact intersect routed).size.toDouble / exact.size
+      println(f"[knnrecall] nprobe=$np%2d recall=$recall%.4f " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2f s, |routed|=${routed.size})")
+    }
+    spark.stop()
+  }
+}
