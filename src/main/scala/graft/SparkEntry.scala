@@ -255,6 +255,8 @@ object SparkEntry {
     "graph_label_propagation" -> (graft.ops.GraphOps.labelPropagation _),
     // density-thresholded k-core peeling (convergence-run, assert-bounded)
     "graph_kcore" -> (graft.ops.GraphOps.kcore _),
+    "graph_bfs_hops" -> (graft.ops.GraphOps.bfsHops _),
+    "graph_degree_stats" -> (graft.ops.GraphOps.degreeStats _),
     // market-basket association report: support/confidence/lift
     "basket_pair_lift" -> (graft.ops.GraphOps.basketPairLift _),
     // exact-power-sum bivariate stats (round 8): corr/covar/stddev
@@ -433,6 +435,8 @@ object SparkEntry {
     "graph_triangles" -> ExtSql.graphTriangles,
     "graph_label_propagation" -> ExtSql.graphLabelPropagation,
     "graph_kcore" -> ExtSql.graphKcore,
+    "graph_bfs_hops" -> ExtSql.graphBfsHops,
+    "graph_degree_stats" -> ExtSql.graphDegreeStats,
     "basket_pair_lift" -> ExtSql.basketPairLift,
     "stats_correlation" -> ExtSql.statsCorrelation,
     "dq_checks" -> ExtSql.dqChecks,

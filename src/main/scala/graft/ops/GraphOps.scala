@@ -172,8 +172,16 @@ object GraphOps {
     * against headroom) or promote the damping multiply to
     * decimal(38,0) the way `similarity_outliers` does its
     * cross-multiplied z-rule. */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, dir)
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(coPurchaseEdges(spark, dir))
+
+  /** [[pagerank]] over ANY degree-carrying (Src, Dst, OutDeg)
+    * both-directions edge substrate — the kernels are graph-generic;
+    * the (spark, dir) forms bind them to the co-purchase graph. The
+    * split is what lets GraphScaleProbe drive the same code over a
+    * synthesized power-law corpus decades larger than the fact-table
+    * graph. */
+  def pagerankOf(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()
     var ranks = deg.select(col("Src").as("Node"), lit(RankScale).as("RankQ"))
     for (_ <- 1 to PageRankIters) {
@@ -219,8 +227,12 @@ object GraphOps {
     * mirror counts the same triangles via plain id-ordering — the
     * count per node is orientation-independent, so hash equality also
     * checks that the degree-oriented plan loses/invents nothing. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(spark, dir) // Src, Dst, OutDeg = deg(Src); both directions
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(coPurchaseEdges(spark, dir))
+
+  /** [[triangles]] over any degree-carrying edge substrate (see
+    * [[pagerankOf]]). */
+  def trianglesOf(e: DataFrame): DataFrame = {
     val deg = e.select(col("Src").as("N"), col("OutDeg").as("Deg")).distinct()
     // edge rows carrying BOTH endpoint degrees (one node-sized join)
     val withDd = e
@@ -289,8 +301,12 @@ object GraphOps {
     * In an undirected graph every node has ≥1 neighbor, so no node
     * drops out of the vote aggregate (directed callers would left-join
     * the node universe back in — same note as pagerank). */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, dir)
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame =
+    labelPropagationOf(coPurchaseEdges(spark, dir))
+
+  /** [[labelPropagation]] over any degree-carrying edge substrate
+    * (see [[pagerankOf]]). */
+  def labelPropagationOf(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()
     var labels = deg.select(col("Src").as("Node"), col("Src").as("Lbl"))
     for (_ <- 1 to LpaRounds) {
@@ -345,8 +361,19 @@ object GraphOps {
     * node-sized set regardless of round count). The two driver-side
     * scalars (K, per-round changed count) are metadata-cheap 1-row
     * actions, the assignAuto precedent. */
-  def kcore(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, dir)
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreWithRounds(coPurchaseEdges(spark, dir))._1
+
+  /** [[kcore]] over any degree-carrying edge substrate, also
+    * returning the measured peel-round count. `maxRounds` defaults to
+    * [[KcoreUnrollRounds]] — the GATE contract, tied to the mirror's
+    * unroll depth; the scale probe passes its own bound because peel
+    * depth is a CORPUS property (the synthesized power-law corpus
+    * peels ~3× deeper than the co-purchase graph — measured by
+    * GraphScaleProbe, which is exactly the kind of fact this loop's
+    * assert exists to surface). */
+  def kcoreWithRounds(edges: DataFrame,
+                      maxRounds: Int = KcoreUnrollRounds): (DataFrame, Int) = {
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()
     val nm = deg.agg(sum(col("OutDeg")).as("S"), count(lit(1)).as("N")).first()
     val k = KcoreDensityNum * (nm.getLong(0) / nm.getLong(1)) / KcoreDensityDen
@@ -356,8 +383,8 @@ object GraphOps {
     var converged = false
     while (!converged) {
       rounds += 1
-      assert(rounds <= KcoreUnrollRounds,
-        s"k-core failed to fixpoint within $KcoreUnrollRounds peels — " +
+      assert(rounds <= maxRounds,
+        s"k-core failed to fixpoint within $maxRounds peels — " +
           "raise KcoreUnrollRounds together with the mirror's unroll")
       val next = edges
         .join(alive, edges("Src") === alive("N")).drop("N")
@@ -374,7 +401,7 @@ object GraphOps {
       .join(alive, edges("Src") === alive("N")).drop("N")
       .join(alive.select(col("N").as("ND")), col("Dst") === col("ND"))
       .groupBy(col("Src")).agg(count(lit(1)).as("CoreDegree"))
-    deg
+    val out = deg
       .join(alive, deg("Src") === alive("N"), "left")
       .join(coreDeg.select(col("Src").as("SC"), col("CoreDegree")),
         col("Src") === col("SC"), "left")
@@ -383,5 +410,138 @@ object GraphOps {
         col("N").isNotNull.as("InCore"),
         coalesce(col("CoreDegree"), lit(0L)).as("CoreDegree"))
       .orderBy(col("PartKey"))
+    (out, rounds)
+  }
+
+  /** Mirror unroll depth for [[bfsHops]]; the engine ASSERTS its
+    * frontier loop fixpoints within this many rounds (the
+    * KcoreUnrollRounds discipline — min-propagation is monotone, so
+    * extra unrolled mirror rounds past the fixpoint are exact
+    * no-ops). Co-purchase graphs are dense small-world structures
+    * (measured diameter ≤ 4 at sf0.1); 10 leaves headroom. */
+  val BfsUnrollRounds = 10
+
+  /** BREADTH-FIRST HOP DISTANCE from the graph's dominant hub — the
+    * traversal member of the graph family (reach/radius analysis:
+    * "how many hops from the anchor product is everything else?").
+    * The source is deterministic: the node with (max degree, min id)
+    * — the same hub PageRank surfaces, derivable identically by the
+    * mirror. Output per node: degree, hop distance (NULL for nodes in
+    * other components — disconnection is reported, not hidden), and
+    * the source flag.
+    *
+    * Exactness: hop distances are a monotone min-lattice over
+    * non-negative integers (the componentsOf discipline — no floats,
+    * no ties, no truncate-vs-floor division hazards), so the loop
+    * cannot oscillate and any engine agrees bit-for-bit. The engine
+    * runs to CONVERGENCE and asserts fixpoint within
+    * [[BfsUnrollRounds]]; the mirror unrolls exactly that many
+    * rounds.
+    *
+    * Scale shape: one round = ONE equi-join of the cached edge
+    * substrate with the node-sized distance table + one min
+    * aggregate (map-side combining), distance state
+    * localCheckpoint-pinned per round — the Pregel shape shared with
+    * every loop in this file. Frontier-delta BFS (joining only the
+    * newly-settled frontier) is the constant-factor refinement at
+    * extreme diameters; on small-world graphs the full-state join is
+    * the same volume and one less moving part. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame =
+    bfsHopsOf(coPurchaseEdges(spark, dir))
+
+  /** [[bfsHops]] over any degree-carrying edge substrate (see
+    * [[pagerankOf]]). */
+  def bfsHopsOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+    val src = deg
+      .agg(max(struct(col("OutDeg"), (-col("Src")).as("NegId"))).as("B"))
+      .select((-col("B.NegId")).as("SourceId"))
+      .first().getLong(0)
+    var dist = deg.filter(col("Src") === src)
+      .select(col("Src").as("Node"), lit(0L).as("Hops"))
+      .localCheckpoint()
+    var settled = dist.count()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      assert(rounds <= BfsUnrollRounds,
+        s"BFS failed to fixpoint within $BfsUnrollRounds rounds — " +
+          "raise BfsUnrollRounds together with the mirror's unroll")
+      val next = edges
+        .join(dist, edges("Src") === dist("Node"))
+        .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
+        .union(dist)
+        .groupBy(col("Node")).agg(min(col("Hops")).as("Hops"))
+        .localCheckpoint()
+      val nextCount = next.count()
+      if (nextCount == settled) converged = true
+      dist = next
+      settled = nextCount
+    }
+    deg.join(dist, deg("Src") === dist("Node"), "left")
+      .select(col("Src").as("PartKey"),
+        col("OutDeg").cast(LongType).as("Degree"),
+        col("Hops"),
+        (col("Src") === src).as("IsSource"))
+      .orderBy(col("PartKey"))
+  }
+
+  /** DEGREE STATISTICS + ASSORTATIVITY health card — one row per
+    * graph: node/edge counts, degree min/mean/max, and the degree
+    * assortativity coefficient (Newman 2002): the Pearson correlation
+    * of (deg(u), deg(v)) over directed edges — negative on hub-spoke
+    * graphs (celebrities attach to low-degree nodes), positive on
+    * peer-clustered ones; THE one-number summary an operator reads
+    * before trusting any per-node graph metric.
+    *
+    * Exactness: the statsCorrelation wide-combination rule — Pearson
+    * over integers needs only the five sums Σx, Σy, Σxy, Σx², Σy²,
+    * each exact in DECIMAL(38,0) (degree ≤ 10⁶ ⇒ products ≤ 10¹²,
+    * summed over ≤ 10¹² edges stays under 38 digits), and the
+    * coefficient is IEEE arithmetic on two exactly-agreed doubles.
+    * The undirected edge list carries both directions, so the
+    * directed-edge correlation IS the undirected assortativity. */
+  def degreeStats(spark: SparkSession, dir: String): DataFrame =
+    degreeStatsOf(coPurchaseEdges(spark, dir))
+
+  /** [[degreeStats]] over any degree-carrying edge substrate. The
+    * sums ride LONGS (degree ≤ 2³¹ ⇒ per-edge products ≤ 2⁶² summed
+    * over bounded edge counts — the statsCorrelation budget) and
+    * widen to decimal(38,0) ONLY at the Pearson combination step,
+    * exactly the statsCorrelation discipline; the coefficient is IEEE
+    * arithmetic on two exactly-agreed doubles. */
+  def degreeStatsOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+    val nodes = deg.agg(
+      count(lit(1)).as("NNodes"),
+      min(col("OutDeg")).cast(LongType).as("MinDegree"),
+      max(col("OutDeg")).cast(LongType).as("MaxDegree"),
+      sum(col("OutDeg")).as("SumDeg"))
+    val pairs = edges
+      .join(deg.select(col("Src").as("DN"), col("OutDeg").as("DegD")),
+        col("Dst") === col("DN"))
+      .select(col("OutDeg").cast(LongType).as("X"),
+        col("DegD").cast(LongType).as("Y"))
+    val sums = pairs.agg(
+      count(lit(1)).as("NEdges"),
+      sum(col("X")).as("Sx"), sum(col("Y")).as("Sy"),
+      sum(col("X") * col("Y")).as("Sxy"),
+      sum(col("X") * col("X")).as("Sxx"),
+      sum(col("Y") * col("Y")).as("Syy"))
+    nodes.crossJoin(sums)
+      .withColumn("NumD", expr(
+        "cast(NEdges as decimal(38,0)) * Sxy - cast(Sx as decimal(38,0)) * Sy"))
+      .withColumn("DxD", expr(
+        "cast(NEdges as decimal(38,0)) * Sxx - cast(Sx as decimal(38,0)) * Sx"))
+      .withColumn("DyD", expr(
+        "cast(NEdges as decimal(38,0)) * Syy - cast(Sy as decimal(38,0)) * Sy"))
+      .select(col("NNodes"), col("NEdges"), col("MinDegree"),
+        (col("SumDeg").cast(DoubleType) / col("NNodes")).as("MeanDegree"),
+        col("MaxDegree"),
+        when(col("DxD") === 0 || col("DyD") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("NumD").cast(DoubleType) /
+            (sqrt(col("DxD").cast(DoubleType)) * sqrt(col("DyD").cast(DoubleType))))
+          .as("Assortativity"))
   }
 }

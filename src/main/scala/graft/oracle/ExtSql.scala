@@ -1999,6 +1999,77 @@ ORDER BY "PartKey"
 """
   }
 
+  /** BFS-hops mirror: identical (max degree, min id) source pick,
+    * [[graft.ops.GraphOps.BfsUnrollRounds]] min-propagation rounds
+    * unrolled as MATERIALIZED CTEs (the kcore inlining lesson); the
+    * engine converges within that bound (asserted) and min-propagation
+    * is idempotent past the fixpoint. Unreached components stay NULL
+    * on both sides. */
+  val graphBfsHops: String = {
+    import graft.ops.GraphOps._
+    val rounds = (1 to BfsUnrollRounds).map { i =>
+      val prev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""h$i AS MATERIALIZED (
+  SELECT n, min(d) AS d FROM (
+    SELECT e.dst AS n, p.d + 1 AS d FROM e JOIN $prev p ON e.src = p.n
+    UNION ALL SELECT n, d FROM $prev) GROUP BY n)"""
+    }.mkString(",\n")
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
+e AS MATERIALIZED (SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
+      WHERE a.part <> b.part),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+sv AS MATERIALIZED (SELECT src AS s FROM deg ORDER BY outdeg DESC, src LIMIT 1),
+h0 AS MATERIALIZED (SELECT s AS n, CAST(0 AS BIGINT) AS d FROM sv),
+$rounds
+SELECT deg.src AS "PartKey", CAST(deg.outdeg AS BIGINT) AS "Degree",
+       CAST(h.d AS BIGINT) AS "Hops",
+       (deg.src = sv.s) AS "IsSource"
+FROM deg LEFT JOIN h$BfsUnrollRounds h ON deg.src = h.n CROSS JOIN sv
+ORDER BY "PartKey"
+"""
+  }
+
+  /** Degree-stats/assortativity mirror: long sums, the SAME
+    * decimal(38,0) Pearson combination as the statsCorrelation
+    * mirror, one IEEE division at the end. */
+  val graphDegreeStats: String = {
+    import graft.ops.GraphOps.MaxOrderParts
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
+e AS MATERIALIZED (SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
+      WHERE a.part <> b.part),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT count(*) AS nn, min(outdeg) AS mind, max(outdeg) AS maxd,
+                 sum(outdeg) AS sumd FROM deg),
+p AS (SELECT CAST(ds.outdeg AS BIGINT) AS x, CAST(dd.outdeg AS BIGINT) AS y
+      FROM e JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src),
+s AS (SELECT count(*) AS ne,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy FROM p),
+c AS (SELECT ne, sx, sy,
+             CAST(ne AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS numd,
+             CAST(ne AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS dxd,
+             CAST(ne AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS dyd
+      FROM s)
+SELECT CAST(nodes.nn AS BIGINT) AS "NNodes", CAST(c.ne AS BIGINT) AS "NEdges",
+       CAST(nodes.mind AS BIGINT) AS "MinDegree",
+       CAST(nodes.sumd AS DOUBLE) / nodes.nn AS "MeanDegree",
+       CAST(nodes.maxd AS BIGINT) AS "MaxDegree",
+       CASE WHEN c.dxd = 0 OR c.dyd = 0 THEN NULL
+            ELSE CAST(c.numd AS DOUBLE) /
+                 (sqrt(CAST(c.dxd AS DOUBLE)) * sqrt(CAST(c.dyd AS DOUBLE))) END
+         AS "Assortativity"
+FROM nodes CROSS JOIN c
+"""
+  }
+
   /** PII-redaction mirror: identical planted contact line, identical
     * regexes (shared constants — both dialects parse them the same),
     * 'g' flag to match Spark's replace-all. */

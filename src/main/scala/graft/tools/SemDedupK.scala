@@ -9,13 +9,21 @@ import org.apache.spark.sql.SparkSession
   * the measured curve that backs the scaladoc's "K grows with n"
   * policy (PERFORMANCE.md round-6 rehearsal).
   *
-  * usage: runMain graft.tools.SemDedupK <dir> [k1,k2,...]
+  * A third arg `hier` (or `both`) times `semanticDedupHierarchical`
+  * at the same K instead of (as well as) the flat-lists form — the
+  * round-11 instrument for clocking the FULL query at the 2M decade
+  * under the policy K, where the flat assignment is already routed
+  * into the index build and the hier variant re-derives assignment
+  * through the two-level route.
+  *
+  * usage: runMain graft.tools.SemDedupK <dir> [k1,k2,...] [flat|hier|both]
   */
 object SemDedupK {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val ks = (if (args.length > 1) args(1) else "16,64,128")
       .split(',').map(_.trim.toInt)
+    val mode = if (args.length > 2) args(2) else "flat"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,21 +37,38 @@ object SemDedupK {
       .config("spark.network.timeout", "800s")
       .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = ks.map { k =>
-      def once(): Double = {
-        val df = graft.ops.SimilarityOps.semanticDedup(spark, dir, nCentroids = k)
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+    def race(name: String, build: Int => org.apache.spark.sql.DataFrame): String = {
+      val results = ks.map { k =>
+        def once(): Double = {
+          val df = build(k)
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val w = {
+          val t0 = System.nanoTime()
+          once() // warmup + index build-if-absent at this K
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[semdedupk] $name k=$k warmup+build $w%.1f s")
+        k -> Seq(once(), once()).min
       }
-      once() // warmup + index build-if-absent at this K
-      k -> Seq(once(), once()).min
+      val qjson = results
+        .map { case (k, s) =>
+          s""""k$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}""" }
+        .mkString("{", ",", "}")
+      s""""$name":$qjson"""
     }
-    val qjson = results
-      .map { case (k, s) =>
-        s""""k$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}""" }
-      .mkString("{", ",", "}")
-    println(s"""{"dir":"$dir","semantic_dedup":$qjson}""")
+    val parts = Seq(
+      (if (mode == "flat" || mode == "both")
+        Some(race("semantic_dedup",
+          k => graft.ops.SimilarityOps.semanticDedup(spark, dir, nCentroids = k)))
+      else None),
+      (if (mode == "hier" || mode == "both")
+        Some(race("semantic_dedup_hier",
+          k => graft.ops.SimilarityOps.semanticDedupHierarchical(spark, dir, nCentroids = k)))
+      else None)).flatten
+    println(s"""{"dir":"$dir",${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -326,6 +326,69 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(rounds >= 2, "corpus converged in one round — the loop is untested")
   }
 
+  test("bfs hops: distances equal a driver BFS from the same (max degree, min id) source") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val src = deg.toSeq.maxBy { case (n, d) => (d, -n) }._1
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      rounds += 1
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(dist(_) = rounds.toLong)
+    }
+    assert(rounds <= GraphOps.BfsUnrollRounds,
+      s"driver BFS took $rounds rounds — raise BfsUnrollRounds + the mirror unroll")
+    val got = GraphOps.bfsHops(spark, sfDir).collect()
+    assert(got.length === deg.size)
+    got.foreach { r =>
+      val n = r.getAs[Long]("PartKey")
+      assert(r.getAs[Long]("Degree") === deg(n))
+      assert(r.getAs[Boolean]("IsSource") === (n == src))
+      (Option(r.get(r.fieldIndex("Hops"))), dist.get(n)) match {
+        case (Some(h), Some(d)) => assert(h.asInstanceOf[Long] === d, s"hops wrong for $n")
+        case (None, None) => // unreachable on both sides — correct
+        case (g, w) => fail(s"reachability disagrees for $n: got $g want $w")
+      }
+    }
+    // the query must be non-trivial here: hops spread past 1, and
+    // the source itself reports 0
+    assert(got.exists(r => Option(r.get(r.fieldIndex("Hops"))).exists(_.asInstanceOf[Long] >= 2L)),
+      "every node within one hop — traversal untested")
+  }
+
+  test("degree stats: assortativity equals a driver Pearson over the directed edge list") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val xy = edges.map { case (s, d) => (deg(s), deg(d)) }
+    val ne = BigInt(xy.length)
+    val sx = xy.map(p => BigInt(p._1)).sum
+    val sy = xy.map(p => BigInt(p._2)).sum
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    val syy = xy.map(p => BigInt(p._2) * p._2).sum
+    val num = (ne * sxy - sx * sy).toDouble
+    val want = num / (math.sqrt((ne * sxx - sx * sx).toDouble) *
+      math.sqrt((ne * syy - sy * sy).toDouble))
+    val r = GraphOps.degreeStats(spark, sfDir).collect().head
+    assert(r.getAs[Long]("NNodes") === deg.size.toLong)
+    assert(r.getAs[Long]("NEdges") === xy.length.toLong)
+    assert(r.getAs[Long]("MaxDegree") === deg.values.max)
+    assert(r.getAs[Long]("MinDegree") === deg.values.min)
+    assert(r.getAs[Double]("MeanDegree") === deg.values.sum.toDouble / deg.size)
+    // BigInt-exact sums then one IEEE combination — tolerance only for
+    // the double-rounding difference between BigInt.toDouble and the
+    // engine's decimal cast
+    assert(math.abs(r.getAs[Double]("Assortativity") - want) < 1e-12,
+      s"assortativity ${r.getAs[Double]("Assortativity")} vs driver $want")
+    // the co-purchase graph must actually exhibit a signed correlation
+    assert(math.abs(want) > 1e-6, "assortativity ~0 — the statistic is untested here")
+  }
+
   test("source entropy: bit totals and rates equal a driver recomputation") {
     val docs = graft.etl.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text")).collect()
