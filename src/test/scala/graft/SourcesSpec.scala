@@ -58,6 +58,37 @@ class SourcesSpec extends SparkSpec {
     assert(via(OrcSource) === fromParquet)
   }
 
+  test("avro-sourced pipeline equals parquet-sourced pipeline row-for-row") {
+    import graft.sources.AvroSource
+    val dir = Files.createTempDirectory("graft_avro_src").toString
+    starTables.foreach { n =>
+      AvroTestWriter.write(
+        Tables.via(ParquetSource, spark, sfDir, n), s"$dir/$n.avro")
+    }
+    def collectCleaned(raw: org.apache.spark.sql.DataFrame) =
+      Transactions.clean(raw)
+        .orderBy(totalOrder.head, totalOrder.tail: _*)
+        .collect().map(_.toSeq).toSeq
+    val fromAvro = collectCleaned(Transactions.rawFrom(
+      Tables.via(AvroSource, spark, dir, "lineitem"),
+      Tables.via(AvroSource, spark, dir, "orders"),
+      Tables.via(AvroSource, spark, dir, "customer"),
+      Tables.via(AvroSource, spark, dir, "nation"),
+      Tables.via(AvroSource, spark, dir, "part")))
+    val fromParquet = collectCleaned(Transactions.raw(spark, sfDir))
+    assert(fromAvro.length === 6000)
+    assert(fromAvro === fromParquet)
+    // a declared field the file lacks must fail loudly, not null-fill
+    import org.apache.spark.sql.types._
+    val bad = intercept[org.apache.spark.SparkException] {
+      AvroSource.read(spark, s"$dir/nation.avro", StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("not_a_field", StringType)))).collect()
+    }
+    assert(bad.getMessage.contains("not_a_field") ||
+      Option(bad.getCause).exists(_.getMessage.contains("not_a_field")))
+  }
+
   test("xlsx-sourced pipeline equals parquet-sourced pipeline row-for-row") {
     val dir = Files.createTempDirectory("graft_xlsx_src").toString
     starTables.foreach { n =>
