@@ -210,6 +210,7 @@ object SparkEntry {
     // per-cluster exact medoids in O(n·d) via the sum-vector identity
     "similarity_medoids" -> ((s: SparkSession, d: String) => SimilarityOps.medoids(s, d)),
     "similarity_semantic_dedup" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedup(s, d)),
+    "similarity_semantic_dedup_auto" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedupAuto(s, d)),
     // the declared next-decade assignment path (round 9): coarse-routed
     // two-level Lloyd assignment, gated against its OWN DuckDB mirror
     "similarity_semantic_dedup_hier" -> ((s: SparkSession, d: String) => SimilarityOps.semanticDedupHierarchical(s, d)),
@@ -410,6 +411,7 @@ object SparkEntry {
     "similarity_outliers" -> ExtSql.similarityOutliers,
     "similarity_medoids" -> ExtSql.similarityMedoids,
     "similarity_semantic_dedup" -> ExtSql.similaritySemanticDedup,
+    "similarity_semantic_dedup_auto" -> ExtSql.similaritySemanticDedupAuto,
     "similarity_semantic_dedup_hier" -> ExtSql.similaritySemanticDedupHier,
     "similarity_incremental_dedup" -> ExtSql.similarityIncrementalDedup,
     "retrieval_hybrid_rrf" -> ExtSql.retrievalHybridRrf,

@@ -2486,8 +2486,13 @@ $name AS (
   private val kmeansCFinal: String =
     s"c${graft.ops.SimilarityOps.KmeansRounds}"
 
-  private val codebookCtes: String = {
-    import graft.ops.SimilarityOps.{DefaultNCentroids, KmeansRounds}
+  /** Codebook CTE chain with the seed count K given as a SQL scalar
+    * expression — the fixed-K mirrors pass the literal
+    * DefaultNCentroids; the policy-K mirror passes the corpus-derived
+    * GREATEST/round(sqrt(count)) expression, so the DERIVATION of K is
+    * itself under the hash gate. */
+  private def codebookCtesFor(kSql: String): String = {
+    import graft.ops.SimilarityOps.KmeansRounds
     val rounds = (1 to KmeansRounds).map { r =>
       assignCte(s"a$r", s"c${r - 1}") + "," + updateCte(s"c$r", s"a$r")
     }.mkString(",")
@@ -2496,8 +2501,20 @@ $name AS (
   SELECT vec_id, i AS dim, qv[i] AS v
   FROM n CROSS JOIN range(1, 65) t(i)
 ),
-c0 AS (SELECT vec_id AS cid, qv AS cq, nn AS cn FROM n WHERE vec_id < $DefaultNCentroids),""" +
+c0 AS (SELECT vec_id AS cid, qv AS cq, nn AS cn FROM n WHERE vec_id < ($kSql)),""" +
       rounds + "," + assignCte("af", kmeansCFinal)
+  }
+
+  private val codebookCtes: String =
+    codebookCtesFor(graft.ops.SimilarityOps.DefaultNCentroids.toString)
+
+  /** The K ∝ √n policy as SQL — mirrors SimilarityOps.policyK; the
+    * round() can never hit a .5 tie (see that scaladoc's proof), so
+    * DuckDB's banker's rounding equals the JVM's HALF_UP for every
+    * corpus size. */
+  private val policyKSql: String = {
+    import graft.ops.SimilarityOps.DefaultNCentroids
+    s"SELECT GREATEST($DefaultNCentroids, CAST(round(sqrt(count(*))) AS BIGINT)) FROM n"
   }
 
   /** IVF-flat mirror. Every constant (k, centroids, nprobe, probe-id
@@ -2680,9 +2697,18 @@ FROM r JOIN stt ON r.cid = stt.cid WHERE rn = 1 ORDER BY "Cid"
     * shared cosine threshold. Cosine is the same
     * exact-integer-dot / sqrt·sqrt expression as every other
     * similarity oracle. */
-  val similaritySemanticDedup: String = {
+  val similaritySemanticDedup: String =
+    semanticDedupMirrorOver(codebookCtes)
+
+  /** Policy-K mirror: same tail, codebook chain seeded by the
+    * corpus-derived [[policyKSql]] — both engines DERIVE K and must
+    * land on identical clusters. */
+  val similaritySemanticDedupAuto: String =
+    semanticDedupMirrorOver(codebookCtesFor(policyKSql))
+
+  private def semanticDedupMirrorOver(codebook: String): String = {
     val thr = graft.ops.SimilarityOps.DefaultSemDedupThreshold
-    quantCte + codebookCtes + s""",
+    quantCte + codebook + s""",
 mem AS (
   SELECT a.avid AS vec_id, a.cid, v.label, v.qv, v.nn
   FROM af a JOIN n v ON a.avid = v.vec_id

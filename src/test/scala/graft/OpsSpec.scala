@@ -217,6 +217,36 @@ class OpsSpec extends SparkSpec {
     assert(g.exists(!_.getAs[Boolean]("Mutual")))
   }
 
+  test("similarity: policyK derivation — floor, growth, and the no-tie rounding proof") {
+    import SimilarityOps.{policyK, DefaultNCentroids}
+    // below default² the floor holds; past it K tracks round(sqrt(n))
+    assert(policyK(1) === DefaultNCentroids)
+    assert(policyK(DefaultNCentroids.toLong * DefaultNCentroids) === DefaultNCentroids)
+    assert(policyK(500) === 22)       // the gate corpora
+    assert(policyK(50000) === 224)    // the x100 probe's measured point
+    assert(policyK(2000000) === 1414) // the 2M decade's measured point
+    // the rounding-tie proof, exercised: no integer n has sqrt(n)
+    // exactly x.5, so HALF_UP == banker's for every n — check the
+    // nearest candidates around every half-way square
+    (1 to 2000).foreach { x =>
+      val halfSq = x.toDouble * x + x + 0.25 // (x+0.5)²
+      Seq(math.floor(halfSq).toLong, math.ceil(halfSq).toLong).foreach { n =>
+        val r = math.sqrt(n.toDouble)
+        assert(math.abs(r - math.floor(r) - 0.5) > 1e-9,
+          s"sqrt($n)=$r is a rounding tie — the policyK parity proof is wrong")
+      }
+    }
+    // the auto query equals the fixed-K query at the derived K — the
+    // derivation is the ONLY new moving part
+    val n = graft.etl.Tables.embeddings(spark, sfDir).count()
+    val auto = SimilarityOps.semanticDedupAuto(spark, sfDir).collect().map(_.toSeq)
+    val fixed = SimilarityOps.semanticDedup(spark, sfDir,
+      nCentroids = SimilarityOps.policyK(n)).collect().map(_.toSeq)
+    assert(auto.toSeq === fixed.toSeq)
+    // and it genuinely ran at a different K than the default gate row
+    assert(SimilarityOps.policyK(n) !== SimilarityOps.DefaultNCentroids)
+  }
+
   test("similarity: routed kNN graph — measured recall bounds vs the exact graph, stages identical") {
     val exact = SimilarityOps.knnGraph(spark, sfDir).collect()
     val routed = SimilarityOps.knnGraphIvf(spark, sfDir).collect()
