@@ -152,6 +152,7 @@ object SparkEntry {
     "curate_corpus" -> (CurateOps.curate _),
     "curate_importance_resample" -> (CurateOps.importanceResample _),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => CurateOps.decontaminate(s, d)),
+    "curate_split_leakage" -> ((s: SparkSession, d: String) => CurateOps.splitLeakage(s, d)),
     "curate_sample_stratified" -> (CurateOps.sampleStratified _),
     "curate_token_budget" -> (CurateOps.tokenBudget _),
     // the composed pipeline's per-stage funnel counts (round 8): the
@@ -370,6 +371,7 @@ object SparkEntry {
     "curate_corpus" -> ExtSql.curateCorpus,
     "curate_importance_resample" -> ExtSql.curateImportanceResample,
     "curate_decontaminate" -> ExtSql.curateDecontaminate,
+    "curate_split_leakage" -> ExtSql.curateSplitLeakage,
     "curate_sample_stratified" -> ExtSql.curateSampleStratified,
     "curate_token_budget" -> ExtSql.curateTokenBudget,
     "curate_pipeline_funnel" -> ExtSql.curatePipelineFunnel,

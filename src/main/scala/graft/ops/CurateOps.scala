@@ -186,6 +186,48 @@ object CurateOps {
           .as("IsContaminated"))
       .orderBy(col("doc_id"))
 
+  /** SPLIT-LEAKAGE AUDIT card — one row per ORDERED split pair: how
+    * many of `Split`'s documents share ≥ [[ContaminationMinShingles]]
+    * distinct [[DecontaminationShingleN]]-gram shingles with content
+    * present anywhere in `OtherSplit`, plus the rate. [[decontaminate]]
+    * flags individual train documents against the test split; this
+    * card is the operator-facing SUMMARY over every pair — the number
+    * a pipeline audit reads before signing off a split scheme (and
+    * exactly the quantity [[splitGrouped]] exists to drive to zero on
+    * provenance-clustered corpora, where per-doc hashing scatters a
+    * domain's near-duplicates across train AND test).
+    *
+    * Scale shape: the shared wide-window shingle substrate exploded
+    * once; per-split distinct shingle vocabularies joined back on the
+    * shingle key (uniform md5-grade distribution — the dedup-family
+    * shape); fan-out is bounded by (#splits − 1)× the exploded
+    * listing, never a doc-pair join. Counts are integers; LeakRate is
+    * ONE division. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   n: Int = DecontaminationShingleN): DataFrame = {
+    val sh = shinglesAt(spark, dir, n)
+      .withColumn("Split", splitOf(col("doc_id")))
+      .select(col("doc_id"), col("Split"), explode(col("Sh")).as("Shingle"))
+    val vocab = sh.select(col("Split").as("OtherSplit"), col("Shingle")).distinct()
+    val leaked = sh.join(vocab, Seq("Shingle"))
+      .filter(col("Split") =!= col("OtherSplit"))
+      .groupBy(col("Split"), col("OtherSplit"), col("doc_id"))
+      .agg(countDistinct(col("Shingle")).as("NShared"))
+      .filter(col("NShared") >= ContaminationMinShingles)
+      .groupBy(col("Split"), col("OtherSplit"))
+      .agg(count(lit(1)).as("NLeakedDocs"))
+    val totals = docSplits(spark, dir)
+      .groupBy(col("Split")).agg(count(lit(1)).as("NDocs"))
+    val pairs = totals.select(col("Split"), col("NDocs"))
+      .crossJoin(totals.select(col("Split").as("OtherSplit")))
+      .filter(col("Split") =!= col("OtherSplit"))
+    pairs.join(leaked, Seq("Split", "OtherSplit"), "left")
+      .select(col("Split"), col("OtherSplit"), col("NDocs"),
+        coalesce(col("NLeakedDocs"), lit(0L)).as("NLeakedDocs"))
+      .withColumn("LeakRate", col("NLeakedDocs").cast(DoubleType) / col("NDocs"))
+      .orderBy(col("Split"), col("OtherSplit"))
+  }
+
   /** Per-language keep-thresholds over the 0..255 sample-bucket space.
     * The synthetic corpus is ~44% English; sampling en at 84/256
     * (~33%) rebalances it toward the other languages while keeping

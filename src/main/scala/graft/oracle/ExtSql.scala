@@ -1202,6 +1202,40 @@ ORDER BY s.doc_id
 """
   }
 
+  /** Split-leakage mirror: same wide-window shingles, same md5 split,
+    * per-split distinct vocabularies joined on the shingle key, the
+    * same ≥ ContaminationMinShingles per-(pair, doc) cut, one division
+    * per pair row. */
+  val curateSplitLeakage: String = {
+    import graft.ops.CurateOps.{ContaminationMinShingles, DecontaminationShingleN}
+    toksCte + s"""
+, $splitCteSql,
+sh AS (SELECT doc_id, ${shExprN(DecontaminationShingleN)} AS s FROM toks),
+ex AS (
+  SELECT h.doc_id, spl.split, unnest(h.s) AS shingle
+  FROM sh h JOIN spl ON h.doc_id = spl.doc_id
+),
+voc AS (SELECT DISTINCT split AS osplit, shingle FROM ex),
+lk AS (
+  SELECT split, osplit, doc_id FROM (
+    SELECT t.split, v.osplit, t.doc_id, count(DISTINCT t.shingle) AS nsh
+    FROM ex t JOIN voc v ON t.shingle = v.shingle AND t.split <> v.osplit
+    GROUP BY t.split, v.osplit, t.doc_id
+  ) WHERE nsh >= $ContaminationMinShingles
+),
+lc AS (SELECT split, osplit, count(*) AS nl FROM lk GROUP BY split, osplit),
+tot AS (SELECT split, count(*) AS nd FROM spl GROUP BY split),
+pairs AS (SELECT a.split, b.split AS osplit, a.nd
+          FROM tot a JOIN tot b ON a.split <> b.split)
+SELECT p.split AS "Split", p.osplit AS "OtherSplit",
+       CAST(p.nd AS BIGINT) AS "NDocs",
+       CAST(coalesce(lc.nl, 0) AS BIGINT) AS "NLeakedDocs",
+       CAST(coalesce(lc.nl, 0) AS DOUBLE) / p.nd AS "LeakRate"
+FROM pairs p LEFT JOIN lc ON p.split = lc.split AND p.osplit = lc.osplit
+ORDER BY "Split", "OtherSplit"
+"""
+  }
+
   /** End-to-end curation-pipeline funnel mirror: recomposes EVERY
     * stage mirror (md5 split, wide-window decontamination, salted
     * stratified sample, quality+repetition filter, the recursive

@@ -461,4 +461,30 @@ class CurateTextSpec extends SparkSpec {
         r.getAs[Long]("NTokens"), r.getAs[Long]("LogRatioBits"))).toSeq
     assert(got === expected)
   }
+
+  test("split_leakage: pair card reconciles with decontaminate and with split totals") {
+    val rows = CurateOps.splitLeakage(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("Split"), r.getAs[String]("OtherSplit")) ->
+        ((r.getAs[Long]("NDocs"), r.getAs[Long]("NLeakedDocs"),
+          r.getAs[Double]("LeakRate")))).toMap
+    // all ordered pairs of present splits, nothing else
+    val splits = CurateOps.splitAssign(spark, sfDir).collect()
+      .groupBy(_.getAs[String]("Split")).view.mapValues(_.length.toLong).toMap
+    val wantPairs = for (a <- splits.keySet; b <- splits.keySet if a != b) yield (a, b)
+    assert(rows.keySet === wantPairs)
+    rows.foreach { case ((a, _), (nd, nl, rate)) =>
+      assert(nd === splits(a), s"NDocs wrong for split $a")
+      assert(nl >= 0 && nl <= nd)
+      assert(rate === nl.toDouble / nd)
+    }
+    // the (train, test) row IS decontaminate's flagged count — the
+    // card may not drift from the per-doc query it summarizes
+    val flagged = CurateOps.decontaminate(spark, sfDir).collect()
+      .count(_.getAs[Boolean]("IsContaminated")).toLong
+    assert(rows(("train", "test"))._2 === flagged,
+      "train<-test leakage count diverged from decontaminate")
+    // non-vacuous on this corpus: some pair leaks, some direction is
+    // asymmetric in RATE (the denominators differ by construction)
+    assert(rows.values.exists(_._2 > 0), "no leakage anywhere — card untested")
+  }
 }

@@ -293,4 +293,22 @@ class SummariesSpec extends SparkSpec {
     assert(r.getAs[Double]("MeanBefore") === 50.0)
     assert(r.getAs[Double]("MeanAfter") === 50.0)
   }
+
+  test("seasonalDecompose: a series too short for any 7-row window keeps its rows with null components") {
+    // 5 days: no complete centered 7-observation window exists, so no
+    // weekday ever detrends — the degenerate-input contract (left-join
+    // to the seasonal table) reports every day with Revenue populated
+    // and null Trend/Seasonal/Residual instead of silently returning
+    // ZERO rows (the pre-round-11 inner-join behavior the advisory
+    // flagged)
+    val df = mk((1 to 5).map(i => sale(s"I$i", 1, 10.0 * i, f"2024-01-0$i%d 10:00:00")))
+    val rows = Summaries.seasonalDecompose(df).collect()
+    assert(rows.length === 5, "short series must keep every day, not vanish")
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("Revenue")))
+      assert(r.isNullAt(r.fieldIndex("Trend")), "no 7-row window exists — Trend must be null")
+      assert(r.isNullAt(r.fieldIndex("Seasonal")))
+      assert(r.isNullAt(r.fieldIndex("Residual")))
+    }
+  }
 }
