@@ -209,10 +209,19 @@ object CurateOps {
       .withColumn("Split", splitOf(col("doc_id")))
       .select(col("doc_id"), col("Split"), explode(col("Sh")).as("Shingle"))
     val vocab = sh.select(col("Split").as("OtherSplit"), col("Shingle")).distinct()
+    // count(1), NOT countDistinct(Shingle): token_shingles emits
+    // DISTINCT shingles per doc and vocab is distinct per split, so
+    // (doc, OtherSplit, Shingle) join rows are unique by construction
+    // — the plain count partial-aggregates map-side with the string
+    // column dropped before the exchange. The card is corpus-LINEAR
+    // by nature (every shingle is read once; measured α ≈ 1.0 on the
+    // 50k→500k decade) — the string-keyed shingle join is the
+    // dominant term, the same shape as the decontaminate family.
     val leaked = sh.join(vocab, Seq("Shingle"))
       .filter(col("Split") =!= col("OtherSplit"))
+      .select(col("Split"), col("OtherSplit"), col("doc_id"))
       .groupBy(col("Split"), col("OtherSplit"), col("doc_id"))
-      .agg(countDistinct(col("Shingle")).as("NShared"))
+      .agg(count(lit(1)).as("NShared"))
       .filter(col("NShared") >= ContaminationMinShingles)
       .groupBy(col("Split"), col("OtherSplit"))
       .agg(count(lit(1)).as("NLeakedDocs"))

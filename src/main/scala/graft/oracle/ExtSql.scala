@@ -1217,8 +1217,11 @@ ex AS (
 ),
 voc AS (SELECT DISTINCT split AS osplit, shingle FROM ex),
 lk AS (
+  -- count(*) ≡ count(DISTINCT shingle): per-doc shingles are
+  -- list_distinct and voc is distinct per split (same proof as the
+  -- engine side)
   SELECT split, osplit, doc_id FROM (
-    SELECT t.split, v.osplit, t.doc_id, count(DISTINCT t.shingle) AS nsh
+    SELECT t.split, v.osplit, t.doc_id, count(*) AS nsh
     FROM ex t JOIN voc v ON t.shingle = v.shingle AND t.split <> v.osplit
     GROUP BY t.split, v.osplit, t.doc_id
   ) WHERE nsh >= $ContaminationMinShingles

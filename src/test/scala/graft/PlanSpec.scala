@@ -445,6 +445,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("routed kNN and split leakage never plan a quadratic join") {
+    // the routed kNN's whole point is replacing the n² pair source
+    // with a Cid-keyed equi-join; a refactor that loses the key would
+    // silently plan a nested-loop and re-quadratize it. Same stake for
+    // the leakage card's shingle-keyed join.
+    Seq(
+      ("knn_graph_ivf", graft.ops.SimilarityOps.knnGraphIvf(spark, sfDir)),
+      ("split_leakage", graft.ops.CurateOps.splitLeakage(spark, sfDir))
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
+      // the leakage card's one crossJoin is the bounded 3x3 split-pair
+      // frame; anything nested-loop beyond broadcast of that is wrong
+      val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      val allowed = if (name == "split_leakage") 1 else 0
+      assert(bnl <= allowed, s"$name planned $bnl nested-loop joins (allowed $allowed):\n$p")
+    }
+  }
+
   test("the dedup shingle substrate pins its partition count — the family-wide spread survives AQE") {
     // docShingles is the substrate under the ENTIRE dedup family
     // (bands, chunks, jaccard/containment prefixes, decontamination):
