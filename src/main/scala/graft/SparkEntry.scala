@@ -102,6 +102,7 @@ object SparkEntry {
     "events_funnel" -> (EventsOps.funnel _),
     // ---- text analysis ----
     "text_tokens" -> (TextOps.tokens _),
+    "text_vocab_growth" -> (TextOps.vocabGrowth _),
     "text_quality" -> (TextOps.quality _),
     // weak-label-distilled Bernoulli NB token-vote quality model
     "text_quality_classifier" -> (TextOps.qualityClassifier _),
@@ -341,6 +342,7 @@ object SparkEntry {
     "events_transition_matrix_stream" -> ExtSql.eventsTransitionMatrix,
     "events_funnel" -> ExtSql.eventsFunnel,
     "text_tokens" -> ExtSql.textTokens,
+    "text_vocab_growth" -> ExtSql.textVocabGrowth,
     "text_quality" -> ExtSql.textQuality,
     "text_quality_classifier" -> ExtSql.textQualityClassifier,
     "text_langid" -> ExtSql.textLangid,

@@ -1454,6 +1454,81 @@ object TextOps {
       .limit(TextRankTopK)
   }
 
+  /** Cumulative checkpoints reported by [[vocabGrowth]]. */
+  val VocabGrowthSteps = 10
+
+  /** VOCABULARY-GROWTH (Heaps' law) card — cumulative distinct-token
+    * count at each ingestion-order decile of the corpus, with the
+    * between-decile Heaps exponent β (V ∝ T^β; sub-linear vocabulary
+    * growth is the signature of a healthy natural corpus — β drifting
+    * toward 1 means the corpus is ingesting noise/IDs, β collapsing
+    * toward 0 means it's saturating on duplicated content; the
+    * corpus-curation dashboard number next to [[sourceEntropy]]).
+    *
+    * Exactness: decile thresholds are exact `percentile_disc` over
+    * the ingestion key (the A8-proven `quantile_disc` parity),
+    * collected once (driver-scale, the assignAuto precedent) and
+    * interpolated into both plans; every count is an integer (a
+    * token's decile is where its FIRST document lands — min(doc_id),
+    * so cumulative vocab needs no per-decile distinct); the one
+    * double, cumulative type-token ratio, is ONE division. The Heaps
+    * exponent itself is ln-based and ln is NOT correctly-rounded
+    * across engines (the integer-bits rule the perplexity/entropy
+    * cards follow), so β stays OUT of the hash-gated columns — OpsSpec
+    * derives it from the gated integers and asserts the sub-linear
+    * band.
+    *
+    * Scale shape: one token explode (pinned spread — per-row-CPU
+    * rule), one vocab-sized min aggregate, three decile-keyed counts,
+    * then everything lives on a [[VocabGrowthSteps]]-row frame (the
+    * A13 card rule). No window touches corpus-sized data. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val aggs = (1 to VocabGrowthSteps).map(d =>
+      // percentile_disc returns DOUBLE even over bigint input; the
+      // picked value is an actual doc_id, integral by construction
+      expr(s"CAST(percentile_disc(${d.toDouble / VocabGrowthSteps}D) " +
+        "WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
+        .as(s"T$d"))
+    val trow = docs.agg(aggs.head, aggs.tail: _*).first()
+    val th = (1 to VocabGrowthSteps).map(d => trow.getAs[Long](s"T$d"))
+    def decileOf(c: Column): Column =
+      th.zipWithIndex.foldRight(lit(VocabGrowthSteps): Column) {
+        case ((t, i), acc) => when(c <= t, i + 1).otherwise(acc)
+      }
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(col("doc_id"), explode(expr(toksSql)).as("Token"))
+    val docsPer = docs.select(decileOf(col("doc_id")).as("Decile"))
+      .groupBy(col("Decile")).agg(count(lit(1)).as("ND"))
+    val toksPer = toks.select(decileOf(col("doc_id")).as("Decile"))
+      .groupBy(col("Decile")).agg(count(lit(1)).as("NT"))
+    val vocabPer = toks.groupBy(col("Token")).agg(min(col("doc_id")).as("FD"))
+      .select(decileOf(col("FD")).as("Decile"))
+      .groupBy(col("Decile")).agg(count(lit(1)).as("NV"))
+    val frame = spark.range(1, VocabGrowthSteps + 1)
+      .select(col("id").cast(IntegerType).as("Decile"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("Decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame
+      .join(docsPer, Seq("Decile"), "left")
+      .join(toksPer, Seq("Decile"), "left")
+      .join(vocabPer, Seq("Decile"), "left")
+      .select(col("Decile"),
+        coalesce(col("ND"), lit(0L)).as("ND"),
+        coalesce(col("NT"), lit(0L)).as("NT"),
+        coalesce(col("NV"), lit(0L)).as("NV"))
+      .withColumn("NDocsCum", sum(col("ND")).over(w))
+      .withColumn("NTokensCum", sum(col("NT")).over(w))
+      .withColumn("VocabCum", sum(col("NV")).over(w))
+      .withColumn("TtrCum",
+        when(col("NTokensCum") > 0,
+          col("VocabCum").cast(DoubleType) / col("NTokensCum")))
+      .select(col("Decile"), col("NDocsCum"), col("NTokensCum"),
+        col("VocabCum"), col("TtrCum"))
+      .orderBy(col("Decile"))
+  }
+
   /** Content fingerprints: an order-insensitive set fingerprint (md5 of
     * the sorted distinct token set) and a min-hash (the 1-permutation
     * MinHash primitive). Both portable to any engine with md5. */

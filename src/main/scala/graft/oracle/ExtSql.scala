@@ -1202,6 +1202,46 @@ ORDER BY s.doc_id
 """
   }
 
+  /** Vocabulary-growth mirror: same exact quantile_disc decile
+    * thresholds over the ingestion key (the A8 parity), same
+    * first-document vocab attribution, same 10-row cumulative frame,
+    * one division for the cumulative TTR. */
+  val textVocabGrowth: String = {
+    import graft.ops.TextOps.VocabGrowthSteps
+    val n = VocabGrowthSteps
+    val thCols = (1 to n)
+      .map(d => s"quantile_disc(doc_id, ${d.toDouble / n}) AS t$d").mkString(", ")
+    def caseOf(c: String) =
+      (1 to n).map(d => s"WHEN $c <= th.t$d THEN $d")
+        .mkString("CASE ", " ", s" ELSE $n END")
+    toksCte + s""",
+th AS (SELECT $thCols FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+dd AS (SELECT ${caseOf("d.doc_id")} AS dec FROM documents d CROSS JOIN th),
+dc AS (SELECT dec, count(*) AS nd FROM dd GROUP BY dec),
+te AS (SELECT ${caseOf("e.doc_id")} AS dec FROM ex e CROSS JOIN th),
+tc AS (SELECT dec, count(*) AS nt FROM te GROUP BY dec),
+fd AS (SELECT tok, min(doc_id) AS fdoc FROM ex GROUP BY tok),
+fv AS (SELECT ${caseOf("fd.fdoc")} AS dec, count(*) AS nv
+       FROM fd CROSS JOIN th GROUP BY 1),
+g AS (SELECT r.range AS dec, coalesce(dc.nd, 0) AS nd,
+             coalesce(tc.nt, 0) AS nt, coalesce(fv.nv, 0) AS nv
+      FROM range(1, ${n + 1}) r
+      LEFT JOIN dc ON dc.dec = r.range
+      LEFT JOIN tc ON tc.dec = r.range
+      LEFT JOIN fv ON fv.dec = r.range),
+c AS (SELECT dec,
+        sum(nd) OVER w AS cnd, sum(nt) OVER w AS cnt2, sum(nv) OVER w AS cnv
+      FROM g WINDOW w AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(dec AS INTEGER) AS "Decile",
+       CAST(cnd AS BIGINT) AS "NDocsCum",
+       CAST(cnt2 AS BIGINT) AS "NTokensCum",
+       CAST(cnv AS BIGINT) AS "VocabCum",
+       CASE WHEN cnt2 > 0 THEN CAST(cnv AS DOUBLE) / cnt2 END AS "TtrCum"
+FROM c ORDER BY "Decile"
+"""
+  }
+
   /** Split-leakage mirror: same wide-window shingles, same md5 split,
     * per-split distinct vocabularies joined on the shingle key, the
     * same ≥ ContaminationMinShingles per-(pair, doc) cut, one division

@@ -217,6 +217,64 @@ class OpsSpec extends SparkSpec {
     assert(g.exists(!_.getAs[Boolean]("Mutual")))
   }
 
+  test("vocab growth: deciles equal a driver recomputation; Heaps exponent is sub-linear") {
+    import graft.ops.TextOps
+    val docs = graft.etl.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .sortBy(_._1)
+    def tokensOf(t: String): Seq[String] =
+      t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    // exact percentile_disc: value at rank ceil(q*n) over sorted ids
+    val ids = docs.map(_._1)
+    val steps = TextOps.VocabGrowthSteps
+    val th = (1 to steps).map(d =>
+      ids(math.ceil(d.toDouble / steps * ids.length).toInt - 1))
+    def decOf(id: Long): Int = th.indexWhere(id <= _) + 1
+    val seen = scala.collection.mutable.Set.empty[String]
+    val nd = new Array[Long](steps + 1)
+    val nt = new Array[Long](steps + 1)
+    val nv = new Array[Long](steps + 1)
+    docs.foreach { case (id, t) =>
+      val d = decOf(id)
+      nd(d) += 1
+      tokensOf(t).foreach { tok =>
+        nt(d) += 1
+        if (seen.add(tok)) nv(d) += 1
+      }
+    }
+    val got = TextOps.vocabGrowth(spark, sfDir).collect()
+    assert(got.length === steps)
+    var (cd, ct, cv) = (0L, 0L, 0L)
+    got.foreach { r =>
+      val d = r.getAs[Int]("Decile")
+      cd += nd(d); ct += nt(d); cv += nv(d)
+      assert(r.getAs[Long]("NDocsCum") === cd, s"docs at decile $d")
+      assert(r.getAs[Long]("NTokensCum") === ct, s"tokens at decile $d")
+      assert(r.getAs[Long]("VocabCum") === cv, s"vocab at decile $d")
+      assert(r.getAs[Double]("TtrCum") === cv.toDouble / ct)
+    }
+    // the Heaps exponent across the corpus (derived from the gated
+    // integers — ln stays out of gated columns). The FIXTURE corpus
+    // draws from a tiny shared vocabulary (31 types — saturated in
+    // decile 1; the scale generator's Zipf syllable tail is what
+    // gives real growth, measured in PERFORMANCE.md), so the exact
+    // property here is the dichotomy: beta strictly sub-linear, and
+    // ZERO exactly when the vocab curve is flat
+    val first = got.head
+    val full = got(steps - 1)
+    val beta = math.log(full.getAs[Long]("VocabCum").toDouble /
+        first.getAs[Long]("VocabCum")) /
+      math.log(full.getAs[Long]("NTokensCum").toDouble /
+        first.getAs[Long]("NTokensCum"))
+    assert(beta >= 0.0 && beta < 1.0, s"Heaps beta $beta outside [0, 1)")
+    assert((beta == 0.0) === (full.getAs[Long]("VocabCum") === first.getAs[Long]("VocabCum")))
+    // vocab monotone, TTR non-increasing once vocab saturates
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("VocabCum") >= a.getAs[Long]("VocabCum"))
+    }
+  }
+
   test("similarity: policyK derivation — floor, growth, and the no-tie rounding proof") {
     import SimilarityOps.{policyK, DefaultNCentroids}
     // below default² the floor holds; past it K tracks round(sqrt(n))
