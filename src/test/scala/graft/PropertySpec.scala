@@ -180,4 +180,57 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("perceptual-hash kernels match an independent recomputation on generated unicode text") {
+    import graft.ops.MultimodalOps
+    import org.apache.spark.unsafe.types.UTF8String
+    // alphabets spanning the sampling edge cases: 1-byte ASCII,
+    // 2-byte accents/cyrillic, 3-byte CJK, and the 4-byte astral
+    // plane (codePoints semantics — Spark's Ascii is codePointAt(0))
+    val alphabets = Seq(
+      "abcdefgh 0123", "éüñßàç øå", "съешь ещё этих", "漢字テキスト処理",
+      new String(Character.toChars(0x1F600)) + new String(Character.toChars(0x10400)) + " x")
+    val genText: Gen[String] = for {
+      a <- Gen.oneOf(alphabets)
+      n <- Gen.choose(0, 200)
+      cs <- Gen.listOfN(n, Gen.oneOf(a.codePoints().toArray.toIndexedSeq))
+    } yield cs.map(cp => new String(Character.toChars(cp))).mkString
+    // independent recomputation — re-derived from the declared
+    // semantics, not a copy of the kernel's code path
+    def sample(text: String, k: Int): Array[Int] = {
+      val cps = text.codePoints().toArray
+      (0 until k).map(i =>
+        if (cps.isEmpty) 0 else cps(((i.toLong * cps.length) / k).toInt)).toArray
+    }
+    def bands(nBits: Int)(bit: Int => Boolean): Seq[Int] =
+      (0 until 4).map(b => (0 until 16)
+        .filter(j => 16 * b + j < nBits && bit(16 * b + j)).map(1 << _).sum)
+    def ahashRef(t: String): Seq[Int] = {
+      val s = sample(t, 64); val m = s.sum / 64
+      bands(64)(i => s(i) > m)
+    }
+    def phashRef(t: String): Seq[Int] = {
+      val s = sample(t, 64)
+      val cb = MultimodalOps.PhashDctBasis
+      val sp = (0 until 64).map { k =>
+        val (u, v) = (k / 8, k % 8)
+        (0 until 64).map(m => cb(u * 8 + m / 8) * cb(v * 8 + m % 8) * s(m)).sum
+      }
+      val med = sp.drop(1).sorted.apply(31)
+      bands(63)(i => sp(i + 1) > med)
+    }
+    def audioRef(t: String): Seq[Int] = {
+      val s = sample(t, 256)
+      val e = (0 until 64).map(f => (0 until 4).map(j => s(4 * f + j).toLong * s(4 * f + j)).sum)
+      bands(63)(i => e(i + 1) > e(i))
+    }
+    val texts = Gen.listOfN(150, genText)
+      .apply(Gen.Parameters.default, Seed(20260815L)).get
+    (texts ++ Seq("", " ", "a")).foreach { t =>
+      val u = UTF8String.fromString(t)
+      assert(graft.functions.ExprKernels.ahashBands(u).toIntArray().toSeq === ahashRef(t), s"ahash: ${t.take(40)}")
+      assert(graft.functions.ExprKernels.phashBands(u).toIntArray().toSeq === phashRef(t), s"phash: ${t.take(40)}")
+      assert(graft.functions.ExprKernels.audioFpBands(u).toIntArray().toSeq === audioRef(t), s"audio: ${t.take(40)}")
+    }
+  }
 }
