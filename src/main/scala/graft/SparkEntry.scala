@@ -259,6 +259,7 @@ object SparkEntry {
     // density-thresholded k-core peeling (convergence-run, assert-bounded)
     "graph_kcore" -> (graft.ops.GraphOps.kcore _),
     "graph_bfs_hops" -> (graft.ops.GraphOps.bfsHops _),
+    "graph_components" -> (graft.ops.GraphOps.connectedComponents _),
     "graph_degree_stats" -> (graft.ops.GraphOps.degreeStats _),
     // market-basket association report: support/confidence/lift
     "basket_pair_lift" -> (graft.ops.GraphOps.basketPairLift _),
@@ -442,6 +443,7 @@ object SparkEntry {
     "graph_label_propagation" -> ExtSql.graphLabelPropagation,
     "graph_kcore" -> ExtSql.graphKcore,
     "graph_bfs_hops" -> ExtSql.graphBfsHops,
+    "graph_components" -> ExtSql.graphComponents,
     "graph_degree_stats" -> ExtSql.graphDegreeStats,
     "basket_pair_lift" -> ExtSql.basketPairLift,
     "stats_correlation" -> ExtSql.statsCorrelation,

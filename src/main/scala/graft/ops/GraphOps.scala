@@ -487,6 +487,50 @@ object GraphOps {
       .orderBy(col("PartKey"))
   }
 
+  /** Mirror unroll depth for [[connectedComponents]]: synchronous
+    * min-label propagation fixpoints within the graph DIAMETER
+    * (co-purchase graphs measure ≤ 4-5; the power-law probe corpus
+    * ≤ 10 — its BFS bound), and rounds past the fixpoint are exact
+    * no-ops, so 16 is generous headroom. The ENGINE side runs
+    * DedupOps.componentsOf's convergence loop (its own 64-round
+    * backstop); a corpus needing more than this unroll would
+    * hash-mismatch LOUDLY rather than silently under-merge — raise
+    * both together. */
+  val ComponentsUnrollRounds = 16
+
+  /** CONNECTED COMPONENTS over the co-purchase graph — the canonical
+    * graph decomposition, reusing the SAME convergence-checked
+    * min-label kernel the dedup family gates
+    * (DedupOps.componentsOf — one kernel, two domains, the
+    * coolBands precedent). Component label = the component's minimum
+    * node id (what identity-seeded min propagation converges to on
+    * both engines); ComponentSize rides one label-keyed count.
+    *
+    * Scale shape: the kernel's Pregel loop (edge list cached and
+    * hash-partitioned once, label side reshuffles per round,
+    * edge-touched-only iteration); this wrapper adds one node-sized
+    * size join and the presentation sort. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsOf(coPurchaseEdges(spark, dir))
+
+  /** [[connectedComponents]] over any degree-carrying edge substrate
+    * (see [[pagerankOf]]). */
+  def connectedComponentsOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+    val pairs = edges.filter(col("Src") < col("Dst"))
+      .select(col("Src"), col("Dst"))
+    val labels = DedupOps.componentsOf(pairs, deg.select(col("Src")))
+    val sizes = labels.groupBy(col("ClusterId"))
+      .agg(count(lit(1)).as("ComponentSize"))
+    labels.join(sizes, "ClusterId")
+      .join(deg, labels("doc_id") === deg("Src"))
+      .select(col("doc_id").as("PartKey"),
+        col("OutDeg").cast(LongType).as("Degree"),
+        col("ClusterId").as("Component"),
+        col("ComponentSize"))
+      .orderBy(col("PartKey"))
+  }
+
   /** DEGREE STATISTICS + ASSORTATIVITY health card — one row per
     * graph: node/edge counts, degree min/mean/max, and the degree
     * assortativity coefficient (Newman 2002): the Pearson correlation

@@ -2109,6 +2109,40 @@ ORDER BY "PartKey"
 """
   }
 
+  /** Connected-components mirror: identity-seeded synchronous
+    * min-label propagation unrolled [[graft.ops.GraphOps.ComponentsUnrollRounds]]
+    * MATERIALIZED rounds (idempotent past the diameter fixpoint; a
+    * recursive closure — the dedup mirror's shape — would enumerate
+    * node×label pairs, O(n²) on this graph's giant dense component).
+    * Engine runs componentsOf's convergence loop; any corpus deeper
+    * than the unroll hash-mismatches loudly. */
+  val graphComponents: String = {
+    import graft.ops.GraphOps.{ComponentsUnrollRounds, MaxOrderParts}
+    val rounds = (1 to ComponentsUnrollRounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+  SELECT n, min(lbl) AS lbl FROM (
+    SELECT e.dst AS n, p.lbl FROM e JOIN $prev p ON e.src = p.n
+    UNION ALL SELECT n, lbl FROM $prev) GROUP BY n)"""
+    }.mkString(",\n")
+    val last = s"l$ComponentsUnrollRounds"
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
+e AS MATERIALIZED (SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
+      WHERE a.part <> b.part),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+l0 AS MATERIALIZED (SELECT src AS n, src AS lbl FROM deg),
+$rounds,
+sz AS (SELECT lbl, count(*) AS cs FROM $last GROUP BY lbl)
+SELECT deg.src AS "PartKey", CAST(deg.outdeg AS BIGINT) AS "Degree",
+       l.lbl AS "Component", CAST(sz.cs AS BIGINT) AS "ComponentSize"
+FROM deg JOIN $last l ON deg.src = l.n JOIN sz ON l.lbl = sz.lbl
+ORDER BY "PartKey"
+"""
+  }
+
   /** Degree-stats/assortativity mirror: long sums, the SAME
     * decimal(38,0) Pearson combination as the statsCorrelation
     * mirror, one IEEE division at the end. */

@@ -360,6 +360,29 @@ class RetrievalGraphSpec extends SparkSpec {
       "every node within one hop — traversal untested")
   }
 
+  test("connected components: labels equal a driver union-find; sizes reconcile") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val parent = scala.collection.mutable.Map(deg.keys.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = deg.keys.map(n => n -> find(n)).toMap
+    // min-id canonical: path compression keeps the smaller root above
+    val sizes = label.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.connectedComponents(spark, sfDir).collect()
+    assert(got.length === deg.size)
+    got.foreach { r =>
+      val n = r.getAs[Long]("PartKey")
+      assert(r.getAs[Long]("Degree") === deg(n))
+      assert(r.getAs[Long]("Component") === label(n), s"component label wrong for $n")
+      assert(r.getAs[Long]("ComponentSize") === sizes(label(n)), s"size wrong for $n")
+    }
+  }
+
   test("degree stats: assortativity equals a driver Pearson over the directed edge list") {
     val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
