@@ -541,9 +541,12 @@ object GraphOps {
     *
     * Exactness: the statsCorrelation wide-combination rule — Pearson
     * over integers needs only the five sums Σx, Σy, Σxy, Σx², Σy²,
-    * each exact in DECIMAL(38,0) (degree ≤ 10⁶ ⇒ products ≤ 10¹²,
-    * summed over ≤ 10¹² edges stays under 38 digits), and the
-    * coefficient is IEEE arithmetic on two exactly-agreed doubles.
+    * accumulated in LONGs under the budget documented on
+    * [[degreeStatsOf]] (per-edge products ≤ 2⁶² summed over bounded
+    * edge counts; an over-budget graph fails LOUDLY under ANSI rather
+    * than degrading) and widened to DECIMAL(38,0) only at the Pearson
+    * combination; the coefficient is IEEE arithmetic on two
+    * exactly-agreed doubles.
     * The undirected edge list carries both directions, so the
     * directed-edge correlation IS the undirected assortativity. */
   def degreeStats(spark: SparkSession, dir: String): DataFrame =

@@ -356,6 +356,18 @@ object SimilarityOps {
     * query is exact, and OpsSpec measures recall against [[knnGraph]]
     * the way `retrieval_eval` scores ivf/pq.
     *
+    * Append caveat: [[ivfAppend]] leaves the index "fresh" (its
+    * fingerprint tracks the CORPUS snapshot, not the list contents)
+    * with appended vectors routed by the then-current codebook —
+    * correct for probe SEARCH, but the DuckDB gate mirror replays
+    * k-means over the full current corpus, so gating this query on an
+    * appended corpus hash-mismatches BY CONSTRUCTION (codebooks
+    * differ), not from an engine defect. Rebuild the index (delete
+    * the index dir, or refresh the corpus through
+    * [[invalidateQuantized]]) before gating a routed graph over
+    * appended data; steady-state search paths ([[ivfTopk]]) are the
+    * append consumers.
+    *
     * Scale shape: pair volume drops from the exact graph's n² to
     * n·nprobe·(n/K) — at the engine's K ∝ √n sizing policy that is
     * n^1.5·nprobe, the same exponent cut the hierarchical assignment

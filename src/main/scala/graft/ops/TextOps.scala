@@ -1491,6 +1491,17 @@ object TextOps {
         "WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
         .as(s"T$d"))
     val trow = docs.agg(aggs.head, aggs.tail: _*).first()
+    // empty corpus: percentile_disc yields NULL thresholds — return
+    // the all-zero 10-row frame instead of an opaque NPE below. This
+    // IS the mirror's answer on the same input (its CASE arms compare
+    // against NULL thresholds and fall to the ELSE over zero rows, so
+    // every decile count coalesces to 0 and TtrCum stays NULL).
+    if (trow.isNullAt(0))
+      return spark.range(1, VocabGrowthSteps + 1)
+        .select(col("id").cast(IntegerType).as("Decile"),
+          lit(0L).as("NDocsCum"), lit(0L).as("NTokensCum"),
+          lit(0L).as("VocabCum"), lit(null).cast(DoubleType).as("TtrCum"))
+        .orderBy(col("Decile"))
     val th = (1 to VocabGrowthSteps).map(d => trow.getAs[Long](s"T$d"))
     def decileOf(c: Column): Column =
       th.zipWithIndex.foldRight(lit(VocabGrowthSteps): Column) {

@@ -244,6 +244,12 @@ class CurateTextSpec extends SparkSpec {
   test("curation/text family is total on an empty corpus (no crash, zero rows)") {
     val dir = docsFixture(Seq.empty)
     assert(CurateOps.decontaminate(spark, dir).count() === 0L)
+    // vocab growth keeps its fixed 10-row frame (the mirror's answer
+    // on the same input): all-zero counts, NULL TtrCum — not an NPE
+    // off the NULL percentile_disc thresholds
+    val vg = TextOps.vocabGrowth(spark, dir).collect()
+    assert(vg.length === TextOps.VocabGrowthSteps)
+    assert(vg.forall(r => r.getAs[Long]("VocabCum") === 0L && r.isNullAt(4)))
     assert(CurateOps.sampleStratified(spark, dir).count() === 0L)
     assert(TextOps.repetition(spark, dir).count() === 0L)
     assert(TextOps.tfidf(spark, dir).count() === 0L)
