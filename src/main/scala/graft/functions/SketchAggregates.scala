@@ -54,6 +54,9 @@ object SketchAggregates {
       es => BloomMightContain(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("kmv_kmin",
       es => KMinValues(es(0), intLit(es(1), "kmv_kmin(col, k)")), "built-in")
+    reg.createOrReplaceTempFunction("topk_edges",
+      es => TopKEdges(es(0), es(1), intLit(es(2), "topk_edges(id, score, k)")),
+      "built-in")
   }
 
   private[graft] def intLit(e: Expression, usage: String): Int = e match {
@@ -372,4 +375,141 @@ case class BloomMightContain(bloom: Expression, key: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(bloom = newLeft, key = newRight)
+}
+
+/** Bounded TOP-K EDGE selector: keep the k best (score DESC, id ASC)
+  * (id, score) pairs of a group in O(k) state, returned best-first as
+  * `array<struct<NId:bigint, Cosine:double>>` — element index IS
+  * rank−1. The map-side-combinable replacement for the
+  * `row_number().over(partitionBy(id).orderBy(score desc, id))` rank
+  * cut on WIDE candidate joins: the window form shuffles every
+  * candidate row (n·nprobe·(n/K) of them for the routed kNN graph,
+  * each carrying its vector), while this aggregate crosses the
+  * exchange as ≤ k (double, long) pairs per group per partial — the
+  * nearestCentroids min-struct precedent generalized from top-1 to
+  * top-k.
+  *
+  * Ordering contract: score ties break toward the SMALLER id, and
+  * IEEE `==` treats -0.0 = 0.0 exactly as Spark's sort does after
+  * float normalization — bit-identical ranks to the window form it
+  * replaces. NaN scores are rejected as unrankable (the engine's
+  * cosine scores are finite by construction: positive integer norms);
+  * a NaN-producing caller must pre-filter, not rely on sort order.
+  * Duplicate (score, id) pairs collapse (ids are unique per group in
+  * every engine call site). */
+case class TopKEdges(
+    id: Expression,
+    score: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+
+  require(k >= 1, s"topk_edges capacity must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(id, score)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("NId", LongType, nullable = false),
+    StructField("Cosine", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (id.dataType == LongType && score.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_edges requires (bigint id, double score), got " +
+        s"(${id.dataType.simpleString}, ${score.dataType.simpleString})")
+
+  /** Best-first: score desc, id asc. Used both as the TreeSet order
+    * and (inlined, allocation-free) for the reject fast path. */
+  private object BestFirst extends java.util.Comparator[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
+    new java.util.TreeSet[(Double, Long)](BestFirst)
+
+  override def update(
+      buf: java.util.TreeSet[(Double, Long)],
+      input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+    val i = id.eval(input)
+    val s = score.eval(input)
+    if (i != null && s != null)
+      add(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  /** The hot path: almost every candidate loses to the current worst
+    * once the buffer is full — compare primitives BEFORE boxing a
+    * tuple, so the reject path allocates nothing (this runs once per
+    * candidate row, n^1.5·nprobe times for the routed graph). */
+  private def add(buf: java.util.TreeSet[(Double, Long)],
+                  s: Double, i: Long): Unit =
+    if (buf.size < k) {
+      buf.add((s, i)); ()
+    } else {
+      val w = buf.last()
+      if (s > w._1 || (s == w._1 && i < w._2)) {
+        if (buf.add((s, i))) { buf.pollLast(); () }
+      }
+    }
+
+  override def merge(
+      buf: java.util.TreeSet[(Double, Long)],
+      other: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(buf, e._1, e._2)
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e._2, e._1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeDouble(e._1); out.writeLong(e._2)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      buf.add((in.readDouble(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKEdges =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKEdges =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(id = newChildren(0), score = newChildren(1))
+  override def prettyName: String = "topk_edges"
 }

@@ -377,27 +377,50 @@ object SimilarityOps {
   def knnGraphIvf(spark: SparkSession, dir: String,
                   nCentroids: Int = DefaultNCentroids,
                   nprobe: Int = DefaultNProbe): DataFrame = {
-    val base = ivfIndexPath(spark, dir, nCentroids)
-    val cent = spark.read.parquet(s"$base/codebook")
-    val lists = spark.read.parquet(s"$base/lists")
-    val queries = quantized(spark, dir)
-      .select(col("vec_id").as("SrcId"), col("Q").as("QS"), col("NormSq").as("NS"))
-    val edges = nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS")
-      .join(lists, "Cid")
-      .filter(col("vec_id") =!= col("SrcId"))
-      .withColumn("Cosine",
-        expr("long_dot(QS, Q)").cast(DoubleType) /
-          (sqrt(col("NS").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
-      .withColumn("Rank", row_number().over(
-        Window.partitionBy(col("SrcId")).orderBy(col("Cosine").desc, col("vec_id"))))
-      .filter(col("Rank") <= KnnGraphK)
-      .select(col("SrcId"), col("vec_id").as("NId"), col("Cosine"), col("Rank"))
+    val edges = knnGraphIvfEdges(spark, dir, nCentroids, nprobe)
       .localCheckpoint()
     val rev = edges.select(col("NId").as("RS"), col("SrcId").as("RT"))
     edges.join(rev, col("SrcId") === col("RS") && col("NId") === col("RT"), "left")
       .select(col("SrcId"), col("NId"), col("Cosine"), col("Rank"),
         col("RS").isNotNull.as("Mutual"))
       .transform(graft.etl.Summaries.smallSort(_, col("SrcId"), col("Rank")))
+  }
+
+  /** The routed graph's EDGE stage, pre-checkpoint — exposed so
+    * PlanSpec can assert on the plan that actually runs (the eager
+    * localCheckpoint in [[knnGraphIvf]] makes this subtree invisible
+    * to the final plan, which blinded the round-11 quadratic-join
+    * guard).
+    *
+    * The rank cut is a COMBINABLE top-k aggregate
+    * ([[graft.functions.TopKEdges]]), not a row_number window: the
+    * window form shuffles all n·nprobe·(n/K) candidate rows to rank
+    * them, while the aggregate partial-combines map-side so the
+    * exchange carries ≤ [[KnnGraphK]] (double, long) pairs per query
+    * — the nearestCentroids top-1 min-struct precedent generalized
+    * to top-k. Identical (Cosine desc, NId) order and ranks (the
+    * aggregate's documented ordering contract); posexplode position
+    * IS rank−1. */
+  private[graft] def knnGraphIvfEdges(spark: SparkSession, dir: String,
+                                      nCentroids: Int = DefaultNCentroids,
+                                      nprobe: Int = DefaultNProbe): DataFrame = {
+    graft.functions.SketchAggregates.register(spark)
+    val base = ivfIndexPath(spark, dir, nCentroids)
+    val cent = spark.read.parquet(s"$base/codebook")
+    val lists = spark.read.parquet(s"$base/lists")
+    val queries = quantized(spark, dir)
+      .select(col("vec_id").as("SrcId"), col("Q").as("QS"), col("NormSq").as("NS"))
+    nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS")
+      .join(lists, "Cid")
+      .filter(col("vec_id") =!= col("SrcId"))
+      .withColumn("Cosine",
+        expr("long_dot(QS, Q)").cast(DoubleType) /
+          (sqrt(col("NS").cast(DoubleType)) * sqrt(col("NormSq").cast(DoubleType))))
+      .groupBy(col("SrcId"))
+      .agg(expr(s"topk_edges(vec_id, Cosine, $KnnGraphK)").as("TK"))
+      .select(col("SrcId"), posexplode(col("TK")).as(Seq("R0", "E")))
+      .select(col("SrcId"), col("E.NId").as("NId"), col("E.Cosine").as("Cosine"),
+        (col("R0") + 1).as("Rank"))
   }
 
   // ---------------------------------------------------------------

@@ -24,8 +24,11 @@ object KnnRecallProbe {
       else graft.ops.SimilarityOps.DefaultNCentroids
     val timeOnly = args.length > 3 && args(3) == "timeonly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // see SemDedupK: shuffle partitions scale with corpus size at the
+    // multi-million-vector decades, not with cores
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

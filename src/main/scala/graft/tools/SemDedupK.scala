@@ -25,8 +25,17 @@ object SemDedupK {
       .split(',').map(_.trim.toInt)
     val mode = if (args.length > 2) args(2) else "flat"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions are a SEPARATE axis from parallelism at the
+    // 20M-vector decade: the k-means dims explode is n·64 rows, and
+    // with partitions == cpus each concurrent task sort-merges
+    // n·64/cpus rows — at 20M that is 40M rows per task whose sort
+    // buffers exhaust the execution pool (measured: 96g heap,
+    // UNABLE_TO_ACQUIRE_MEMORY in the assign join's shuffle at 35 min;
+    // 256 partitions cut per-task state 8× and AQE re-coalesces the
+    // small downstream stages)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -449,19 +449,49 @@ class PlanSpec extends SparkSpec {
     // the routed kNN's whole point is replacing the n² pair source
     // with a Cid-keyed equi-join; a refactor that loses the key would
     // silently plan a nested-loop and re-quadratize it. Same stake for
-    // the leakage card's shingle-keyed join.
+    // the leakage card's shingle-keyed join. The kNN assertion runs on
+    // the PRE-checkpoint edge stage — the eager localCheckpoint in
+    // knnGraphIvf hides that subtree from the final plan, which is
+    // exactly where the candidate join lives (round-11 advice: the old
+    // final-plan assert could not catch the regression it claimed to).
+    // DPP replays the bounded routing subtree as a
+    // SubqueryAdaptiveBroadcast to partition-prune the lists scan by
+    // routed Cid (wanted at scale) — count joins in the MAIN tree
+    // only, or the replayed codebook crossJoin double-counts
+    def mainTree(p: String): String =
+      p.split("Subquery")(0)
     Seq(
-      ("knn_graph_ivf", graft.ops.SimilarityOps.knnGraphIvf(spark, sfDir)),
+      ("knn_graph_ivf_edges",
+        graft.ops.SimilarityOps.knnGraphIvfEdges(spark, sfDir)),
       ("split_leakage", graft.ops.CurateOps.splitLeakage(spark, sfDir))
     ).foreach { case (name, df) =>
-      val p = df.queryExecution.executedPlan.toString
+      val p = mainTree(df.queryExecution.executedPlan.toString)
       assert(!p.contains("CartesianProduct"), s"$name planned a cartesian:\n$p")
-      // the leakage card's one crossJoin is the bounded 3x3 split-pair
-      // frame; anything nested-loop beyond broadcast of that is wrong
+      // each card's ONE allowed nested loop is bounded: the K-row
+      // broadcast codebook crossJoin (kNN routing) / the 3x3
+      // split-pair frame (leakage); anything beyond that is wrong
       val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-      val allowed = if (name == "split_leakage") 1 else 0
-      assert(bnl <= allowed, s"$name planned $bnl nested-loop joins (allowed $allowed):\n$p")
+      assert(bnl <= 1, s"$name planned $bnl nested-loop joins (allowed 1):\n$p")
     }
+    // the rank cut must be the combinable top-k AGGREGATE, not a
+    // row_number window over the candidate join: the window form
+    // shuffles every n·nprobe·(n/K) candidate row; the aggregate
+    // crosses the exchange as ≤ K pairs per query. The ONLY window
+    // allowed is the bounded nprobe routing cut BELOW the candidate
+    // join (WindowGroupLimit-bounded n·K rows, pre-join) — so every
+    // Window occurrence must sit under the join in the tree
+    val edgePlan = mainTree(graft.ops.SimilarityOps
+      .knnGraphIvfEdges(spark, sfDir)
+      .queryExecution.executedPlan.toString)
+    val aggAt = edgePlan.indexOf("ObjectHashAggregate")
+    val joinAt = edgePlan.indexOf("Join")
+    val winAt = edgePlan.indexOf("Window")
+    assert(edgePlan.contains("topk_edges") && aggAt >= 0,
+      s"knn_graph_ivf edge stage lost the combinable topk_edges aggregate:\n$edgePlan")
+    assert(joinAt >= 0 && aggAt < joinAt,
+      s"knn_graph_ivf rank aggregate not above the candidate join:\n$edgePlan")
+    assert(winAt < 0 || winAt > joinAt,
+      s"knn_graph_ivf edge stage ranks through a Window over the candidate join:\n$edgePlan")
   }
 
   test("the dedup shingle substrate pins its partition count — the family-wide spread survives AQE") {

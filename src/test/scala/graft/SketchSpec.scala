@@ -221,4 +221,33 @@ class SketchSpec extends SparkSpec {
     assert(filterAt > joinAt,
       s"bloom_contains filter not below the semi join in the plan tree:\n$plan")
   }
+
+  test("topk_edges: bit-identical to the row_number window it replaces, ties included") {
+    import spark.implicits._
+    graft.functions.SketchAggregates.register(spark)
+    // deterministic synthetic scores with PLANTED ties: score has only
+    // 17 distinct values over 400 (group, id) rows, so most groups
+    // exercise the id-ascending tie-break; a few groups have fewer
+    // than k candidates (short-array path)
+    val k = 5
+    val rows = for {
+      g <- 1L to 20L
+      i <- 1L to (if (g % 7 == 0) 3L else 20L)
+    } yield (g, i, ((i * 31 + g * 17) % 17).toDouble / 16.0)
+    val df = rows.toDF("G", "Id", "Score").repartition(8)
+    val viaAgg = df.groupBy(col("G"))
+      .agg(expr(s"topk_edges(Id, Score, $k)").as("TK"))
+      .select(col("G"), posexplode(col("TK")).as(Seq("R0", "E")))
+      .select(col("G"), col("E.NId").as("Id"), col("E.Cosine").as("Score"),
+        (col("R0") + 1).as("Rank"))
+      .orderBy(col("G"), col("Rank")).collect().map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("G")).orderBy(col("Score").desc, col("Id"))
+    val viaWindow = df.withColumn("Rank", row_number().over(w))
+      .filter(col("Rank") <= k)
+      .select(col("G"), col("Id"), col("Score"), col("Rank"))
+      .orderBy(col("G"), col("Rank")).collect().map(_.toSeq)
+    assert(viaAgg.toSeq === viaWindow.toSeq,
+      "topk_edges diverged from the window ranking")
+  }
 }
