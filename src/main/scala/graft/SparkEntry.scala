@@ -154,6 +154,7 @@ object SparkEntry {
     "curate_importance_resample" -> (CurateOps.importanceResample _),
     "curate_decontaminate" -> ((s: SparkSession, d: String) => CurateOps.decontaminate(s, d)),
     "curate_split_leakage" -> ((s: SparkSession, d: String) => CurateOps.splitLeakage(s, d)),
+    "curate_split_leakage_grouped" -> ((s: SparkSession, d: String) => CurateOps.splitLeakageGrouped(s, d)),
     "curate_sample_stratified" -> (CurateOps.sampleStratified _),
     "curate_token_budget" -> (CurateOps.tokenBudget _),
     // the composed pipeline's per-stage funnel counts (round 8): the
@@ -375,6 +376,7 @@ object SparkEntry {
     "curate_importance_resample" -> ExtSql.curateImportanceResample,
     "curate_decontaminate" -> ExtSql.curateDecontaminate,
     "curate_split_leakage" -> ExtSql.curateSplitLeakage,
+    "curate_split_leakage_grouped" -> ExtSql.curateSplitLeakageGrouped,
     "curate_sample_stratified" -> ExtSql.curateSampleStratified,
     "curate_token_budget" -> ExtSql.curateTokenBudget,
     "curate_pipeline_funnel" -> ExtSql.curatePipelineFunnel,

@@ -71,8 +71,14 @@ object CurateOps {
   def splitGrouped(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-      .withColumn("Split", splitFromBucket(hashBucket(col("source"), "")))
+      .withColumn("Split", groupSplitOf(col("source")))
       .orderBy(col("doc_id"))
+
+  /** The grouped-split label as a pure column function of the group
+    * key — ONE definition under [[splitGrouped]] and
+    * [[splitLeakageGrouped]]. */
+  def groupSplitOf(source: Column): Column =
+    splitFromBucket(hashBucket(source, ""))
 
   /** The split column alone (no presentation sort) — shared by
     * [[splitAssign]]'s consumers below. */
@@ -133,7 +139,25 @@ object CurateOps {
     * runs inside the gate query, `runCurationPipeline`, AND
     * `curationFunnel`, so an uncached wide-window pass would re-md5
     * the corpus on every call (caught in round-8 review). Same
-    * stopped-session eviction as the dedup memos. */
+    * stopped-session eviction as the dedup memos.
+    *
+    * The wide-window (n != 3) substrate carries shingles as
+    * `xxhash64` INT64 keys, not strings (round-12: the x100 decade
+    * measured the string-keyed shingle join as the leakage card's
+    * dominant term — an 8-token shingle averages ~50 bytes where the
+    * hash is 8, so every exchange, cache page, and broadcast in the
+    * decontaminate/leakage family shrinks several-fold; the dedup
+    * family's band-key discipline applied to this substrate). The
+    * hash never reaches any output — consumers emit distinct-COUNTS —
+    * and the DuckDB mirrors deliberately stay on the raw strings, so
+    * a gate hash-match also certifies the hashing introduced no
+    * counted collision at gate scale. Collision budget at 100 TB: a
+    * 64-bit key over a trillion distinct shingles expects ~10⁴
+    * colliding pairs corpus-WIDE; a collision can only merge two
+    * shingles (undercount by 1) or add one spurious doc-pair overlap
+    * — the same accept-and-verify economics as the banded-LSH family,
+    * conservative for contamination flags (false flag, never a missed
+    * real overlap). */
   private def shinglesAt(spark: SparkSession, dir: String, n: Int): DataFrame =
     if (n == 3) DedupOps.sharedShingles(spark, dir)
     else {
@@ -144,7 +168,9 @@ object CurateOps {
       graft.ops.BucketedTables.memoized(
         shinglesMemo, (spark, dir, n), shinglesMemoLock)(
         Tables.documents(spark, dir)
-          .select(col("doc_id"), expr(s"token_shingles(text, $n)").as("Sh"))
+          .select(col("doc_id"),
+            expr(s"transform(token_shingles(text, $n), s -> xxhash64(s))")
+              .as("Sh"))
           .cache())
     }
 
@@ -204,19 +230,48 @@ object CurateOps {
     * listing, never a doc-pair join. Counts are integers; LeakRate is
     * ONE division. */
   def splitLeakage(spark: SparkSession, dir: String,
-                   n: Int = DecontaminationShingleN): DataFrame = {
-    val sh = shinglesAt(spark, dir, n)
-      .withColumn("Split", splitOf(col("doc_id")))
+                   n: Int = DecontaminationShingleN): DataFrame =
+    splitLeakageBody(
+      shinglesAt(spark, dir, n).withColumn("Split", splitOf(col("doc_id"))),
+      docSplits(spark, dir).select(col("doc_id"), col("Split")))
+
+  /** [[splitLeakage]] under the GROUPED split scheme — the audit pair
+    * the grouped assignment exists to be judged by: [[splitGrouped]]'s
+    * whole purpose is driving the (train, test) leak rate of
+    * provenance-clustered near-duplicates to zero (same-source copies
+    * land in the SAME split by construction, so they can never leak
+    * across), and this card is the number that shows it. Residual
+    * leakage under the grouped scheme = genuinely CROSS-source shared
+    * content, the part no split scheme can remove.
+    *
+    * Same body as the per-doc card; the split label rides one
+    * doc-keyed join with the (doc_id, source) listing (the substrate
+    * carries no source column — pre-explode, doc-count-sized, the
+    * narrow side of every shuffle it touches). Splits with zero
+    * groups at small group counts simply drop their pair rows — both
+    * engines derive the frame from the same totals. */
+  def splitLeakageGrouped(spark: SparkSession, dir: String,
+                          n: Int = DecontaminationShingleN): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), groupSplitOf(col("source")).as("Split"))
+    splitLeakageBody(shinglesAt(spark, dir, n).join(splits, "doc_id"), splits)
+  }
+
+  /** Shared leakage-card body over a (doc_id, Split, Sh) substrate
+    * and a (doc_id, Split) totals listing. */
+  private def splitLeakageBody(shSplit: DataFrame, splits: DataFrame): DataFrame = {
+    val sh = shSplit
       .select(col("doc_id"), col("Split"), explode(col("Sh")).as("Shingle"))
     val vocab = sh.select(col("Split").as("OtherSplit"), col("Shingle")).distinct()
     // count(1), NOT countDistinct(Shingle): token_shingles emits
     // DISTINCT shingles per doc and vocab is distinct per split, so
     // (doc, OtherSplit, Shingle) join rows are unique by construction
-    // — the plain count partial-aggregates map-side with the string
+    // — the plain count partial-aggregates map-side with the key
     // column dropped before the exchange. The card is corpus-LINEAR
     // by nature (every shingle is read once; measured α ≈ 1.0 on the
-    // 50k→500k decade) — the string-keyed shingle join is the
-    // dominant term, the same shape as the decontaminate family.
+    // 50k→500k decade) — the shingle join is the dominant term, now
+    // on int64 xxhash64 keys (see shinglesAt), the same shape as the
+    // decontaminate family.
     val leaked = sh.join(vocab, Seq("Shingle"))
       .filter(col("Split") =!= col("OtherSplit"))
       .select(col("Split"), col("OtherSplit"), col("doc_id"))
@@ -225,7 +280,7 @@ object CurateOps {
       .filter(col("NShared") >= ContaminationMinShingles)
       .groupBy(col("Split"), col("OtherSplit"))
       .agg(count(lit(1)).as("NLeakedDocs"))
-    val totals = docSplits(spark, dir)
+    val totals = splits
       .groupBy(col("Split")).agg(count(lit(1)).as("NDocs"))
     val pairs = totals.select(col("Split"), col("NDocs"))
       .crossJoin(totals.select(col("Split").as("OtherSplit")))

@@ -1243,13 +1243,17 @@ FROM c ORDER BY "Decile"
   }
 
   /** Split-leakage mirror: same wide-window shingles, same md5 split,
-    * per-split distinct vocabularies joined on the shingle key, the
-    * same ≥ ContaminationMinShingles per-(pair, doc) cut, one division
-    * per pair row. */
-  val curateSplitLeakage: String = {
+    * per-split distinct vocabularies joined on the shingle key (the
+    * RAW string — the engine side joins xxhash64 keys, so the hash
+    * match doubles as a collision-freedom certificate at gate scale),
+    * the same ≥ ContaminationMinShingles per-(pair, doc) cut, one
+    * division per pair row. Parameterized by the split CTE: the
+    * per-doc card and the grouped-scheme audit share one body, as the
+    * engine side does. */
+  private def splitLeakageSqlWith(splitCte: String): String = {
     import graft.ops.CurateOps.{ContaminationMinShingles, DecontaminationShingleN}
     toksCte + s"""
-, $splitCteSql,
+, $splitCte,
 sh AS (SELECT doc_id, ${shExprN(DecontaminationShingleN)} AS s FROM toks),
 ex AS (
   SELECT h.doc_id, spl.split, unnest(h.s) AS shingle
@@ -1277,6 +1281,29 @@ SELECT p.split AS "Split", p.osplit AS "OtherSplit",
 FROM pairs p LEFT JOIN lc ON p.split = lc.split AND p.osplit = lc.osplit
 ORDER BY "Split", "OtherSplit"
 """
+  }
+
+  val curateSplitLeakage: String = splitLeakageSqlWith(splitCteSql)
+
+  /** The grouped-scheme audit: same body over the SOURCE-keyed split
+    * (curateSplitGrouped's bucket), the pair card splitGrouped exists
+    * to be judged by. */
+  val curateSplitLeakageGrouped: String =
+    splitLeakageSqlWith(groupSplitCteSql)
+
+  /** The `spl(doc_id, split)` CTE keyed by SOURCE — the grouped
+    * scheme's split, one definition with [[splitCteSql]]'s thresholds. */
+  private def groupSplitCteSql: String = {
+    import graft.ops.CurateOps.{TrainUpper, ValUpper}
+    def hex(pos: Int) =
+      s"(instr('0123456789abcdef', substr(md5(source), $pos, 1)) - 1)"
+    s"""spl AS (
+  SELECT doc_id,
+         CASE WHEN 16 * ${hex(1)} + ${hex(2)} < $TrainUpper THEN 'train'
+              WHEN 16 * ${hex(1)} + ${hex(2)} < $ValUpper THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)"""
   }
 
   /** End-to-end curation-pipeline funnel mirror: recomposes EVERY

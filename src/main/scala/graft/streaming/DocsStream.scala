@@ -102,7 +102,11 @@ object DocsStream {
     graft.functions.ShingleExpressions.register(spark)
     docs
       .filter(CurateOps.splitOf(col("doc_id")) === "train")
-      .select(col("doc_id"), explode(expr(s"token_shingles(text, $n)")).as("Shingle"))
+      // xxhash64 keys, matching the batch substrate (CurateOps
+      // .shinglesAt) the static eval relation was built from
+      .select(col("doc_id"),
+        explode(expr(s"transform(token_shingles(text, $n), s -> xxhash64(s))"))
+          .as("Shingle"))
       .join(evalSh, "Shingle")
       .groupBy(col("doc_id"))
       .agg(

@@ -79,6 +79,16 @@ class CurateTextSpec extends SparkSpec {
     assert(at3(dirty) && at3(collides3))
   }
 
+  test("decontamination substrate carries int64 shingle keys, not strings") {
+    // the wide-window shingle substrate must cross every exchange as
+    // xxhash64 longs (shinglesAt's round-12 contract — the x100 decade
+    // measured the string-keyed join as the leakage card's dominant
+    // term); the mirrors stay on strings, so gate hash-matches also
+    // certify collision-freedom at gate scale
+    val sch = CurateOps.evalShingles(spark, sfDir).schema
+    assert(sch("Shingle").dataType === org.apache.spark.sql.types.LongType)
+  }
+
   test("decontaminate: covers every train doc exactly once on the real corpus") {
     val rows = CurateOps.decontaminate(spark, sfDir).collect()
     val trainIds = CurateOps.splitAssign(spark, sfDir)
@@ -492,5 +502,40 @@ class CurateTextSpec extends SparkSpec {
     // non-vacuous on this corpus: some pair leaks, some direction is
     // asymmetric in RATE (the denominators differ by construction)
     assert(rows.values.exists(_._2 > 0), "no leakage anywhere — card untested")
+  }
+
+  test("split_leakage_grouped: same-source near-dups cannot leak across the grouped split") {
+    // the scenario splitGrouped exists for: two identical documents
+    // whose per-DOC hashes land in train and test (a leak the
+    // decontamination card flags), but which share one provenance —
+    // the grouped scheme pins them to a single split, removing the
+    // leak class by construction
+    def srcBucket(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d(0) & 0xff
+    }
+    val srcs = (0 to 999).map("src" + _)
+    val trainSrc = srcs.find(srcBucket(_) < CurateOps.TrainUpper).get
+    val testSrc = srcs.find(srcBucket(_) >= CurateOps.ValUpper).get
+    val ids = 0L to 4000L
+    val tA = ids.find(split(_) == "train").get
+    val tB = ids.find(split(_) == "test").get
+    val tC = ids.find(split(_) == "val").get
+    val shared = "one two three four five six seven eight nine ten"
+    val dir = docsFixtureSrc(Seq(
+      (tA, shared, trainSrc),
+      (tB, shared, trainSrc),
+      // disjoint filler so the grouped scheme has a second split
+      (tC, "aa bb cc dd ee ff gg hh ii jj", testSrc)))
+    def leaks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("Split"), r.getAs[String]("OtherSplit")) ->
+        r.getAs[Long]("NLeakedDocs")).toMap
+    val perDoc = leaks(CurateOps.splitLeakage(spark, dir))
+    assert(perDoc(("train", "test")) === 1L && perDoc(("test", "train")) === 1L,
+      s"per-doc split must leak the planted pair: $perDoc")
+    val grouped = leaks(CurateOps.splitLeakageGrouped(spark, dir))
+    assert(grouped.nonEmpty && grouped.values.forall(_ === 0L),
+      s"grouped scheme leaked a same-source pair: $grouped")
   }
 }
