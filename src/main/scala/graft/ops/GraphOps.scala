@@ -438,53 +438,94 @@ object GraphOps {
     * [[BfsUnrollRounds]]; the mirror unrolls exactly that many
     * rounds.
     *
-    * Scale shape: one round = ONE equi-join of the cached edge
-    * substrate with the node-sized distance table + one min
-    * aggregate (map-side combining), distance state
-    * localCheckpoint-pinned per round — the Pregel shape shared with
-    * every loop in this file. Frontier-delta BFS (joining only the
-    * newly-settled frontier) is the constant-factor refinement at
-    * extreme diameters; on small-world graphs the full-state join is
-    * the same volume and one less moving part. */
+    * Scale shape: FRONTIER-DELTA rounds — round r joins the cached
+    * edge substrate with only the nodes SETTLED IN ROUND r−1 (the
+    * frontier), not the whole distance table: per-round probe volume
+    * is deg(frontier_r), and Σ_r deg(frontier_r) = m exactly (every
+    * node enters the frontier once), where the full-state join costs
+    * Σ_r deg(settled_≤r) — diameter-FOLD more on high-diameter
+    * graphs (the power-law probe corpus measures the drop). Newly
+    * reached nodes are the min-aggregated candidates anti-joined
+    * against the settled set (node-sized build side, never edges);
+    * unit-weight BFS settles a node exactly at first discovery, so
+    * the frontier recursion computes the same monotone min-lattice
+    * fixpoint as the full-state join — bit-identical distances (the
+    * full-state form stays available as the identity oracle,
+    * `frontierDelta = false`). State localCheckpoint-pinned per
+    * round, the Pregel shape shared with every loop in this file. */
   def bfsHops(spark: SparkSession, dir: String): DataFrame =
     bfsHopsOf(coPurchaseEdges(spark, dir))
 
   /** [[bfsHops]] over any degree-carrying edge substrate (see
     * [[pagerankOf]]). */
-  def bfsHopsOf(edges: DataFrame): DataFrame = {
+  def bfsHopsOf(edges: DataFrame, frontierDelta: Boolean = true): DataFrame =
+    bfsHopsWithRounds(edges, frontierDelta)._1
+
+  /** [[bfsHopsOf]] plus the per-round newly-settled counts (the
+    * frontier sizes — what the scale probe reports to show the
+    * per-round join-volume drop vs the full-state form). */
+  private[graft] def bfsHopsWithRounds(
+      edges: DataFrame,
+      frontierDelta: Boolean = true): (DataFrame, Seq[Long]) = {
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()
     val src = deg
       .agg(max(struct(col("OutDeg"), (-col("Src")).as("NegId"))).as("B"))
       .select((-col("B.NegId")).as("SourceId"))
       .first().getLong(0)
-    var dist = deg.filter(col("Src") === src)
+    val seed = deg.filter(col("Src") === src)
       .select(col("Src").as("Node"), lit(0L).as("Hops"))
       .localCheckpoint()
-    var settled = dist.count()
+    val sizes = scala.collection.mutable.ArrayBuffer(seed.count())
+    var dist = seed
     var rounds = 0
-    var converged = false
-    while (!converged) {
-      rounds += 1
-      assert(rounds <= BfsUnrollRounds,
-        s"BFS failed to fixpoint within $BfsUnrollRounds rounds — " +
-          "raise BfsUnrollRounds together with the mirror's unroll")
-      val next = edges
-        .join(dist, edges("Src") === dist("Node"))
-        .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
-        .union(dist)
-        .groupBy(col("Node")).agg(min(col("Hops")).as("Hops"))
-        .localCheckpoint()
-      val nextCount = next.count()
-      if (nextCount == settled) converged = true
-      dist = next
-      settled = nextCount
+    if (frontierDelta) {
+      var frontier = seed
+      var frontierCount = sizes.head
+      while (frontierCount > 0) {
+        rounds += 1
+        assert(rounds <= BfsUnrollRounds,
+          s"BFS failed to fixpoint within $BfsUnrollRounds rounds — " +
+            "raise BfsUnrollRounds together with the mirror's unroll")
+        val next = edges
+          .join(frontier, edges("Src") === frontier("Node"))
+          .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
+          .groupBy(col("Node")).agg(min(col("Hops")).as("Hops"))
+          .join(dist.select(col("Node").as("Seen")),
+            col("Node") === col("Seen"), "left_anti")
+          .localCheckpoint()
+        frontierCount = next.count()
+        sizes += frontierCount
+        if (frontierCount > 0) dist = dist.union(next)
+        frontier = next
+      }
+    } else {
+      var settled = sizes.head
+      var converged = false
+      while (!converged) {
+        rounds += 1
+        assert(rounds <= BfsUnrollRounds,
+          s"BFS failed to fixpoint within $BfsUnrollRounds rounds — " +
+            "raise BfsUnrollRounds together with the mirror's unroll")
+        val next = edges
+          .join(dist, edges("Src") === dist("Node"))
+          .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
+          .union(dist)
+          .groupBy(col("Node")).agg(min(col("Hops")).as("Hops"))
+          .localCheckpoint()
+        val nextCount = next.count()
+        if (nextCount == settled) converged = true
+        sizes += (nextCount - settled)
+        dist = next
+        settled = nextCount
+      }
     }
-    deg.join(dist, deg("Src") === dist("Node"), "left")
+    val out = deg.join(dist, deg("Src") === dist("Node"), "left")
       .select(col("Src").as("PartKey"),
         col("OutDeg").cast(LongType).as("Degree"),
         col("Hops"),
         (col("Src") === src).as("IsSource"))
       .orderBy(col("PartKey"))
+    (out, sizes.toSeq)
   }
 
   /** Mirror unroll depth for [[connectedComponents]]: synchronous

@@ -7,12 +7,23 @@ import org.apache.spark.sql.types._
   * Kafka/ingest pipelines, on the [[Xlsx]] from-scratch precedent:
   * this image ships `org.apache.avro` (Spark's own runtime dependency)
   * but NOT the `spark-avro` connector, so the container format is read
-  * directly. `binaryFiles` distributes one container FILE per task —
-  * the natural shard unit of an avro corpus (ingest pipelines write
-  * many rotated files; block-level splitting inside one file is the
-  * DataSourceV2 refinement a mega-file deployment would add) — and
-  * `DataFileStream` decodes records LAZILY off the stream, so a task
-  * holds one decode buffer, not the whole file.
+  * directly.
+  *
+  * SPLITTING (round 12): files are carved into [[DefaultSplitBytes]]
+  * byte ranges and each range reads the blocks whose SYNC-ALIGNED
+  * start falls inside it — `DataFileReader.sync(start)` seeks to the
+  * first 16-byte sync marker at/after the range start (the container
+  * header itself ends with the file's sync marker, so `sync(0)` lands
+  * on block 1), `pastSync(end)` hands the next block to the
+  * neighboring split. Every block is read exactly once across splits
+  * (the standard Hadoop Avro split contract, rebuilt here), so ONE
+  * mega-container file now fans out across tasks instead of
+  * serializing — the DataSourceV2 refinement the round-11 scaladoc
+  * deferred, without the DSv2 plumbing. `DataFileReader` decodes
+  * records LAZILY off the seekable stream, so a task holds one decode
+  * buffer, not its byte range. Split size is tunable per session via
+  * `spark.graft.avro.splitBytes` (the test forces tiny splits to
+  * prove cross-split row identity).
   *
   * Fields map by NAME onto the declared schema (avro's own contract —
   * container files are self-describing and field order is not part of
@@ -26,26 +37,63 @@ import org.apache.spark.sql.types._
 object AvroSource extends TabularSource {
   val name = "avro"
 
+  /** Default byte range per task — 32 MiB ≈ a few hundred 64 KiB avro
+    * blocks, small enough that one rotated ingest file still fans out
+    * across a node's cores, large enough that the per-split open +
+    * sync scan is noise. */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
+
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val names = schema.fieldNames
     val types = schema.fields.map(_.dataType)
-    val rdd = spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val reader = new org.apache.avro.file.DataFileStream(
-          pds.open(),
+    val splitBytes = spark.conf.getOption("spark.graft.avro.splitBytes")
+      .map(_.toLong).getOrElse(DefaultSplitBytes)
+    require(splitBytes > 0, s"spark.graft.avro.splitBytes must be > 0, got $splitBytes")
+    // enumerate (file, length) on the driver with the session's FS —
+    // same file/dir/glob surface binaryFiles accepted
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hpath)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }.map(st => (st.getPath.toString, st.getLen))
+    require(files.nonEmpty, s"avro source matched no files under $path")
+    val splits = files.flatMap { case (f, len) =>
+      (0L until math.max(len, 1L) by splitBytes)
+        .map(st => (f, st, math.min(st + splitBytes, len)))
+    }
+    val rdd = spark.sparkContext
+      .parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
+        // executors re-derive FS config from the path scheme — the
+        // local/HDFS-default deployments this from-scratch source
+        // serves; a custom-FS deployment would thread the session
+        // conf through a broadcast here
+        val in = new org.apache.avro.mapred.FsInput(
+          new org.apache.hadoop.fs.Path(file),
+          new org.apache.hadoop.conf.Configuration())
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          in,
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
+          .asInstanceOf[org.apache.avro.file.DataFileReader[
+            org.apache.avro.generic.GenericRecord]]
         val positions = names.map { n =>
           val f = reader.getSchema.getField(n)
           require(f != null, s"avro file $file is missing declared field '$n'")
           f.pos()
         }
+        reader.sync(start)
         // lazy, closing on exhaustion: flatMap drains the iterator in
         // every full-scan path; an early `limit` abandons the stream
-        // to GC, which is the binaryFiles contract's usual trade
+        // to GC, which is this RDD seam's usual trade
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = reader.hasNext
+            val h = !reader.pastSync(end) && reader.hasNext
             if (!h) reader.close()
             h
           }

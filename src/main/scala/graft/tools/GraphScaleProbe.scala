@@ -48,12 +48,17 @@ object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
       System.err.println(
-        "usage: runMain graft.tools.GraphScaleProbe <nNodes:nRawEdges>[,...]")
+        "usage: runMain graft.tools.GraphScaleProbe <nNodes:nRawEdges>[,...] " +
+          "[kernels: triangles,kcore,lpa,pagerank,bfs,degree_stats]")
       sys.exit(2)
     }
     val sizes = args(0).split(",").map { s =>
       val Array(n, m) = s.split(":").map(_.trim.toLong); (n, m)
     }
+    val kernels: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet
+      else Set("triangles", "kcore", "lpa", "pagerank", "bfs", "degree_stats")
+    def on(k: String): Boolean = kernels.contains(k)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -77,32 +82,61 @@ object GraphScaleProbe {
       val dm = edges.count() // materialize the cache outside timings
       val maxDeg = edges.agg(max(col("OutDeg"))).first().getLong(0)
       println(f"[graphscale] corpus n=$n m_directed=$dm maxDeg=$maxDeg")
-      val tri = Seq(time(noop(GraphOps.trianglesOf(edges))),
-        time(noop(GraphOps.trianglesOf(edges)))).min
-      val triTotal = GraphOps.trianglesOf(edges)
-        .agg(sum(col("NTriangles"))).first().getLong(0) / 3
-      println(f"[graphscale] n=$n triangles_sec=$tri%.2f total=$triTotal")
-      // peel depth is a corpus property: the probe bounds at 100, and
-      // REPORTS the measured depth (the gate keeps its mirror-tied 12)
-      var rounds = 0
-      val kc = Seq(
-        time { val (df, r) = GraphOps.kcoreWithRounds(edges, 100); rounds = r; noop(df) },
-        time { val (df, r) = GraphOps.kcoreWithRounds(edges, 100); rounds = r; noop(df) }).min
-      println(f"[graphscale] n=$n kcore_sec=$kc%.2f rounds=$rounds")
-      val lpa = Seq(time(noop(GraphOps.labelPropagationOf(edges))),
-        time(noop(GraphOps.labelPropagationOf(edges)))).min
-      println(f"[graphscale] n=$n lpa_sec=$lpa%.2f")
-      val pr = Seq(time(noop(GraphOps.pagerankOf(edges))),
-        time(noop(GraphOps.pagerankOf(edges)))).min
-      val bfs = Seq(time(noop(GraphOps.bfsHopsOf(edges))),
-        time(noop(GraphOps.bfsHopsOf(edges)))).min
-      val ds = Seq(time(noop(GraphOps.degreeStatsOf(edges))),
-        time(noop(GraphOps.degreeStatsOf(edges)))).min
-      println(f"""{"n":$n,"m_directed":$dm,"max_deg":$maxDeg,""" +
-        f""""triangles_sec":$tri%.2f,"triangles_total":$triTotal,""" +
-        f""""kcore_sec":$kc%.2f,"kcore_rounds":$rounds,""" +
-        f""""lpa_sec":$lpa%.2f,"pagerank_sec":$pr%.2f,""" +
-        f""""bfs_sec":$bfs%.2f,"degree_stats_sec":$ds%.2f}""")
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (on("triangles")) {
+        val tri = Seq(time(noop(GraphOps.trianglesOf(edges))),
+          time(noop(GraphOps.trianglesOf(edges)))).min
+        val triTotal = GraphOps.trianglesOf(edges)
+          .agg(sum(col("NTriangles"))).first().getLong(0) / 3
+        println(f"[graphscale] n=$n triangles_sec=$tri%.2f total=$triTotal")
+        parts += f""""triangles_sec":$tri%.2f,"triangles_total":$triTotal"""
+      }
+      if (on("kcore")) {
+        // peel depth is a corpus property: the probe bounds at 100, and
+        // REPORTS the measured depth (the gate keeps its mirror-tied 12)
+        var rounds = 0
+        val kc = Seq(
+          time { val (df, r) = GraphOps.kcoreWithRounds(edges, 100); rounds = r; noop(df) },
+          time { val (df, r) = GraphOps.kcoreWithRounds(edges, 100); rounds = r; noop(df) }).min
+        println(f"[graphscale] n=$n kcore_sec=$kc%.2f rounds=$rounds")
+        parts += f""""kcore_sec":$kc%.2f,"kcore_rounds":$rounds"""
+      }
+      if (on("lpa")) {
+        val lpa = Seq(time(noop(GraphOps.labelPropagationOf(edges))),
+          time(noop(GraphOps.labelPropagationOf(edges)))).min
+        println(f"[graphscale] n=$n lpa_sec=$lpa%.2f")
+        parts += f""""lpa_sec":$lpa%.2f"""
+      }
+      if (on("pagerank")) {
+        val pr = Seq(time(noop(GraphOps.pagerankOf(edges))),
+          time(noop(GraphOps.pagerankOf(edges)))).min
+        parts += f""""pagerank_sec":$pr%.2f"""
+      }
+      if (on("bfs")) {
+        // frontier-delta vs full-state BFS: same distances
+        // (RetrievalGraphSpec asserts bit-identity on both corpus
+        // shapes), this prints the per-round volume story — frontier
+        // sizes vs the cumulative settled counts the full-state form
+        // re-joins every round
+        var fsizes: Seq[Long] = Nil
+        val bfs = Seq(
+          time { val (df, s) = GraphOps.bfsHopsWithRounds(edges); fsizes = s; noop(df) },
+          time { val (df, s) = GraphOps.bfsHopsWithRounds(edges); fsizes = s; noop(df) }).min
+        val bfsFull = Seq(
+          time(noop(GraphOps.bfsHopsOf(edges, frontierDelta = false))),
+          time(noop(GraphOps.bfsHopsOf(edges, frontierDelta = false)))).min
+        val cum = fsizes.scanLeft(0L)(_ + _).tail
+        println(s"[graphscale] n=$n bfs frontier_sizes=${fsizes.mkString(",")} " +
+          s"full_state_joins=${cum.init.mkString(",")}")
+        parts += f""""bfs_sec":$bfs%.2f,"bfs_full_sec":$bfsFull%.2f"""
+      }
+      if (on("degree_stats")) {
+        val ds = Seq(time(noop(GraphOps.degreeStatsOf(edges))),
+          time(noop(GraphOps.degreeStatsOf(edges)))).min
+        parts += f""""degree_stats_sec":$ds%.2f"""
+      }
+      println(s"""{"n":$n,"m_directed":$dm,"max_deg":$maxDeg,""" +
+        parts.mkString(",") + "}")
       edges.unpersist()
     }
     spark.stop()

@@ -23,7 +23,11 @@ object AvroTestWriter {
     case other => throw new IllegalArgumentException(s"no avro lane for $other")
   }
 
-  def write(df: DataFrame, path: String): Unit = {
+  /** `syncInterval`: approximate bytes per container block — the
+    * split test forces a SMALL interval so one modest file holds many
+    * sync-aligned blocks for the byte-range reader to divide. */
+  def write(df: DataFrame, path: String,
+            syncInterval: Int = 64 * 1024): Unit = {
     val fields = df.schema.fields.map { f =>
       s"""{"name":"${f.name}","type":["null",${avroType(f.dataType)}],"default":null}"""
     }.mkString(",")
@@ -32,6 +36,7 @@ object AvroTestWriter {
     val writer = new org.apache.avro.file.DataFileWriter(
       new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](avroSchema))
+    writer.setSyncInterval(syncInterval)
     writer.create(avroSchema, new java.io.File(path))
     try df.collect().foreach { row =>
       val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)

@@ -360,6 +360,25 @@ class RetrievalGraphSpec extends SparkSpec {
       "every node within one hop — traversal untested")
   }
 
+  test("bfs hops: frontier-delta and full-state loops are bit-identical on both corpus shapes") {
+    // the frontier recursion must compute the same min-lattice
+    // fixpoint as the full-state join on the small-world co-purchase
+    // graph AND on a power-law graph (hubs + longer tails — the shape
+    // the frontier form exists for)
+    Seq(
+      ("co-purchase", GraphOps.coPurchaseEdges(spark, sfDir)),
+      ("power-law",
+        graft.tools.GraphScaleProbe.powerlawEdges(spark, 2000L, 6000L))
+    ).foreach { case (name, edges) =>
+      val frontier = GraphOps.bfsHopsOf(edges).collect().map(_.toSeq)
+      val full = GraphOps.bfsHopsOf(edges, frontierDelta = false)
+        .collect().map(_.toSeq)
+      assert(frontier.toSeq === full.toSeq,
+        s"$name: frontier-delta BFS diverged from the full-state loop")
+      edges.unpersist()
+    }
+  }
+
   test("connected components: labels equal a driver union-find; sizes reconcile") {
     val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))

@@ -89,6 +89,29 @@ class SourcesSpec extends SparkSpec {
       Option(bad.getCause).exists(_.getMessage.contains("not_a_field")))
   }
 
+  test("avro: one large container file reads across many sync-aligned splits, rows identical") {
+    import graft.sources.AvroSource
+    val dir = Files.createTempDirectory("graft_avro_split").toString
+    // small sync interval -> many blocks in one file (the mega-file
+    // shape the round-11 reader serialized to a single task)
+    AvroTestWriter.write(
+      Tables.via(ParquetSource, spark, sfDir, "lineitem"),
+      s"$dir/lineitem.avro", syncInterval = 2048)
+    val schema = Tables.via(ParquetSource, spark, sfDir, "lineitem").schema
+    val whole = AvroSource.read(spark, s"$dir/lineitem.avro", schema)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val wholeRows = sortedRows(whole)
+    spark.conf.set("spark.graft.avro.splitBytes", "16384")
+    try {
+      val split = AvroSource.read(spark, s"$dir/lineitem.avro", schema)
+      assert(split.rdd.getNumPartitions > 4,
+        s"expected many byte-range splits, got ${split.rdd.getNumPartitions}")
+      assert(sortedRows(split).toSeq === wholeRows.toSeq,
+        "byte-range splits changed the row set")
+    } finally spark.conf.unset("spark.graft.avro.splitBytes")
+  }
+
   test("xlsx-sourced pipeline equals parquet-sourced pipeline row-for-row") {
     val dir = Files.createTempDirectory("graft_xlsx_src").toString
     starTables.foreach { n =>
