@@ -365,17 +365,22 @@ class RetrievalGraphSpec extends SparkSpec {
     // fixpoint as the full-state join on the small-world co-purchase
     // graph AND on a power-law graph (hubs + longer tails — the shape
     // the frontier form exists for)
+    // NOTE: the co-purchase substrate is the SESSION-SHARED memoized
+    // cache — only the ad-hoc power-law corpus may be unpersisted
+    // here (unpersisting the shared one silently un-caches every
+    // later graph test's plan — caught by PlanSpec's cached-substrate
+    // assertion in full-suite order)
     Seq(
-      ("co-purchase", GraphOps.coPurchaseEdges(spark, sfDir)),
+      ("co-purchase", GraphOps.coPurchaseEdges(spark, sfDir), false),
       ("power-law",
-        graft.tools.GraphScaleProbe.powerlawEdges(spark, 2000L, 6000L))
-    ).foreach { case (name, edges) =>
+        graft.tools.GraphScaleProbe.powerlawEdges(spark, 2000L, 6000L), true)
+    ).foreach { case (name, edges, adHoc) =>
       val frontier = GraphOps.bfsHopsOf(edges).collect().map(_.toSeq)
       val full = GraphOps.bfsHopsOf(edges, frontierDelta = false)
         .collect().map(_.toSeq)
       assert(frontier.toSeq === full.toSeq,
         s"$name: frontier-delta BFS diverged from the full-state loop")
-      edges.unpersist()
+      if (adHoc) edges.unpersist()
     }
   }
 
