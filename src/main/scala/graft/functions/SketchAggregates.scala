@@ -389,14 +389,16 @@ case class BloomMightContain(bloom: Expression, key: Expression)
   * nearestCentroids min-struct precedent generalized from top-1 to
   * top-k.
   *
-  * Ordering contract: score ties break toward the SMALLER id, and
-  * IEEE `==` treats -0.0 = 0.0 exactly as Spark's sort does after
-  * float normalization — bit-identical ranks to the window form it
-  * replaces. NaN scores are rejected as unrankable (the engine's
-  * cosine scores are finite by construction: positive integer norms);
-  * a NaN-producing caller must pre-filter, not rely on sort order.
-  * Duplicate (score, id) pairs collapse (ids are unique per group in
-  * every engine call site). */
+  * Ordering contract: score ties break toward the SMALLER id; -0.0 is
+  * NORMALIZED to 0.0 on entry (Spark's sort normalizes float zeros —
+  * a raw `Double.compare` TreeSet order would rank the signed zeros
+  * apart from the window form) so ranks stay bit-identical to the
+  * row_number window this aggregate replaces. NaN scores are DROPPED
+  * unconditionally on entry — unrankable, never buffered (the
+  * engine's cosine scores are finite by construction: positive
+  * integer norms); a caller that wants NaN to mean something must
+  * pre-map it, not rely on sort order. Duplicate (score, id) pairs
+  * collapse (ids are unique per group in every engine call site). */
 case class TopKEdges(
     id: Expression,
     score: Expression,
@@ -445,9 +447,20 @@ case class TopKEdges(
   /** The hot path: almost every candidate loses to the current worst
     * once the buffer is full — compare primitives BEFORE boxing a
     * tuple, so the reject path allocates nothing (this runs once per
-    * candidate row, n^1.5·nprobe times for the routed graph). */
+    * candidate row, n^1.5·nprobe times for the routed graph).
+    *
+    * Two IEEE edges are normalized HERE so every path through the
+    * buffer (under-capacity add, full-buffer race, merge) agrees with
+    * the row_number window form this aggregate is bit-identical to:
+    * -0.0 becomes 0.0 (Spark's sort normalizes float zeros; raw
+    * `Double.compare` would rank them apart), and NaN is dropped
+    * unconditionally (unrankable — previously the under-capacity
+    * branch accepted it while the full-buffer primitive compare
+    * rejected it, a partition-order-dependent result). */
   private def add(buf: java.util.TreeSet[(Double, Long)],
-                  s: Double, i: Long): Unit =
+                  s0: Double, i: Long): Unit = {
+    if (java.lang.Double.isNaN(s0)) return
+    val s = if (s0 == 0.0d) 0.0d else s0 // folds -0.0 → 0.0
     if (buf.size < k) {
       buf.add((s, i)); ()
     } else {
@@ -456,6 +469,7 @@ case class TopKEdges(
         if (buf.add((s, i))) { buf.pollLast(); () }
       }
     }
+  }
 
   override def merge(
       buf: java.util.TreeSet[(Double, Long)],

@@ -168,11 +168,23 @@ object CurateOps {
       graft.ops.BucketedTables.memoized(
         shinglesMemo, (spark, dir, n), shinglesMemoLock)(
         Tables.documents(spark, dir)
-          .select(col("doc_id"),
-            expr(s"transform(token_shingles(text, $n), s -> xxhash64(s))")
-              .as("Sh"))
+          .select(col("doc_id"), expr(shingleKeysSql(n)).as("Sh"))
           .cache())
     }
+
+  /** The per-row shingle-KEY array expression at window `n` — the one
+    * definition of what a "shingle key" is, shared by [[shinglesAt]]'s
+    * wide-window substrate and every per-batch consumer that must join
+    * against it (DocsStream.decontaminateBatch): raw string shingles at
+    * n == 3 (the shared dedup 3-gram sketch keeps its string keys —
+    * its band columns hash those), `xxhash64` int64 keys otherwise. A
+    * consumer that hand-rolls the hashing joins bigint against string
+    * on the n == 3 substrate and silently matches NOTHING — factored
+    * here so that mismatch is unwritable. Requires
+    * ShingleExpressions.register on the session. */
+  private[graft] def shingleKeysSql(n: Int): String =
+    if (n == 3) "token_shingles(text)"
+    else s"transform(token_shingles(text, $n), s -> xxhash64(s))"
 
   /** The held-out eval (test-split) shingle set — the static side of
     * both the batch decontamination join and its streaming twin. */
@@ -249,7 +261,20 @@ object CurateOps {
     * carries no source column — pre-explode, doc-count-sized, the
     * narrow side of every shuffle it touches). Splits with zero
     * groups at small group counts simply drop their pair rows — both
-    * engines derive the frame from the same totals. */
+    * engines derive the frame from the same totals.
+    *
+    * DELIBERATELY batch-only — no `_stream` twin, unlike
+    * [[decontaminate]]. The decontaminate twin is genuinely
+    * incremental: each arriving train doc is checked against a STATIC
+    * eval shingle relation, so a microbatch's answer is final when it
+    * lands. This card has no static side: BOTH operands are the whole
+    * corpus's per-split shingle vocabularies, and every arriving doc
+    * can retroactively flip earlier docs' leak status (a new test doc
+    * adds shingles to the test vocabulary that old train docs may
+    * share). A "streaming" version would recompute the full audit per
+    * trigger — a scheduled batch job wearing streaming clothes. The
+    * production shape is the one this repo runs: the audit executes
+    * over a corpus snapshot when a split scheme is being signed off. */
   def splitLeakageGrouped(spark: SparkSession, dir: String,
                           n: Int = DecontaminationShingleN): DataFrame = {
     val splits = Tables.documents(spark, dir)

@@ -456,17 +456,33 @@ object GraphOps {
   def bfsHops(spark: SparkSession, dir: String): DataFrame =
     bfsHopsOf(coPurchaseEdges(spark, dir))
 
+  /** Frontier rounds between `dist` compactions: the settled set is
+    * accumulated as a UNION of per-round localCheckpointed deltas, so
+    * its partition count (and the anti-join's build-side plan width)
+    * grows linearly with rounds — harmless at small-world diameters,
+    * but a diameter-100 chain would carry a 100-way union. Every this
+    * many rounds the union is re-localCheckpointed into ONE pinned
+    * table (node-sized — the cheap side by construction), bounding
+    * the build side at ≤ compactEvery deltas. Measured on the
+    * 65-round chain corpus (GraphScaleProbe chain mode): see
+    * PERFORMANCE.md round 13. */
+  val BfsCompactEvery = 8
+
   /** [[bfsHops]] over any degree-carrying edge substrate (see
-    * [[pagerankOf]]). */
-  def bfsHopsOf(edges: DataFrame, frontierDelta: Boolean = true): DataFrame =
-    bfsHopsWithRounds(edges, frontierDelta)._1
+    * [[pagerankOf]]). `maxRounds` is the fixpoint backstop: the GATE
+    * query keeps [[BfsUnrollRounds]] (tied to the mirror's unroll);
+    * high-diameter corpora (the chain probe) raise it explicitly. */
+  def bfsHopsOf(edges: DataFrame, frontierDelta: Boolean = true,
+                maxRounds: Int = BfsUnrollRounds): DataFrame =
+    bfsHopsWithRounds(edges, frontierDelta, maxRounds)._1
 
   /** [[bfsHopsOf]] plus the per-round newly-settled counts (the
     * frontier sizes — what the scale probe reports to show the
     * per-round join-volume drop vs the full-state form). */
   private[graft] def bfsHopsWithRounds(
       edges: DataFrame,
-      frontierDelta: Boolean = true): (DataFrame, Seq[Long]) = {
+      frontierDelta: Boolean = true,
+      maxRounds: Int = BfsUnrollRounds): (DataFrame, Seq[Long]) = {
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()
     val src = deg
       .agg(max(struct(col("OutDeg"), (-col("Src")).as("NegId"))).as("B"))
@@ -481,11 +497,13 @@ object GraphOps {
     if (frontierDelta) {
       var frontier = seed
       var frontierCount = sizes.head
+      var unioned = 0 // deltas accumulated since the last compaction
       while (frontierCount > 0) {
         rounds += 1
-        assert(rounds <= BfsUnrollRounds,
-          s"BFS failed to fixpoint within $BfsUnrollRounds rounds — " +
-            "raise BfsUnrollRounds together with the mirror's unroll")
+        assert(rounds <= maxRounds,
+          s"BFS failed to fixpoint within $maxRounds rounds — " +
+            "raise maxRounds (gate queries: BfsUnrollRounds together " +
+            "with the mirror's unroll)")
         val next = edges
           .join(frontier, edges("Src") === frontier("Node"))
           .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
@@ -495,7 +513,17 @@ object GraphOps {
           .localCheckpoint()
         frontierCount = next.count()
         sizes += frontierCount
-        if (frontierCount > 0) dist = dist.union(next)
+        if (frontierCount > 0) {
+          dist = dist.union(next)
+          unioned += 1
+          if (unioned >= BfsCompactEvery) {
+            // collapse the rounds-way union of deltas into one pinned
+            // table so the anti-join build side stays O(1) deltas wide
+            // at high diameters (see BfsCompactEvery)
+            dist = dist.localCheckpoint()
+            unioned = 0
+          }
+        }
         frontier = next
       }
     } else {
@@ -503,9 +531,10 @@ object GraphOps {
       var converged = false
       while (!converged) {
         rounds += 1
-        assert(rounds <= BfsUnrollRounds,
-          s"BFS failed to fixpoint within $BfsUnrollRounds rounds — " +
-            "raise BfsUnrollRounds together with the mirror's unroll")
+        assert(rounds <= maxRounds,
+          s"BFS failed to fixpoint within $maxRounds rounds — " +
+            "raise maxRounds (gate queries: BfsUnrollRounds together " +
+            "with the mirror's unroll)")
         val next = edges
           .join(dist, edges("Src") === dist("Node"))
           .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))

@@ -34,6 +34,24 @@ import org.apache.spark.sql.types._
   * long logicalType `timestamp-micros` → TimestampType and int
   * `date` → DateType — the engine's table-schema surface. Anything
   * else is a loud per-field error, never a null. */
+/** Java-serializable envelope for a Hadoop `Configuration` (which is
+  * `Writable`, not `Serializable`) — the standard broadcast-the-conf
+  * pattern, written out via the conf's own `write`/`readFields`. */
+private[sources] class SerializableHadoopConf(
+    @transient private var c: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def conf: org.apache.hadoop.conf.Configuration = c
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    c.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    c = new org.apache.hadoop.conf.Configuration(false)
+    c.readFields(in)
+  }
+}
+
 object AvroSource extends TabularSource {
   val name = "avro"
 
@@ -61,21 +79,30 @@ object AvroSource extends TabularSource {
       val n = st.getPath.getName
       !n.startsWith(".") && !n.startsWith("_")
     }.map(st => (st.getPath.toString, st.getLen))
-    require(files.nonEmpty, s"avro source matched no files under $path")
+    // an existing-but-empty ingest directory (rotation hasn't delivered
+    // yet) is a normal state → empty frame with the declared schema;
+    // a glob that matched NOTHING is a wrong path/pattern → loud error
+    require(matched.nonEmpty, s"avro source matched no files under $path")
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
     val splits = files.flatMap { case (f, len) =>
       (0L until math.max(len, 1L) by splitBytes)
         .map(st => (f, st, math.min(st + splitBytes, len)))
     }
+    // thread the SESSION's Hadoop conf to executors (S3A-style
+    // credentials, HA nameservices, custom schemes): the same conf
+    // that enumerated the files above opens them below — a fresh
+    // executor-side `new Configuration()` would resolve a different
+    // FS on any deployment whose filesystem needs session conf
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val rdd = spark.sparkContext
       .parallelize(splits, splits.size)
       .flatMap { case (file, start, end) =>
-        // executors re-derive FS config from the path scheme — the
-        // local/HDFS-default deployments this from-scratch source
-        // serves; a custom-FS deployment would thread the session
-        // conf through a broadcast here
         val in = new org.apache.avro.mapred.FsInput(
           new org.apache.hadoop.fs.Path(file),
-          new org.apache.hadoop.conf.Configuration())
+          bcConf.value.conf)
         val reader = org.apache.avro.file.DataFileReader.openReader(
           in,
           new org.apache.avro.generic.GenericDatumReader[

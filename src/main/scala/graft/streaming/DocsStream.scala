@@ -102,11 +102,13 @@ object DocsStream {
     graft.functions.ShingleExpressions.register(spark)
     docs
       .filter(CurateOps.splitOf(col("doc_id")) === "train")
-      // xxhash64 keys, matching the batch substrate (CurateOps
-      // .shinglesAt) the static eval relation was built from
+      // the ONE shingle-key definition (CurateOps.shingleKeysSql):
+      // xxhash64 int64 at wide windows, raw strings at n == 3 — so
+      // this side always matches whatever substrate evalShingles(n)
+      // was built from (a hand-rolled hash here would join bigint
+      // against string at n == 3 and silently report zero hits)
       .select(col("doc_id"),
-        explode(expr(s"transform(token_shingles(text, $n), s -> xxhash64(s))"))
-          .as("Shingle"))
+        explode(expr(CurateOps.shingleKeysSql(n))).as("Shingle"))
       .join(evalSh, "Shingle")
       .groupBy(col("doc_id"))
       .agg(

@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   * (distinct, both directions, OutDeg window, cached) and driven
   * through the SAME kernels via the `*Of` forms.
   *
-  * usage: runMain graft.tools.GraphScaleProbe <nNodes:nRawEdges>[,...]
+  * usage: runMain graft.tools.GraphScaleProbe <corpus>[,...] [kernels]
+  *   corpus = nNodes:nRawEdges            (power-law)
+  *          | chain:nCommunities:size:deg (high-diameter chain)
   *   e.g. 20000:1200000,200000:12000000  (x1-comparable, x10)
+  *        chain:100:5000:20              (diameter ~100 BFS stress)
   */
 object GraphScaleProbe {
 
@@ -45,16 +48,67 @@ object GraphScaleProbe {
       .cache()
   }
 
+  /** Deterministic CHAIN-OF-COMMUNITIES corpus — the HIGH-DIAMETER
+    * counterpoint to [[powerlawEdges]] (whose dominant hub gives the
+    * BFS source eccentricity 2, the frontier form's self-declared
+    * worst case). `nCommunities` hub-star communities of
+    * `communitySize` nodes (node c·S is community c's hub; star edges
+    * make intra-community distance ≤ 2), padded to realistic edge
+    * volume with `intraDegree` xxhash64-random intra-community edges
+    * per node, consecutive hubs bridged — NO edge crosses more than
+    * one community boundary, so hop distance between communities is
+    * exactly their chain distance and graph diameter grows linearly
+    * with `nCommunities` (≈ nCommunities + 2). Same substrate
+    * contract as [[powerlawEdges]]: self-loop-free, symmetrized,
+    * distinct, OutDeg-carrying, cached. */
+  def chainEdges(spark: SparkSession, nCommunities: Int,
+                 communitySize: Long, intraDegree: Int): DataFrame = {
+    val s = communitySize
+    val n = nCommunities * s
+    // star: every non-hub node to its community's hub
+    val star = spark.range(n).filter(col("id") % s =!= 0L)
+      .select(col("id").as("A"), (col("id") - (col("id") % s)).as("B"))
+    // random intra-community edges for volume (never cross a boundary)
+    def j(salt: Int) = pmod(xxhash64(col("id"), lit(salt)), lit(s))
+    val intra = spark.range(n * intraDegree)
+      .select(((col("id") % nCommunities) * s).as("Base"),
+        j(1).as("J1"), j(2).as("J2"))
+      .filter(col("J1") =!= col("J2"))
+      .select((col("Base") + col("J1")).as("A"), (col("Base") + col("J2")).as("B"))
+    // bridge: hub c — hub c+1
+    val bridge = spark.range(nCommunities - 1L)
+      .select((col("id") * s).as("A"), ((col("id") + 1L) * s).as("B"))
+    val raw = star.union(intra).union(bridge)
+    raw.select(col("A").as("Src"), col("B").as("Dst"))
+      .union(raw.select(col("B").as("Src"), col("A").as("Dst")))
+      .distinct()
+      .withColumn("OutDeg", count(lit(1)).over(Window.partitionBy(col("Src"))))
+      .cache()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
       System.err.println(
-        "usage: runMain graft.tools.GraphScaleProbe <nNodes:nRawEdges>[,...] " +
+        "usage: runMain graft.tools.GraphScaleProbe " +
+          "<nNodes:nRawEdges | chain:nCommunities:size:deg>[,...] " +
           "[kernels: triangles,kcore,lpa,pagerank,bfs,degree_stats]")
       sys.exit(2)
     }
-    val sizes = args(0).split(",").map { s =>
-      val Array(n, m) = s.split(":").map(_.trim.toLong); (n, m)
-    }
+    // (label, edges builder, BFS round backstop): the chain corpus's
+    // whole point is diameter ≈ nCommunities, so its backstop scales
+    // with the spec instead of the gate's mirror-tied BfsUnrollRounds
+    val specs: Seq[(String, SparkSession => DataFrame, Int)] =
+      args(0).split(",").toSeq.map { sp =>
+        val p = sp.split(":").map(_.trim)
+        if (p(0) == "chain") {
+          val (c, s, d) = (p(1).toInt, p(2).toLong, p(3).toInt)
+          (sp, (sk: SparkSession) => chainEdges(sk, c, s, d), c + 16)
+        } else {
+          val (n, m) = (p(0).toLong, p(1).toLong)
+          (sp, (sk: SparkSession) => powerlawEdges(sk, n, m),
+            graft.ops.GraphOps.BfsUnrollRounds)
+        }
+      }
     val kernels: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
       else Set("triangles", "kcore", "lpa", "pagerank", "bfs", "degree_stats")
@@ -77,8 +131,8 @@ object GraphScaleProbe {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    sizes.foreach { case (n, m) =>
-      val edges = powerlawEdges(spark, n, m)
+    specs.foreach { case (n, buildEdges, bfsMaxRounds) =>
+      val edges = buildEdges(spark)
       val dm = edges.count() // materialize the cache outside timings
       val maxDeg = edges.agg(max(col("OutDeg"))).first().getLong(0)
       println(f"[graphscale] corpus n=$n m_directed=$dm maxDeg=$maxDeg")
@@ -120,11 +174,11 @@ object GraphScaleProbe {
         // re-joins every round
         var fsizes: Seq[Long] = Nil
         val bfs = Seq(
-          time { val (df, s) = GraphOps.bfsHopsWithRounds(edges); fsizes = s; noop(df) },
-          time { val (df, s) = GraphOps.bfsHopsWithRounds(edges); fsizes = s; noop(df) }).min
+          time { val (df, s) = GraphOps.bfsHopsWithRounds(edges, maxRounds = bfsMaxRounds); fsizes = s; noop(df) },
+          time { val (df, s) = GraphOps.bfsHopsWithRounds(edges, maxRounds = bfsMaxRounds); fsizes = s; noop(df) }).min
         val bfsFull = Seq(
-          time(noop(GraphOps.bfsHopsOf(edges, frontierDelta = false))),
-          time(noop(GraphOps.bfsHopsOf(edges, frontierDelta = false)))).min
+          time(noop(GraphOps.bfsHopsOf(edges, frontierDelta = false, maxRounds = bfsMaxRounds))),
+          time(noop(GraphOps.bfsHopsOf(edges, frontierDelta = false, maxRounds = bfsMaxRounds)))).min
         val cum = fsizes.scanLeft(0L)(_ + _).tail
         println(s"[graphscale] n=$n bfs frontier_sizes=${fsizes.mkString(",")} " +
           s"full_state_joins=${cum.init.mkString(",")}")
@@ -135,7 +189,7 @@ object GraphScaleProbe {
           time(noop(GraphOps.degreeStatsOf(edges)))).min
         parts += f""""degree_stats_sec":$ds%.2f"""
       }
-      println(s"""{"n":$n,"m_directed":$dm,"max_deg":$maxDeg,""" +
+      println(s"""{"corpus":"$n","m_directed":$dm,"max_deg":$maxDeg,""" +
         parts.mkString(",") + "}")
       edges.unpersist()
     }

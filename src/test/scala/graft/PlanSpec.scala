@@ -457,9 +457,30 @@ class PlanSpec extends SparkSpec {
     // DPP replays the bounded routing subtree as a
     // SubqueryAdaptiveBroadcast to partition-prune the lists scan by
     // routed Cid (wanted at scale) — count joins in the MAIN tree
-    // only, or the replayed codebook crossJoin double-counts
-    def mainTree(p: String): String =
-      p.split("Subquery")(0)
+    // only, or the replayed codebook crossJoin double-counts.
+    // Strip the SUBTREES, not everything after the first "Subquery"
+    // token: main-tree operators BELOW a subquery-bearing node print
+    // after it, and a whole-suffix cut would blind the assertions to
+    // exactly the lower joins this guard exists to see (r12 advice).
+    // A subtree = the Subquery* line plus every following line whose
+    // operator name starts deeper (tree prefixes grow by 3 cols per
+    // level, so column depth identifies the subtree extent).
+    def mainTree(p: String): String = {
+      def nameCol(l: String) = l.indexWhere(c => !" :+-".contains(c))
+      val out = Seq.newBuilder[String]
+      var skipDeeper = -1 // name-column of the Subquery node being skipped
+      p.linesIterator.foreach { l =>
+        val c = nameCol(l)
+        if (skipDeeper >= 0 && c > skipDeeper) () // inside the subtree
+        else {
+          val name = if (c >= 0) l.substring(c) else ""
+          if (name.startsWith("Subquery") || name.startsWith("ReusedSubquery"))
+            skipDeeper = c
+          else { skipDeeper = -1; out += l }
+        }
+      }
+      out.result().mkString("\n")
+    }
     Seq(
       ("knn_graph_ivf_edges",
         graft.ops.SimilarityOps.knnGraphIvfEdges(spark, sfDir)),

@@ -370,16 +370,34 @@ class RetrievalGraphSpec extends SparkSpec {
     // here (unpersisting the shared one silently un-caches every
     // later graph test's plan — caught by PlanSpec's cached-substrate
     // assertion in full-suite order)
+    // the chain corpus runs past BOTH the gate's round backstop (its
+    // diameter ≈ nCommunities, here ~17 > BfsUnrollRounds) and the
+    // BfsCompactEvery threshold, so this also exercises the periodic
+    // dist-union compaction and the explicit maxRounds override —
+    // bit-identity must survive both
     Seq(
-      ("co-purchase", GraphOps.coPurchaseEdges(spark, sfDir), false),
+      ("co-purchase", GraphOps.coPurchaseEdges(spark, sfDir), false,
+        GraphOps.BfsUnrollRounds),
       ("power-law",
-        graft.tools.GraphScaleProbe.powerlawEdges(spark, 2000L, 6000L), true)
-    ).foreach { case (name, edges, adHoc) =>
-      val frontier = GraphOps.bfsHopsOf(edges).collect().map(_.toSeq)
-      val full = GraphOps.bfsHopsOf(edges, frontierDelta = false)
+        graft.tools.GraphScaleProbe.powerlawEdges(spark, 2000L, 6000L), true,
+        GraphOps.BfsUnrollRounds),
+      ("chain",
+        graft.tools.GraphScaleProbe.chainEdges(spark, 15, 30L, 3), true, 64)
+    ).foreach { case (name, edges, adHoc, maxR) =>
+      val frontier = GraphOps.bfsHopsOf(edges, maxRounds = maxR)
+        .collect().map(_.toSeq)
+      val full = GraphOps.bfsHopsOf(edges, frontierDelta = false, maxRounds = maxR)
         .collect().map(_.toSeq)
       assert(frontier.toSeq === full.toSeq,
         s"$name: frontier-delta BFS diverged from the full-state loop")
+      if (name == "chain") {
+        // the corpus did what it exists for: a genuinely deep traversal
+        val maxHops = frontier.flatMap(r =>
+          Option(r(2)).map(_.asInstanceOf[Long])).max
+        assert(maxHops > GraphOps.BfsUnrollRounds,
+          s"chain corpus eccentricity $maxHops does not exceed the gate " +
+            "backstop — the high-diameter shape regressed")
+      }
       if (adHoc) edges.unpersist()
     }
   }

@@ -250,4 +250,38 @@ class SketchSpec extends SparkSpec {
     assert(viaAgg.toSeq === viaWindow.toSeq,
       "topk_edges diverged from the window ranking")
   }
+
+  test("topk_edges: signed zeros rank as ONE value; NaN is dropped on every path") {
+    import spark.implicits._
+    graft.functions.SketchAggregates.register(spark)
+    // -0.0 vs 0.0: Spark's sort normalizes float zeros, so the window
+    // form ranks them purely by the id tie-break — a raw Double.compare
+    // TreeSet order would put 0.0 ahead of -0.0 and break bit-identity
+    // (r12 advice). Both zeros in the SAME group, both inside top-k.
+    val zeros = Seq((1L, 10L, 0.0), (1L, 2L, -0.0), (1L, 5L, 1.0),
+      (1L, 7L, -0.0), (1L, 3L, 0.0)).toDF("G", "Id", "Score").repartition(4)
+    def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.groupBy(col("G"))
+        .agg(expr(s"topk_edges(Id, Score, $k)").as("TK"))
+        .select(col("G"), posexplode(col("TK")).as(Seq("R0", "E")))
+        .select(col("G"), col("E.NId"), (col("R0") + 1).as("Rank"))
+        .orderBy(col("G"), col("Rank")).collect().map(_.toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("G")).orderBy(col("Score").desc, col("Id"))
+    def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.withColumn("Rank", row_number().over(w)).filter(col("Rank") <= k)
+        .select(col("G"), col("Id"), col("Rank"))
+        .orderBy(col("G"), col("Rank")).collect().map(_.toSeq)
+    assert(viaAgg(zeros, 4).toSeq === viaWindow(zeros, 4).toSeq,
+      "signed zeros ranked differently from the window form")
+    // NaN: dropped whether the buffer is under capacity (k larger than
+    // the group) or full (k = 1) — never partition-order-dependent
+    val nans = Seq((1L, 1L, Double.NaN), (1L, 2L, 0.5), (1L, 3L, Double.NaN),
+      (2L, 1L, Double.NaN)).toDF("G", "Id", "Score").repartition(3)
+    Seq(1, 10).foreach { k =>
+      val got = viaAgg(nans, k)
+      assert(got.toSeq === Seq(Seq(1L, 2L, 1)),
+        s"NaN scores leaked into the top-k at k=$k: $got")
+    }
+  }
 }

@@ -89,6 +89,49 @@ class SourcesSpec extends SparkSpec {
       Option(bad.getCause).exists(_.getMessage.contains("not_a_field")))
   }
 
+  test("avro: executor-side opens use the SESSION Hadoop conf, not a fresh default") {
+    import graft.sources.AvroSource
+    val dir = Files.createTempDirectory("graft_avro_conf").toString
+    AvroTestWriter.write(
+      Tables.via(ParquetSource, spark, sfDir, "nation"), s"$dir/nation.avro")
+    val schema = Tables.via(ParquetSource, spark, sfDir, "nation").schema
+    val plain = AvroSource.read(spark, s"$dir/nation.avro", schema)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // the graftfs scheme resolves ONLY through the session conf — a
+    // fresh default Configuration (what the executor side used to
+    // build) cannot open it. Negative control first, so the FS cache
+    // cannot mask it.
+    val uri = s"graftfs://$dir/nation.avro"
+    intercept[Exception] {
+      new org.apache.hadoop.fs.Path(uri)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    }
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftSessionOnlyFs].getName)
+    try {
+      val viaSessionFs = AvroSource.read(spark, uri, schema)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(viaSessionFs === plain,
+        "session-conf-resolved filesystem read different rows")
+    } finally spark.sparkContext.hadoopConfiguration.unset("fs.graftfs.impl")
+  }
+
+  test("avro: an existing-but-empty ingest directory reads empty; a missing path errors") {
+    import graft.sources.AvroSource
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_avro_empty").toString
+    val schema = StructType(Seq(StructField("a", IntegerType)))
+    // rotation hasn't delivered yet — a normal ingest state, not an error
+    val out = AvroSource.read(spark, dir, schema)
+    assert(out.schema === schema)
+    assert(out.count() === 0L)
+    // a wrong path/glob stays LOUD
+    val err = intercept[IllegalArgumentException] {
+      AvroSource.read(spark, s"$dir/nope", schema)
+    }
+    assert(err.getMessage.contains("matched no files"))
+  }
+
   test("avro: one large container file reads across many sync-aligned splits, rows identical") {
     import graft.sources.AvroSource
     val dir = Files.createTempDirectory("graft_avro_split").toString
@@ -193,4 +236,14 @@ class SourcesSpec extends SparkSpec {
     assert(rows.head.getAs[Boolean](1) === true)
     assert(rows.head.isNullAt(2), "missing cell must read as null")
   }
+}
+
+/** Test-only FileSystem for the `graftfs` scheme, registered ONLY in
+  * the session's Hadoop conf (never in any default/core-site) — so a
+  * successful open through it PROVES the session conf reached the
+  * resolution site, and a code path that rebuilds `new Configuration()`
+  * fails with "No FileSystem for scheme". Delegates to the local FS;
+  * Hadoop instantiates it reflectively (public, no-arg). */
+class GraftSessionOnlyFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
