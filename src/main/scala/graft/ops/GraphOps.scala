@@ -444,28 +444,38 @@ object GraphOps {
     * is deg(frontier_r), and Σ_r deg(frontier_r) = m exactly (every
     * node enters the frontier once), where the full-state join costs
     * Σ_r deg(settled_≤r) — diameter-FOLD more on high-diameter
-    * graphs (the power-law probe corpus measures the drop). Newly
-    * reached nodes are the min-aggregated candidates anti-joined
-    * against the settled set (node-sized build side, never edges);
-    * unit-weight BFS settles a node exactly at first discovery, so
+    * graphs (measured on the diameter-102 chain corpus: 20.9M vs
+    * 1.06×10⁹ joined rows, a 50× volume cut). Newly reached nodes
+    * are the min-aggregated candidates anti-joined against the TWO
+    * most recent deltas only — on the family's symmetric edge
+    * substrate a frontier neighbor's distance is within ±1 of the
+    * frontier's, so membership in delta_{r−1} ∪ delta_{r−2} is the
+    * whole settled test (the standard two-frontier BFS argument);
+    * the build side is O(|frontier|), CONSTANT in rounds, never the
+    * growing distance table (round 13 — the growing-union build side
+    * was the r12 watch item, and on the chain corpus it cost more
+    * than the volume cut saved). Directionality caveat: that ±1
+    * argument needs symmetrized edges, which every substrate in this
+    * family carries (the coPurchaseEdges both-directions contract);
+    * a one-directional edge table must use the full-state oracle.
+    * Unit-weight BFS settles a node exactly at first discovery, so
     * the frontier recursion computes the same monotone min-lattice
     * fixpoint as the full-state join — bit-identical distances (the
     * full-state form stays available as the identity oracle,
-    * `frontierDelta = false`). State localCheckpoint-pinned per
+    * `frontierDelta = false`), spec-proven on co-purchase, power-law
+    * AND diameter-17 chain shapes. State localCheckpoint-pinned per
     * round, the Pregel shape shared with every loop in this file. */
   def bfsHops(spark: SparkSession, dir: String): DataFrame =
     bfsHopsOf(coPurchaseEdges(spark, dir))
 
-  /** Frontier rounds between `dist` compactions: the settled set is
-    * accumulated as a UNION of per-round localCheckpointed deltas, so
-    * its partition count (and the anti-join's build-side plan width)
-    * grows linearly with rounds — harmless at small-world diameters,
-    * but a diameter-100 chain would carry a 100-way union. Every this
-    * many rounds the union is re-localCheckpointed into ONE pinned
-    * table (node-sized — the cheap side by construction), bounding
-    * the build side at ≤ compactEvery deltas. Measured on the
-    * 65-round chain corpus (GraphScaleProbe chain mode): see
-    * PERFORMANCE.md round 13. */
+  /** Round threshold past which the FINAL distance table (the union
+    * of per-round localCheckpointed deltas) is compacted into one
+    * pinned table before the presentation join: the loop itself never
+    * reads the union (the settled test is the two-delta anti-join),
+    * but a diameter-100 traversal would hand the final left join a
+    * 100-way union of 100×shuffle-partitions inputs. One compaction
+    * at loop exit bounds that; small-world traversals (≤ this many
+    * rounds) skip it. */
   val BfsCompactEvery = 8
 
   /** [[bfsHops]] over any degree-carrying edge substrate (see
@@ -496,36 +506,35 @@ object GraphOps {
     var rounds = 0
     if (frontierDelta) {
       var frontier = seed
+      var prev = seed.limit(0) // delta_{r-2}: empty before round 2
       var frontierCount = sizes.head
-      var unioned = 0 // deltas accumulated since the last compaction
       while (frontierCount > 0) {
         rounds += 1
         assert(rounds <= maxRounds,
           s"BFS failed to fixpoint within $maxRounds rounds — " +
             "raise maxRounds (gate queries: BfsUnrollRounds together " +
             "with the mirror's unroll)")
+        // settled test = membership in the two most recent deltas
+        // (see the scaladoc's two-frontier argument) — O(|frontier|)
+        // build side, never the growing distance table
         val next = edges
           .join(frontier, edges("Src") === frontier("Node"))
           .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
           .groupBy(col("Node")).agg(min(col("Hops")).as("Hops"))
-          .join(dist.select(col("Node").as("Seen")),
+          .join(frontier.select(col("Node").as("Seen"))
+              .union(prev.select(col("Node").as("Seen"))),
             col("Node") === col("Seen"), "left_anti")
           .localCheckpoint()
         frontierCount = next.count()
         sizes += frontierCount
-        if (frontierCount > 0) {
-          dist = dist.union(next)
-          unioned += 1
-          if (unioned >= BfsCompactEvery) {
-            // collapse the rounds-way union of deltas into one pinned
-            // table so the anti-join build side stays O(1) deltas wide
-            // at high diameters (see BfsCompactEvery)
-            dist = dist.localCheckpoint()
-            unioned = 0
-          }
-        }
+        if (frontierCount > 0) dist = dist.union(next)
+        prev = frontier
         frontier = next
       }
+      // the loop never reads the deltas' union; the final
+      // presentation join does — compact once if the traversal ran
+      // deep enough that a rounds-way union would bloat its scan
+      if (rounds > BfsCompactEvery) dist = dist.localCheckpoint()
     } else {
       var settled = sizes.head
       var converged = false

@@ -119,8 +119,23 @@ object SimilarityOps {
     quantMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(quantMemo.remove)
+    // PINNED spread (the Tables.documentsSpread rule, one substrate
+    // over): the cached table's partition count is what every
+    // downstream MAP-SIDE pass runs at — Lloyd assignment dots,
+    // routing dots, candidate-join scan sides — and without the
+    // repartition it inherits the PARQUET SPLIT count, which collapses
+    // to ONE for any corpus that fits a single row-group-tight file
+    // (500k×64 vectors ≈ 126 MB < maxPartitionBytes ⇒ the K=707 index
+    // build and every probe's routing ran SINGLE-THREADED — round 13
+    // caught it on a quiet box: the pre-fix build burned 19 min of
+    // one-core Lloyd without converging, and r12's contended "steady
+    // 1256 s" row carried this serialization, not just host load;
+    // post-fix numbers in PERFORMANCE.md round 13). One shuffle of
+    // the raw vectors at first touch buys cluster-width for the life
+    // of the cache.
     BucketedTables.memoized(quantMemo, (spark, dir), cacheMemoLock)(
       Tables.embeddings(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"), expr("quantize_vec(embedding)").as("Q"))
         .withColumn("NormSq", expr("long_dot(Q, Q)"))
         .cache())
@@ -403,12 +418,21 @@ object SimilarityOps {
     * IS rank−1. */
   private[graft] def knnGraphIvfEdges(spark: SparkSession, dir: String,
                                       nCentroids: Int = DefaultNCentroids,
-                                      nprobe: Int = DefaultNProbe): DataFrame = {
+                                      nprobe: Int = DefaultNProbe,
+                                      sampleEvery: Long = 1L): DataFrame = {
     graft.functions.SketchAggregates.register(spark)
     val base = ivfIndexPath(spark, dir, nCentroids)
     val cent = spark.read.parquet(s"$base/codebook")
     val lists = spark.read.parquet(s"$base/lists")
-    val queries = quantized(spark, dir)
+    // sampleEvery > 1 is the MEASUREMENT hook (KnnSampleProbe): a
+    // deterministic 1-in-sampleEvery QUERY subset routed against the
+    // FULL corpus lists — the per-candidate cost at true list sizes
+    // without the full n²·nprobe/K budget. Gate queries pass 1
+    // (filter absent; plan unchanged).
+    val q0 = quantized(spark, dir)
+    val queries = (if (sampleEvery > 1L)
+      q0.filter(pmod(col("vec_id"), lit(sampleEvery)) === 0L)
+    else q0)
       .select(col("vec_id").as("SrcId"), col("Q").as("QS"), col("NormSq").as("NS"))
     nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS")
       .join(lists, "Cid")
