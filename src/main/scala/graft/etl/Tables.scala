@@ -246,9 +246,34 @@ object Tables {
     * narrow redistribution; doc_id keys are unique, so the spread is
     * uniform by construction. PlanSpec guards the property on the
     * dedup substrate and the three perceptual-hash passes. */
-  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  /** Width SIZED by corpus rows (round 14, the quantized-substrate
+    * rule): documents rows are per-row EXPENSIVE (md5 shingles,
+    * native text kernels — the 8.5 s pHash measurement above is
+    * 5,000 rows), so the divisor is small: full parallelism from
+    * ~5k docs (the bench corpus keeps the exact width its rows were
+    * measured at), a few partitions at the sf0.01 gate and in unit
+    * fixtures where 32-task dispatch is pure overhead. */
+  val DocSpreadRowsPerPartition = 160L
+
+  private val docCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** documents row count per (session, dir) — metadata-cheap parquet
+    * footer count, memoized (stopped sessions swept on access). */
+  private def documentsCount(spark: SparkSession, dir: String): Long = {
+    docCountMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(docCountMemo.remove)
+    docCountMemo.getOrElseUpdate((spark, dir), documents(spark, dir).count())
+  }
+
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
+    val width = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (documentsCount(spark, dir) + DocSpreadRowsPerPartition - 1L)
+        / DocSpreadRowsPerPartition)).toInt
+    documents(spark, dir).repartition(width, col("doc_id"))
+  }
 
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings", embeddingsSchema)
 

@@ -457,7 +457,10 @@ object GraphOps {
     * than the volume cut saved). Directionality caveat: that ±1
     * argument needs symmetrized edges, which every substrate in this
     * family carries (the coPurchaseEdges both-directions contract);
-    * a one-directional edge table must use the full-state oracle.
+    * a one-directional edge table must use the full-state oracle —
+    * ENFORCED at runtime by a sampled reverse-edge check
+    * ([[requireSymmetrizedSample]], round 14), so a wrong-caller
+    * table fails loudly instead of returning plausible distances.
     * Unit-weight BFS settles a node exactly at first discovery, so
     * the frontier recursion computes the same monotone min-lattice
     * fixpoint as the full-state join — bit-identical distances (the
@@ -468,15 +471,58 @@ object GraphOps {
   def bfsHops(spark: SparkSession, dir: String): DataFrame =
     bfsHopsOf(coPurchaseEdges(spark, dir))
 
-  /** Round threshold past which the FINAL distance table (the union
-    * of per-round localCheckpointed deltas) is compacted into one
-    * pinned table before the presentation join: the loop itself never
-    * reads the union (the settled test is the two-delta anti-join),
-    * but a diameter-100 traversal would hand the final left join a
-    * 100-way union of 100×shuffle-partitions inputs. One compaction
-    * at loop exit bounds that; small-world traversals (≤ this many
-    * rounds) skip it. */
-  val BfsCompactEvery = 8
+  /** Round count past which the FINAL distance table (the union of
+    * per-round localCheckpointed deltas) is compacted ONCE, at loop
+    * exit, before the presentation join — a one-shot threshold, not a
+    * periodicity (renamed from `BfsCompactEvery`, which read as
+    * "every N rounds"): the loop itself never reads the union (the
+    * settled test is the two-delta anti-join), but a diameter-100
+    * traversal would hand the final left join a 100-way union of
+    * 100×shuffle-partitions inputs. Small-world traversals (≤ this
+    * many rounds) skip it. */
+  val BfsCompactMinRounds = 8
+
+  /** Hash-sample modulus / minimum sample for the two-frontier
+    * symmetry precondition check ([[requireSymmetrizedSample]]). */
+  val SymmetrySampleMod = 64L
+  val SymmetrySampleFloor = 64
+
+  /** RUNTIME GUARD for the two-frontier settled test's one
+    * precondition (round 14; the scaladoc caveat above was the only
+    * protection before): on a NON-symmetrized edge table a directed
+    * edge can rediscover a node settled ≥3 rounds earlier, re-adding
+    * it with a larger Hops — duplicate Node rows that fan out in the
+    * presentation join, i.e. plausible wrong output. This checks a
+    * deterministic sample of edges for their reverses and fails
+    * LOUDLY instead: a ~1/[[SymmetrySampleMod]] xxhash64 sample,
+    * unioned with the [[SymmetrySampleFloor]] smallest (Src, Dst)
+    * pairs so a tiny graph cannot sample down to vacuity, is
+    * broadcast against one scan of the (cached) edge substrate. A
+    * wrong-caller table (one-directional edges, the class the guard
+    * exists for) fails on essentially every sampled edge; a single
+    * asymmetric edge hiding outside the sample is not what this
+    * guards (use the full-state oracle to certify a questionable
+    * substrate). Cost: ~3 scans of the cached edge substrate, once
+    * per traversal. */
+  private def requireSymmetrizedSample(edges: DataFrame): Unit = {
+    val pairs = edges.select(col("Src"), col("Dst"))
+    val sample = pairs
+      .filter(pmod(xxhash64(col("Src"), col("Dst")), lit(SymmetrySampleMod)) === 0L)
+      .unionByName(pairs.orderBy(col("Src"), col("Dst")).limit(SymmetrySampleFloor))
+      .distinct()
+      .select(col("Src").as("SSrc"), col("Dst").as("SDst"))
+      .localCheckpoint()
+    val sampled = sample.count()
+    val matched = pairs
+      .join(broadcast(sample), col("Src") === col("SDst") && col("Dst") === col("SSrc"))
+      .select(col("SSrc"), col("SDst")).distinct().count()
+    require(matched == sampled,
+      s"bfsHopsOf(frontierDelta = true) requires a SYMMETRIZED edge table " +
+        s"(every (a, b) with its (b, a) — the coPurchaseEdges contract): " +
+        s"${sampled - matched} of $sampled sampled edges have no reverse. " +
+        "The two-frontier settled test is only sound on symmetric edges; " +
+        "pass frontierDelta = false (the full-state form) for directed graphs.")
+  }
 
   /** [[bfsHops]] over any degree-carrying edge substrate (see
     * [[pagerankOf]]). `maxRounds` is the fixpoint backstop: the GATE
@@ -505,6 +551,7 @@ object GraphOps {
     var dist = seed
     var rounds = 0
     if (frontierDelta) {
+      requireSymmetrizedSample(edges)
       var frontier = seed
       var prev = seed.limit(0) // delta_{r-2}: empty before round 2
       var frontierCount = sizes.head
@@ -534,7 +581,7 @@ object GraphOps {
       // the loop never reads the deltas' union; the final
       // presentation join does — compact once if the traversal ran
       // deep enough that a rounds-way union would bloat its scan
-      if (rounds > BfsCompactEvery) dist = dist.localCheckpoint()
+      if (rounds > BfsCompactMinRounds) dist = dist.localCheckpoint()
     } else {
       var settled = sizes.head
       var converged = false

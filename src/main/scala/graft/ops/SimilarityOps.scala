@@ -97,6 +97,71 @@ object SimilarityOps {
   private def planeRows(nPlanes: Int): Seq[Seq[Long]] =
     (1 to nPlanes).map(p => (1 to Dims).map(i => planeSign(p, i)))
 
+  /** Rows per cached-substrate partition for the pinned spread — the
+    * sizing knob round 14 added to the `documentsSpread` rule: a
+    * BLANKET `defaultParallelism` spread made every sub-second
+    * gate-scale similarity query pay ~0.2-0.5 s of 32-task dispatch
+    * per stage over a 2,000-row cache (measured in the r13 bench:
+    * semantic_dedup_auto 0.49 → 1.29 s) for parallelism nothing at
+    * that scale needs. Sized by rows, the spread stays 1-2 partitions
+    * at gate scale and reaches full width by 50k vectors — every
+    * measured scale corpus (50k/500k/2M/20M) keeps the exact
+    * partition count its PERFORMANCE.md rows were pinned at. */
+  val SpreadRowsPerPartition = 1024L
+
+  /** min(defaultParallelism, ceil(rows / [[SpreadRowsPerPartition]])),
+    * floor 1 — the pinned-spread width for a cached per-row-CPU
+    * substrate of `rows` rows. */
+  private def spreadPartitions(spark: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (rows + SpreadRowsPerPartition - 1L) / SpreadRowsPerPartition)).toInt
+
+  private val embCountMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** Corpus row count, memoized per (session, dir) — a metadata-cheap
+    * parquet count (footer row counts, no column IO) that sizes the
+    * pinned spread and the candidate-join exchanges below. Released
+    * with the substrate caches by [[invalidateQuantized]]. */
+  private def embeddingsCount(spark: SparkSession, dir: String): Long = {
+    embCountMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(embCountMemo.remove)
+    embCountMemo.getOrElseUpdate((spark, dir),
+      Tables.embeddings(spark, dir).count())
+  }
+
+  /** Per-task candidate-row cap for the family's self-sized exchanges
+    * — the round-14 promotion of the shuffle-sizing rule from operator
+    * lore (the `SPARK_GRAFT_SHUFFLE` env var two probes had to export)
+    * into the engine. The candidate volume of a routed join is
+    * computable at plan-build time from (n, K, nprobe); tasks are
+    * sized to stream ~5M candidate rows (~2-3 GB with two quantized
+    * vectors per row) — the density the 500k routed-kNN run measured
+    * as comfortable (5.5M rows/task at the hand-tuned shuffle=256)
+    * where 44M rows/task hit UNABLE_TO_ACQUIRE_MEMORY
+    * (PERFORMANCE.md round 13). */
+  val CandidateRowsPerTask = 5000000L
+
+  /** Sanity ceiling on a computed exchange width (a cluster past this
+    * wants a bigger [[CandidateRowsPerTask]], not more tasks). */
+  val CandidateMaxPartitions: Int = 1 << 18
+
+  /** Exchange width for a join producing `candRows` candidate rows:
+    * ceil(candRows / cap), floored by the SESSION's shuffle partitions
+    * — when the cap doesn't bind, the plan is byte-identical to the
+    * un-sized form (session shuffle + AQE coalescing untouched), so
+    * gate-scale plans never pay for the scale path. The env var the
+    * probes export (`SPARK_GRAFT_SHUFFLE`, which raises the session
+    * setting) is hereby an OVERRIDE floor, not a requirement. */
+  private[graft] def candidatePartitions(spark: SparkSession, candRows: Double,
+                                         capRowsPerTask: Long = CandidateRowsPerTask): Int = {
+    val session = spark.sessionState.conf.numShufflePartitions
+    val computed = math.ceil(candRows / capRowsPerTask.toDouble)
+      .min(CandidateMaxPartitions.toDouble).toInt
+    math.max(session, computed)
+  }
+
   private val quantMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -132,13 +197,38 @@ object SimilarityOps {
     // 1256 s" row carried this serialization, not just host load;
     // post-fix numbers in PERFORMANCE.md round 13). One shuffle of
     // the raw vectors at first touch buys cluster-width for the life
-    // of the cache.
+    // of the cache. Width SIZED by corpus rows (round 14 — see
+    // [[SpreadRowsPerPartition]]): full parallelism from 50k vectors
+    // up, 1-2 partitions at gate scale so sub-second queries don't
+    // pay 32-task dispatch per stage; the handful of gate queries
+    // whose per-row work is orders above the family norm re-spread
+    // themselves ([[computeSpread]]).
     BucketedTables.memoized(quantMemo, (spark, dir), cacheMemoLock)(
       Tables.embeddings(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .repartition(spreadPartitions(spark, embeddingsCount(spark, dir)),
+          col("vec_id"))
         .select(col("vec_id"), col("label"), expr("quantize_vec(embedding)").as("Q"))
         .withColumn("NormSq", expr("long_dot(Q, Q)"))
         .cache())
+  }
+
+  /** Widen a (derived-from-)[[quantized]] plan back to full
+    * `defaultParallelism` for ONE pass whose per-row work is orders
+    * above the family norm (pcaPower's d² fan-out ×96 rounds, the
+    * exact graph's n-per-row scan, the JL projection's d'·d HOF
+    * chain) — the queries that measurably NEED width at gate scale
+    * (r13 bench: pca_power 3.18 → 0.75 s, knn_graph 1.63 → 0.59 s
+    * from a 32-wide substrate) after the row-sized spread stopped
+    * granting it corpus-wide. No-op whenever the substrate already
+    * carries full width (every ≥50k corpus), so scale measurements
+    * see zero plan change; at gate scale it is one ~MB exchange in
+    * front of seconds of fan-out arithmetic. */
+  private def computeSpread(spark: SparkSession, dir: String,
+                            df: DataFrame, key: Column): DataFrame = {
+    val dp = spark.sparkContext.defaultParallelism
+    if (spreadPartitions(spark, embeddingsCount(spark, dir)) < dp)
+      df.repartition(dp, key)
+    else df
   }
 
   /** Drop and unpersist every memoized quantized corpus (and LSH
@@ -152,6 +242,7 @@ object SimilarityOps {
     // same lock as the memo first-touch builds, so a teardown cannot
     // interleave with a concurrent build-if-absent of the same entry
     cacheMemoLock.synchronized {
+      embCountMemo.keysIterator.filter(_._1 eq spark).foreach(embCountMemo.remove)
       quantMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         quantMemo.remove(k).foreach(_.unpersist(false))
       }
@@ -335,8 +426,11 @@ object SimilarityOps {
     * discipline). */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val all = quantized(spark, dir)
-    val probes = all.select(col("vec_id").as("SrcId"), col("Q").as("QS"),
-      col("NormSq").as("NS"))
+    // the n-per-row scan side carries the crossJoin's parallelism —
+    // full width even where the substrate spread is gate-narrow
+    val probes = computeSpread(spark, dir,
+      all.select(col("vec_id").as("SrcId"), col("Q").as("QS"),
+        col("NormSq").as("NS")), col("SrcId"))
     val edges = probes.crossJoin(all).filter(col("vec_id") =!= col("SrcId"))
       .withColumn("Cosine",
         expr("long_dot(QS, Q)").cast(DoubleType) /
@@ -419,7 +513,8 @@ object SimilarityOps {
   private[graft] def knnGraphIvfEdges(spark: SparkSession, dir: String,
                                       nCentroids: Int = DefaultNCentroids,
                                       nprobe: Int = DefaultNProbe,
-                                      sampleEvery: Long = 1L): DataFrame = {
+                                      sampleEvery: Long = 1L,
+                                      capRowsPerTask: Long = CandidateRowsPerTask): DataFrame = {
     graft.functions.SketchAggregates.register(spark)
     val base = ivfIndexPath(spark, dir, nCentroids)
     val cent = spark.read.parquet(s"$base/codebook")
@@ -434,8 +529,24 @@ object SimilarityOps {
       q0.filter(pmod(col("vec_id"), lit(sampleEvery)) === 0L)
     else q0)
       .select(col("vec_id").as("SrcId"), col("Q").as("QS"), col("NormSq").as("NS"))
-    nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS")
-      .join(lists, "Cid")
+    // SELF-SIZED candidate exchange (round 14): the Cid join emits
+    // ~nQueries·nprobe·(n/K) candidate rows, known at plan-build time
+    // — size the exchange to [[CandidateRowsPerTask]] instead of
+    // requiring the operator lore that twice OOM'd probes at session
+    // width (PERFORMANCE.md rounds 12-13). Both sides repartition to
+    // the same (key, width), so the join reuses the two exchanges
+    // as-is; when the cap doesn't bind the plan is untouched.
+    val n = embeddingsCount(spark, dir)
+    val candRows = (n.toDouble / sampleEvery.toDouble) * nprobe *
+      math.max(1.0, n.toDouble / nCentroids)
+    val p = candidatePartitions(spark, candRows, capRowsPerTask)
+    val routes = nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS")
+    val (routesS, listsS) =
+      if (p > spark.sessionState.conf.numShufflePartitions)
+        (routes.repartition(p, col("Cid")), lists.repartition(p, col("Cid")))
+      else (routes, lists)
+    routesS
+      .join(listsS, "Cid")
       .filter(col("vec_id") =!= col("SrcId"))
       .withColumn("Cosine",
         expr("long_dot(QS, Q)").cast(DoubleType) /
@@ -1538,7 +1649,8 @@ object SimilarityOps {
                     threshold: Double = DefaultSemDedupThreshold,
                     nCentroids: Int = DefaultNCentroids): DataFrame = {
     val base = ivfIndexPath(spark, dir, nCentroids)
-    semanticDedupFrom(spark, dir, spark.read.parquet(s"$base/lists"), threshold)
+    semanticDedupFrom(spark, dir, spark.read.parquet(s"$base/lists"), threshold,
+      sizedForK = Some(nCentroids))
   }
 
   /** The K ∝ √n cluster-count policy as an EXECUTABLE function —
@@ -1653,7 +1765,7 @@ object SimilarityOps {
     VectorExpressions.register(spark)
     val signsSql = RpSigns.map(_.mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
-    quantized(spark, dir)
+    computeSpread(spark, dir, quantized(spark, dir), col("vec_id"))
       .select(col("vec_id"), posexplode(expr(
         s"transform($signsSql, row -> aggregate(" +
           "zip_with(row, Q, (s, q) -> CAST(s AS BIGINT) * q), 0L, (a, x) -> a + x))"))
@@ -1707,7 +1819,9 @@ object SimilarityOps {
     * distributed PCA is actually done — the n-dimensional work is the
     * one-pass aggregate, never the eigensolve). */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val all = quantized(spark, dir)
+    // d² fan-out × corpus rows: the family's heaviest per-row pass —
+    // re-spread to full width where the substrate is gate-narrow
+    val all = computeSpread(spark, dir, quantized(spark, dir), col("vec_id"))
     val sxx = all.select(explode(expr(
         s"""flatten(transform(sequence(0, ${Dims - 1}, 1), i ->
               transform(sequence(0, ${Dims - 1}, 1), j ->
@@ -1871,14 +1985,29 @@ object SimilarityOps {
                                 nCentroids: Int = DefaultNCentroids,
                                 nprobe: Int = HierNProbe): DataFrame =
     semanticDedupFrom(spark, dir,
-      hierAssigned(spark, dir, nCentroids, nprobe), threshold)
+      hierAssigned(spark, dir, nCentroids, nprobe), threshold,
+      sizedForK = Some(nCentroids))
 
-  private def semanticDedupFrom(spark: SparkSession, dir: String,
-                                lists: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def semanticDedupFrom(spark: SparkSession, dir: String,
+                                       lists: DataFrame, threshold: Double,
+                                       sizedForK: Option[Int] = None,
+                                       capRowsPerTask: Long = CandidateRowsPerTask): DataFrame = {
+    // SELF-SIZED verify exchange (round 14, the knnGraphIvfEdges
+    // rule): the intra-cluster pair join emits ~n²/(2K) candidate
+    // rows — computable from the corpus count and the CALLER's K, so
+    // the non-bucketed paths (flat lists, hierarchical assignment)
+    // size their own exchange. The bucketed twin passes None: its
+    // zero-exchange join layout IS the physical choice being
+    // demonstrated, fixed at build time by the bucket count.
+    val sized = sizedForK.map { k =>
+      val n = embeddingsCount(spark, dir).toDouble
+      candidatePartitions(spark, n * n / (2.0 * k), capRowsPerTask)
+    }.filter(_ > spark.sessionState.conf.numShufflePartitions)
+    val src = sized.map(p => lists.repartition(p, col("Cid"))).getOrElse(lists)
     val labels = quantized(spark, dir).select(col("vec_id"), col("label"))
-    val a = lists.select(col("Cid"), col("vec_id").as("V1"),
+    val a = src.select(col("Cid"), col("vec_id").as("V1"),
       col("Q").as("Q1"), col("NormSq").as("N1"))
-    val b = lists.select(col("Cid").as("Cid2"), col("vec_id").as("V2"),
+    val b = src.select(col("Cid").as("Cid2"), col("vec_id").as("V2"),
       col("Q").as("Q2"), col("NormSq").as("N2"))
     val dupEarlier = a.join(b, col("Cid") === col("Cid2") && col("V1") < col("V2"))
       .withColumn("Cosine",

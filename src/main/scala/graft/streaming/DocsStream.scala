@@ -117,13 +117,18 @@ object DocsStream {
   }
 
   /** Drive [[decontaminateBatch]] over a document stream, invoking
-    * `sink` with each microbatch's contamination rows. */
+    * `sink` with each microbatch's contamination rows. `n` is the
+    * shingle window and MUST match the one `evalSh` was built with —
+    * threaded through (round 14) so non-default windows (n = 3's raw
+    * string keys included) run the same end-to-end path the default
+    * does, instead of only being reachable in the batch kernel. */
   def runDecontaminate(spark: SparkSession, docs: DataFrame,
-                       evalSh: DataFrame)
+                       evalSh: DataFrame,
+                       n: Int = CurateOps.DecontaminationShingleN)
                       (sink: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(decontaminateBatch(spark, batch, evalSh))
+        sink(decontaminateBatch(spark, batch, evalSh, n))
       }
       .start()
 

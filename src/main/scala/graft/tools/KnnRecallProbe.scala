@@ -24,8 +24,11 @@ object KnnRecallProbe {
       else graft.ops.SimilarityOps.DefaultNCentroids
     val timeOnly = args.length > 3 && args(3) == "timeonly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // see SemDedupK: shuffle partitions scale with corpus size at the
-    // multi-million-vector decades, not with cores
+    // OVERRIDE floor only (round 14): the candidate-join exchanges
+    // size themselves from (n, K, nprobe) inside the operators
+    // (SimilarityOps.candidatePartitions), so this env var is no
+    // longer required at the multi-million-vector decades — it just
+    // raises the session floor every other exchange inherits
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

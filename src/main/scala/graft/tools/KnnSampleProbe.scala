@@ -26,6 +26,14 @@ object KnnSampleProbe {
     }
     val dir = args(0)
     val sampleEvery = args(1).toLong
+    // 0 would divide-by-zero in the query model below; <= 0 or 1
+    // would silently run the FULL n²·nprobe/K workload while the
+    // printed cand_model still pretended a sampled run
+    if (sampleEvery < 1L) {
+      System.err.println(s"sampleEvery must be >= 1 (got $sampleEvery); " +
+        "1 = every vector queries (the full edge stage, no sampling)")
+      sys.exit(2)
+    }
     val nprobe = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
@@ -41,7 +49,16 @@ object KnnSampleProbe {
     val k = if (args.length > 3) args(3).toInt
       else math.round(math.sqrt(n.toDouble)).toInt
     val reps = if (args.length > 4) args(4).toInt else 3
-    val nQueries = n / sampleEvery
+    // ACTUAL sampled-query count (one vec_id-column scan), not the
+    // n / sampleEvery approximation — the model below feeds the
+    // published per-candidate constant, so it must not assume dense
+    // vec_ids starting at 0 (the generated corpora happen to satisfy
+    // that; a filtered or appended corpus would not)
+    val nQueries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(sampleEvery)) === 0L)
+      .count()
     // the model the projection uses: each query scans nprobe lists of
     // ~n/K members
     val candModel = nQueries.toDouble * nprobe * (n.toDouble / k)

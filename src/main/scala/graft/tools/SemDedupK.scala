@@ -32,7 +32,10 @@ object SemDedupK {
     // buffers exhaust the execution pool (measured: 96g heap,
     // UNABLE_TO_ACQUIRE_MEMORY in the assign join's shuffle at 35 min;
     // 256 partitions cut per-task state 8× and AQE re-coalesces the
-    // small downstream stages)
+    // small downstream stages). Since round 14 the VERIFY join sizes
+    // its own exchange (SimilarityOps.candidatePartitions), so this
+    // env var is an OVERRIDE floor — still useful for the k-means
+    // BUILD stages at the 20M decade, not required for the dedup
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

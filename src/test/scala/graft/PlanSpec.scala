@@ -434,11 +434,12 @@ class PlanSpec extends SparkSpec {
     ).foreach { case (name, build) =>
       val parts = newCheckpointPartitions(build())
       assert(parts.nonEmpty, s"$name pinned no checkpoint — the single-scan claim broke")
-      // assert the exact pinned count, not just > 1: on a single-CPU
-      // master repartition(defaultParallelism) legitimately yields ONE
-      // partition, and `> 1` would fail spuriously there while a
-      // wrong-count regression elsewhere would still slip under it
-      val want = spark.sparkContext.defaultParallelism
+      // assert the exact pinned count, not just > 1: a wrong-count
+      // regression elsewhere would slip under a `> 1`. Since round 14
+      // the documentsSpread width is SIZED by corpus rows (see
+      // Tables.DocSpreadRowsPerPartition), so the expectation is the
+      // sizing rule, not blanket defaultParallelism
+      val want = docSpreadWant
       parts.foreach(p => assert(p == want,
         s"$name hash pass checkpointed into $p partition(s), expected $want — " +
           "AQE coalesced the unpinned repartition and serialized the interpreted stage"))
@@ -525,9 +526,71 @@ class PlanSpec extends SparkSpec {
     val sub = graft.ops.DedupOps.sharedShingles(spark, sfDir)
     sub.write.format("noop").mode("overwrite").save() // materialize the cache
     val parts = sub.rdd.getNumPartitions
-    val want = spark.sparkContext.defaultParallelism
+    val want = docSpreadWant
     assert(parts == want,
       s"shingle substrate cached into $parts partition(s), expected $want — " +
         "the pinned documentsSpread repartition was lost or coalesced")
+  }
+
+  test("candidate joins size their own exchange from (n, K, nprobe) — the shuffle rule lives in the engine") {
+    import graft.ops.SimilarityOps
+    val session = spark.sessionState.conf.numShufflePartitions
+    // the formula: session floor when the cap doesn't bind; ceil(candRows/cap)
+    // when it does; clamped at the sanity ceiling
+    assert(SimilarityOps.candidatePartitions(spark, 1.0) == session)
+    assert(SimilarityOps.candidatePartitions(spark, 1e9, 5000000L) == 200)
+    assert(SimilarityOps.candidatePartitions(spark, 1e30, 5000000L)
+      == SimilarityOps.CandidateMaxPartitions)
+    val n = graft.etl.Tables.embeddings(spark, sfDir).count()
+    // routed-kNN edge stage, cap forced tiny so the rule binds at gate
+    // scale: BOTH candidate-join inputs must plan pinned
+    // REPARTITION_BY_NUM exchanges at the computed width (the join
+    // then reuses them; no session-width exchange re-plans the join)
+    val cand = n.toDouble * SimilarityOps.DefaultNProbe *
+      math.max(1.0, n.toDouble / SimilarityOps.DefaultNCentroids)
+    val cap = 1000L
+    val p = math.max(session, math.ceil(cand / cap).toInt)
+    assert(p > session, "fixture too small — the forced cap no longer binds")
+    val sizedPlan = SimilarityOps.knnGraphIvfEdges(spark, sfDir, capRowsPerTask = cap)
+      .queryExecution.executedPlan.toString
+    val marker = s", $p), REPARTITION_BY_NUM"
+    val hits = sizedPlan.sliding(marker.length).count(_ == marker)
+    // ≥ 2: both join inputs in the main tree; the DPP
+    // SubqueryBroadcast on the lists scan REPLAYS the routing subtree
+    // (see the mainTree note in the quadratic-join test), which can
+    // print the routes-side exchange a third time
+    assert(hits >= 2,
+      s"expected both candidate-join inputs exchanged at the computed width $p, " +
+        s"found $hits:\n$sizedPlan")
+    // with the production cap the gate-scale candidate volume computes
+    // UNDER the session floor — the plan must stay byte-untouched (no
+    // exchange at any width the sizing could have introduced)
+    val defaultPlan = SimilarityOps.knnGraphIvfEdges(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!defaultPlan.contains(marker),
+      s"gate-scale plan grew a sized exchange the cap should not bind:\n$defaultPlan")
+    // the semantic-dedup verify join sizes the same way (n²/2K)
+    val base = SimilarityOps.ivfIndexPath(spark, sfDir, SimilarityOps.DefaultNCentroids)
+    val pd = math.max(session, math.ceil(
+      n.toDouble * n / (2.0 * SimilarityOps.DefaultNCentroids) / 200.0).toInt)
+    assert(pd > session, "fixture too small — the verify-join cap no longer binds")
+    val dedupPlan = SimilarityOps.semanticDedupFrom(spark, sfDir,
+        spark.read.parquet(s"$base/lists"), SimilarityOps.DefaultSemDedupThreshold,
+        sizedForK = Some(SimilarityOps.DefaultNCentroids), capRowsPerTask = 200L)
+      .queryExecution.executedPlan.toString
+    val dMarker = s", $pd), REPARTITION_BY_NUM"
+    assert(dedupPlan.contains(dMarker),
+      s"semantic-dedup verify join lost its sized exchange (wanted width $pd):\n$dedupPlan")
+  }
+
+  /** The row-sized documentsSpread width this corpus should pin —
+    * the round-14 sizing rule replayed independently of the engine's
+    * arithmetic (ceil(rows / DocSpreadRowsPerPartition), clamped to
+    * [1, defaultParallelism]). */
+  private def docSpreadWant: Int = {
+    val rows = graft.etl.Tables.documents(spark, sfDir).count()
+    val per = graft.etl.Tables.DocSpreadRowsPerPartition
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (rows + per - 1L) / per)).toInt
   }
 }

@@ -371,10 +371,16 @@ class RetrievalGraphSpec extends SparkSpec {
     // later graph test's plan — caught by PlanSpec's cached-substrate
     // assertion in full-suite order)
     // the chain corpus runs past BOTH the gate's round backstop (its
-    // diameter ≈ nCommunities, here ~17 > BfsUnrollRounds) and the
-    // BfsCompactEvery threshold, so this also exercises the periodic
-    // dist-union compaction and the explicit maxRounds override —
-    // bit-identity must survive both
+    // diameter ≈ nCommunities, here ~27 > BfsUnrollRounds) and the
+    // BfsCompactMinRounds threshold, so this also exercises the
+    // ONE-SHOT dist-union compaction at loop exit and the explicit
+    // maxRounds override — bit-identity must survive both. 25
+    // communities (was 15) so that even a MIDDLE hub winning the
+    // max-OutDeg seed tie-break has eccentricity > BfsUnrollRounds
+    // (~14 > 10) — at 15 a middle-hub seed (eccentricity ~9) would
+    // fail the depth assertion below, leaving the corpus brittle to
+    // any change of the xxhash64 intra-edge counts that set the
+    // tie-break
     Seq(
       ("co-purchase", GraphOps.coPurchaseEdges(spark, sfDir), false,
         GraphOps.BfsUnrollRounds),
@@ -382,7 +388,7 @@ class RetrievalGraphSpec extends SparkSpec {
         graft.tools.GraphScaleProbe.powerlawEdges(spark, 2000L, 6000L), true,
         GraphOps.BfsUnrollRounds),
       ("chain",
-        graft.tools.GraphScaleProbe.chainEdges(spark, 15, 30L, 3), true, 64)
+        graft.tools.GraphScaleProbe.chainEdges(spark, 25, 30L, 3), true, 64)
     ).foreach { case (name, edges, adHoc, maxR) =>
       val frontier = GraphOps.bfsHopsOf(edges, maxRounds = maxR)
         .collect().map(_.toSeq)
@@ -400,6 +406,45 @@ class RetrievalGraphSpec extends SparkSpec {
       }
       if (adHoc) edges.unpersist()
     }
+  }
+
+  test("bfs hops: a one-directional edge table fails the symmetry guard loudly; full-state still serves it") {
+    // the two-frontier settled test is only sound on SYMMETRIZED
+    // edges (a directed edge can rediscover a node settled ≥3 rounds
+    // earlier → duplicate Node rows → wrong hops AND wrong row count
+    // through the presentation join). Round 14 made the precondition
+    // a runtime guard instead of a scaladoc caveat: the wrong-caller
+    // class (a one-directional chain, below) must fail LOUDLY at
+    // construction, and the full-state oracle must keep serving it
+    val directed = spark.range(12)
+      .select(col("id").as("Src"), (col("id") + 1L).as("Dst"))
+      .withColumn("OutDeg", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.bfsHopsOf(directed, maxRounds = 64)
+    }
+    assert(e.getMessage.contains("SYMMETRIZED"),
+      s"guard fired with the wrong message: ${e.getMessage}")
+    // full-state on the directed chain from the tie-broken seed
+    // (Src 0): hops == node id, 12 rows
+    val full = GraphOps.bfsHopsOf(directed, frontierDelta = false, maxRounds = 64)
+      .collect()
+    assert(full.length === 12)
+    full.foreach { r =>
+      assert(r.getAs[Long]("Hops") === r.getAs[Long]("PartKey"),
+        s"full-state hops wrong on the directed chain: $r")
+    }
+    // and a symmetrized version of the same chain passes the guard
+    // and agrees with full-state — the guard admits exactly the
+    // contract it protects
+    val sym = directed.select(col("Src"), col("Dst"))
+      .union(directed.select(col("Dst").as("Src"), col("Src").as("Dst")))
+      .withColumn("OutDeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("Src"))))
+    val fd = GraphOps.bfsHopsOf(sym, maxRounds = 64).collect().map(_.toSeq)
+    val fs = GraphOps.bfsHopsOf(sym, frontierDelta = false, maxRounds = 64)
+      .collect().map(_.toSeq)
+    assert(fd.toSeq === fs.toSeq,
+      "frontier-delta diverged from full-state on the symmetrized chain")
   }
 
   test("connected components: labels equal a driver union-find; sizes reconcile") {

@@ -303,6 +303,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch decontamination at n=3 (raw string shingle keys) matches batch decontaminate end-to-end") {
+    import graft.streaming.DocsStream
+    // the round-13 advice bug was SPECIFICALLY n = 3: the shared
+    // 3-gram substrate keeps raw STRING shingle keys where wide
+    // windows carry xxhash64 int64 — a consumer hand-rolling the hash
+    // would join bigint against string and silently match nothing.
+    // shingleKeysSql makes that unwritable; this drives the n = 3 key
+    // type through the WHOLE streaming twin (runDecontaminate →
+    // decontaminateBatch → join against evalShingles(n = 3)) on a
+    // PLANTED corpus where every doc shares one 3-gram — train-test
+    // overlap exists whatever splitOf assigns, so a silently-empty
+    // join cannot pass
+    val dir = java.nio.file.Files.createTempDirectory("graft_n3_docs")
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val text = s"alpha beta gamma tok$i fill${i % 7} end$i"
+      (i, text, "en", s"s${i % 3}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$dir/documents.parquet")
+    docs.repartition(2).write.parquet(s"$dir/stream")
+    val evalSh3 = graft.ops.CurateOps.evalShingles(spark, dir.toString, n = 3)
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val stream = spark.readStream.schema(graft.etl.Tables.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/stream")
+    val q = DocsStream.runDecontaminate(spark, stream, evalSh3, n = 3) { out =>
+      val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles")))
+      buf.synchronized { buf ++= rows }
+    }
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.size === buf.map(_._1).toSet.size, "a doc was emitted twice")
+    val streamed = buf.map { case (id, ne, ns) => id -> ((ne, ns)) }.toMap
+    val batch = graft.ops.CurateOps.decontaminate(spark, dir.toString, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("NEvalDocs"), r.getAs[Int]("NSharedShingles"),
+          r.getAs[Boolean]("IsContaminated")))).toMap
+    assert(streamed.keySet === batch.collect { case (id, (_, _, true)) => id }.toSet)
+    // the planted 3-gram guarantees contamination: every train doc
+    // shares "alpha beta gamma" with every test doc — a zero-hit run
+    // (the silent bigint-vs-string class) fails HERE, not vacuously
+    assert(streamed.nonEmpty && streamed.keySet === batch.keySet,
+      "every planted train doc must flag contaminated at n = 3")
+    streamed.foreach { case (id, (ne, ns)) =>
+      assert(batch(id)._1 === ne, s"doc $id NEvalDocs: stream=$ne batch=${batch(id)._1}")
+      assert(batch(id)._2 === ns, s"doc $id NSharedShingles: stream=$ns batch=${batch(id)._2}")
+    }
+  }
+
   test("foreachBatch incremental dedup over a two-file doc stream equals batch dedup_incremental") {
     import graft.ops.DedupOps
     import graft.streaming.DocsStream
