@@ -849,9 +849,22 @@ object SimilarityOps {
     * centroid table itself stays ≤ K rows (collect_list/transform over
     * 64 elements per centroid — driver-scale, not data-scale). */
   private def kmeansCentroids(all: DataFrame, nCentroids: Int): DataFrame = {
-    val dims = all.select(col("vec_id"),
+    val spark = all.sparkSession
+    val n = all.count()
+    // SELF-SIZED update exchange (round 14, the candidate-join rule):
+    // the per-round dims ⋈ assign join streams n·Dims exploded rows —
+    // 1.28e9 at the 20M decade, the exchange that exhausted the
+    // execution pool at session width in the r12 build (40M rows/task
+    // at shuffle=32, UNABLE_TO_ACQUIRE_MEMORY; the probes' env
+    // override existed for exactly this). Both sides repartition on
+    // the join key when the cap binds (20M → 256, the hand-tuned
+    // value); below ~80k vectors the session plan is untouched.
+    val updateP = candidatePartitions(spark, n.toDouble * Dims)
+    val sizeUpdate = updateP > spark.sessionState.conf.numShufflePartitions
+    val dims0 = all.select(col("vec_id"),
       posexplode(col("Q")).as(Seq("d0", "v")))
       .select(col("vec_id"), (col("d0") + 1).as("dim"), col("v"))
+    val dims = if (sizeUpdate) dims0.repartition(updateP, col("vec_id")) else dims0
     var cent = all.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("Cid"), col("Q").as("CQ"), col("NormSq").as("CNorm"))
     // Route each round's assignment by the measured n·K crossover
@@ -870,12 +883,13 @@ object SimilarityOps {
     // lineage per reference — multiplicative plan blowup. The inner
     // coarse build recurses here with n=K, K'=√K — always far below
     // the threshold, so recursion terminates on the flat branch.
-    val routed = all.count() * nCentroids >= HierAssignMinNK
+    val routed = n * nCentroids >= HierAssignMinNK
     for (_ <- 1 to KmeansRounds) {
       val centR = if (routed) cent.localCheckpoint(true) else cent
-      val assign = (if (routed) assignHierarchical(all, centR)
-                    else nearestCentroids(all, centR, 1, "vec_id", "Q", "NormSq"))
+      val assign0 = (if (routed) assignHierarchical(all, centR)
+                     else nearestCentroids(all, centR, 1, "vec_id", "Q", "NormSq"))
         .select(col("vec_id").as("AVid"), col("Cid"))
+      val assign = if (sizeUpdate) assign0.repartition(updateP, col("AVid")) else assign0
       cent = dims.join(assign, dims("vec_id") === assign("AVid"))
         .groupBy(col("Cid"), col("dim"))
         .agg(expr("sum(v) div count(1)").as("cv"))

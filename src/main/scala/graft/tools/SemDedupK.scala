@@ -32,10 +32,11 @@ object SemDedupK {
     // buffers exhaust the execution pool (measured: 96g heap,
     // UNABLE_TO_ACQUIRE_MEMORY in the assign join's shuffle at 35 min;
     // 256 partitions cut per-task state 8× and AQE re-coalesces the
-    // small downstream stages). Since round 14 the VERIFY join sizes
-    // its own exchange (SimilarityOps.candidatePartitions), so this
-    // env var is an OVERRIDE floor — still useful for the k-means
-    // BUILD stages at the 20M decade, not required for the dedup
+    // small downstream stages). Since round 14 BOTH the verify join
+    // AND the k-means update join size their own exchanges
+    // (SimilarityOps.candidatePartitions — the 20M build computes the
+    // hand-tuned 256 from n·Dims), so this env var is an OVERRIDE
+    // floor for experiments, no longer a requirement at any decade
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
