@@ -492,20 +492,35 @@ object GraphOps {
     * protection before): on a NON-symmetrized edge table a directed
     * edge can rediscover a node settled ≥3 rounds earlier, re-adding
     * it with a larger Hops — duplicate Node rows that fan out in the
-    * presentation join, i.e. plausible wrong output. This checks a
-    * deterministic sample of edges for their reverses and fails
-    * LOUDLY instead: a ~1/[[SymmetrySampleMod]] xxhash64 sample,
-    * unioned with the [[SymmetrySampleFloor]] smallest (Src, Dst)
-    * pairs so a tiny graph cannot sample down to vacuity, is
-    * broadcast against one scan of the (cached) edge substrate. A
-    * wrong-caller table (one-directional edges, the class the guard
-    * exists for) fails on essentially every sampled edge; a single
-    * asymmetric edge hiding outside the sample is not what this
-    * guards (use the full-state oracle to certify a questionable
-    * substrate). Cost: ~3 scans of the cached edge substrate, once
-    * per traversal. */
+    * presentation join, i.e. plausible wrong output. Happy path is
+    * ONE narrow aggregate over the (cached) substrate: on a
+    * symmetrized table the (Src, Dst) and (Dst, Src) pair multisets
+    * are identical, so `bit_xor(xxhash64(Src, Dst))` must equal
+    * `bit_xor(xxhash64(Dst, Src))` — every paired edge contributes
+    * the same two terms to both sides. Distinct unpaired edges
+    * escape only via a hash-cancellation fluke in the xxhash64
+    * space (the same 2⁻⁶⁴-class budget the shingle-key certificate
+    * rests on); edges are distinct by the substrate contract (an
+    * even-multiplicity duplicate of one direction could cancel with
+    * itself, but duplicated edges already break the Σ deg
+    * accounting upstream). Only on MISMATCH does the expensive
+    * diagnostic run — a ~1/[[SymmetrySampleMod]] xxhash64 edge
+    * sample (plus the [[SymmetrySampleFloor]] smallest pairs so a
+    * tiny graph cannot sample down to vacuity) broadcast against
+    * one scan to count missing reverses for the error message.
+    * Cost on the happy path: one scan, no join, no sort — the
+    * round-14 sampled-join form cost ~1 s of fixed overhead per
+    * gate-scale traversal (graph_bfs_hops 1.85 → 2.8 s), all of it
+    * sort/checkpoint/action dispatch, not the check itself. */
   private def requireSymmetrizedSample(edges: DataFrame): Unit = {
     val pairs = edges.select(col("Src"), col("Dst"))
+    val fwdBwd = pairs
+      .agg(expr("bit_xor(xxhash64(Src, Dst))").as("F"),
+           expr("bit_xor(xxhash64(Dst, Src))").as("B"))
+      .first()
+    if (fwdBwd.isNullAt(0) || fwdBwd.getLong(0) == fwdBwd.getLong(1)) return
+    // mismatch: pay for a precise message — sample edges, count
+    // how many lack their reverse
     val sample = pairs
       .filter(pmod(xxhash64(col("Src"), col("Dst")), lit(SymmetrySampleMod)) === 0L)
       .unionByName(pairs.orderBy(col("Src"), col("Dst")).limit(SymmetrySampleFloor))
@@ -516,7 +531,7 @@ object GraphOps {
     val matched = pairs
       .join(broadcast(sample), col("Src") === col("SDst") && col("Dst") === col("SSrc"))
       .select(col("SSrc"), col("SDst")).distinct().count()
-    require(matched == sampled,
+    require(false,
       s"bfsHopsOf(frontierDelta = true) requires a SYMMETRIZED edge table " +
         s"(every (a, b) with its (b, a) — the coPurchaseEdges contract): " +
         s"${sampled - matched} of $sampled sampled edges have no reverse. " +
