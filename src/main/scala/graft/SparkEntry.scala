@@ -273,6 +273,7 @@ object SparkEntry {
     // group-median imputation report (fillna) with planted nulls
     "clean_impute" -> (RelationalOps.imputeReport _),
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
+    "sketch_source_overlap" -> (TextOps.sourceOverlapKmv _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
     "events_click_attribution" -> (EventsOps.clickAttribution _),
@@ -452,6 +453,7 @@ object SparkEntry {
     "dq_checks" -> ExtSql.dqChecks,
     "clean_impute" -> ExtSql.cleanImpute,
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
+    "sketch_source_overlap" -> ExtSql.sketchSourceOverlap,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
     "events_click_attribution" -> ExtSql.clickAttribution,

@@ -544,6 +544,96 @@ object TextOps {
       .map(h => when(col(s"A_H$h") === col(s"B_H$h"), 1).otherwise(0))
       .reduce(_ + _)
 
+  /** Cross-source distinct-shingle overlap CARDINALITY from
+    * per-source KMV sketches — the set-operation complement of
+    * [[sourceSimilarity]]: MinHash signatures estimate the Jaccard
+    * RATIO; the KMV (theta-style) form estimates |A ∩ B| and |A ∪ B|
+    * as COUNTS. "How many distinct shingles would cross-source dedup
+    * remove" is a cardinality question a ratio cannot answer without
+    * the set sizes, and KMV sketches compose under union (merge =
+    * set-union-then-trim, any order) where MinHash signatures give no
+    * counts at all.
+    *
+    * Estimator (Beyer et al. 2007 / the theta-sketch intersection
+    * rule): the k smallest hashes of A ∪ B are exactly the k smallest
+    * of sketch(A) ∪ sketch(B) (any union value below the union's kth
+    * order statistic is below its own source's kth), so with
+    * U = bottom-k(KsA ∪ KsB), θ = max(U):
+    * |A ∪ B| ≈ (k−1)·2⁴⁸/θ, and |A ∩ B| ≈ (m/k)·|A ∪ B| where
+    * m = |{v ∈ U : v ∈ KsA ∧ v ∈ KsB}| (membership in the SKETCH
+    * equals membership in the full set for v ≤ θ, by the same order
+    * argument). m is Binomial(k, ·), so the estimate's own quantum is
+    * |A ∪ B|est/k and its CI half-width ~ quantum·√m — the ErrOk
+    * column certifies |est − exact| ≤ 4·quantum·√(m+1), the bound a
+    * mixture planner should actually trust (a flat relative bound is
+    * dishonest at small overlaps, where m is single-digit Poisson).
+    *
+    * Scale shape: the sketch side is ONE pass over the memoized
+    * distinct (source, shingle) substrate — per-source state is k
+    * longs, mergeable across any partitioning; the pairwise frame is
+    * |sources|² k-length arrays, aggregate-scale. The ExactOverlap
+    * column (a shingle-hash self-join) is the GATE CERTIFICATE, same
+    * as [[graft.ops.RelationalOps.kmvDistinct]]'s ExactDistinct — the
+    * declared 100 TB output is the sketch columns, runnable without
+    * it. Overlap is counted in the 48-bit md5-prefix space on BOTH
+    * sides (collisions are 2⁻⁴⁸-class and identical in the mirror). */
+  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    val hs = DedupOps.sourceShingles(spark, dir)
+      .select(col("source"),
+        conv(substring(md5(col("Shingle")), 1, 12), 16, 10)
+          .cast(LongType).as("V"))
+      .distinct()
+    kmvOverlapPairs(hs)
+  }
+
+  /** The pair math of [[sourceOverlapKmv]] over any (source, V)
+    * distinct-hash frame (spec entry point: plant known value sets,
+    * check the estimator against hand-computed order statistics). */
+  private[graft] def kmvOverlapPairs(hs: DataFrame): DataFrame = {
+    val spark = hs.sparkSession
+    graft.functions.SketchAggregates.register(spark)
+    val k = graft.ops.RelationalOps.KmvK
+    val pow48 = 281474976710656.0 // 2^48: hash prefix → (0,1) scale
+    val dUnion = (k - 1).toDouble * pow48 // 255·2⁴⁸ — exact in double
+    val cInter = dUnion / k // 255·2⁴⁰ — exact in double
+    val srcs = hs.groupBy(col("source"))
+      .agg(count(lit(1)).as("N"), expr(s"kmv_kmin(V, $k)").as("Ks"))
+    val a = srcs.select(col("source").as("SA"), col("N").as("NShA"),
+      col("Ks").as("KsA"))
+    val b = srcs.select(col("source").as("SB"), col("N").as("NShB"),
+      col("Ks").as("KsB"))
+    val exact = hs.select(col("source").as("SA"), col("V"))
+      .join(hs.select(col("source").as("SB"), col("V")), "V")
+      .filter(col("SA") < col("SB"))
+      .groupBy(col("SA"), col("SB"))
+      .agg(count(lit(1)).as("ExactOverlap"))
+    val estU = when(col("Sz") >= k,
+      lit(dUnion) / col("Kth").cast(DoubleType))
+      .otherwise(col("Sz").cast(DoubleType))
+    val estO = when(col("Sz") >= k,
+      col("Matched").cast(DoubleType) * lit(cInter) /
+        col("Kth").cast(DoubleType))
+      .otherwise(col("Matched").cast(DoubleType))
+    a.crossJoin(b).filter(col("SA") < col("SB"))
+      .join(exact, Seq("SA", "SB"), "left")
+      .withColumn("ExactOverlap", coalesce(col("ExactOverlap"), lit(0L)))
+      .withColumn("U",
+        slice(array_sort(array_distinct(concat(col("KsA"), col("KsB")))), 1, k))
+      .withColumn("Sz", size(col("U")))
+      .withColumn("Kth", array_max(col("U")))
+      .withColumn("Matched", size(filter(col("U"),
+        v => array_contains(col("KsA"), v) && array_contains(col("KsB"), v))))
+      .withColumn("EstUnion", estU)
+      .withColumn("EstOverlap", estO)
+      .withColumn("ErrOk",
+        abs(col("EstOverlap") - col("ExactOverlap").cast(DoubleType)) <=
+          lit(4.0) * (col("EstUnion") / lit(k.toDouble)) *
+            sqrt(col("Matched").cast(DoubleType) + lit(1.0)))
+      .select(col("SA"), col("SB"), col("NShA"), col("NShB"),
+        col("ExactOverlap"), col("EstUnion"), col("EstOverlap"), col("ErrOk"))
+      .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
+  }
+
   /** Content-defined chunk fingerprints — the rolling-hash
     * counterpart of [[fingerprint]]: per doc, the chunk count, the
     * distinct-chunk count, and a stable set digest (md5 of the sorted

@@ -2365,6 +2365,67 @@ ORDER BY "SA", "SB"
 """
   }
 
+  /** KMV/theta source-overlap mirror: the bottom-k of each pair's
+    * hash union recomputed relationally (the oracle may shuffle and
+    * rank every key; the engine's sketch may not), then the identical
+    * estimate arithmetic — constants interpolated from
+    * RelationalOps.KmvK so both engines compute the same doubles in
+    * the same operation order (the kmvDistinct pattern). */
+  val sketchSourceOverlap: String = {
+    val k = graft.ops.RelationalOps.KmvK
+    val dUnion = (k - 1).toDouble * 281474976710656.0
+    val cInter = dUnion / k
+    s"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT source, unnest($shExpr) AS shingle FROM toks
+),
+hs AS (SELECT DISTINCT source, ${hex48("md5(shingle)")} AS v FROM e),
+srcs AS (SELECT source, count(*) AS n FROM hs GROUP BY source),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+  FROM srcs a, srcs b WHERE a.source < b.source
+),
+uv AS (
+  SELECT p.sa, p.sb, h.v,
+         max(CASE WHEN h.source = p.sa THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN h.source = p.sb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN hs h ON h.source IN (p.sa, p.sb)
+  GROUP BY p.sa, p.sb, h.v
+),
+rk AS (SELECT sa, sb, v, ia, ib,
+              row_number() OVER (PARTITION BY sa, sb ORDER BY v) AS rn FROM uv),
+sk AS (SELECT sa, sb, count(*) AS sz, max(v) AS kth, sum(ia * ib) AS matched
+       FROM rk WHERE rn <= $k GROUP BY sa, sb),
+ex AS (SELECT sa, sb, sum(ia * ib) AS exact FROM uv GROUP BY sa, sb),
+fin AS (
+  SELECT p.sa, p.sb, p.na, p.nb,
+         CAST(e.exact AS BIGINT) AS exact,
+         CASE WHEN s.sz >= $k THEN CAST($dUnion AS DOUBLE) / CAST(s.kth AS DOUBLE)
+              ELSE CAST(s.sz AS DOUBLE) END AS est_union,
+         CASE WHEN s.sz >= $k
+              THEN CAST(s.matched AS DOUBLE) * CAST($cInter AS DOUBLE)
+                     / CAST(s.kth AS DOUBLE)
+              ELSE CAST(s.matched AS DOUBLE) END AS est_overlap,
+         s.matched AS matched
+  FROM pairs p
+  JOIN sk s ON s.sa = p.sa AND s.sb = p.sb
+  JOIN ex e ON e.sa = p.sa AND e.sb = p.sb
+)
+SELECT sa AS "SA", sb AS "SB",
+       CAST(na AS BIGINT) AS "NShA", CAST(nb AS BIGINT) AS "NShB",
+       exact AS "ExactOverlap",
+       est_union AS "EstUnion", est_overlap AS "EstOverlap",
+       (abs(est_overlap - CAST(exact AS DOUBLE))
+          <= 4.0 * (est_union / $k.0)
+               * sqrt(CAST(matched AS DOUBLE) + 1.0)) AS "ErrOk"
+FROM fin ORDER BY "SA", "SB"
+"""
+  }
+
   // ---------- similarity ----------
 
   private val quantCte: String = """

@@ -284,4 +284,48 @@ class SketchSpec extends SparkSpec {
         s"NaN scores leaked into the top-k at k=$k: $got")
     }
   }
+
+  test("kmv source overlap: order statistics and both estimator paths against hand-computed values") {
+    import spark.implicits._
+    val k = RelationalOps.KmvK // 256
+    // estimator path: planted value sets with known order statistics.
+    // a = {1..300}, b = {201..500}: union 1..500 (≥ k) → U = 1..256,
+    // θ = 256, matched = |{201..256}| = 56; exact overlap = 100
+    val ab = (1L to 300L).map(("a", _)) ++ (201L to 500L).map(("b", _))
+    // exact path: union 90 < k → sketch IS the set, estimate exact.
+    // c = {1..50}, d = {31..90}: matched = exact = 20
+    val cd = (1L to 50L).map(("c", _)) ++ (31L to 90L).map(("d", _))
+    val hs = (ab ++ cd).toDF("source", "V")
+    val rows = graft.ops.TextOps.kmvOverlapPairs(hs).collect()
+      .map(r => (r.getAs[String]("SA"), r.getAs[String]("SB")) -> r).toMap
+    val pow48 = 281474976710656.0
+    val est = rows(("a", "b"))
+    assert(est.getAs[Long]("ExactOverlap") === 100L)
+    assert(est.getAs[Double]("EstUnion") ===
+      (k - 1).toDouble * pow48 / 256.0, "θ should be the planted 256")
+    assert(est.getAs[Double]("EstOverlap") ===
+      56.0 * ((k - 1).toDouble * pow48 / k) / 256.0,
+      "matched among the union bottom-k should be the planted 56")
+    val exacts = rows(("c", "d"))
+    assert(exacts.getAs[Long]("ExactOverlap") === 20L)
+    assert(exacts.getAs[Double]("EstOverlap") === 20.0,
+      "a union smaller than k must be reported exactly")
+    assert(exacts.getAs[Boolean]("ErrOk"))
+    // the planted values 1..500 are adversarially NON-uniform (real
+    // inputs are md5 prefixes): θ = 256 out of 2⁴⁸ inflates EstUnion
+    // to ~2.8e14 while the exact overlap is 100 — outside the
+    // estimator's model, and the certificate must SAY so
+    assert(!est.getAs[Boolean]("ErrOk"),
+      "ErrOk must flag a non-uniform-hash input, not bless it")
+  }
+
+  test("kmv source overlap: all 190 corpus pairs inside the estimator's own CI") {
+    val rows = graft.ops.TextOps.sourceOverlapKmv(spark, sfDir).collect()
+    assert(rows.length === 190, s"20 sources → 190 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("NShA") > 0 && r.getAs[Long]("NShB") > 0)
+      assert(r.getAs[Boolean]("ErrOk"),
+        s"estimate outside its CI: $r")
+    }
+  }
 }
