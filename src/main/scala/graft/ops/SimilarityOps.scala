@@ -823,12 +823,33 @@ object SimilarityOps {
           others.map(c => first(col(c)).as(c)): _*)
         .withColumn("Cid", col("mn.Cid"))
         .select((idCol +: others :+ "Cid").map(col): _*)
-    } else
+    } else {
+      // mergeable top-k aggregate, NOT a row_number window — the same
+      // n·K → n exchange reduction as take = 1 (round 14): the window
+      // form shuffles ALL n·K crossJoin rows, each still carrying the
+      // 64-long query vector, to sort per query id. At probe scale
+      // that is fatal on one box (1M queries × K=4472 at nprobe=4
+      // attempted a multi-hundred-GB exchange and filled the disk)
+      // and is pure wasted network on a cluster; the aggregate's
+      // partial combine collapses each map side to one O(take) buffer
+      // per query BEFORE the exchange. Values are identical:
+      // topk_edges ranks (score desc, id asc), so score = −Dist
+      // reproduces the window's (Dist asc, Cid asc) order, and Dist —
+      // exact integer arithmetic bounded far under 2⁵³ — casts to
+      // double losslessly. Per-query emit order (best-first) equals
+      // the window's rn order.
+      graft.functions.SketchAggregates.register(vecs.sparkSession)
+      val cidType = cent.schema("Cid").dataType
+      val others = vecs.columns.filter(_ != idCol)
       withDist
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("Dist"), col("Cid"))))
-        .filter(col("rn") <= take)
-        .drop("Dist", "rn", "CQ", "CNorm")
+        .groupBy(col(idCol))
+        .agg(expr(s"topk_edges(cast(Cid as bigint), cast(-Dist as double), $take)").as("TK"),
+          others.map(c => first(col(c)).as(c)): _*)
+        .select((col(idCol) +: others.map(col) :+
+          explode(col("TK.NId")).as("CidL")): _*)
+        .withColumn("Cid", col("CidL").cast(cidType))
+        .drop("CidL")
+    }
   }
 
   /** Deterministic integer k-means codebook: seeds = the K lowest-
