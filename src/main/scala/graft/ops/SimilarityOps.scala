@@ -540,7 +540,10 @@ object SimilarityOps {
     val candRows = (n.toDouble / sampleEvery.toDouble) * nprobe *
       math.max(1.0, n.toDouble / nCentroids)
     val p = candidatePartitions(spark, candRows, capRowsPerTask)
-    val routes = nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS")
+    // the routing crossJoin fans each query K ways — sized like the
+    // candidate join (nQueries·K known at plan-build time)
+    val routes = nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS",
+      routeRows = (n.toDouble / sampleEvery.toDouble) * nCentroids)
     val (routesS, listsS) =
       if (p > spark.sessionState.conf.numShufflePartitions)
         (routes.repartition(p, col("Cid")), lists.repartition(p, col("Cid")))
@@ -800,8 +803,23 @@ object SimilarityOps {
     * ties broken by centroid id. The codebook is broadcast (≤ K
     * rows). */
   private def nearestCentroids(vecs: DataFrame, cent: DataFrame, take: Int,
-                               idCol: String, vecCol: String, normCol: String): DataFrame = {
-    val withDist = vecs.crossJoin(broadcast(cent))
+                               idCol: String, vecCol: String, normCol: String,
+                               routeRows: Double = 0.0): DataFrame = {
+    // routeRows > 0 (the probe/scale callers): size the routing
+    // exchange from the known n·K crossJoin volume — the substrate's
+    // pinned width is right for narrow passes, but here every input
+    // row fans out K ways into the rank aggregate, whose sort-based
+    // fallback (any group count past the ObjectHashAggregate
+    // threshold) sorts the whole per-task fan-out. Same
+    // rows-per-task cap as the candidate joins.
+    val vecsS = {
+      val p = candidatePartitions(vecs.sparkSession, routeRows)
+      if (routeRows > 0 &&
+          p > vecs.sparkSession.sessionState.conf.numShufflePartitions)
+        vecs.repartition(p, col(idCol))
+      else vecs
+    }
+    val withDist = vecsS.crossJoin(broadcast(cent))
       .withColumn("Dist",
         col(normCol) - lit(2L) * expr(s"long_dot($vecCol, CQ)") + col("CNorm"))
     if (take == 1) {
@@ -827,28 +845,32 @@ object SimilarityOps {
       // mergeable top-k aggregate, NOT a row_number window — the same
       // n·K → n exchange reduction as take = 1 (round 14): the window
       // form shuffles ALL n·K crossJoin rows, each still carrying the
-      // 64-long query vector, to sort per query id. At probe scale
-      // that is fatal on one box (1M queries × K=4472 at nprobe=4
-      // attempted a multi-hundred-GB exchange and filled the disk)
-      // and is pure wasted network on a cluster; the aggregate's
-      // partial combine collapses each map side to one O(take) buffer
-      // per query BEFORE the exchange. Values are identical:
-      // topk_edges ranks (score desc, id asc), so score = −Dist
-      // reproduces the window's (Dist asc, Cid asc) order, and Dist —
-      // exact integer arithmetic bounded far under 2⁵³ — casts to
-      // double losslessly. Per-query emit order (best-first) equals
-      // the window's rn order.
+      // 64-long query vector, to sort per query id (at probe scale a
+      // multi-hundred-GB exchange — it filled the disk). Values are
+      // identical: topk_edges ranks (score desc, id asc), so
+      // score = −Dist reproduces the window's (Dist asc, Cid asc)
+      // order, and Dist — exact integer arithmetic bounded far under
+      // 2⁵³ — casts to double losslessly. Per-query emit order
+      // (best-first) equals the window's rn order.
+      //
+      // The rank input is pruned to (id, Dist, Cid) BEFORE the
+      // aggregate: ObjectHashAggregate falls back to sort-based
+      // aggregation past a group-count threshold, and the fallback
+      // sorts the whole per-task input — first(vector) passengers
+      // would put the 64-long arrays back into that sort
+      // (O(n·K·vecWidth) transient spill, the round-14 disk kill in
+      // its second form). The query columns rejoin by id afterwards:
+      // n rows through a join instead of n·K through a sort.
       graft.functions.SketchAggregates.register(vecs.sparkSession)
       val cidType = cent.schema("Cid").dataType
-      val others = vecs.columns.filter(_ != idCol)
-      withDist
+      val routes = withDist
+        .select(col(idCol), col("Dist"), col("Cid"))
         .groupBy(col(idCol))
-        .agg(expr(s"topk_edges(cast(Cid as bigint), cast(-Dist as double), $take)").as("TK"),
-          others.map(c => first(col(c)).as(c)): _*)
-        .select((col(idCol) +: others.map(col) :+
-          explode(col("TK.NId")).as("CidL")): _*)
+        .agg(expr(s"topk_edges(cast(Cid as bigint), cast(-Dist as double), $take)").as("TK"))
+        .select(col(idCol), explode(col("TK.NId")).as("CidL"))
         .withColumn("Cid", col("CidL").cast(cidType))
         .drop("CidL")
+      vecsS.join(routes, Seq(idCol))
     }
   }
 
