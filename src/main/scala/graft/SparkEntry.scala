@@ -274,6 +274,8 @@ object SparkEntry {
     "clean_impute" -> (RelationalOps.imputeReport _),
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
     "sketch_source_overlap" -> (TextOps.sourceOverlapKmv _),
+    "sketch_source_overlap_stream" ->
+      (graft.streaming.DocsStream.sourceOverlapStreamQuery _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
     "events_click_attribution" -> (EventsOps.clickAttribution _),
@@ -454,6 +456,7 @@ object SparkEntry {
     "clean_impute" -> ExtSql.cleanImpute,
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
     "sketch_source_overlap" -> ExtSql.sketchSourceOverlap,
+    "sketch_source_overlap_stream" -> ExtSql.sketchSourceOverlapStream,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
     "events_click_attribution" -> ExtSql.clickAttribution,

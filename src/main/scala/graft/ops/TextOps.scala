@@ -579,11 +579,57 @@ object TextOps {
     * sides (collisions are 2⁻⁴⁸-class and identical in the mirror). */
   def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
     val hs = DedupOps.sourceShingles(spark, dir)
-      .select(col("source"),
-        conv(substring(md5(col("Shingle")), 1, 12), 16, 10)
-          .cast(LongType).as("V"))
+      .select(col("source"), shingleHashCol(col("Shingle")).as("V"))
       .distinct()
     kmvOverlapPairs(hs)
+  }
+
+  /** THE 48-bit shingle-hash definition for the KMV overlap family —
+    * single site, shared by the batch substrate and the streaming
+    * twin's per-batch kernel (the shingleKeysSql lesson: two spellings
+    * of one key definition eventually disagree). Mirrors
+    * ExtSql.hex48(md5(shingle)). */
+  private[graft] def shingleHashCol(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 12), 16, 10).cast(LongType)
+
+  /** Per-source KMV sketch over a (source, V) frame. Input need NOT
+    * be distinct — the sketch dedups internally — which is what makes
+    * it per-batch composable: bottom-k of a union of bottom-ks IS the
+    * bottom-k of the union (the streaming twin's merge step). */
+  private[graft] def kmvSketchOf(rows: DataFrame): DataFrame = {
+    graft.functions.SketchAggregates.register(rows.sparkSession)
+    rows.groupBy(col("source"))
+      .agg(expr(s"kmv_kmin(V, ${graft.ops.RelationalOps.KmvK})").as("Ks"))
+  }
+
+  /** The theta-estimate pair math over per-source sketch rows —
+    * single definition under BOTH the batch query (which joins the
+    * exact certificate on top) and the streaming twin (which emits
+    * these columns as the declared production output). Input columns
+    * survive A_/B_-prefixed for the caller's select. */
+  private[graft] def kmvPairEstimates(srcs: DataFrame): DataFrame = {
+    val k = graft.ops.RelationalOps.KmvK
+    val pow48 = 281474976710656.0 // 2^48: hash prefix → (0,1) scale
+    val dUnion = (k - 1).toDouble * pow48 // 255·2⁴⁸ — exact in double
+    val cInter = dUnion / k // 255·2⁴⁰ — exact in double
+    val a = srcs.columns.foldLeft(srcs)((d, c) => d.withColumnRenamed(c, s"A_$c"))
+    val b = srcs.columns.foldLeft(srcs)((d, c) => d.withColumnRenamed(c, s"B_$c"))
+    a.crossJoin(b).filter(col("A_source") < col("B_source"))
+      .withColumn("SA", col("A_source"))
+      .withColumn("SB", col("B_source"))
+      .withColumn("U",
+        slice(array_sort(array_distinct(concat(col("A_Ks"), col("B_Ks")))), 1, k))
+      .withColumn("Sz", size(col("U")))
+      .withColumn("Kth", array_max(col("U")))
+      .withColumn("Matched", size(filter(col("U"),
+        v => array_contains(col("A_Ks"), v) && array_contains(col("B_Ks"), v))))
+      .withColumn("EstUnion", when(col("Sz") >= k,
+        lit(dUnion) / col("Kth").cast(DoubleType))
+        .otherwise(col("Sz").cast(DoubleType)))
+      .withColumn("EstOverlap", when(col("Sz") >= k,
+        col("Matched").cast(DoubleType) * lit(cInter) /
+          col("Kth").cast(DoubleType))
+        .otherwise(col("Matched").cast(DoubleType)))
   }
 
   /** The pair math of [[sourceOverlapKmv]] over any (source, V)
@@ -593,43 +639,22 @@ object TextOps {
     val spark = hs.sparkSession
     graft.functions.SketchAggregates.register(spark)
     val k = graft.ops.RelationalOps.KmvK
-    val pow48 = 281474976710656.0 // 2^48: hash prefix → (0,1) scale
-    val dUnion = (k - 1).toDouble * pow48 // 255·2⁴⁸ — exact in double
-    val cInter = dUnion / k // 255·2⁴⁰ — exact in double
     val srcs = hs.groupBy(col("source"))
       .agg(count(lit(1)).as("N"), expr(s"kmv_kmin(V, $k)").as("Ks"))
-    val a = srcs.select(col("source").as("SA"), col("N").as("NShA"),
-      col("Ks").as("KsA"))
-    val b = srcs.select(col("source").as("SB"), col("N").as("NShB"),
-      col("Ks").as("KsB"))
     val exact = hs.select(col("source").as("SA"), col("V"))
       .join(hs.select(col("source").as("SB"), col("V")), "V")
       .filter(col("SA") < col("SB"))
       .groupBy(col("SA"), col("SB"))
       .agg(count(lit(1)).as("ExactOverlap"))
-    val estU = when(col("Sz") >= k,
-      lit(dUnion) / col("Kth").cast(DoubleType))
-      .otherwise(col("Sz").cast(DoubleType))
-    val estO = when(col("Sz") >= k,
-      col("Matched").cast(DoubleType) * lit(cInter) /
-        col("Kth").cast(DoubleType))
-      .otherwise(col("Matched").cast(DoubleType))
-    a.crossJoin(b).filter(col("SA") < col("SB"))
+    kmvPairEstimates(srcs)
       .join(exact, Seq("SA", "SB"), "left")
       .withColumn("ExactOverlap", coalesce(col("ExactOverlap"), lit(0L)))
-      .withColumn("U",
-        slice(array_sort(array_distinct(concat(col("KsA"), col("KsB")))), 1, k))
-      .withColumn("Sz", size(col("U")))
-      .withColumn("Kth", array_max(col("U")))
-      .withColumn("Matched", size(filter(col("U"),
-        v => array_contains(col("KsA"), v) && array_contains(col("KsB"), v))))
-      .withColumn("EstUnion", estU)
-      .withColumn("EstOverlap", estO)
       .withColumn("ErrOk",
         abs(col("EstOverlap") - col("ExactOverlap").cast(DoubleType)) <=
           lit(4.0) * (col("EstUnion") / lit(k.toDouble)) *
             sqrt(col("Matched").cast(DoubleType) + lit(1.0)))
-      .select(col("SA"), col("SB"), col("NShA"), col("NShB"),
+      .select(col("SA"), col("SB"),
+        col("A_N").as("NShA"), col("B_N").as("NShB"),
         col("ExactOverlap"), col("EstUnion"), col("EstOverlap"), col("ErrOk"))
       .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
   }

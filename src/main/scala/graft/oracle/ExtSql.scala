@@ -2370,8 +2370,10 @@ ORDER BY "SA", "SB"
     * rank every key; the engine's sketch may not), then the identical
     * estimate arithmetic — constants interpolated from
     * RelationalOps.KmvK so both engines compute the same doubles in
-    * the same operation order (the kmvDistinct pattern). */
-  val sketchSourceOverlap: String = {
+    * the same operation order (the kmvDistinct pattern). One CTE body
+    * under both the batch query (estimate + exact certificate) and
+    * the streaming twin (estimate-only production columns). */
+  private def sourceOverlapCtes: String = {
     val k = graft.ops.RelationalOps.KmvK
     val dUnion = (k - 1).toDouble * 281474976710656.0
     val cInter = dUnion / k
@@ -2415,6 +2417,12 @@ fin AS (
   JOIN sk s ON s.sa = p.sa AND s.sb = p.sb
   JOIN ex e ON e.sa = p.sa AND e.sb = p.sb
 )
+"""
+  }
+
+  val sketchSourceOverlap: String = {
+    val k = graft.ops.RelationalOps.KmvK
+    sourceOverlapCtes + s"""
 SELECT sa AS "SA", sb AS "SB",
        CAST(na AS BIGINT) AS "NShA", CAST(nb AS BIGINT) AS "NShB",
        exact AS "ExactOverlap",
@@ -2425,6 +2433,15 @@ SELECT sa AS "SA", sb AS "SB",
 FROM fin ORDER BY "SA", "SB"
 """
   }
+
+  /** Estimate-only mirror for the streaming twin — the declared
+    * production columns (no whole-corpus exact certificate). */
+  val sketchSourceOverlapStream: String = sourceOverlapCtes + """
+SELECT sa AS "SA", sb AS "SB",
+       CAST(matched AS INTEGER) AS "Matched",
+       est_union AS "EstUnion", est_overlap AS "EstOverlap"
+FROM fin ORDER BY "SA", "SB"
+"""
 
   // ---------- similarity ----------
 

@@ -195,6 +195,72 @@ object DocsStream {
       }
       .start()
 
+  /** The per-batch KMV kernel: each document microbatch reduces to
+    * one k-long sketch row per source it touches (TextOps.kmvSketchOf
+    * over the ONE shingle-hash definition, TextOps.shingleHashCol).
+    * Unlike the countDistinct kernels above, these partials COMPOSE
+    * across any batch split — bottom-k of a union of bottom-ks is the
+    * bottom-k of the union — so no one-shot staging assumption is
+    * needed: the stream maintains per-source sketches incrementally
+    * and any trigger can publish overlap estimates. */
+  def sourceSketchBatch(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.ops.TextOps.kmvSketchOf(docs
+      .withColumn("Toks", expr(graft.ops.TextOps.toksSql))
+      .select(col("source"),
+        explode(expr(graft.ops.TextOps.shinglesSql)).as("Shingle"))
+      .select(col("source"),
+        graft.ops.TextOps.shingleHashCol(col("Shingle")).as("V")))
+
+  /** Drive [[sourceSketchBatch]] over a document stream — `sink`
+    * receives each microbatch's per-source partial sketches (a
+    * production sink upserts them into a sketch table; merging is the
+    * same kmv_kmin aggregation over the accumulated rows). */
+  def runSourceSketch(spark: SparkSession, docs: DataFrame)
+                     (sink: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(sourceSketchBatch(spark, batch))
+      }
+      .start()
+
+  /** Streaming twin of `sketch_source_overlap`, emitting the DECLARED
+    * production columns (the estimate side only — the batch query's
+    * ExactOverlap/ErrOk certificate needs the whole corpus, which an
+    * ingestion stream by definition does not have): documents stream
+    * in, each microbatch folds to per-source partial KMV sketches,
+    * the partials merge by re-sketching their union (exact, the KMV
+    * property — spec-proven equal across batch splits), and the
+    * merged sketches run the SAME pair math as the batch query
+    * (TextOps.kmvPairEstimates, one definition). State is
+    * |sources| × k longs however long the stream runs. */
+  def sourceOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = stageDocsOnce(dir)
+    try {
+      val buf = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = runSourceSketch(spark, readDocsStream(spark, streamDir.toString)) {
+        out => val rows = out.collect(); buf.synchronized { buf ++= rows }
+      }
+      q.processAllAvailable()
+      q.stop()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("Ks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false))))
+      val partials = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava),
+        schema)
+      val merged = graft.ops.TextOps.kmvSketchOf(
+        partials.select(col("source"), explode(col("Ks")).as("V")))
+      graft.ops.TextOps.kmvPairEstimates(merged)
+        .select(col("SA"), col("SB"), col("Matched"),
+          col("EstUnion"), col("EstOverlap"))
+        .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
+    } finally graft.ops.BucketedTables.deleteRecursively(streamDir)
+  }
+
   /** Streaming INDEX MAINTENANCE, text side — the mirror of
     * VecsStream.runIndexAppend: each admitted document microbatch is
     * appended to the persisted band index via `DedupOps.bandAppend`

@@ -852,4 +852,39 @@ class StreamingSpec extends SparkSpec {
       spark.catalog.dropTempView("drift_2b")
     } finally graft.ops.BucketedTables.deleteRecursively(watch)
   }
+
+  test("kmv source sketches: per-batch partials merged by re-sketching equal the whole-corpus sketch; stream twin equals batch estimates") {
+    // the composability claim the streaming twin rests on: bottom-k
+    // of a union of bottom-ks IS the bottom-k of the union, so an
+    // ARBITRARY batch split (here doc_id parity — interleaved, not a
+    // prefix) merges to exactly the whole-corpus sketch
+    val docs = graft.etl.Tables.documents(spark, sfDir)
+    val p1 = graft.streaming.DocsStream.sourceSketchBatch(
+      spark, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val p2 = graft.streaming.DocsStream.sourceSketchBatch(
+      spark, docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val merged = graft.ops.TextOps.kmvSketchOf(
+      p1.unionByName(p2).select(col("source"), explode(col("Ks")).as("V")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val whole = graft.streaming.DocsStream.sourceSketchBatch(spark, docs)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged.keySet === whole.keySet)
+    whole.foreach { case (s, ks) =>
+      assert(merged(s) === ks, s"merged sketch diverged for source $s")
+    }
+    // end-to-end: the one-shot stream twin's estimate columns equal
+    // the batch query's (same sketches, same pair math definition)
+    val stream = graft.streaming.DocsStream
+      .sourceOverlapStreamQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val batch = graft.ops.TextOps.sourceOverlapKmv(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("EstUnion"), r.getAs[Double]("EstOverlap"))).toMap
+    assert(stream.keySet === batch.keySet)
+    assert(stream.keySet.size === 190)
+    batch.foreach { case (k, v) =>
+      assert(stream(k) === v, s"stream estimate diverged from batch for $k")
+    }
+  }
 }
