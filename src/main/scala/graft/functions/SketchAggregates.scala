@@ -43,6 +43,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchAggregates {
 
+  /** Session default for
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` —
+    * every session builder in this engine sets it (env override:
+    * SPARK_GRAFT_OHA_FALLBACK). The TypedImperative aggregates in
+    * this file execute as ObjectHashAggregate, and Spark's DEFAULT
+    * threshold (128 in-memory groups) makes every realistic
+    * aggregation abandon the hash map and SORT its whole per-task
+    * input instead — for the routed-kNN edge stage that sort was
+    * more than half the wall (measured round 14 at the 20M probe:
+    * 25.7 → 12.1 s per 10⁹ candidates once the hash path could hold
+    * the ~1.1k per-task query groups). 65536 groups bounds the map
+    * at tens of MB for the largest buffers here (kmv_kmin: k longs;
+    * topk_edges: k pairs; misra_gries: k counters — bloom's MB-class
+    * buffers aggregate over ~1 group, so the threshold never binds
+    * there) while keeping the sort fallback for genuinely
+    * hash-hostile group counts. */
+  val ObjectHashFallbackThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536")
+
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

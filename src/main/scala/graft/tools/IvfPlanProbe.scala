@@ -12,6 +12,8 @@ object IvfPlanProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,6 +39,8 @@ object KnnSampleProbe {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

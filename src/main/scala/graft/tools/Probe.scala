@@ -12,6 +12,8 @@ object Probe {
     val spark = t("session create") {
       SparkSession.builder().master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false").getOrCreate()

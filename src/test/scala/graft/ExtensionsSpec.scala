@@ -20,6 +20,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-extensions-spec")
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
@@ -67,6 +69,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-codegen-spec")
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       // a Janino compile failure in the generated code must THROW, not
       // silently degrade to interpreted execution
@@ -135,6 +139,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-registerall-parity")
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
