@@ -83,34 +83,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // whole-stage-codegen class cache: the default 100 entries
-      // thrash under a 150-query interleaved suite — every pass
-      // re-Janino-compiles every stage of every big-plan query
-      // (measured: pagerank 6.2 s -> 2.9 s once sized; the
-      // SeqRunProbe experiment). A long-lived production driver
-      // serving many queries wants the same sizing.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
-      // This host shows occasional multi-minute whole-VM stalls; keep a
-      // transient freeze from tripping the local executor's heartbeat
-      // timeout and killing the run.
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "60s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // hoist extension-function registration out of the timed loop (and
-    // out of any concurrent analysis) — same seam as Verify.registerAll
-    Verify.registerAll(spark)
+    // GraftSession hoists extension-function registration out of the
+    // timed loop (and out of any concurrent analysis) — same seam as
+    // Verify.registerAll
+    val spark = GraftSession.local()
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -11,8 +11,8 @@ import graft.functions._
   *
   * {{{
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
-  *   // or
-  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or, on a builder (GraftSession.builder() in this repo):
+  *   builder.withExtensions(new GraftExtensions) ...
   * }}}
   *
   * This is the supported way to ship custom Catalyst expressions with

@@ -20,14 +20,10 @@ import org.apache.spark.sql.SparkSession
 object Verify {
 
   /** One-shot registration of every extension-function family on the
-    * shared session — call before launching concurrent query threads. */
-  def registerAll(spark: SparkSession): Unit = {
-    graft.functions.TextExpressions.register(spark)
-    graft.functions.ShingleExpressions.register(spark)
-    graft.functions.VectorExpressions.register(spark)
-    graft.functions.SketchAggregates.register(spark)
-    graft.functions.PerceptualHashExpressions.register(spark)
-  }
+    * shared session — call before launching concurrent query threads.
+    * (Alias kept for existing callers; the one definition lives in
+    * [[GraftSession.registerAll]].) */
+  def registerAll(spark: SparkSession): Unit = GraftSession.registerAll(spark)
 
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name subset (local
@@ -35,32 +31,12 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // whole-stage-codegen class cache: the default 100 entries
-      // thrash under a 150-query interleaved suite — every pass
-      // re-Janino-compiles every stage of every big-plan query
-      // (measured: pagerank 6.2 s -> 2.9 s once sized; the
-      // SeqRunProbe experiment). A long-lived production driver
-      // serving many queries wants the same sizing.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "60s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Register ALL extension functions BEFORE the concurrent pool
-    // starts: the per-op register calls are replace-idempotent, but a
-    // partially-populated registry observed by another thread's plan
-    // analysis is a latent race (the seam Tables' scaladoc flags).
-    registerAll(spark)
+    // GraftSession registers ALL extension functions BEFORE the
+    // concurrent pool starts: the per-op register calls are
+    // replace-idempotent, but a partially-populated registry observed
+    // by another thread's plan analysis is a latent race (the seam
+    // Tables' scaladoc flags).
+    val spark = GraftSession.local(defaultCpus = 4)
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

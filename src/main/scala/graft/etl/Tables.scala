@@ -267,6 +267,21 @@ object Tables {
     docCountMemo.getOrElseUpdate((spark, dir), documents(spark, dir).count())
   }
 
+  /** Dir-level invalidation for BOTH corpus row-count memos (r14
+    * advice gap: [[graft.ops.SimilarityOps.invalidateQuantized]]
+    * clears the embeddings count session-wide, but NOTHING cleared
+    * the documents count) — call after appending to / rewriting a
+    * corpus dir so the next [[documentsSpread]] (and the similarity
+    * family's self-sized exchanges) see the new row count instead of
+    * a stale spread width. Count memos only: the embedding side's
+    * DERIVED caches (quantized substrate, signatures, IVF indexes)
+    * stay owned by `invalidateQuantized`, which a data change also
+    * requires. */
+  def invalidateCorpusCounts(spark: SparkSession, dir: String): Unit = {
+    docCountMemo.remove((spark, dir))
+    graft.ops.SimilarityOps.invalidateEmbeddingsCount(spark, dir)
+  }
+
   def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
     val width = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,

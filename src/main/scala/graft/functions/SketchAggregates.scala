@@ -58,9 +58,31 @@ object SketchAggregates {
     * topk_edges: k pairs; misra_gries: k counters — bloom's MB-class
     * buffers aggregate over ~1 group, so the threshold never binds
     * there) while keeping the sort fallback for genuinely
-    * hash-hostile group counts. */
-  val ObjectHashFallbackThreshold: String =
-    sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536")
+    * hash-hostile group counts.
+    *
+    * The conf is SESSION-WIDE, so it also governs the BUILTIN
+    * object-hash aggregates (`collect_list`/`collect_set` are
+    * TypedImperative too): the largest in this engine are the
+    * per-vec_id 64-element struct lists in SimilarityOps' PQ build
+    * and GraphOps' per-order basket lists — ~0.5-2 KB per group, so a
+    * full 65536-group map is ~35-130 MB per task, inside a normal
+    * 2-4 GB executor-core budget but NOT "tens of MB"; a conf this
+    * size must be weighed against executor memory if
+    * [[ObjectHashFallbackThreshold]] is raised further (the env
+    * override exists for exactly that experiment). In practice every
+    * such aggregation here keys on a pruned substrate whose per-task
+    * group count AQE keeps far below the cap. */
+  val ObjectHashFallbackThreshold: String = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536")
+    // validate HERE, not inside Spark's conf machinery, whose error
+    // for a malformed value is an opaque stack trace at session build
+    require(raw.nonEmpty && raw.length <= 9 && raw.forall(_.isDigit)
+        && raw.toInt > 0,
+      s"SPARK_GRAFT_OHA_FALLBACK must be a positive integer " +
+        s"(in-memory ObjectHashAggregate groups before the sort " +
+        s"fallback), got '$raw'")
+    raw
+  }
 
   /** Register SQL-callable names on a session (idempotent). */
   def register(spark: SparkSession): Unit = {

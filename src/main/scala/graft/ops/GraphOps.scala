@@ -497,13 +497,20 @@ object GraphOps {
     * symmetrized table the (Src, Dst) and (Dst, Src) pair multisets
     * are identical, so `bit_xor(xxhash64(Src, Dst))` must equal
     * `bit_xor(xxhash64(Dst, Src))` — every paired edge contributes
-    * the same two terms to both sides. Distinct unpaired edges
-    * escape only via a hash-cancellation fluke in the xxhash64
+    * the same two terms to both sides. The xor alone is blind to
+    * EVEN-MULTIPLICITY one-direction duplicates (h⊕h = 0 on both
+    * sides — the r14 advice escape), so the same aggregate also
+    * compares the multiplicity-sensitive SUM of the two hash columns
+    * (as decimal(38,0): exact to ~5·10¹⁸ edges, and wrap-free under
+    * ANSI where a LongType sum of full-range hashes would throw) —
+    * a duplicated (a,b) without its (b,a) contributes 2·h(a,b) to F
+    * and 2·h(b,a) to B. Asymmetric multisets escape BOTH
+    * fingerprints only via a hash-cancellation fluke in the xxhash64
     * space (the same 2⁻⁶⁴-class budget the shingle-key certificate
-    * rests on); edges are distinct by the substrate contract (an
-    * even-multiplicity duplicate of one direction could cancel with
-    * itself, but duplicated edges already break the Σ deg
-    * accounting upstream). Only on MISMATCH does the expensive
+    * rests on). Duplicates mirrored in BOTH directions pass, and are
+    * harmless by construction: each round's delta is collapsed
+    * per-node (`groupBy(Node).min(Hops)`), so edge multiplicity
+    * never reaches the settled test. Only on MISMATCH does the expensive
     * diagnostic run — a ~1/[[SymmetrySampleMod]] xxhash64 edge
     * sample (plus the [[SymmetrySampleFloor]] smallest pairs so a
     * tiny graph cannot sample down to vacuity) broadcast against
@@ -516,9 +523,13 @@ object GraphOps {
     val pairs = edges.select(col("Src"), col("Dst"))
     val fwdBwd = pairs
       .agg(expr("bit_xor(xxhash64(Src, Dst))").as("F"),
-           expr("bit_xor(xxhash64(Dst, Src))").as("B"))
+           expr("bit_xor(xxhash64(Dst, Src))").as("B"),
+           expr("sum(cast(xxhash64(Src, Dst) AS decimal(38, 0)))").as("FS"),
+           expr("sum(cast(xxhash64(Dst, Src) AS decimal(38, 0)))").as("BS"))
       .first()
-    if (fwdBwd.isNullAt(0) || fwdBwd.getLong(0) == fwdBwd.getLong(1)) return
+    if (fwdBwd.isNullAt(0) ||
+        (fwdBwd.getLong(0) == fwdBwd.getLong(1)
+          && fwdBwd.getDecimal(2) == fwdBwd.getDecimal(3))) return
     // mismatch: pay for a precise message — sample edges, count
     // how many lack their reverse
     val sample = pairs
@@ -531,10 +542,20 @@ object GraphOps {
     val matched = pairs
       .join(broadcast(sample), col("Src") === col("SDst") && col("Dst") === col("SSrc"))
       .select(col("SSrc"), col("SDst")).distinct().count()
+    // when every SAMPLED edge has a reverse, the asymmetry (unpaired
+    // edges, or a one-direction duplicate caught by the sum
+    // fingerprint) fell outside the ~1/SymmetrySampleMod sample — the
+    // counted message would self-contradict ("0 of N have no reverse")
+    val detail =
+      if (matched == sampled)
+        s"the multiset fingerprints mismatch but all $sampled sampled " +
+          "edges have a reverse — the asymmetric (or one-direction " +
+          "duplicated) edges fall outside the diagnostic sample"
+      else s"${sampled - matched} of $sampled sampled edges have no reverse"
     require(false,
       s"bfsHopsOf(frontierDelta = true) requires a SYMMETRIZED edge table " +
-        s"(every (a, b) with its (b, a) — the coPurchaseEdges contract): " +
-        s"${sampled - matched} of $sampled sampled edges have no reverse. " +
+        s"of distinct edges (every (a, b) with its (b, a) — the " +
+        s"coPurchaseEdges contract): $detail. " +
         "The two-frontier settled test is only sound on symmetric edges; " +
         "pass frontierDelta = false (the full-state form) for directed graphs.")
   }

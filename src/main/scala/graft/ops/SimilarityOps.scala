@@ -123,13 +123,20 @@ object SimilarityOps {
     * parquet count (footer row counts, no column IO) that sizes the
     * pinned spread and the candidate-join exchanges below. Released
     * with the substrate caches by [[invalidateQuantized]]. */
-  private def embeddingsCount(spark: SparkSession, dir: String): Long = {
+  private[graft] def embeddingsCount(spark: SparkSession, dir: String): Long = {
     embCountMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(embCountMemo.remove)
     embCountMemo.getOrElseUpdate((spark, dir),
       Tables.embeddings(spark, dir).count())
   }
+
+  /** Dir-level eviction of the embeddings row-count memo — the
+    * [[graft.etl.Tables.invalidateCorpusCounts]] hook. Counts only;
+    * the derived caches keyed on the same (session, dir) belong to
+    * [[invalidateQuantized]]. */
+  private[graft] def invalidateEmbeddingsCount(spark: SparkSession, dir: String): Unit =
+    cacheMemoLock.synchronized { embCountMemo.remove((spark, dir)): Unit }
 
   /** Per-task candidate-row cap for the family's self-sized exchanges
     * — the round-14 promotion of the shuffle-sizing rule from operator
@@ -801,7 +808,18 @@ object SimilarityOps {
     * norm columns per `idCol`/`vecCol`/`normCol`), keep its `take`
     * nearest centroids by exact integer L2² = ‖v‖² − 2·v·c + ‖c‖²,
     * ties broken by centroid id. The codebook is broadcast (≤ K
-    * rows). */
+    * rows).
+    *
+    * PRECONDITION (take > 1): `idCol` must be UNIQUE in `vecs`. The
+    * take>1 path aggregates the rank per id and joins routes back, so
+    * a duplicated id would get `take` routes PER DUPLICATE (the
+    * retired window form tolerated duplicates: `take` rows per input
+    * row) and the aggregate side evaluates the vecs subtree a second
+    * time. Every caller routes a substrate keyed by construction
+    * (vec_id from the corpus snapshot, QId/SrcId from per-id
+    * aggregates, all memoized), so this is asserted structurally
+    * rather than with a per-call count pass — a NEW caller with a
+    * non-unique id must pre-aggregate or take the take=1 path. */
   private def nearestCentroids(vecs: DataFrame, cent: DataFrame, take: Int,
                                idCol: String, vecCol: String, normCol: String,
                                routeRows: Double = 0.0): DataFrame = {

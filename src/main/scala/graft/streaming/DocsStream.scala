@@ -223,6 +223,64 @@ object DocsStream {
       }
       .start()
 
+  /** Schema of the persisted per-source sketch table
+    * ([[runSourceSketchUpsert]]): one row per source, `Ks` = the
+    * bottom-k shingle hashes. */
+  private[graft] val sketchTableSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("Ks",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))))
+
+  /** Incremental PUBLICATION of the source-overlap estimates (round
+    * 15 — makes the "any trigger can publish" claim executable):
+    * maintain a persisted per-source sketch table via a foreachBatch
+    * upsert. Each trigger folds its microbatch to per-source partials
+    * ([[sourceSketchBatch]]), merges them into the table by
+    * re-sketching the union (EXACT — the KMV composability property
+    * the parity spec proves), rewrites the table, and hands `publish`
+    * the fresh pair estimates derived from it
+    * (TextOps.kmvPairEstimates — the ONE pair-math definition shared
+    * with the batch query).
+    *
+    * The table is the ONLY state, so the twin is restart-proof two
+    * ways: unreplayed batches merge in after a restart (checkpointed
+    * source offsets), and a REPLAYED batch (foreachBatch is
+    * at-least-once on crash) is absorbed exactly — a bottom-k union
+    * is idempotent under duplicate elements, so re-merging the same
+    * partial cannot move any sketch. State = |sources| × k longs
+    * however long the stream runs; the upsert pins the merged table
+    * on the driver (sketch-scale by construction) so the overwrite
+    * never reads the path it replaces. */
+  def runSourceSketchUpsert(spark: SparkSession, docs: DataFrame,
+                            tablePath: String, checkpointDir: String)
+                           (publish: (Long, DataFrame) => Unit): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partials = sourceSketchBatch(spark, batch)
+        val prior =
+          if (new java.io.File(tablePath).exists())
+            spark.read.schema(sketchTableSchema).parquet(tablePath)
+          else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            sketchTableSchema)
+        val merged = graft.ops.TextOps.kmvSketchOf(
+          prior.unionByName(partials)
+            .select(col("source"), explode(col("Ks")).as("V")))
+        val pinned = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              merged.collect().toSeq).asJava),
+          sketchTableSchema)
+        pinned.coalesce(1).write.mode("overwrite").parquet(tablePath)
+        publish(batchId, graft.ops.TextOps.kmvPairEstimates(pinned)
+          .select(col("SA"), col("SB"), col("Matched"),
+            col("EstUnion"), col("EstOverlap")))
+      }
+      .start()
+
   /** Streaming twin of `sketch_source_overlap`, emitting the DECLARED
     * production columns (the estimate side only — the batch query's
     * ExactOverlap/ErrOk certificate needs the whole corpus, which an

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe: where does a dedup_components call spend its time —
@@ -13,21 +12,7 @@ import org.apache.spark.sql.functions._
 object ComponentsProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // this host shows multi-minute whole-VM stalls (see Bench
-      // scaladoc): without these a stalled heartbeat kills the
-      // in-process executor mid-measurement
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local()
     def t(label: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       f

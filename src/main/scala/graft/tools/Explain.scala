@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: explain + time named SparkEntry queries.
   * usage: runMain graft.tools.Explain <sfDir> <query>[,query...] [--explain]
@@ -10,16 +9,7 @@ object Explain {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val doExplain = args.contains("--explain")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local()
     // Same materialization as Bench: a noop write forces the full plan
     // (count() lets Catalyst prune projections/windows/sorts).
     def mat(df: org.apache.spark.sql.DataFrame): Unit =

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Times N FRESH constructions+materializations of a named SparkEntry
   * query — the timing mode graft.Bench actually uses (each sample
@@ -21,26 +20,7 @@ object FreshRunProbe {
     }
     val Array(sfDir, name) = args.take(2)
     val reps = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // whole-stage-codegen class cache: the default 100 entries
-      // thrash under a 150-query interleaved suite — every pass
-      // re-Janino-compiles every stage of every big-plan query
-      // (measured: pagerank 6.2 s -> 2.9 s once sized; the
-      // SeqRunProbe experiment). A long-lived production driver
-      // serving many queries wants the same sizing.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.Verify.registerAll(spark)
+    val spark = graft.GraftSession.local()
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
 /** Scale probe for the hierarchical-assignment variant: time
@@ -17,21 +16,7 @@ object HierAssignProbe {
     val dir = args(0)
     val k = if (args.length > 1) args(1).toInt else 160
     val nprobe = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // this host shows multi-minute whole-VM stalls (see Bench
-      // scaladoc): without these a stalled heartbeat kills the
-      // in-process executor mid-measurement
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local()
     import graft.ops.SimilarityOps
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

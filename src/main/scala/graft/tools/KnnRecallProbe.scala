@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Measures routed-kNN edge recall vs the exact graph as nprobe
   * varies — the sizing evidence for the `similarity_knn_graph_ivf`
@@ -23,23 +22,12 @@ object KnnRecallProbe {
     val k = if (args.length > 2) args(2).toInt
       else graft.ops.SimilarityOps.DefaultNCentroids
     val timeOnly = args.length > 3 && args(3) == "timeonly"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // OVERRIDE floor only (round 14): the candidate-join exchanges
     // size themselves from (n, K, nprobe) inside the operators
     // (SimilarityOps.candidatePartitions), so this env var is no
     // longer required at the multi-million-vector decades — it just
     // raises the session floor every other exchange inherits
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.Verify.registerAll(spark)
+    val spark = graft.GraftSession.local()
     val exact: Set[(Long, Long)] =
       if (timeOnly) Set.empty
       else graft.ops.SimilarityOps.knnGraph(spark, sfDir).collect()

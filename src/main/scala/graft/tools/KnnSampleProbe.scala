@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Pins the routed-kNN PER-CANDIDATE constant at full-corpus list
   * sizes without paying the full n²·nprobe/K budget: a deterministic
@@ -12,11 +11,20 @@ import org.apache.spark.sql.SparkSession
   * contended 500k run; this puts a measured point under it).
   *
   * usage: runMain graft.tools.KnnSampleProbe <dir> <sampleEvery>
-  *          [nprobe] [K] [reps]
+  *          [nprobe] [K] [reps] [outDir]
   *   K defaults to round(√n) (the policy); the persisted index at K
   *   is built on first touch if absent (that build is reported
   *   separately — it is the amortized artifact, not the probe).
-  */
+  *
+  *   outDir (round 15, the full-run mode): write the edge stage to
+  *   `outDir/edges` parquet instead of the noop sink, then run the
+  *   downstream MUTUAL stage (the knnGraphIvf reverse-join, minus its
+  *   presentation sort) from the WRITTEN parquet — so a
+  *   sampleEvery=1 run leaves a real full-corpus graph on disk and
+  *   times the downstream stage against real edges, not a
+  *   projection. Per-rep shuffle-write and spill bytes come from a
+  *   task-metrics listener (the disk story the r14 probe had to
+  *   watch by hand). */
 object KnnSampleProbe {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
@@ -35,18 +43,7 @@ object KnnSampleProbe {
       sys.exit(2)
     }
     val nprobe = if (args.length > 2) args(2).toInt else 1
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.Verify.registerAll(spark)
+    val spark = graft.GraftSession.local()
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val k = if (args.length > 3) args(3).toInt
       else math.round(math.sqrt(n.toDouble)).toInt
@@ -66,19 +63,70 @@ object KnnSampleProbe {
     val candModel = nQueries.toDouble * nprobe * (n.toDouble / k)
     println(f"[knnsample] n=$n K=$k nprobe=$nprobe sampleEvery=$sampleEvery " +
       f"queries=$nQueries cand_model=${candModel}%.3g")
+    val outDir = if (args.length > 5) Some(args(5)) else None
+    // task-metrics tallies: cumulative shuffle WRITE and disk SPILL
+    // bytes — read per rep by delta, so the per-rep numbers isolate
+    // each edge-stage run from the build's own shuffles
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong(0)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spilled.addAndGet(m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
+    def gb(b: Long): String = f"${b / 1e9}%.1f GB"
     val tBuild0 = System.nanoTime()
     graft.ops.SimilarityOps.ivfIndexPath(spark, dir, k) // first touch builds
     println(f"[knnsample] index_touch ${(System.nanoTime() - tBuild0) / 1e9}%.1f s")
     for (i <- 1 to reps) {
+      val (sw0, sp0) = (shuffleW.get, spilled.get)
       val t0 = System.nanoTime()
-      graft.ops.SimilarityOps
+      val edges = graft.ops.SimilarityOps
         .knnGraphIvfEdges(spark, dir, nCentroids = k, nprobe = nprobe,
           sampleEvery = sampleEvery)
-        .write.format("noop").mode("overwrite").save()
+      outDir match {
+        case Some(out) =>
+          edges.write.mode("overwrite").parquet(s"$out/edges")
+        case None =>
+          edges.write.format("noop").mode("overwrite").save()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[knnsample] rep $i $sec%8.2f s  " +
-        f"sec_per_1e9_cand=${sec * 1e9 / candModel}%.2f  loadavg=" +
+        f"sec_per_1e9_cand=${sec * 1e9 / candModel}%.2f  " +
+        f"shuffle_write=${gb(shuffleW.get - sw0)}  " +
+        f"spill=${gb(spilled.get - sp0)}  loadavg=" +
         scala.io.Source.fromFile("/proc/loadavg").mkString.trim)
+    }
+    // full-run mode: the downstream mutual stage over the WRITTEN
+    // graph (knnGraphIvf's reverse-join, minus the presentation sort
+    // — a global order over n·KnnGraphK rows is display shaping, not
+    // the operator)
+    outDir.foreach { out =>
+      import org.apache.spark.sql.functions.col
+      val (sw0, sp0) = (shuffleW.get, spilled.get)
+      val t0 = System.nanoTime()
+      val edges = spark.read.parquet(s"$out/edges")
+      val rev = edges.select(col("NId").as("RS"), col("SrcId").as("RT"))
+      val mutual = edges
+        .join(rev, col("SrcId") === col("RS") && col("NId") === col("RT"), "left")
+        .select(col("SrcId"), col("NId"), col("Cosine"), col("Rank"),
+          col("RS").isNotNull.as("Mutual"))
+      mutual.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[knnsample] mutual_stage $sec%8.2f s  " +
+        f"shuffle_write=${gb(shuffleW.get - sw0)}  " +
+        f"spill=${gb(spilled.get - sp0)}  loadavg=" +
+        scala.io.Source.fromFile("/proc/loadavg").mkString.trim)
+      val frac = spark.read.parquet(s"$out/edges")
+        .join(rev, col("SrcId") === col("RS") && col("NId") === col("RT"), "left_semi")
+        .count()
+      val total = spark.read.parquet(s"$out/edges").count()
+      println(f"[knnsample] edges=$total mutual=$frac (${100.0 * frac / total}%.1f%%)")
     }
     spark.stop()
   }

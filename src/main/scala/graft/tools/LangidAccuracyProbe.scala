@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Measurement probe for the trained language-ID classifier
   * (TextOps.langidTrained) over gen_scale_corpus.py corpora with
@@ -12,19 +11,7 @@ import org.apache.spark.sql.SparkSession
   */
 object LangidAccuracyProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // this host shows multi-minute whole-VM stalls (see Bench
-      // scaladoc): without these a stalled heartbeat kills the
-      // in-process executor mid-measurement
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local()
     args.foreach { d =>
       val t0 = System.nanoTime()
       val rows = graft.ops.TextOps.langidTrained(spark, d).collect()

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev probe: where does cold-start time go? */
 object Probe {
@@ -9,16 +8,7 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
-    val spark = t("session create") {
-      SparkSession.builder().master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-          graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false").getOrCreate()
-    }
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = t("session create")(graft.GraftSession.local(defaultCpus = 8))
     t("trivial job (range.count)")(spark.range(1000).count())
     t("parquet read + count") {
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()

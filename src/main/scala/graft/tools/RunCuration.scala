@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 import graft.ops.CurateOps
 
@@ -26,17 +25,7 @@ object RunCuration {
     val minShared = if (args.length > 2) args(2).toInt else CurateOps.ContaminationMinShingles
     val minQuality = if (args.length > 3) args(3).toDouble else CurateOps.MinQuality
     val budget = if (args.length > 4) args(4).toLong else CurateOps.TokenBudget
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(defaultCpus = 4)
     val funnel = CurateOps.runCurationPipeline(spark, sfDir, outDir,
       minSharedShingles = minShared, minQuality = minQuality, budget = budget)
     val width = funnel.map(_._1.length).max

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 import graft.etl.Pipeline
 
@@ -15,17 +14,7 @@ object RunPipeline {
     require(args.length >= 2, "usage: RunPipeline <sfDir> <outDir> [csv,parquet]")
     val Array(sfDir, outDir) = args.take(2)
     val formats = if (args.length > 2) args(2).split(",").toSeq else Seq("csv", "parquet")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(defaultCpus = 4)
     val t0 = System.nanoTime()
     val counts = Pipeline.run(spark, sfDir, outDir, formats)
     val secs = (System.nanoTime() - t0) / 1e9

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Scale-rehearsal bench: run a comma-separated list of SparkEntry
   * queries against one corpus dir, print one JSON line of per-query
@@ -20,21 +19,7 @@ object ScaleBench {
     val names = args(1).split(',').map(_.trim).filter(_.nonEmpty)
     val passes = if (args.length > 2) args(2).toInt else 2
     require(passes >= 1, s"passes must be >= 1, got $passes")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // this host shows multi-minute whole-VM stalls (see Bench
-      // scaladoc): without these a stalled heartbeat kills the
-      // in-process executor mid-measurement
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "60s").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local()
     def once(name: String): Double = {
       // construction INSIDE the timer: queries with eager driver-side
       // stages (the components convergence loop) do their work at

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Runs a comma-separated list of SparkEntry queries IN ORDER on one
   * session, timing each fresh construction+materialization — the
@@ -17,20 +16,7 @@ object SeqRunProbe {
       sys.exit(2)
     }
     val Array(sfDir, list) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.Verify.registerAll(spark)
+    val spark = graft.GraftSession.local()
     list.split(",").foreach { name =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Measured certificate for the 64-bit shingle-key collision budget
@@ -24,16 +23,7 @@ object ShingleCollisionProbe {
     val dir = args(0)
     val n = if (args.length > 1) args(1).toInt
       else graft.ops.CurateOps.DecontaminationShingleN
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local()
     graft.functions.ShingleExpressions.register(spark)
     val sh = graft.etl.Tables.documents(spark, dir)
       .select(explode(expr(s"token_shingles(text, $n)")).as("S"))

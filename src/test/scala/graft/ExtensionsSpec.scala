@@ -16,14 +16,8 @@ class ExtensionsSpec extends AnyFunSuite {
     // context shared with the other suites.
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master("local[2]")
+    val spark = GraftSession.builder(defaultCpus = 2)
       .appName("graft-extensions-spec")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
@@ -65,17 +59,11 @@ class ExtensionsSpec extends AnyFunSuite {
   test("native expressions run inside whole-stage codegen (fallback disabled, compile errors fatal)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master("local[2]")
+    val spark = GraftSession.builder(defaultCpus = 2)
       .appName("graft-codegen-spec")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.sql.session.timeZone", "UTC")
       // a Janino compile failure in the generated code must THROW, not
       // silently degrade to interpreted execution
       .config("spark.sql.codegen.fallback", "false")
-      .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
@@ -135,13 +123,8 @@ class ExtensionsSpec extends AnyFunSuite {
     // race this parity check exists to prevent.
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master("local[2]")
+    val spark = GraftSession.builder(defaultCpus = 2)
       .appName("graft-registerall-parity")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
       Verify.registerAll(spark)

@@ -447,6 +447,40 @@ class RetrievalGraphSpec extends SparkSpec {
       "frontier-delta diverged from full-state on the symmetrized chain")
   }
 
+  test("bfs hops: an even-multiplicity one-direction duplicate fails the guard (the xor escape)") {
+    // (a, b), (a, b) without (b, a): h⊕h = 0 on BOTH xor fingerprints,
+    // so the round-14 bit_xor check alone was blind to exactly this
+    // input (r14 advice) — the decimal-sum fingerprint sees
+    // 2·h(a, b) vs 2·h(b, a) and must fail loudly
+    val sym = spark.range(6)
+      .select(col("id").as("Src"), (col("id") + 1L).as("Dst"))
+    val base = sym.union(sym.select(col("Dst").as("Src"), col("Src").as("Dst")))
+    val dup = spark.range(2) // two copies of (100, 101); no (101, 100)
+      .select(lit(100L).as("Src"), lit(101L).as("Dst"))
+    val edges = base.union(dup)
+      .withColumn("OutDeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("Src"))))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.bfsHopsOf(edges, maxRounds = 64)
+    }
+    assert(e.getMessage.contains("SYMMETRIZED"),
+      s"guard missed the even-multiplicity duplicate: ${e.getMessage}")
+
+    // duplicate of an edge whose reverse EXISTS: every distinct pair
+    // has a reverse, so the old counted diagnostic would self-
+    // contradict ("0 of N sampled edges have no reverse") — the
+    // fingerprint-mismatch message must take the alternate branch
+    val dupPaired = base.union(
+        spark.range(2).select(lit(0L).as("Src"), lit(1L).as("Dst")))
+      .withColumn("OutDeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("Src"))))
+    val e2 = intercept[IllegalArgumentException] {
+      GraphOps.bfsHopsOf(dupPaired, maxRounds = 64)
+    }
+    assert(e2.getMessage.contains("fall outside the diagnostic sample"),
+      s"expected the alternate (non-counted) diagnostic: ${e2.getMessage}")
+  }
+
   test("connected components: labels equal a driver union-find; sizes reconcile") {
     val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))

@@ -3,17 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for all suites (one per forked test JVM). */
+/** Shared local session for all suites (one per forked test JVM) —
+  * built by [[GraftSession]] so every spec runs at the exact engine
+  * session settings (and the builder itself is under test). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = GraftSession.local(defaultCpus = 4)
 
   val sfDir = "/root/testdata/sf0.001"
 
