@@ -274,6 +274,7 @@ object SparkEntry {
     "clean_impute" -> (RelationalOps.imputeReport _),
     "sketch_kmv_distinct" -> (RelationalOps.kmvDistinct _),
     "sketch_source_overlap" -> (TextOps.sourceOverlapKmv _),
+    "sketch_source_difference" -> (TextOps.sourceDifferenceKmv _),
     "sketch_source_overlap_stream" ->
       (graft.streaming.DocsStream.sourceOverlapStreamQuery _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
@@ -456,6 +457,7 @@ object SparkEntry {
     "clean_impute" -> ExtSql.cleanImpute,
     "sketch_kmv_distinct" -> ExtSql.kmvDistinct,
     "sketch_source_overlap" -> ExtSql.sketchSourceOverlap,
+    "sketch_source_difference" -> ExtSql.sketchSourceDifference,
     "sketch_source_overlap_stream" -> ExtSql.sketchSourceOverlapStream,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,

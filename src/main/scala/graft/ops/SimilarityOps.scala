@@ -154,19 +154,53 @@ object SimilarityOps {
     * wants a bigger [[CandidateRowsPerTask]], not more tasks). */
   val CandidateMaxPartitions: Int = 1 << 18
 
+  /** Floor on SHUFFLED input rows per reduce task for a self-sized
+    * exchange — the round-15 counterpart of [[CandidateRowsPerTask]],
+    * found by the full-20M edge run the r14 verdict prescribed: width
+    * sized by candidate OUTPUT alone computed 71,582 reducers for an
+    * 80M-row map side, i.e. ~1 row per (map, reduce) slice — and a
+    * shuffle slice is a compression frame, so 44 GB of quantized
+    * vectors wrote as ~60 GB of one-row frames (zero compression +
+    * per-frame overhead) and EXHAUSTED the disk twice, under lz4 AND
+    * zstd. 16,384 rows × ~0.5 KB ≈ 8 MB of reduce input per task
+    * keeps slices at compressible granularity (the measured-good r13
+    * 500k condition had ~55 rows/slice; the fatal one ~0.06) while
+    * staying far above any dispatch-overhead regime. The same bytes
+    * are NETWORK frames on a cluster — granularity, not disk, is the
+    * portable constraint. */
+  val MinShuffleRowsPerTask = 16384L
+
   /** Exchange width for a join producing `candRows` candidate rows:
     * ceil(candRows / cap), floored by the SESSION's shuffle partitions
     * — when the cap doesn't bind, the plan is byte-identical to the
     * un-sized form (session shuffle + AQE coalescing untouched), so
     * gate-scale plans never pay for the scale path. The env var the
     * probes export (`SPARK_GRAFT_SHUFFLE`, which raises the session
-    * setting) is hereby an OVERRIDE floor, not a requirement. */
+    * setting) is hereby an OVERRIDE floor, not a requirement.
+    *
+    * `inputRows` > 0 (opt-in per site) additionally UPPER-bounds the
+    * width at inputRows / [[MinShuffleRowsPerTask]] — for exchanges
+    * whose candidate volume is an arithmetic fan-out of a much
+    * smaller shuffled row set (the routed-kNN routing and edge
+    * joins), where output-only sizing fragments the shuffle into
+    * one-row frames (scaladoc above). Sites whose consumer SORTS its
+    * input (the semantic-dedup verify join) keep output-only sizing:
+    * their map sides are scan-width, so slices stay coarse, and the
+    * candidate cap is what bounds their per-task stream. The two
+    * bounds conflict only when per-task work is streaming-cheap, so
+    * the input bound wins the min(). */
   private[graft] def candidatePartitions(spark: SparkSession, candRows: Double,
-                                         capRowsPerTask: Long = CandidateRowsPerTask): Int = {
+                                         capRowsPerTask: Long = CandidateRowsPerTask,
+                                         inputRows: Double = 0.0,
+                                         minRowsPerTask: Long = MinShuffleRowsPerTask): Int = {
     val session = spark.sessionState.conf.numShufflePartitions
-    val computed = math.ceil(candRows / capRowsPerTask.toDouble)
+    val byCand = math.ceil(candRows / capRowsPerTask.toDouble)
       .min(CandidateMaxPartitions.toDouble).toInt
-    math.max(session, computed)
+    val byInput =
+      if (inputRows > 0)
+        math.max(session.toDouble, math.floor(inputRows / minRowsPerTask.toDouble)).toInt
+      else byCand
+    math.max(session, math.min(byCand, byInput))
   }
 
   private val quantMemo =
@@ -521,7 +555,8 @@ object SimilarityOps {
                                       nCentroids: Int = DefaultNCentroids,
                                       nprobe: Int = DefaultNProbe,
                                       sampleEvery: Long = 1L,
-                                      capRowsPerTask: Long = CandidateRowsPerTask): DataFrame = {
+                                      capRowsPerTask: Long = CandidateRowsPerTask,
+                                      minRowsPerTask: Long = MinShuffleRowsPerTask): DataFrame = {
     graft.functions.SketchAggregates.register(spark)
     val base = ivfIndexPath(spark, dir, nCentroids)
     val cent = spark.read.parquet(s"$base/codebook")
@@ -544,13 +579,19 @@ object SimilarityOps {
     // the same (key, width), so the join reuses the two exchanges
     // as-is; when the cap doesn't bind the plan is untouched.
     val n = embeddingsCount(spark, dir)
-    val candRows = (n.toDouble / sampleEvery.toDouble) * nprobe *
-      math.max(1.0, n.toDouble / nCentroids)
-    val p = candidatePartitions(spark, candRows, capRowsPerTask)
+    val nQ = n.toDouble / sampleEvery.toDouble
+    val candRows = nQ * nprobe * math.max(1.0, n.toDouble / nCentroids)
+    // the edge join's consumer STREAMS (topk_edges partial agg), so
+    // the candidate cap is soft here and the input-granularity bound
+    // may win the min — per-task candidate volume then grows, but
+    // per-task STATE stays queries-per-task × k pairs (hash path)
+    val p = candidatePartitions(spark, candRows, capRowsPerTask,
+      inputRows = nQ * nprobe + n.toDouble, minRowsPerTask = minRowsPerTask)
     // the routing crossJoin fans each query K ways — sized like the
-    // candidate join (nQueries·K known at plan-build time)
+    // candidate join (nQueries·K known at plan-build time), input-
+    // bounded by the actual nQueries rows it shuffles
     val routes = nearestCentroids(queries, cent, nprobe, "SrcId", "QS", "NS",
-      routeRows = (n.toDouble / sampleEvery.toDouble) * nCentroids)
+      routeRows = nQ * nCentroids, routeInputRows = nQ)
     val (routesS, listsS) =
       if (p > spark.sessionState.conf.numShufflePartitions)
         (routes.repartition(p, col("Cid")), lists.repartition(p, col("Cid")))
@@ -822,16 +863,23 @@ object SimilarityOps {
     * non-unique id must pre-aggregate or take the take=1 path. */
   private def nearestCentroids(vecs: DataFrame, cent: DataFrame, take: Int,
                                idCol: String, vecCol: String, normCol: String,
-                               routeRows: Double = 0.0): DataFrame = {
+                               routeRows: Double = 0.0,
+                               routeInputRows: Double = 0.0): DataFrame = {
     // routeRows > 0 (the probe/scale callers): size the routing
     // exchange from the known n·K crossJoin volume — the substrate's
     // pinned width is right for narrow passes, but here every input
     // row fans out K ways into the rank aggregate, whose sort-based
     // fallback (any group count past the ObjectHashAggregate
     // threshold) sorts the whole per-task fan-out. Same
-    // rows-per-task cap as the candidate joins.
+    // rows-per-task cap as the candidate joins; `routeInputRows` (the
+    // SHUFFLED row count, = routeRows / K) additionally bounds the
+    // width to compressible slice granularity — the fan-out is
+    // arithmetic, not rows, so output-only sizing here computed a
+    // 17,888-wide exchange for 20M rows and fragmented every
+    // DOWNSTREAM map side too (round 15, the full-20M run).
     val vecsS = {
-      val p = candidatePartitions(vecs.sparkSession, routeRows)
+      val p = candidatePartitions(vecs.sparkSession, routeRows,
+        inputRows = routeInputRows)
       if (routeRows > 0 &&
           p > vecs.sparkSession.sessionState.conf.numShufflePartitions)
         vecs.repartition(p, col(idCol))

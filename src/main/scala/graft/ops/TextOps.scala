@@ -632,6 +632,87 @@ object TextOps {
         .otherwise(col("Matched").cast(DoubleType)))
   }
 
+  /** Directional source DIFFERENCE / containment estimates from the
+    * SAME per-source KMV sketches as [[sourceOverlapKmv]] (round 15 —
+    * the source-subsumption question overlap alone cannot answer:
+    * "is source A mostly contained in B, or do they just share a
+    * slice?"). For each pair, the union's bottom-k keys are split by
+    * side membership — InA/InB — and the theta scale-up prices
+    * |A\B|, |B\A| exactly like the overlap (count · (k−1)/k / θ);
+    * per-source cardinalities come from each source's OWN sketch
+    * (kth smallest of its bottom-k), so ContainAB = Est(A∩B)/Est(A)
+    * is a pure sketch-domain statistic. The whole-corpus exact
+    * certificate reuses the overlap's intersection join:
+    * exact|A\B| = N_A − exact∩ (no new join shape), with the same
+    * 4·quantum·√(count+1) CI certificate per direction. Identity the
+    * spec pins: EstAOnly + EstBOnly + EstOverlap = EstUnion (the
+    * three-way split of the union's bottom-k is exhaustive).
+    * One pass over the distinct (source, hash) substrate; pair frame
+    * is sketch-scale. */
+  def sourceDifferenceKmv(spark: SparkSession, dir: String): DataFrame = {
+    val hs = DedupOps.sourceShingles(spark, dir)
+      .select(col("source"), shingleHashCol(col("Shingle")).as("V"))
+      .distinct()
+    kmvDifferencePairs(hs)
+  }
+
+  /** The pair math of [[sourceDifferenceKmv]] over any (source, V)
+    * distinct-hash frame. */
+  private[graft] def kmvDifferencePairs(hs: DataFrame): DataFrame = {
+    val spark = hs.sparkSession
+    graft.functions.SketchAggregates.register(spark)
+    val k = graft.ops.RelationalOps.KmvK
+    val pow48 = 281474976710656.0
+    val dUnion = (k - 1).toDouble * pow48
+    val cInter = dUnion / k
+    val srcs = hs.groupBy(col("source"))
+      .agg(count(lit(1)).as("N"), expr(s"kmv_kmin(V, $k)").as("Ks"))
+    val exact = hs.select(col("source").as("SA"), col("V"))
+      .join(hs.select(col("source").as("SB"), col("V")), "V")
+      .filter(col("SA") < col("SB"))
+      .groupBy(col("SA"), col("SB"))
+      .agg(count(lit(1)).as("ExactOverlap"))
+    // own-sketch cardinality: bottom-k full ⇒ (k−1)·2⁴⁸/kth, else the
+    // sketch IS the set (exact count) — mirrors EstUnion's two branches
+    def estOf(ks: Column): Column =
+      when(size(ks) >= k, lit(dUnion) / array_max(ks).cast(DoubleType))
+        .otherwise(size(ks).cast(DoubleType))
+    // theta scale-up of a union-bottom-k side count — the EstOverlap
+    // arithmetic verbatim (operation order mirrored in the oracle)
+    def scaled(cnt: Column): Column =
+      when(col("Sz") >= k,
+        cnt.cast(DoubleType) * lit(cInter) / col("Kth").cast(DoubleType))
+        .otherwise(cnt.cast(DoubleType))
+    def errOk(est: Column, ex: Column, cnt: Column): Column =
+      abs(est - ex.cast(DoubleType)) <=
+        lit(4.0) * (col("EstUnion") / lit(k.toDouble)) *
+          sqrt(cnt.cast(DoubleType) + lit(1.0))
+    kmvPairEstimates(srcs)
+      .join(exact, Seq("SA", "SB"), "left")
+      .withColumn("ExactOverlap", coalesce(col("ExactOverlap"), lit(0L)))
+      .withColumn("InA", size(filter(col("U"),
+        v => array_contains(col("A_Ks"), v))))
+      .withColumn("InB", size(filter(col("U"),
+        v => array_contains(col("B_Ks"), v))))
+      .withColumn("EstA", estOf(col("A_Ks")))
+      .withColumn("EstB", estOf(col("B_Ks")))
+      .withColumn("EstAOnly", scaled(col("InA") - col("Matched")))
+      .withColumn("EstBOnly", scaled(col("InB") - col("Matched")))
+      .withColumn("ExactAOnly", col("A_N") - col("ExactOverlap"))
+      .withColumn("ExactBOnly", col("B_N") - col("ExactOverlap"))
+      .withColumn("ContainAB", col("EstOverlap") / col("EstA"))
+      .withColumn("ContainBA", col("EstOverlap") / col("EstB"))
+      .withColumn("ErrOkA",
+        errOk(col("EstAOnly"), col("ExactAOnly"), col("InA") - col("Matched")))
+      .withColumn("ErrOkB",
+        errOk(col("EstBOnly"), col("ExactBOnly"), col("InB") - col("Matched")))
+      .select(col("SA"), col("SB"), col("EstA"), col("EstB"),
+        col("EstAOnly"), col("EstBOnly"),
+        col("ExactAOnly"), col("ExactBOnly"),
+        col("ContainAB"), col("ContainBA"), col("ErrOkA"), col("ErrOkB"))
+      .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
+  }
+
   /** The pair math of [[sourceOverlapKmv]] over any (source, V)
     * distinct-hash frame (spec entry point: plant known value sets,
     * check the estimator against hand-computed order statistics). */

@@ -2400,8 +2400,15 @@ uv AS (
 ),
 rk AS (SELECT sa, sb, v, ia, ib,
               row_number() OVER (PARTITION BY sa, sb ORDER BY v) AS rn FROM uv),
-sk AS (SELECT sa, sb, count(*) AS sz, max(v) AS kth, sum(ia * ib) AS matched
+sk AS (SELECT sa, sb, count(*) AS sz, max(v) AS kth, sum(ia * ib) AS matched,
+              sum(ia) AS ina, sum(ib) AS inb
        FROM rk WHERE rn <= $k GROUP BY sa, sb),
+-- each source's OWN bottom-k order statistics (the difference query's
+-- per-source cardinality estimate)
+srk AS (SELECT source, v,
+               row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM hs),
+skth AS (SELECT source, count(*) AS sz, max(v) AS kth
+         FROM srk WHERE rn <= $k GROUP BY source),
 ex AS (SELECT sa, sb, sum(ia * ib) AS exact FROM uv GROUP BY sa, sb),
 fin AS (
   SELECT p.sa, p.sb, p.na, p.nb,
@@ -2412,10 +2419,14 @@ fin AS (
               THEN CAST(s.matched AS DOUBLE) * CAST($cInter AS DOUBLE)
                      / CAST(s.kth AS DOUBLE)
               ELSE CAST(s.matched AS DOUBLE) END AS est_overlap,
-         s.matched AS matched
+         s.matched AS matched, s.sz AS sz, s.kth AS kth,
+         s.ina AS ina, s.inb AS inb,
+         ka.sz AS a_sz, ka.kth AS a_kth, kb.sz AS b_sz, kb.kth AS b_kth
   FROM pairs p
   JOIN sk s ON s.sa = p.sa AND s.sb = p.sb
   JOIN ex e ON e.sa = p.sa AND e.sb = p.sb
+  JOIN skth ka ON ka.source = p.sa
+  JOIN skth kb ON kb.source = p.sb
 )
 """
   }
@@ -2431,6 +2442,48 @@ SELECT sa AS "SA", sb AS "SB",
           <= 4.0 * (est_union / $k.0)
                * sqrt(CAST(matched AS DOUBLE) + 1.0)) AS "ErrOk"
 FROM fin ORDER BY "SA", "SB"
+"""
+  }
+
+  /** Directional difference / containment mirror — the same CTE body,
+    * with each source's own bottom-k recomputed relationally (srk/
+    * skth) and the EstOverlap arithmetic applied to the union's
+    * side-membership counts. Operation order mirrors
+    * TextOps.kmvDifferencePairs column for column. */
+  val sketchSourceDifference: String = {
+    val k = graft.ops.RelationalOps.KmvK
+    val dUnion = (k - 1).toDouble * 281474976710656.0
+    val cInter = dUnion / k
+    sourceOverlapCtes + s"""
+SELECT sa AS "SA", sb AS "SB",
+       est_a AS "EstA", est_b AS "EstB",
+       est_aonly AS "EstAOnly", est_bonly AS "EstBOnly",
+       CAST(na - exact AS BIGINT) AS "ExactAOnly",
+       CAST(nb - exact AS BIGINT) AS "ExactBOnly",
+       est_overlap / est_a AS "ContainAB",
+       est_overlap / est_b AS "ContainBA",
+       (abs(est_aonly - CAST(na - exact AS DOUBLE))
+          <= 4.0 * (est_union / $k.0)
+               * sqrt(CAST(ina - matched AS DOUBLE) + 1.0)) AS "ErrOkA",
+       (abs(est_bonly - CAST(nb - exact AS DOUBLE))
+          <= 4.0 * (est_union / $k.0)
+               * sqrt(CAST(inb - matched AS DOUBLE) + 1.0)) AS "ErrOkB"
+FROM (
+  SELECT fin.*,
+         CASE WHEN a_sz >= $k THEN CAST($dUnion AS DOUBLE) / CAST(a_kth AS DOUBLE)
+              ELSE CAST(a_sz AS DOUBLE) END AS est_a,
+         CASE WHEN b_sz >= $k THEN CAST($dUnion AS DOUBLE) / CAST(b_kth AS DOUBLE)
+              ELSE CAST(b_sz AS DOUBLE) END AS est_b,
+         CASE WHEN sz >= $k
+              THEN CAST(ina - matched AS DOUBLE) * CAST($cInter AS DOUBLE)
+                     / CAST(kth AS DOUBLE)
+              ELSE CAST(ina - matched AS DOUBLE) END AS est_aonly,
+         CASE WHEN sz >= $k
+              THEN CAST(inb - matched AS DOUBLE) * CAST($cInter AS DOUBLE)
+                     / CAST(kth AS DOUBLE)
+              ELSE CAST(inb - matched AS DOUBLE) END AS est_bonly
+  FROM fin
+) d ORDER BY "SA", "SB"
 """
   }
 

@@ -23,7 +23,6 @@ object SemDedupK {
     val ks = (if (args.length > 1) args(1) else "16,64,128")
       .split(',').map(_.trim.toInt)
     val mode = if (args.length > 2) args(2) else "flat"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle partitions are a SEPARATE axis from parallelism at the
     // 20M-vector decade: the k-means dims explode is n·64 rows, and
     // with partitions == cpus each concurrent task sort-merges
@@ -34,9 +33,9 @@ object SemDedupK {
     // small downstream stages). Since round 14 BOTH the verify join
     // AND the k-means update join size their own exchanges
     // (SimilarityOps.candidatePartitions — the 20M build computes the
-    // hand-tuned 256 from n·Dims), so this env var is an OVERRIDE
-    // floor for experiments, no longer a requirement at any decade
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // hand-tuned 256 from n·Dims), so SPARK_GRAFT_SHUFFLE (read by
+    // GraftSession) is an OVERRIDE floor for experiments, no longer a
+    // requirement at any decade
     val spark = graft.GraftSession.local()
     def race(name: String, build: Int => org.apache.spark.sql.DataFrame): String = {
       val results = ks.map { k =>

@@ -541,6 +541,18 @@ class PlanSpec extends SparkSpec {
     assert(SimilarityOps.candidatePartitions(spark, 1e9, 5000000L) == 200)
     assert(SimilarityOps.candidatePartitions(spark, 1e30, 5000000L)
       == SimilarityOps.CandidateMaxPartitions)
+    // the round-15 input-granularity bound: an exchange shuffling few
+    // rows must not be split past rows/MinShuffleRowsPerTask reducers
+    // no matter how large the arithmetic candidate fan-out is (one-row
+    // shuffle slices = one compression frame per row — the full-20M
+    // disk exhaustion), and the bound never drops below the session
+    // floor nor binds when inputRows is not supplied
+    assert(SimilarityOps.candidatePartitions(spark, 1e12, 5000000L,
+      inputRows = 16384.0 * 1000) == 1000)
+    assert(SimilarityOps.candidatePartitions(spark, 1e12, 5000000L,
+      inputRows = 100.0) == session)
+    assert(SimilarityOps.candidatePartitions(spark, 1e9, 5000000L,
+      inputRows = 1e12) == 200)
     val n = graft.etl.Tables.embeddings(spark, sfDir).count()
     // routed-kNN edge stage, cap forced tiny so the rule binds at gate
     // scale: BOTH candidate-join inputs must plan pinned
@@ -551,7 +563,10 @@ class PlanSpec extends SparkSpec {
     val cap = 1000L
     val p = math.max(session, math.ceil(cand / cap).toInt)
     assert(p > session, "fixture too small — the forced cap no longer binds")
-    val sizedPlan = SimilarityOps.knnGraphIvfEdges(spark, sfDir, capRowsPerTask = cap)
+    // minRowsPerTask forced to 1 so the gate-scale input row count
+    // (n·nprobe + n) cannot bind — this leg exercises the output cap
+    val sizedPlan = SimilarityOps.knnGraphIvfEdges(spark, sfDir,
+        capRowsPerTask = cap, minRowsPerTask = 1L)
       .queryExecution.executedPlan.toString
     val marker = s", $p), REPARTITION_BY_NUM"
     val hits = sizedPlan.sliding(marker.length).count(_ == marker)
@@ -569,6 +584,16 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!defaultPlan.contains(marker),
       s"gate-scale plan grew a sized exchange the cap should not bind:\n$defaultPlan")
+    // and with the PRODUCTION granularity floor the same forced cap
+    // must NOT widen the exchange: the fixture shuffles only
+    // n·nprobe + n rows, so the input bound clamps the width back to
+    // the session floor (the round-15 fragmentation guard, asserted
+    // from the plan side)
+    val clampedPlan = SimilarityOps.knnGraphIvfEdges(spark, sfDir,
+        capRowsPerTask = cap)
+      .queryExecution.executedPlan.toString
+    assert(!clampedPlan.contains(marker),
+      s"input-granularity bound failed to clamp a fan-out-sized exchange:\n$clampedPlan")
     // the semantic-dedup verify join sizes the same way (n²/2K)
     val base = SimilarityOps.ivfIndexPath(spark, sfDir, SimilarityOps.DefaultNCentroids)
     val pd = math.max(session, math.ceil(

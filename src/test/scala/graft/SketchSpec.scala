@@ -328,4 +328,59 @@ class SketchSpec extends SparkSpec {
         s"estimate outside its CI: $r")
     }
   }
+
+  test("kmv source difference: hand-computed order statistics, exact three-way split, both branches") {
+    import spark.implicits._
+    val k = RelationalOps.KmvK // 256
+    val pow48 = 281474976710656.0
+    val dUnion = (k - 1).toDouble * pow48
+    val cInter = dUnion / k
+    // same planted sets as the overlap spec: a = {1..300}, b =
+    // {201..500} (union ≥ k → the θ branch), c = {1..50}, d =
+    // {31..90} (union < k → the sketch IS the set)
+    val ab = (1L to 300L).map(("a", _)) ++ (201L to 500L).map(("b", _))
+    val cd = (1L to 50L).map(("c", _)) ++ (31L to 90L).map(("d", _))
+    val rows = graft.ops.TextOps.kmvDifferencePairs((ab ++ cd).toDF("source", "V"))
+      .collect().map(r => (r.getAs[String]("SA"), r.getAs[String]("SB")) -> r).toMap
+    val est = rows(("a", "b"))
+    // U = {1..256}: InA = 256, InB = matched = 56
+    assert(est.getAs[Double]("EstAOnly") === 200.0 * cInter / 256.0)
+    assert(est.getAs[Double]("EstBOnly") === 0.0)
+    assert(est.getAs[Long]("ExactAOnly") === 200L)
+    assert(est.getAs[Long]("ExactBOnly") === 200L)
+    // own-sketch cardinalities: a's kth = 256, b's kth = 456
+    assert(est.getAs[Double]("EstA") === dUnion / 256.0)
+    assert(est.getAs[Double]("EstB") === dUnion / 456.0)
+    // ContainAB = EstOverlap/EstA = matched/k — exact in doubles (all
+    // powers of two and small integers)
+    assert(est.getAs[Double]("ContainAB") === 56.0 / 256.0)
+    // the three-way split of the union's bottom-k is exhaustive:
+    // EstAOnly + EstBOnly + EstOverlap == EstUnion, exactly
+    assert(est.getAs[Double]("EstAOnly") + est.getAs[Double]("EstBOnly")
+      + 56.0 * cInter / 256.0 === dUnion / 256.0)
+    val exacts = rows(("c", "d"))
+    assert(exacts.getAs[Double]("EstAOnly") === 30.0)
+    assert(exacts.getAs[Double]("EstBOnly") === 40.0)
+    assert(exacts.getAs[Long]("ExactAOnly") === 30L)
+    assert(exacts.getAs[Long]("ExactBOnly") === 40L)
+    assert(exacts.getAs[Double]("EstA") === 50.0)
+    assert(exacts.getAs[Double]("ContainAB") === 20.0 / 50.0)
+    assert(exacts.getAs[Boolean]("ErrOkA") && exacts.getAs[Boolean]("ErrOkB"),
+      "sub-k branch is exact — its own certificate must pass")
+  }
+
+  test("kmv source difference: corpus pairs carry certified directional estimates") {
+    val rows = graft.ops.TextOps.sourceDifferenceKmv(spark, sfDir).collect()
+    assert(rows.length === 190, s"20 sources → 190 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ExactAOnly") >= 0L && r.getAs[Long]("ExactBOnly") >= 0L)
+      assert(r.getAs[Boolean]("ErrOkA") && r.getAs[Boolean]("ErrOkB"),
+        s"difference estimate outside its CI: $r")
+      // a containment ESTIMATE can drift past 1.0 under sketch noise
+      // (M·A_kth/(k·Kth) with A_kth ≥ Kth) — sanity-bound, don't pin
+      val (cab, cba) = (r.getAs[Double]("ContainAB"), r.getAs[Double]("ContainBA"))
+      assert(cab >= 0.0 && cab <= 1.5 && cba >= 0.0 && cba <= 1.5,
+        s"containment grossly out of range: $r")
+    }
+  }
 }
