@@ -277,6 +277,8 @@ object SparkEntry {
     "sketch_source_difference" -> (TextOps.sourceDifferenceKmv _),
     "sketch_source_overlap_stream" ->
       (graft.streaming.DocsStream.sourceOverlapStreamQuery _),
+    "sketch_source_difference_stream" ->
+      (graft.streaming.DocsStream.sourceDifferenceStreamQuery _),
     "sample_bottomk" -> (RelationalOps.sampleBottomK _),
     "agg_incremental_daily" -> (AggMaintenance.incrementalDaily _),
     "events_click_attribution" -> (EventsOps.clickAttribution _),
@@ -459,6 +461,7 @@ object SparkEntry {
     "sketch_source_overlap" -> ExtSql.sketchSourceOverlap,
     "sketch_source_difference" -> ExtSql.sketchSourceDifference,
     "sketch_source_overlap_stream" -> ExtSql.sketchSourceOverlapStream,
+    "sketch_source_difference_stream" -> ExtSql.sketchSourceDifferenceStream,
     "sample_bottomk" -> ExtSql.sampleBottomK,
     "agg_incremental_daily" -> ExtSql.aggIncrementalDaily,
     "events_click_attribution" -> ExtSql.clickAttribution,

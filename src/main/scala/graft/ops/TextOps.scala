@@ -656,22 +656,22 @@ object TextOps {
     kmvDifferencePairs(hs)
   }
 
-  /** The pair math of [[sourceDifferenceKmv]] over any (source, V)
-    * distinct-hash frame. */
-  private[graft] def kmvDifferencePairs(hs: DataFrame): DataFrame = {
-    val spark = hs.sparkSession
-    graft.functions.SketchAggregates.register(spark)
+  /** The sketch-only layer of the difference pair math, over
+    * per-source sketch rows (`source`, `Ks`, optionally more — all
+    * columns survive A_/B_-prefixed like [[kmvPairEstimates]]):
+    * side-membership splits of the union bottom-k, own-sketch
+    * cardinalities, directional difference estimates and containments.
+    * Everything here derives from the SKETCHES alone, which is what
+    * lets the streaming twin emit these columns from its maintained
+    * sketch table; the batch query layers the whole-corpus exact
+    * certificate on top. Internal columns (U/Sz/Kth/Matched/InA/InB/
+    * EstUnion/EstOverlap + prefixed inputs) are kept for that layer —
+    * callers select their declared output. */
+  private[graft] def kmvDifferenceEstimates(srcs: DataFrame): DataFrame = {
     val k = graft.ops.RelationalOps.KmvK
     val pow48 = 281474976710656.0
     val dUnion = (k - 1).toDouble * pow48
     val cInter = dUnion / k
-    val srcs = hs.groupBy(col("source"))
-      .agg(count(lit(1)).as("N"), expr(s"kmv_kmin(V, $k)").as("Ks"))
-    val exact = hs.select(col("source").as("SA"), col("V"))
-      .join(hs.select(col("source").as("SB"), col("V")), "V")
-      .filter(col("SA") < col("SB"))
-      .groupBy(col("SA"), col("SB"))
-      .agg(count(lit(1)).as("ExactOverlap"))
     // own-sketch cardinality: bottom-k full ⇒ (k−1)·2⁴⁸/kth, else the
     // sketch IS the set (exact count) — mirrors EstUnion's two branches
     def estOf(ks: Column): Column =
@@ -683,13 +683,7 @@ object TextOps {
       when(col("Sz") >= k,
         cnt.cast(DoubleType) * lit(cInter) / col("Kth").cast(DoubleType))
         .otherwise(cnt.cast(DoubleType))
-    def errOk(est: Column, ex: Column, cnt: Column): Column =
-      abs(est - ex.cast(DoubleType)) <=
-        lit(4.0) * (col("EstUnion") / lit(k.toDouble)) *
-          sqrt(cnt.cast(DoubleType) + lit(1.0))
     kmvPairEstimates(srcs)
-      .join(exact, Seq("SA", "SB"), "left")
-      .withColumn("ExactOverlap", coalesce(col("ExactOverlap"), lit(0L)))
       .withColumn("InA", size(filter(col("U"),
         v => array_contains(col("A_Ks"), v))))
       .withColumn("InB", size(filter(col("U"),
@@ -698,10 +692,40 @@ object TextOps {
       .withColumn("EstB", estOf(col("B_Ks")))
       .withColumn("EstAOnly", scaled(col("InA") - col("Matched")))
       .withColumn("EstBOnly", scaled(col("InB") - col("Matched")))
-      .withColumn("ExactAOnly", col("A_N") - col("ExactOverlap"))
-      .withColumn("ExactBOnly", col("B_N") - col("ExactOverlap"))
       .withColumn("ContainAB", col("EstOverlap") / col("EstA"))
       .withColumn("ContainBA", col("EstOverlap") / col("EstB"))
+  }
+
+  /** The estimate-only difference columns — the streaming twin's
+    * declared production output (an ingestion stream cannot certify
+    * against the whole corpus it has not seen). */
+  private[graft] val DifferenceEstimateCols: Seq[String] = Seq(
+    "SA", "SB", "EstA", "EstB", "EstAOnly", "EstBOnly",
+    "ContainAB", "ContainBA")
+
+  /** The pair math of [[sourceDifferenceKmv]] over any (source, V)
+    * distinct-hash frame: [[kmvDifferenceEstimates]] plus the
+    * whole-corpus exact certificates. */
+  private[graft] def kmvDifferencePairs(hs: DataFrame): DataFrame = {
+    val spark = hs.sparkSession
+    graft.functions.SketchAggregates.register(spark)
+    val k = graft.ops.RelationalOps.KmvK
+    val srcs = hs.groupBy(col("source"))
+      .agg(count(lit(1)).as("N"), expr(s"kmv_kmin(V, $k)").as("Ks"))
+    val exact = hs.select(col("source").as("SA"), col("V"))
+      .join(hs.select(col("source").as("SB"), col("V")), "V")
+      .filter(col("SA") < col("SB"))
+      .groupBy(col("SA"), col("SB"))
+      .agg(count(lit(1)).as("ExactOverlap"))
+    def errOk(est: Column, ex: Column, cnt: Column): Column =
+      abs(est - ex.cast(DoubleType)) <=
+        lit(4.0) * (col("EstUnion") / lit(k.toDouble)) *
+          sqrt(cnt.cast(DoubleType) + lit(1.0))
+    kmvDifferenceEstimates(srcs)
+      .join(exact, Seq("SA", "SB"), "left")
+      .withColumn("ExactOverlap", coalesce(col("ExactOverlap"), lit(0L)))
+      .withColumn("ExactAOnly", col("A_N") - col("ExactOverlap"))
+      .withColumn("ExactBOnly", col("B_N") - col("ExactOverlap"))
       .withColumn("ErrOkA",
         errOk(col("EstAOnly"), col("ExactAOnly"), col("InA") - col("Matched")))
       .withColumn("ErrOkB",

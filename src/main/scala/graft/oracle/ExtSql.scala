@@ -2487,6 +2487,38 @@ FROM (
 """
   }
 
+  /** Estimate-only difference mirror for the streaming twin — the
+    * sketch-derived columns only (no whole-corpus exact certificate),
+    * same nested CASE arithmetic as [[sketchSourceDifference]]. */
+  val sketchSourceDifferenceStream: String = {
+    val k = graft.ops.RelationalOps.KmvK
+    val dUnion = (k - 1).toDouble * 281474976710656.0
+    val cInter = dUnion / k
+    sourceOverlapCtes + s"""
+SELECT sa AS "SA", sb AS "SB",
+       est_a AS "EstA", est_b AS "EstB",
+       est_aonly AS "EstAOnly", est_bonly AS "EstBOnly",
+       est_overlap / est_a AS "ContainAB",
+       est_overlap / est_b AS "ContainBA"
+FROM (
+  SELECT fin.*,
+         CASE WHEN a_sz >= $k THEN CAST($dUnion AS DOUBLE) / CAST(a_kth AS DOUBLE)
+              ELSE CAST(a_sz AS DOUBLE) END AS est_a,
+         CASE WHEN b_sz >= $k THEN CAST($dUnion AS DOUBLE) / CAST(b_kth AS DOUBLE)
+              ELSE CAST(b_sz AS DOUBLE) END AS est_b,
+         CASE WHEN sz >= $k
+              THEN CAST(ina - matched AS DOUBLE) * CAST($cInter AS DOUBLE)
+                     / CAST(kth AS DOUBLE)
+              ELSE CAST(ina - matched AS DOUBLE) END AS est_aonly,
+         CASE WHEN sz >= $k
+              THEN CAST(inb - matched AS DOUBLE) * CAST($cInter AS DOUBLE)
+                     / CAST(kth AS DOUBLE)
+              ELSE CAST(inb - matched AS DOUBLE) END AS est_bonly
+  FROM fin
+) d ORDER BY "SA", "SB"
+"""
+  }
+
   /** Estimate-only mirror for the streaming twin — the declared
     * production columns (no whole-corpus exact certificate). */
   val sketchSourceOverlapStream: String = sourceOverlapCtes + """

@@ -291,7 +291,28 @@ object DocsStream {
     * merged sketches run the SAME pair math as the batch query
     * (TextOps.kmvPairEstimates, one definition). State is
     * |sources| × k longs however long the stream runs. */
-  def sourceOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+  def sourceOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.kmvPairEstimates(mergedSourceSketchesOnce(spark, dir))
+      .select(col("SA"), col("SB"), col("Matched"),
+        col("EstUnion"), col("EstOverlap"))
+      .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
+
+  /** Streaming twin of `sketch_source_difference` — the directional
+    * |A\\B| / |B\\A| and containment ESTIMATES are sketch-only
+    * statistics (TextOps.kmvDifferenceEstimates), so the same merged
+    * per-source sketches the overlap twin maintains serve them with
+    * no further state; the batch query's exact certificates need the
+    * whole corpus an ingestion stream does not have. */
+  def sourceDifferenceStreamQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.kmvDifferenceEstimates(mergedSourceSketchesOnce(spark, dir))
+      .select(graft.ops.TextOps.DifferenceEstimateCols.map(col): _*)
+      .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
+
+  /** One-shot stream → merged per-source KMV sketches: stage the
+    * corpus as a file stream, fold each microbatch to per-source
+    * partials, merge by re-sketching the union (exact — the KMV
+    * composability property). Shared by both sketch stream twins. */
+  private def mergedSourceSketchesOnce(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = stageDocsOnce(dir)
     try {
       val buf = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -300,22 +321,12 @@ object DocsStream {
       }
       q.processAllAvailable()
       q.stop()
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("Ks",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType, containsNull = false))))
       val partials = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava),
-        schema)
-      val merged = graft.ops.TextOps.kmvSketchOf(
+        sketchTableSchema)
+      graft.ops.TextOps.kmvSketchOf(
         partials.select(col("source"), explode(col("Ks")).as("V")))
-      graft.ops.TextOps.kmvPairEstimates(merged)
-        .select(col("SA"), col("SB"), col("Matched"),
-          col("EstUnion"), col("EstOverlap"))
-        .transform(graft.etl.Summaries.smallSort(_, col("SA"), col("SB")))
     } finally graft.ops.BucketedTables.deleteRecursively(streamDir)
   }
 

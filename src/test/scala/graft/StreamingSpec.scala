@@ -886,6 +886,21 @@ class StreamingSpec extends SparkSpec {
     batch.foreach { case (k, v) =>
       assert(stream(k) === v, s"stream estimate diverged from batch for $k")
     }
+    // the DIFFERENCE twin rides the same merged sketches: its
+    // estimate columns must equal the batch difference query's
+    val dStream = graft.streaming.DocsStream
+      .sourceDifferenceStreamQuery(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("EstAOnly"), r.getAs[Double]("EstBOnly"),
+          r.getAs[Double]("ContainAB"))).toMap
+    val dBatch = graft.ops.TextOps.sourceDifferenceKmv(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("EstAOnly"), r.getAs[Double]("EstBOnly"),
+          r.getAs[Double]("ContainAB"))).toMap
+    assert(dStream.keySet === dBatch.keySet)
+    dBatch.foreach { case (k, v) =>
+      assert(dStream(k) === v, s"difference twin diverged from batch for $k")
+    }
   }
 
   test("kmv upsert twin: each trigger publishes estimates equal to a batch run over its prefix, across a restart") {
