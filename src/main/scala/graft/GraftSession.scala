@@ -43,9 +43,21 @@ object GraftSession {
     * shape chain onto it (`GraftSession.builder(2).appName(...)
     * .withExtensions(...)`) or pass probe-specific confs via
     * [[local]]'s `extraConfs`. */
+  /** Read an env override that must be a positive integer, failing
+    * with the variable NAME in the message — the same validation
+    * SPARK_GRAFT_OHA_FALLBACK got in round 15 and for the same
+    * reason: a malformed value otherwise surfaces as an opaque
+    * master-URL or conf parse failure deep inside session build. */
+  private[graft] def positiveIntEnv(name: String, default: String): String = {
+    val v = sys.env.getOrElse(name, default)
+    require(v.nonEmpty && v.length <= 9 && v.forall(_.isDigit) && v.toInt > 0,
+      s"$name must be a positive integer, got '$v'")
+    v
+  }
+
   def builder(defaultCpus: Int = 32): SparkSession.Builder = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val cpus = positiveIntEnv("SPARK_GRAFT_CPUS", defaultCpus.toString)
+    val shuffle = positiveIntEnv("SPARK_GRAFT_SHUFFLE", cpus)
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

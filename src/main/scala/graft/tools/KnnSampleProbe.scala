@@ -79,11 +79,30 @@ object KnnSampleProbe {
         }
       }
     })
+    // Task-end events are delivered ASYNCHRONOUSLY on the listener
+    // bus, so a snapshot taken the instant an action returns can
+    // attribute a rep's late events to the next rep (advice r15).
+    // Spark's bus-drain API is private; the observable equivalent is
+    // tally quiescence — wait until both counters hold still for
+    // 300 ms (5 s cap so a wedged bus cannot hang the probe; at that
+    // point the skew is reported, not hidden, by the loadavg line).
+    def drainTallies(): Unit = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = (shuffleW.get, spilled.get)
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() - stableSince < 300L * 1000 * 1000 &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val now = (shuffleW.get, spilled.get)
+        if (now != last) { last = now; stableSince = System.nanoTime() }
+      }
+    }
     def gb(b: Long): String = f"${b / 1e9}%.1f GB"
     val tBuild0 = System.nanoTime()
     graft.ops.SimilarityOps.ivfIndexPath(spark, dir, k) // first touch builds
     println(f"[knnsample] index_touch ${(System.nanoTime() - tBuild0) / 1e9}%.1f s")
     for (i <- 1 to reps) {
+      drainTallies()
       val (sw0, sp0) = (shuffleW.get, spilled.get)
       val t0 = System.nanoTime()
       val edges = graft.ops.SimilarityOps
@@ -96,6 +115,7 @@ object KnnSampleProbe {
           edges.write.format("noop").mode("overwrite").save()
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      drainTallies()
       println(f"[knnsample] rep $i $sec%8.2f s  " +
         f"sec_per_1e9_cand=${sec * 1e9 / candModel}%.2f  " +
         f"shuffle_write=${gb(shuffleW.get - sw0)}  " +
@@ -108,6 +128,7 @@ object KnnSampleProbe {
     // the operator)
     outDir.foreach { out =>
       import org.apache.spark.sql.functions.col
+      drainTallies()
       val (sw0, sp0) = (shuffleW.get, spilled.get)
       val t0 = System.nanoTime()
       val edges = spark.read.parquet(s"$out/edges")
@@ -118,6 +139,7 @@ object KnnSampleProbe {
           col("RS").isNotNull.as("Mutual"))
       mutual.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      drainTallies()
       println(f"[knnsample] mutual_stage $sec%8.2f s  " +
         f"shuffle_write=${gb(shuffleW.get - sw0)}  " +
         f"spill=${gb(spilled.get - sp0)}  loadavg=" +

@@ -37,14 +37,27 @@ class SessionConfigSpec extends SparkSpec {
 
   test("the shared session carries every engine-wide conf GraftSession promises") {
     // the suite session IS GraftSession.local (SparkSpec), so this
-    // asserts the builder actually lands each conf on a real session
+    // asserts the builder actually lands each conf on a real session.
+    // Env-overridable confs are asserted against the SAME expression
+    // the builder uses (advice r15: pinning the literal default made
+    // the spec fail spuriously whenever SPARK_GRAFT_* overrides were
+    // exported in the test environment, even though the builder
+    // behaved correctly).
     val c = spark.conf
     assert(c.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
       === graft.functions.SketchAggregates.ObjectHashFallbackThreshold)
     assert(c.get("spark.sql.session.timeZone") === "UTC")
     assert(c.get("spark.sql.adaptive.enabled") === "true")
     assert(c.get("spark.sql.legacy.parquet.nanosAsLong") === "true")
-    assert(c.get("spark.sql.codegen.cache.maxEntries") === "5000")
+    assert(c.get("spark.sql.codegen.cache.maxEntries")
+      === sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+    assert(c.get("spark.io.compression.codec")
+      === sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
+    // the shuffle floor follows the session's OWN cpu count (the
+    // suite may build at any defaultCpus), overridable by env
+    val cpus = spark.sparkContext.master.stripPrefix("local[").stripSuffix("]")
+    assert(c.get("spark.sql.shuffle.partitions")
+      === sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
     assert(c.get("spark.network.timeout") === "800s")
   }
 
@@ -54,5 +67,18 @@ class SessionConfigSpec extends SparkSpec {
     // to surface as an opaque Spark conf error at session build)
     val v = graft.functions.SketchAggregates.ObjectHashFallbackThreshold
     assert(v.toInt > 0)
+  }
+
+  test("cpus/shuffle env overrides are validated with the variable name") {
+    // advice r15: SPARK_GRAFT_CPUS used to interpolate unvalidated
+    // into the master URL — a typo surfaced as an obscure
+    // master-URL parse failure instead of naming the variable
+    val e = intercept[IllegalArgumentException] {
+      GraftSession.positiveIntEnv("SPARK_GRAFT_CPUS_BOGUS_TEST", "32x")
+    }
+    assert(e.getMessage.contains("SPARK_GRAFT_CPUS_BOGUS_TEST"))
+    assert(e.getMessage.contains("32x"))
+    assert(GraftSession.positiveIntEnv("SPARK_GRAFT_CPUS", "32")
+      === sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
   }
 }
