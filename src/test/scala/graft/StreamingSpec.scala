@@ -918,18 +918,25 @@ class StreamingSpec extends SparkSpec {
     def estMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[String]("SA"), r.getAs[String]("SB")) ->
         (r.getAs[Double]("EstUnion"), r.getAs[Double]("EstOverlap"))).toMap
+    def diffMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("SA"), r.getAs[String]("SB")) ->
+        (r.getAs[Double]("EstAOnly"), r.getAs[Double]("EstBOnly"),
+          r.getAs[Double]("ContainAB"))).toMap
     try {
       val published = collection.mutable.ArrayBuffer
         .empty[(Long, Map[(String, String), (Double, Double)])]
+      val publishedDiff = collection.mutable.ArrayBuffer
+        .empty[Map[(String, String), (Double, Double, Double)]]
       // each call is a FRESH query resuming from the same checkpoint —
       // the second run is the restart
       def runOnce(): Unit = {
         val q = graft.streaming.DocsStream.runSourceSketchUpsert(
           spark,
           graft.streaming.DocsStream.readDocsStream(spark, watch.toString),
-          table, ckDir.toString) { (id, est) =>
+          table, ckDir.toString) { (id, est, diff) =>
           val m = estMap(est)
-          published.synchronized { published += ((id, m)); () }
+          val d = diffMap(diff)
+          published.synchronized { published += ((id, m)); publishedDiff += d; () }
         }
         try q.processAllAvailable() finally q.stop()
       }
@@ -939,11 +946,18 @@ class StreamingSpec extends SparkSpec {
       assert(published.nonEmpty, "first trigger published nothing")
       // mid-stream publication == batch pair math over EXACTLY the
       // docs seen so far (the interleaved half, not a trivial prefix)
-      val wantMid = estMap(graft.ops.TextOps.kmvPairEstimates(
-        graft.streaming.DocsStream.sourceSketchBatch(
-          spark, docs.filter(pmod(col("doc_id"), lit(2)) === 0))))
+      val prefixSketches = graft.streaming.DocsStream.sourceSketchBatch(
+        spark, docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val wantMid = estMap(graft.ops.TextOps.kmvPairEstimates(prefixSketches))
       assert(published.last._2 === wantMid,
         "mid-stream publication diverged from the batch run over the prefix")
+      // the DIFFERENCE card rides the same publication (r15 verdict
+      // #3): mid-stream difference row == batch difference math over
+      // the same prefix sketches
+      val wantMidDiff = diffMap(
+        graft.ops.TextOps.kmvDifferenceEstimates(prefixSketches))
+      assert(publishedDiff.last === wantMidDiff,
+        "mid-stream difference card diverged from the batch run over the prefix")
       stagePart(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         watch.resolve("h2.parquet"))
       runOnce() // restart: same checkpoint, same table, new query
@@ -953,14 +967,77 @@ class StreamingSpec extends SparkSpec {
       assert(published.last._2 === wantFull,
         "post-restart publication diverged from the whole-corpus batch query")
       assert(published.last._2.size === 190)
+      // and the final difference card == the streaming difference
+      // twin's declared columns over the whole corpus
+      val wantFullDiff = diffMap(graft.ops.TextOps.kmvDifferenceEstimates(
+        graft.streaming.DocsStream.sourceSketchBatch(spark, docs)))
+      assert(publishedDiff.last === wantFullDiff,
+        "post-restart difference card diverged from the whole-corpus batch math")
       // the restart processed ONLY the new file (offsets resumed, so
       // batch ids advanced instead of replaying)
       assert(published.map(_._1).distinct.size === published.size,
         s"a batch id was published twice: ${published.map(_._1)}")
+      // exactly ONE committed generation remains after pruning, and
+      // the table read comes back through it
+      val gens = graft.streaming.DocsStream.latestSketchGeneration(spark, table)
+      assert(gens.nonEmpty, "no committed generation after two triggers")
+      assert(graft.streaming.DocsStream.readSketchTable(spark, table)
+        .count() === 20)
     } finally {
       graft.ops.BucketedTables.deleteRecursively(watch)
       graft.ops.BucketedTables.deleteRecursively(tableDir)
       graft.ops.BucketedTables.deleteRecursively(ckDir)
+    }
+  }
+
+  test("sketch table generations: file: URI portability, crash-window atomicity, prune") {
+    // the persistence seam of runSourceSketchUpsert in isolation
+    // (r15 verdict #4 + advice): existence/read/write go through the
+    // Hadoop FileSystem API resolved from the table path's OWN scheme
+    // — exercised here via an explicit file: URI (the API seam a
+    // java.io.File check cannot serve on HDFS/S3) — and a generation
+    // missing its _SUCCESS marker (the crash window) must be
+    // invisible to readers while the prior committed table survives
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.Row
+    val tmp = Files.createTempDirectory("graft_gen_table")
+    val table = "file://" + tmp.resolve("sketches").toString
+    try {
+      val schema = graft.streaming.DocsStream.sketchTableSchema
+      assert(graft.streaming.DocsStream.latestSketchGeneration(spark, table).isEmpty)
+      assert(graft.streaming.DocsStream.readSketchTable(spark, table).count() === 0)
+      def pin(rows: Seq[Row]) = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      val g0 = graft.streaming.DocsStream.writeSketchGeneration(
+        spark, pin(Seq(Row("a", Seq(1L, 2L)))), table)
+      assert(g0.endsWith("gen-0000000000000000"))
+      assert(graft.streaming.DocsStream.readSketchTable(spark, table)
+        .collect().map(_.getString(0)).toSeq === Seq("a"))
+      val g1 = graft.streaming.DocsStream.writeSketchGeneration(
+        spark, pin(Seq(Row("a", Seq(1L, 2L)), Row("b", Seq(3L)))), table)
+      assert(g1.endsWith("gen-0000000000000001"))
+      // the prior committed generation was pruned AFTER the commit
+      val local = tmp.resolve("sketches")
+      assert(!Files.exists(local.resolve("gen-0000000000000000")))
+      // simulate the crash window: a newer generation dir WITHOUT a
+      // _SUCCESS marker must not become the read source, and the
+      // committed table must still be readable through it
+      val partial = local.resolve("gen-0000000000000002")
+      Files.createDirectories(partial)
+      Files.write(partial.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+      assert(graft.streaming.DocsStream.latestSketchGeneration(spark, table)
+        .exists(_._2.endsWith("gen-0000000000000001")))
+      assert(graft.streaming.DocsStream.readSketchTable(spark, table)
+        .count() === 2)
+      // the next write lands OVER the dead partial dir and commits
+      val g3 = graft.streaming.DocsStream.writeSketchGeneration(
+        spark, pin(Seq(Row("c", Seq(9L)))), table)
+      assert(g3.endsWith("gen-0000000000000002"))
+      assert(graft.streaming.DocsStream.readSketchTable(spark, table)
+        .collect().map(_.getString(0)).toSeq === Seq("c"))
+    } finally {
+      graft.ops.BucketedTables.deleteRecursively(tmp)
     }
   }
 }
