@@ -257,6 +257,8 @@ object SparkEntry {
     "graph_triangles" -> (graft.ops.GraphOps.triangles _),
     // deterministic fixed-round synchronous label propagation
     "graph_label_propagation" -> (graft.ops.GraphOps.labelPropagation _),
+    // Newman–Girvan modularity card over the LPA communities
+    "graph_modularity" -> (graft.ops.GraphOps.modularity _),
     // density-thresholded k-core peeling (convergence-run, assert-bounded)
     "graph_kcore" -> (graft.ops.GraphOps.kcore _),
     "graph_bfs_hops" -> (graft.ops.GraphOps.bfsHops _),
@@ -449,6 +451,7 @@ object SparkEntry {
     "graph_pagerank" -> ExtSql.graphPagerank,
     "graph_triangles" -> ExtSql.graphTriangles,
     "graph_label_propagation" -> ExtSql.graphLabelPropagation,
+    "graph_modularity" -> ExtSql.graphModularity,
     "graph_kcore" -> ExtSql.graphKcore,
     "graph_bfs_hops" -> ExtSql.graphBfsHops,
     "graph_components" -> ExtSql.graphComponents,

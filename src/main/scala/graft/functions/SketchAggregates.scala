@@ -98,6 +98,8 @@ object SketchAggregates {
     reg.createOrReplaceTempFunction("topk_edges",
       es => TopKEdges(es(0), es(1), intLit(es(2), "topk_edges(id, score, k)")),
       "built-in")
+    reg.createOrReplaceTempFunction("label_argmax",
+      es => LabelArgmax(es(0)), "built-in")
   }
 
   private[graft] def intLit(e: Expression, usage: String): Int = e match {
@@ -567,4 +569,99 @@ case class TopKEdges(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(id = newChildren(0), score = newChildren(1))
   override def prettyName: String = "topk_edges"
+}
+
+/** Plurality-vote argmax over a BIGINT label column: the label with
+  * the HIGHEST occurrence count in the group, ties to the LOWEST
+  * label — exactly the `max(struct(Cnt, −Lbl))` vote rule of
+  * label propagation (ref behavior: GraphOps.labelPropagationOf),
+  * collapsed into ONE aggregate so each LPA round runs a single
+  * keyed exchange instead of two (r15 verdict #2: the
+  * count-by-(Dst,Lbl) exchange followed by the argmax-by-Dst
+  * exchange were the iterative graph family's dominant codec cost —
+  * two shuffles per round × rounds).
+  *
+  * Buffer = label → count hash map; per-group state is bounded by
+  * the number of DISTINCT labels among the group's members (≤ the
+  * node's degree in LPA, and shrinking every round as communities
+  * coalesce), and only the map crosses the exchange — partial
+  * aggregation combines each map-side task's votes before shuffle,
+  * so a hub node's million neighbors arrive as ≤ tasks × distinct
+  * labels map entries, not a million rows. Merge is count addition:
+  * associative, commutative, merge-order-free — the vote is exact
+  * under any partitioning. */
+case class LabelArgmax(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Long, Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true // empty group → no vote
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"label_argmax requires a bigint column, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): mutable.HashMap[Long, Long] =
+    mutable.HashMap.empty
+
+  override def update(
+      buf: mutable.HashMap[Long, Long],
+      input: InternalRow): mutable.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = v.asInstanceOf[Long]
+      buf.update(l, buf.getOrElse(l, 0L) + 1L)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[Long, Long],
+      other: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
+    other.foreach { case (l, c) => buf.update(l, buf.getOrElse(l, 0L) + c) }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Long, Long]): Any =
+    if (buf.isEmpty) null
+    else {
+      // single scan: highest count wins, ties to the lowest label
+      var bestLbl = 0L; var bestCnt = -1L
+      buf.foreach { case (l, c) =>
+        if (c > bestCnt || (c == bestCnt && l < bestLbl)) {
+          bestLbl = l; bestCnt = c
+        }
+      }
+      bestLbl
+    }
+
+  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (l, c) => out.writeLong(l); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[Long, Long]
+    var i = 0
+    while (i < n) { buf.update(in.readLong(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): LabelArgmax =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): LabelArgmax =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "label_argmax"
 }

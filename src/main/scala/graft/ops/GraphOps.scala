@@ -290,13 +290,13 @@ object GraphOps {
     *
     * Scale shape: one round = ONE equi-join of the cached
     * degree-carrying edge substrate with the node-sized label table on
-    * Src + TWO hash aggregates (neighbor-label counts keyed by
-    * (Dst, Lbl), then the per-Dst argmax as a max-of-struct — both
-    * partial-aggregated map-side). Label state is node-sized; the edge
+    * Src + ONE object-hash aggregate keyed by Dst (`label_argmax` —
+    * the whole plurality vote as a single mergeable label→count-map
+    * aggregate, partial-aggregated map-side, so each round crosses
+    * exactly one keyed exchange). Label state is node-sized; the edge
     * list never re-shuffles (bucketed on Src in production — the
-    * Pregel shape shared with [[pagerank]]). The argmax struct orders
-    * (Cnt, −Lbl), so `max` = highest count then lowest label, with no
-    * window/sort in the loop.
+    * Pregel shape shared with [[pagerank]]). The vote rule is highest
+    * count then LOWEST label, with no window/sort in the loop.
     *
     * In an undirected graph every node has ≥1 neighbor, so no node
     * drops out of the vote aggregate (directed callers would left-join
@@ -304,19 +304,92 @@ object GraphOps {
   def labelPropagation(spark: SparkSession, dir: String): DataFrame =
     labelPropagationOf(coPurchaseEdges(spark, dir))
 
-  /** [[labelPropagation]] over any degree-carrying edge substrate
-    * (see [[pagerankOf]]). */
-  def labelPropagationOf(edges: DataFrame): DataFrame = {
+  /** COMMUNITY QUALITY by Newman–Girvan modularity (Newman & Girvan
+    * 2004, "Finding and evaluating community structure in networks")
+    * over the [[labelPropagation]] labeling: per community c,
+    * Q_c = e_c/2m − (D_c/2m)², where e_c counts DIRECTED intra-
+    * community edges (both orientations of the symmetrized
+    * substrate), D_c is the community's degree sum, and 2m = Σdeg =
+    * the directed edge count — so Σ_c Q_c is the graph's modularity
+    * Q ∈ [−1/2, 1). The card turns the LPA labeling from "here are
+    * communities" into "and this is how much better than random
+    * mixing they are" — the curation signal for whether a clustered
+    * corpus split is structure or noise.
+    *
+    * Scale shape: the labeling is [[lpaLabels]] (node-sized state,
+    * one keyed exchange per round); on top of it, ONE pass joining
+    * the cached edge list with the node-sized label table on each
+    * endpoint (the LPA round's own join shape, twice) for e_c, one
+    * node-sized join+aggregate for (|c|, D_c), and a 1-row degree
+    * total broadcast by cross join. Nothing beyond the labeling
+    * exceeds O(m) work or O(#communities) output. */
+  def modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(coPurchaseEdges(spark, dir))
+
+  /** [[modularity]] over any degree-carrying edge substrate. */
+  def modularityOf(edges: DataFrame): DataFrame = {
+    val labels = lpaLabels(edges) // (Node, Lbl)
+    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+    val twoM = deg.agg(sum(col("OutDeg")).as("TwoM")) // 1 row
+    val intra = edges
+      .join(labels.select(col("Node").as("Src"), col("Lbl").as("SL")), "Src")
+      .join(labels.select(col("Node").as("Dst"), col("Lbl").as("DL")), "Dst")
+      .filter(col("SL") === col("DL"))
+      .groupBy(col("SL")).agg(count(lit(1)).as("IntraEdges"))
+    val comm = labels.join(deg, labels("Node") === deg("Src"))
+      .groupBy(col("Lbl"))
+      .agg(count(lit(1)).as("CommunitySize"), sum(col("OutDeg")).as("DegreeSum"))
+    // e_c/2m − (D_c/2m)² with the division-first operation order the
+    // oracle mirrors verbatim (IEEE-identical across engines)
+    val ratioE = col("IntraEdges").cast(DoubleType) / col("TwoM").cast(DoubleType)
+    val ratioD = col("DegreeSum").cast(DoubleType) / col("TwoM").cast(DoubleType)
+    comm.join(intra, comm("Lbl") === intra("SL"), "left")
+      .withColumn("IntraEdges", coalesce(col("IntraEdges"), lit(0L)))
+      .crossJoin(twoM)
+      .select(col("Lbl").as("Community"), col("CommunitySize"),
+        col("IntraEdges"), col("DegreeSum"),
+        (ratioE - ratioD * ratioD).as("Contribution"))
+      .orderBy(col("Community"))
+  }
+
+  /** The synchronous vote loop alone — (Node, Lbl) after
+    * [[LpaRounds]] rounds. Factored so the plan contract ("one keyed
+    * exchange per round") is assertable on the loop itself: the
+    * community-size join in [[labelPropagationOf]] consumes this
+    * frame twice, which duplicates (and re-aliases) every round's
+    * subtree in the printed initial plan — AQE stage reuse dedups it
+    * at runtime, but a plan test on the joined form can't count
+    * rounds. */
+  private[graft] def lpaLabels(edges: DataFrame): DataFrame = {
+    graft.functions.SketchAggregates.register(edges.sparkSession)
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()
     var labels = deg.select(col("Src").as("Node"), col("Src").as("Lbl"))
     for (_ <- 1 to LpaRounds) {
       labels = edges
         .join(labels, edges("Src") === labels("Node"))
-        .groupBy(col("Dst"), col("Lbl")).agg(count(lit(1)).as("Cnt"))
         .groupBy(col("Dst"))
-        .agg(max(struct(col("Cnt"), (-col("Lbl")).as("NegLbl"))).as("Best"))
-        .select(col("Dst").as("Node"), (-col("Best.NegLbl")).as("Lbl"))
+        .agg(expr("label_argmax(Lbl)").as("Lbl"))
+        .select(col("Dst").as("Node"), col("Lbl"))
     }
+    labels
+  }
+
+  /** [[labelPropagation]] over any degree-carrying edge substrate
+    * (see [[pagerankOf]]).
+    *
+    * Round 16: the per-round vote runs as ONE keyed exchange. Through
+    * round 15 each round shuffled TWICE — count by (Dst, Lbl), then
+    * argmax by Dst — and with `LpaRounds` unrolled rounds that pair
+    * of exchanges dominated the iterative graph family's codec bill
+    * (the r15 zstd A/B's biggest mover: 2.13 → 3.98 s at gate scale).
+    * [[graft.functions.SketchAggregates.LabelArgmax]] collapses the
+    * vote into a single mergeable aggregate (label→count map buffer,
+    * highest count wins, ties to the LOWEST label — the same rule the
+    * max-of-struct encoded), so a round is now join + one
+    * groupBy(Dst) exchange, with map-side partial aggregation
+    * combining each task's votes before they cross the wire. */
+  def labelPropagationOf(edges: DataFrame): DataFrame = {
+    val labels = lpaLabels(edges)
     val sizes = labels.groupBy(col("Lbl")).agg(count(lit(1)).as("CommunitySize"))
     labels.join(sizes, "Lbl")
       .select(col("Node").as("PartKey"), col("Lbl").as("Community"),

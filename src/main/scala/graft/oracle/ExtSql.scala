@@ -2032,7 +2032,15 @@ ORDER BY "PartKey"
     * as "min(lbl) among the labels attaining the round's max neighbor
     * count" — pure integer counts and min/max, so the labeling is
     * bit-identical across engines. */
-  val graphLabelPropagation: String = {
+  /** Shared CTE chain for the LPA-derived mirrors: the co-purchase
+    * edge universe, per-node degrees, and [[graft.ops.GraphOps
+    * .LpaRounds]] synchronous vote rounds unrolled — the final
+    * labeling is `l$LpaRounds (node, lbl)`. The engine's per-node
+    * vote (label_argmax: highest count, ties to the lowest label) is
+    * expressed as "min(lbl) among labels attaining the round's max
+    * neighbor count" — pure integer counts and min/max, so the
+    * labeling is bit-identical across engines. */
+  private def lpaChainCtes: String = {
     import graft.ops.GraphOps._
     val rounds = (1 to LpaRounds).map { i =>
       val prev = if (i == 1) "l0" else s"l${i - 1}"
@@ -2043,19 +2051,53 @@ l$i AS (SELECT c$i.dst AS node, min(c$i.lbl) AS lbl
        FROM c$i JOIN m$i ON c$i.dst = m$i.dst AND c$i.c = m$i.mc
        GROUP BY c$i.dst)"""
     }.mkString(",\n")
-    s"""
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
 gp AS (SELECT ok FROM li GROUP BY ok HAVING count(*) BETWEEN 2 AND $MaxOrderParts),
 e AS (SELECT DISTINCT a.part AS src, b.part AS dst
       FROM li a JOIN gp ON a.ok = gp.ok JOIN li b ON a.ok = b.ok
       WHERE a.part <> b.part),
 deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
 l0 AS (SELECT src AS node, src AS lbl FROM deg),
-$rounds,
+$rounds"""
+  }
+
+  val graphLabelPropagation: String = {
+    import graft.ops.GraphOps._
+    s"""
+WITH $lpaChainCtes,
 sz AS (SELECT lbl, count(*) AS s FROM l$LpaRounds GROUP BY lbl)
 SELECT f.node AS "PartKey", f.lbl AS "Community", CAST(sz.s AS BIGINT) AS "CommunitySize"
 FROM l$LpaRounds f JOIN sz ON f.lbl = sz.lbl
 ORDER BY f.node
+"""
+  }
+
+  /** Modularity mirror: the same LPA labeling
+    * ([[lpaChainCtes]]), then per community the directed
+    * intra-edge count, size, degree sum, and the Newman–Girvan
+    * contribution e_c/2m − (D_c/2m)² — the double arithmetic in the
+    * engine's exact operation order (divide first, square by
+    * multiplication), so the doubles are IEEE-bit-identical. */
+  val graphModularity: String = {
+    import graft.ops.GraphOps._
+    s"""
+WITH $lpaChainCtes,
+nl AS (SELECT node, lbl FROM l$LpaRounds),
+tm AS (SELECT sum(outdeg) AS t2m FROM deg),
+ie AS (SELECT a.lbl, count(*) AS iec
+       FROM e JOIN nl a ON e.src = a.node JOIN nl b ON e.dst = b.node
+       WHERE a.lbl = b.lbl GROUP BY a.lbl),
+cm AS (SELECT nl.lbl, count(*) AS cs, sum(deg.outdeg) AS ds
+       FROM nl JOIN deg ON nl.node = deg.src GROUP BY nl.lbl)
+SELECT cm.lbl AS "Community",
+       CAST(cm.cs AS BIGINT) AS "CommunitySize",
+       CAST(coalesce(ie.iec, 0) AS BIGINT) AS "IntraEdges",
+       CAST(cm.ds AS BIGINT) AS "DegreeSum",
+       CAST(coalesce(ie.iec, 0) AS DOUBLE) / CAST(tm.t2m AS DOUBLE)
+         - (CAST(cm.ds AS DOUBLE) / CAST(tm.t2m AS DOUBLE))
+           * (CAST(cm.ds AS DOUBLE) / CAST(tm.t2m AS DOUBLE)) AS "Contribution"
+FROM cm LEFT JOIN ie ON cm.lbl = ie.lbl CROSS JOIN tm
+ORDER BY "Community"
 """
   }
 

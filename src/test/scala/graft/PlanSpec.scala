@@ -329,6 +329,30 @@ class PlanSpec extends SparkSpec {
     assert(!sp.toString.contains("CartesianProduct"), sp.toString)
   }
 
+  test("LPA votes in ONE keyed exchange per round — label_argmax, no count+argmax cascade") {
+    // r15 verdict #2: through round 15 each LPA round shuffled TWICE
+    // (count by (Dst,Lbl), then argmax by Dst) — the iterative graph
+    // family's dominant codec cost. The vote now runs as the single
+    // mergeable label_argmax aggregate, so the plan must carry exactly
+    // LpaRounds vote exchanges (hash on Dst) and no aggregate keyed by
+    // (Dst, Lbl) anywhere in the loop.
+    // the LOOP's plan (lpaLabels): the full query's community-size
+    // join consumes the loop twice, duplicating every round's subtree
+    // in the printed initial plan — assert on the loop itself
+    val ep = graft.ops.GraphOps.lpaLabels(
+        graft.ops.GraphOps.coPurchaseEdges(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    val voteEx = ep.linesIterator
+      .count(_.contains("Exchange hashpartitioning(Dst#"))
+    assert(voteEx == graft.ops.GraphOps.LpaRounds,
+      s"expected ${graft.ops.GraphOps.LpaRounds} per-round vote exchanges, got $voteEx:\n$ep")
+    val partials = ep.linesIterator.count(_.contains("partial_label_argmax"))
+    assert(partials == graft.ops.GraphOps.LpaRounds,
+      s"expected one partial label_argmax per round (map-side combine), got $partials:\n$ep")
+    assert(!ep.matches("(?s).*keys=\\[Dst#\\d+L, Lbl#.*"),
+      s"a round re-grew the count-by-(Dst,Lbl) cascade:\n$ep")
+  }
+
   test("hybrid RRF fuses two bounded top-k branches with one equi-join — no global sort, no cartesian") {
     val df = graft.ops.RetrievalOps.hybridRrf(spark, sfDir)
     val sp = df.queryExecution.sparkPlan

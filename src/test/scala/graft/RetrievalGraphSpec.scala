@@ -261,6 +261,80 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(sizes.values.max > 1)
   }
 
+  test("modularity: per-community cards equal a driver recomputation over the LPA labels") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("Src"), r.getAs[Long]("Dst")))
+    val nodes = edges.map(_._1).distinct
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val inNbrs = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LpaRounds) {
+      lbl = nodes.map { n =>
+        val votes = inNbrs(n).map(lbl).groupBy(identity).map { case (l, v) => l -> v.length }
+        val maxC = votes.values.max
+        n -> votes.collect { case (l, c) if c == maxC => l }.min
+      }.toMap
+    }
+    val twoM = deg.values.sum.toDouble
+    val intra = edges.filter { case (s, d) => lbl(s) == lbl(d) }
+      .groupBy { case (s, _) => lbl(s) }.map { case (l, es) => l -> es.length.toLong }
+    val commSize = lbl.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val degSum = lbl.toSeq.groupBy(_._2)
+      .map { case (l, ns) => l -> ns.map { case (n, _) => deg(n) }.sum }
+    val got = GraphOps.modularity(spark, sfDir).collect()
+    assert(got.length === commSize.size)
+    var totalQ = 0.0
+    got.foreach { r =>
+      val c = r.getAs[Long]("Community")
+      assert(r.getAs[Long]("CommunitySize") === commSize(c))
+      assert(r.getAs[Long]("IntraEdges") === intra.getOrElse(c, 0L))
+      assert(r.getAs[Long]("DegreeSum") === degSum(c))
+      val want = intra.getOrElse(c, 0L) / twoM -
+        (degSum(c) / twoM) * (degSum(c) / twoM)
+      assert(r.getAs[Double]("Contribution") === want, s"community $c contribution")
+      totalQ += r.getAs[Double]("Contribution")
+    }
+    // exact identities: sizes partition the node set, degree sums
+    // partition 2m, intra edges can't exceed the edge universe
+    assert(got.map(_.getAs[Long]("CommunitySize")).sum === nodes.length.toLong)
+    assert(got.map(_.getAs[Long]("DegreeSum")).sum === twoM.toLong)
+    assert(got.map(_.getAs[Long]("IntraEdges")).sum <= twoM.toLong)
+    // at this SF the dense co-purchase graph may collapse to ONE
+    // community (Q ≡ 0 exactly, by the identities above) — range
+    // only; the positive-Q behavior is pinned on the synthetic corpus
+    assert(totalQ >= -0.5 && totalQ < 1.0)
+  }
+
+  test("modularity: two bridged 4-cliques score the closed-form Q of the 2-community split") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // K4 {0,1,2,3} + K4 {4,5,6,7} bridged by 3–4: LPA (4 rounds,
+    // min-label ties) labels each clique by its min node; closed form
+    // Q = 2 · (12/26 − (13/26)²) with 26 directed edges
+    val undirected = (for {
+      base <- Seq(0L, 4L); a <- 0L to 3L; b <- (a + 1L) to 3L
+    } yield (base + a, base + b)) :+ (3L, 4L)
+    val raw = undirected.toDF("A", "B")
+    val edges = raw.select($"A".as("Src"), $"B".as("Dst"))
+      .union(raw.select($"B".as("Src"), $"A".as("Dst")))
+      .distinct()
+      .withColumn("OutDeg",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))
+          .over(Window.partitionBy($"Src")))
+    val rows = GraphOps.modularityOf(edges).collect()
+    assert(rows.map(_.getAs[Long]("Community")).toSeq === Seq(0L, 4L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("CommunitySize") === 4L)
+      assert(r.getAs[Long]("IntraEdges") === 12L)
+      assert(r.getAs[Long]("DegreeSum") === 13L)
+      assert(r.getAs[Double]("Contribution") ===
+        12.0 / 26.0 - (13.0 / 26.0) * (13.0 / 26.0))
+    }
+    val q = rows.map(_.getAs[Double]("Contribution")).sum
+    assert(q > 0.42 && q < 0.43, s"two-clique Q=$q off the closed form")
+  }
+
   test("query likelihood: bit scores and ranking equal a driver recomputation") {
     import graft.ops.RetrievalOps
     val toks = docsTokens()

@@ -383,4 +383,33 @@ class SketchSpec extends SparkSpec {
         s"containment grossly out of range: $r")
     }
   }
+
+  test("label_argmax: plurality vote with lowest-label ties, exact under any partitioning") {
+    import spark.implicits._
+    // votes per group: g0 → label 7×3, 2×3 (tie → 2), g1 → 5×2, 9×1
+    // (count wins → 5), g2 → single vote, g3 → nulls only → null row
+    // absent from groupBy input; null VOTES are skipped
+    val rows = Seq(
+      (0L, 7L), (0L, 7L), (0L, 7L), (0L, 2L), (0L, 2L), (0L, 2L),
+      (1L, 5L), (1L, 5L), (1L, 9L),
+      (2L, 42L))
+    val df = rows.toDF("G", "Lbl")
+    // repartition WIDE so partial buffers genuinely merge across tasks
+    val got = df.repartition(8)
+      .groupBy($"G").agg(expr("label_argmax(Lbl)").as("W"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 1L -> 5L, 2L -> 42L))
+    // null votes are skipped, not counted: 2×3 vs 7×2 + nulls
+    val withNulls = (Seq.fill(3)((0L, Some(2L))) ++ Seq.fill(2)((0L, Some(7L)))
+      ++ Seq.fill(4)((0L, Option.empty[Long])))
+      .toDF("G", "Lbl").repartition(5)
+      .groupBy($"G").agg(expr("label_argmax(Lbl)").as("W")).collect()
+    assert(withNulls.map(r => r.getLong(1)).toSeq === Seq(2L))
+    // type guard: the vote is declared over BIGINT labels only
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", "b")).toDF("G", "Lbl")
+        .groupBy($"G").agg(expr("label_argmax(Lbl)")).collect()
+    }
+    assert(e.getMessage.contains("label_argmax"))
+  }
 }
