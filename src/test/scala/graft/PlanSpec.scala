@@ -338,9 +338,13 @@ class PlanSpec extends SparkSpec {
     // (Dst, Lbl) anywhere in the loop.
     // the LOOP's plan (lpaLabels): the full query's community-size
     // join consumes the loop twice, duplicating every round's subtree
-    // in the printed initial plan — assert on the loop itself
+    // in the printed initial plan — assert on the loop itself. A
+    // SYNTHETIC substrate, not the corpus: the gate query memoizes +
+    // caches the corpus labeling, and Spark's CacheManager replaces
+    // any semantically-equal plan with the cache scan — which would
+    // erase the very exchanges this test counts
     val ep = graft.ops.GraphOps.lpaLabels(
-        graft.ops.GraphOps.coPurchaseEdges(spark, sfDir))
+        graft.tools.GraphScaleProbe.powerlawEdges(spark, 200, 2000))
       .queryExecution.executedPlan.toString
     val voteEx = ep.linesIterator
       .count(_.contains("Exchange hashpartitioning(Dst#"))
