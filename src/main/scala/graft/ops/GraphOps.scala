@@ -418,12 +418,28 @@ object GraphOps {
     * computed (measured 3.35 s of the card's 3.9 s board price).
     * Node-sized cache (one (Node, Lbl) row per node). The `*Of`
     * substrate forms stay memo-free — probes measure the real loop. */
-  private def lpaLabelsFor(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lpaLabelsFor(spark: SparkSession, dir: String): DataFrame = {
     lpaMemo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(lpaMemo.remove)
     graft.ops.BucketedTables.memoized(lpaMemo, (spark, dir), lpaLock) {
       lpaLabels(coPurchaseEdges(spark, dir)).cache()
+    }
+  }
+
+  /** Dir-level eviction of the graph family's derived caches — the
+    * edge substrate and the memoized LPA labeling — the
+    * [[graft.etl.Tables.invalidateCorpusCounts]] discipline applied
+    * to this family (that hook is counts-only by design; these are
+    * the cached-DataFrame memos a corpus APPEND would leave stale).
+    * Unpersists before dropping so executor memory releases
+    * immediately; the next call rebuilds from the current files. */
+  def invalidateGraph(spark: SparkSession, dir: String): Unit = {
+    lpaLock.synchronized {
+      lpaMemo.remove((spark, dir)).foreach(_.unpersist()): Unit
+    }
+    edgesLock.synchronized {
+      edgesMemo.remove((spark, dir)).foreach(_.unpersist()): Unit
     }
   }
 

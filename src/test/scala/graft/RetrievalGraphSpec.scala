@@ -305,6 +305,25 @@ class RetrievalGraphSpec extends SparkSpec {
     assert(totalQ >= -0.5 && totalQ < 1.0)
   }
 
+  test("graph substrate invalidation: edges and labeling memos rebuild after invalidateGraph") {
+    // corpus-append discipline (the invalidateCorpusCounts shape):
+    // the memoized edge substrate and LPA labeling must be evictable
+    // per (session, dir) so an appended corpus is re-read — observable
+    // as fresh DataFrame instances after eviction, same instance
+    // before (reference equality IS the memo contract)
+    val e1 = GraphOps.coPurchaseEdges(spark, sfDir)
+    assert(GraphOps.coPurchaseEdges(spark, sfDir) eq e1)
+    val l1 = GraphOps.lpaLabelsFor(spark, sfDir)
+    assert(GraphOps.lpaLabelsFor(spark, sfDir) eq l1)
+    GraphOps.invalidateGraph(spark, sfDir)
+    val e2 = GraphOps.coPurchaseEdges(spark, sfDir)
+    val l2 = GraphOps.lpaLabelsFor(spark, sfDir)
+    assert(!(e2 eq e1), "edge memo survived invalidation")
+    assert(!(l2 eq l1), "labeling memo survived invalidation")
+    // and the rebuilt substrate is the same graph (count identity)
+    assert(e2.count() === e1.count())
+  }
+
   test("modularity: two bridged 4-cliques score the closed-form Q of the 2-community split") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
