@@ -253,7 +253,27 @@ object GraphOps {
         (col("DegV") < col("DegW") || (col("DegV") === col("DegW") && col("V") < col("W"))))
       .select(col("U"), col("V"), col("W"))
     val closing = o.select(col("Src").as("CV"), col("Dst").as("CW"))
-    val tris = wedges.join(closing, col("V") === col("CV") && col("W") === col("CW"))
+    // Bloom-prune wedges BEFORE the closure exchange (round 16): most
+    // wedges do not close (sf0.1: 41.1M wedges, 1.88M closing), yet
+    // all of them crossed the (V, W) exchange to meet the edge set.
+    // A bloom of the oriented edge keys — built in one scan of the
+    // already-pinned m/2-row checkpoint — drops non-closing wedges
+    // map-side, inside the wedge-join stage; the exact closure join
+    // then removes the false positives, so results are bit-identical
+    // (the join_bloom_pruned pattern applied to the engine's own
+    // heaviest self-join). Bits sized ~10/key for ~1% fp, capped at
+    // 2^26 (8 MB literal): past the cap the filter degrades to a
+    // weaker prune, never to wrong answers.
+    graft.functions.SketchAggregates.register(e.sparkSession)
+    val edgeKeys = o.count() // cached checkpoint scan
+    val log2Bits = math.min(26, math.max(16,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, edgeKeys * 10L - 1L))))
+    val bloomBytes = o
+      .agg(expr(s"bloom_build(xxhash64(Src, Dst), $log2Bits)").as("BF"))
+      .head().getAs[Array[Byte]](0)
+    val prunedWedges = wedges.filter(call_function("bloom_contains",
+      lit(bloomBytes), xxhash64(col("V"), col("W"))))
+    val tris = prunedWedges.join(closing, col("V") === col("CV") && col("W") === col("CW"))
       .select(col("U"), col("V"), col("W"))
     val perNode = tris
       .select(explode(array(col("U"), col("V"), col("W"))).as("N"))
