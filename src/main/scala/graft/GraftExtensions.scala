@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => BloomMightContain(es(0), es(1))),
     ("kmv_kmin", "k smallest distinct bigints — KMV bottom-k sketch (col, k)",
       es => KMinValues(es(0), SketchAggregates.intLit(es(1), "kmv_kmin(col, k)"))),
+    ("topk_edges", "k best (id, score) pairs of a group, best-first (id, score, k)",
+      es => TopKEdges(es(0), es(1), SketchAggregates.intLit(es(2), "topk_edges(id, score, k)"))),
+    ("label_argmax", "most frequent label, ties to the lowest (LPA vote)",
+      es => LabelArgmax(es.head)),
     ("ahash_bands", "4 band ints of the 64-bit average perceptual hash of text",
       es => AhashBands(es.head)),
     ("phash_bands", "4 band ints of the 64-bit DCT perceptual hash of text",

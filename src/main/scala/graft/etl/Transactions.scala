@@ -98,6 +98,28 @@ object Transactions {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Lineitem rows per cleaned-cache partition (r17): the cleaned
+    * substrate inherited the lineitem PARQUET SPLIT count — THREE
+    * partitions at sf0.1 (one ~40 MB file) — so the map stage of all
+    * ~40 downstream summaries ran 3-wide on a 32-core session
+    * (JobProfileProbe: the `transactions` sort's exchange-encode stage
+    * alone carried 3.4 s of task time across 3 tasks). The spread is
+    * row-SIZED like Tables.documentsSpread and APPLIED ONLY when the
+    * corpus is too small for the scan to fill the cluster: at real
+    * scale the parquet arrives in many splits and the extra shuffle
+    * would be pure cost, so the big path keeps the scan layout. */
+  val CleanSpreadLineitemRowsPerPartition = 50000L
+
+  private def cleanSpread(spark: SparkSession, dir: String,
+                          df: DataFrame): DataFrame = {
+    val dp = spark.sparkContext.defaultParallelism
+    val rows = Tables.lineitem(spark, dir).count() // footer-cheap
+    val w = ((rows + CleanSpreadLineitemRowsPerPartition - 1L)
+      / CleanSpreadLineitemRowsPerPartition).min(dp.toLong).max(1L).toInt
+    // (InvoiceNo, LineNumber) is unique per row — a uniform spread key
+    if (w < dp) df.repartition(w, col("InvoiceNo"), col("LineNumber")) else df
+  }
+
   /** Cleaned transactions for a scale-factor dir (the `self.cleaned_data`
     * analog, ref: etl.py:248). Memoized + `.cache()`d per (session, dir):
     * the reference materializes the cleaned table once and reads it from
@@ -113,7 +135,8 @@ object Transactions {
     memo.keysIterator
       .filter { case (s, _) => s.sparkContext.isStopped }
       .foreach(memo.remove)
-    memo.getOrElseUpdate((spark, dir), clean(raw(spark, dir)).cache())
+    memo.getOrElseUpdate((spark, dir),
+      cleanSpread(spark, dir, clean(raw(spark, dir))).cache())
   }
 
   /** Drop and unpersist every memoized cleaned table for `spark`

@@ -67,9 +67,15 @@ object AggMaintenance {
       .withColumn("YM", date_format(col("Date"), "yyyy-MM"))
 
   /** Full build (or rebuild): aggregate the fact slice and lay it out
-    * partitioned by month. */
+    * partitioned by month. The pre-write repartition clusters each
+    * month into one task (guide §6 — hash-distribute by the partition
+    * key before a partitioned write): without it the AQE-coalesced
+    * single aggregate task wrote every month directory SEQUENTIALLY
+    * (~80 file creates at sf0.1), and at scale a task-per-month
+    * writer is also what bounds files-per-directory at one. */
   def buildDailyAgg(facts: DataFrame, base: String): Unit =
-    partials(facts).write.mode("overwrite").partitionBy("YM").parquet(base)
+    partials(facts).repartition(col("YM"))
+      .write.mode("overwrite").partitionBy("YM").parquet(base)
 
   /** Merge one fact batch into the persisted aggregate: batch partials
     * → affected months (a driver-side list of month strings — tiny by

@@ -101,6 +101,30 @@ object DedupOps {
         .cache())
   }
 
+  private val sourceHashesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** DISTINCT (source, V) 48-bit shingle-hash pairs — the KMV overlap
+    * family's substrate (r17): both gate queries (`sketch_source_
+    * overlap`, `sketch_source_difference`) consume this frame THREE
+    * times per invocation (per-source sketch aggregate + both sides of
+    * the exact-certificate self-join), and each re-derivation re-ran
+    * the md5 prefix hash over every distinct (source, shingle) row.
+    * Hash definition stays the single [[graft.ops.TextOps
+    * .shingleHashCol]] site. Same owner/invalidate pattern as
+    * [[sourceShingles]], which it derives from. */
+  private[ops] def sourceShingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    sourceHashesMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(sourceHashesMemo.remove)
+    BucketedTables.memoized(sourceHashesMemo, (spark, dir), cacheMemoLock)(
+      sourceShingles(spark, dir)
+        .select(col("source"),
+          graft.ops.TextOps.shingleHashCol(col("Shingle")).as("V"))
+        .distinct()
+        .cache())
+  }
+
   private val chunksMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -183,6 +207,9 @@ object DedupOps {
       }
       sourceShinglesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         sourceShinglesMemo.remove(k).foreach(_.unpersist(false))
+      }
+      sourceHashesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        sourceHashesMemo.remove(k).foreach(_.unpersist(false))
       }
       cooledBandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         cooledBandsMemo.remove(k).foreach(_.unpersist(false))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,6 +53,22 @@ object GraphOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val edgesLock = new Object
 
+  /** Per-round rank/label lookup join — deliberately UNHINTED (r17
+    * measured): a `shuffle_hash` hint on the node-sized side looked
+    * right on paper (never sort the m-row side), but at gate scale it
+    * BLOCKS AQE's runtime broadcast upgrade, and the broadcast plan is
+    * strictly better — the node side ships once and the cached
+    * Src-partitioned edge side is joined map-side with ZERO exchanges
+    * (hinted A/B at sf0.1: pagerank 3.25 → 6.49 s, kcore 4.67 →
+    * 11.7 s WORSE under the hint; reverted). At cluster scale, where
+    * the node table outgrows broadcast, the planner's sort-merge is
+    * the spill-safe choice and the sort cost is amortized across the
+    * round's full shuffle — forcing SHJ there risks build-side OOM on
+    * skewed label states for a constant-factor win. */
+  private def joinEdgesOnSrc(edges: DataFrame, nodeTable: DataFrame,
+                             cond: Column): DataFrame =
+    edges.join(nodeTable, cond)
+
   /** Undirected co-purchase edge list (Src, Dst), both directions, one
     * row per distinct part pair that shares at least one order.
     *
@@ -97,6 +113,30 @@ object GraphOps {
         // reuses; an explicit repartition(Src) here would be a second
         // consecutive shuffle on the same key
         .cache()
+    }
+  }
+
+  /** (Src, OutDeg) — one row per node of a degree-carrying edge
+    * substrate. Every kernel in this family starts from it. */
+  private def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("Src"), col("OutDeg")).distinct()
+
+  private val degMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val degLock = new Object
+
+  /** The corpus node/degree table, memoized + `.cache()`d per
+    * (session, dir) beside [[coPurchaseEdges]] (r17): all eight gate
+    * graph queries re-derived it per invocation as a distinct over the
+    * m-row cached substrate (~0.3-0.8 s each at sf0.1). Node-sized
+    * cache; evicted by [[invalidateGraph]]; the `*Of` kernel forms
+    * still derive it fresh so probes measure the real cost. */
+  private[graft] def degreesFor(spark: SparkSession, dir: String): DataFrame = {
+    degMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(degMemo.remove)
+    graft.ops.BucketedTables.memoized(degMemo, (spark, dir), degLock) {
+      degreesOf(coPurchaseEdges(spark, dir)).cache()
     }
   }
 
@@ -173,7 +213,7 @@ object GraphOps {
     * decimal(38,0) the way `similarity_outliers` does its
     * cross-multiplied z-rule. */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankOf(coPurchaseEdges(spark, dir))
+    pagerankOf(coPurchaseEdges(spark, dir), Some(degreesFor(spark, dir)))
 
   /** [[pagerank]] over ANY degree-carrying (Src, Dst, OutDeg)
     * both-directions edge substrate — the kernels are graph-generic;
@@ -181,16 +221,15 @@ object GraphOps {
     * split is what lets GraphScaleProbe drive the same code over a
     * synthesized power-law corpus decades larger than the fact-table
     * graph. */
-  def pagerankOf(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+  def pagerankOf(edges: DataFrame, degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(degreesOf(edges))
     var ranks = deg.select(col("Src").as("Node"), lit(RankScale).as("RankQ"))
     for (_ <- 1 to PageRankIters) {
       // ONE join (rank lookup on the degree-carrying cached edges) +
       // ONE Dst-keyed aggregate per round; in an undirected graph
       // every node receives mass, so no node can drop out of the
       // aggregate (a directed caller would left-join deg back in)
-      ranks = edges
-        .join(ranks, edges("Src") === ranks("Node"))
+      ranks = joinEdgesOnSrc(edges, ranks, edges("Src") === ranks("Node"))
         .select(col("Dst"), expr("RankQ div OutDeg").as("Contrib"))
         .groupBy(col("Dst")).agg(sum(col("Contrib")).as("InQ"))
         .select(col("Dst").as("Node"),
@@ -227,53 +266,118 @@ object GraphOps {
     * mirror counts the same triangles via plain id-ordering — the
     * count per node is orientation-independent, so hash equality also
     * checks that the degree-oriented plan loses/invents nothing. */
-  def triangles(spark: SparkSession, dir: String): DataFrame =
-    trianglesOf(coPurchaseEdges(spark, dir))
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val (o, bloomBytes) = orientedBloomFor(spark, dir)
+    trianglesFrom(degreesFor(spark, dir)
+      .select(col("Src").as("N"), col("OutDeg").as("Deg")), o, bloomBytes)
+  }
 
   /** [[triangles]] over any degree-carrying edge substrate (see
-    * [[pagerankOf]]). */
+    * [[pagerankOf]]) — memo-free: probes measure the full build. */
   def trianglesOf(e: DataFrame): DataFrame = {
     val deg = e.select(col("Src").as("N"), col("OutDeg").as("Deg")).distinct()
-    // edge rows carrying BOTH endpoint degrees (one node-sized join)
+    val (o, bloomBytes) = orientedWithBloom(e, deg)
+    trianglesFrom(deg, o, bloomBytes)
+  }
+
+  /** The degree-ORIENTED edge set (lower-(deg, id) → higher-(deg, id)
+    * direction only, m/2 rows, localCheckpoint-pinned) plus the Bloom
+    * filter over its (Src, Dst) keys.
+    *
+    * The checkpoint is REPARTITIONED by Src at full parallelism before
+    * pinning (r17): the oriented set feeds the wedge self-join on the
+    * apex key, so pinning the Src layout makes that join exchange-FREE
+    * (both sides read the same co-partitioned checkpoint), and the
+    * explicit width keeps the wedge enumeration — the O(m^{3/2})
+    * per-row-expensive pass — cluster-wide where AQE's byte-sized
+    * coalescing collapsed a ~10 MB input to 8 tasks and serialized
+    * 40-60 s of enumeration CPU (JobProfileProbe, sf0.1; the
+    * documentsSpread per-row-CPU rule applied to this family).
+    *
+    * Bloom sizing (round 16, unchanged): ~10 bits/key for ~1% fp,
+    * capped at 2^26 bits (8 MB) — past the cap the filter degrades to
+    * a weaker prune, never to wrong answers. */
+  private[graft] def orientedWithBloom(e: DataFrame,
+                                       deg: DataFrame): (DataFrame, Array[Byte]) = {
+    val spark = e.sparkSession
+    graft.functions.SketchAggregates.register(spark)
+    // edge rows carrying BOTH endpoint degrees (one node-sized join —
+    // unhinted, the joinEdgesOnSrc rationale: AQE broadcasts deg)
     val withDd = e
-      .join(deg.select(col("N").as("DstN"), col("Deg").as("DegD")), col("Dst") === col("DstN"))
+      .join(deg.select(col("N").as("DstN"), col("Deg").as("DegD")),
+        col("Dst") === col("DstN"))
       .select(col("Src"), col("Dst"), col("OutDeg").as("DegS"), col("DegD"))
-    // keep the lower-(deg, id) → higher-(deg, id) direction only.
-    // localCheckpoint: the oriented edge set feeds THREE plan arms
-    // (both wedge sides + the closing join) — unpinned, each arm
-    // re-runs the edge⋈deg build (measured ~1/3 of the query's wall
-    // at sf0.1); pinned, the m/2-row table is built once
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
     val o = withDd.filter(col("DegS") < col("DegD") ||
         (col("DegS") === col("DegD") && col("Src") < col("Dst")))
+      .repartition(width, col("Src"))
       .localCheckpoint()
-    val e1 = o.select(col("Src").as("U"), col("Dst").as("V"), col("DegD").as("DegV"))
-    val e2 = o.select(col("Src").as("U2"), col("Dst").as("W"), col("DegD").as("DegW"))
-    // wedges at apex U: ordered pairs of out-neighbors (V before W)
-    val wedges = e1.join(e2, col("U") === col("U2") &&
-        (col("DegV") < col("DegW") || (col("DegV") === col("DegW") && col("V") < col("W"))))
-      .select(col("U"), col("V"), col("W"))
-    val closing = o.select(col("Src").as("CV"), col("Dst").as("CW"))
-    // Bloom-prune wedges BEFORE the closure exchange (round 16): most
-    // wedges do not close (sf0.1: 41.1M wedges, 1.88M closing), yet
-    // all of them crossed the (V, W) exchange to meet the edge set.
-    // A bloom of the oriented edge keys — built in one scan of the
-    // already-pinned m/2-row checkpoint — drops non-closing wedges
-    // map-side, inside the wedge-join stage; the exact closure join
-    // then removes the false positives, so results are bit-identical
-    // (the join_bloom_pruned pattern applied to the engine's own
-    // heaviest self-join). Bits sized ~10/key for ~1% fp, capped at
-    // 2^26 (8 MB literal): past the cap the filter degrades to a
-    // weaker prune, never to wrong answers.
-    graft.functions.SketchAggregates.register(e.sparkSession)
     val edgeKeys = o.count() // cached checkpoint scan
     val log2Bits = math.min(26, math.max(16,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, edgeKeys * 10L - 1L))))
     val bloomBytes = o
       .agg(expr(s"bloom_build(xxhash64(Src, Dst), $log2Bits)").as("BF"))
       .head().getAs[Array[Byte]](0)
+    (o, bloomBytes)
+  }
+
+  private val orientedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Array[Byte])]
+  private val orientedLock = new Object
+
+  /** [[orientedWithBloom]] over the corpus co-purchase substrate,
+    * memoized per (session, dir) like [[lpaLabelsFor]] (r16 verdict
+    * task #2): every `graph_triangles` invocation re-ran the oriented
+    * checkpoint build, its count, and the bloom aggregate (~3 s of the
+    * gate wall at sf0.1) even though the edge substrate itself was
+    * memoized. Evicted by [[invalidateGraph]]; the memo-free
+    * [[trianglesOf]] path is untouched, so probes still measure the
+    * full build. */
+  private[graft] def orientedBloomFor(spark: SparkSession,
+                                      dir: String): (DataFrame, Array[Byte]) = {
+    orientedMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(orientedMemo.remove)
+    graft.ops.BucketedTables.memoized(orientedMemo, (spark, dir), orientedLock) {
+      orientedWithBloom(coPurchaseEdges(spark, dir), degreesFor(spark, dir)
+        .select(col("Src").as("N"), col("OutDeg").as("Deg")))
+    }
+  }
+
+  /** The wedge-enumerate / bloom-prune / exact-close kernel over an
+    * oriented edge checkpoint (see [[orientedWithBloom]]). The closure
+    * join hash-builds the m/2-row closing side instead of sort-merging
+    * (r17): post-prune the wedge side is ~closing-sized, and the SHJ
+    * drops both sides' sorts from the hot stage. */
+  private def trianglesFrom(deg: DataFrame, o: DataFrame,
+                            bloomBytes: Array[Byte]): DataFrame = {
+    val e1 = o.select(col("Src").as("U"), col("Dst").as("V"), col("DegD").as("DegV"))
+    val e2 = o.select(col("Src").as("U2"), col("Dst").as("W"), col("DegD").as("DegW"))
+    // wedges at apex U: ordered pairs of out-neighbors (V before W) —
+    // both sides co-partitioned on the apex by the pinned checkpoint
+    // layout; the hash build keeps the enumeration sort-free
+    val wedges = e1.join(e2.hint("shuffle_hash"), col("U") === col("U2") &&
+        (col("DegV") < col("DegW") || (col("DegV") === col("DegW") && col("V") < col("W"))))
+      .select(col("U"), col("V"), col("W"))
+    val closing = o.select(col("Src").as("CV"), col("Dst").as("CW"))
+    // Bloom-prune wedges BEFORE the closure exchange (round 16): most
+    // wedges do not close (sf0.1: 41.1M wedges, 1.88M closing), yet
+    // all of them crossed the (V, W) exchange to meet the edge set.
+    // The exact closure join then removes the false positives, so
+    // results are bit-identical (the join_bloom_pruned pattern applied
+    // to the engine's own heaviest self-join). The bytes stay an
+    // expression LITERAL deliberately (r16 verdict watch item #2
+    // weighed and declined, r17): a literal evaluates to one shared
+    // array reference, where a broadcast-relation column pays an
+    // UnsafeRow.getBinary COPY of the ≤8 MB filter PER WEDGE — a
+    // prototyped broadcast variant ran minutes-for-seconds at sf0.1.
+    // The literal rides the task binary of exactly the two consuming
+    // stages; torrent broadcast of task binaries bounds the re-ship.
     val prunedWedges = wedges.filter(call_function("bloom_contains",
       lit(bloomBytes), xxhash64(col("V"), col("W"))))
-    val tris = prunedWedges.join(closing, col("V") === col("CV") && col("W") === col("CW"))
+    val tris = prunedWedges.join(closing.hint("shuffle_hash"),
+        col("V") === col("CV") && col("W") === col("CW"))
       .select(col("U"), col("V"), col("W"))
     val perNode = tris
       .select(explode(array(col("U"), col("V"), col("W"))).as("N"))
@@ -344,7 +448,8 @@ object GraphOps {
     * total broadcast by cross join. Nothing beyond the labeling
     * exceeds O(m) work or O(#communities) output. */
   def modularity(spark: SparkSession, dir: String): DataFrame =
-    modularityWith(coPurchaseEdges(spark, dir), lpaLabelsFor(spark, dir))
+    modularityWith(coPurchaseEdges(spark, dir), lpaLabelsFor(spark, dir),
+      Some(degreesFor(spark, dir)))
 
   /** [[modularity]] over any degree-carrying edge substrate
     * (memo-free — the labeling recomputes; probes and synthetic
@@ -353,8 +458,9 @@ object GraphOps {
     modularityWith(edges, lpaLabels(edges))
 
   /** Modularity cards from an edge substrate and its labeling. */
-  private def modularityWith(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+  private def modularityWith(edges: DataFrame, labels: DataFrame,
+                             degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(degreesOf(edges))
     val twoM = deg.agg(sum(col("OutDeg")).as("TwoM")) // 1 row
     val intra = edges
       .join(labels.select(col("Node").as("Src"), col("Lbl").as("SL")), "Src")
@@ -390,8 +496,7 @@ object GraphOps {
     val deg = edges.select(col("Src"), col("OutDeg")).distinct()
     var labels = deg.select(col("Src").as("Node"), col("Src").as("Lbl"))
     for (_ <- 1 to LpaRounds) {
-      labels = edges
-        .join(labels, edges("Src") === labels("Node"))
+      labels = joinEdgesOnSrc(edges, labels, edges("Src") === labels("Node"))
         .groupBy(col("Dst"))
         .agg(expr("label_argmax(Lbl)").as("Lbl"))
         .select(col("Dst").as("Node"), col("Lbl"))
@@ -458,6 +563,14 @@ object GraphOps {
     lpaLock.synchronized {
       lpaMemo.remove((spark, dir)).foreach(_.unpersist()): Unit
     }
+    orientedLock.synchronized {
+      // localCheckpoint blocks release via the ContextCleaner once the
+      // memoized frame is unreachable; dropping the entry is enough
+      orientedMemo.remove((spark, dir)): Unit
+    }
+    degLock.synchronized {
+      degMemo.remove((spark, dir)).foreach(_.unpersist()): Unit
+    }
     edgesLock.synchronized {
       edgesMemo.remove((spark, dir)).foreach(_.unpersist()): Unit
     }
@@ -501,7 +614,8 @@ object GraphOps {
     * scalars (K, per-round changed count) are metadata-cheap 1-row
     * actions, the assignAuto precedent. */
   def kcore(spark: SparkSession, dir: String): DataFrame =
-    kcoreWithRounds(coPurchaseEdges(spark, dir))._1
+    kcoreWithRounds(coPurchaseEdges(spark, dir),
+      degOpt = Some(degreesFor(spark, dir)))._1
 
   /** [[kcore]] over any degree-carrying edge substrate, also
     * returning the measured peel-round count. `maxRounds` defaults to
@@ -512,26 +626,39 @@ object GraphOps {
     * GraphScaleProbe, which is exactly the kind of fact this loop's
     * assert exists to surface). */
   def kcoreWithRounds(edges: DataFrame,
-                      maxRounds: Int = KcoreUnrollRounds): (DataFrame, Int) = {
-    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+                      maxRounds: Int = KcoreUnrollRounds,
+                      degOpt: Option[DataFrame] = None): (DataFrame, Int) = {
+    val deg = degOpt.getOrElse(degreesOf(edges))
     val nm = deg.agg(sum(col("OutDeg")).as("S"), count(lit(1)).as("N")).first()
     val k = KcoreDensityNum * (nm.getLong(0) / nm.getLong(1)) / KcoreDensityDen
+    // one synchronous peel as a lazy transformation — UNHINTED joins
+    // (joinEdgesOnSrc rationale): AQE broadcasts the node-sized alive
+    // set at gate scale, keeping both membership joins map-side over
+    // the cached Src-partitioned edges with zero exchanges
+    def peel(alive: DataFrame): DataFrame =
+      edges.join(alive, edges("Src") === alive("N")).drop("N")
+        .join(alive.select(col("N").as("ND")), col("Dst") === col("ND"))
+        .groupBy(col("Src")).agg(count(lit(1)).as("C"))
+        .filter(col("C") >= k)
+        .select(col("Src").as("N"))
     var alive = deg.select(col("Src").as("N")).localCheckpoint()
     var aliveCount = alive.count()
     var rounds = 0
     var converged = false
+    // ONE peel per action, LAZY localCheckpoint: the convergence count
+    // is the peel's single materializing job (the componentsOf
+    // discipline — r17; eager checkpoint + separate count was two jobs
+    // per peel of dispatch-bound work). Two-peels-per-action was
+    // prototyped and REVERTED: peel(peel(x)) references the inner
+    // peel's un-pinned result in both membership joins, so each block
+    // re-computed the inner peel as two separate builds — measured
+    // 2.5× slower than the singleton loop at sf0.1.
     while (!converged) {
       rounds += 1
       assert(rounds <= maxRounds,
         s"k-core failed to fixpoint within $maxRounds peels — " +
           "raise KcoreUnrollRounds together with the mirror's unroll")
-      val next = edges
-        .join(alive, edges("Src") === alive("N")).drop("N")
-        .join(alive.select(col("N").as("ND")), col("Dst") === col("ND"))
-        .groupBy(col("Src")).agg(count(lit(1)).as("C"))
-        .filter(col("C") >= k)
-        .select(col("Src").as("N"))
-        .localCheckpoint()
+      val next = peel(alive).localCheckpoint(eager = false)
       val nextCount = next.count()
       if (nextCount == aliveCount) converged = true
       else { alive = next; aliveCount = nextCount }
@@ -608,7 +735,8 @@ object GraphOps {
     * AND diameter-17 chain shapes. State localCheckpoint-pinned per
     * round, the Pregel shape shared with every loop in this file. */
   def bfsHops(spark: SparkSession, dir: String): DataFrame =
-    bfsHopsOf(coPurchaseEdges(spark, dir))
+    bfsHopsWithRounds(coPurchaseEdges(spark, dir),
+      degOpt = Some(degreesFor(spark, dir)))._1
 
   /** Round count past which the FINAL distance table (the union of
     * per-round localCheckpointed deltas) is compacted ONCE, at loop
@@ -658,7 +786,27 @@ object GraphOps {
     * round-14 sampled-join form cost ~1 s of fixed overhead per
     * gate-scale traversal (graph_bfs_hops 1.85 → 2.8 s), all of it
     * sort/checkpoint/action dispatch, not the check itself. */
+  /** Logical plans whose symmetry certificate already verified this
+    * session (r17): every [[bfsHops]] invocation re-ran the full-scan
+    * fingerprint aggregate even when `edges` was the SAME memoized
+    * substrate instance as last call. Keyed WEAKLY on the analyzed
+    * logical plan object — the memoized substrates hand every caller
+    * one stable plan instance, so a hit is exact; a fresh probe frame
+    * (new plan object) always re-checks, and [[invalidateGraph]]
+    * dropping the memo drops the only strong reference so the entry
+    * ages out with it. */
+  private val symCheckPassed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      java.lang.Boolean]())
+
   private def requireSymmetrizedSample(edges: DataFrame): Unit = {
+    val planKey = edges.queryExecution.analyzed
+    if (symCheckPassed.containsKey(planKey)) return
+    requireSymmetrizedSampleUncached(edges)
+    symCheckPassed.put(planKey, java.lang.Boolean.TRUE): Unit
+  }
+
+  private def requireSymmetrizedSampleUncached(edges: DataFrame): Unit = {
     val pairs = edges.select(col("Src"), col("Dst"))
     val fwdBwd = pairs
       .agg(expr("bit_xor(xxhash64(Src, Dst))").as("F"),
@@ -713,15 +861,16 @@ object GraphOps {
   private[graft] def bfsHopsWithRounds(
       edges: DataFrame,
       frontierDelta: Boolean = true,
-      maxRounds: Int = BfsUnrollRounds): (DataFrame, Seq[Long]) = {
-    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+      maxRounds: Int = BfsUnrollRounds,
+      degOpt: Option[DataFrame] = None): (DataFrame, Seq[Long]) = {
+    val deg = degOpt.getOrElse(degreesOf(edges))
     val src = deg
       .agg(max(struct(col("OutDeg"), (-col("Src")).as("NegId"))).as("B"))
       .select((-col("B.NegId")).as("SourceId"))
       .first().getLong(0)
     val seed = deg.filter(col("Src") === src)
       .select(col("Src").as("Node"), lit(0L).as("Hops"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = scala.collection.mutable.ArrayBuffer(seed.count())
     var dist = seed
     var rounds = 0
@@ -738,15 +887,16 @@ object GraphOps {
             "with the mirror's unroll)")
         // settled test = membership in the two most recent deltas
         // (see the scaladoc's two-frontier argument) — O(|frontier|)
-        // build side, never the growing distance table
-        val next = edges
-          .join(frontier, edges("Src") === frontier("Node"))
+        // build side, never the growing distance table. Frontier side
+        // hash-builds (joinEdgesOnSrc rationale); checkpoint is LAZY
+        // so the round's count is its single materializing job.
+        val next = joinEdgesOnSrc(edges, frontier, edges("Src") === frontier("Node"))
           .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
           .groupBy(col("Node")).agg(min(col("Hops")).as("Hops"))
           .join(frontier.select(col("Node").as("Seen"))
               .union(prev.select(col("Node").as("Seen"))),
             col("Node") === col("Seen"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         frontierCount = next.count()
         sizes += frontierCount
         if (frontierCount > 0) dist = dist.union(next)
@@ -766,12 +916,11 @@ object GraphOps {
           s"BFS failed to fixpoint within $maxRounds rounds — " +
             "raise maxRounds (gate queries: BfsUnrollRounds together " +
             "with the mirror's unroll)")
-        val next = edges
-          .join(dist, edges("Src") === dist("Node"))
+        val next = joinEdgesOnSrc(edges, dist, edges("Src") === dist("Node"))
           .select(col("Dst").as("Node"), (col("Hops") + 1L).as("Hops"))
           .union(dist)
           .groupBy(col("Node")).agg(min(col("Hops")).as("Hops"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val nextCount = next.count()
         if (nextCount == settled) converged = true
         sizes += (nextCount - settled)
@@ -812,12 +961,14 @@ object GraphOps {
     * edge-touched-only iteration); this wrapper adds one node-sized
     * size join and the presentation sort. */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame =
-    connectedComponentsOf(coPurchaseEdges(spark, dir))
+    connectedComponentsOf(coPurchaseEdges(spark, dir),
+      Some(degreesFor(spark, dir)))
 
   /** [[connectedComponents]] over any degree-carrying edge substrate
     * (see [[pagerankOf]]). */
-  def connectedComponentsOf(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+  def connectedComponentsOf(edges: DataFrame,
+                            degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(degreesOf(edges))
     val pairs = edges.filter(col("Src") < col("Dst"))
       .select(col("Src"), col("Dst"))
     val labels = DedupOps.componentsOf(pairs, deg.select(col("Src")))
@@ -851,7 +1002,7 @@ object GraphOps {
     * The undirected edge list carries both directions, so the
     * directed-edge correlation IS the undirected assortativity. */
   def degreeStats(spark: SparkSession, dir: String): DataFrame =
-    degreeStatsOf(coPurchaseEdges(spark, dir))
+    degreeStatsOf(coPurchaseEdges(spark, dir), Some(degreesFor(spark, dir)))
 
   /** [[degreeStats]] over any degree-carrying edge substrate. The
     * sums ride LONGS (degree ≤ 2³¹ ⇒ per-edge products ≤ 2⁶² summed
@@ -859,8 +1010,9 @@ object GraphOps {
     * widen to decimal(38,0) ONLY at the Pearson combination step,
     * exactly the statsCorrelation discipline; the coefficient is IEEE
     * arithmetic on two exactly-agreed doubles. */
-  def degreeStatsOf(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("Src"), col("OutDeg")).distinct()
+  def degreeStatsOf(edges: DataFrame,
+                    degOpt: Option[DataFrame] = None): DataFrame = {
+    val deg = degOpt.getOrElse(degreesOf(edges))
     val nodes = deg.agg(
       count(lit(1)).as("NNodes"),
       min(col("OutDeg")).cast(LongType).as("MinDegree"),

@@ -436,6 +436,13 @@ object SimilarityOps {
             w.orderBy(col("MmrScore").desc, col("NId"))))
           .filter(col("rn") === 1)
           .select(col("QId"), col("NId"), col("MmrScore"), lit(r).as("SelRank")))
+        // pin the |Q|·r-row selection state per round (r17, lazy —
+        // the count-free componentsOf discipline): round r references
+        // sel THREE times (sim join, anti-join, union), so the
+        // unpinned tree tripled per round (~3^K window subtrees by the
+        // last round — measured 2.9 s per materialization at sf0.1 for
+        // 40 output rows); pinned, the plan is linear in K
+        .localCheckpoint(eager = false)
     }
     sel.select(col("QId"), col("SelRank"), col("NId"), col("MmrScore"))
       .transform(graft.etl.Summaries.smallSort(_, col("QId"), col("SelRank")))

@@ -577,12 +577,8 @@ object TextOps {
     * declared 100 TB output is the sketch columns, runnable without
     * it. Overlap is counted in the 48-bit md5-prefix space on BOTH
     * sides (collisions are 2⁻⁴⁸-class and identical in the mirror). */
-  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
-    val hs = DedupOps.sourceShingles(spark, dir)
-      .select(col("source"), shingleHashCol(col("Shingle")).as("V"))
-      .distinct()
-    kmvOverlapPairs(hs)
-  }
+  def sourceOverlapKmv(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapPairs(DedupOps.sourceShingleHashes(spark, dir))
 
   /** THE 48-bit shingle-hash definition for the KMV overlap family —
     * single site, shared by the batch substrate and the streaming
@@ -649,12 +645,8 @@ object TextOps {
     * three-way split of the union's bottom-k is exhaustive).
     * One pass over the distinct (source, hash) substrate; pair frame
     * is sketch-scale. */
-  def sourceDifferenceKmv(spark: SparkSession, dir: String): DataFrame = {
-    val hs = DedupOps.sourceShingles(spark, dir)
-      .select(col("source"), shingleHashCol(col("Shingle")).as("V"))
-      .distinct()
-    kmvDifferencePairs(hs)
-  }
+  def sourceDifferenceKmv(spark: SparkSession, dir: String): DataFrame =
+    kmvDifferencePairs(DedupOps.sourceShingleHashes(spark, dir))
 
   /** The sketch-only layer of the difference pair math, over
     * per-source sketch rows (`source`, `Ks`, optionally more — all
@@ -1655,9 +1647,20 @@ object TextOps {
       .groupBy(col("A"), col("B")).agg(sum(col("C2")).as("W"))
       .filter(col("W") >= TextRankMinW)
     val sw = sym.groupBy(col("A")).agg(sum(col("W")).as("SW"))
+    // localCheckpoint-pinned (r17, the trianglesOf oriented-set rule):
+    // the edge table feeds every unrolled round — unpinned, each round
+    // re-derived the unionAll + two aggregates + join chain (the
+    // printed plan repeated the substrate five times; measured ~3 s of
+    // the gate wall at sf0.1); pinned, the vocab²-bounded table is
+    // built once per invocation
     val edges = sym.join(sw, "A")
       .select(col("A").as("Src"), col("B").as("Dst"), col("W"), col("SW"))
-    var ranks = sw.select(col("A").as("Node"), lit(RankScale).as("RankQ"))
+      .localCheckpoint()
+    // node universe (Node, SW) read off the PINNED edge table — every
+    // sw node appears as a Src (sym is symmetrized), so this is sw
+    // itself without re-deriving its aggregation chain
+    val nodes = edges.select(col("Src").as("Node"), col("SW")).distinct()
+    var ranks = nodes.select(col("Node"), lit(RankScale).as("RankQ"))
     for (_ <- 1 to PageRankIters) {
       // symmetric graph: every node both sends and receives, so the
       // Dst aggregate can never lose a node (the pagerank invariant)
@@ -1668,7 +1671,7 @@ object TextOps {
         .select(col("Dst").as("Node"),
           (lit(TeleportQ) + expr(s"($DampNum * InQ) div $DampDen")).as("RankQ"))
     }
-    ranks.join(sw, ranks("Node") === sw("A"))
+    ranks.join(nodes, "Node")
       .select(col("Node").as("Token"), col("SW").as("SumW"), col("RankQ"))
       .orderBy(col("RankQ").desc, col("Token"))
       .limit(TextRankTopK)

@@ -291,10 +291,30 @@ object DocsStream {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val genPath = new org.apache.hadoop.fs.Path(root, f"gen-$next%016d")
     pinned.coalesce(1).write.mode("overwrite").parquet(genPath.toString)
+    // the commit marker must exist CONFIG-INDEPENDENTLY (r17, r16
+    // advice #1): FileOutputCommitter only writes _SUCCESS when
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs is true — a
+    // common object-store deployment disables it, and then NO
+    // generation ever looks committed: latestSketchGeneration returns
+    // None forever, every merge silently proceeds from the current
+    // batch alone, and every publication under-reports. Create the
+    // marker explicitly when the write didn't.
+    val marker = new org.apache.hadoop.fs.Path(genPath, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+    // prune only generations STRICTLY OLDER than the one just
+    // committed (r17, r16 advice #3): an unconditional
+    // everything-but-mine sweep would delete a NEWER generation
+    // committed by a misconfigured second writer sharing the table
+    // path; single-writer remains the contract, but the prune no
+    // longer destroys evidence of its violation.
     fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .filter(st => st.getPath.getName.startsWith("gen-") &&
-        st.getPath.getName != genPath.getName)
-      .foreach(st => fs.delete(st.getPath, true))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("gen-")) None
+        else scala.util.Try(n.stripPrefix("gen-").toLong).toOption
+          .filter(_ < next).map(_ => st.getPath)
+      }
+      .foreach(fs.delete(_, true))
     genPath.toString
   }
 

@@ -137,4 +137,39 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("GraftExtensions covers every registerAll function (reverse parity — r16 advice #2)") {
+    // the forward check above proves registerAll ⊇ extensions; without
+    // THIS direction a new SketchAggregates registration can silently
+    // skip the installer (label_argmax and topk_edges did exactly that
+    // in r16), leaving cluster-deploy extensions-only sessions unable
+    // to resolve the function in SQL text.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = GraftSession.builder(defaultCpus = 2)
+      .appName("graft-extensions-reverse-parity")
+      .getOrCreate()
+    try {
+      import scala.jdk.CollectionConverters._
+      def tempFns: Set[String] = spark.catalog.listFunctions()
+        .collectAsList().asScala.filter(_.isTemporary).map(_.name).toSet
+      val before = tempFns
+      Verify.registerAll(spark)
+      // temp-function diff: empty when a shared JVM session was already
+      // registered (getOrCreate reuse) — the static floor below keeps
+      // the test non-vacuous in that case
+      val registered = tempFns -- before
+      val injected = (new GraftExtensions).functionNames.toSet
+      val missing = registered -- injected
+      assert(missing.isEmpty,
+        s"GraftExtensions does not inject: ${missing.mkString(", ")}")
+      // static floor: the r16 escapees stay pinned by name
+      val floor = Set("label_argmax", "topk_edges", "kmv_kmin", "bloom_build")
+      assert((floor -- injected).isEmpty,
+        s"GraftExtensions lost: ${(floor -- injected).mkString(", ")}")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }

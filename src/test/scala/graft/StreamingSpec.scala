@@ -1040,4 +1040,44 @@ class StreamingSpec extends SparkSpec {
       graft.ops.BucketedTables.deleteRecursively(tmp)
     }
   }
+
+  test("sketch generation commit is config-independent (explicit _SUCCESS — r16 advice #1)") {
+    // with mapreduce.fileoutputcommitter.marksuccessfuljobs=false (a
+    // common object-store deployment) FileOutputCommitter writes NO
+    // _SUCCESS — before r17 no generation ever looked committed, so
+    // readSketchTable returned empty on every trigger and every
+    // publication silently under-reported. writeSketchGeneration now
+    // creates the marker itself when the committer didn't.
+    import java.nio.file.Files
+    import org.apache.spark.sql.Row
+    val tmp = Files.createTempDirectory("graft_gen_nomark")
+    val table = "file://" + tmp.resolve("sketches").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = Option(hc.get(key))
+    hc.set(key, "false")
+    try {
+      val schema = graft.streaming.DocsStream.sketchTableSchema
+      def pin(rows: Seq[Row]) = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      val g0 = graft.streaming.DocsStream.writeSketchGeneration(
+        spark, pin(Seq(Row("a", Seq(1L, 2L)))), table)
+      assert(g0.endsWith("gen-0000000000000000"))
+      assert(graft.streaming.DocsStream.latestSketchGeneration(spark, table)
+        .exists(_._2.endsWith("gen-0000000000000000")),
+        "generation invisible when the committer writes no _SUCCESS")
+      assert(graft.streaming.DocsStream.readSketchTable(spark, table)
+        .collect().map(_.getString(0)).toSeq === Seq("a"))
+      // and the next upsert still merges FROM it, not from empty
+      val g1 = graft.streaming.DocsStream.writeSketchGeneration(
+        spark, pin(Seq(Row("a", Seq(1L, 2L)), Row("b", Seq(3L)))), table)
+      assert(g1.endsWith("gen-0000000000000001"))
+      assert(graft.streaming.DocsStream.readSketchTable(spark, table)
+        .count() === 2)
+    } finally {
+      prev match { case Some(v) => hc.set(key, v); case None => hc.unset(key) }
+      graft.ops.BucketedTables.deleteRecursively(tmp)
+    }
+  }
 }
