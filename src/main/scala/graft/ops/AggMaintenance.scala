@@ -73,9 +73,17 @@ object AggMaintenance {
     * single aggregate task wrote every month directory SEQUENTIALLY
     * (~80 file creates at sf0.1), and at scale a task-per-month
     * writer is also what bounds files-per-directory at one. */
-  def buildDailyAgg(facts: DataFrame, base: String): Unit =
-    partials(facts).repartition(col("YM"))
+  def buildDailyAgg(facts: DataFrame, base: String): Unit = {
+    // explicit width: a bare repartition(col) is AQE-coalescible, and
+    // the coalescer folded the day-count-sized shuffle back into ONE
+    // task that created every month directory sequentially (measured
+    // 1.2 s of the gate wall). Day-level partials stay tiny at any
+    // fact scale, so defaultParallelism bounds the file count per
+    // directory at 1 while spreading the creates.
+    val width = facts.sparkSession.sparkContext.defaultParallelism
+    partials(facts).repartition(width, col("YM"))
       .write.mode("overwrite").partitionBy("YM").parquet(base)
+  }
 
   /** Merge one fact batch into the persisted aggregate: batch partials
     * → affected months (a driver-side list of month strings — tiny by

@@ -125,6 +125,34 @@ object DedupOps {
         .cache())
   }
 
+  private val prefixRankMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Exploded shingles with their global document frequency and the
+    * per-doc (Df asc, Shingle asc) rank — the THRESHOLD-INDEPENDENT
+    * intermediate of the AllPairs prefix-filter family (r17):
+    * [[jaccardExact]] and [[containment]] each rebuilt this exact
+    * frame (explode + df aggregate + df join + per-doc row_number
+    * window) per invocation before applying their OWN integer prefix
+    * bound, and [[dedupReport]] re-ran both kernels on top. One row
+    * per (doc, shingle): (Shingle, doc_id, N = |doc's shingle set|,
+    * Df, Pos). Same owner/invalidate pattern as [[sourceShingles]]. */
+  private[ops] def prefixRankedShingles(spark: SparkSession, dir: String): DataFrame = {
+    prefixRankMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(prefixRankMemo.remove)
+    BucketedTables.memoized(prefixRankMemo, (spark, dir), cacheMemoLock) {
+      val exploded = sharedShingles(spark, dir)
+        .withColumn("N", size(col("Sh"))).filter(col("N") > 0)
+        .select(col("doc_id"), col("N"), explode(col("Sh")).as("Shingle"))
+      val dfCounts = exploded.groupBy(col("Shingle")).agg(count(lit(1)).as("Df"))
+      exploded.join(dfCounts, "Shingle")
+        .withColumn("Pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("Df"), col("Shingle"))))
+        .cache()
+    }
+  }
+
   private val chunksMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -210,6 +238,9 @@ object DedupOps {
       }
       sourceHashesMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         sourceHashesMemo.remove(k).foreach(_.unpersist(false))
+      }
+      prefixRankMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        prefixRankMemo.remove(k).foreach(_.unpersist(false))
       }
       cooledBandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         cooledBandsMemo.remove(k).foreach(_.unpersist(false))
@@ -1118,19 +1149,14 @@ object DedupOps {
     * assuming it. */
   def jaccardExact(spark: SparkSession, dir: String): DataFrame = {
     val sh = sharedShingles(spark, dir)
-    // |S| and the integer prefix length |S| − ⌈t·|S|⌉ + 1
-    val sized = sh.withColumn("N", size(col("Sh"))).filter(col("N") > 0)
-      .withColumn("PrefLen",
+    val ranked = prefixRankedShingles(spark, dir)
+    // integer prefix length |S| − ⌈t·|S|⌉ + 1, applied ON the shared
+    // rank (the ordering never depended on the threshold)
+    val prefix = ranked
+      .filter(col("Pos") <=
         col("N") - expr(s"CAST((N * $JaccardNum + ${JaccardDen - 1}) DIV $JaccardDen AS INT)") + 1)
-    val exploded = sized.select(col("doc_id"), col("N"), col("PrefLen"),
-      explode(col("Sh")).as("Shingle"))
-    val dfCounts = exploded.groupBy(col("Shingle")).agg(count(lit(1)).as("Df"))
-    val prefix = exploded.join(dfCounts, "Shingle")
-      .withColumn("Pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("Df"), col("Shingle"))))
-      .filter(col("Pos") <= col("PrefLen"))
       .select(col("Shingle"), col("doc_id").as("D1"), col("N").as("N1"))
-    val full = exploded
+    val full = ranked
       .select(col("Shingle").as("ShF"), col("doc_id").as("D2"), col("N").as("N2"))
     val cand = prefix.join(full,
         col("Shingle") === col("ShF") &&
@@ -1178,18 +1204,12 @@ object DedupOps {
     * rarity, exact verify only on candidates. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val sh = sharedShingles(spark, dir)
-    val sized = sh.withColumn("N", size(col("Sh"))).filter(col("N") > 0)
-      .withColumn("PrefLen",
+    val ranked = prefixRankedShingles(spark, dir)
+    val prefix = ranked
+      .filter(col("Pos") <=
         col("N") - expr(s"CAST((N * $ContainNum + ${ContainDen - 1}) DIV $ContainDen AS INT)") + 1)
-    val exploded = sized.select(col("doc_id"), col("N"), col("PrefLen"),
-      explode(col("Sh")).as("Shingle"))
-    val dfCounts = exploded.groupBy(col("Shingle")).agg(count(lit(1)).as("Df"))
-    val prefix = exploded.join(dfCounts, "Shingle")
-      .withColumn("Pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("Df"), col("Shingle"))))
-      .filter(col("Pos") <= col("PrefLen"))
       .select(col("Shingle"), col("doc_id").as("DA"), col("N").as("NA"))
-    val full = exploded
+    val full = ranked
       .select(col("Shingle").as("ShF"), col("doc_id").as("DB"), col("N").as("NB"))
     val cand = prefix.join(full,
         col("Shingle") === col("ShF") &&
@@ -1231,11 +1251,16 @@ object DedupOps {
       pairs.agg(count(lit(1)).as("NLinks"),
         countDistinct(col(affectedCol)).as("NAffected"))
         .select(lit(method).as("Method"), col("NLinks"), col("NAffected"))
-    val ex = exact(spark, dir).filter(col("IsDup"))
-      .select(col("doc_id").as("A"))
-    val rows = row("containment", containment(spark, dir), "InnerId")
+    // the three kernels are independent pair-sized frames: pin them as
+    // CONCURRENT jobs (BucketedTables.pinAllEager rationale, r17) so
+    // the card's wall is the slowest kernel, not their sum
+    val Seq(cont, ex, jac) = graft.ops.BucketedTables.pinAllEager(Seq(
+      containment(spark, dir),
+      exact(spark, dir).filter(col("IsDup")).select(col("doc_id").as("A")),
+      jaccardExact(spark, dir)))
+    val rows = row("containment", cont, "InnerId")
       .union(row("exact", ex, "A"))
-      .union(row("jaccard", jaccardExact(spark, dir), "D2"))
+      .union(row("jaccard", jac, "D2"))
     rows.crossJoin(n)
       .withColumn("RemovalRate",
         col("NAffected").cast(DoubleType) / col("NDocs"))

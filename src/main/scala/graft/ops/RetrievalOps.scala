@@ -117,27 +117,31 @@ object RetrievalOps {
     val qids = TextOps.Bm25Queries.map(_._1)
     // Every method list and relevance table below is |queries|·k-row
     // tiny but sits on a full method subtree; each is localCheckpoint-
-    // pinned (lazy — the mmr/componentsOf discipline, r17) so the
-    // six-arm union executes each method ONCE per materialization.
-    // Before the pinning, bm25 ran three times (own arm + prf feedback
-    // + rrf branch) and the exact top-k scan twice (rrf branch + the
-    // vector truth), and every arm's full subtree re-executed under
-    // the final union — measured 6.3 s per materialization at sf0.1
-    // for 36 output rows.
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+    // pinned so the six-arm union executes each method ONCE per
+    // materialization. Before the pinning, bm25 ran three times (own
+    // arm + prf feedback + rrf branch) and the exact top-k scan twice
+    // (rrf branch + the vector truth), and every arm's full subtree
+    // re-executed under the final union — measured 6.3 s per
+    // materialization at sf0.1 for 36 output rows. The pins run in TWO
+    // CONCURRENT WAVES (BucketedTables.pinAllEager, guide §2.6):
+    // sequentially-materialized lazy pins still billed one dispatch
+    // latency per AQE job (105 jobs × ~45 ms measured).
     // ---- lexical relevance: conjunctive term containment ----
     val qterms = TextOps.Bm25Queries
       .flatMap { case (qid, q) => q.split("\\s+").distinct.map(qid -> _) }
       .toDF("QueryId", "Term")
     val nq = qterms.groupBy(col("QueryId"))
       .agg(countDistinct(col("Term")).as("NQ"))
-    val rel = pin(TextOps.docPostings(spark, dir)
+    val relPlan = TextOps.docPostings(spark, dir)
       .join(broadcast(qterms), "Term")
       .groupBy(col("QueryId"), col("doc_id"))
       .agg(countDistinct(col("Term")).as("NHit"))
       .join(broadcast(nq), "QueryId")
       .filter(col("NHit") === col("NQ"))
-      .select(col("QueryId"), col("doc_id")))
+      .select(col("QueryId"), col("doc_id"))
+    // wave 1: the three frames every arm feeds from
+    val Seq(rel, bm25List, exactTopk) = graft.ops.BucketedTables.pinAllEager(Seq(
+      relPlan, TextOps.bm25Topk(spark, dir), SimilarityOps.topk(spark, dir)))
     val nRel = rel.groupBy(col("QueryId")).agg(count(lit(1)).as("NRel"))
     val lexSpine = qids.toDF("QueryId")
     def evalOf(method: String, ranked: DataFrame, truth: DataFrame,
@@ -164,16 +168,24 @@ object RetrievalOps {
           when(col("FirstRel").isNull, lit(0.0))
             .otherwise(lit(1.0) / col("FirstRel")).as("RR"))
     }
-    val bm25List = pin(TextOps.bm25Topk(spark, dir))
-    val exactTopk = pin(SimilarityOps.topk(spark, dir))
+    // wave 2: the five remaining method lists, concurrent jobs over
+    // the wave-1 pins (any first-touch ivf/pq index build happens at
+    // frame CONSTRUCTION on this thread, before the parallel pins)
+    val Seq(prfList, rrfList, ivfList, pqList, ivfpqList) =
+      graft.ops.BucketedTables.pinAllEager(Seq(
+        prfExpandFrom(spark, dir, bm25List),
+        hybridRrfFrom(spark, bm25List, exactTopk),
+        SimilarityOps.ivfTopk(spark, dir),
+        SimilarityOps.pqTopk(spark, dir),
+        SimilarityOps.ivfpqTopk(spark, dir)))
     val lex = Seq(
       evalOf("bm25", bm25List
         .select(col("QueryId"), col("doc_id"), col("Rank")),
         rel, lexSpine, nRel, TextOps.Bm25TopK),
-      evalOf("prf", pin(prfExpandFrom(spark, dir, bm25List))
+      evalOf("prf", prfList
         .select(col("QueryId"), col("doc_id"), col("Rank")),
         rel, lexSpine, nRel, TextOps.Bm25TopK),
-      evalOf("rrf", pin(hybridRrfFrom(spark, bm25List, exactTopk))
+      evalOf("rrf", rrfList
         .select(col("QueryId"), col("doc_id"), col("Rank")),
         rel, lexSpine, nRel, RrfTopK))
     // ---- vector relevance: the exact top-k list ----
@@ -186,11 +198,11 @@ object RetrievalOps {
       df.select(col("QId").cast(IntegerType).as("QueryId"),
         col("NId").as("doc_id"), col("Rank"))
     val vec = Seq(
-      evalOf("ivf", vecRanked(pin(SimilarityOps.ivfTopk(spark, dir))),
+      evalOf("ivf", vecRanked(ivfList),
         exact, vecSpine, nRelV, SimilarityOps.DefaultK),
-      evalOf("pq", vecRanked(pin(SimilarityOps.pqTopk(spark, dir))),
+      evalOf("pq", vecRanked(pqList),
         exact, vecSpine, nRelV, SimilarityOps.DefaultK),
-      evalOf("ivfpq", vecRanked(pin(SimilarityOps.ivfpqTopk(spark, dir))),
+      evalOf("ivfpq", vecRanked(ivfpqList),
         exact, vecSpine, nRelV, SimilarityOps.DefaultK))
     (lex ++ vec).reduce(_.union(_))
       .orderBy(col("Method"), col("QueryId"))
