@@ -242,6 +242,9 @@ object DedupOps {
       prefixRankMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         prefixRankMemo.remove(k).foreach(_.unpersist(false))
       }
+      componentLabelsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
+        componentLabelsMemo.remove(k).foreach(_.unpersist(false))
+      }
       cooledBandsMemo.keysIterator.filter(_._1 eq spark).foreach { k =>
         cooledBandsMemo.remove(k).foreach(_.unpersist(false))
       }
@@ -1056,14 +1059,33 @@ object DedupOps {
     * id. Clustering itself is [[componentsOf]] (convergence-checked
     * min-label propagation); the oracle is DuckDB's recursive-CTE TRUE
     * transitive closure, so any under-merge is a hash mismatch. */
-  def components(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedPairs(spark, dir).select(col("D1"), col("D2"))
-    val ids = Tables.documents(spark, dir).select(col("doc_id"))
-    componentsOf(pairs, ids)
+  private val componentLabelsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The corpus near-dup component labeling — (doc_id, ClusterId),
+    * node-sized — memoized + `.cache()`d per (session, dir) like the
+    * LPA labeling (r17): FOUR gate queries consume this exact loop
+    * output (`dedup_components`, `dedup_survivor_quality`,
+    * `curate_corpus`, and the curation funnel/pipeline via
+    * curationFlags), and each invocation re-ran the convergence loop
+    * over the same memoized verified pairs. [[componentsOf]] itself
+    * stays memo-free — probes and other domains measure the real
+    * loop. Evicted by [[invalidateSketches]]. */
+  private[graft] def componentLabelsFor(spark: SparkSession, dir: String): DataFrame = {
+    componentLabelsMemo.keysIterator
+      .filter { case (s, _) => s.sparkContext.isStopped }
+      .foreach(componentLabelsMemo.remove)
+    BucketedTables.memoized(componentLabelsMemo, (spark, dir), cacheMemoLock) {
+      componentsOf(verifiedPairs(spark, dir).select(col("D1"), col("D2")),
+        Tables.documents(spark, dir).select(col("doc_id"))).cache()
+    }
+  }
+
+  def components(spark: SparkSession, dir: String): DataFrame =
+    componentLabelsFor(spark, dir)
       .select(col("doc_id"), col("ClusterId"),
         (col("doc_id") === col("ClusterId")).as("IsSurvivor"))
       .orderBy(col("doc_id"))
-  }
 
   /** QUALITY-AWARE survivor selection — the keep-best policy real
     * dedup pipelines apply instead of [[components]]' keep-lowest-id:
@@ -1082,9 +1104,7 @@ object DedupOps {
     * (corpus-linear), so presentation keeps the distributed range
     * sort per smallSort's applicability rule. */
   def componentsQualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = verifiedPairs(spark, dir).select(col("D1"), col("D2"))
-    val ids = Tables.documents(spark, dir).select(col("doc_id"))
-    val scored = componentsOf(pairs, ids)
+    val scored = componentLabelsFor(spark, dir)
       .join(graft.ops.TextOps.quality(spark, dir)
         .select(col("doc_id"), col("QualityScore")), "doc_id")
     val survivors = scored.groupBy(col("ClusterId"))
