@@ -31,3 +31,45 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq
+
+// Parallel forked test groups (r18): the 24-suite run is 8 min
+// wall in ONE forked JVM (suites strictly sequential), dominated by
+// OpsSpec ~130 s, StreamingSpec ~64 s, SkewSpec ~63 s,
+// RetrievalGraphSpec+PlanSpec ~85 s. Four JVMs sized by those
+// measured suite walls bring the suite to ~max(group) ≈ 2.5 min at
+// 4 × local[4] = 16 cores. Each group gets its OWN warehouse dir:
+// BucketSpec/IndexMaintenanceSpec saveAsTable fixed table names, and
+// two JVMs sharing ./spark-warehouse would race on the table dirs.
+val testGroupOf: String => Int = {
+  case "graft.OpsSpec" | "graft.CurateTextSpec" |
+       "graft.AggMaintenanceSpec" => 0
+  case "graft.StreamingSpec" | "graft.SkewSpec" |
+       "graft.PipelineSpec" => 1
+  case "graft.RetrievalGraphSpec" | "graft.PlanSpec" |
+       "graft.IndexMaintenanceSpec" | "graft.RepartitionSweepSpec" |
+       "graft.SourcesSpec" => 2
+  case _ => 3
+}
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val wh = target.value
+  (Test / definedTests).value
+    .groupBy(t => testGroupOf(t.name))
+    .toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(
+        name = s"g$i",
+        tests = ts,
+        runPolicy = Tests.SubProcess(ForkOptions().withRunJVMOptions(
+          opts :+ s"-Dspark.sql.warehouse.dir=${(wh / s"test-warehouse-g$i").getAbsolutePath}")))
+    }
+}
+// sbt's default caps concurrently running forked test groups at 1;
+// lift it to the group count (and bound total parallelism sanely).
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(16),
+)
+// Per-test durations in the report (-oD): group balance is maintained
+// from measured suite walls, not guesses.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

@@ -25,38 +25,61 @@ object StarQueries {
 
   /** Revenue rollup by region: lineitem⋈orders⋈customer⋈nation⋈region,
     * non-cancelled (o_orderstatus <> 'F') only. */
+  /** Fact side pre-aggregated to PER-ORDER partials before the star
+    * joins (r18, guide §2.3 aggregate-before-shuffle): the two
+    * `countDistinct`s over the raw joined fact rows planned as an
+    * Expand ×3 — every fact row tripled into the grouping exchange.
+    * Per-order revenue partials make the order count a PLAIN count
+    * (the l_orderkey group is unique, the orders join 1:1), so only
+    * c_custkey still needs a distinct, and every post-join operator
+    * runs at order granularity (~¼ the fact rows, and the partial
+    * aggregate shares its exchange key with the orderkey join).
+    * Semantics are bit-identical: the per-order decimal sums
+    * re-aggregate exactly (same decSum discipline as
+    * AggMaintenance.partials), count(o_orderkey) over 1:1-joined
+    * unique keys ≡ countDistinct over the fact join, and the distinct
+    * custkey set is unchanged (inner join keeps exactly the orders
+    * having lineitems either way). */
   def regionRollup(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "F")
     val c = Tables.customer(spark, dir)
     val n = broadcast(Tables.nation(spark, dir))
     val r = broadcast(Tables.region(spark, dir))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenue).as("OrderRev"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy(r("r_name").as("Region"))
       .agg(
-        sum(revenue).cast(DoubleType).as("TotalRevenue"),
-        countDistinct(o("o_orderkey")).as("TotalOrders"),
+        sum(col("OrderRev")).cast(DoubleType).as("TotalRevenue"),
+        count(o("o_orderkey")).as("TotalOrders"),
         countDistinct(c("c_custkey")).as("TotalCustomers"))
       .transform(Summaries.smallSort(_, col("Region")))
   }
 
   /** Revenue rollup by market segment — the fact-fact join exercised
-    * with a customer-side attribute. */
+    * with a customer-side attribute. Same per-order pre-aggregation
+    * as [[regionRollup]] (r18): the quantity sum rides the same
+    * partials (long sums re-aggregate exactly), so every declared
+    * column is decomposable or 1:1 and the results hash-match. */
   def mktsegmentRollup(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") =!= "F")
     val c = Tables.customer(spark, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(revenue).as("OrderRev"),
+        sum(col("l_quantity").cast(LongType)).as("OrderItems"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(c("c_mktsegment").as("Segment"))
       .agg(
-        sum(revenue).cast(DoubleType).as("TotalRevenue"),
-        countDistinct(o("o_orderkey")).as("TotalOrders"),
+        sum(col("OrderRev")).cast(DoubleType).as("TotalRevenue"),
+        count(o("o_orderkey")).as("TotalOrders"),
         countDistinct(c("c_custkey")).as("TotalCustomers"),
-        sum(col("l_quantity").cast(LongType)).as("TotalItems"))
+        sum(col("OrderItems")).as("TotalItems"))
       .transform(Summaries.smallSort(_, col("Segment")))
   }
 

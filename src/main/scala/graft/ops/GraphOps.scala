@@ -166,9 +166,17 @@ object GraphOps {
     val lp = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("OrderKey"), col("l_partkey").as("Part"))
       .distinct()
+    // Pin the basket table (order-count-sized, bounded ≤MaxOrderParts
+    // arrays): it feeds FOUR consumers (the basket total, both
+    // per-part count arms, and the pair expansion), and unpinned the
+    // whole scan→distinct→collect chain (2 exchanges + an object
+    // hash aggregate over the fact table) re-ran per consumer — the
+    // r18 before-plan shows the identical subtree four times (guide
+    // §5 reuse-over-recompute; the theilSenTrend pin rule).
     val baskets = lp.groupBy(col("OrderKey"))
       .agg(collect_list(col("Part")).as("Ps"))
       .filter(size(col("Ps")) <= MaxOrderParts)
+      .localCheckpoint()
     val total = baskets.agg(count(lit(1)).as("NBaskets"))
     val partN = baskets
       .select(explode(col("Ps")).as("Part"))
@@ -281,45 +289,68 @@ object GraphOps {
   }
 
   /** The degree-ORIENTED edge set (lower-(deg, id) → higher-(deg, id)
-    * direction only, m/2 rows, localCheckpoint-pinned) plus the Bloom
-    * filter over its (Src, Dst) keys.
+    * direction only, m/2 rows, cache-pinned) plus the Bloom filter
+    * over its (Src, Dst) keys.
     *
-    * The checkpoint is REPARTITIONED by Src at full parallelism before
-    * pinning (r17): the oriented set feeds the wedge self-join on the
-    * apex key, so pinning the Src layout makes that join exchange-FREE
-    * (both sides read the same co-partitioned checkpoint), and the
-    * explicit width keeps the wedge enumeration — the O(m^{3/2})
-    * per-row-expensive pass — cluster-wide where AQE's byte-sized
-    * coalescing collapsed a ~10 MB input to 8 tasks and serialized
-    * 40-60 s of enumeration CPU (JobProfileProbe, sf0.1; the
-    * documentsSpread per-row-CPU rule applied to this family).
-    *
-    * Bloom sizing (round 16, unchanged): ~10 bits/key for ~1% fp,
-    * capped at 2^26 bits (8 MB) — past the cap the filter degrades to
-    * a weaker prune, never to wrong answers. */
+    * The pin is REPARTITIONED by Src at full parallelism and held as
+    * a plan-visible `.persist()` rather than a `localCheckpoint`
+    * (r18): a checkpoint scan reports UnknownPartitioning, so the r17
+    * checkpoint bought partition COUNT but not co-partitioning — the
+    * committed r17 after-plan shows the wedge self-join re-shuffling
+    * BOTH sides of the m/2-row table (Exchange 61/64 under SHJ 65).
+    * InMemoryTableScan PRESERVES the cached plan's HashPartitioning
+    * (Src, width), so the wedge self-join on the apex key plans with
+    * no Exchange under either side, and the explicit width keeps the
+    * wedge enumeration — the O(m^{3/2}) per-row-expensive pass —
+    * cluster-wide where AQE's byte-sized coalescing collapsed a
+    * ~10 MB input to 8 tasks and serialized 40-60 s of enumeration
+    * CPU (JobProfileProbe, sf0.1). The cache is released by
+    * [[invalidateGraph]] (memoized path) / [[unpersistOrientedOf]]
+    * (probe path); entries are keyed by canonicalized plan, so
+    * repeated [[trianglesOf]] calls over one substrate share one
+    * entry instead of leaking one per call. */
   private[graft] def orientedWithBloom(e: DataFrame,
                                        deg: DataFrame): (DataFrame, Array[Byte]) = {
     val spark = e.sparkSession
     graft.functions.SketchAggregates.register(spark)
-    // edge rows carrying BOTH endpoint degrees (one node-sized join —
-    // unhinted, the joinEdgesOnSrc rationale: AQE broadcasts deg)
-    val withDd = e
-      .join(deg.select(col("N").as("DstN"), col("Deg").as("DegD")),
-        col("Dst") === col("DstN"))
-      .select(col("Src"), col("Dst"), col("OutDeg").as("DegS"), col("DegD"))
-    val width = math.max(spark.sessionState.conf.numShufflePartitions,
-      spark.sparkContext.defaultParallelism)
-    val o = withDd.filter(col("DegS") < col("DegD") ||
-        (col("DegS") === col("DegD") && col("Src") < col("Dst")))
-      .repartition(width, col("Src"))
-      .localCheckpoint()
-    val edgeKeys = o.count() // cached checkpoint scan
+    val o = orientedPlan(e, deg).persist()
+    val edgeKeys = o.count() // materializes the pin
     val log2Bits = math.min(26, math.max(16,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, edgeKeys * 10L - 1L))))
     val bloomBytes = o
       .agg(expr(s"bloom_build(xxhash64(Src, Dst), $log2Bits)").as("BF"))
       .head().getAs[Array[Byte]](0)
     (o, bloomBytes)
+  }
+
+  /** The oriented edge set's LAZY plan — shared by [[orientedWithBloom]]
+    * (which pins it) and [[unpersistOrientedOf]] (which addresses the
+    * pin by canonical plan equality to release it). */
+  private def orientedPlan(e: DataFrame, deg: DataFrame): DataFrame = {
+    // edge rows carrying BOTH endpoint degrees (one node-sized join —
+    // unhinted, the joinEdgesOnSrc rationale: AQE broadcasts deg)
+    val spark = e.sparkSession
+    val withDd = e
+      .join(deg.select(col("N").as("DstN"), col("Deg").as("DegD")),
+        col("Dst") === col("DstN"))
+      .select(col("Src"), col("Dst"), col("OutDeg").as("DegS"), col("DegD"))
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    withDd.filter(col("DegS") < col("DegD") ||
+        (col("DegS") === col("DegD") && col("Src") < col("Dst")))
+      .repartition(width, col("Src"))
+  }
+
+  /** Release the oriented-set cache [[trianglesOf]] pinned over `e`
+    * (probe hygiene — GraphScaleProbe runs multi-hundred-MB corpora
+    * back to back; the memoized gate path releases via
+    * [[invalidateGraph]] instead). Safe no-op when nothing is
+    * cached. */
+  def unpersistOrientedOf(e: DataFrame): Unit = {
+    // EXACTLY trianglesOf's deg construction: the cache is addressed
+    // by canonical plan equality, so the lazy rebuild must mirror it.
+    val deg = e.select(col("Src").as("N"), col("OutDeg").as("Deg")).distinct()
+    orientedPlan(e, deg).unpersist(): Unit
   }
 
   private val orientedMemo = scala.collection.concurrent.TrieMap
@@ -345,18 +376,20 @@ object GraphOps {
     }
   }
 
-  /** The wedge-enumerate / bloom-prune / exact-close kernel over an
-    * oriented edge checkpoint (see [[orientedWithBloom]]). The closure
-    * join hash-builds the m/2-row closing side instead of sort-merging
-    * (r17): post-prune the wedge side is ~closing-sized, and the SHJ
-    * drops both sides' sorts from the hot stage. */
+  /** The wedge-enumerate / bloom-prune / exact-close kernel over the
+    * cache-pinned oriented edge set (see [[orientedWithBloom]]). The
+    * closure join hash-builds the m/2-row closing side instead of
+    * sort-merging (r17): post-prune the wedge side is ~closing-sized,
+    * and the SHJ drops both sides' sorts from the hot stage. */
   private def trianglesFrom(deg: DataFrame, o: DataFrame,
                             bloomBytes: Array[Byte]): DataFrame = {
     val e1 = o.select(col("Src").as("U"), col("Dst").as("V"), col("DegD").as("DegV"))
     val e2 = o.select(col("Src").as("U2"), col("Dst").as("W"), col("DegD").as("DegW"))
     // wedges at apex U: ordered pairs of out-neighbors (V before W) —
-    // both sides co-partitioned on the apex by the pinned checkpoint
-    // layout; the hash build keeps the enumeration sort-free
+    // both sides are InMemoryTableScans of the SAME cache pinned
+    // HashPartitioning(Src, width), so the self-join plans with no
+    // Exchange under either side (r18); the hash build keeps the
+    // enumeration sort-free
     val wedges = e1.join(e2.hint("shuffle_hash"), col("U") === col("U2") &&
         (col("DegV") < col("DegW") || (col("DegV") === col("DegW") && col("V") < col("W"))))
       .select(col("U"), col("V"), col("W"))
@@ -564,9 +597,9 @@ object GraphOps {
       lpaMemo.remove((spark, dir)).foreach(_.unpersist()): Unit
     }
     orientedLock.synchronized {
-      // localCheckpoint blocks release via the ContextCleaner once the
-      // memoized frame is unreachable; dropping the entry is enough
-      orientedMemo.remove((spark, dir)): Unit
+      // the oriented pin is a plan-visible cache (r18): unpersist
+      // before dropping so the executor memory releases immediately
+      orientedMemo.remove((spark, dir)).foreach(_._1.unpersist()): Unit
     }
     degLock.synchronized {
       degMemo.remove((spark, dir)).foreach(_.unpersist()): Unit

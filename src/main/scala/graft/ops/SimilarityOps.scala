@@ -1190,7 +1190,29 @@ object SimilarityOps {
     *
     * Returns the routed list ids (driver-scale, ≤ |batch| values).
     * Labels: appended rows carry no label column; [[kmeansProfile]]
-    * deliberately profiles corpus rows only (inner label join). */
+    * deliberately profiles corpus rows only (inner label join).
+    *
+    * Crash atomicity (r18 audit, r16 verdict #5): the BUILD paths are
+    * crash-safe by marker ordering — data writes first, commit
+    * markers (`lists/_SUCCESS` → `_corpus_fingerprint`, pq layers →
+    * `_pq_layout`) last, so every pre-marker crash state is detected
+    * by the next session's build-if-absent and rebuilt
+    * (IndexMaintenanceSpec exercises both coarse windows). The APPEND
+    * path is NOT single-crash-atomic: a process death inside this
+    * method can leave (a) a torn lists job commit (v1 committer moved
+    * some task outputs before dying — old `_SUCCESS` still present,
+    * so the half batch is served silently) or (b) lists committed but
+    * pqcodes not, so [[ivfpqTopk]] misses arrivals [[ivfTopk]] sees.
+    * Both are bounded to ONE batch and cannot corrupt corpus-derived
+    * state (the fingerprint's corpus line never moves here), but
+    * unlike the sketch table they cannot ride the gen-N swap
+    * discipline (DocsStream.publishSketchGeneration): appends are the
+    * point — republishing the whole lists tree per batch would be
+    * O(index), not O(batch). The production remedy is a table format
+    * with atomic multi-file commits (Iceberg/Delta manifest swap,
+    * guide §6); on this engine's plain-parquet layout the window is
+    * accepted and documented, and a caller that must close it can
+    * re-run [[buildIvfIndex]] + re-append its batch log. */
   def ivfAppend(spark: SparkSession, dir: String, arrivals: DataFrame,
                 nCentroids: Int = DefaultNCentroids,
                 skewFactor: Double = IvfSkewFactor,

@@ -127,12 +127,19 @@ object GraphScaleProbe {
       println(f"[graphscale] corpus n=$n m_directed=$dm maxDeg=$maxDeg")
       val parts = scala.collection.mutable.ArrayBuffer.empty[String]
       if (on("triangles")) {
-        val tri = Seq(time(noop(GraphOps.trianglesOf(edges))),
-          time(noop(GraphOps.trianglesOf(edges)))).min
+        // the oriented pin is a plan-keyed cache (r18): the calls
+        // below share ONE entry, so run 1 pays the full oriented
+        // build and run 2 measures the pinned-substrate path — the
+        // exact cold/warm split the gate's memoized form has. Both
+        // are reported; the pin is released before the next kernel.
+        val triCold = time(noop(GraphOps.trianglesOf(edges)))
+        val triWarm = time(noop(GraphOps.trianglesOf(edges)))
         val triTotal = GraphOps.trianglesOf(edges)
           .agg(sum(col("NTriangles"))).first().getLong(0) / 3
-        println(f"[graphscale] n=$n triangles_sec=$tri%.2f total=$triTotal")
-        parts += f""""triangles_sec":$tri%.2f,"triangles_total":$triTotal"""
+        GraphOps.unpersistOrientedOf(edges)
+        println(f"[graphscale] n=$n triangles_cold_sec=$triCold%.2f " +
+          f"triangles_sec=$triWarm%.2f total=$triTotal")
+        parts += f""""triangles_cold_sec":$triCold%.2f,"triangles_sec":$triWarm%.2f,"triangles_total":$triTotal"""
       }
       if (on("kcore")) {
         // peel depth is a corpus property: the probe bounds at 100, and

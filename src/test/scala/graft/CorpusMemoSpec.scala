@@ -47,4 +47,49 @@ class CorpusMemoSpec extends SparkSpec {
     assert(Tables.documentsSpread(spark, dir).rdd.getNumPartitions === 4)
     assert(SimilarityOps.embeddingsCount(spark, dir) === 1000L)
   }
+
+  test("invalidateCorpusDerived refreshes the co-purchase graph memos after an external fact append") {
+    // r16 verdict #6 (closed r18): the graph family's cached memos
+    // (edges/degrees/oriented) are keyed on (session, dir) over the
+    // fact table. An append issued THROUGH this session's writer is
+    // self-healing (InsertIntoHadoopFsRelationCommand recaches every
+    // cached plan reading the output path — verified while writing
+    // this test), so the seam that actually goes stale is an
+    // EXTERNAL append: another driver/process landing files in the
+    // corpus dir. Simulate that with a file-level copy, assert the
+    // memos are sticky (they must be — the cached listing pins the
+    // old file set), then assert the ONE corpus-refresh entry point
+    // makes the doubled node universe visible.
+    val dir = Files.createTempDirectory("graft_memo_graph_").toString
+    val src = Tables.lineitem(spark, sfDir)
+    src.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def nNodes(): Long = graft.ops.GraphOps.degreeStats(spark, dir)
+      .head().getAs[Long]("NNodes")
+    val before = nNodes()
+    assert(before > 0)
+    // stage the id-shifted copy elsewhere, then land its data files by
+    // FILE MOVE — no Spark write touches the corpus dir, exactly like
+    // a foreign process appending
+    val shift = 10000000L
+    val stage = Files.createTempDirectory("graft_memo_stage_")
+    src
+      .withColumn("l_orderkey",
+        (col("l_orderkey") + shift).cast(src.schema("l_orderkey").dataType))
+      .withColumn("l_partkey",
+        (col("l_partkey") + shift).cast(src.schema("l_partkey").dataType))
+      .write.mode("overwrite").parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(stage)
+    try listing.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { f =>
+        Files.move(f, java.nio.file.Paths.get(
+          s"$dir/lineitem.parquet", f.getFileName.toString))
+      }
+    finally listing.close()
+    // the memos are deliberately sticky — stale until invalidated
+    assert(nNodes() === before)
+    Tables.invalidateCorpusDerived(spark, dir)
+    assert(nNodes() === before * 2)
+  }
 }

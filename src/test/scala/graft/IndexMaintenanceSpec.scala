@@ -32,6 +32,32 @@ class IndexMaintenanceSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite")
       .parquet(dst.resolve(s"$table.parquet").toString)
 
+  test("half-built IVF index states (crash before a commit marker) rebuild instead of being served") {
+    // r16 verdict #5 (closed r18): the index build paths write their
+    // commit markers LAST (lists/_SUCCESS, then _corpus_fingerprint;
+    // pq layers then _pq_layout), so every pre-marker crash state
+    // must be DETECTED by the next session's build-if-absent and
+    // rebuilt, never probed. Simulate the two coarse-index windows by
+    // deleting the marker a crash would have left unwritten.
+    val tmp = Files.createTempDirectory("graft_ivf_crash").toAbsolutePath
+    copyCorpus(sfDir, "embeddings", tmp, col("vec_id") < 400)
+    val dir = tmp.toString
+    val base = SimilarityOps.ivfIndexPath(spark, dir)
+    val fp = Paths.get(base, "_corpus_fingerprint")
+    val expected = Files.readString(fp)
+    // window 1: codebook+lists committed, crash before the fingerprint
+    Files.delete(fp)
+    val s2 = spark.newSession(); GraftSession.registerAll(s2)
+    assert(SimilarityOps.ivfIndexPath(s2, dir) === base)
+    assert(Files.readString(fp) === expected) // rebuilt + re-fingerprinted
+    // window 2: crash mid lists write (no job commit marker)
+    Files.delete(Paths.get(base, "lists", "_SUCCESS"))
+    val s3 = spark.newSession(); GraftSession.registerAll(s3)
+    assert(SimilarityOps.ivfIndexPath(s3, dir) === base)
+    assert(Files.exists(Paths.get(base, "lists", "_SUCCESS")))
+    assert(Files.readString(fp) === expected)
+  }
+
   test("ivfAppend touches only routed list partitions; recluster equals a from-scratch build") {
     val tmpA = Files.createTempDirectory("graft_ivf_app_a").toAbsolutePath
     val tmpB = Files.createTempDirectory("graft_ivf_app_b").toAbsolutePath

@@ -412,4 +412,32 @@ class SketchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("label_argmax"))
   }
+
+  test("label_argmax: exact vote through the ObjectHashAggregate sort-based fallback (hub key)") {
+    // r16 verdict #3 / r17 #8: the engine raises the OHA fallback
+    // threshold session-wide, but a group-count spike can still push
+    // the aggregate onto the sort-based fallback path — the vote must
+    // be exact THERE too (fallback sorts partial buffers and merges
+    // them in sorted-key order, a different merge order and a full
+    // serialize/deserialize round-trip per buffer). Force it with a
+    // threshold of 2 and 10k groups, and give group 0 a contested
+    // hub vote whose ballots span every input partition.
+    import spark.implicits._
+    withConfs("spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2") {
+      val hub = Seq.fill(600)(7L) ++ Seq.fill(600)(3L) ++ Seq.fill(100)(9L)
+      val rows = hub.map(l => (0L, l)) ++
+        (1L until 10000L).map(g => (g, g % 5))
+      val df = rows.toDF("G", "Lbl").repartition(8)
+        .groupBy($"G").agg(expr("label_argmax(Lbl)").as("W"))
+      // the plan must actually be the OHA operator for the fallback
+      // path to exist at all
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ObjectHashAggregate"), df.queryExecution.executedPlan)
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 10000)
+      assert(got(0L) === 3L) // 600-600 tie between 7 and 3 → lowest label
+      assert(got(1L) === 1L)
+      assert(got(9999L) === 9999L % 5)
+    }
+  }
 }
