@@ -57,7 +57,7 @@ object StarQueries {
         sum(col("OrderRev")).cast(DoubleType).as("TotalRevenue"),
         count(o("o_orderkey")).as("TotalOrders"),
         countDistinct(c("c_custkey")).as("TotalCustomers"))
-      .transform(Summaries.smallSort(_, col("Region")))
+      .transform(Summaries.isolatedSmallSort(_, col("Region")))
   }
 
   /** Revenue rollup by market segment — the fact-fact join exercised
@@ -80,7 +80,7 @@ object StarQueries {
         count(o("o_orderkey")).as("TotalOrders"),
         countDistinct(c("c_custkey")).as("TotalCustomers"),
         sum(col("OrderItems")).as("TotalItems"))
-      .transform(Summaries.smallSort(_, col("Segment")))
+      .transform(Summaries.isolatedSmallSort(_, col("Segment")))
   }
 
   /** Customers having ≥1 cancelled ('F') order — left_semi (EXISTS). */

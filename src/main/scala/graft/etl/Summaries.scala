@@ -53,14 +53,34 @@ object Summaries {
     * stage into one task, so this is only safe where that stage is
     * genuinely tiny): use ONLY for outputs bounded by a fixed
     * dimension cardinality (#countries, segments, rollup cells, a
-    * declared probe set) or for queries that already funnel through a
-    * deliberate single-partition stage (the global ntile/MA windows
-    * over per-entity aggregates). Corpus-linear outputs — per-document
-    * text/dedup passes, per-user event views, the 60K-row
+    * declared probe set) AND whose tail past the last exchange is just
+    * the final aggregate — a tail that carries JOINS or WINDOWS must
+    * use [[isolatedSmallSort]] (r18). Corpus-linear outputs —
+    * per-document text/dedup passes, per-user event views, the 60K-row
     * `transactions` sort — keep the distributed range sort: at scale
     * their final stage must stay parallel. */
   private[graft] def smallSort(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  /** [[smallSort]] behind a SHUFFLE boundary — for COMPOSITE cards
+    * whose tail past the last exchange carries real work. coalesce(1)
+    * is a NARROW dependency, so the plain form fuses that whole tail
+    * into its single task: JobProfileProbe (r18) caught
+    * sketch_approx_stats running its per-country window chain, rank
+    * aggregate, and all three arm joins in ONE 0.8-2.1 s task (final
+    * stage = 1 task, 3.4 MB in). `repartition(1)` isolates the
+    * presentation sort behind a kilobyte exchange and leaves the tail
+    * at its own parallelism; rows cross the shuffle unordered and the
+    * total in-partition sort restores the declared order, so outputs
+    * are hash-identical (oracle re-verified at sf0.001/sf0.01).
+    * Measured (FreshRun min-of-5, same-window A/B):
+    * sketch_approx_stats 2.02 → 1.72 s, join_mktsegment_rollup
+    * 2.00 → 1.65 s. The plain form stays the default because on
+    * single-aggregate tails the fusion IS the design — the same A/B
+    * read country_summary 0.87 → 1.15 s under the shuffle form (one
+    * extra AQE stage dispatch, pure overhead there). */
+  private[graft] def isolatedSmallSort(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 
   /** Exact distinct count per group WITHOUT the Expand plan: dedup
     * (key, col) first (partial-aggregated shuffle), then count. One
@@ -288,7 +308,7 @@ object Summaries {
       .select(col("StockCode"), col("Description"), col("TotalQuantity"),
         col("TotalRevenue"), col("TotalOrders"), col("TotalCustomers"),
         col("AvgPrice"))
-      .transform(smallSort(_, desc("TotalRevenue"), col("StockCode"))) // O1
+      .transform(isolatedSmallSort(_, desc("TotalRevenue"), col("StockCode"))) // O1
   }
 
   /** daily_sales (ref: etl.py:177-204) with 7- and 30-row trailing
@@ -591,7 +611,7 @@ object Summaries {
       .agg(count(lit(1)).as("NDays"), expr("percentile(Res, 0.5D)").as("Intercept"))
     slope.join(inter, "Country")
       .select(col("Country"), col("NDays"), col("NPairs"), col("Slope"), col("Intercept"))
-      .transform(smallSort(_, col("Country")))
+      .transform(isolatedSmallSort(_, col("Country")))
   }
 
   /** CUSUM CHANGE-POINT DETECTION per country — the single most
@@ -647,7 +667,7 @@ object Summaries {
         (col("S").cast(DoubleType) / (col("T") * lit(10000.0))).as("MeanBefore"),
         ((col("Total") - col("S")).cast(DoubleType) /
           ((col("N") - col("T")) * lit(10000.0))).as("MeanAfter"))
-      .transform(smallSort(_, col("Country")))
+      .transform(isolatedSmallSort(_, col("Country")))
   }
 
   /** CLASSICAL SEASONAL DECOMPOSITION of the daily revenue series —

@@ -718,7 +718,7 @@ object RelationalOps {
           <= col("ExactOrders") * lit(0.06)).as("OrdersSketchOk"),
         (col("ap")(0) >= col("lo50") && col("ap")(0) <= col("hi50")).as("P50SketchOk"),
         (col("ap")(1) >= col("lo90") && col("ap")(1) <= col("hi90")).as("P90SketchOk"))
-      .transform(Summaries.smallSort(_, col("Country")))
+      .transform(Summaries.isolatedSmallSort(_, col("Country")))
   }
 
   /** The testdata's order-date span (1995-2001); pivot columns are a
